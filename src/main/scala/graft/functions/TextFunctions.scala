@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/**
+ * Text-analysis column functions for large-scale training-data pipelines:
+ * tokenization, language id, quality scoring, fingerprinting, shingling.
+ *
+ * All pure `Column` combinators over Spark built-ins / higher-order
+ * functions — codegen-capable, no UDFs, so a 100 TB corpus scan stays a
+ * single fused pipeline per partition. Hash primitives are md5-based so a
+ * SQL oracle (DuckDB) can reproduce them bit-for-bit.
+ */
+object TextFunctions {
+
+  /** Lowercase, trim, collapse internal whitespace — canonical text form
+   * used by dedup and fingerprinting. */
+  def normalizeText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text; empty string → empty array. */
+  def tokens(c: Column): Column = {
+    val n = normalizeText(c)
+    when(n === "", array().cast("array<string>")).otherwise(split(n, " "))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+
+  /** BPE-ish subword token count: word chunks of ≤4 chars + punctuation
+   * marks, via a single regex scan (a cheap, deterministic proxy for a real
+   * BPE vocab — counts `\w{1,4}` pieces and non-space symbols). */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(normalizeText(c), lit("[a-z0-9]{1,4}|[^a-z0-9 ]")).cast(LongType)
+
+  /** Portable 60-bit hash: first 15 hex digits of md5 as a non-negative
+   * long. Reproducible in DuckDB as CAST('0x'||substr(md5(s),1,15) AS BIGINT)
+   * and in any engine with md5 — the shared primitive under minhash/simhash. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Document fingerprint: md5 hex of the normalized text (exact-dup key). */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Character n-gram shingles of the normalized text (distinct).
+   * Length < n → empty array. */
+  def charShingles(c: Column, n: Int): Column = {
+    val t = normalizeText(c)
+    when(length(t) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(t) - lit(n - 1)),
+        i => substr(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Word k-shingles over whitespace tokens (distinct), joined by a single
+   * space. size < k → empty array. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(t) - lit(k - 1)),
+        i => array_join(slice(t, i, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Punctuation/symbol ratio: non-alphanumeric-non-space chars / chars. */
+  def punctRatio(c: Column): Column = {
+    val t = normalizeText(c)
+    when(length(t) > 0,
+      regexp_count(t, lit("[^a-z0-9 ]")).cast(DoubleType) / length(t))
+      .otherwise(lit(0.0))
+  }
+
+  /** Small multilingual stopword table for langId / stopwordRatio. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "una", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "mit", "zu", "den"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"))
+
+  /** Fraction of tokens that are (english) stopwords — a standard quality
+   * signal. */
+  def stopwordRatio(c: Column, lang: String = "en"): Column = {
+    val t = tokens(c)
+    val sw = array(stopwords(lang).map(lit): _*)
+    when(size(t) > 0,
+      size(filter(t, w => array_contains(sw, w))).cast(DoubleType) / size(t))
+      .otherwise(lit(0.0))
+  }
+
+  /** N-gram-heuristic language id: count stopword hits per language, take
+   * the argmax (ties broken by language code order); no hits → "und". */
+  def langId(c: Column): Column = {
+    val t = tokens(c)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (code, words) =>
+      val sw = array(words.map(lit): _*)
+      struct(size(filter(t, w => array_contains(sw, w))).as("hits"),
+        lit(code).as("code"))
+    }
+    // array_max on struct(hits, code) orders by hits then code; with the
+    // codes sorted ascending, max picks highest hits, tie → 'later' code;
+    // flip code ordering is avoided by preferring deterministic struct max.
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: blends length, stopword presence and
+   * low symbol noise — the shape of a standard pretraining-quality filter. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast(DoubleType) / 100.0, lit(1.0))
+    val swScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val punct = punctRatio(c)
+    round(greatest(lit(0.0),
+      lenScore * 0.4 + swScore * 0.4 + (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.2), 6)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/**
+ * Embedding-vector math over `array<float>` columns using Spark
+ * higher-order functions (`zip_with`, `aggregate`) — fully codegen'd, no
+ * UDF boxing, so similarity scans stream through Tungsten at full width.
+ * All math is carried out in double precision regardless of input type.
+ */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0).cast(DoubleType),
+      (acc, v) => acc + v)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a, b) with zero-vector guard (0.0 when either norm is 0). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n > 0, d / n).otherwise(lit(0.0))
+  }
+
+  /** Squared euclidean distance Σ (aᵢ−bᵢ)². */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0).cast(DoubleType),
+      (acc, v) => acc + v)
+
+  /**
+   * Deterministic random-hyperplane LSH signature (`nBits` sign bits packed
+   * into a long). Plane weights derive from the portable 60-bit md5 hash of
+   * "(bit,dim)" — reproducible across engines and runs, no RNG state to
+   * ship. At cluster scale this is the bucketing key that replaces the
+   * O(n²) cosine cross join.
+   */
+  def hyperplaneSig(vec: Column, dim: Int, nBits: Int): Column = {
+    val v = asDouble(vec)
+    val bits = (0 until nBits).map { b =>
+      // weight(b, i) in [-1, 1]: md5-derived plan-time constant, portable
+      val proj = (0 until dim).map { i =>
+        element_at(v, i + 1) * lit(planeWeight(b, i))
+      }.reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** md5-derived pseudo-random weight in [-1, 1] for hyperplane `b`, dim `i`
+   * — same value any engine computes from md5("plane:b:i"). */
+  def planeWeight(b: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$b:$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    ((java.lang.Long.parseLong(hex, 16) % 2000001L) - 1000000L) / 1000000.0
+  }
+}

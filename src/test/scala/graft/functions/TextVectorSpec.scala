@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / tokenCount / normalize") {
+    val in = Seq("  The  QUICK fox ", "", "a b").toDF("t")
+    val got = in.select(TextFunctions.tokenCount($"t")).as[Long].collect()
+    assert(got.toSeq == Seq(3L, 0L, 2L))
+    val norm = in.select(TextFunctions.normalizeText($"t")).as[String].collect()
+    assert(norm.toSeq == Seq("the quick fox", "", "a b"))
+  }
+
+  test("hash60 matches the portable md5-prefix formula") {
+    val in = Seq("abc", "the fast key", "").toDF("s")
+    val got = in.select(TextFunctions.hash60($"s")).as[Long].collect()
+    def expected(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    assert(got.toSeq == Seq("abc", "the fast key", "").map(expected))
+    // cross-checked against DuckDB CAST('0x'||substr(md5(s),1,15) AS BIGINT)
+    assert(expected("abc") == 648541476951500027L)
+  }
+
+  test("charShingles / wordShingles") {
+    val in = Seq("abcd", "ab", "one two three four").toDF("t")
+    val cs = in.select(TextFunctions.charShingles($"t", 3)).collect()
+    assert(cs(0).getSeq[String](0).toList == List("abc", "bcd"))
+    assert(cs(1).getSeq[String](0).isEmpty)
+    val ws = in.select(TextFunctions.wordShingles($"t", 2)).collect()
+    assert(ws(2).getSeq[String](0).toList ==
+      List("one two", "two three", "three four"))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val in = Seq(
+      "the cat sat of the mat and it is that",
+      "el perro y la casa de los campos",
+      "der hund und die katze ist von den",
+      "xyzzy qwerty").toDF("t")
+    val got = in.select(TextFunctions.langId($"t")).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("qualityScore in [0,1] and sane ordering") {
+    val in = Seq(
+      "the quick brown fox jumps over the lazy dog and runs to the hill for a while",
+      "!!!! #### $$$$ %%%%").toDF("t")
+    val got = in.select(TextFunctions.qualityScore($"t")).as[Double].collect()
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("vector dot / norm / cosine") {
+    val in = Seq(
+      (Seq(1.0f, 2.0f, 2.0f), Seq(2.0f, 1.0f, 2.0f)),
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
+      (Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f))).toDF("a", "b")
+    val got = in.select(
+      VectorFunctions.dot($"a", $"b"),
+      round(VectorFunctions.cosine($"a", $"b"), 6)).collect()
+    assert(got(0).getDouble(0) == 8.0)
+    assert(got(0).getDouble(1) == math.rint(8.0 / 9.0 * 1e6) / 1e6)
+    assert(got(1).getDouble(1) == 0.0)
+    assert(got(2).getDouble(1) == 0.0) // zero-vector guard
+  }
+
+  test("hyperplaneSig deterministic and balanced-ish") {
+    val vecs = (0 until 50).map(i =>
+      Tuple1((0 until 8).map(d => math.sin(i * 31 + d).toFloat))).toDF("v")
+    val sigs = vecs.select(VectorFunctions.hyperplaneSig($"v", 8, 8)).as[Long].collect()
+    assert(sigs.forall(s => s >= 0 && s < 256))
+    assert(sigs.distinct.length > 5) // planes actually discriminate
+    val again = vecs.select(VectorFunctions.hyperplaneSig($"v", 8, 8)).as[Long].collect()
+    assert(sigs.toSeq == again.toSeq)
+  }
+}
