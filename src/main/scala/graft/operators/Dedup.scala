@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/**
+ * Document-deduplication operators for large-scale training-data pipelines:
+ * exact (hash), MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+ * near-dup.
+ *
+ * Scale design (the 100 TB story):
+ *  - Signatures (fingerprint / minhash / simhash) are pure codegen'd Column
+ *    expressions — computed in the scan stage, no shuffle, no UDF boxing.
+ *  - Pair generation never goes O(n²): candidates come from an inverted
+ *    index (shared shingle / shared LSH band bucket), i.e. one shuffle on
+ *    the bucket key, with a document-frequency cap to neutralize skewed
+ *    (stop-shingle) buckets.
+ *  - Survivor selection is a single window (one shuffle on the group key),
+ *    not a groupBy + join-back (two).
+ */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+
+  /** Survivors after exact dedup: one row per distinct normalized-text
+   * fingerprint, keeping the lowest `idCol`. One shuffle (by fingerprint). */
+  def exact(df: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("fingerprint")).orderBy(idCol)
+    df.withColumn("fingerprint", TF.fingerprint(textCol))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+
+  /**
+   * k-permutation MinHash signature (array<long>, length k) over distinct
+   * word 3-shingles. Permutation i is the md5-derived [[TF.hash60]] of
+   * "i:shingle" — deterministic, seedless, reproducible in any engine.
+   * Pure expression: evaluated in the scan, no shuffle.
+   */
+  def minHashSig(text: Column, k: Int, shingleWords: Int = 3): Column = {
+    val shingles = TF.wordShingles(text, shingleWords)
+    array((0 until k).map { seed =>
+      array_min(transform(shingles, s => TF.hash60(concat(lit(s"$seed:"), s))))
+    }: _*)
+  }
+
+  /** LSH band key: the signature slice for one band, joined to a string. */
+  def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
+    array_join(
+      transform(slice(sig, band * rowsPerBand + 1, rowsPerBand),
+        h => h.cast(StringType)),
+      ",")
+
+  /**
+   * MinHash/LSH near-dup candidate pairs with estimated Jaccard similarity.
+   * Returns (a, b, est_sim) for pairs whose estimated similarity
+   * (fraction of matching minhashes) ≥ `minSim`, where a < b.
+   *
+   * Plan: signature scan → explode to `bands` bucket rows per doc →
+   * self-join within (band, key) buckets → distinct pairs → re-join
+   * signatures → zip-compare. Shuffles only on bucket keys and pair ids;
+   * never compares documents that share no band.
+   */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, minSim: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minHashSig(col(textCol), k).as("sig"))
+    val buckets = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        concat(lit(s"$b|"), bandKey(col("sig"), b, r))): _*)))
+      .select(col("id"), col("col").as("bkey"))
+    val x = buckets.as("x"); val y = buckets.as("y")
+    val cand = x.join(y, col("x.bkey") === col("y.bkey") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val sa = sigs.select(col("id").as("a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("id").as("b"), col("sig").as("sig_b"))
+    cand.join(sa, "a").join(sb, "b")
+      .select(col("a"), col("b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (p, q) => when(p === q, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).cast(DoubleType) / k).as("est_sim"))
+      .filter(col("est_sim") >= minSim)
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+
+  /**
+   * `bits`-bit SimHash over whitespace tokens (with multiplicity): bit b is
+   * set iff Σ_tokens (±1 by bit b of hash60(token)) ≥ 0. Near-dup docs
+   * land on signatures within small Hamming distance. Pure expression.
+   */
+  def simHash(text: Column, bits: Int = 16): Column = {
+    val hs = transform(TF.tokens(text), t => TF.hash60(t))
+    val bitCols = (0 until bits).map { b =>
+      val cnt = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when((shiftright(h, b).bitwiseAND(lit(1L))) === 1L, 1L)
+          .otherwise(-1L))
+      when(cnt >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _).cast(LongType)
+  }
+
+  /**
+   * SimHash dup buckets: docs sharing an identical signature. For
+   * Hamming-distance-d matching at scale, probe with `bits/ (d+1)`-bit
+   * band slices of the signature (same LSH shape as minHashPairs).
+   */
+  def simHashBuckets(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("simhash"))
+    df.select(col(idCol), simHash(col(textCol), bits).as("simhash"))
+      .withColumn("n_bucket", count(lit(1)).over(w))
+  }
+
+  // ------------------------------------------------------------------
+  // N-gram Jaccard
+
+  /**
+   * Exact Jaccard near-dup pairs over distinct word shingles via an
+   * inverted shingle index: explode (doc, shingle) → self-join on shingle
+   * → |∩| per pair → |∪| from per-doc sizes. `maxShingleDf` drops
+   * shingles appearing in more than that many docs (skew guard: a
+   * stop-shingle bucket would otherwise produce a quadratic blowup; at
+   * 100 TB this cap is what keeps the candidate join linear-ish).
+   */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, minJaccard: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(TF.wordShingles(col(textCol), shingleWords)).as("s"))
+    val filtered = maxShingleDf match {
+      case Some(cap) =>
+        val wS = Window.partitionBy(col("s"))
+        sh.withColumn("df", count(lit(1)).over(wS))
+          .filter(col("df") <= cap).drop("df")
+      case None => sh
+    }
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = filtered.as("x")
+      .join(filtered.as("y"), col("x.s") === col("y.s") &&
+        col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ------------------------------------------------------------------
+  // Embedding cosine near-dup
+
+  /**
+   * Embedding near-dup pairs with cosine ≥ `minCos`.
+   * `lshBits = Some(b)`: candidate pairs restricted to equal b-bit
+   * random-hyperplane signatures (the scale path — one shuffle on the
+   * bucket key, no cross join). `lshBits = None`: exact all-pairs
+   * (verification / small-n path).
+   */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      minCos: Double, lshBits: Option[Int] = None): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val withKey = lshBits match {
+      case Some(b) => base.withColumn("bucket",
+        VF.hyperplaneSig(col("v"), dim, b))
+      case None => base.withColumn("bucket", lit(0L))
+    }
+    val x = withKey.as("x"); val y = withKey.as("y")
+    x.join(y, col("x.bucket") === col("y.bucket") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        round(VF.cosine(col("x.v"), col("y.v")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/**
+ * Deduplication operator queries over the `documents` / `embeddings`
+ * tables, each hash-verified against a DuckDB oracle that restates the
+ * same math (md5-derived hashes make every signature engine-portable).
+ */
+object DedupQueries {
+
+  /** DuckDB spelling of TextFunctions.hash60. */
+  private def h60(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** DuckDB spelling of TextFunctions.normalizeText. */
+  private val normT =
+    raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+  /** Shared doc → distinct word-3-shingle CTE prefix. */
+  private val shinglesCte =
+    raw"""WITH d AS (SELECT doc_id, $normT AS t FROM documents),
+         |toks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM d),
+         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |       FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(i)
+         |       WHERE len(w) >= 3)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------------
+    // d01 — exact dedup: one survivor (lowest doc_id) per normalized-text
+    // md5 fingerprint; single shuffle via window.
+    Q("d01_dedup_exact",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.exact(docs, col("text"), col("doc_id"))
+          .select(col("doc_id"), col("fingerprint"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""SELECT doc_id, fingerprint FROM (
+                |  SELECT doc_id, md5($normT) AS fingerprint,
+                |    row_number() OVER (PARTITION BY md5($normT) ORDER BY doc_id) AS rn
+                |  FROM documents)
+                |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // d02 — MinHash(16) + LSH(4 bands × 4 rows) near-dup candidates with
+    // estimated Jaccard ≥ 0.5.
+    Q("d02_dedup_minhash_lsh",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.minHashPairs(docs, "doc_id", "text", k = 16, bands = 4,
+            minSim = 0.5)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""$shinglesCte,
+              |mh AS (SELECT doc_id, seed, min(${h60("seed || ':' || s")}) AS h
+              |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
+              |       GROUP BY doc_id, seed),
+              |bandkeys AS (SELECT doc_id, seed // 4 AS band,
+              |       string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bkey
+              |       FROM mh GROUP BY doc_id, seed // 4),
+              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |       FROM bandkeys x JOIN bandkeys y
+              |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+              |est AS (SELECT a, b,
+              |       CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_sim
+              |       FROM cand JOIN mh ma ON ma.doc_id = a
+              |       JOIN mh mb ON mb.doc_id = b AND mb.seed = ma.seed
+              |       GROUP BY a, b)
+              |SELECT a, b, est_sim FROM est WHERE est_sim >= 0.5
+              |ORDER BY a, b""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // d03 — 16-bit SimHash signatures + same-signature bucket sizes.
+    Q("d03_dedup_simhash",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.simHashBuckets(docs, "doc_id", "text", bits = 16)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $normT AS t FROM documents),
+              |tok AS (SELECT doc_id, u.tk FROM
+              |       (SELECT doc_id, string_split_regex(t, ' ') AS w FROM d), unnest(w) AS u(tk)),
+              |h AS (SELECT doc_id, ${h60("tk")} AS hv FROM tok),
+              |bitcnt AS (SELECT doc_id, b,
+              |       SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+              |       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs
+              |       GROUP BY doc_id, b),
+              |sig AS (SELECT doc_id,
+              |       CAST(SUM(CASE WHEN cnt >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+              |       FROM bitcnt GROUP BY doc_id)
+              |SELECT doc_id, simhash,
+              |  COUNT(*) OVER (PARTITION BY simhash) AS n_bucket
+              |FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // d04 — exact n-gram (word-3-shingle) Jaccard pairs ≥ 0.8 via the
+    // inverted shingle index (no O(n²) cross join).
+    Q("d04_dedup_ngram_jaccard",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.jaccardPairs(docs, "doc_id", "text", shingleWords = 3,
+            minJaccard = 0.8)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""$shinglesCte,
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+              |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              |       GROUP BY x.doc_id, y.doc_id)
+              |SELECT a, b, jaccard FROM (
+              |  SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+              |  FROM inter JOIN sizes sa ON sa.doc_id = a
+              |  JOIN sizes sb ON sb.doc_id = b)
+              |WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // d05 — embedding cosine near-dup pairs ≥ 0.4 (exact all-pairs path;
+    // the LSH-bucketed scale path is s02_ann_lsh).
+    Q("d05_dedup_embedding",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Dedup.embeddingPairs(emb, "vec_id", "embedding", dim = 64,
+            minCos = 0.4, lshBits = None)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""SELECT a, b, cos FROM (
+             |  SELECT a, b, round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos
+             |  FROM (
+             |    SELECT x.vec_id AS a, y.vec_id AS b,
+             |      list_sum(list_transform(generate_series(1, len(x.embedding)),
+             |        i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) AS dot,
+             |      sqrt(list_sum(list_transform(generate_series(1, len(x.embedding)),
+             |        i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))) AS na,
+             |      sqrt(list_sum(list_transform(generate_series(1, len(y.embedding)),
+             |        i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))) AS nb
+             |    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id))
+             |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin))
+  )
+}

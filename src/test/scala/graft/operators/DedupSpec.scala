@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private lazy val docs = Seq(
+    (0L, base),
+    (1L, base + " extra"),                 // near-dup of 0
+    (2L, "  THE  quick brown fox jumps over the lazy dog again and again"), // exact dup of 0 after normalize
+    (3L, "completely different content about spark query engines at scale now"),
+    (4L, base)                             // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per normalized fingerprint") {
+    val survivors = Dedup.exact(docs, $"text", $"doc_id")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(0L, 1L, 3L))
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text")
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs share signatures; distinct content differs") {
+    val sig = Dedup.simHashBuckets(docs, "doc_id", "text")
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(2L) && sig(0L) == sig(4L))
+    assert(sig(0L) != sig(3L))
+  }
+
+  test("jaccard pairs: exact dups at 1.0, unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 2L)) == 1.0 && m((0L, 4L)) == 1.0)
+    assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("embedding pairs: near-identical vectors pair up, orthogonal don't") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingPairs(vecs, "vec_id", "embedding", dim = 4,
+      minCos = 0.9, lshBits = None)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((0L, 1L)))
+    val lsh = Dedup.embeddingPairs(vecs, "vec_id", "embedding", dim = 4,
+      minCos = 0.9, lshBits = Some(8))
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+  }
+}
