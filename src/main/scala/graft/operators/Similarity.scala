@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`array<float>`), three strategies:
+ *
+ *  - [[cosineTopK]] — exact brute force: broadcast the (small) query set,
+ *    stream every vector partition past it, per-query top-k. The baseline
+ *    and the verifier for the approximate paths. O(n·q) but embarrassingly
+ *    parallel: no shuffle of the vector side, one final shuffle on qid.
+ *  - [[lshTopK]] — random-hyperplane LSH: vectors bucketed by a b-bit
+ *    signature computed in the scan; queries only scan their own bucket.
+ *    The 100 TB path: candidate set shrinks ~2^b-fold.
+ *  - [[ivfTopK]] — deterministic IVF: a coarse centroid set (stride-sampled,
+ *    so seedless and reproducible), vectors assigned to nearest centroid,
+ *    queries probe the `nProbe` nearest centroid lists.
+ *
+ * All cosine math is [[VF.cosine]] — double-precision codegen'd fold,
+ * rounded to 6dp so results are engine-portable for oracle comparison.
+ */
+object Similarity {
+
+  private def ranked(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** Exact cosine top-k: every query against every vector. */
+  def cosineTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val scored = v.join(broadcast(q), col("nid") =!= col("qid"), "inner")
+      .select(col("qid"), col("nid"),
+        round(VF.cosine(col("qv"), col("nv")), 6).as("cos"))
+    ranked(scored, k)
+  }
+
+  /** LSH top-k: only candidates sharing the query's b-bit hyperplane
+   * signature are scored (partial recall by design). */
+  def lshTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, bits: Int, k: Int): DataFrame = {
+    val sig = (c: Column) => VF.hyperplaneSig(c, dim, bits)
+    val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      sig(col(vecCol)).as("sig"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      sig(col(vecCol)).as("qsig"))
+    val scored = v.join(broadcast(q),
+        col("sig") === col("qsig") && col("nid") =!= col("qid"), "inner")
+      .select(col("qid"), col("nid"),
+        round(VF.cosine(col("qv"), col("nv")), 6).as("cos"))
+    ranked(scored, k)
+  }
+
+  /**
+   * Deterministic IVF top-k: centroids are the vectors whose id is a
+   * multiple of `centroidStride` (a seedless coarse quantizer — at real
+   * scale you'd k-means these, but a strided sample keeps every engine
+   * reproducing the same index). Vectors are assigned to their nearest
+   * centroid once (built like any inverted index: one shuffle); each query
+   * probes the `nProbe` nearest centroid lists.
+   */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroidStride: Int, nProbe: Int, k: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    val cent = vectors.filter(col(idCol) % centroidStride === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+
+    // inverted lists: vector → nearest centroid (exact cosine argmax)
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = v.join(broadcast(cent))
+      .select(col("vid"), col("vv"), col("cid"),
+        round(VF.cosine(col("vv"), col("cv")), 6).as("ccos"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("vid"), col("vv"), col("cid"))
+
+    // probe lists: query → nProbe nearest centroids
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = q.join(broadcast(cent))
+      .select(col("qid"), col("qv"), col("cid"),
+        round(VF.cosine(col("qv"), col("cv")), 6).as("ccos"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+
+    val scored = probes.join(assign, "cid")
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        round(VF.cosine(col("qv"), col("vv")), 6).as("cos"))
+    ranked(scored, k)
+  }
+}

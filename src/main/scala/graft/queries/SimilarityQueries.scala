@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/**
+ * Approximate-nearest-neighbor queries over `embeddings` (64-dim float
+ * vectors): exact brute-force baseline, hyperplane-LSH bucket path, and
+ * deterministic IVF — each with a DuckDB oracle restating the same math.
+ * Query set = every vec_id divisible by 50 (seedless, scale-stable).
+ */
+object SimilarityQueries {
+
+  /** DuckDB select-list fragment computing cosine(a, b) (uses DuckDB's
+   * lateral column-alias reuse for dot/na/nb). Caller aliases it `cos`. */
+  private def cosSelect(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)) AS dot,
+       |    sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE))) AS na,
+       |    sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))) AS nb,
+       |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------------
+    // s01 — exact brute-force cosine top-5 (the ANN baseline).
+    Q("s01_ann_bruteforce",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+              |scored AS (SELECT qid, v.vec_id AS nid,
+              |    ${cosSelect("qv", "v.embedding")}
+              |  FROM q JOIN embeddings v ON v.vec_id <> qid),
+              |r AS (SELECT qid, nid, cos,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+              |  FROM scored)
+              |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
+              |ORDER BY qid, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // s02 — 4-bit random-hyperplane LSH: queries score only their own
+    // bucket (the 100 TB path; recall is partial by design).
+    Q("s02_ann_lsh",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.lshTopK(e, q, "vec_id", "embedding", dim = 64, bits = 4,
+            k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH planes AS (
+              |  SELECT b, i,
+              |    (CAST(('0x' || substr(md5('plane:' || b || ':' || i), 1, 15)) AS BIGINT)
+              |      % 2000001 - 1000000) / 1000000.0 AS w
+              |  FROM (SELECT unnest(generate_series(0, 3)) AS b),
+              |       (SELECT unnest(generate_series(0, 63)) AS i)),
+              |sigs AS (
+              |  SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS sig
+              |  FROM (SELECT e.vec_id, p.b, SUM(e.embedding[p.i + 1]::DOUBLE * p.w) AS proj
+              |        FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.b)
+              |  GROUP BY vec_id),
+              |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, s.sig AS qsig
+              |      FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
+              |      WHERE e.vec_id % 50 = 0),
+              |scored AS (SELECT qid, v.vec_id AS nid,
+              |    ${cosSelect("qv", "v.embedding")}
+              |  FROM q JOIN sigs sv ON sv.sig = qsig
+              |  JOIN embeddings v ON v.vec_id = sv.vec_id AND v.vec_id <> qid),
+              |r AS (SELECT qid, nid, cos,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+              |  FROM scored)
+              |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
+              |ORDER BY qid, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // s03 — deterministic IVF (stride-50 centroids, 2 probes): inverted
+    // centroid lists + multi-probe, the middle ground between s01 and s02.
+    Q("s03_ann_ivf",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfTopK(e, q, "vec_id", "embedding",
+            centroidStride = 50, nProbe = 2, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+              |assign AS (SELECT vid, vv, cid FROM (
+              |  SELECT vid, vv, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+              |  FROM (SELECT vid, vv, cid, ${cosSelect("vv", "cv").replace("AS cos", "AS ccos")}
+              |        FROM v CROSS JOIN cent)) WHERE r = 1),
+              |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+              |probes AS (SELECT qid, qv, cid FROM (
+              |  SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS r
+              |  FROM (SELECT qid, qv, cid, ${cosSelect("qv", "cv").replace("AS cos", "AS ccos")}
+              |        FROM q CROSS JOIN cent)) WHERE r <= 2),
+              |scored AS (SELECT qid, vid AS nid,
+              |    ${cosSelect("qv", "vv")}
+              |  FROM probes JOIN assign USING (cid) WHERE vid <> qid),
+              |r AS (SELECT qid, nid, cos,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+              |  FROM scored)
+              |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
+              |ORDER BY qid, rank""".stripMargin))
+  )
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.9f, 0.1f)),
+    (4L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine with id tiebreak") {
+    val q = vecs.filter($"vec_id" === 0)
+    val got = Similarity.cosineTopK(vecs, q, "vec_id", "embedding", k = 2)
+      .orderBy($"rank").select($"nid").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 2L)) // 1 is closest; 2/3/4 tie at ~0, id order
+  }
+
+  test("ivf with full probe coverage matches brute force top-1") {
+    val q = vecs.filter($"vec_id" % 2 === 0)
+    val brute = Similarity.cosineTopK(vecs, q, "vec_id", "embedding", k = 1)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(vecs, q, "vec_id", "embedding",
+      centroidStride = 2, nProbe = 3, k = 1)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toMap
+    assert(ivf == brute)
+  }
+
+  test("lsh results are a subset of brute-force candidates with same scores") {
+    val q = vecs.filter($"vec_id" === 0)
+    val brute = Similarity.cosineTopK(vecs, q, "vec_id", "embedding", k = 4)
+      .select($"nid", $"cos").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.lshTopK(vecs, q, "vec_id", "embedding", dim = 3,
+      bits = 2, k = 4)
+      .select($"nid", $"cos").as[(Long, Double)].collect().toMap
+    assert(lsh.keySet.subsetOf(brute.keySet))
+    lsh.foreach { case (n, c) => assert(c == brute(n)) }
+  }
+}
