@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+
+/**
+ * Text-analysis queries over `documents`: n-gram-heuristic language id,
+ * quality scoring, token counting, document fingerprinting. All built on
+ * the codegen'd Column combinators in [[graft.functions.TextFunctions]];
+ * oracles restate the math in DuckDB (stopword lists are generated from
+ * the same Scala source so the two can never drift).
+ */
+object TextQueries {
+
+  private val normT =
+    raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+  /** The stopword table as DuckDB VALUES rows, from TF.stopwords. */
+  private val stopwordValues: String =
+    TF.stopwords.toSeq.sortBy(_._1).map { case (code, words) =>
+      s"('$code', [${words.map(w => s"'$w'").mkString(", ")}])"
+    }.mkString(", ")
+
+  private val enList: String =
+    s"[${TF.stopwords("en").map(w => s"'$w'").mkString(", ")}]"
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------------
+    // t01 — language id (stopword-hit argmax, tie → greatest code) vs the
+    // ground-truth lang column: confusion counts.
+    Q("t01_langid",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("lang"), TF.langId(col("text")).as("pred_lang"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred_lang"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, string_split_regex($normT, ' ') AS w FROM documents),
+              |hits AS (
+              |  SELECT doc_id, l.code,
+              |    len(list_filter(w, t -> list_contains(l.sw, t))) AS h
+              |  FROM toks CROSS JOIN (VALUES $stopwordValues) l(code, sw)),
+              |pred AS (
+              |  SELECT doc_id, CASE WHEN h > 0 THEN code ELSE 'und' END AS pred_lang
+              |  FROM (SELECT doc_id, code, h,
+              |          row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, code DESC) AS r
+              |        FROM hits) WHERE r = 1)
+              |SELECT d.lang, p.pred_lang, COUNT(*) AS n
+              |FROM documents d JOIN pred p USING (doc_id)
+              |GROUP BY d.lang, p.pred_lang
+              |ORDER BY d.lang, p.pred_lang""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t02 — per-document quality signals: token counts (whitespace +
+    // BPE-ish), punctuation/stopword ratios, composite quality score.
+    Q("t02_quality",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(
+          col("doc_id"),
+          TF.tokenCount(col("text")).as("n_tokens"),
+          TF.bpeTokenCount(col("text")).as("n_bpe"),
+          round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TF.stopwordRatio(col("text")), 6).as("sw_ratio"),
+          TF.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
+              |feat AS (
+              |  SELECT doc_id, t, string_split_regex(t, ' ') AS w,
+              |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
+              |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+              |    CASE WHEN len(t) > 0
+              |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
+              |      ELSE 0.0 END AS punct,
+              |    CASE WHEN len(string_split_regex(t, ' ')) > 0
+              |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
+              |           / len(string_split_regex(t, ' '))
+              |      ELSE 0.0 END AS swr
+              |  FROM base)
+              |SELECT doc_id, n_tokens, n_bpe,
+              |  round(punct, 6) AS punct_ratio,
+              |  round(swr, 6) AS sw_ratio,
+              |  round(greatest(0.0,
+              |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+              |    least(swr * 5.0, 1.0) * 0.4 +
+              |    (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality
+              |FROM feat ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t03 — document fingerprinting: portable 60-bit content hash +
+    // distinct char-5-shingle count + normalized length.
+    Q("t03_fingerprint",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(
+          col("doc_id"),
+          TF.hash60(TF.normalizeText(col("text"))).as("fp60"),
+          size(TF.charShingles(col("text"), 5)).as("n_shingles"),
+          length(TF.normalizeText(col("text"))).as("n_chars_norm"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents)
+              |SELECT doc_id,
+              |  CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS fp60,
+              |  CAST(CASE WHEN len(t) >= 5
+              |    THEN len(list_distinct(list_transform(generate_series(1, len(t) - 4), i -> substr(t, i, 5))))
+              |    ELSE 0 END AS INT) AS n_shingles,
+              |  CAST(len(t) AS INT) AS n_chars_norm
+              |FROM base ORDER BY doc_id""".stripMargin))
+  )
+}
