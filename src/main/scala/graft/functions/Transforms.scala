@@ -39,17 +39,17 @@ object Transforms {
 
   /**
    * T6 — GCD date string → yyyyMMdd int (pattern Main.java:46, impl
-   * Main.java:619-635): first `(\d{4})-(\d{2})-(\d{2})` found anywhere in the
-   * string → digits concatenated as an int; no match / null → -1.
+   * Main.java:619-635): the reference uses `Matcher.matches()`, i.e. the
+   * ENTIRE string must be `\d{4}-\d{2}-\d{2}`; match → digits concatenated
+   * as an int; no match → -1. Null input → -1 here (the reference would
+   * NPE — key_date is non-null in GCD; divergence documented).
    * GCD allows month/day "00" (e.g. "1962-00-00"), so this must NOT go
    * through a calendar-validating parser like to_date.
    */
-  def dateStrToYmdInt(c: Column): Column = {
-    val m = regexp_extract(c, "(\\d{4})-(\\d{2})-(\\d{2})", 0)
-    when(m.isNotNull && m =!= "",
-      regexp_replace(m, "-", "").cast(IntegerType))
+  def dateStrToYmdInt(c: Column): Column =
+    when(c.rlike("^\\d{4}-\\d{2}-\\d{2}$"),
+      regexp_replace(c, "-", "").cast(IntegerType))
       .otherwise(lit(YmdSentinel))
-  }
 
   /**
    * T7 — epoch seconds → yyyyMMdd int (fmt Main.java:48, impl

@@ -15,11 +15,13 @@ class TransformsSpec extends SparkSpec {
     assert(got.toSeq == Seq(12, 7, -3, null, null, null, null, null, 7))
   }
 
-  test("T6 dateStrToYmdInt: regex semantics incl 00 month/day") {
+  test("T6 dateStrToYmdInt: full-match regex semantics incl 00 month/day") {
+    // Matcher.matches() in the reference anchors the whole string:
+    // embedded dates ("x 1999-12-31 y") do NOT parse.
     val in = Seq("1962-00-00", "1962-01-15", "1962", "junk", null,
       "x 1999-12-31 y").toDF("s")
     val got = in.select(Transforms.dateStrToYmdInt($"s")).as[Int].collect()
-    assert(got.toSeq == Seq(19620000, 19620115, -1, -1, -1, 19991231))
+    assert(got.toSeq == Seq(19620000, 19620115, -1, -1, -1, -1))
   }
 
   test("T7 epochToYmdInt: >0 → yyyyMMdd UTC, else -1") {
