@@ -1,0 +1,121 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column support: image/audio/video as opaque `binary` payloads
+ * with typed metadata, plus the Spark-side plumbing for decode /
+ * feature-extract / frame-sample stages.
+ *
+ * The decode step itself is a STUB (this container has no image/audio
+ * codecs): [[FakeDecoder]] derives deterministic pseudo-features from the
+ * payload bytes. Everything around it — the schema contract, the typed
+ * Dataset boundary, iterator-to-iterator `mapPartitions` batching (decoder
+ * state initialized once per partition, the same shape a Pandas-UDF batch
+ * or a JNI codec handle needs), and partition sizing — is real and tested.
+ *
+ * Scale notes: payloads never pass through a shuffle here — features are
+ * extracted in the scan stage and the (small) feature columns are what
+ * flows downstream. For 100 TB of media that's the difference between
+ * shuffling terabytes of pixels and shuffling kilobytes of features.
+ */
+object Multimodal {
+
+  /** Typed metadata carried alongside every payload. */
+  case class MediaMeta(kind: String, width: Int, height: Int,
+      sampleRate: Int, durationMs: Long)
+
+  /** One media row: opaque payload + typed metadata. */
+  case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+
+  /** Decoded feature record (what a real image/audio decoder would emit). */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      digest: String, brightness: Double, features: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sampleRate", IntegerType, nullable = false),
+      StructField("durationMs", LongType, nullable = false))),
+      nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /**
+   * Deterministic stand-in decoder. A real deployment swaps this object
+   * for a codec (JNI / Pandas UDF); the call sites don't change.
+   */
+  object FakeDecoder {
+    /** Per-partition "session" — models expensive decoder init. */
+    def open(): FakeDecoder = new FakeDecoder
+  }
+  final class FakeDecoder {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    def decode(row: MediaRow): MediaFeatures = {
+      md.reset()
+      val digest = md.digest(row.payload).map("%02x".format(_)).mkString
+      val bright =
+        if (row.payload.isEmpty) 0.0
+        else row.payload.map(b => (b & 0xff).toDouble).sum / row.payload.length
+      val feats = digest.grouped(8).take(4)
+        .map(h => (java.lang.Long.parseLong(h, 16).toFloat / 0xffffffffL))
+        .toArray
+      MediaFeatures(row.media_id, row.meta.kind, row.payload.length, digest,
+        bright, feats)
+    }
+  }
+
+  /** Wrap a text table as a media table (payload = utf-8 bytes) — the
+   * deterministic fixture source for the plumbing tests and queries. */
+  def fromDocuments(docs: DataFrame, kind: String = "image"): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      struct(
+        lit(kind).as("kind"),
+        length(col("text")).cast(IntegerType).as("width"),
+        lit(1).as("height"),
+        lit(16000).as("sampleRate"),
+        (length(col("text")) * 10L).as("durationMs")).as("meta"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /**
+   * The decode / feature-extract stage: typed Dataset in, typed Dataset
+   * out, one decoder per partition, streaming iterator (never materializes
+   * a partition in memory).
+   */
+  def extractFeatures(spark: SparkSession, media: DataFrame)
+      : Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      val decoder = FakeDecoder.open() // once per partition, not per row
+      rows.map(decoder.decode)
+    }
+  }
+
+  /**
+   * Frame sampling for "video" payloads, pure expression form: split the
+   * payload into `n` evenly-spaced byte windows and fingerprint each —
+   * the plumbing (and plan shape) of real frame extraction, with hashes
+   * standing in for decoded frames.
+   */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val size = length(col("payload"))
+    val frames = (0 until n).map { i =>
+      val start = (size * i / n) + 1
+      val len = greatest(size / n, lit(1))
+      md5(base64(col("payload").substr(start, len)))
+    }
+    media.select(col("media_id"), col("meta"),
+      array(frames: _*).as("frame_digests"))
+  }
+
+  /** "Resize": a pure metadata transform (real resize happens in the
+   * decode stage at scale — metadata must stay consistent either way). */
+  def resizeMeta(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("meta",
+      col("meta").withField("width", lit(w)).withField("height", lit(h)))
+}

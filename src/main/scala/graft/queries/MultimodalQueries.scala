@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/**
+ * Multimodal-plumbing queries: binary payload columns with typed metadata
+ * derived deterministically from `documents` (payload = utf-8 bytes of
+ * `text`, so the DuckDB oracle can restate the binary math over the
+ * original string). m02 exercises the typed mapPartitions decode stage,
+ * which is not SQL-expressible — no oracle, the driver records a
+ * rows-only check.
+ */
+object MultimodalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------------
+    // m01 — binary payload + metadata projection: byte length, content
+    // digest over the blob, typed meta fields.
+    Q("m01_binary_meta",
+      (s, dir) => {
+        val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
+        media.select(
+          col("media_id"),
+          col("meta.kind").as("kind"),
+          col("meta.width").as("width"),
+          col("meta.durationMs").as("duration_ms"),
+          length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id, 'image' AS kind,
+             |  CAST(len(text) AS INT) AS width,
+             |  CAST(len(text) * 10 AS BIGINT) AS duration_ms,
+             |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |  md5(text) AS payload_md5
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // m02 — the decode/feature-extract stage (typed Dataset through
+    // mapPartitions with a per-partition decoder). Not SQL-expressible:
+    // no oracle, rows-only check.
+    Q("m02_media_features",
+      (s, dir) => {
+        val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
+        Multimodal.extractFeatures(s, media).toDF()
+          .select(col("media_id"), col("kind"), col("n_bytes"), col("digest"),
+            round(col("brightness"), 6).as("brightness"))
+          .orderBy(col("media_id"))
+      },
+      None)
+  )
+}

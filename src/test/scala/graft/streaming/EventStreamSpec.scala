@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, t: String, u: Long, tp: String, v: Double) =
+    Ev(id, Timestamp.valueOf(t), u, tp, v, "{}")
+
+  test("streaming hourly stats aggregate per window and type") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.hourlyStats(in.toDF())
+      .writeStream.format("memory").queryName("hs").outputMode("complete")
+      .start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:45:00", 1, "click", 2.0),
+        ev(3, "2024-01-01 11:05:00", 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM hs").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup forwards each event_id once within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.dedupe(in.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:01:00", 1, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(ev(1, "2024-01-01 10:02:00", 1, "click", 1.0)) // dup, later batch
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dd").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("session windows close on gap (same plan works in batch)") {
+    val batch = Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      ev(2, "2024-01-01 10:10:00", 1, "click", 2.0), // same session (<30m gap)
+      ev(3, "2024-01-01 11:30:00", 1, "view", 3.0),  // new session
+      ev(4, "2024-01-01 10:00:00", 2, "view", 4.0)
+    ).toDF()
+    val got = EventStream.sessions(batch)
+      .select($"user_id", $"n_events", $"sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
+  }
+}
