@@ -44,27 +44,49 @@ object TextFunctions {
   /** Document fingerprint: md5 hex of the normalized text (exact-dup key). */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
-  /** Character n-gram shingles of the normalized text (distinct).
-   * Length < n → empty array. */
-  def charShingles(c: Column, n: Int): Column = {
-    val t = normalizeText(c)
+  /** JVM-side twin of [[hash60]] for deriving plan-time constants (hash
+   * family coefficients, hyperplane weights) from the same md5 stream any
+   * SQL engine can reproduce. */
+  def hash60Jvm(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /**
+   * Character n-gram shingles (distinct) over an ALREADY-PROJECTED
+   * normalized-text column. Pass a plain attribute, not an expression:
+   * Spark's interpreted higher-order functions re-evaluate outer
+   * subexpressions once per element, so an inlined `normalizeText` here
+   * would rerun its regexes for every character position (quadratic).
+   */
+  def charShinglesFromNorm(t: Column, n: Int): Column =
     when(length(t) >= n,
       array_distinct(transform(
         sequence(lit(1), length(t) - lit(n - 1)),
         i => substr(t, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
-  }
 
-  /** Word k-shingles over whitespace tokens (distinct), joined by a single
-   * space. size < k → empty array. */
-  def wordShingles(c: Column, k: Int): Column = {
-    val t = tokens(c)
+  /** Single-expression convenience form — fine for small inputs/tests;
+   * hot paths should project [[normalizeText]] first and use
+   * [[charShinglesFromNorm]]. */
+  def charShingles(c: Column, n: Int): Column =
+    charShinglesFromNorm(normalizeText(c), n)
+
+  /** Word k-shingles (distinct, space-joined) over an ALREADY-PROJECTED
+   * tokens column — same per-element re-evaluation caveat as
+   * [[charShinglesFromNorm]]. */
+  def wordShinglesFromTokens(t: Column, k: Int): Column =
     when(size(t) >= k,
       array_distinct(transform(
         sequence(lit(1), size(t) - lit(k - 1)),
         i => array_join(slice(t, i, lit(k)), " "))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Single-expression convenience form of [[wordShinglesFromTokens]]. */
+  def wordShingles(c: Column, k: Int): Column =
+    wordShinglesFromTokens(tokens(c), k)
 
   /** Punctuation/symbol ratio: non-alphanumeric-non-space chars / chars. */
   def punctRatio(c: Column): Column = {

@@ -45,12 +45,32 @@ object Dedup {
    * "i:shingle" — deterministic, seedless, reproducible in any engine.
    * Pure expression: evaluated in the scan, no shuffle.
    */
-  def minHashSig(text: Column, k: Int, shingleWords: Int = 3): Column = {
-    val shingles = TF.wordShingles(text, shingleWords)
+  /** Universal-hash family for the k permutations: one md5 per shingle
+   * (30-bit base hash), then `a_i * h + b_i` per permutation — products
+   * stay under 2^60 so the same int64 arithmetic runs overflow-free in
+   * any oracle engine. Coefficients derive from the md5 stream itself
+   * (seedless, engine-portable). */
+  def mhCoeffA(i: Int): Long = (TF.hash60Jvm(s"mh:a:$i") % (1L << 30)) | 1L
+  def mhCoeffB(i: Int): Long = TF.hash60Jvm(s"mh:b:$i") % (1L << 30)
+  val MhMask: Long = (1L << 30) - 1
+
+  /** 30-bit md5 hash per distinct word shingle (the one md5 pass). */
+  def shingleHashes(text: Column, shingleWords: Int = 3): Column =
+    transform(TF.wordShingles(text, shingleWords),
+      s => TF.hash60(s).bitwiseAND(lit(MhMask)))
+
+  /** k permutation minima over an already-materialized hash array —
+   * integer math only. Project [[shingleHashes]] into its own column
+   * first; inlining it here would re-run the md5 scan k times. */
+  def minHashSigFromHashes(hashes: Column, k: Int): Column =
     array((0 until k).map { seed =>
-      array_min(transform(shingles, s => TF.hash60(concat(lit(s"$seed:"), s))))
+      array_min(transform(hashes,
+        h => h * mhCoeffA(seed) + mhCoeffB(seed)))
     }: _*)
-  }
+
+  /** Convenience single-expression form (tests / one-shot use). */
+  def minHashSig(text: Column, k: Int, shingleWords: Int = 3): Column =
+    minHashSigFromHashes(shingleHashes(text, shingleWords), k)
 
   /** LSH band key: the signature slice for one band, joined to a string. */
   def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
@@ -73,24 +93,32 @@ object Dedup {
       k: Int = 16, bands: Int = 4, minSim: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minHashSig(col(textCol), k).as("sig"))
-    val buckets = sigs.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        concat(lit(s"$b|"), bandKey(col("sig"), b, r))): _*)))
-      .select(col("id"), col("col").as("bkey"))
+    // Staged projections: tokens → shingles → 30-bit hashes → signature.
+    // Each stage materializes its array so no interpreted-HOF lambda ever
+    // re-evaluates an upstream expression per element (see
+    // TextFunctions.wordShinglesFromTokens).
+    val sigs = df
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__tok"))
+      .select(col("id"),
+        TF.wordShinglesFromTokens(col("__tok"), 3).as("__sh"))
+      .select(col("id"),
+        transform(col("__sh"),
+          s => TF.hash60(s).bitwiseAND(lit(MhMask))).as("__hs"))
+      .select(col("id"), minHashSigFromHashes(col("__hs"), k).as("sig"))
+    // Carry the signature into the bucket rows: the self-join then shuffles
+    // two IDENTICAL plans on bkey, which Catalyst collapses into one
+    // computed-once ReusedExchange — the signature scan runs a single time.
+    val buckets = sigs.select(col("id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        concat(lit(s"$b|"), bandKey(col("sig"), b, r))): _*)).as("bkey"))
     val x = buckets.as("x"); val y = buckets.as("y")
-    val cand = x.join(y, col("x.bkey") === col("y.bkey") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    val sa = sigs.select(col("id").as("a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("id").as("b"), col("sig").as("sig_b"))
-    cand.join(sa, "a").join(sb, "b")
-      .select(col("a"), col("b"),
+    x.join(y, col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
         (aggregate(
-          zip_with(col("sig_a"), col("sig_b"),
+          zip_with(col("x.sig"), col("y.sig"),
             (p, q) => when(p === q, 1L).otherwise(0L)),
           lit(0L), (acc, v) => acc + v).cast(DoubleType) / k).as("est_sim"))
+      .distinct() // same (a,b,est_sim) from every shared band
       .filter(col("est_sim") >= minSim)
   }
 
@@ -102,8 +130,10 @@ object Dedup {
    * set iff Σ_tokens (±1 by bit b of hash60(token)) ≥ 0. Near-dup docs
    * land on signatures within small Hamming distance. Pure expression.
    */
-  def simHash(text: Column, bits: Int = 16): Column = {
-    val hs = transform(TF.tokens(text), t => TF.hash60(t))
+  /** SimHash from an ALREADY-PROJECTED token-hash array column (the
+   * per-element re-evaluation caveat of TextFunctions applies: the hash
+   * array must be an attribute, it is scanned `bits` times). */
+  def simHashFromHashes(hs: Column, bits: Int): Column = {
     val bitCols = (0 until bits).map { b =>
       val cnt = aggregate(hs, lit(0L), (acc, h) =>
         acc + when((shiftright(h, b).bitwiseAND(lit(1L))) === 1L, 1L)
@@ -113,6 +143,10 @@ object Dedup {
     bitCols.reduce(_ + _).cast(LongType)
   }
 
+  /** Single-expression convenience form (tests / small inputs). */
+  def simHash(text: Column, bits: Int = 16): Column =
+    simHashFromHashes(transform(TF.tokens(text), t => TF.hash60(t)), bits)
+
   /**
    * SimHash dup buckets: docs sharing an identical signature. For
    * Hamming-distance-d matching at scale, probe with `bits/ (d+1)`-bit
@@ -121,7 +155,10 @@ object Dedup {
   def simHashBuckets(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {
     val w = Window.partitionBy(col("simhash"))
-    df.select(col(idCol), simHash(col(textCol), bits).as("simhash"))
+    df.select(col(idCol), TF.tokens(col(textCol)).as("__tok"))
+      .select(col(idCol),
+        transform(col("__tok"), t => TF.hash60(t)).as("__th"))
+      .select(col(idCol), simHashFromHashes(col("__th"), bits).as("simhash"))
       .withColumn("n_bucket", count(lit(1)).over(w))
   }
 
@@ -139,8 +176,10 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, minJaccard: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(TF.wordShingles(col(textCol), shingleWords)).as("s"))
+    val sh = df
+      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__tok"))
+      .select(col("id"),
+        explode(TF.wordShinglesFromTokens(col("__tok"), shingleWords)).as("s"))
     val filtered = maxShingleDf match {
       case Some(cap) =>
         val wS = Window.partitionBy(col("s"))

@@ -55,23 +55,29 @@ object DedupQueries {
             minSim = 0.5)
           .orderBy(col("a"), col("b"))
       },
-      Some(s"""$shinglesCte,
-              |mh AS (SELECT doc_id, seed, min(${h60("seed || ':' || s")}) AS h
-              |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) seeds
-              |       GROUP BY doc_id, seed),
-              |bandkeys AS (SELECT doc_id, seed // 4 AS band,
-              |       string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bkey
-              |       FROM mh GROUP BY doc_id, seed // 4),
-              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              |       FROM bandkeys x JOIN bandkeys y
-              |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-              |est AS (SELECT a, b,
-              |       CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_sim
-              |       FROM cand JOIN mh ma ON ma.doc_id = a
-              |       JOIN mh mb ON mb.doc_id = b AND mb.seed = ma.seed
-              |       GROUP BY a, b)
-              |SELECT a, b, est_sim FROM est WHERE est_sim >= 0.5
-              |ORDER BY a, b""".stripMargin)),
+      Some {
+        val seedRows = (0 until 16).map(i =>
+          s"($i, ${graft.operators.Dedup.mhCoeffA(i)}, " +
+            s"${graft.operators.Dedup.mhCoeffB(i)})").mkString(", ")
+        s"""$shinglesCte,
+           |hs AS (SELECT doc_id, ${h60("s")} & 1073741823 AS h FROM sh),
+           |mh AS (SELECT doc_id, seed, min(a * h + b) AS h
+           |       FROM hs CROSS JOIN (VALUES $seedRows) seeds(seed, a, b)
+           |       GROUP BY doc_id, seed),
+           |bandkeys AS (SELECT doc_id, seed // 4 AS band,
+           |       string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bkey
+           |       FROM mh GROUP BY doc_id, seed // 4),
+           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |       FROM bandkeys x JOIN bandkeys y
+           |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+           |est AS (SELECT a, b,
+           |       CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_sim
+           |       FROM cand JOIN mh ma ON ma.doc_id = a
+           |       JOIN mh mb ON mb.doc_id = b AND mb.seed = ma.seed
+           |       GROUP BY a, b)
+           |SELECT a, b, est_sim FROM est WHERE est_sim >= 0.5
+           |ORDER BY a, b""".stripMargin
+      }),
 
     // ----------------------------------------------------------------
     // d03 — 16-bit SimHash signatures + same-signature bucket sizes.

@@ -97,11 +97,13 @@ object TextQueries {
     Q("t03_fingerprint",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        docs.select(
-          col("doc_id"),
-          TF.hash60(TF.normalizeText(col("text"))).as("fp60"),
-          size(TF.charShingles(col("text"), 5)).as("n_shingles"),
-          length(TF.normalizeText(col("text"))).as("n_chars_norm"))
+        docs
+          .select(col("doc_id"), TF.normalizeText(col("text")).as("__t"))
+          .select(
+            col("doc_id"),
+            TF.hash60(col("__t")).as("fp60"),
+            size(TF.charShinglesFromNorm(col("__t"), 5)).as("n_shingles"),
+            length(col("__t")).as("n_chars_norm"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents)
