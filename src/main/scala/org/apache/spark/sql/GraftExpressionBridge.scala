@@ -10,6 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
  */
 object GraftExpressionBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Eagerly lower a Column tree to a Catalyst expression. When a session
+   * is active its converter resolves function column-nodes (needed when
+   * the result is spliced into a plan by a FunctionRegistry builder — the
+   * analyzer won't re-visit nested lazy ColumnNodeExpressions there);
+   * otherwise fall back to the lazy wrapper. */
   def toExpression(c: Column): Expression =
-    classic.ExpressionUtils.expression(c)
+    SparkSession.getActiveSession match {
+      case Some(s: classic.SparkSession) => s.expression(c)
+      case _ => classic.ExpressionUtils.expression(c)
+    }
 }

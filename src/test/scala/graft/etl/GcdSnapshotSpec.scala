@@ -261,6 +261,24 @@ class GcdSnapshotSpec extends SparkSpec {
     assert(get[Any](r, "story_script_creator_id") == null)
   }
 
+  test("flag lattice: all 2^5 capability combinations build the 88-col plan") {
+    val names = GcdSchemas.snapshot.fieldNames.toSeq
+    for (mask <- 0 until 32) {
+      val flags = GcdFlags(
+        publicationType = (mask & 1) != 0,
+        volumeNotPrinted = (mask & 2) != 0,
+        seriesIsSingleton = (mask & 4) != 0,
+        storyFirstLine = (mask & 8) != 0,
+        storyCredit = (mask & 16) != 0)
+      val t2 = if (flags.publicationType) tables
+        else tables -- Seq("gcd_series_publication_type")
+      // plan-build + analysis only — no action; every combo must produce
+      // the same 88-column schema (GcdSchema.java:9-13 lattice)
+      val df = GcdSnapshot.build(spark, t2, "2026-8-12", flags)
+      assert(df.schema.fieldNames.toSeq == names, s"mask=$mask")
+    }
+  }
+
   test("K1 sink: snapshot=YYYYMMDD partition layout, snappy, queryable (K4)") {
     val out = java.nio.file.Files.createTempDirectory("gcd_snap").toString
     GcdSink.writeSnapshot(snap, "2026-8-12", out)
