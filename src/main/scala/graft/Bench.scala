@@ -21,6 +21,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/file-index paths once so per-query numbers
+    // reflect steady state, not first-query session initialization.
+    graft.sources.Tables.all.foreach { t =>
+      graft.sources.Tables.load(spark, sfDir, t).count()
+    }
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count() } catch {

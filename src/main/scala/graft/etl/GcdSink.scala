@@ -31,6 +31,26 @@ object GcdSink {
       .option("maxRecordsPerFile", RowsPerFile)
       .parquet(path)
 
+  /**
+   * Bucketed variant for co-located downstream joins: cluster the snapshot
+   * by a join key (e.g. issue_id) into `n` buckets so repeated joins /
+   * aggregations on that key skip the shuffle entirely — at 100 TB the
+   * bucketed layout amortizes one write-time shuffle across every
+   * downstream query.
+   */
+  def writeBucketed(df: DataFrame, name: String, path: String,
+      bucketCol: String, n: Int = 64): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write
+      .bucketBy(n, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .option("compression", "snappy")
+      .format("parquet")
+      .saveAsTable(name)
+  }
+
   /** Register the snapshot location as a queryable table (K4): Spark SQL
    * over this table is the engine's replacement for Athena/Imhotep. */
   def registerTable(spark: SparkSession, name: String, path: String): Unit = {

@@ -20,20 +20,25 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  /** Whitespace tokens of the normalized text; empty string → empty array. */
-  def tokens(c: Column): Column = {
-    val n = normalizeText(c)
+  /** Tokens of an ALREADY-PROJECTED normalized-text column. */
+  def tokensFromNorm(n: Column): Column =
     when(n === "", array().cast("array<string>")).otherwise(split(n, " "))
-  }
+
+  /** Whitespace tokens of the normalized text; empty string → empty array. */
+  def tokens(c: Column): Column = tokensFromNorm(normalizeText(c))
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(tokens(c)).cast(LongType)
+
+  /** BPE-ish count over an ALREADY-PROJECTED normalized-text column. */
+  def bpeTokenCountFromNorm(n: Column): Column =
+    regexp_count(n, lit("[a-z0-9]{1,4}|[^a-z0-9 ]")).cast(LongType)
 
   /** BPE-ish subword token count: word chunks of ≤4 chars + punctuation
    * marks, via a single regex scan (a cheap, deterministic proxy for a real
    * BPE vocab — counts `\w{1,4}` pieces and non-space symbols). */
   def bpeTokenCount(c: Column): Column =
-    regexp_count(normalizeText(c), lit("[a-z0-9]{1,4}|[^a-z0-9 ]")).cast(LongType)
+    bpeTokenCountFromNorm(normalizeText(c))
 
   /** Portable 60-bit hash: first 15 hex digits of md5 as a non-negative
    * long. Reproducible in DuckDB as CAST('0x'||substr(md5(s),1,15) AS BIGINT)
@@ -88,13 +93,14 @@ object TextFunctions {
   def wordShingles(c: Column, k: Int): Column =
     wordShinglesFromTokens(tokens(c), k)
 
-  /** Punctuation/symbol ratio: non-alphanumeric-non-space chars / chars. */
-  def punctRatio(c: Column): Column = {
-    val t = normalizeText(c)
+  /** Punct ratio over an ALREADY-PROJECTED normalized-text column. */
+  def punctRatioFromNorm(t: Column): Column =
     when(length(t) > 0,
       regexp_count(t, lit("[^a-z0-9 ]")).cast(DoubleType) / length(t))
       .otherwise(lit(0.0))
-  }
+
+  /** Punctuation/symbol ratio: non-alphanumeric-non-space chars / chars. */
+  def punctRatio(c: Column): Column = punctRatioFromNorm(normalizeText(c))
 
   /** Small multilingual stopword table for langId / stopwordRatio. */
   val stopwords: Map[String, Seq[String]] = Map(
@@ -103,39 +109,46 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "mit", "zu", "den"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"))
 
-  /** Fraction of tokens that are (english) stopwords — a standard quality
-   * signal. */
-  def stopwordRatio(c: Column, lang: String = "en"): Column = {
-    val t = tokens(c)
+  /** Stopword ratio over an ALREADY-PROJECTED tokens column. */
+  def stopwordRatioFromTokens(t: Column, lang: String = "en"): Column = {
     val sw = array(stopwords(lang).map(lit): _*)
     when(size(t) > 0,
       size(filter(t, w => array_contains(sw, w))).cast(DoubleType) / size(t))
       .otherwise(lit(0.0))
   }
 
-  /** N-gram-heuristic language id: count stopword hits per language, take
-   * the argmax (ties broken by language code order); no hits → "und". */
-  def langId(c: Column): Column = {
-    val t = tokens(c)
+  /** Fraction of tokens that are (english) stopwords — a standard quality
+   * signal. */
+  def stopwordRatio(c: Column, lang: String = "en"): Column =
+    stopwordRatioFromTokens(tokens(c), lang)
+
+  /** Language id over an ALREADY-PROJECTED tokens column. */
+  def langIdFromTokens(t: Column): Column = {
     val scored = stopwords.toSeq.sortBy(_._1).map { case (code, words) =>
       val sw = array(words.map(lit): _*)
       struct(size(filter(t, w => array_contains(sw, w))).as("hits"),
         lit(code).as("code"))
     }
     // array_max on struct(hits, code) orders by hits then code; with the
-    // codes sorted ascending, max picks highest hits, tie → 'later' code;
-    // flip code ordering is avoided by preferring deterministic struct max.
+    // codes sorted ascending, max picks highest hits, tie → 'later' code.
     val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
   }
 
+  /** N-gram-heuristic language id: count stopword hits per language, take
+   * the argmax (ties broken by language code order); no hits → "und". */
+  def langId(c: Column): Column = langIdFromTokens(tokens(c))
+
+  /** Quality score from already-computed parts (see [[qualityScore]]). */
+  def qualityScoreFromParts(nTokens: Column, swr: Column,
+      punct: Column): Column =
+    round(greatest(lit(0.0),
+      least(nTokens.cast(DoubleType) / 100.0, lit(1.0)) * 0.4 +
+        least(swr * 5.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.2), 6)
+
   /** Composite quality score in [0,1]: blends length, stopword presence and
    * low symbol noise — the shape of a standard pretraining-quality filter. */
-  def qualityScore(c: Column): Column = {
-    val lenScore = least(tokenCount(c).cast(DoubleType) / 100.0, lit(1.0))
-    val swScore = least(stopwordRatio(c) * 5.0, lit(1.0))
-    val punct = punctRatio(c)
-    round(greatest(lit(0.0),
-      lenScore * 0.4 + swScore * 0.4 + (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.2), 6)
-  }
+  def qualityScore(c: Column): Column =
+    qualityScoreFromParts(tokenCount(c), stopwordRatio(c), punctRatio(c))
 }

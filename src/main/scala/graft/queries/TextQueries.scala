@@ -33,7 +33,9 @@ object TextQueries {
     Q("t01_langid",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        docs.select(col("lang"), TF.langId(col("text")).as("pred_lang"))
+        docs
+          .select(col("lang"), TF.tokens(col("text")).as("__tok"))
+          .select(col("lang"), TF.langIdFromTokens(col("__tok")).as("pred_lang"))
           .groupBy(col("lang"), col("pred_lang"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("lang"), col("pred_lang"))
@@ -60,13 +62,20 @@ object TextQueries {
     Q("t02_quality",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        docs.select(
-          col("doc_id"),
-          TF.tokenCount(col("text")).as("n_tokens"),
-          TF.bpeTokenCount(col("text")).as("n_bpe"),
-          round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TF.stopwordRatio(col("text")), 6).as("sw_ratio"),
-          TF.qualityScore(col("text")).as("quality"))
+        docs
+          .select(col("doc_id"), TF.normalizeText(col("text")).as("__t"))
+          .select(col("doc_id"), col("__t"),
+            TF.tokensFromNorm(col("__t")).as("__tok"))
+          .select(col("doc_id"),
+            size(col("__tok")).cast("long").as("n_tokens"),
+            TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
+            TF.punctRatioFromNorm(col("__t")).as("__punct"),
+            TF.stopwordRatioFromTokens(col("__tok")).as("__swr"))
+          .select(col("doc_id"), col("n_tokens"), col("n_bpe"),
+            round(col("__punct"), 6).as("punct_ratio"),
+            round(col("__swr"), 6).as("sw_ratio"),
+            TF.qualityScoreFromParts(col("n_tokens"), col("__swr"),
+              col("__punct")).as("quality"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),

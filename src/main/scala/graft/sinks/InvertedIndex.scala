@@ -1,0 +1,73 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+
+/**
+ * Optional K2-parity sink (SURVEY.md §2.5): the reference packages a
+ * Flamdex inverted index (multi-valued int/string term bags per doc,
+ * reference Main.java:107-112, 249-358) for Imhotep. Spark SQL over the
+ * snapshot replaces that query layer (A4), but when an index ARTIFACT is
+ * wanted, this sink emits the same information Spark-style: a sorted,
+ * field-partitioned parquet posting list
+ * `(field, term_str, term_int, doc_id)`.
+ *
+ * Scale shape: one explode per indexed field (map-side), a single
+ * repartition on (field) with in-partition sort by term — the
+ * log-structured merge of the reference's SimpleFlamdexDocWriter
+ * (docBufferSize/mergeFactor) becomes Spark's external sort + parquet
+ * row-group layout for free.
+ */
+object InvertedIndex {
+
+  /**
+   * Build posting rows from a document table.
+   * String-array fields fan out one row per element; scalar string fields
+   * index their value; long/int fields land in `term_int`.
+   */
+  def postings(df: DataFrame, docIdCol: String, fields: Seq[String]): DataFrame = {
+    val parts = fields.map { f =>
+      df.schema(f).dataType match {
+        case ArrayType(StringType, _) =>
+          df.select(lit(f).as("field"),
+            explode(col(f)).as("term_str"),
+            lit(null).cast(LongType).as("term_int"),
+            col(docIdCol).cast(LongType).as("doc_id"))
+        case StringType =>
+          df.filter(col(f).isNotNull)
+            .select(lit(f).as("field"), col(f).as("term_str"),
+              lit(null).cast(LongType).as("term_int"),
+              col(docIdCol).cast(LongType).as("doc_id"))
+        case _ =>
+          df.filter(col(f).isNotNull)
+            .select(lit(f).as("field"),
+              lit(null).cast(StringType).as("term_str"),
+              col(f).cast(LongType).as("term_int"),
+              col(docIdCol).cast(LongType).as("doc_id"))
+      }
+    }
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Write the index: partition dirs per field, postings sorted by term
+   * within files (so a term lookup reads one partition dir and benefits
+   * from parquet min/max row-group pruning on the term columns). */
+  def write(df: DataFrame, docIdCol: String, fields: Seq[String],
+      path: String): Unit =
+    postings(df, docIdCol, fields)
+      .repartition(col("field"))
+      .sortWithinPartitions(col("field"), col("term_str"), col("term_int"),
+        col("doc_id"))
+      .write.mode("overwrite")
+      .partitionBy("field")
+      .option("compression", "snappy")
+      .parquet(path)
+
+  /** Term lookup against a written index (partition-pruned scan). */
+  def lookup(spark: SparkSession, path: String, field: String,
+      term: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("field") === field && col("term_str") === term)
+      .select(col("doc_id"))
+}

@@ -1,0 +1,69 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.etl.{GcdConfig, GcdSink}
+import org.apache.spark.sql.functions._
+
+class SinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("inverted index: field partitions, sorted postings, pruned lookup") {
+    val docs = Seq(
+      (1L, Seq("alpha", "beta"), "us", 10L),
+      (2L, Seq("beta", "gamma"), "ca", 20L),
+      (3L, Seq.empty[String], "us", 30L)
+    ).toDF("doc_id", "tags", "country", "score")
+    val out = java.nio.file.Files.createTempDirectory("inv_idx").toString
+    InvertedIndex.write(docs, "doc_id", Seq("tags", "country", "score"), out)
+    assert(new java.io.File(s"$out/field=tags").isDirectory)
+    assert(new java.io.File(s"$out/field=country").isDirectory)
+    val beta = InvertedIndex.lookup(spark, out, "tags", "beta")
+      .as[Long].collect().sorted
+    assert(beta.toSeq == Seq(1L, 2L))
+    val us = InvertedIndex.lookup(spark, out, "country", "us")
+      .as[Long].collect().sorted
+    assert(us.toSeq == Seq(1L, 3L))
+    val ints = spark.read.parquet(out)
+      .filter($"field" === "score" && $"term_int" === 20L)
+      .select($"doc_id").as[Long].collect()
+    assert(ints.toSeq == Seq(2L))
+  }
+
+  test("bucketed tables: equi-join on the bucket key plans without exchange") {
+    val base = java.nio.file.Files.createTempDirectory("buckets").toString
+    val a = (1L to 100L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 100L).map(i => (i, i * 2.0)).toDF("k", "vb")
+    GcdSink.writeBucketed(a, "bk_a", s"$base/a", "k", n = 4)
+    GcdSink.writeBucketed(b, "bk_b", s"$base/b", "k", n = 4)
+    // force the shuffle-sensitive join path (tiny test tables would
+    // otherwise broadcast, which sidesteps bucketing entirely)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_a").join(spark.table("bk_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 100)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("yaml config parses reference shape incl. capability flags") {
+    val yml =
+      """gcdatabase:
+        |  url: /data/gcd_tables
+        |  user: u
+        |  password: p
+        |  gcdSchema:
+        |    publicationType: false
+        |    storyCredit: false
+        |""".stripMargin
+    val cfg = GcdConfig.load(
+      new java.io.ByteArrayInputStream(yml.getBytes("UTF-8")))
+    assert(cfg.url == "/data/gcd_tables")
+    assert(cfg.user.contains("u") && cfg.password.contains("p"))
+    assert(!cfg.flags.publicationType && !cfg.flags.storyCredit)
+    assert(cfg.flags.volumeNotPrinted && cfg.flags.storyFirstLine &&
+      cfg.flags.seriesIsSingleton) // absent → reference defaults (true)
+  }
+}
