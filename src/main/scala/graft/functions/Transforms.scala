@@ -71,13 +71,16 @@ object Transforms {
    * non-empty index.
    */
   def semiSplit(c: Column): Column = {
-    val parts = split(c, "\\s*;\\s*", -1)
-    val lastNonEmpty = aggregate(
-      zip_with(parts, sequence(lit(1), size(parts)),
-        (x, i) => when(x =!= "", i).otherwise(lit(0))),
-      lit(0), (acc, v) => greatest(acc, v))
+    // Java's trailing-empty drop, regex-only (no interpreted HOFs — this
+    // runs on 6+ columns of every snapshot row): strip trailing separator
+    // runs first, then split. Cases: "" → [""] (no separator to strip,
+    // Java returns the whole string); all-separator input ("; ", ";") →
+    // [] (every piece is a trailing empty); otherwise split the stripped
+    // string (interior/leading empties survive, exactly like Java).
+    val stripped = regexp_replace(c, "(\\s*;\\s*)+$", "")
     when(c === "", array(lit("")))
-      .otherwise(slice(parts, lit(1), lastNonEmpty))
+      .when(stripped === "", array().cast("array<string>"))
+      .otherwise(split(stripped, "\\s*;\\s*", -1))
   }
 
   /** T9 — int(0/1) → boolean (Main.java:410,420,423-424,434,450); null-safe. */

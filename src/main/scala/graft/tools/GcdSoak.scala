@@ -1,0 +1,190 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/**
+ * Volume soak for the GCD snapshot pipeline: generates a deterministic
+ * synthetic dump (~200k issues / ~420k stories / 300k credits) with
+ * spark.range — no driver-side data — runs the full build + partitioned
+ * write, and prints row counts and wall times. Exercises the real shuffle
+ * paths (fan-out join, credit groupBy, dictionary broadcasts) at a volume
+ * where a quadratic or driver-bound mistake is obvious.
+ *
+ * Usage: runMain graft.tools.GcdSoak [nIssues]
+ */
+object GcdSoak {
+
+  def synthTables(spark: SparkSession, nIssues: Long)
+      : Map[String, DataFrame] = {
+    val nSeries = math.max(nIssues / 40, 1)
+    val nPublishers = math.max(nSeries / 50, 1)
+    val nStories = nIssues * 21 / 10 // ~2.1 per issue
+    val nCreators = 8000L
+
+    val ts = to_timestamp(lit("2020-06-15 12:00:00"))
+
+    val issues = spark.range(nIssues).select(
+      col("id"),
+      // ~5% non-numeric numbers, exercising the lenient parse
+      when(col("id") % 20 === 0, concat(lit("Annual "), col("id") % 9))
+        .otherwise((col("id") % 300).cast("string")).as("number"),
+      // mix of valid, 00-month, and junk dates
+      when(col("id") % 17 === 0, lit("junk"))
+        .when(col("id") % 5 === 0,
+          concat(lit("19"), lpad((col("id") % 60 + 30).cast("string"), 2, "0"),
+            lit("-00-00")))
+        .otherwise(concat(lit("19"), lpad((col("id") % 60 + 30).cast("string"), 2, "0"),
+          lit("-"), lpad((col("id") % 12 + 1).cast("string"), 2, "0"),
+          lit("-"), lpad((col("id") % 28 + 1).cast("string"), 2, "0")))
+        .as("key_date"),
+      when(col("id") % 3 === 0, lit("0.10 USD; 0.12 CAD"))
+        .otherwise(lit("0.25 USD")).as("price"),
+      when(col("id") % 7 === 0, lit(null).cast(IntegerType))
+        .otherwise((col("id") % 64 + 16).cast(IntegerType)).as("page_count"),
+      lit("monthly").as("indicia_frequency"),
+      lit(null).cast("string").as("isbn"),
+      lit(null).cast("string").as("variant_name"),
+      lit(null).cast("bigint").as("variant_of_id"),
+      lit(null).cast("string").as("barcode"),
+      concat(lit("Issue "), col("id")).as("title"),
+      lit("1962-01-15").as("on_sale_date"),
+      lit(null).cast("string").as("rating"),
+      (col("id") % 2).cast(IntegerType).as("volume_not_printed"),
+      lit("Ed One ; Ed Two").as("editing"),
+      lit(null).cast("string").as("notes"),
+      ts.as("created"), ts.as("modified"),
+      (col("id") % nSeries).as("series_id"),
+      when(col("id") % 4 === 0, lit(null).cast("bigint"))
+        .otherwise(col("id") % 500).as("indicia_publisher_id"),
+      when(col("id") % 6 === 0, lit(null).cast("bigint"))
+        .otherwise(col("id") % 300).as("brand_id"))
+
+    val series = spark.range(nSeries).select(
+      col("id"),
+      concat(lit("Series "), col("id")).as("name"),
+      (col("id") % 80 + 1940).cast(IntegerType).as("year_began"),
+      lit(null).cast(IntegerType).as("year_ended"),
+      (col("id") % 2).cast(IntegerType).as("is_current"),
+      (col("id") % 40).cast(IntegerType).as("country_id"),
+      (col("id") % 20).cast(IntegerType).as("language_id"),
+      lit(0).cast(IntegerType).as("has_gallery"),
+      lit(1).cast(IntegerType).as("is_comics_publication"),
+      lit("color").as("color"),
+      lit(null).cast("string").as("dimensions"),
+      lit(null).cast("string").as("paper_stock"),
+      lit("hard ; soft").as("binding"),
+      lit("ongoing").as("publishing_format"),
+      (col("id") % 5).cast(IntegerType).as("publication_type_id"),
+      lit(0).cast(IntegerType).as("is_singleton"),
+      ts.as("created"), ts.as("modified"),
+      (col("id") % nPublishers).as("publisher_id"))
+
+    val publishers = spark.range(nPublishers).select(
+      col("id"), concat(lit("Publisher "), col("id")).as("name"),
+      (col("id") % 40).cast(IntegerType).as("country_id"),
+      lit(null).cast("string").as("url"), ts.as("created"), ts.as("modified"))
+
+    val indicia = spark.range(500).select(
+      col("id"), concat(lit("Indicia "), col("id")).as("name"),
+      (col("id") % 40).cast(IntegerType).as("country_id"),
+      (col("id") % 100).as("parent_id"),
+      lit(1950).cast(IntegerType).as("year_began"),
+      lit(null).cast(IntegerType).as("year_ended"),
+      (col("id") % 2).cast(IntegerType).as("is_surrogate"),
+      lit(null).cast("string").as("url"), ts.as("created"), ts.as("modified"))
+
+    val brands = spark.range(300).select(
+      col("id"), concat(lit("Brand "), col("id")).as("name"),
+      lit(null).cast("string").as("url"), ts.as("created"), ts.as("modified"))
+
+    // stories cover issues [0, nIssues*0.9): ~10% of issues have none
+    val nCovered = nIssues * 9 / 10
+    val stories = spark.range(nStories).select(
+      col("id"),
+      (col("id") % nCovered).as("issue_id"),
+      concat(lit("Story "), col("id")).as("title"),
+      lit("feature").as("feature"),
+      (col("id") % 9 + 1).cast(IntegerType).as("sequence_number"),
+      (col("id") % 30 + 2).cast(IntegerType).as("page_count"),
+      lit("Legacy A ; Legacy B").as("script"),
+      lit("Legacy C").as("pencils"),
+      lit(null).cast("string").as("inks"),
+      lit(null).cast("string").as("colors"),
+      lit("L1;L2 ;").as("letters"),
+      lit(null).cast("string").as("editing"),
+      lit("horror; sci-fi").as("genre"),
+      lit("Hero; Villain").as("characters"),
+      (col("id") % 30).cast(IntegerType).as("type_id"),
+      lit(null).cast("string").as("job_number"),
+      lit("It began...").as("first_line"),
+      ts.as("created"), ts.as("modified"))
+
+    // curated credits over 1/3 of stories, incl. compound types
+    val credits = spark.range(nStories / 3 * 2).select(
+      ((col("id") / 2) * 3).as("story_id"), // every 3rd story, 2 credits
+      (col("id") % 13 + 1).cast(IntegerType).as("credit_type_id"),
+      (col("id") % 10000).as("creator_id"))
+
+    val nameDetail = spark.range(10000).select(
+      col("id"), (col("id") % nCreators).as("creator_id"))
+    val creators = spark.range(nCreators).select(
+      col("id"), concat(lit("Creator "), col("id")).as("gcd_official_name"))
+
+    def dictN(n: Int, prefix: String, valueCol: String) =
+      spark.range(n).select(col("id").cast(IntegerType).as("id"),
+        concat(lit(prefix), col("id")).as(valueCol))
+
+    Map(
+      "gcd_issue" -> issues, "gcd_series" -> series,
+      "gcd_publisher" -> publishers, "gcd_indicia_publisher" -> indicia,
+      "gcd_brand" -> brands, "gcd_story" -> stories,
+      "gcd_story_credit" -> credits,
+      "gcd_creator_name_detail" -> nameDetail, "gcd_creator" -> creators,
+      "stddata_country" -> dictN(40, "cc", "code"),
+      "stddata_language" -> dictN(20, "ll", "code"),
+      "gcd_series_publication_type" -> dictN(5, "pt", "name"),
+      "gcd_story_type" -> dictN(30, "st", "name"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nIssues = if (args.nonEmpty) args(0).toLong else 200000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tables = synthTables(spark, nIssues)
+    val out = java.nio.file.Files.createTempDirectory("gcd_soak").toString
+
+    val t0 = System.nanoTime()
+    val snap = graft.etl.GcdSnapshot.build(spark, tables, "2026-8-12")
+    graft.etl.GcdSink.writeSnapshot(snap, "2026-8-12", out)
+    val tWrite = (System.nanoTime() - t0) / 1e9
+
+    val back = spark.read.parquet(out)
+    val n = back.count()
+    graft.etl.GcdSink.registerTable(spark, "gcd_soak_snap", out)
+    val t1 = System.nanoTime()
+    val top = spark.sql(
+      """SELECT publisher_name, count(*) AS n, count(DISTINCT issue_id) AS issues
+        |FROM gcd_soak_snap WHERE snapshot = 20260812
+        |GROUP BY publisher_name ORDER BY n DESC LIMIT 5""".stripMargin)
+      .collect()
+    val tQuery = (System.nanoTime() - t1) / 1e9
+    println(f"== soak: issues=$nIssues rows=$n write=$tWrite%.1fs query=$tQuery%.1fs")
+    top.foreach(r => println(s"==   ${r.mkString(" | ")}"))
+    // invariants: every issue appears; fan-out plus story-less issues
+    val issueCount = back.select(countDistinct(col("issue_id"))).head().getLong(0)
+    println(s"== distinct issues in snapshot: $issueCount (expect $nIssues)")
+    assert(issueCount == nIssues)
+    val nullStories = back.filter(col("story_id").isNull).count()
+    println(s"== story-less rows: $nullStories (expect ${nIssues / 10})")
+    spark.stop()
+  }
+}
