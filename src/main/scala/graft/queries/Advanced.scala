@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import Exact._
+
+/**
+ * Query-layer capabilities beyond the reference's own surface (SURVEY.md
+ * §2.6 notes these come "for free" from Spark SQL): as-of/last-touch
+ * attribution, gap-based sessionization, string-distance matching, and
+ * bucketed histograms — each stated identically in Spark and DuckDB.
+ */
+object Advanced {
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------------
+    // q19 — as-of (last-touch) attribution: each purchase matched to the
+    // user's most recent earlier click, as an ordered window composition
+    // (the "as-of join" of SURVEY §2.2 notes, built from existing ops).
+    Q("q19_asof_last_touch",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        e.withColumn("last_click_id",
+            last(when(col("event_type") === "click", col("event_id")),
+              ignoreNulls = true).over(w))
+          .withColumn("last_click_epoch",
+            last(when(col("event_type") === "click",
+              unix_timestamp(col("ts"))), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_timestamp(col("ts")).as("purchase_epoch"),
+            col("last_click_id"), col("last_click_epoch"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, purchase_epoch, last_click_id, last_click_epoch
+             |FROM (
+             |  SELECT event_id, user_id, event_type,
+             |    (epoch_us(ts) // 1000000) AS purchase_epoch,
+             |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+             |      OVER w AS last_click_id,
+             |    last_value(CASE WHEN event_type = 'click' THEN (epoch_us(ts) // 1000000) END IGNORE NULLS)
+             |      OVER w AS last_click_epoch
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q20 — gap-based sessionization (30-min inactivity closes a session),
+    // the manual window formulation both engines state identically; the
+    // streaming twin is graft.streaming.EventStream.sessions.
+    Q("q20_sessions",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .withColumn("ep", unix_timestamp(col("ts")))
+        val wOrd = Window.partitionBy(col("user_id"))
+          .orderBy(col("ep"), col("event_id"))
+        val marked = e
+          .withColumn("prev_ep", lag(col("ep"), 1).over(wOrd))
+          .withColumn("new_sess",
+            when(col("prev_ep").isNull ||
+              col("ep") - col("prev_ep") > 1800, 1L).otherwise(0L))
+          .withColumn("session_idx",
+            sum(col("new_sess")).over(
+              wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        marked.groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            dsum(col("value")).as("sum_value"),
+            min(col("ep")).as("start_epoch"),
+            max(col("ep")).as("end_epoch"))
+          .orderBy(col("user_id"), col("session_idx"))
+      },
+      Some(s"""SELECT user_id, session_idx, COUNT(*) AS n_events,
+              |  ${sqlDsum("value")} AS sum_value,
+              |  MIN(ep) AS start_epoch, MAX(ep) AS end_epoch
+              |FROM (
+              |  SELECT user_id, event_id, value, ep,
+              |    SUM(CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800 THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY user_id ORDER BY ep, event_id
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+              |  FROM (
+              |    SELECT user_id, event_id, value,
+              |      (epoch_us(ts) // 1000000) AS ep,
+              |      lag((epoch_us(ts) // 1000000)) OVER
+              |        (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000), event_id) AS prev_ep
+              |    FROM events))
+              |GROUP BY user_id, session_idx
+              |ORDER BY user_id, session_idx""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q21 — string-distance matching (fuzzy-join scalar): levenshtein over
+    // distinct dimension values.
+    Q("q21_string_distance",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val segs = c.select(col("c_mktsegment").as("seg")).distinct()
+        segs.as("x").join(segs.as("y"), col("x.seg") < col("y.seg"))
+          .select(col("x.seg").as("seg_a"), col("y.seg").as("seg_b"),
+            levenshtein(col("x.seg"), col("y.seg")).as("lev"))
+          .orderBy(col("seg_a"), col("seg_b"))
+      },
+      Some("""SELECT x.seg AS seg_a, y.seg AS seg_b,
+             |  CAST(levenshtein(x.seg, y.seg) AS INT) AS lev
+             |FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer) x
+             |JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) y
+             |  ON x.seg < y.seg
+             |ORDER BY seg_a, seg_b""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q22 — fixed-width histogram via arithmetic bucketing (engine-neutral
+    // floor division, no width_bucket dialect differences).
+    Q("q22_histogram",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        o.select(floor(col("o_totalprice") / 50000).cast("int").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin))
+  )
+}
