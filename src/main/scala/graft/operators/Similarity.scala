@@ -25,7 +25,27 @@ import graft.functions.{VectorFunctions => VF}
  */
 object Similarity {
 
+  /**
+   * Per-query top-k via the bounded-heap partial aggregate
+   * ([[graft.functions.TopKAggregate]]): map tasks reduce their candidates
+   * to ≤ k pairs before the exchange, so the shuffle carries
+   * O(queries × k) instead of every scored candidate (a window
+   * `row_number` would shuffle + sort the full candidate set). Ordering
+   * contract: cos desc, nid asc on ties — identical to the oracle's
+   * `row_number() OVER (ORDER BY cos DESC, nid)`.
+   */
   private def ranked(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topKPairs
+    scored.groupBy(col("qid"))
+      .agg(topKPairs(struct(col("cos"), col("nid")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("nid"), col("col.score").as("cos"))
+  }
+
+  /** Window-based reference formulation of [[ranked]] (kept for
+   * plan comparison and as the semantics oracle in tests). */
+  private[operators] def rankedViaWindow(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))

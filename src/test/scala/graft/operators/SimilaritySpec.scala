@@ -31,6 +31,24 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("heap-aggregate ranking matches the window formulation exactly") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter($"vec_id" % 100 === 0)
+    val got = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // same scored pairs through the window-based reference path
+    val v = e.select($"vec_id".as("nid"), $"embedding".as("nv"))
+    val qq = q.select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val scored = v.join(qq, $"nid" =!= $"qid")
+      .select($"qid", $"nid",
+        round(graft.functions.VectorFunctions.cosine($"qv", $"nv"), 6).as("cos"))
+    val want = Similarity.rankedViaWindow(scored, 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == want)
+  }
+
   test("lsh results are a subset of brute-force candidates with same scores") {
     val q = vecs.filter($"vec_id" === 0)
     val brute = Similarity.cosineTopK(vecs, q, "vec_id", "embedding", k = 4)
