@@ -38,10 +38,24 @@ object GcdEtlMain {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    val tables = GcdSnapshot.sourceTables.flatMap { t =>
-      val p = new java.io.File(s"$tablesDir/$t.parquet")
-      if (p.exists) Some(t -> spark.read.parquet(p.getPath)) else None
-    }.toMap
+    // S1 parity: `tablesDir` may be a parquet directory or a jdbc: URL
+    // (the reference's MySQL source, Main.java:128-132) — with JDBC,
+    // Catalyst pushes filters/projections into the database the same way
+    // the reference shipped its hand-written SQL there.
+    val tables: Map[String, org.apache.spark.sql.DataFrame] =
+      if (tablesDir.startsWith("jdbc:")) {
+        GcdSnapshot.sourceTables.map { t =>
+          t -> spark.read.format("jdbc")
+            .option("url", tablesDir)
+            .option("dbtable", t)
+            .load()
+        }.toMap
+      } else {
+        GcdSnapshot.sourceTables.flatMap { t =>
+          val p = new java.io.File(s"$tablesDir/$t.parquet")
+          if (p.exists) Some(t -> spark.read.parquet(p.getPath)) else None
+        }.toMap
+      }
     val snap = GcdSnapshot.build(spark, tables, date, flags)
     GcdSink.writeSnapshot(snap, date, outPath)
     GcdSink.registerTable(spark, "gcdissuesnapshot", outPath)

@@ -238,4 +238,25 @@ object GcdSnapshot {
     )
     out
   }
+
+  /**
+   * T13/T14 parity: the reference logs-and-skips bad rows and logs
+   * progress counters (Main.java:359-361, 505-512). The Spark engine
+   * never drops rows (permissive casts produce nulls/-1 sentinels
+   * instead); this attaches an `Observation` that surfaces the same
+   * signals as metrics of the write action — row count and how many rows
+   * hit each lenient-parse fallback.
+   */
+  def buildObserved(spark: SparkSession, tables: Map[String, DataFrame],
+      date: String, flags: GcdFlags = GcdFlags())
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation("gcd_etl")
+    val df = build(spark, tables, date, flags).observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(when(col("publication_date") === YmdSentinel, 1))
+        .as("n_bad_key_dates"),
+      count(when(col("issue_number").isNull, 1)).as("n_nonnumeric_issues"),
+      count(when(col("story_id").isNull, 1)).as("n_storyless_issues"))
+    (df, obs)
+  }
 }

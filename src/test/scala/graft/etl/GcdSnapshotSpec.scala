@@ -279,6 +279,26 @@ class GcdSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("observation metrics surface the reference's skip/progress signals") {
+    val (df, obs) = GcdSnapshot.buildObserved(spark, tables, "2026-8-12")
+    df.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("n_rows") == 4L)
+    assert(m("n_bad_key_dates") == 1L)      // issue 2: "1962"
+    assert(m("n_nonnumeric_issues") == 1L)  // issue 2: "Annual 1"
+    assert(m("n_storyless_issues") == 1L)
+  }
+
+  test("mini-soak: 2k synthetic issues keep fan-out + null invariants") {
+    val t = graft.tools.GcdSoak.synthTables(spark, 2000L)
+    val snap2 = GcdSnapshot.build(spark, t, "2026-8-12")
+    val n = snap2.count()
+    assert(n == 2000L * 21 / 10 + 200)   // stories + story-less issues
+    assert(snap2.select(org.apache.spark.sql.functions
+      .countDistinct(org.apache.spark.sql.functions.col("issue_id")))
+      .head().getLong(0) == 2000L)
+  }
+
   test("K1 sink: snapshot=YYYYMMDD partition layout, snappy, queryable (K4)") {
     val out = java.nio.file.Files.createTempDirectory("gcd_snap").toString
     GcdSink.writeSnapshot(snap, "2026-8-12", out)
