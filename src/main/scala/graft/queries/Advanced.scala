@@ -112,6 +112,27 @@ object Advanced {
              |ORDER BY seg_a, seg_b""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q23 — sketch aggregates (HLL cardinality + quantile sketch): the
+    // approximate layer every 100 TB pipeline leans on. Sketch internals
+    // are engine-specific, so there is no DuckDB oracle — the driver
+    // records a rows-only check; determinism within Spark is still
+    // pinned by the fixed rsd/accuracy parameters.
+    Q("q23_sketches",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(col("event_type"))
+          .agg(
+            approx_count_distinct(col("user_id"), rsd = 0.02)
+              .as("approx_users"),
+            percentile_approx(col("value"), lit(0.5), lit(1000))
+              .as("p50_value"),
+            percentile_approx(col("value"), lit(0.95), lit(1000))
+              .as("p95_value"))
+          .orderBy(col("event_type"))
+      },
+      None),
+
+    // ----------------------------------------------------------------
     // q22 — fixed-width histogram via arithmetic bucketing (engine-neutral
     // floor division, no width_bucket dialect differences).
     Q("q22_histogram",

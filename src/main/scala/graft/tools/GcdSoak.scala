@@ -162,6 +162,12 @@ object GcdSoak {
     val tables = synthTables(spark, nIssues)
     val out = java.nio.file.Files.createTempDirectory("gcd_soak").toString
 
+    if (args.contains("explain")) {
+      graft.etl.GcdSnapshot.build(spark, tables, "2026-8-12")
+        .explain("formatted")
+      spark.stop(); return
+    }
+
     val t0 = System.nanoTime()
     val snap = graft.etl.GcdSnapshot.build(spark, tables, "2026-8-12")
     graft.etl.GcdSink.writeSnapshot(snap, "2026-8-12", out)
