@@ -133,6 +133,48 @@ object Advanced {
       None),
 
     // ----------------------------------------------------------------
+    // q24 — deterministic train/val/test split: hash-bucket labels that
+    // are stable across engines, reruns, and parallelism (the reproducible
+    // holdout every training pipeline needs).
+    Q("q24_hash_split",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("lang"),
+          graft.operators.Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""SELECT lang, split, COUNT(*) AS n FROM (
+             |  SELECT lang,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT lang,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+             |    FROM documents))
+             |GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q25 — deterministic sample + reproducible shuffle order: 10%
+    // hash-sample of documents, emitted in hash order (the seedless
+    // "randomize training order" pass), first 20 rows.
+    Q("q25_det_sample_shuffle",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.operators.Sampling.sample(d, "doc_id", 10)
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.hash60(
+              col("doc_id").cast("string")).as("h"))
+          .orderBy(col("h"), col("doc_id"))
+          .limit(20)
+      },
+      Some("""SELECT doc_id, h FROM (
+             |  SELECT doc_id,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |  FROM documents)
+             |WHERE h % 100 < 10 ORDER BY h, doc_id LIMIT 20""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q22 — fixed-width histogram via arithmetic bucketing (engine-neutral
     // floor division, no width_bucket dialect differences).
     Q("q22_histogram",
