@@ -24,10 +24,16 @@ object VectorFunctions {
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cosine(a, b) with zero-vector guard (0.0 when either norm is 0). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = l2Norm(a) * l2Norm(b)
-    when(n > 0, d / n).otherwise(lit(0.0))
+  def cosine(a: Column, b: Column): Column =
+    cosineFromParts(dot(a, b), l2Norm(a), l2Norm(b))
+
+  /** Cosine from precomputed parts. Pair-scoring joins should project each
+   * side's norm ONCE per row and pass it here — the values are identical
+   * doubles to inline computation (same fold, same operands), but the two
+   * norm scans drop out of the O(pairs) loop. */
+  def cosineFromParts(dot: Column, na: Column, nb: Column): Column = {
+    val n = na * nb
+    when(n > 0, dot / n).otherwise(lit(0.0))
   }
 
   /** Squared euclidean distance Σ (aᵢ−bᵢ)². */

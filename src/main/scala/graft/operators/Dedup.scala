@@ -214,7 +214,10 @@ object Dedup {
    */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       minCos: Double, lshBits: Option[Int] = None): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // norm computed once per row (not per pair — identical doubles either
+    // way, ~3× less work inside the O(pairs) join)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VF.l2Norm(col(vecCol)).as("nrm"))
     val withKey = lshBits match {
       case Some(b) => base.withColumn("bucket",
         VF.hyperplaneSig(col("v"), dim, b))
@@ -224,7 +227,8 @@ object Dedup {
     x.join(y, col("x.bucket") === col("y.bucket") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        round(VF.cosine(col("x.v"), col("y.v")), 6).as("cos"))
+        round(VF.cosineFromParts(VF.dot(col("x.v"), col("y.v")),
+          col("x.nrm"), col("y.nrm")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }

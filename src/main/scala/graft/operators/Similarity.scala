@@ -53,14 +53,21 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  /** Score with per-row precomputed norms (identical doubles to inline
+   * cosine; the norm scans leave the O(candidates) loop). */
+  private def scoreCos: Column =
+    round(VF.cosineFromParts(VF.dot(col("qv"), col("nv")),
+      col("qn"), col("nn")), 6)
+
   /** Exact cosine top-k: every query against every vector. */
   def cosineTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      VF.l2Norm(col(vecCol)).as("nn"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      VF.l2Norm(col(vecCol)).as("qn"))
     val scored = v.join(broadcast(q), col("nid") =!= col("qid"), "inner")
-      .select(col("qid"), col("nid"),
-        round(VF.cosine(col("qv"), col("nv")), 6).as("cos"))
+      .select(col("qid"), col("nid"), scoreCos.as("cos"))
     ranked(scored, k)
   }
 
@@ -70,13 +77,12 @@ object Similarity {
       vecCol: String, dim: Int, bits: Int, k: Int): DataFrame = {
     val sig = (c: Column) => VF.hyperplaneSig(c, dim, bits)
     val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"),
-      sig(col(vecCol)).as("sig"))
+      VF.l2Norm(col(vecCol)).as("nn"), sig(col(vecCol)).as("sig"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      sig(col(vecCol)).as("qsig"))
+      VF.l2Norm(col(vecCol)).as("qn"), sig(col(vecCol)).as("qsig"))
     val scored = v.join(broadcast(q),
         col("sig") === col("qsig") && col("nid") =!= col("qid"), "inner")
-      .select(col("qid"), col("nid"),
-        round(VF.cosine(col("qv"), col("nv")), 6).as("cos"))
+      .select(col("qid"), col("nid"), scoreCos.as("cos"))
     ranked(scored, k)
   }
 
@@ -90,35 +96,41 @@ object Similarity {
    */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, centroidStride: Int, nProbe: Int, k: Int): DataFrame = {
-    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"),
+      VF.l2Norm(col(vecCol)).as("vn"))
     val cent = vectors.filter(col(idCol) % centroidStride === 0)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        VF.l2Norm(col(vecCol)).as("cn"))
 
     // inverted lists: vector → nearest centroid (exact cosine argmax)
     val wAssign = Window.partitionBy(col("vid"))
       .orderBy(col("ccos").desc, col("cid"))
     val assign = v.join(broadcast(cent))
-      .select(col("vid"), col("vv"), col("cid"),
-        round(VF.cosine(col("vv"), col("cv")), 6).as("ccos"))
+      .select(col("vid"), col("vv"), col("vn"), col("cid"),
+        round(VF.cosineFromParts(VF.dot(col("vv"), col("cv")),
+          col("vn"), col("cn")), 6).as("ccos"))
       .withColumn("r", row_number().over(wAssign))
       .filter(col("r") === 1)
-      .select(col("vid"), col("vv"), col("cid"))
+      .select(col("vid"), col("vv"), col("vn"), col("cid"))
 
     // probe lists: query → nProbe nearest centroids
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      VF.l2Norm(col(vecCol)).as("qn"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("ccos").desc, col("cid"))
     val probes = q.join(broadcast(cent))
-      .select(col("qid"), col("qv"), col("cid"),
-        round(VF.cosine(col("qv"), col("cv")), 6).as("ccos"))
+      .select(col("qid"), col("qv"), col("qn"), col("cid"),
+        round(VF.cosineFromParts(VF.dot(col("qv"), col("cv")),
+          col("qn"), col("cn")), 6).as("ccos"))
       .withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= nProbe)
-      .select(col("qid"), col("qv"), col("cid"))
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
 
     val scored = probes.join(assign, "cid")
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid").as("nid"),
-        round(VF.cosine(col("qv"), col("vv")), 6).as("cos"))
+        round(VF.cosineFromParts(VF.dot(col("qv"), col("vv")),
+          col("qn"), col("vn")), 6).as("cos"))
     ranked(scored, k)
   }
 }
