@@ -20,9 +20,18 @@ object GcdSink {
 
   /** Write one snapshot partition (idempotent per date: dynamic overwrite
    * replaces only this date's partition, so re-runs are safe — the
-   * reference's download-history dedup moved into the sink). */
-  def writeSnapshot(df: DataFrame, date: String, path: String): Unit =
+   * reference's download-history dedup moved into the sink).
+   *
+   * Rows are clustered by `clusterBy` inside each file so parquet
+   * row-group min/max statistics prune series/issue range predicates at
+   * read time, and dictionary/RLE encoding compresses the denormalized
+   * (highly repetitive) series/publisher columns — at 100 TB this
+   * clustering is what turns the snapshot into a skippable table instead
+   * of a full-scan one. */
+  def writeSnapshot(df: DataFrame, date: String, path: String,
+      clusterBy: Seq[String] = Seq("series_id", "issue_id")): Unit =
     df.withColumn("snapshot", lit(Transforms.snapshotYmd(date)))
+      .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
