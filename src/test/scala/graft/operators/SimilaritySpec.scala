@@ -49,6 +49,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("approximate paths keep useful recall vs brute force on real vectors") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter($"vec_id" % 50 === 0)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"qid", $"nid").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val brute = topSets(Similarity.cosineTopK(e, q, "vec_id", "embedding", 5))
+    val ivf = topSets(Similarity.ivfTopK(e, q, "vec_id", "embedding",
+      centroidStride = 50, nProbe = 4, k = 5))
+    val ivfRecall = brute.keys.toSeq.map { k =>
+      ivf.getOrElse(k, Set.empty).intersect(brute(k)).size / 5.0
+    }.sum / brute.size
+    // multi-probe IVF over 10 centroids should recover most true neighbors
+    assert(ivfRecall > 0.5, s"ivf recall@5 = $ivfRecall")
+    // LSH trades recall for candidate-set size; it must stay truthful
+    // (only real neighbors, correct scores) even when recall is partial
+    val lsh = topSets(Similarity.lshTopK(e, q, "vec_id", "embedding",
+      dim = 64, bits = 4, k = 5))
+    assert(lsh.values.forall(_.nonEmpty))
+  }
+
   test("lsh results are a subset of brute-force candidates with same scores") {
     val q = vecs.filter($"vec_id" === 0)
     val brute = Similarity.cosineTopK(vecs, q, "vec_id", "embedding", k = 4)
