@@ -28,16 +28,11 @@ object GcdEtlMain {
       storyCredit = !off("no-story-credit"))
   }
 
-  def main(args: Array[String]): Unit = {
-    val Array(tablesDir, date, outPath) = args.take(3)
-    val flags = if (args.length > 3) parseFlags(args(3)) else GcdFlags()
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("gcd-snapshot-etl")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+  /** Full pipeline on an existing session: load sources → build → write →
+   * register. Separated from main() so tests can drive it end-to-end. */
+  def run(spark: SparkSession, tablesDir: String, date: String,
+      outPath: String, flags: GcdFlags = GcdFlags(),
+      tableName: String = "gcdissuesnapshot"): Unit = {
     // S1 parity: `tablesDir` may be a parquet directory or a jdbc: URL
     // (the reference's MySQL source, Main.java:128-132) — with JDBC,
     // Catalyst pushes filters/projections into the database the same way
@@ -58,7 +53,20 @@ object GcdEtlMain {
       }
     val snap = GcdSnapshot.build(spark, tables, date, flags)
     GcdSink.writeSnapshot(snap, date, outPath)
-    GcdSink.registerTable(spark, "gcdissuesnapshot", outPath)
+    GcdSink.registerTable(spark, tableName, outPath)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(tablesDir, date, outPath) = args.take(3)
+    val flags = if (args.length > 3) parseFlags(args(3)) else GcdFlags()
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("gcd-snapshot-etl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    run(spark, tablesDir, date, outPath, flags)
     spark.stop()
   }
 }

@@ -67,7 +67,7 @@ class GcdSnapshotSpec extends SparkSpec {
   // noon avoids day boundaries in any residual TZ handling
   private val ts = Timestamp.valueOf("2020-01-02 12:00:00")
 
-  private lazy val tables: Map[String, DataFrame] = Map(
+  lazy val fixtureTables: Map[String, DataFrame] = Map(
     "gcd_issue" -> Seq(
       Issue(1L, Some("12"), Some("1962-00-00"),
         Some("0.10 USD; 0.12 CAD"), Some(32), Some("monthly"),
@@ -124,7 +124,7 @@ class GcdSnapshotSpec extends SparkSpec {
   )
 
   private lazy val snap: DataFrame =
-    GcdSnapshot.build(spark, tables, "2026-8-12")
+    GcdSnapshot.build(spark, fixtureTables, "2026-8-12")
 
   private lazy val rows: Map[(Long, Option[Long]), Row] =
     snap.collect().map { r =>
@@ -244,7 +244,7 @@ class GcdSnapshotSpec extends SparkSpec {
   test("capability flags null out gated fields (old-dump parity)") {
     val flags = GcdFlags(publicationType = false, volumeNotPrinted = false,
       seriesIsSingleton = false, storyFirstLine = false, storyCredit = false)
-    val t2 = tables -- Seq("gcd_series_publication_type")
+    val t2 = fixtureTables -- Seq("gcd_series_publication_type")
     val df = GcdSnapshot.build(spark, t2, "2026-8-12", flags)
     assert(df.schema.fieldNames.toSeq ==
       GcdSchemas.snapshot.fieldNames.toSeq)
@@ -270,8 +270,8 @@ class GcdSnapshotSpec extends SparkSpec {
         seriesIsSingleton = (mask & 4) != 0,
         storyFirstLine = (mask & 8) != 0,
         storyCredit = (mask & 16) != 0)
-      val t2 = if (flags.publicationType) tables
-        else tables -- Seq("gcd_series_publication_type")
+      val t2 = if (flags.publicationType) fixtureTables
+        else fixtureTables -- Seq("gcd_series_publication_type")
       // plan-build + analysis only — no action; every combo must produce
       // the same 88-column schema (GcdSchema.java:9-13 lattice)
       val df = GcdSnapshot.build(spark, t2, "2026-8-12", flags)
@@ -280,7 +280,7 @@ class GcdSnapshotSpec extends SparkSpec {
   }
 
   test("observation metrics surface the reference's skip/progress signals") {
-    val (df, obs) = GcdSnapshot.buildObserved(spark, tables, "2026-8-12")
+    val (df, obs) = GcdSnapshot.buildObserved(spark, fixtureTables, "2026-8-12")
     df.write.format("noop").mode("overwrite").save()
     val m = obs.get
     assert(m("n_rows") == 4L)

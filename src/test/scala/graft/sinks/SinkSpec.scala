@@ -48,6 +48,46 @@ class SinkSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("snapshot partitions: pruning, time travel, idempotent re-write") {
+    val fixtures = new graft.etl.GcdSnapshotSpec {}
+    val snap = graft.etl.GcdSnapshot.build(spark, fixtures.fixtureTables,
+      "2026-8-12")
+    val out = java.nio.file.Files.createTempDirectory("snap_tt").toString
+    GcdSink.writeSnapshot(snap, "2026-8-11", out)
+    GcdSink.writeSnapshot(snap, "2026-8-12", out)
+    GcdSink.writeSnapshot(snap, "2026-8-12", out) // idempotent overwrite
+    val back = spark.read.parquet(out)
+    assert(back.count() == 8)                     // 2 dates × 4 rows, no dupes
+    val one = back.filter($"snapshot" === 20260812)
+    assert(one.count() == 4)
+    // partition pruning must reach the scan (dynamic file-skipping at read)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("snapshot"), plan.take(800))
+  }
+
+  test("end-to-end CLI path: parquet dir -> snapshot table") {
+    val fixtures = new graft.etl.GcdSnapshotSpec {}
+    val src = java.nio.file.Files.createTempDirectory("gcd_src").toString
+    fixtures.fixtureTables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$src/$name.parquet")
+    }
+    val out = java.nio.file.Files.createTempDirectory("gcd_out").toString
+    graft.etl.GcdEtlMain.run(spark, src, "2026-8-12", out,
+      tableName = "gcd_cli_test")
+    val n = spark.sql(
+      "SELECT count(*) FROM gcd_cli_test WHERE snapshot = 20260812")
+      .head().getLong(0)
+    assert(n == 4)
+  }
+
+  test("flag spec parses the CLI toggle list") {
+    val f = graft.etl.GcdEtlMain.parseFlags(
+      "no-publication-type, no-story-credit")
+    assert(!f.publicationType && !f.storyCredit)
+    assert(f.volumeNotPrinted && f.seriesIsSingleton && f.storyFirstLine)
+  }
+
   test("yaml config parses reference shape incl. capability flags") {
     val yml =
       """gcdatabase:
