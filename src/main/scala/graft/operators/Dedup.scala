@@ -149,17 +149,49 @@ object Dedup {
 
   /**
    * SimHash dup buckets: docs sharing an identical signature. For
-   * Hamming-distance-d matching at scale, probe with `bits/ (d+1)`-bit
-   * band slices of the signature (same LSH shape as minHashPairs).
+   * Hamming-distance matching see [[simHashPairs]].
    */
   def simHashBuckets(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16): DataFrame = {
     val w = Window.partitionBy(col("simhash"))
+    simHashSigs(df, idCol, textCol, bits)
+      .withColumn("n_bucket", count(lit(1)).over(w))
+  }
+
+  private def simHashSigs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int): DataFrame =
     df.select(col(idCol), TF.tokens(col(textCol)).as("__tok"))
       .select(col(idCol),
         transform(col("__tok"), t => TF.hash60(t)).as("__th"))
       .select(col(idCol), simHashFromHashes(col("__th"), bits).as("simhash"))
-      .withColumn("n_bucket", count(lit(1)).over(w))
+
+  /**
+   * SimHash near-dup pairs within Hamming distance `maxHamming`, via the
+   * pigeonhole band trick: split the signature into `maxHamming + 1`
+   * bit-bands — any pair within distance d must agree EXACTLY on at least
+   * one band, so candidates come from equal-band buckets (one shuffle),
+   * never a cross join; the popcount(xor) check then filters exactly.
+   */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = bits / nBands
+    require(bandBits > 0, "bits must exceed maxHamming")
+    val sigs = simHashSigs(df, idCol, textCol, bits)
+      .select(col(idCol).as("id"), col("simhash"))
+    val buckets = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        concat(lit(s"$b|"),
+          shiftright(col("simhash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).cast("string"))
+      }: _*)).as("bkey"))
+    val x = buckets.as("x"); val y = buckets.as("y")
+    x.join(y, col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   // ------------------------------------------------------------------

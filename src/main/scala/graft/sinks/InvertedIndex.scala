@@ -64,6 +64,19 @@ object InvertedIndex {
       .option("compression", "snappy")
       .parquet(path)
 
+  /** The snapshot fields the reference's Flamdex index serves to Imhotep
+   * (string dims, multi-valued credits/genres, date ints — the fields
+   * extractDataToFlamdex emits, reference Main.java:249-352). */
+  val snapshotIndexFields: Seq[String] = Seq(
+    "publisher_name", "series_name", "series_country_code",
+    "series_language_code", "story_type", "story_genre",
+    "story_characters", "story_script", "story_pencils",
+    "publication_date", "on_sale_date", "issue_id", "series_id")
+
+  /** Index a built snapshot with the reference's field set. */
+  def writeSnapshotIndex(snapshot: DataFrame, path: String): Unit =
+    write(snapshot, "issue_id", snapshotIndexFields, path)
+
   /** Term lookup against a written index (partition-pruned scan). */
   def lookup(spark: SparkSession, path: String, field: String,
       term: String): DataFrame =

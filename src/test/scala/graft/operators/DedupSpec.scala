@@ -35,6 +35,14 @@ class DedupSpec extends SparkSpec {
     assert(sig(0L) != sig(3L))
   }
 
+  test("simhash hamming pairs: near-dups within distance, unrelated out") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select($"a", $"b", $"hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((0L, 2L)) == 0 && m((0L, 4L)) == 0) // exact dups: distance 0
+    assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("jaccard pairs: exact dups at 1.0, unrelated absent") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.5)
       .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect()

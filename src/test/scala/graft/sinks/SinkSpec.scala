@@ -48,6 +48,20 @@ class SinkSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("snapshot inverted index serves the flamdex field set") {
+    val fixtures = new graft.etl.GcdSnapshotSpec {}
+    val snap = graft.etl.GcdSnapshot.build(spark, fixtures.fixtureTables,
+      "2026-8-12")
+    val out = java.nio.file.Files.createTempDirectory("snap_idx").toString
+    InvertedIndex.writeSnapshotIndex(snap, out)
+    val hits = InvertedIndex.lookup(spark, out, "story_genre", "horror")
+      .as[Long].collect()
+    assert(hits.toSeq == Seq(1L)) // issue 1 carries the horror story
+    val pubs = InvertedIndex.lookup(spark, out, "publisher_name",
+      "Best Comics").as[Long].collect().distinct.sorted
+    assert(pubs.toSeq == Seq(1L, 2L))
+  }
+
   test("snapshot partitions: pruning, time travel, idempotent re-write") {
     val fixtures = new graft.etl.GcdSnapshotSpec {}
     val snap = graft.etl.GcdSnapshot.build(spark, fixtures.fixtureTables,
