@@ -103,6 +103,36 @@ object DedupQueries {
               |FROM sig ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // d06 — simhash near-dup pairs within Hamming distance 3, via the
+    // pigeonhole band buckets (agree-on-one-of-4-bands ⇒ candidate).
+    Q("d06_dedup_simhash_hamming",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.simHashPairs(docs, "doc_id", "text", bits = 16, maxHamming = 3)
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $normT AS t FROM documents),
+              |tok AS (SELECT doc_id, u.tk FROM
+              |       (SELECT doc_id, string_split_regex(t, ' ') AS w FROM d), unnest(w) AS u(tk)),
+              |h AS (SELECT doc_id, ${h60("tk")} AS hv FROM tok),
+              |bitcnt AS (SELECT doc_id, b,
+              |       SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+              |       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs
+              |       GROUP BY doc_id, b),
+              |sig AS (SELECT doc_id,
+              |       CAST(SUM(CASE WHEN cnt >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+              |       FROM bitcnt GROUP BY doc_id),
+              |buckets AS (SELECT doc_id, simhash,
+              |       bb || '|' || CAST((simhash >> (bb * 4)) & 15 AS VARCHAR) AS bkey
+              |       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb) bands)
+              |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+              |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+              |FROM buckets x JOIN buckets y
+              |  ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+              |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+              |ORDER BY a, b""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // d04 — exact n-gram (word-3-shingle) Jaccard pairs ≥ 0.8 via the
     // inverted shingle index (no O(n²) cross join).
     Q("d04_dedup_ngram_jaccard",
