@@ -112,6 +112,34 @@ object Advanced {
              |ORDER BY seg_a, seg_b""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q26 — window-relative filtering (the correlated-subquery shape
+    // "orders above this customer's average"), with the window average on
+    // DECIMAL so both engines compare against the identical exact value.
+    Q("q26_above_customer_avg",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+        val avgExact = (sum(dec(col("o_totalprice"))).over(w).cast("double") /
+          count(lit(1)).over(w))
+        o.withColumn("cavg", avgExact)
+          .filter(col("o_totalprice") > col("cavg"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_above"),
+            dsum(col("o_totalprice")).as("sum_above"))
+          .orderBy(col("o_custkey"))
+      },
+      Some(s"""SELECT o_custkey, COUNT(*) AS n_above,
+              |  ${sqlDsum("o_totalprice")} AS sum_above
+              |FROM (
+              |  SELECT o_custkey, o_totalprice,
+              |    CAST(SUM(${sqlDec("o_totalprice")}) OVER w AS DOUBLE) /
+              |      COUNT(*) OVER w AS cavg
+              |  FROM orders
+              |  WINDOW w AS (PARTITION BY o_custkey))
+              |WHERE o_totalprice > cavg
+              |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q23 — sketch aggregates (HLL cardinality + quantile sketch): the
     // approximate layer every 100 TB pipeline leans on. Sketch internals
     // are engine-specific, so there is no DuckDB oracle — the driver

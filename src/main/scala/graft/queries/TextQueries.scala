@@ -101,6 +101,41 @@ object TextQueries {
               |FROM feat ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // t04 — corpus n-gram profile: top-5 word bigrams per language
+    // (explode → count → windowed top-k), the shape of vocabulary/
+    // contamination audits over a pretraining corpus.
+    Q("t04_top_bigrams",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val grams = docs
+          .select(col("lang"), TF.tokens(col("text")).as("__tok"))
+          .select(col("lang"),
+            explode(TF.wordShinglesFromTokens(col("__tok"), 2)).as("bigram"))
+          .groupBy(col("lang"), col("bigram"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("bigram"))
+        grams.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("lang"), col("rank"), col("bigram"), col("n"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      // NOTE: Spark counts DISTINCT bigrams per doc (wordShingles
+      // deduplicates within a document); the oracle mirrors that.
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, lang, string_split_regex($normT, ' ') AS w FROM documents),
+              |grams AS (SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i+1] AS bigram
+              |  FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+              |  WHERE len(w) >= 2),
+              |counted AS (SELECT lang, bigram, COUNT(*) AS n FROM grams GROUP BY lang, bigram),
+              |ranked AS (SELECT lang, bigram, n,
+              |  row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+              |  FROM counted)
+              |SELECT lang, rank, bigram, n FROM ranked WHERE rank <= 5
+              |ORDER BY lang, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // t03 — document fingerprinting: portable 60-bit content hash +
     // distinct char-5-shingle count + normalized length.
     Q("t03_fingerprint",
