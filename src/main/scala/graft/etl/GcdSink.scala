@@ -29,7 +29,8 @@ object GcdSink {
    * clustering is what turns the snapshot into a skippable table instead
    * of a full-scan one. */
   def writeSnapshot(df: DataFrame, date: String, path: String,
-      clusterBy: Seq[String] = Seq("series_id", "issue_id")): Unit =
+      clusterBy: Seq[String] = Seq("series_id", "issue_id"),
+      format: String = "parquet"): Unit =
     df.withColumn("snapshot", lit(Transforms.snapshotYmd(date)))
       .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
       .write
@@ -38,7 +39,8 @@ object GcdSink {
       .partitionBy("snapshot")
       .option("compression", "snappy")
       .option("maxRecordsPerFile", RowsPerFile)
-      .parquet(path)
+      .format(format) // parquet (reference parity) or any columnar
+      .save(path)     // format Spark ships (orc, …)
 
   /**
    * Bucketed variant for co-located downstream joins: cluster the snapshot

@@ -62,6 +62,21 @@ class SinkSpec extends SparkSpec {
     assert(pubs.toSeq == Seq(1L, 2L))
   }
 
+  test("snapshot round-trips identically through orc") {
+    val fixtures = new graft.etl.GcdSnapshotSpec {}
+    val snap = graft.etl.GcdSnapshot.build(spark, fixtures.fixtureTables,
+      "2026-8-12")
+    val pDir = java.nio.file.Files.createTempDirectory("snap_pq").toString
+    val oDir = java.nio.file.Files.createTempDirectory("snap_orc").toString
+    GcdSink.writeSnapshot(snap, "2026-8-12", pDir)
+    GcdSink.writeSnapshot(snap, "2026-8-12", oDir, format = "orc")
+    val p = spark.read.parquet(pDir)
+    val o = spark.read.orc(oDir)
+    assert(o.schema.fieldNames.toSeq == p.schema.fieldNames.toSeq)
+    assert(o.count() == p.count())
+    assert(p.exceptAll(o).isEmpty && o.exceptAll(p).isEmpty)
+  }
+
   test("snapshot partitions: pruning, time travel, idempotent re-write") {
     val fixtures = new graft.etl.GcdSnapshotSpec {}
     val snap = graft.etl.GcdSnapshot.build(spark, fixtures.fixtureTables,
