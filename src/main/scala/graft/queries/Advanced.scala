@@ -140,6 +140,61 @@ object Advanced {
               |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q27 — exact interpolated percentiles (both engines implement the
+    // same (1-g)·a + g·b definition over the sorted values, so the exact
+    // form is oracle-comparable where the sketch form (q23) is not).
+    Q("q27_exact_percentiles",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.9)").as("p90"),
+            min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  quantile_cont(value, 0.5) AS p50,
+             |  quantile_cont(value, 0.9) AS p90,
+             |  MIN(value) AS vmin, MAX(value) AS vmax
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q28 — ordered-sequence funnel over the event stream: per user,
+    // did a view → click → purchase chain occur in order? Window-min
+    // timestamps per stage, then ordering comparisons — identical
+    // formulation in both engines.
+    Q("q28_funnel",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val staged = e.groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "view",
+            unix_timestamp(col("ts")))).as("t_view"),
+          min(when(col("event_type") === "click",
+            unix_timestamp(col("ts")))).as("t_click"),
+          min(when(col("event_type") === "purchase",
+            unix_timestamp(col("ts")))).as("t_purchase"))
+        staged.select(col("user_id"),
+          col("t_view").isNotNull.as("reached_view"),
+          (col("t_click").isNotNull && col("t_click") > col("t_view"))
+            .as("clicked_after_view"),
+          (col("t_purchase").isNotNull && col("t_purchase") > col("t_click") &&
+            col("t_click") > col("t_view")).as("full_funnel"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  t_view IS NOT NULL AS reached_view,
+             |  (t_click IS NOT NULL AND t_click > t_view) AS clicked_after_view,
+             |  (t_purchase IS NOT NULL AND t_purchase > t_click AND t_click > t_view) AS full_funnel
+             |FROM (
+             |  SELECT user_id,
+             |    MIN(CASE WHEN event_type = 'view' THEN (epoch_us(ts) // 1000000) END) AS t_view,
+             |    MIN(CASE WHEN event_type = 'click' THEN (epoch_us(ts) // 1000000) END) AS t_click,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN (epoch_us(ts) // 1000000) END) AS t_purchase
+             |  FROM events GROUP BY user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q23 — sketch aggregates (HLL cardinality + quantile sketch): the
     // approximate layer every 100 TB pipeline leans on. Sketch internals
     // are engine-specific, so there is no DuckDB oracle — the driver
