@@ -46,9 +46,18 @@ object GcdEtlMain {
             .load()
         }.toMap
       } else {
+        // per table: parquet preferred, CSV fallback (explicit schema —
+        // inference would mis-type nullable ints/datetimes in dumps)
         GcdSnapshot.sourceTables.flatMap { t =>
-          val p = new java.io.File(s"$tablesDir/$t.parquet")
-          if (p.exists) Some(t -> spark.read.parquet(p.getPath)) else None
+          val pq = new java.io.File(s"$tablesDir/$t.parquet")
+          val csv = new java.io.File(s"$tablesDir/$t.csv")
+          if (pq.exists) Some(t -> spark.read.parquet(pq.getPath))
+          else if (csv.exists) Some(t -> spark.read
+            .schema(GcdSchemas.sourceSchemas(t))
+            .option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+            .csv(csv.getPath))
+          else None
         }.toMap
       }
     val snap = GcdSnapshot.build(spark, tables, date, flags)

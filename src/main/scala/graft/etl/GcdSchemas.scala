@@ -113,6 +113,68 @@ object GcdSchemas {
     f("story_modified", IntegerType)
   ))
 
+  /**
+   * Source-table schemas (FIXTURES.md §1 — the columns the reference's SQL
+   * reads, typed by how it consumes them). Needed when ingesting dumps
+   * from schemaless formats (CSV): inference would mis-type nullable ints
+   * and datetimes, so the contract is explicit.
+   */
+  val sourceSchemas: Map[String, StructType] = {
+    def t(fields: (String, DataType)*): StructType =
+      StructType(fields.map { case (n, dt) => StructField(n, dt) })
+    val ts = TimestampType
+    Map(
+      "gcd_issue" -> t("id" -> LongType, "number" -> StringType,
+        "key_date" -> StringType, "price" -> StringType,
+        "page_count" -> IntegerType, "indicia_frequency" -> StringType,
+        "isbn" -> StringType, "variant_name" -> StringType,
+        "variant_of_id" -> LongType, "barcode" -> StringType,
+        "title" -> StringType, "on_sale_date" -> StringType,
+        "rating" -> StringType, "volume_not_printed" -> IntegerType,
+        "editing" -> StringType, "notes" -> StringType, "created" -> ts,
+        "modified" -> ts, "series_id" -> LongType,
+        "indicia_publisher_id" -> LongType, "brand_id" -> LongType),
+      "gcd_series" -> t("id" -> LongType, "name" -> StringType,
+        "year_began" -> IntegerType, "year_ended" -> IntegerType,
+        "is_current" -> IntegerType, "country_id" -> IntegerType,
+        "language_id" -> IntegerType, "has_gallery" -> IntegerType,
+        "is_comics_publication" -> IntegerType, "color" -> StringType,
+        "dimensions" -> StringType, "paper_stock" -> StringType,
+        "binding" -> StringType, "publishing_format" -> StringType,
+        "publication_type_id" -> IntegerType, "is_singleton" -> IntegerType,
+        "created" -> ts, "modified" -> ts, "publisher_id" -> LongType),
+      "gcd_publisher" -> t("id" -> LongType, "name" -> StringType,
+        "country_id" -> IntegerType, "url" -> StringType, "created" -> ts,
+        "modified" -> ts),
+      "gcd_indicia_publisher" -> t("id" -> LongType, "name" -> StringType,
+        "country_id" -> IntegerType, "parent_id" -> LongType,
+        "year_began" -> IntegerType, "year_ended" -> IntegerType,
+        "is_surrogate" -> IntegerType, "url" -> StringType, "created" -> ts,
+        "modified" -> ts),
+      "gcd_brand" -> t("id" -> LongType, "name" -> StringType,
+        "url" -> StringType, "created" -> ts, "modified" -> ts),
+      "gcd_story" -> t("id" -> LongType, "issue_id" -> LongType,
+        "title" -> StringType, "feature" -> StringType,
+        "sequence_number" -> IntegerType, "page_count" -> IntegerType,
+        "script" -> StringType, "pencils" -> StringType,
+        "inks" -> StringType, "colors" -> StringType,
+        "letters" -> StringType, "editing" -> StringType,
+        "genre" -> StringType, "characters" -> StringType,
+        "type_id" -> IntegerType, "job_number" -> StringType,
+        "first_line" -> StringType, "created" -> ts, "modified" -> ts),
+      "gcd_story_credit" -> t("story_id" -> LongType,
+        "credit_type_id" -> IntegerType, "creator_id" -> LongType),
+      "gcd_creator_name_detail" -> t("id" -> LongType,
+        "creator_id" -> LongType),
+      "gcd_creator" -> t("id" -> LongType,
+        "gcd_official_name" -> StringType),
+      "stddata_country" -> t("id" -> IntegerType, "code" -> StringType),
+      "stddata_language" -> t("id" -> IntegerType, "code" -> StringType),
+      "gcd_series_publication_type" -> t("id" -> IntegerType,
+        "name" -> StringType),
+      "gcd_story_type" -> t("id" -> IntegerType, "name" -> StringType))
+  }
+
   /** Capability flags adapting to older GCD dump versions
    * (GcdSchema.java:8-59): absent columns/tables are pruned from the plan
    * and their output fields stay null. */

@@ -110,6 +110,24 @@ class SinkSpec extends SparkSpec {
     assert(n == 4)
   }
 
+  test("end-to-end CSV dump ingestion with the declared source schemas") {
+    val fixtures = new graft.etl.GcdSnapshotSpec {}
+    val src = java.nio.file.Files.createTempDirectory("gcd_csv").toString
+    fixtures.fixtureTables.foreach { case (name, df) =>
+      df.write.mode("overwrite").option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(s"$src/$name.csv")
+    }
+    val out = java.nio.file.Files.createTempDirectory("gcd_csv_out").toString
+    graft.etl.GcdEtlMain.run(spark, src, "2026-8-12", out,
+      tableName = "gcd_csv_test")
+    val got = spark.sql(
+      """SELECT count(*), count(DISTINCT issue_id),
+        |  sum(CASE WHEN story_credit_source = 'gcd_story_credit' THEN 1 ELSE 0 END)
+        |FROM gcd_csv_test WHERE snapshot = 20260812""".stripMargin).head()
+    assert(got.getLong(0) == 4 && got.getLong(1) == 2 && got.getLong(2) == 1)
+  }
+
   test("flag spec parses the CLI toggle list") {
     val f = graft.etl.GcdEtlMain.parseFlags(
       "no-publication-type, no-story-credit")
