@@ -123,7 +123,8 @@ object GcdSoak {
 
     // curated credits over 1/3 of stories, incl. compound types
     val credits = spark.range(nStories / 3 * 2).select(
-      ((col("id") / 2) * 3).as("story_id"), // every 3rd story, 2 credits
+      // every 3rd story gets 2 credits; integer division keeps LongType
+      ((col("id") / 2).cast("long") * 3).as("story_id"),
       (col("id") % 13 + 1).cast(IntegerType).as("credit_type_id"),
       (col("id") % 10000).as("creator_id"))
 

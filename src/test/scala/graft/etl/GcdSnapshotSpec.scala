@@ -261,6 +261,18 @@ class GcdSnapshotSpec extends SparkSpec {
     assert(get[Any](r, "story_script_creator_id") == null)
   }
 
+  test("fixtures and soak generator conform to the declared source schemas") {
+    def conform(tables: Map[String, org.apache.spark.sql.DataFrame]): Unit =
+      tables.foreach { case (name, df) =>
+        val want = GcdSchemas.sourceSchemas(name)
+          .fields.map(f => (f.name, f.dataType)).toSeq
+        val got = df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+        assert(got == want, s"$name: $got != $want")
+      }
+    conform(fixtureTables)
+    conform(graft.tools.GcdSoak.synthTables(spark, 100L))
+  }
+
   test("flag lattice: all 2^5 capability combinations build the 88-col plan") {
     val names = GcdSchemas.snapshot.fieldNames.toSeq
     for (mask <- 0 until 32) {
