@@ -136,6 +136,56 @@ object TextQueries {
               |ORDER BY lang, rank""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // p01 — the composed curation pass (quality/language filter → exact
+    // dedup → per-source stats): the end-user operator chain, verified as
+    // one oracle query so stage composition itself is checked.
+    Q("p01_curation_pipeline",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Curation
+          .curate(docs, "text", "doc_id", minQuality = 0.6,
+            langs = Set("en", "es"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_tokens")).as("sum_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, source, $normT AS t FROM documents),
+              |tok AS (SELECT doc_id, source, t, string_split_regex(t, ' ') AS w FROM base),
+              |feats AS (SELECT doc_id, source, t, w,
+              |    CAST(len(w) AS BIGINT) AS n_tokens,
+              |    CASE WHEN len(t) > 0
+              |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
+              |      ELSE 0.0 END AS punct,
+              |    CASE WHEN len(w) > 0
+              |      THEN CAST(len(list_filter(w, x -> list_contains($enList, x))) AS DOUBLE) / len(w)
+              |      ELSE 0.0 END AS swr
+              |  FROM tok),
+              |q AS (SELECT doc_id, source, t, n_tokens,
+              |    round(greatest(0.0,
+              |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+              |      least(swr * 5.0, 1.0) * 0.4 +
+              |      (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality
+              |  FROM feats),
+              |hits AS (SELECT b.doc_id, l.code,
+              |    len(list_filter(string_split_regex(b.t, ' '), x -> list_contains(l.sw, x))) AS h
+              |  FROM base b CROSS JOIN (VALUES $stopwordValues) l(code, sw)),
+              |pred AS (SELECT doc_id, CASE WHEN h > 0 THEN code ELSE 'und' END AS pred_lang FROM (
+              |  SELECT doc_id, code, h,
+              |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, code DESC) AS r
+              |  FROM hits) WHERE r = 1),
+              |filt AS (SELECT q.doc_id, q.source, q.t, q.n_tokens
+              |  FROM q JOIN pred USING (doc_id)
+              |  WHERE q.quality >= 0.6 AND pred.pred_lang IN ('en', 'es')),
+              |surv AS (SELECT doc_id, source, n_tokens FROM (
+              |  SELECT doc_id, source, n_tokens,
+              |    row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+              |  FROM filt) WHERE rn = 1)
+              |SELECT source, COUNT(*) AS n_kept,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+              |FROM surv GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // t03 — document fingerprinting: portable 60-bit content hash +
     // distinct char-5-shingle count + normalized length.
     Q("t03_fingerprint",
