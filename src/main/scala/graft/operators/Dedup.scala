@@ -203,7 +203,10 @@ object Dedup {
    * → |∩| per pair → |∪| from per-doc sizes. `maxShingleDf` drops
    * shingles appearing in more than that many docs (skew guard: a
    * stop-shingle bucket would otherwise produce a quadratic blowup; at
-   * 100 TB this cap is what keeps the candidate join linear-ish).
+   * 100 TB this cap is what keeps the candidate join linear-ish). With a
+   * cap, BOTH |∩| and |∪| are computed over the capped shingle universe —
+   * a consistent Jaccard on the filtered space, never a mixed
+   * unfiltered-size / filtered-intersection estimate.
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, minJaccard: Double = 0.8,
@@ -219,7 +222,7 @@ object Dedup {
           .filter(col("df") <= cap).drop("df")
       case None => sh
     }
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = filtered.as("x")
       .join(filtered.as("y"), col("x.s") === col("y.s") &&
         col("x.id") < col("y.id"))

@@ -87,18 +87,23 @@ object Similarity {
   }
 
   /**
-   * Deterministic IVF top-k: centroids are the vectors whose id is a
-   * multiple of `centroidStride` (a seedless coarse quantizer — at real
-   * scale you'd k-means these, but a strided sample keeps every engine
-   * reproducing the same index). Vectors are assigned to their nearest
-   * centroid once (built like any inverted index: one shuffle); each query
-   * probes the `nProbe` nearest centroid lists.
+   * Deterministic IVF top-k: centroids are the FIRST `maxCentroids` vectors
+   * whose id is a multiple of `centroidStride` (a seedless coarse
+   * quantizer — at real scale you'd k-means these, but a strided sample
+   * keeps every engine reproducing the same index). `maxCentroids` bounds
+   * the set so the centroid broadcast and the O(n·C) assignment cost stay
+   * CONSTANT as the corpus grows — an uncapped stride sample grows with n
+   * and turns assignment into O(n²/stride). Vectors are assigned to their
+   * nearest centroid once (built like any inverted index: one shuffle);
+   * each query probes the `nProbe` nearest centroid lists.
    */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, centroidStride: Int, nProbe: Int, k: Int): DataFrame = {
+      vecCol: String, centroidStride: Int, nProbe: Int, k: Int,
+      maxCentroids: Int = 256): DataFrame = {
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"),
       VF.l2Norm(col(vecCol)).as("vn"))
-    val cent = vectors.filter(col(idCol) % centroidStride === 0)
+    val cent = vectors.filter(col(idCol) % centroidStride === 0 &&
+        col(idCol) < centroidStride.toLong * maxCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         VF.l2Norm(col(vecCol)).as("cn"))
 

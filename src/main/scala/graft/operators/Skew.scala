@@ -16,9 +16,11 @@ import graft.functions.{TextFunctions => TF}
 object Skew {
 
   /** Deterministic salt in [0, factor) from any per-row column (use a
-   * high-cardinality column such as the row's id). */
+   * high-cardinality column such as the row's id). NULL salt sources land
+   * in bucket 0 — a NULL salt would otherwise null the `__salt` equality
+   * and silently drop matching rows from [[saltedJoin]]. */
   def salt(c: Column, factor: Int): Column =
-    TF.hash60(c.cast("string")) % factor
+    coalesce(TF.hash60(c.cast("string")) % factor, lit(0L))
 
   /**
    * Two-phase salted count: groupBy (key, salt) partial-counts spread the

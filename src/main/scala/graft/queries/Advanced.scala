@@ -80,9 +80,9 @@ object Advanced {
               |  MIN(ep) AS start_epoch, MAX(ep) AS end_epoch
               |FROM (
               |  SELECT user_id, event_id, value, ep,
-              |    SUM(CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800 THEN 1 ELSE 0 END)
+              |    CAST(SUM(CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800 THEN 1 ELSE 0 END)
               |      OVER (PARTITION BY user_id ORDER BY ep, event_id
-              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+              |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
               |  FROM (
               |    SELECT user_id, event_id, value,
               |      (epoch_us(ts) // 1000000) AS ep,
@@ -196,24 +196,42 @@ object Advanced {
 
     // ----------------------------------------------------------------
     // q23 — sketch aggregates (HLL cardinality + quantile sketch): the
-    // approximate layer every 100 TB pipeline leans on. Sketch internals
-    // are engine-specific, so there is no DuckDB oracle — the driver
-    // records a rows-only check; determinism within Spark is still
-    // pinned by the fixed rsd/accuracy parameters.
+    // approximate layer every 100 TB pipeline leans on. Sketch INTERNALS
+    // are engine-specific, so raw sketch values can't hash-match DuckDB —
+    // instead the gate checks the exact companions (count, exact distinct)
+    // directly and asserts the sketch ERROR BOUNDS as booleans: HLL(rsd
+    // 0.02) within 5% of the exact cardinality, KLL(accuracy 1000, rank
+    // error ≤ 0.001) between the exact 49th/51st (94th/96th) percentiles.
+    // The oracle states the bounds hold (TRUE); a sketch regression flips
+    // a boolean and fails the hash.
     Q("q23_sketches",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
         e.groupBy(col("event_type"))
           .agg(
+            count(lit(1)).as("n_events"),
+            count_distinct(col("user_id")).as("exact_users"),
             approx_count_distinct(col("user_id"), rsd = 0.02)
               .as("approx_users"),
-            percentile_approx(col("value"), lit(0.5), lit(1000))
-              .as("p50_value"),
-            percentile_approx(col("value"), lit(0.95), lit(1000))
-              .as("p95_value"))
+            percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50s"),
+            percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95s"),
+            expr("percentile(value, 0.49)").as("p49"),
+            expr("percentile(value, 0.51)").as("p51"),
+            expr("percentile(value, 0.94)").as("p94"),
+            expr("percentile(value, 0.96)").as("p96"))
+          .select(col("event_type"), col("n_events"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              col("exact_users").cast("double") * 0.05).as("approx_users_ok"),
+            (col("p50s") >= col("p49") && col("p50s") <= col("p51"))
+              .as("p50_ok"),
+            (col("p95s") >= col("p94") && col("p95s") <= col("p96"))
+              .as("p95_ok"))
           .orderBy(col("event_type"))
       },
-      None),
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT user_id) AS exact_users,
+             |  TRUE AS approx_users_ok, TRUE AS p50_ok, TRUE AS p95_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ----------------------------------------------------------------
     // q24 — deterministic train/val/test split: hash-bucket labels that

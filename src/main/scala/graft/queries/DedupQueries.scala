@@ -137,18 +137,25 @@ object DedupQueries {
 
     // ----------------------------------------------------------------
     // d04 — exact n-gram (word-3-shingle) Jaccard pairs ≥ 0.8 via the
-    // inverted shingle index (no O(n²) cross join).
+    // inverted shingle index (no O(n²) cross join), WITH the document-
+    // frequency cap active: shingles in > 20 docs are dropped before the
+    // candidate self-join. The cap is what keeps a stop-shingle bucket
+    // from going quadratic at 100 TB; sizes and intersections are both
+    // computed on the capped universe so the Jaccard stays consistent.
     Q("d04_dedup_ngram_jaccard",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         Dedup.jaccardPairs(docs, "doc_id", "text", shingleWords = 3,
-            minJaccard = 0.8)
+            minJaccard = 0.8, maxShingleDf = Some(20))
           .orderBy(col("a"), col("b"))
       },
       Some(s"""$shinglesCte,
-              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+              |f AS (SELECT doc_id, s FROM (
+              |       SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+              |       WHERE df <= 20),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
               |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-              |       FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              |       FROM f x JOIN f y ON x.s = y.s AND x.doc_id < y.doc_id
               |       GROUP BY x.doc_id, y.doc_id)
               |SELECT a, b, jaccard FROM (
               |  SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
@@ -157,16 +164,31 @@ object DedupQueries {
               |WHERE jaccard >= 0.8 ORDER BY a, b""".stripMargin)),
 
     // ----------------------------------------------------------------
-    // d05 — embedding cosine near-dup pairs ≥ 0.4 (exact all-pairs path;
-    // the LSH-bucketed scale path is s02_ann_lsh).
+    // d05 — embedding cosine near-dup pairs ≥ 0.4 on the LSH-BUCKETED
+    // scale path: candidates restricted to equal 8-bit random-hyperplane
+    // signatures (one shuffle on the bucket key — never the O(n²)
+    // all-pairs join, which survives only as the verification baseline in
+    // DedupSpec). Recall is partial by LSH design; the oracle restates the
+    // identical bucketing so the gate is exact.
     Q("d05_dedup_embedding",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
         Dedup.embeddingPairs(emb, "vec_id", "embedding", dim = 64,
-            minCos = 0.4, lshBits = None)
+            minCos = 0.4, lshBits = Some(8))
           .orderBy(col("a"), col("b"))
       },
-      Some("""SELECT a, b, cos FROM (
+      Some("""WITH planes AS (
+             |  SELECT b, i,
+             |    (CAST(('0x' || substr(md5('plane:' || b || ':' || i), 1, 15)) AS BIGINT)
+             |      % 2000001 - 1000000) / 1000000.0 AS w
+             |  FROM (SELECT unnest(generate_series(0, 7)) AS b),
+             |       (SELECT unnest(generate_series(0, 63)) AS i)),
+             |sigs AS (
+             |  SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS sig
+             |  FROM (SELECT e.vec_id, p.b, SUM(e.embedding[p.i + 1]::DOUBLE * p.w) AS proj
+             |        FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.b)
+             |  GROUP BY vec_id)
+             |SELECT a, b, cos FROM (
              |  SELECT a, b, round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos
              |  FROM (
              |    SELECT x.vec_id AS a, y.vec_id AS b,
@@ -176,7 +198,9 @@ object DedupQueries {
              |        i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))) AS na,
              |      sqrt(list_sum(list_transform(generate_series(1, len(y.embedding)),
              |        i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))) AS nb
-             |    FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id))
+             |    FROM sigs sx JOIN sigs sy ON sx.sig = sy.sig AND sx.vec_id < sy.vec_id
+             |    JOIN embeddings x ON x.vec_id = sx.vec_id
+             |    JOIN embeddings y ON y.vec_id = sy.vec_id))
              |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin))
   )
 }

@@ -40,8 +40,12 @@ object MultimodalQueries {
 
     // ----------------------------------------------------------------
     // m02 — the decode/feature-extract stage (typed Dataset through
-    // mapPartitions with a per-partition decoder). Not SQL-expressible:
-    // no oracle, rows-only check.
+    // mapPartitions with a per-partition decoder). The decode stage itself
+    // isn't SQL, but its OUTPUT is deterministic byte math the oracle can
+    // restate: digest = md5(payload bytes) = DuckDB md5(text) (payload is
+    // the utf-8 encoding), brightness = mean byte value = mean ascii code
+    // (the fixture corpus is ASCII, asserted in MultimodalSpec). Sums of
+    // integers ≤ 2^53 are exact doubles, so the 6dp rounding agrees.
     Q("m02_media_features",
       (s, dir) => {
         val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
@@ -50,6 +54,13 @@ object MultimodalQueries {
             round(col("brightness"), 6).as("brightness"))
           .orderBy(col("media_id"))
       },
-      None)
+      Some("""SELECT doc_id AS media_id, 'image' AS kind,
+             |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             |  md5(text) AS digest,
+             |  round(CASE WHEN len(text) > 0 THEN
+             |      list_sum(list_transform(generate_series(1, len(text)),
+             |        i -> ascii(substr(text, i, 1))::DOUBLE)) / len(text)
+             |    ELSE 0.0 END, 6) AS brightness
+             |FROM documents ORDER BY media_id""".stripMargin))
   )
 }

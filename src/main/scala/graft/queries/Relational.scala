@@ -311,18 +311,16 @@ object Relational {
     // Main.java:327-328,465-466).
     Q("q13_semi_anti",
       (s, dir) => {
+        // Single orders scan: one left join against distinct lineitem keys
+        // + conditional aggregation (the semi/anti split falls out of
+        // count(lk) vs count(*) - count(lk), exactly the oracle's shape —
+        // vs the naive 3-scan semi + anti + join-back formulation).
         val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
-        val statuses = o.select(col("o_orderstatus")).distinct()
-        val withL = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
-          .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_with"))
-        val withoutL = o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
-          .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_without"))
-        statuses
-          .join(withL, Seq("o_orderstatus"), "left_outer")
-          .join(withoutL, Seq("o_orderstatus"), "left_outer")
-          .select(col("o_orderstatus"),
-            coalesce(col("n_with"), lit(0L)).as("n_with"),
-            coalesce(col("n_without"), lit(0L)).as("n_without"))
+        val lk = l.select(col("l_orderkey").as("lk")).distinct()
+        o.join(lk, col("lk") === col("o_orderkey"), "left_outer")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(col("lk")).as("n_with"),
+            (count(lit(1)) - count(col("lk"))).as("n_without"))
           .orderBy(col("o_orderstatus"))
       },
       Some("""SELECT o_orderstatus,

@@ -77,18 +77,21 @@ object SimilarityQueries {
               |ORDER BY qid, rank""".stripMargin)),
 
     // ----------------------------------------------------------------
-    // s03 — deterministic IVF (stride-50 centroids, 2 probes): inverted
-    // centroid lists + multi-probe, the middle ground between s01 and s02.
+    // s03 — deterministic IVF (first 32 stride-50 centroids, 2 probes):
+    // inverted centroid lists + multi-probe, the middle ground between s01
+    // and s02. The centroid CAP (not just the stride) is the scale knob:
+    // broadcast and assignment cost stay constant as the corpus grows.
     Q("s03_ann_ivf",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
         Similarity.ivfTopK(e, q, "vec_id", "embedding",
-            centroidStride = 50, nProbe = 2, k = 5)
+            centroidStride = 50, nProbe = 2, k = 5, maxCentroids = 32)
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
-              |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 50 = 0),
+              |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+              |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
               |assign AS (SELECT vid, vv, cid FROM (
               |  SELECT vid, vv, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
               |  FROM (SELECT vid, vv, cid, ${cosSelect("vv", "cv").replace("AS cos", "AS ccos")}

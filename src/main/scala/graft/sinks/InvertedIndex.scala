@@ -56,7 +56,11 @@ object InvertedIndex {
   def write(df: DataFrame, docIdCol: String, fields: Seq[String],
       path: String): Unit =
     postings(df, docIdCol, fields)
-      .repartition(col("field"))
+      // Range-partition on (field, term): `repartition(field)` alone puts
+      // each field on ONE reducer (13 fields → 13 write tasks no matter the
+      // data size); range keys keep the field-dir layout while spreading a
+      // large field's terms across many tasks.
+      .repartitionByRange(col("field"), col("term_str"), col("term_int"))
       .sortWithinPartitions(col("field"), col("term_str"), col("term_int"),
         col("doc_id"))
       .write.mode("overwrite")

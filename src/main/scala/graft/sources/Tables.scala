@@ -36,8 +36,10 @@ object Tables {
         val raw = spark.read.parquet(s"$dir/events.parquet")
         // ts arrives as LongType nanos; keep ns precision and add micros ts.
         if (raw.schema("ts").dataType == LongType) {
+          // Integer division: double division rounds above 2^53 (ULP at
+          // 1.7e18 ns is 256 ns), which can truncate to a different µs.
           raw.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", timestamp_micros(col("ts_ns") / 1000 cast LongType))
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
         } else raw
       } finally {
         prev match {

@@ -52,6 +52,16 @@ class MultimodalSpec extends SparkSpec {
     assert(again == frames)
   }
 
+  test("documents fixture corpus is ASCII (m02 oracle precondition)") {
+    // The m02 DuckDB oracle restates brightness as mean ascii-code, which
+    // equals mean byte value only for ASCII text. Assert the property the
+    // oracle depends on, at the SF the driver gates on.
+    val d = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+    val nonAscii = d.filter(
+      length(encode(col("text"), "UTF-8")) =!= length(col("text"))).count()
+    assert(nonAscii == 0L)
+  }
+
   test("resize is a pure metadata transform") {
     val resized = Multimodal.resizeMeta(Multimodal.fromDocuments(docs), 64, 64)
     val m = resized.select($"meta.width", $"meta.height", $"meta.kind")

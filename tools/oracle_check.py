@@ -64,6 +64,18 @@ def main():
                   f"duck={sorted(duck_cols)}")
             failures += 1
             continue
+        # The driver's hash is TYPE-sensitive (round-1 q20: DuckDB windowed
+        # SUM returned HUGEINT vs Spark BIGINT, values printed identically).
+        # Compare DuckDB-reported column types, normalized by column name.
+        spark_types = {d[0]: str(d[1]) for d in spark_rel.description}
+        duck_types = {d[0]: str(d[1]) for d in duck_rel.description}
+        type_diffs = [(c, spark_types[c], duck_types[c])
+                      for c in sorted(spark_cols)
+                      if spark_types[c] != duck_types[c]]
+        if type_diffs:
+            print(f"FAIL {name}: type mismatch (col, spark, duck): {type_diffs}")
+            failures += 1
+            continue
         # normalize column order by name, then sort rows
         sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
         didx = [duck_cols.index(c) for c in sorted(duck_cols)]
