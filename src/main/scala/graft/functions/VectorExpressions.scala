@@ -20,13 +20,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  *
  * Semantics match the HOF formulation exactly: left-to-right summation in
  * double precision (bit-for-bit reproducible, DuckDB-oracle-portable).
- * Both inputs must have the same length (enforced by the caller — vectors
- * of one embedding column share a dimension).
+ * Mismatched vector lengths raise (a malformed embedding must fail loudly,
+ * not score as a silent prefix dot); a null ELEMENT yields a null result —
+ * the same null the `zip_with`/`aggregate` form propagates. The null scan
+ * is only emitted when the array type says elements can be null, so the
+ * codegen'd hot loop stays branch-free for non-null vectors.
  */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -35,14 +41,23 @@ case class DotProductExpr(left: Expression, right: Expression)
       s"dot_product needs array<float|double>, got $t")
   }
 
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) throw new IllegalArgumentException(
+      s"dot_product: vector length mismatch ${x.numElements()} vs ${y.numElements()}")
+    val n = x.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    val checkNulls = elemNullable(left) || elemNullable(right)
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       sum += xv * yv
@@ -57,10 +72,20 @@ case class DotProductExpr(left: Expression, right: Expression)
         else s"$a.getDouble(i)"
       val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat(i)"
         else s"$b.getDouble(i)"
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: vector length mismatch " + $a.numElements() +
+         |    " vs " + $b.numElements());
+         |}
+         |int n = $a.numElements();
          |double sum = 0.0;
          |for (int i = 0; i < n; i++) {
+         |  $nullCheck
          |  sum += ($lGet) * ($rGet);
          |}
          |${ev.value} = sum;

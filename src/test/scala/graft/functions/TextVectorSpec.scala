@@ -70,6 +70,23 @@ class TextVectorSpec extends SparkSpec {
     assert(got(2).getDouble(1) == 0.0) // zero-vector guard
   }
 
+  test("dot: null element propagates null, length mismatch raises") {
+    // Null-element propagation — same null the zip_with/aggregate form emits.
+    val withNull = Seq(
+      (Seq[java.lang.Float](1.0f, null, 2.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f)),
+      (Seq[java.lang.Float](1.0f, 2.0f, 3.0f), Seq[java.lang.Float](1.0f, 1.0f, 1.0f))
+    ).toDF("a", "b")
+    val got = withNull.select(VectorFunctions.dot($"a", $"b")).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getDouble(0) == 6.0)
+    // Mismatched dimensions must fail loudly, never score a silent prefix.
+    val mismatched = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      mismatched.select(VectorFunctions.dot($"a", $"b")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("hyperplaneSig deterministic and balanced-ish") {
     val vecs = (0 until 50).map(i =>
       Tuple1((0 until 8).map(d => math.sin(i * 31 + d).toFloat))).toDF("v")
