@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Advanced, DedupQueries, MultimodalQueries, Q,
-  Relational, SimilarityQueries, TextQueries}
+import graft.queries.{Advanced, DedupQueries, GcdQueries, MultimodalQueries,
+  Q, Relational, SimilarityQueries, TextQueries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,7 +13,8 @@ object SparkEntry {
    * training-data-pipeline operators), name → (impl, optional DuckDB oracle). */
   def registry: Seq[Q] =
     Relational.all ++ Advanced.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ TextQueries.all ++ MultimodalQueries.all
+      SimilarityQueries.all ++ TextQueries.all ++ MultimodalQueries.all ++
+      GcdQueries.all
 
   /**
    * Flagship: the reference's denormalizing snapshot shape (SURVEY.md §2.2

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.etl.{GcdCredits, GcdSnapshot}
+import graft.functions.Transforms
+
+/**
+ * The driver-gated end-to-end GCD snapshot query (SURVEY.md §2 E1 — the
+ * reference's whole product, Main.java:134-216/380-513): builds the full
+ * 88-column denormalizing snapshot from the checked-in fixture dump at
+ * [[GcdQueries.fixturesDir]] (2k synthetic issues + the edge block, see
+ * `graft.tools.GcdFixtureGen`), and restates the ENTIRE pipeline — the
+ * J1-J6 join tree, the J7/J8/A1-A3 curated-credit aggregation with
+ * compound expansion and name-variant resolution, and the T5-T12 scalar
+ * transforms (lenient int, date sentinels, semicolon split, JDBC null→0,
+ * credit provenance merge) — as one DuckDB SQL oracle over the same
+ * parquet files, hash-compared column-for-column by the driver.
+ *
+ * The oracle is generated from the same [[graft.etl.CreditTypes]] tables
+ * the Spark plan uses, so the two sides cannot drift independently.
+ */
+object GcdQueries {
+
+  /** The committed fixture dump (flat parquet file per source table). */
+  val fixturesDir: String =
+    sys.env.getOrElse("GRAFT_GCD_FIXTURES", "/root/repo/fixtures/gcd")
+
+  /** Snapshot date: pinned so unix_time is a stable cross-round constant. */
+  val snapshotDate = "2026-8-12"
+
+  // ---------------------------------------------------------------- Spark
+  private def run(s: SparkSession, dir: String): DataFrame = {
+    val tables = GcdSnapshot.sourceTables.map(t =>
+      t -> s.read.parquet(s"$fixturesDir/$t.parquet")).toMap
+    GcdSnapshot.build(s, tables, snapshotDate)
+  }
+
+  // --------------------------------------------------------- DuckDB oracle
+  // T8 — Java split("\s*;\s*") with trailing-empty drop (Transforms.semiSplit)
+  private def semiSplit(c: String): String =
+    s"CASE WHEN $c = '' THEN [''] " +
+      s"WHEN regexp_replace($c, '(\\s*;\\s*)+$$', '') = '' THEN []::VARCHAR[] " +
+      s"ELSE regexp_split_to_array(regexp_replace($c, '(\\s*;\\s*)+$$', ''), '\\s*;\\s*') END"
+
+  // T5 — Integer.parseInt semantics (Transforms.lenientInt)
+  private def lenientLong(c: String): String =
+    s"(CASE WHEN regexp_matches($c, '^[+-]?\\d+$$') " +
+      s"AND length(regexp_replace($c, '^[+-]', '')) <= 18 " +
+      s"THEN try_cast(regexp_replace($c, '^\\+', '') AS BIGINT) END)"
+  private def lenientInt(c: String): String =
+    s"CAST(CASE WHEN ${lenientLong(c)} BETWEEN -2147483648 AND 2147483647 " +
+      s"THEN ${lenientLong(c)} END AS INTEGER)"
+
+  // T6 — full-match \d{4}-\d{2}-\d{2} → digits as int, else -1
+  private def dateYmd(c: String): String =
+    s"CASE WHEN regexp_matches($c, '^\\d{4}-\\d{2}-\\d{2}$$') " +
+      s"THEN CAST(replace($c, '-', '') AS INTEGER) ELSE -1 END"
+
+  // T7 — epoch>0 → UTC yyyyMMdd, else -1. Routed through epoch_us +
+  // make_timestamp so the rendering ignores DuckDB's TimeZone setting.
+  private def ymd(c: String): String =
+    s"CASE WHEN epoch($c) > 0 THEN " +
+      s"CAST(strftime(make_timestamp(epoch_us($c)), '%Y%m%d') AS INTEGER) " +
+      s"ELSE -1 END"
+
+  // T10 — getInt/getLong(NULL) → 0; T9 — int(0/1, NULL→0) → bool
+  private def jint(c: String): String = s"CAST(COALESCE($c, 0) AS INTEGER)"
+  private def jlong(c: String): String = s"CAST(COALESCE($c, 0) AS BIGINT)"
+  private def jbool(c: String): String = s"(COALESCE($c, 0) = 1)"
+
+  /** Story-block null guard (Main.java:459). */
+  private def st(e: String): String =
+    s"CASE WHEN st.id IS NOT NULL THEN $e END"
+
+  private def oracle: String = {
+    val fx = fixturesDir
+    def rp(t: String) = s"read_parquet('$fx/$t.parquet')"
+
+    // A3 mapping VALUES, generated from the same expansion table
+    val mappingRows = GcdCredits.expansionPairs
+      .map { case (id, base) => s"($id, $base)" }.mkString(", ")
+
+    val orderBy = "ORDER BY canonical_id, credit_type_id, name"
+    val credCols = GcdCredits.baseStems.map { case (baseId, stem) =>
+      s"COALESCE(list(name $orderBy) FILTER (WHERE base_id = $baseId), []::VARCHAR[]) AS cr_$stem, " +
+        s"COALESCE(list(canonical_id $orderBy) FILTER (WHERE base_id = $baseId), []::BIGINT[]) AS cr_${stem}_ids"
+    }.mkString(",\n    ")
+
+    // T12 — curated-vs-legacy merge with provenance
+    def creditNames(stem: String, legacy: Option[String]): String =
+      legacy match {
+        case Some(l) =>
+          s"CASE WHEN st.id IS NULL THEN NULL " +
+            s"WHEN cred.story_id IS NOT NULL THEN cred.cr_$stem " +
+            s"ELSE ${semiSplit(l)} END"
+        case None =>
+          s"CASE WHEN st.id IS NOT NULL AND cred.story_id IS NOT NULL " +
+            s"THEN cred.cr_$stem END"
+      }
+    def creditIds(stem: String): String =
+      s"CASE WHEN st.id IS NOT NULL AND cred.story_id IS NOT NULL " +
+        s"THEN cred.cr_${stem}_ids END"
+
+    val creditSelects = Seq(
+      "script" -> Some("st.script"), "pencils" -> Some("st.pencils"),
+      "inks" -> Some("st.inks"), "colors" -> Some("st.colors"),
+      "letters" -> Some("st.letters"), "editing" -> Some("st.editing"),
+      "painting" -> None
+    ).map { case (stem, legacy) =>
+      s"${creditNames(stem, legacy)} AS story_$stem,\n  " +
+        s"${creditIds(stem)} AS story_${stem}_creator_id"
+    }.mkString(",\n  ")
+
+    s"""WITH
+i AS (SELECT * FROM ${rp("gcd_issue")}),
+s AS (SELECT * FROM ${rp("gcd_series")}),
+p AS (SELECT * FROM ${rp("gcd_publisher")}),
+ip AS (SELECT * FROM ${rp("gcd_indicia_publisher")}),
+b AS (SELECT * FROM ${rp("gcd_brand")}),
+st AS (SELECT * FROM ${rp("gcd_story")}),
+m(credit_type_id, base_id) AS (VALUES $mappingRows),
+resolved AS (
+  SELECT sc.story_id, sc.credit_type_id, cr.id AS canonical_id,
+         cr.gcd_official_name AS name, m.base_id
+  FROM ${rp("gcd_story_credit")} sc
+  JOIN ${rp("gcd_creator_name_detail")} nd ON sc.creator_id = nd.id
+  JOIN ${rp("gcd_creator")} cr ON nd.creator_id = cr.id
+  JOIN m ON sc.credit_type_id = m.credit_type_id
+),
+cred AS (
+  SELECT story_id,
+    $credCols
+  FROM resolved GROUP BY story_id
+)
+SELECT
+  CAST(${Transforms.snapshotEpoch(snapshotDate)} AS BIGINT) AS unix_time,
+  i.id AS issue_id,
+  COALESCE(i.number, '') AS issue_number_raw,
+  ${lenientInt("i.number")} AS issue_number,
+  ${dateYmd("i.key_date")} AS publication_date,
+  COALESCE(i.price, '') AS price_raw,
+  ${semiSplit("i.price")} AS price,
+  ${jint("i.page_count")} AS page_count,
+  i.indicia_frequency AS indicia_frequency,
+  i.isbn AS isbn,
+  i.variant_name AS variant_name,
+  ${jlong("i.variant_of_id")} AS variant_of_issue_id,
+  i.barcode AS barcode,
+  i.title AS title,
+  ${dateYmd("i.on_sale_date")} AS on_sale_date,
+  i.rating AS rating,
+  ${jbool("i.volume_not_printed")} AS volume_not_printed,
+  ${semiSplit("i.editing")} AS editing,
+  i.notes AS notes,
+  ${ymd("i.created")} AS created,
+  ${ymd("i.modified")} AS modified,
+  s.id AS series_id,
+  s.name AS series_name,
+  ${jint("s.year_began")} AS series_year_began,
+  ${jint("s.year_ended")} AS series_year_ended,
+  ${jbool("s.is_current")} AS series_is_current,
+  c_s.code AS series_country_code,
+  l_s.code AS series_language_code,
+  ${jbool("s.has_gallery")} AS series_has_gallery,
+  ${jbool("s.is_comics_publication")} AS series_is_comics_publication,
+  s.color AS series_color,
+  s.dimensions AS series_dimensions,
+  s.paper_stock AS series_paper_stock,
+  ${semiSplit("s.binding")} AS series_binding,
+  s.publishing_format AS series_publishing_format,
+  pt.name AS series_publishing_type,
+  ${jbool("s.is_singleton")} AS series_is_singleton,
+  ${ymd("s.created")} AS series_created,
+  ${ymd("s.modified")} AS series_modified,
+  ${jlong("p.id")} AS publisher_id,
+  p.name AS publisher_name,
+  c_p.code AS publisher_country_code,
+  ${ymd("p.created")} AS publisher_created,
+  ${ymd("p.modified")} AS publisher_modified,
+  p.url AS publisher_url,
+  ${jlong("ip.id")} AS indicia_publisher_id,
+  ip.name AS indicia_publisher_name,
+  c_ip.code AS indicia_publisher_country_code,
+  ${jlong("ip.parent_id")} AS indicia_publisher_parent_id,
+  ${jint("ip.year_began")} AS indicia_publisher_year_began,
+  ${jint("ip.year_ended")} AS indicia_publisher_year_ended,
+  ${jbool("ip.is_surrogate")} AS indicia_publisher_is_surrogate,
+  ip.url AS indicia_publisher_url,
+  ${ymd("ip.created")} AS indicia_publisher_created,
+  ${ymd("ip.modified")} AS indicia_publisher_modified,
+  ${jlong("b.id")} AS brand_id,
+  b.name AS brand_name,
+  b.url AS brand_url,
+  ${ymd("b.created")} AS brand_created,
+  ${ymd("b.modified")} AS brand_modified,
+  st.id AS story_id,
+  ${st("st.title")} AS story_title,
+  ${st("st.feature")} AS story_feature,
+  ${st(jint("st.sequence_number"))} AS story_sequence_number,
+  ${st(jint("st.page_count"))} AS story_page_count,
+  $creditSelects,
+  ${st("CASE WHEN cred.story_id IS NOT NULL THEN 'gcd_story_credit' ELSE 'gcd_story' END")} AS story_credit_source,
+  ${st(semiSplit("st.genre"))} AS story_genre,
+  ${st(semiSplit("st.characters"))} AS story_characters,
+  ${st("sty.name")} AS story_type,
+  ${st("st.job_number")} AS story_job_number,
+  ${st("st.first_line")} AS story_first_line,
+  ${st(ymd("st.created"))} AS story_created,
+  ${st(ymd("st.modified"))} AS story_modified
+FROM i
+JOIN s ON i.series_id = s.id
+JOIN p ON s.publisher_id = p.id
+LEFT JOIN ip ON i.indicia_publisher_id = ip.id
+LEFT JOIN b ON i.brand_id = b.id
+LEFT JOIN st ON st.issue_id = i.id
+LEFT JOIN ${rp("stddata_country")} c_s ON s.country_id = c_s.id
+LEFT JOIN ${rp("stddata_language")} l_s ON s.language_id = l_s.id
+LEFT JOIN ${rp("stddata_country")} c_p ON p.country_id = c_p.id
+LEFT JOIN ${rp("stddata_country")} c_ip ON ip.country_id = c_ip.id
+LEFT JOIN ${rp("gcd_story_type")} sty ON st.type_id = sty.id
+LEFT JOIN ${rp("gcd_series_publication_type")} pt ON s.publication_type_id = pt.id
+LEFT JOIN cred ON st.id = cred.story_id"""
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("g01_gcd_snapshot", run, Some(oracle)))
+}
