@@ -62,6 +62,30 @@ class SinkSpec extends SparkSpec {
     assert(pubs.toSeq == Seq(1L, 2L))
   }
 
+  test("flamdex-variant credit semantics: empty credit types are absent " +
+    "from the index but kept as [] in parquet") {
+    // The reference's index path emits a credit field ONLY when its name
+    // list is non-empty (Main.java:521-533 addOptionalCredit guard), while
+    // the parquet/avro record keeps the empty array. Story 1000 has curated
+    // credits with NO editing credit → snapshot carries story_editing = [].
+    val fixtures = new graft.etl.GcdSnapshotSpec {}
+    val snap = graft.etl.GcdSnapshot.build(spark, fixtures.fixtureTables,
+      "2026-8-12")
+    val parquetSide = snap.filter(col("story_id") === 1000L)
+      .select(col("story_editing")).head().getSeq[String](0)
+    assert(parquetSide == Seq.empty) // canonical record: empty, not absent
+
+    val out = java.nio.file.Files.createTempDirectory("snap_idx2").toString
+    InvertedIndex.write(snap, "issue_id",
+      Seq("story_editing", "story_script"), out)
+    val byField = spark.read.parquet(out)
+      .groupBy(col("field")).count().as[(String, Long)].collect().toMap
+    // non-empty credit lists post; the empty editing list posts NOTHING —
+    // explode-on-empty reproduces the addOptionalCredit guard exactly
+    assert(byField.contains("story_script"))
+    assert(!byField.contains("story_editing"))
+  }
+
   test("snapshot round-trips identically through orc") {
     val fixtures = new graft.etl.GcdSnapshotSpec {}
     val snap = graft.etl.GcdSnapshot.build(spark, fixtures.fixtureTables,
