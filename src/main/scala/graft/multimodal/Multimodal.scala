@@ -105,9 +105,14 @@ object Multimodal {
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val size = length(col("payload"))
     val frames = (0 until n).map { i =>
-      val start = (size * i / n) + 1
-      val len = greatest(size / n, lit(1))
-      md5(base64(col("payload").substr(start, len)))
+      // integer window math (Column./ is double division; truncate back
+      // so the windows are the exact ones a SQL oracle computes with //)
+      val start = (size * i / n).cast(IntegerType) + 1
+      val len = greatest((size / n).cast(IntegerType), lit(1))
+      // md5 of the raw window (NOT base64-wrapped: Spark's base64 is
+      // MIME-chunked — 76-char lines + CRLF — which no SQL engine's
+      // to_base64 reproduces)
+      md5(col("payload").substr(start, len))
     }
     media.select(col("media_id"), col("meta"),
       array(frames: _*).as("frame_digests"))

@@ -61,6 +61,39 @@ object MultimodalQueries {
              |      list_sum(list_transform(generate_series(1, len(text)),
              |        i -> ascii(substr(text, i, 1))::DOUBLE)) / len(text)
              |    ELSE 0.0 END, 6) AS brightness
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // m03 — the video-shaped pipeline: resize (metadata transform) +
+    // evenly-spaced frame sampling. Frames here are fingerprints of byte
+    // windows (the decode stub), but the plan shape is the real one: all
+    // window math happens in the scan stage, only (media_id, 4 digests)
+    // ever leaves it — at 100 TB the payload column is never shuffled.
+    // Oracle: same windows in chars (ASCII corpus ⇒ chars ≡ bytes, the
+    // precondition MultimodalSpec asserts), digest = md5 of the window.
+    Q("m03_frame_sample",
+      (s, dir) => {
+        val media = Multimodal.fromDocuments(
+          Tables.load(s, dir, "documents"), kind = "video")
+        Multimodal.sampleFrames(Multimodal.resizeMeta(media, 64, 64), 4)
+          .select(
+            col("media_id"),
+            col("meta.kind").as("kind"),
+            col("meta.width").as("width"),
+            col("meta.height").as("height"),
+            col("frame_digests"),
+            size(array_distinct(col("frame_digests"))).as("n_distinct_frames"))
+          .orderBy(col("media_id"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, len(text) AS sz,
+             |    list_transform([0, 1, 2, 3], i ->
+             |      md5(substr(text, (sz * i) // 4 + 1,
+             |        greatest(sz // 4, 1)))) AS frame_digests
+             |  FROM documents)
+             |SELECT doc_id AS media_id, 'video' AS kind,
+             |  64 AS width, 64 AS height, frame_digests,
+             |  CAST(len(list_distinct(frame_digests)) AS INT) AS n_distinct_frames
+             |FROM f ORDER BY media_id""".stripMargin))
   )
 }
