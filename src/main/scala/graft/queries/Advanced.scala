@@ -288,6 +288,52 @@ object Advanced {
       },
       Some("""SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
              |  COUNT(*) AS n
-             |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q29 — snapshot diff (operators/SnapshotDiff): the month-over-month
+    // dump comparison a GCD operator runs between consecutive
+    // snapshot=YYYYMMDD partitions, exercised over orders with
+    // deterministic mutations (≈1% removed, ≈1% changed, ≈1% re-keyed as
+    // added). One full-outer shuffle on the key; row equality is a
+    // null-safe codegen conjunction — no hashing, no driver round-trips.
+    Q("q29_snapshot_diff",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val base = o.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")))
+        val added = o.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        val newer = base.unionByName(added)
+        graft.operators.SnapshotDiff.diff(o, newer, Seq("o_orderkey"))
+          .filter(col("change_type") =!= "unchanged")
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""WITH newer AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus,
+             |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+             |         ELSE o_totalprice END AS o_totalprice,
+             |    o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 97 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+             |    o_totalprice, o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 101 = 0),
+             |d AS (
+             |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+             |         WHEN n.o_orderkey IS NULL THEN 'removed'
+             |         WHEN (o.o_custkey IS NOT DISTINCT FROM n.o_custkey)
+             |          AND (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+             |          AND (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+             |          AND (o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate)
+             |          AND (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+             |         THEN 'unchanged' ELSE 'changed' END AS change_type
+             |  FROM orders o FULL OUTER JOIN newer n
+             |    ON o.o_orderkey = n.o_orderkey)
+             |SELECT o_orderkey, change_type FROM d
+             |WHERE change_type <> 'unchanged' ORDER BY o_orderkey""".stripMargin))
   )
 }
