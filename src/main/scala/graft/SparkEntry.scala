@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.{Advanced, DedupQueries, GcdQueries, MultimodalQueries,
-  Q, Relational, SimilarityQueries, TextQueries}
+  Q, Relational, SimilarityQueries, StreamingQueries, TextQueries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,7 +14,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ Advanced.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++ MultimodalQueries.all ++
-      GcdQueries.all
+      GcdQueries.all ++ StreamingQueries.all
 
   /**
    * Flagship: the reference's denormalizing snapshot shape (SURVEY.md §2.2

@@ -1,0 +1,79 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventStream
+
+/**
+ * Driver-gated Structured Streaming: q30 runs the REAL streaming engine —
+ * file source → event-time watermark → tumbling-window aggregation →
+ * append-mode parquet sink, executed to completion with
+ * `Trigger.AvailableNow` — and returns the sink contents as a batch
+ * DataFrame for the driver's DuckDB hash gate.
+ *
+ * What the oracle restates: append mode emits exactly the windows the
+ * final watermark finalized. Spark tracks the watermark in MILLISECONDS
+ * (`max event time ms − delay`), and a window is emitted when
+ * `window.end ≤ watermark`, so the batch-SQL restatement is the hourly
+ * aggregate filtered to `epoch_ms(hour_end) ≤ epoch_ms(max_ts) − delay_ms`
+ * — streaming-vs-batch equivalence as a hash-checked contract, not a
+ * claim.
+ *
+ * Scale notes: the same plan runs unbounded — watermark bounds state to
+ * ~(active windows × event types) partial aggregates, the sink commits
+ * per micro-batch via the streaming metadata log, and nothing here is
+ * memory- or driver-resident beyond that state.
+ */
+object StreamingQueries {
+
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  private def run(s: SparkSession, dir: String): DataFrame = {
+    val prev = s.conf.getOption(NanosConf)
+    s.conf.set(NanosConf, "true")
+    try {
+      // streaming file sources need an explicit schema; take it from the
+      // batch footer read (ts arrives as LongType nanos under NanosConf)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the streaming file source wants a directory; select just the
+      // events file out of the sf dir with a glob filter
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
+      val out = Files.createTempDirectory("q30_out").toString
+      val cp = Files.createTempDirectory("q30_cp").toString
+      val q = EventStream.hourlyStats(ev, watermark = "1 hour")
+        .select(unix_timestamp(col("hour_start")).as("hour_epoch"),
+          col("event_type"), col("n"), col("sum_value"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy(col("hour_epoch"), col("event_type"))
+    } finally prev match {
+      case Some(v) => s.conf.set(NanosConf, v)
+      case None => s.conf.unset(NanosConf)
+    }
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q30_stream_hourly", run,
+      Some(s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+              |agg AS (
+              |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+              |    event_type, COUNT(*) AS n,
+              |    ${Exact.sqlDsum("value")} AS sum_value
+              |  FROM events GROUP BY 1, 2)
+              |SELECT CAST(epoch(h) AS BIGINT) AS hour_epoch, event_type, n,
+              |  sum_value
+              |FROM agg, mx
+              |WHERE epoch_ms(h) + 3600000 <= epoch_ms(m) - 3600000
+              |ORDER BY hour_epoch, event_type""".stripMargin)))
+}
