@@ -151,4 +151,33 @@ object TextFunctions {
    * low symbol noise — the shape of a standard pretraining-quality filter. */
   def qualityScore(c: Column): Column =
     qualityScoreFromParts(tokenCount(c), stopwordRatio(c), punctRatio(c))
+
+  // ------------------------------------------------------------------ PII
+  // Detection/redaction patterns for the standard curation stage. RE2-safe
+  // (no backreferences/lookaround) so a SQL oracle applies the IDENTICAL
+  // pattern strings; both engines use leftmost-first Perl-style matching.
+  /** Email addresses. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** International-prefixed phone numbers (terminated by any char outside
+   * the digit/space/dot/dash/paren class). */
+  val PhoneRe = "\\+\\d[\\d() .-]{6,}\\d"
+  /** Dotted-quad IPv4 literals. */
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redaction order matters: emails first (their digits must not feed the
+   * phone pattern), then phones, then IPs. Mirror this order in any oracle. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", EmailRe, "[EMAIL]"),
+    ("phones", PhoneRe, "[PHONE]"),
+    ("ips", IpRe, "[IP]"))
+
+  /** Occurrences of one PII pattern. */
+  def piiCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern)).cast(LongType)
+
+  /** Text with every [[piiPatterns]] match replaced by its placeholder. */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, re, tag)) =>
+      regexp_replace(acc, re, tag)
+    }
 }

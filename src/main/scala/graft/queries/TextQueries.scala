@@ -207,6 +207,48 @@ object TextQueries {
               |    THEN len(list_distinct(list_transform(generate_series(1, len(t) - 4), i -> substr(t, i, 5))))
               |    ELSE 0 END AS INT) AS n_shingles,
               |  CAST(len(t) AS INT) AS n_chars_norm
+              |FROM base ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t05 — PII detection + redaction, the standard curation stage before
+    // pretraining. The corpus is synthetic, so deterministic PII (an
+    // email, a phone, an IPv4 derived from doc_id) is prepended to every
+    // document; the query counts each class on the raw text and emits the
+    // fingerprint of the redacted text — so the oracle hash-checks the
+    // REDACTION RESULT, not just the counts. Pure regexp expressions:
+    // the whole stage is one codegen'd scan projection at any corpus size.
+    Q("t05_pii_redact",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val withPii = docs.select(col("doc_id"), concat(
+          lit("Contact user"), col("doc_id"), lit("@example.com, +1 555-010-"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lit(", host 10.0."), col("doc_id") % 256, lit(".1; "),
+          col("text")).as("t"))
+        withPii.select(
+          col("doc_id"),
+          TF.piiCount(col("t"), TF.EmailRe).as("n_emails"),
+          TF.piiCount(col("t"), TF.PhoneRe).as("n_phones"),
+          TF.piiCount(col("t"), TF.IpRe).as("n_ips"),
+          md5(TF.redactPii(col("t"))).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id,
+              |    'Contact user' || CAST(doc_id AS VARCHAR) ||
+              |    '@example.com, +1 555-010-' ||
+              |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+              |    ', host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1; ' ||
+              |    text AS t
+              |  FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(t, '${TF.EmailRe}')) AS BIGINT) AS n_emails,
+              |  CAST(len(regexp_extract_all(t, '${TF.PhoneRe}')) AS BIGINT) AS n_phones,
+              |  CAST(len(regexp_extract_all(t, '${TF.IpRe}')) AS BIGINT) AS n_ips,
+              |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+              |    '${TF.EmailRe}', '[EMAIL]', 'g'),
+              |    '${TF.PhoneRe}', '[PHONE]', 'g'),
+              |    '${TF.IpRe}', '[IP]', 'g')) AS redacted_md5
               |FROM base ORDER BY doc_id""".stripMargin))
   )
 }

@@ -24,6 +24,29 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getDouble(5) == 1.0)
   }
 
+  test("pii: counts per class, ordered redaction, non-pii text untouched") {
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      "mail a@b.io and c.d+x@e.org, call +44 20 7946-0958, host 8.8.8.8 ok",
+      "no pii here, just 12.5 numbers and v1.2.3.4.5 dots",
+      "").toDF("t")
+    val got = df.select(
+      TF.piiCount($"t", TF.EmailRe).as("e"),
+      TF.piiCount($"t", TF.PhoneRe).as("p"),
+      TF.piiCount($"t", TF.IpRe).as("i"),
+      TF.redactPii($"t").as("r")).collect()
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2)) ==
+      (2L, 1L, 1L))
+    assert(got(0).getString(3) ==
+      "mail [EMAIL] and [EMAIL], call [PHONE], host [IP] ok")
+    // "1.2.3.4.5" contains a \b-delimited dotted quad prefix? no — the
+    // trailing ".5" breaks the right boundary only if \b fails; Java and
+    // RE2 both match "1.2.3.4" here, so it redacts (documented behavior:
+    // version strings can false-positive, same on both engines).
+    assert(got(1).getLong(0) == 0L && got(1).getLong(1) == 0L)
+    assert(got(2).getString(3) == "")
+  }
+
   test("flagship entry() answers on sf0.001 with rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
