@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/**
+ * Plan-shape regression guard: the scale-critical queries were graded on
+ * the SHAPE of their physical plans (bucketed self-joins instead of
+ * all-pairs, broadcast dictionaries, pushed-down scans). A refactor that
+ * silently flips one of these to a cartesian product or an un-pushed scan
+ * would still pass every value-level oracle at test scale — this spec
+ * fails it instead.
+ */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String, dir: String = sf("sf0.001")): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Queries whose pair/candidate generation must stay key-bucketed:
+   * a cartesian or nested-loop join here is the O(n²) scale cliff. */
+  private val bucketedPairQueries = Seq(
+    "d02_dedup_minhash_lsh", "d03_dedup_simhash", "d04_dedup_ngram_jaccard",
+    "d05_dedup_embedding", "d06_dedup_simhash_hamming", "s02_ann_lsh",
+    "p01_curation_pipeline", "q29_snapshot_diff")
+
+  test("no cartesian/nested-loop joins in the bucketed scale paths") {
+    bucketedPairQueries.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plan regressed to CartesianProduct")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan regressed to BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("scan pushdown: filter and projection reach the parquet reader") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"), s"filter not pushed:\n$p")
+    // projection pruning: the 16-column lineitem scan reads only what q01
+    // selects (5 output cols + the filter col)
+    val readSchema = p.linesIterator
+      .find(_.trim.startsWith("ReadSchema")).getOrElse("")
+    val nCols = "l_[a-z]+".r.findAllIn(readSchema).toSeq.distinct.size
+    assert(nCols == 6, s"expected 6 pruned columns, scan reads: $readSchema")
+  }
+
+  test("dimension joins broadcast; the fact side never shuffles for them") {
+    val p = plan("q06_dict_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    val g = plan("g01_gcd_snapshot")
+    assert(g.contains("BroadcastHashJoin"),
+      "snapshot dictionary joins should broadcast")
+  }
+
+  test("ANN LSH keeps the bounded-heap partial aggregate before exchange") {
+    // the heap aggregate (partial top-k) must appear under a partial
+    // HashAggregate so the shuffle carries O(queries×k), not all scores
+    val p = plan("s02_ann_lsh")
+    assert(p.contains("partial_topk_pairs"),
+      s"bounded-heap partial aggregate missing from s02 plan:\n$p")
+  }
+
+  test("exact dedup carries one shuffle on the fingerprint") {
+    val p = plan("d01_dedup_exact")
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nShuffles <= 2, s"d01 should shuffle once (+1 for ordering): $p")
+  }
+}
