@@ -138,4 +138,52 @@ object Similarity {
           col("qn"), col("vn")), 6).as("cos"))
     ranked(scored, k)
   }
+
+  /**
+   * One Lloyd refinement step for the IVF coarse quantizer: assign every
+   * vector to its nearest current centroid (the same deterministic seed
+   * set [[ivfTopK]] uses), then recompute each centroid as the
+   * element-wise mean of its cluster — the training loop that turns the
+   * strided seed set into a real quantizer at scale.
+   *
+   * Scale shape per step: one bounded centroid broadcast, one narrow
+   * assignment scan (cosine argmax in codegen, no shuffle of vectors),
+   * then ONE exchange keyed by (cid, pos) with partial aggregation — the
+   * mean of a billion-vector cluster shuffles only per-dimension partial
+   * sums. Means run through DECIMAL(18,6) so every engine reproduces the
+   * same bits (cross-engine contract, same as [[graft.queries.Exact]]).
+   *
+   * Output: `cid`, `n` (cluster size), `centroid` array<double>.
+   */
+  def kmeansStep(vectors: DataFrame, idCol: String, vecCol: String,
+      centroidStride: Int, maxCentroids: Int = 256): DataFrame = {
+    import graft.queries.Exact
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"),
+      VF.l2Norm(col(vecCol)).as("vn"))
+    val cent = vectors.filter(col(idCol) % centroidStride === 0 &&
+        col(idCol) < centroidStride.toLong * maxCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        VF.l2Norm(col(vecCol)).as("cn"))
+
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = v.join(broadcast(cent))
+      .select(col("vid"), col("vv"), col("cid"),
+        round(VF.cosineFromParts(VF.dot(col("vv"), col("cv")),
+          col("vn"), col("cn")), 6).as("ccos"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("vid"), col("vv"), col("cid"))
+
+    val sizes = assign.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val means = assign
+      .select(col("cid"), posexplode(col("vv")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(Exact.davg(col("x").cast("double")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"),
+        transform(col("pm"), e => e.getField("m")).as("centroid"))
+    means.join(sizes, "cid").select(col("cid"), col("n"), col("centroid"))
+  }
 }

@@ -108,6 +108,35 @@ object SimilarityQueries {
               |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
               |  FROM scored)
               |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
-              |ORDER BY qid, rank""".stripMargin))
+              |ORDER BY qid, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // s04 — one k-means (Lloyd) step over the s03 seed centroids: the
+    // training loop of a real IVF index, gated end-to-end — deterministic
+    // assignment (cosine argmax, ties to lower cid) and element-wise
+    // cluster means through DECIMAL so both engines emit identical bits.
+    Q("s04_ivf_kmeans_step",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        Similarity.kmeansStep(e, "vec_id", "embedding",
+            centroidStride = 50, maxCentroids = 32)
+          .orderBy(col("cid"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+              |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
+              |assign AS (SELECT vid, vv, cid FROM (
+              |  SELECT vid, vv, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+              |  FROM (SELECT vid, vv, cid, ${cosSelect("vv", "cv").replace("AS cos", "AS ccos")}
+              |        FROM v CROSS JOIN cent)) WHERE r = 1),
+              |el AS (SELECT cid, i, vv[i]::DOUBLE AS x
+              |       FROM assign CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+              |means AS (SELECT cid, i,
+              |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS m
+              |  FROM el GROUP BY cid, i),
+              |agg AS (SELECT cid, list(m ORDER BY i) AS centroid FROM means GROUP BY cid),
+              |sizes AS (SELECT cid, COUNT(*) AS n FROM assign GROUP BY cid)
+              |SELECT cid, n, centroid FROM agg JOIN sizes USING (cid)
+              |ORDER BY cid""".stripMargin))
   )
 }

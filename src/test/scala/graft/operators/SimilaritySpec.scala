@@ -70,6 +70,27 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.values.forall(_.nonEmpty))
   }
 
+  test("kmeans step: partition covers all vectors, means are per-cluster") {
+    // stride 2 → centroids {0, 2, 4} (the three axis-ish vectors)
+    val step = Similarity.kmeansStep(vecs, "vec_id", "embedding",
+      centroidStride = 2, maxCentroids = 8)
+      .orderBy($"cid").collect()
+    // every vector lands in exactly one cluster
+    assert(step.map(_.getLong(1)).sum == 5L)
+    val byCid = step.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getSeq[Double](2).toList)).toMap
+    assert(byCid.keySet == Set(0L, 2L, 4L))
+    // cluster 0 = {v0, v1} → mean of (1,0,0) and (0.9,0.1,0)
+    assert(byCid(0L)._1 == 2L)
+    assert(byCid(0L)._2.head == (1.0 + 0.9) / 2)
+    // singleton cluster 4 reproduces its own vector through the decimal path
+    assert(byCid(4L) == ((1L, List(0.0, 0.0, 1.0))))
+    // deterministic across runs
+    val again = Similarity.kmeansStep(vecs, "vec_id", "embedding",
+      centroidStride = 2, maxCentroids = 8).orderBy($"cid").collect()
+    assert(again.map(_.toString).toSeq == step.map(_.toString).toSeq)
+  }
+
   test("lsh results are a subset of brute-force candidates with same scores") {
     val q = vecs.filter($"vec_id" === 0)
     val brute = Similarity.cosineTopK(vecs, q, "vec_id", "embedding", k = 4)
