@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftExpressionBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /**
  * Codegen'd double-precision dot product over two numeric array columns.
@@ -97,10 +97,117 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Codegen'd SimHash signature over a token-hash array (`array<long>`).
+ *
+ * The HOF formulation runs one interpreted `aggregate()` pass over the
+ * array PER BIT — a 32-bit signature walks every token-hash list 32
+ * times through boxed lambdas. This expression is one generated-Java
+ * pass: per token, an unrolled counter update for all bits; then one
+ * sign sweep packs the signature.
+ *
+ * Semantics are bit-identical to `Dedup.simHashFromHashes`: counter b
+ * gets +1 when bit b of the hash is set else −1 (a null element counts
+ * −1 on every bit, exactly like the HOF's `otherwise` branch), and bit b
+ * of the signature is set when counter b ≥ 0 — so the empty array yields
+ * the all-ones signature, as before.
+ */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+
+  override def dataType: DataType = LongType
+
+  // constructor runs on UNRESOLVED children (no dataType yet) — validate
+  // at analysis time like any Catalyst expression
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash needs array<long> token hashes, got $t")
+    }
+
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      if (elemNullable && hs.isNullAt(i)) {
+        var b = 0
+        while (b < bits) { counts(b) -= 1; b += 1 }
+      } else {
+        val h = hs.getLong(i)
+        var b = 0
+        while (b < bits) {
+          counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, a => {
+      val counts = ctx.freshName("counts")
+      val h = ctx.freshName("h")
+      val nullBranch =
+        if (elemNullable)
+          s"""if ($a.isNullAt(i)) {
+             |  for (int b = 0; b < $bits; b++) $counts[b]--;
+             |  continue;
+             |}""".stripMargin
+        else ""
+      s"""
+         |int[] $counts = new int[$bits];
+         |int n = $a.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  $nullBranch
+         |  long $h = $a.getLong(i);
+         |  for (int b = 0; b < $bits; b++) {
+         |    $counts[b] += ((($h >> b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long sig = 0L;
+         |for (int b = 0; b < $bits; b++) {
+         |  if ($counts[b] >= 0) sig |= (1L << b);
+         |}
+         |${ev.value} = sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashExpr = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** `Column` wrapper for [[DotProductExpr]]. */
   def dotProduct(a: Column, b: Column): Column =
     GraftExpressionBridge.toColumn(DotProductExpr(
       GraftExpressionBridge.toExpression(a),
       GraftExpressionBridge.toExpression(b)))
+
+  /** `Column` wrapper for [[SimHashExpr]]. */
+  def simHash(hashes: Column, bits: Int): Column =
+    GraftExpressionBridge.toColumn(SimHashExpr(
+      GraftExpressionBridge.toExpression(hashes), bits))
 }

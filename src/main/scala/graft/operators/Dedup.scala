@@ -133,7 +133,14 @@ object Dedup {
   /** SimHash from an ALREADY-PROJECTED token-hash array column (the
    * per-element re-evaluation caveat of TextFunctions applies: the hash
    * array must be an attribute, it is scanned `bits` times). */
-  def simHashFromHashes(hs: Column, bits: Int): Column = {
+  def simHashFromHashes(hs: Column, bits: Int): Column =
+    // single codegen'd pass over the hash array; the interpreted-HOF
+    // formulation ([[simHashFromHashesHof]]) walks the array once PER BIT
+    graft.functions.VectorExpressions.simHash(hs, bits)
+
+  /** Interpreted-HOF reference formulation of [[simHashFromHashes]] —
+   * kept as the semantics oracle in DedupSpec (bit-identical output). */
+  private[operators] def simHashFromHashesHof(hs: Column, bits: Int): Column = {
     val bitCols = (0 until bits).map { b =>
       val cnt = aggregate(hs, lit(0L), (acc, h) =>
         acc + when((shiftright(h, b).bitwiseAND(lit(1L))) === 1L, 1L)

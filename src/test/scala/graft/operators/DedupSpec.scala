@@ -35,6 +35,26 @@ class DedupSpec extends SparkSpec {
     assert(sig(0L) != sig(3L))
   }
 
+  test("codegen simhash ≡ interpreted-HOF simhash, incl. empty and nulls") {
+    import graft.functions.{TextFunctions => TF}
+    val inputs = docs.select($"doc_id", $"text")
+      .unionByName(Seq((100L, ""), (101L, "   ")).toDF("doc_id", "text"))
+      .select(transform(TF.tokens($"text"), t => TF.hash60(t)).as("hs"))
+    for (bits <- Seq(1, 16, 32, 63)) {
+      val got = inputs.select(
+        Dedup.simHashFromHashes($"hs", bits).as("fast"),
+        Dedup.simHashFromHashesHof($"hs", bits).as("ref")).collect()
+      got.foreach(r => assert(r.getLong(0) == r.getLong(1), s"bits=$bits"))
+    }
+    // null ELEMENT counts -1 on every bit in both formulations
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](3L, null, 5L)))
+      .toDF("hs")
+    val r = withNull.select(
+      Dedup.simHashFromHashes($"hs", 8).as("fast"),
+      Dedup.simHashFromHashesHof($"hs", 8).as("ref")).head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
   test("simhash hamming pairs: near-dups within distance, unrelated out") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select($"a", $"b", $"hamming").as[(Long, Long, Int)].collect()
