@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
@@ -199,6 +199,106 @@ case class SimHashExpr(child: Expression, bits: Int)
       newChild: Expression): SimHashExpr = copy(child = newChild)
 }
 
+/**
+ * Codegen'd MinHash signature over a shingle-hash array (`array<long>`):
+ * `sig[j] = min over hashes h of (h * a(j) + b(j))`.
+ *
+ * The HOF formulation runs one interpreted `transform` + `array_min`
+ * pass PER SEED (k passes, k boxed-lambda walks); this is one generated
+ * pass maintaining all k minima. Inputs are 30-bit-masked and the
+ * coefficients 30-bit, so `h*a+b < 2^60` — no overflow anywhere in the
+ * domain (the same bound the DuckDB oracle depends on).
+ *
+ * Semantics match the HOF form: a null ELEMENT is skipped by every
+ * seed's min (like `array_min`); an empty (or all-null) input yields a
+ * signature of k nulls.
+ */
+case class MinHashSigExpr(child: Expression, coeffA: Seq[Long],
+    coeffB: Seq[Long]) extends UnaryExpression {
+
+  require(coeffA.nonEmpty && coeffA.size == coeffB.size,
+    "coefficient arrays must be non-empty and equal length")
+  private def k = coeffA.size
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash needs array<long> shingle hashes, got $t")
+    }
+
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!(elemNullable && hs.isNullAt(i))) {
+        any = true
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = h * coeffA(j) + coeffB(j)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (any) new GenericArrayData(mins.map(Long.box))
+    else new GenericArrayData(new Array[Any](k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", coeffA.toArray, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", coeffB.toArray, "long[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val mins = ctx.freshName("mins")
+      val any = ctx.freshName("any")
+      val h = ctx.freshName("h")
+      val nullSkip =
+        if (elemNullable) s"if ($in.isNullAt(i)) continue;" else ""
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $any = false;
+         |int n = $in.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  $nullSkip
+         |  $any = true;
+         |  long $h = $in.getLong(i);
+         |  for (int j = 0; j < $k; j++) {
+         |    long v = $h * $aRef[j] + $bRef[j];
+         |    if (v < $mins[j]) $mins[j] = v;
+         |  }
+         |}
+         |${ev.value} = $any
+         |  ? (org.apache.spark.sql.catalyst.util.ArrayData)
+         |      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |        .fromPrimitiveArray($mins)
+         |  : (org.apache.spark.sql.catalyst.util.ArrayData)
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |        new Object[$k]);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSigExpr = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** `Column` wrapper for [[DotProductExpr]]. */
   def dotProduct(a: Column, b: Column): Column =
@@ -210,4 +310,10 @@ object VectorExpressions {
   def simHash(hashes: Column, bits: Int): Column =
     GraftExpressionBridge.toColumn(SimHashExpr(
       GraftExpressionBridge.toExpression(hashes), bits))
+
+  /** `Column` wrapper for [[MinHashSigExpr]]. */
+  def minHashSig(hashes: Column, coeffA: Seq[Long],
+      coeffB: Seq[Long]): Column =
+    GraftExpressionBridge.toColumn(MinHashSigExpr(
+      GraftExpressionBridge.toExpression(hashes), coeffA, coeffB))
 }

@@ -63,6 +63,15 @@ object Dedup {
    * integer math only. Project [[shingleHashes]] into its own column
    * first; inlining it here would re-run the md5 scan k times. */
   def minHashSigFromHashes(hashes: Column, k: Int): Column =
+    // one codegen'd pass maintaining all k minima; the interpreted-HOF
+    // form ([[minHashSigFromHashesHof]]) walks the array once per seed
+    graft.functions.VectorExpressions.minHashSig(hashes,
+      (0 until k).map(mhCoeffA), (0 until k).map(mhCoeffB))
+
+  /** Interpreted-HOF reference formulation of [[minHashSigFromHashes]] —
+   * kept as the semantics oracle in DedupSpec (bit-identical output). */
+  private[operators] def minHashSigFromHashesHof(hashes: Column,
+      k: Int): Column =
     array((0 until k).map { seed =>
       array_min(transform(hashes,
         h => h * mhCoeffA(seed) + mhCoeffB(seed)))

@@ -55,6 +55,30 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1))
   }
 
+  test("codegen minhash ≡ interpreted-HOF minhash, incl. empty and nulls") {
+    import graft.functions.{TextFunctions => TF}
+    val inputs = docs.select($"text")
+      .unionByName(Seq(Tuple1(""), Tuple1("one two")).toDF("text"))
+      .select(transform(TF.wordShinglesFromTokens(TF.tokens($"text"), 3),
+        s => TF.hash60(s).bitwiseAND(lit(Dedup.MhMask))).as("hs"))
+    for (k <- Seq(1, 16)) {
+      val got = inputs.select(
+        Dedup.minHashSigFromHashes($"hs", k).as("fast"),
+        Dedup.minHashSigFromHashesHof($"hs", k).as("ref")).collect()
+      got.foreach { r =>
+        val fast = if (r.isNullAt(0)) null else r.getSeq[Any](0).toList
+        val ref = if (r.isNullAt(1)) null else r.getSeq[Any](1).toList
+        assert(fast == ref, s"k=$k")
+      }
+    }
+    // null element skipped by every seed's min, as array_min does
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](7L, null, 3L))).toDF("hs")
+    val r = withNull.select(
+      Dedup.minHashSigFromHashes($"hs", 4).as("fast"),
+      Dedup.minHashSigFromHashesHof($"hs", 4).as("ref")).head()
+    assert(r.getSeq[Any](0).toList == r.getSeq[Any](1).toList)
+  }
+
   test("simhash hamming pairs: near-dups within distance, unrelated out") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select($"a", $"b", $"hamming").as[(Long, Long, Int)].collect()
