@@ -32,7 +32,10 @@ object GraftFunctions {
     "graft_fingerprint" -> TextFunctions.fingerprint,
     "graft_lang_id" -> TextFunctions.langId,
     "graft_quality" -> TextFunctions.qualityScore,
-    "graft_punct_ratio" -> TextFunctions.punctRatio)
+    "graft_punct_ratio" -> TextFunctions.punctRatio,
+    "graft_redact_pii" -> TextFunctions.redactPii,
+    "graft_simhash" -> (c => graft.operators.Dedup.simHash(c, 16)),
+    "graft_minhash" -> (c => graft.operators.Dedup.minHashSig(c, 16)))
 
   val binary: Map[String, (Column, Column) => Column] = Map(
     "dot_product" -> ((a, b) => VectorFunctions.dot(a, b)),

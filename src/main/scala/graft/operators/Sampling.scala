@@ -41,4 +41,24 @@ object Sampling {
    * "randomize training order reproducibly" pass. */
   def deterministicShuffle(df: DataFrame, keyCol: String): DataFrame =
     df.orderBy(TF.hash60(col(keyCol).cast("string")), col(keyCol))
+
+  /**
+   * Deterministic stratified sample: a different keep-percentage per
+   * stratum (e.g. downsample English to 10%, keep low-resource languages
+   * whole — the standard corpus-rebalancing pass). Rows in strata absent
+   * from `percents` fall back to `defaultPercent`.
+   *
+   * Pure narrow filter: the per-stratum rate is a broadcast map lookup
+   * and the keep decision is the same seedless hash-bucket as [[sample]]
+   * — no shuffle, no RNG, stable under reruns/engines/parallelism, and
+   * the stratum column never has to be shuffled to sample within it.
+   */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      percents: Map[String, Int], defaultPercent: Int): DataFrame = {
+    val rate = percents.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0))) { case (acc, (s, p)) =>
+        acc.when(col(stratumCol) === s, lit(p))
+      }.otherwise(lit(defaultPercent))
+    df.filter(hashBucket(col(keyCol), 100) < rate)
+  }
 }

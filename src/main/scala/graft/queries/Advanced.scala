@@ -291,6 +291,28 @@ object Advanced {
              |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q31 — deterministic stratified sampling (corpus rebalancing): keep
+    // 10% of English, 50% of German, everything else whole — per-stratum
+    // rates as a broadcast CASE over the same seedless hash-bucket as
+    // q24/q25. Pure narrow filter: no shuffle, no RNG, rerun-stable.
+    // Gated on the full survivor SET, not just counts.
+    Q("q31_stratified_sample",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        graft.operators.Sampling.stratifiedSample(d, "doc_id", "lang",
+            Map("en" -> 10, "de" -> 50), defaultPercent = 100)
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+             |  FROM documents)
+             |WHERE b < CASE WHEN lang = 'en' THEN 10
+             |               WHEN lang = 'de' THEN 50 ELSE 100 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q29 — snapshot diff (operators/SnapshotDiff): the month-over-month
     // dump comparison a GCD operator runs between consecutive
     // snapshot=YYYYMMDD partitions, exercised over orders with

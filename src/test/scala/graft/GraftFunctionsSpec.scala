@@ -22,6 +22,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getLong(3) == 648541476951500027L) // md5('abc') first 15 hex
     assert(r.getDouble(4) == 11.0)
     assert(r.getDouble(5) == 1.0)
+    // signature + redaction functions mirror their operator forms
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.Dedup
+    val s = spark.sql(
+      """SELECT graft_simhash('quick brown fox') AS sh,
+        |  graft_minhash('the quick brown fox jumps over dogs') AS mh,
+        |  graft_redact_pii('mail a@b.io now') AS red""".stripMargin)
+      .collect()(0)
+    val api = Seq(("quick brown fox", "the quick brown fox jumps over dogs"))
+      .toDF("a", "b")
+      .select(Dedup.simHash($"a", 16), Dedup.minHashSig($"b", 16),
+        TF.redactPii(lit("mail a@b.io now"))).collect()(0)
+    assert(s.getLong(0) == api.getLong(0))
+    assert(s.getSeq[Long](1) == api.getSeq[Long](1))
+    assert(s.getString(2) == "mail [EMAIL] now" && s.getString(2) == api.getString(2))
   }
 
   test("pii: counts per class, ordered redaction, non-pii text untouched") {
