@@ -62,6 +62,48 @@ object GcdSink {
       .saveAsTable(name)
   }
 
+  /**
+   * Compact one written snapshot partition to a target file count:
+   * re-read, re-cluster, dynamically overwrite JUST that date's
+   * partition. The monthly append pattern (one dump → one partition)
+   * plus executor-side rotation can strand small files; at 100 TB the
+   * file count is the scan's task count and the NameNode/listing load,
+   * so compaction is a first-class maintenance operator, not a script.
+   *
+   * `targetFiles` is explicit (not inferred from sizes) so the rewrite
+   * is deterministic; re-clustering runs the same `sortWithinPartitions`
+   * as the original write, so row-group pruning survives compaction.
+   */
+  def compactSnapshot(spark: SparkSession, path: String, date: String,
+      targetFiles: Int,
+      clusterBy: Seq[String] = Seq("series_id", "issue_id")): Unit = {
+    import org.apache.hadoop.fs.Path
+    val ymd = Transforms.snapshotYmd(date)
+    // Spark refuses to overwrite a path it is reading, so compact to a
+    // sibling temp dir and swap the partition dir in (old dir renamed to
+    // a .bak first: the partition is never missing, and a crash leaves
+    // either the old or the new complete dir plus debris to clean).
+    val fs = new Path(path).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val partDir = new Path(path, s"snapshot=$ymd")
+    val tmpBase = new Path(s"$path.compact$ymd")
+    val bak = new Path(path, s".snapshot=$ymd.bak")
+    spark.read.parquet(path).filter(col("snapshot") === ymd)
+      .repartitionByRange(targetFiles, clusterBy.map(col): _*)
+      .sortWithinPartitions(clusterBy.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy("snapshot")
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", RowsPerFile)
+      .parquet(tmpBase.toString)
+    fs.delete(bak, true)
+    require(fs.rename(partDir, bak), s"cannot stage $partDir")
+    require(fs.rename(new Path(tmpBase, s"snapshot=$ymd"), partDir),
+      s"cannot install compacted $partDir")
+    fs.delete(bak, true)
+    fs.delete(tmpBase, true)
+  }
+
   /** Register the snapshot location as a queryable table (K4): Spark SQL
    * over this table is the engine's replacement for Athena/Imhotep. */
   def registerTable(spark: SparkSession, name: String, path: String): Unit = {

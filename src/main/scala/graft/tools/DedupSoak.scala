@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Volume soak for the dedup stack: synthesizes a deterministic corpus
+ * with spark.range (no driver-side data, no files), then runs exact
+ * dedup, MinHash/LSH pair generation and SimHash Hamming pairs at a
+ * volume where a quadratic candidate join, a skewed bucket, or a
+ * driver-bound collect is immediately obvious in the wall times.
+ *
+ * Corpus shape: `n` docs in `n/10` content groups (10 exact copies per
+ * group); every 10th doc gets a per-doc suffix, making it a NEAR-dup of
+ * its group instead of an exact one. So expectations are exact:
+ * `distinct texts = n/10 + n/10` (one shared text per group + one unique
+ * variant per group... unless the variant doc is the group survivor).
+ *
+ * Usage: runMain graft.tools.DedupSoak [nDocs]
+ */
+object DedupSoak {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val nGroups = n / 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 24 pseudo-words per doc derived from the group id — identical
+    // inside a group, disjoint-ish across groups
+    val words = (0 until 24).map(w =>
+      conv(substring(md5(concat(lit("w:"), col("id") % nGroups,
+        lit(s":$w"))), 1, 5), 16, 10))
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      when(col("id") % 10 === 0,
+        concat(concat_ws(" ", words: _*), lit(" variant "), col("id")))
+        .otherwise(concat_ws(" ", words: _*)).as("text"))
+      .cache()
+    docs.count() // materialize so each stage times itself, not the synth
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"== $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    val distinctTexts = docs.select(countDistinct(col("text")))
+      .head().getLong(0)
+    val survivors = timed("exact dedup")(
+      graft.operators.Dedup.exact(docs, col("text"), col("doc_id")).count())
+    println(s"==   docs=$n distinct=$distinctTexts survivors=$survivors")
+    assert(survivors == distinctTexts, "exact dedup must keep one per text")
+
+    val mh = timed("minhash lsh pairs")(
+      graft.operators.Dedup.minHashPairs(docs, "doc_id", "text").count())
+    println(s"==   minhash candidate pairs: $mh")
+    assert(mh > 0, "exact-dup groups must collide in every band")
+
+    // SCALE CONFIGURATION, not the default: at 100k docs a 16-bit
+    // signature is saturated (hamming<=3 balls of unrelated groups
+    // overlap) and its 4-bit band keys bucket-join quadratically — this
+    // soak measured 70.6M pairs / 128s that way. 60 bits (hash60's full
+    // width) with 15-bit bands keeps collisions to real near-dups.
+    val sh = timed("simhash hamming pairs (60-bit)")(
+      graft.operators.Dedup.simHashPairs(docs, "doc_id", "text",
+        bits = 60, maxHamming = 3).count())
+    println(s"==   simhash pairs (hamming<=3): $sh")
+    assert(sh > 0)
+    // the scale property under test: pair count stays linear-ish in n
+    // (within-group pairs), never corpus-quadratic
+    assert(sh < n * 50, s"simhash pair blowup: $sh pairs for $n docs")
+
+    spark.stop()
+  }
+}

@@ -62,6 +62,29 @@ class SinkSpec extends SparkSpec {
     assert(pubs.toSeq == Seq(1L, 2L))
   }
 
+  test("compaction: fewer files, same rows, partition layout intact") {
+    val fixtures = new graft.etl.GcdSnapshotSpec {}
+    val snap = graft.etl.GcdSnapshot.build(spark, fixtures.fixtureTables,
+      "2026-8-12")
+    val out = java.nio.file.Files.createTempDirectory("snap_cmp").toString
+    // force a fragmented write: many partitions → many small files
+    GcdSink.writeSnapshot(snap.repartition(8), "2026-8-12", out)
+    def partFiles() = new java.io.File(s"$out/snapshot=20260812")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(out).orderBy(col("issue_id"),
+      col("story_id")).collect()
+    assert(partFiles() > 1)
+
+    GcdSink.compactSnapshot(spark, out, "2026-8-12", targetFiles = 1)
+    assert(partFiles() == 1)
+    val after = spark.read.parquet(out).orderBy(col("issue_id"),
+      col("story_id")).collect()
+    assert(after.toSeq == before.toSeq)
+    // no temp/backup debris left behind
+    assert(!new java.io.File(s"$out.compact20260812").exists())
+    assert(!new java.io.File(s"$out/.snapshot=20260812.bak").exists())
+  }
+
   test("flamdex-variant credit semantics: empty credit types are absent " +
     "from the index but kept as [] in parquet") {
     // The reference's index path emits a credit field ONLY when its name
