@@ -196,8 +196,8 @@ object Dedup {
    * (needs roughly `bits ≳ log2(n) + d·log2(bits)`). Measured in
    * DedupSoak at 100k docs / d=3: 16-bit signatures → 70.6M pairs in
    * 128s (both failure modes at once); 60-bit (hash60's full width,
-   * 15-bit bands) → 418k real pairs in 3.4s. The 32-bit default of the
-   * graded d06 entry is sized for its sf0.1 corpus, not for 100 TB.
+   * 15-bit bands) → 418k real pairs in 3.4s. The graded d06 entry runs
+   * the 60-bit scale configuration.
    */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
       bits: Int = 16, maxHamming: Int = 3): DataFrame = {

@@ -105,13 +105,15 @@ object DedupQueries {
     // ----------------------------------------------------------------
     // d06 — simhash near-dup pairs within Hamming distance 3, via the
     // pigeonhole band buckets (agree-on-one-of-4-bands ⇒ candidate).
-    // 32-bit signatures / 8-bit bands: coarser bands (e.g. 4-bit) put
-    // ~1/16 of the corpus in every bucket and the candidate join goes
-    // quadratic — band width is the scale knob.
+    // Graded at the SCALE configuration: 60-bit signatures (hash60's
+    // full width) / 15-bit bands. Narrower signatures both saturate
+    // (unrelated hamming balls overlap) and bucket-join quadratically —
+    // DedupSoak measured 70.6M pairs/128s at 16 bits vs 418k/3.4s at 60
+    // bits on 100k docs; bits must grow with log2(corpus).
     Q("d06_dedup_simhash_hamming",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        Dedup.simHashPairs(docs, "doc_id", "text", bits = 32, maxHamming = 3)
+        Dedup.simHashPairs(docs, "doc_id", "text", bits = 60, maxHamming = 3)
           .orderBy(col("a"), col("b"))
       },
       Some(s"""WITH d AS (SELECT doc_id, $normT AS t FROM documents),
@@ -120,13 +122,13 @@ object DedupQueries {
               |h AS (SELECT doc_id, ${h60("tk")} AS hv FROM tok),
               |bitcnt AS (SELECT doc_id, b,
               |       SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
-              |       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+              |       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
               |       GROUP BY doc_id, b),
               |sig AS (SELECT doc_id,
               |       CAST(SUM(CASE WHEN cnt >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
               |       FROM bitcnt GROUP BY doc_id),
               |buckets AS (SELECT doc_id, simhash,
-              |       bb || '|' || CAST((simhash >> (bb * 8)) & 255 AS VARCHAR) AS bkey
+              |       bb || '|' || CAST((simhash >> (bb * 15)) & 32767 AS VARCHAR) AS bkey
               |       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb) bands)
               |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
               |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
