@@ -80,11 +80,13 @@ object DedupQueries {
       }),
 
     // ----------------------------------------------------------------
-    // d03 — 16-bit SimHash signatures + same-signature bucket sizes.
+    // d03 — SimHash signatures + same-signature bucket sizes, at the
+    // 60-bit scale width (16-bit signatures collide unrelated docs into
+    // one bucket once the corpus passes ~2^16 — same sizing rule as d06).
     Q("d03_dedup_simhash",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        Dedup.simHashBuckets(docs, "doc_id", "text", bits = 16)
+        Dedup.simHashBuckets(docs, "doc_id", "text", bits = 60)
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH d AS (SELECT doc_id, $normT AS t FROM documents),
@@ -93,7 +95,7 @@ object DedupQueries {
               |h AS (SELECT doc_id, ${h60("tk")} AS hv FROM tok),
               |bitcnt AS (SELECT doc_id, b,
               |       SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
-              |       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) bs
+              |       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
               |       GROUP BY doc_id, b),
               |sig AS (SELECT doc_id,
               |       CAST(SUM(CASE WHEN cnt >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
