@@ -299,6 +299,105 @@ case class MinHashSigExpr(child: Expression, coeffA: Seq[Long],
       newChild: Expression): MinHashSigExpr = copy(child = newChild)
 }
 
+/**
+ * Codegen'd random-hyperplane LSH signature over a numeric array:
+ * `bit b = (Σᵢ v[i] · w[b][i] ≥ 0)`, all `nBits` projections accumulated
+ * in ONE pass over the vector.
+ *
+ * The Column formulation builds `nBits × dim` element_at terms whose
+ * sharing is left to codegen subexpression elimination (and inhibited
+ * inside `when` branches); this is a flat double loop with the weight
+ * matrix attached as a codegen reference.
+ *
+ * Semantics match the Column form exactly: left-to-right accumulation
+ * per bit, `proj ≥ 0` sets the bit; a vector shorter than `dim` raises
+ * (as ANSI `element_at` would); a null ELEMENT nulls every projection,
+ * so the signature is 0 (the `when(proj >= 0, …).otherwise(0)` path).
+ */
+case class HyperplaneSigExpr(child: Expression, weights: Seq[Double],
+    dim: Int, nBits: Int) extends UnaryExpression {
+
+  require(nBits >= 1 && nBits <= 63 && dim >= 1 &&
+    weights.size == nBits * dim, "weights must be nBits x dim")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sig needs array<float|double>, got $t")
+    }
+
+  private def elemIsFloat: Boolean =
+    child.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+  private def elemNullable: Boolean =
+    child.dataType match { case ArrayType(_, n) => n; case _ => false }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    if (v.numElements() < dim) throw new IllegalArgumentException(
+      s"hyperplane_sig: vector has ${v.numElements()} elements, needs $dim")
+    val projs = new Array[Double](nBits)
+    var i = 0
+    while (i < dim) {
+      if (elemNullable && v.isNullAt(i)) return 0L // null poisons every proj
+      val x = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      var b = 0
+      while (b < nBits) { projs(b) += x * weights(b * dim + i); b += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < nBits) { if (projs(b) >= 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("hpW", weights.toArray, "double[]")
+    nullSafeCodeGen(ctx, ev, in => {
+      val projs = ctx.freshName("projs")
+      val x = ctx.freshName("x")
+      val sig = ctx.freshName("sig")
+      val get = if (elemIsFloat) s"(double) $in.getFloat(i)"
+        else s"$in.getDouble(i)"
+      val nullBreak =
+        if (elemNullable)
+          s"if ($in.isNullAt(i)) { $projs = null; break; }"
+        else ""
+      s"""
+         |if ($in.numElements() < $dim) {
+         |  throw new IllegalArgumentException(
+         |    "hyperplane_sig: vector has " + $in.numElements() +
+         |    " elements, needs $dim");
+         |}
+         |double[] $projs = new double[$nBits];
+         |for (int i = 0; i < $dim; i++) {
+         |  $nullBreak
+         |  double $x = $get;
+         |  for (int b = 0; b < $nBits; b++) {
+         |    $projs[b] += $x * $wRef[b * $dim + i];
+         |  }
+         |}
+         |long $sig = 0L;
+         |if ($projs != null) {
+         |  for (int b = 0; b < $nBits; b++) {
+         |    if ($projs[b] >= 0) $sig |= (1L << b);
+         |  }
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneSigExpr = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** `Column` wrapper for [[DotProductExpr]]. */
   def dotProduct(a: Column, b: Column): Column =
@@ -316,4 +415,11 @@ object VectorExpressions {
       coeffB: Seq[Long]): Column =
     GraftExpressionBridge.toColumn(MinHashSigExpr(
       GraftExpressionBridge.toExpression(hashes), coeffA, coeffB))
+
+  /** `Column` wrapper for [[HyperplaneSigExpr]] (weights flattened
+   * bit-major: `weights(b * dim + i)`). */
+  def hyperplaneSig(vec: Column, weights: Seq[Double], dim: Int,
+      nBits: Int): Column =
+    GraftExpressionBridge.toColumn(HyperplaneSigExpr(
+      GraftExpressionBridge.toExpression(vec), weights, dim, nBits))
 }

@@ -50,7 +50,17 @@ object VectorFunctions {
    * ship. At cluster scale this is the bucketing key that replaces the
    * O(n²) cosine cross join.
    */
-  def hyperplaneSig(vec: Column, dim: Int, nBits: Int): Column = {
+  def hyperplaneSig(vec: Column, dim: Int, nBits: Int): Column =
+    // one codegen'd pass accumulating every projection; the Column-tree
+    // form ([[hyperplaneSigCols]]) builds nBits×dim element_at terms
+    VectorExpressions.hyperplaneSig(vec,
+      for (b <- 0 until nBits; i <- 0 until dim) yield planeWeight(b, i),
+      dim, nBits)
+
+  /** Column-tree reference formulation of [[hyperplaneSig]] — kept as the
+   * semantics oracle in TextVectorSpec (bit-identical output). */
+  private[graft] def hyperplaneSigCols(vec: Column, dim: Int,
+      nBits: Int): Column = {
     val v = asDouble(vec)
     val bits = (0 until nBits).map { b =>
       // weight(b, i) in [-1, 1]: md5-derived plan-time constant, portable

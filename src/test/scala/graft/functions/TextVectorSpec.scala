@@ -96,4 +96,23 @@ class TextVectorSpec extends SparkSpec {
     val again = vecs.select(VectorFunctions.hyperplaneSig($"v", 8, 8)).as[Long].collect()
     assert(sigs.toSeq == again.toSeq)
   }
+
+  test("codegen hyperplaneSig ≡ Column-tree formulation") {
+    val vecs = (0 until 80).map(i =>
+      Tuple1((0 until 16).map(d => math.sin(i * 37 + d).toFloat))).toDF("v")
+    for (bits <- Seq(1, 4, 12)) {
+      val got = vecs.select(
+        VectorFunctions.hyperplaneSig($"v", 16, bits).as("fast"),
+        VectorFunctions.hyperplaneSigCols($"v", 16, bits).as("ref"))
+        .collect()
+      got.foreach(r => assert(r.getLong(0) == r.getLong(1), s"bits=$bits"))
+    }
+    // null element → every projection null → signature 0, both forms
+    val withNull = Seq(Tuple1(Seq[java.lang.Float](1.0f, null, 2.0f)))
+      .toDF("v")
+    val r = withNull.select(
+      VectorFunctions.hyperplaneSig($"v", 3, 4).as("fast"),
+      VectorFunctions.hyperplaneSigCols($"v", 3, 4).as("ref")).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+  }
 }
