@@ -291,6 +291,29 @@ object Advanced {
              |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q32 — relational pivot: long → wide (per-user event-type counts as
+    // columns). Spark's pivot with an EXPLICIT value list stays a single
+    // groupBy with conditional aggregates — one shuffle, no second pass
+    // to discover the domain (an implicit pivot would collect the value
+    // set to the driver first; at 100 TB the explicit list is the only
+    // sane form).
+    Q("q32_pivot",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        e.groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "view", "purchase", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("click", "view", "purchase", "error"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id,
+             |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+             |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q31 — deterministic stratified sampling (corpus rebalancing): keep
     // 10% of English, 50% of German, everything else whole — per-stratum
     // rates as a broadcast CASE over the same seedless hash-bucket as
