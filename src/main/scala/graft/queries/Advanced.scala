@@ -291,6 +291,41 @@ object Advanced {
              |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q33 — bucketed time-range join (operators/RangeJoin): every event
+    // of the same user in the 5 minutes BEFORE each error event. Spark
+    // would execute the raw inequality join as a per-key theta join
+    // (quadratic on a busy user); the operator quantizes time into
+    // window-width buckets so candidates come from an EQUALITY join on
+    // (user, bucket) — one ordinary shuffle — and the exact range
+    // predicate filters. The oracle states the pure inequality join, so
+    // the hash gate proves the bucketing loses and invents nothing.
+    Q("q33_range_join",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("ts_us"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            col("ts_us").as("err_ts"))
+        val prior = e.select(col("event_id").as("prior_id"), col("user_id"),
+          col("ts_us").as("prior_ts"), col("event_type").as("prior_type"))
+        graft.operators.RangeJoin.timeWindowJoin(errors, prior,
+            Seq("user_id"), "err_ts", "prior_ts",
+            loUs = -300000000L, hiUs = 0L)
+          .select(col("err_id"), col("prior_id"), col("prior_type"))
+          .orderBy(col("err_id"), col("prior_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |    epoch_ns(ts) // 1000 AS ts_us FROM events)
+             |SELECT err.event_id AS err_id, p.event_id AS prior_id,
+             |  p.event_type AS prior_type
+             |FROM e err JOIN e p ON err.user_id = p.user_id
+             |  AND p.ts_us >= err.ts_us - 300000000
+             |  AND p.ts_us < err.ts_us
+             |WHERE err.event_type = 'error'
+             |ORDER BY err_id, prior_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q32 — relational pivot: long → wide (per-user event-type counts as
     // columns). Spark's pivot with an EXPLICIT value list stays a single
     // groupBy with conditional aggregates — one shuffle, no second pass

@@ -23,7 +23,7 @@ class PlanShapeSpec extends SparkSpec {
   private val bucketedPairQueries = Seq(
     "d02_dedup_minhash_lsh", "d03_dedup_simhash", "d04_dedup_ngram_jaccard",
     "d05_dedup_embedding", "d06_dedup_simhash_hamming", "s02_ann_lsh",
-    "p01_curation_pipeline", "q29_snapshot_diff")
+    "p01_curation_pipeline", "q29_snapshot_diff", "q33_range_join")
 
   test("no cartesian/nested-loop joins in the bucketed scale paths") {
     bucketedPairQueries.foreach { q =>
