@@ -291,6 +291,44 @@ object Advanced {
              |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q34 — generic as-of join (operators/AsofJoin): latest click strictly
+    // before each purchase, per user — the two-table quotes-for-trade
+    // operator, executed as union + ONE keyed window (never a per-key
+    // theta join). The oracle states the same semantics as a lateral
+    // argmax; q19 is the inlined single-table cousin.
+    Q("q34_asof_join",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("ts_us"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts_us"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts_us").as("click_us"))
+        graft.operators.AsofJoin.asofJoin(purchases, clicks,
+            Seq("user_id"), "ts_us", "click_us", tieBreak = "click_id")
+          .select(col("purchase_id"), col("user_id"), col("ts_us"),
+            col("asof.click_id").as("click_id"),
+            col("asof.click_us").as("click_us"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+             |    epoch_ns(ts) // 1000 AS ts_us FROM events),
+             |p AS (SELECT event_id AS purchase_id, user_id, ts_us FROM e
+             |      WHERE event_type = 'purchase'),
+             |c AS (SELECT event_id AS click_id, user_id,
+             |        ts_us AS click_us FROM e WHERE event_type = 'click')
+             |SELECT p.purchase_id, p.user_id, p.ts_us,
+             |  l.click_id, l.click_us
+             |FROM p LEFT JOIN LATERAL (
+             |  SELECT click_id, click_us FROM c
+             |  WHERE c.user_id = p.user_id AND c.click_us < p.ts_us
+             |  ORDER BY c.click_us DESC, c.click_id DESC LIMIT 1) l ON TRUE
+             |ORDER BY purchase_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q33 — bucketed time-range join (operators/RangeJoin): every event
     // of the same user in the 5 minutes BEFORE each error event. Spark
     // would execute the raw inequality join as a per-key theta join
