@@ -249,6 +249,36 @@ object TextQueries {
               |    '${TF.EmailRe}', '[EMAIL]', 'g'),
               |    '${TF.PhoneRe}', '[PHONE]', 'g'),
               |    '${TF.IpRe}', '[IP]', 'g')) AS redacted_md5
-              |FROM base ORDER BY doc_id""".stripMargin))
+              |FROM base ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t06 — benchmark decontamination (operators/Contamination): per
+    // held-out doc (doc_id % 50 = 0), the fraction of its distinct word
+    // 5-grams that occur anywhere in the training split. One equality
+    // join on the shingle string against a DEDUPLICATED corpus shingle
+    // set — a shingle shared by a billion training docs joins once.
+    Q("t06_contamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val heldOut = docs.filter(col("doc_id") % 50 === 0)
+        val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+        graft.operators.Contamination.ngramOverlap(corpus, heldOut,
+            "doc_id", "text", shingleWords = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $normT AS t FROM documents),
+              |toks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM d),
+              |sh AS (SELECT DISTINCT doc_id,
+              |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+              |       FROM toks, unnest(generate_series(1, len(w) - 4)) AS u(i)
+              |       WHERE len(w) >= 5),
+              |corpus AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 <> 0),
+              |held AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 = 0)
+              |SELECT h.doc_id, COUNT(*) AS n_shingles,
+              |  COUNT(c.s) AS n_hit,
+              |  round(CAST(COUNT(c.s) AS DOUBLE) / COUNT(*), 6) AS overlap
+              |FROM held h LEFT JOIN corpus c ON h.s = c.s
+              |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin))
   )
 }
