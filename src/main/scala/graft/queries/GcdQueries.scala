@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.etl.{GcdCredits, GcdSnapshot}
+import graft.etl.GcdSchemas.GcdFlags
 import graft.functions.Transforms
 
 /**
@@ -29,10 +30,11 @@ object GcdQueries {
   val snapshotDate = "2026-8-12"
 
   // ---------------------------------------------------------------- Spark
-  private def run(s: SparkSession, dir: String): DataFrame = {
+  private def run(flags: GcdFlags)(s: SparkSession, dir: String)
+      : DataFrame = {
     val tables = GcdSnapshot.sourceTables.map(t =>
       t -> s.read.parquet(s"$fixturesDir/$t.parquet")).toMap
-    GcdSnapshot.build(s, tables, snapshotDate)
+    GcdSnapshot.build(s, tables, snapshotDate, flags)
   }
 
   // --------------------------------------------------------- DuckDB oracle
@@ -72,7 +74,7 @@ object GcdQueries {
   private def st(e: String): String =
     s"CASE WHEN st.id IS NOT NULL THEN $e END"
 
-  private def oracle: String = {
+  private def oracle(flags: GcdFlags): String = {
     val fx = fixturesDir
     def rp(t: String) = s"read_parquet('$fx/$t.parquet')"
 
@@ -86,20 +88,26 @@ object GcdQueries {
         s"COALESCE(list(canonical_id $orderBy) FILTER (WHERE base_id = $baseId), []::BIGINT[]) AS cr_${stem}_ids"
     }.mkString(",\n    ")
 
-    // T12 — curated-vs-legacy merge with provenance
+    // T12 — curated-vs-legacy merge with provenance. With the
+    // storyCredit capability off (old dumps), the curated branch is
+    // statically absent: legacy split only, typed-NULL id arrays.
     def creditNames(stem: String, legacy: Option[String]): String =
-      legacy match {
-        case Some(l) =>
+      (legacy, flags.storyCredit) match {
+        case (Some(l), true) =>
           s"CASE WHEN st.id IS NULL THEN NULL " +
             s"WHEN cred.story_id IS NOT NULL THEN cred.cr_$stem " +
             s"ELSE ${semiSplit(l)} END"
-        case None =>
+        case (Some(l), false) => st(semiSplit(l))
+        case (None, true) =>
           s"CASE WHEN st.id IS NOT NULL AND cred.story_id IS NOT NULL " +
             s"THEN cred.cr_$stem END"
+        case (None, false) => "CAST(NULL AS VARCHAR[])"
       }
     def creditIds(stem: String): String =
-      s"CASE WHEN st.id IS NOT NULL AND cred.story_id IS NOT NULL " +
-        s"THEN cred.cr_${stem}_ids END"
+      if (flags.storyCredit)
+        s"CASE WHEN st.id IS NOT NULL AND cred.story_id IS NOT NULL " +
+          s"THEN cred.cr_${stem}_ids END"
+      else "CAST(NULL AS BIGINT[])"
 
     val creditSelects = Seq(
       "script" -> Some("st.script"), "pencils" -> Some("st.pencils"),
@@ -111,13 +119,9 @@ object GcdQueries {
         s"${creditIds(stem)} AS story_${stem}_creator_id"
     }.mkString(",\n  ")
 
-    s"""WITH
-i AS (SELECT * FROM ${rp("gcd_issue")}),
-s AS (SELECT * FROM ${rp("gcd_series")}),
-p AS (SELECT * FROM ${rp("gcd_publisher")}),
-ip AS (SELECT * FROM ${rp("gcd_indicia_publisher")}),
-b AS (SELECT * FROM ${rp("gcd_brand")}),
-st AS (SELECT * FROM ${rp("gcd_story")}),
+    val credCtes =
+      if (flags.storyCredit)
+        s""",
 m(credit_type_id, base_id) AS (VALUES $mappingRows),
 resolved AS (
   SELECT sc.story_id, sc.credit_type_id, cr.id AS canonical_id,
@@ -131,7 +135,19 @@ cred AS (
   SELECT story_id,
     $credCols
   FROM resolved GROUP BY story_id
-)
+)"""
+      else ""
+    val credJoin =
+      if (flags.storyCredit) "LEFT JOIN cred ON st.id = cred.story_id"
+      else ""
+
+    s"""WITH
+i AS (SELECT * FROM ${rp("gcd_issue")}),
+s AS (SELECT * FROM ${rp("gcd_series")}),
+p AS (SELECT * FROM ${rp("gcd_publisher")}),
+ip AS (SELECT * FROM ${rp("gcd_indicia_publisher")}),
+b AS (SELECT * FROM ${rp("gcd_brand")}),
+st AS (SELECT * FROM ${rp("gcd_story")})$credCtes
 SELECT
   CAST(${Transforms.snapshotEpoch(snapshotDate)} AS BIGINT) AS unix_time,
   i.id AS issue_id,
@@ -149,7 +165,8 @@ SELECT
   i.title AS title,
   ${dateYmd("i.on_sale_date")} AS on_sale_date,
   i.rating AS rating,
-  ${jbool("i.volume_not_printed")} AS volume_not_printed,
+  ${if (flags.volumeNotPrinted) jbool("i.volume_not_printed")
+     else "CAST(NULL AS BOOLEAN)"} AS volume_not_printed,
   ${semiSplit("i.editing")} AS editing,
   i.notes AS notes,
   ${ymd("i.created")} AS created,
@@ -168,8 +185,10 @@ SELECT
   s.paper_stock AS series_paper_stock,
   ${semiSplit("s.binding")} AS series_binding,
   s.publishing_format AS series_publishing_format,
-  pt.name AS series_publishing_type,
-  ${jbool("s.is_singleton")} AS series_is_singleton,
+  ${if (flags.publicationType) "pt.name"
+     else "CAST(NULL AS VARCHAR)"} AS series_publishing_type,
+  ${if (flags.seriesIsSingleton) jbool("s.is_singleton")
+     else "CAST(NULL AS BOOLEAN)"} AS series_is_singleton,
   ${ymd("s.created")} AS series_created,
   ${ymd("s.modified")} AS series_modified,
   ${jlong("p.id")} AS publisher_id,
@@ -199,12 +218,15 @@ SELECT
   ${st(jint("st.sequence_number"))} AS story_sequence_number,
   ${st(jint("st.page_count"))} AS story_page_count,
   $creditSelects,
-  ${st("CASE WHEN cred.story_id IS NOT NULL THEN 'gcd_story_credit' ELSE 'gcd_story' END")} AS story_credit_source,
+  ${if (flags.storyCredit)
+       st("CASE WHEN cred.story_id IS NOT NULL THEN 'gcd_story_credit' ELSE 'gcd_story' END")
+     else st("'gcd_story'")} AS story_credit_source,
   ${st(semiSplit("st.genre"))} AS story_genre,
   ${st(semiSplit("st.characters"))} AS story_characters,
   ${st("sty.name")} AS story_type,
   ${st("st.job_number")} AS story_job_number,
-  ${st("st.first_line")} AS story_first_line,
+  ${if (flags.storyFirstLine) st("st.first_line")
+     else "CAST(NULL AS VARCHAR)"} AS story_first_line,
   ${st(ymd("st.created"))} AS story_created,
   ${st(ymd("st.modified"))} AS story_modified
 FROM i
@@ -219,9 +241,18 @@ LEFT JOIN ${rp("stddata_country")} c_p ON p.country_id = c_p.id
 LEFT JOIN ${rp("stddata_country")} c_ip ON ip.country_id = c_ip.id
 LEFT JOIN ${rp("gcd_story_type")} sty ON st.type_id = sty.id
 LEFT JOIN ${rp("gcd_series_publication_type")} pt ON s.publication_type_id = pt.id
-LEFT JOIN cred ON st.id = cred.story_id"""
+$credJoin"""
   }
 
+  /** All-capabilities-off parity with old GCD dumps (GcdSchema.java
+   * flag lattice): gated fields null, curated credits statically absent,
+   * every story falls to the legacy split with gcd_story provenance. */
+  private val legacyFlags = GcdFlags(publicationType = false,
+    volumeNotPrinted = false, seriesIsSingleton = false,
+    storyFirstLine = false, storyCredit = false)
+
   val all: Seq[Q] = Seq(
-    Q("g01_gcd_snapshot", run, Some(oracle)))
+    Q("g01_gcd_snapshot", run(GcdFlags()), Some(oracle(GcdFlags()))),
+    Q("g02_gcd_snapshot_legacy", run(legacyFlags),
+      Some(oracle(legacyFlags))))
 }
