@@ -238,20 +238,26 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, minJaccard: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
+    // the inverted index is keyed by the 60-bit shingle HASH, not the
+    // shingle string: the self-join shuffle then carries 8-byte keys
+    // instead of ~25-byte trigram text — at 100 TB that is the dominant
+    // shuffle, and the md5-derived hash keeps the oracle exact (both
+    // engines hash the identical distinct shingle sets)
     val sh = df
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__tok"))
       .select(col("id"),
         explode(TF.wordShinglesFromTokens(col("__tok"), shingleWords)).as("s"))
+      .select(col("id"), TF.hash60(col("s")).as("h"))
     val filtered = maxShingleDf match {
       case Some(cap) =>
-        val wS = Window.partitionBy(col("s"))
+        val wS = Window.partitionBy(col("h"))
         sh.withColumn("df", count(lit(1)).over(wS))
           .filter(col("df") <= cap).drop("df")
       case None => sh
     }
     val sizes = filtered.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = filtered.as("x")
-      .join(filtered.as("y"), col("x.s") === col("y.s") &&
+      .join(filtered.as("y"), col("x.h") === col("y.h") &&
         col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))

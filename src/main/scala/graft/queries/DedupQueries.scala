@@ -154,12 +154,13 @@ object DedupQueries {
           .orderBy(col("a"), col("b"))
       },
       Some(s"""$shinglesCte,
-              |f AS (SELECT doc_id, s FROM (
-              |       SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh)
+              |hs AS (SELECT doc_id, ${h60("s")} AS h FROM sh),
+              |f AS (SELECT doc_id, h FROM (
+              |       SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hs)
               |       WHERE df <= 20),
               |sizes AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
               |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
-              |       FROM f x JOIN f y ON x.s = y.s AND x.doc_id < y.doc_id
+              |       FROM f x JOIN f y ON x.h = y.h AND x.doc_id < y.doc_id
               |       GROUP BY x.doc_id, y.doc_id)
               |SELECT a, b, jaccard FROM (
               |  SELECT a, b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
