@@ -291,6 +291,36 @@ object Advanced {
              |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q35 — table profile (operators/Profile): per-column row/null/exact
+    // distinct counts in one scan + per-column grouped aggregates — the
+    // first query against an unfamiliar table. (At 100 TB flip
+    // exactDistinct=false for one-pass HLL ndv.)
+    Q("q35_profile",
+      (s, dir) => {
+        graft.operators.Profile.profile(Tables.load(s, dir, "orders"),
+            Seq("o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderpriority"))
+          .orderBy(col("col_name"))
+      },
+      Some("""SELECT col_name, n, n_null, n_distinct FROM (
+             |  SELECT 'o_custkey' AS col_name, COUNT(*) AS n,
+             |    COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_null,
+             |    COUNT(DISTINCT o_custkey) AS n_distinct FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', COUNT(*),
+             |    COUNT(*) FILTER (WHERE o_orderstatus IS NULL),
+             |    COUNT(DISTINCT o_orderstatus) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_totalprice', COUNT(*),
+             |    COUNT(*) FILTER (WHERE o_totalprice IS NULL),
+             |    COUNT(DISTINCT o_totalprice) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderpriority', COUNT(*),
+             |    COUNT(*) FILTER (WHERE o_orderpriority IS NULL),
+             |    COUNT(DISTINCT o_orderpriority) FROM orders)
+             |ORDER BY col_name""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q34 — generic as-of join (operators/AsofJoin): latest click strictly
     // before each purchase, per user — the two-table quotes-for-trade
     // operator, executed as union + ONE keyed window (never a per-key
