@@ -72,6 +72,12 @@ case class DotProductExpr(left: Expression, right: Expression)
         else s"$a.getDouble(i)"
       val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat(i)"
         else s"$b.getDouble(i)"
+      // fresh names: two instances of this expression can land in the
+      // same codegen scope (nullSafeCodeGen emits unbraced blocks for
+      // non-nullable children) — fixed locals would collide and kick the
+      // whole projection back to the interpreted path
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
       val nullCheck =
         if (elemNullable(left) || elemNullable(right))
           s"if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }"
@@ -82,13 +88,13 @@ case class DotProductExpr(left: Expression, right: Expression)
          |    "dot_product: vector length mismatch " + $a.numElements() +
          |    " vs " + $b.numElements());
          |}
-         |int n = $a.numElements();
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) {
+         |int $n = $a.numElements();
+         |double $sum = 0.0;
+         |for (int i = 0; i < $n; i++) {
          |  $nullCheck
-         |  sum += ($lGet) * ($rGet);
+         |  $sum += ($lGet) * ($rGet);
          |}
-         |${ev.value} = sum;
+         |${ev.value} = $sum;
        """.stripMargin
     })
 
@@ -169,6 +175,8 @@ case class SimHashExpr(child: Expression, bits: Int)
     nullSafeCodeGen(ctx, ev, a => {
       val counts = ctx.freshName("counts")
       val h = ctx.freshName("h")
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
       val nullBranch =
         if (elemNullable)
           s"""if ($a.isNullAt(i)) {
@@ -178,19 +186,19 @@ case class SimHashExpr(child: Expression, bits: Int)
         else ""
       s"""
          |int[] $counts = new int[$bits];
-         |int n = $a.numElements();
-         |for (int i = 0; i < n; i++) {
+         |int $n = $a.numElements();
+         |for (int i = 0; i < $n; i++) {
          |  $nullBranch
          |  long $h = $a.getLong(i);
          |  for (int b = 0; b < $bits; b++) {
          |    $counts[b] += ((($h >> b) & 1L) == 1L) ? 1 : -1;
          |  }
          |}
-         |long sig = 0L;
+         |long $sig = 0L;
          |for (int b = 0; b < $bits; b++) {
-         |  if ($counts[b] >= 0) sig |= (1L << b);
+         |  if ($counts[b] >= 0) $sig |= (1L << b);
          |}
-         |${ev.value} = sig;
+         |${ev.value} = $sig;
        """.stripMargin
     })
   }
@@ -268,14 +276,15 @@ case class MinHashSigExpr(child: Expression, coeffA: Seq[Long],
       val mins = ctx.freshName("mins")
       val any = ctx.freshName("any")
       val h = ctx.freshName("h")
+      val n = ctx.freshName("n")
       val nullSkip =
         if (elemNullable) s"if ($in.isNullAt(i)) continue;" else ""
       s"""
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |boolean $any = false;
-         |int n = $in.numElements();
-         |for (int i = 0; i < n; i++) {
+         |int $n = $in.numElements();
+         |for (int i = 0; i < $n; i++) {
          |  $nullSkip
          |  $any = true;
          |  long $h = $in.getLong(i);

@@ -58,7 +58,11 @@ object VectorFunctions {
       dim, nBits)
 
   /** Column-tree reference formulation of [[hyperplaneSig]] — kept as the
-   * semantics oracle in TextVectorSpec (bit-identical output). */
+   * semantics oracle in TextVectorSpec. Bit-identical for vectors of
+   * length ≥ dim; for SHORTER vectors both raise under ANSI mode (the
+   * engine's pinned configuration), but with ANSI off this form would
+   * yield signature 0 (null element_at) where the codegen form still
+   * raises — the codegen form's behavior is the contract. */
   private[graft] def hyperplaneSigCols(vec: Column, dim: Int,
       nBits: Int): Column = {
     val v = asDouble(vec)

@@ -22,7 +22,9 @@ import org.apache.spark.sql.types.StructType
  * Output: every left column, plus an `asof` struct of the matched right
  * row (null when no right row precedes). Equal-timestamp semantics are
  * decided by the side sort; ties among right rows break by `tieBreak`
- * ascending, so "latest" is the greatest (ts, tieBreak).
+ * ascending (any orderable type), so "latest" is the greatest
+ * (ts, tieBreak). NULL keys follow join semantics: they never match, so
+ * a null-keyed left row gets a null `asof`.
  */
 object AsofJoin {
 
@@ -35,16 +37,22 @@ object AsofJoin {
     // strict: left sorts BEFORE right at equal ts (side 0) so an
     // equal-ts right row is not yet visible; non-strict: right first.
     val (lSide, rSide) = if (strict) (0, 1) else (1, 0)
+    val tieType = right.schema(tieBreak).dataType
     val l = left.select(
       keys.map(col) :+ col(leftTs).as("__t") :+ lit(lSide).as("__side") :+
-        lit(null).cast("long").as("__tie") :+
+        lit(null).cast(tieType).as("__tie") :+
         struct(left.columns.map(col): _*).as("__lv") :+
         lit(null).cast(rType).as("__rv"): _*)
-    val r = right.select(
-      keys.map(col) :+ col(rightTs).as("__t") :+ lit(rSide).as("__side") :+
-        col(tieBreak).cast("long").as("__tie") :+
-        lit(null).cast(lType).as("__lv") :+
-        struct(right.columns.map(col): _*).as("__rv"): _*)
+    // join semantics: a NULL key never matches — drop null-keyed right
+    // rows (the window's partitionBy would otherwise group nulls together
+    // and hand null-keyed left rows a bogus match)
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keys.map(col) :+ col(rightTs).as("__t") :+ lit(rSide).as("__side") :+
+          col(tieBreak).as("__tie") :+
+          lit(null).cast(lType).as("__lv") :+
+          struct(right.columns.map(col): _*).as("__rv"): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__tie"))

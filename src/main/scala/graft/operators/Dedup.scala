@@ -195,8 +195,8 @@ object Dedup {
    * so that the hamming-≤-d balls of UNRELATED docs don't overlap
    * (needs roughly `bits ≳ log2(n) + d·log2(bits)`). Measured in
    * DedupSoak at 100k docs / d=3: 16-bit signatures → 70.6M pairs in
-   * 128s (both failure modes at once); 60-bit (hash60's full width,
-   * 15-bit bands) → 418k real pairs in 3.4s. The graded d06 entry runs
+   * 57s (both failure modes at once); 60-bit (hash60's full width,
+   * 15-bit bands) → 388k real pairs in 10s. The graded d06 entry runs
    * the 60-bit scale configuration.
    */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,

@@ -20,15 +20,21 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String],
       exactDistinct: Boolean = true): DataFrame = {
+    // internal stat columns are keyed by POSITION, and the readable name
+    // re-enters only as an escaped literal — so column names that aren't
+    // bare identifiers (dashes, spaces, quotes) profile fine
     val counts = df.select(
       count(lit(1)).as("__n") +:
-        cols.flatMap(c => Seq(
-          count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        cols.zipWithIndex.flatMap { case (c, i) => Seq(
+          count(when(col(c).isNull, 1)).as(s"__null_$i"),
           (if (exactDistinct) count_distinct(col(c))
-           else approx_count_distinct(col(c))).as(s"__ndv_$c"))): _*)
+           else approx_count_distinct(col(c))).as(s"__ndv_$i"))
+        }: _*)
     // unpivot the single stats row into (col_name, n, n_null, n_distinct)
-    val stacked = cols.map(c =>
-      s"'$c', __n, __null_$c, __ndv_$c").mkString(", ")
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      val escaped = c.replace("\\", "\\\\").replace("'", "\\'")
+      s"'$escaped', __n, __null_$i, __ndv_$i"
+    }.mkString(", ")
     counts.selectExpr(
       s"stack(${cols.size}, $stacked) AS (col_name, n, n_null, n_distinct)")
   }

@@ -110,7 +110,7 @@ object DedupQueries {
     // Graded at the SCALE configuration: 60-bit signatures (hash60's
     // full width) / 15-bit bands. Narrower signatures both saturate
     // (unrelated hamming balls overlap) and bucket-join quadratically —
-    // DedupSoak measured 70.6M pairs/128s at 16 bits vs 418k/3.4s at 60
+    // DedupSoak measured 70.6M pairs/57s at 16 bits vs 388k/10s at 60
     // bits on 100k docs; bits must grow with log2(corpus).
     Q("d06_dedup_simhash_hamming",
       (s, dir) => {

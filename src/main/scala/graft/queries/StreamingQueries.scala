@@ -42,8 +42,15 @@ object StreamingQueries {
       // events file out of the sf dir with a glob filter
       val raw = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      // same guard as the batch path (Tables.load): only the legacy
+      // nanos-as-long read needs the ns→µs conversion; a file already
+      // storing timestamps streams through untouched
+      val ev =
+        if (schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+          raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        else raw
 
       val out = Files.createTempDirectory("q30_out").toString
       val cp = Files.createTempDirectory("q30_cp").toString

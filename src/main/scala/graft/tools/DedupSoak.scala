@@ -10,18 +10,21 @@ import org.apache.spark.sql.functions._
  * volume where a quadratic candidate join, a skewed bucket, or a
  * driver-bound collect is immediately obvious in the wall times.
  *
- * Corpus shape: `n` docs in `n/10` content groups (10 exact copies per
- * group); every 10th doc gets a per-doc suffix, making it a NEAR-dup of
- * its group instead of an exact one. So expectations are exact:
- * `distinct texts = n/10 + n/10` (one shared text per group + one unique
- * variant per group... unless the variant doc is the group survivor).
+ * Corpus shape: `n` docs in `n/10` content groups; group g's members are
+ * ids ≡ g (mod n/10), and the k=0 member (id < n/10) carries a per-doc
+ * suffix — so every group is exactly 9 verbatim copies + 1 near-dup
+ * variant, and `distinct texts = 2 · n/10` (one shared text + one
+ * variant text per group), asserted below.
  *
- * Usage: runMain graft.tools.DedupSoak [nDocs]
+ * Usage: runMain graft.tools.DedupSoak [nDocs] [simhashBits]
+ * (simhashBits exists to DEMONSTRATE the width cliff — e.g. 16 — the
+ * default is the 60-bit scale configuration.)
  */
 object DedupSoak {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val simhashBits = if (args.length > 1) args(1).toInt else 60
     val nGroups = n / 10
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -37,9 +40,11 @@ object DedupSoak {
     val words = (0 until 24).map(w =>
       conv(substring(md5(concat(lit("w:"), col("id") % nGroups,
         lit(s":$w"))), 1, 5), 16, 10))
+    // id % 10 would be fully correlated with the group id (nGroups is a
+    // multiple of 10) — id < nGroups picks exactly ONE member per group
     val docs = spark.range(n).select(
       col("id").as("doc_id"),
-      when(col("id") % 10 === 0,
+      when(col("id") < nGroups,
         concat(concat_ws(" ", words: _*), lit(" variant "), col("id")))
         .otherwise(concat_ws(" ", words: _*)).as("text"))
       .cache()
@@ -54,6 +59,8 @@ object DedupSoak {
 
     val distinctTexts = docs.select(countDistinct(col("text")))
       .head().getLong(0)
+    assert(distinctTexts == 2 * nGroups,
+      s"corpus shape broken: $distinctTexts distinct texts")
     val survivors = timed("exact dedup")(
       graft.operators.Dedup.exact(docs, col("text"), col("doc_id")).count())
     println(s"==   docs=$n distinct=$distinctTexts survivors=$survivors")
@@ -64,19 +71,20 @@ object DedupSoak {
     println(s"==   minhash candidate pairs: $mh")
     assert(mh > 0, "exact-dup groups must collide in every band")
 
-    // SCALE CONFIGURATION, not the default: at 100k docs a 16-bit
-    // signature is saturated (hamming<=3 balls of unrelated groups
-    // overlap) and its 4-bit band keys bucket-join quadratically — this
-    // soak measured 70.6M pairs / 128s that way. 60 bits (hash60's full
-    // width) with 15-bit bands keeps collisions to real near-dups.
-    val sh = timed("simhash hamming pairs (60-bit)")(
+    // At 100k docs a 16-bit signature is saturated (hamming<=3 balls of
+    // unrelated groups overlap) and its 4-bit band keys bucket-join
+    // quadratically; 60 bits (hash60's full width) with 15-bit bands
+    // keeps collisions to real near-dups. Run with simhashBits=16 to
+    // watch the cliff.
+    val sh = timed(s"simhash hamming pairs ($simhashBits-bit)")(
       graft.operators.Dedup.simHashPairs(docs, "doc_id", "text",
-        bits = 60, maxHamming = 3).count())
+        bits = simhashBits, maxHamming = 3).count())
     println(s"==   simhash pairs (hamming<=3): $sh")
     assert(sh > 0)
-    // the scale property under test: pair count stays linear-ish in n
-    // (within-group pairs), never corpus-quadratic
-    assert(sh < n * 50, s"simhash pair blowup: $sh pairs for $n docs")
+    // the scale property under test (60-bit config): pair count stays
+    // linear-ish in n (within-group pairs), never corpus-quadratic
+    if (simhashBits >= 60)
+      assert(sh < n * 50, s"simhash pair blowup: $sh pairs for $n docs")
 
     spark.stop()
   }

@@ -47,11 +47,14 @@ object GcdAcquire {
     }
     val dest = landingDir.resolve(dumpName(timestamp))
     // land via temp + atomic move so a crash mid-copy never leaves a
-    // partial file that looks landed
+    // partial file that looks landed; clean the temp on ANY failure so
+    // retries don't accumulate .part debris in the landing dir
     val tmp = Files.createTempFile(landingDir, ".landing-", ".part")
-    Files.copy(dump, tmp, StandardCopyOption.REPLACE_EXISTING)
-    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.copy(dump, tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
     Files.writeString(landingDir.resolve(HistoryFile), s"$timestamp\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)

@@ -97,6 +97,35 @@ class TextVectorSpec extends SparkSpec {
     assert(sigs.toSeq == again.toSeq)
   }
 
+  test("two instances of each codegen expression share one projection") {
+    // non-nullable children make nullSafeCodeGen emit unbraced blocks in
+    // the same scope — non-fresh locals would collide, the generated
+    // class would fail to compile, and Spark would silently fall back to
+    // the interpreted path. Disable the fallback so a collision FAILS.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import graft.operators.Dedup
+      val df = Seq((Seq(1L, 2L), Seq(3L, 4L), Seq(1.0f, 2.0f),
+          Seq(0.5f, 0.25f)))
+        .toDF("h1", "h2", "v1", "v2")
+      val r = df.select(
+        Dedup.simHashFromHashes($"h1", 8).as("s1"),
+        Dedup.simHashFromHashes($"h2", 8).as("s2"),
+        Dedup.minHashSigFromHashes($"h1", 4).as("m1"),
+        Dedup.minHashSigFromHashes($"h2", 4).as("m2"),
+        VectorFunctions.dot($"v1", $"v2").as("d1"),
+        VectorFunctions.dot($"v2", $"v1").as("d2"),
+        VectorFunctions.hyperplaneSig($"v1", 2, 4).as("p1"),
+        VectorFunctions.hyperplaneSig($"v2", 2, 4).as("p2")).head()
+      assert(r.getDouble(4) == r.getDouble(5)) // dot is symmetric
+      assert(!r.anyNull)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("codegen hyperplaneSig ≡ Column-tree formulation") {
     val vecs = (0 until 80).map(i =>
       Tuple1((0 until 16).map(d => math.sin(i * 37 + d).toFloat))).toDF("v")

@@ -38,6 +38,19 @@ class AsofJoinSpec extends SparkSpec {
       4L -> None))
   }
 
+  test("null keys never match; non-numeric tiebreak columns work") {
+    val l = Seq((Option(1L), 100L, 1L), (Option.empty[Long], 100L, 2L))
+      .toDF("sym", "t", "lid")
+    val r = Seq((Option(1L), 90L, "qA"), (Option.empty[Long], 95L, "qB"))
+      .toDF("sym", "qt", "qref")
+    val got = AsofJoin.asofJoin(l, r, Seq("sym"), "t", "qt",
+        tieBreak = "qref") // string tiebreak: no long cast may be applied
+      .select($"lid", $"asof.qref")
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getString(1)))).toMap
+    assert(got == Map(1L -> Some("qA"), 2L -> None))
+  }
+
   test("one shuffle: plan has a single exchange before the window") {
     val plan = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "t", "qt",
         tieBreak = "quote_id")
