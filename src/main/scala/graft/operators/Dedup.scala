@@ -132,6 +132,48 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Near-dup clusters (connected components)
+
+  /**
+   * Connected components over a near-dup pair list `(a, b)`: every node
+   * labeled with the smallest id reachable through any chain of pairs —
+   * the step that turns pairwise matches into dedup CLUSTERS (A~B, B~C ⇒
+   * one survivor for {A,B,C}, even though A~C was never scored).
+   *
+   * Min-label propagation: per iteration, every node takes the min of its
+   * own label and its neighbors' labels — one shuffle per iteration,
+   * converging in ≤ graph-diameter iterations (near-dup components are
+   * shallow; `maxIter` is a guard, and the loop stops at the first
+   * fixpoint). The driver loop is control flow only — each step is a
+   * distributed join/aggregate, labels are localCheckpoint'ed so lineage
+   * stays O(1) — the standard Spark shape for iterative graph algorithms
+   * at any scale.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neigh = sym.join(labels, sym("b") === labels("id"))
+        .groupBy(sym("a").as("nid")).agg(min(col("label")).as("nl"))
+      val updated = labels.join(neigh, labels("id") === neigh("nid"),
+          "left_outer")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label")))
+            .as("next"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("next") < col("label")).isEmpty
+      labels = updated.select(col("id"), col("next").as("label"))
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  // ------------------------------------------------------------------
   // SimHash
 
   /**

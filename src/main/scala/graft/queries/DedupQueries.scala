@@ -19,6 +19,31 @@ object DedupQueries {
   private val normT =
     raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
+  /** The d02 MinHash/LSH pair SQL (no final ORDER BY) — shared by d02
+   * and, as a CTE body, by d07's cluster recursion. */
+  private lazy val minhashPairsSql: String = {
+    val seedRows = (0 until 16).map(i =>
+      s"($i, ${graft.operators.Dedup.mhCoeffA(i)}, " +
+        s"${graft.operators.Dedup.mhCoeffB(i)})").mkString(", ")
+    s"""$shinglesCte,
+       |hs AS (SELECT doc_id, ${h60("s")} & 1073741823 AS h FROM sh),
+       |mh AS (SELECT doc_id, seed, min(a * h + b) AS h
+       |       FROM hs CROSS JOIN (VALUES $seedRows) seeds(seed, a, b)
+       |       GROUP BY doc_id, seed),
+       |bandkeys AS (SELECT doc_id, seed // 4 AS band,
+       |       string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bkey
+       |       FROM mh GROUP BY doc_id, seed // 4),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |       FROM bandkeys x JOIN bandkeys y
+       |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |est AS (SELECT a, b,
+       |       CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_sim
+       |       FROM cand JOIN mh ma ON ma.doc_id = a
+       |       JOIN mh mb ON mb.doc_id = b AND mb.seed = ma.seed
+       |       GROUP BY a, b)
+       |SELECT a, b, est_sim FROM est WHERE est_sim >= 0.5""".stripMargin
+  }
+
   /** Shared doc → distinct word-3-shingle CTE prefix. */
   private val shinglesCte =
     raw"""WITH d AS (SELECT doc_id, $normT AS t FROM documents),
@@ -55,29 +80,7 @@ object DedupQueries {
             minSim = 0.5)
           .orderBy(col("a"), col("b"))
       },
-      Some {
-        val seedRows = (0 until 16).map(i =>
-          s"($i, ${graft.operators.Dedup.mhCoeffA(i)}, " +
-            s"${graft.operators.Dedup.mhCoeffB(i)})").mkString(", ")
-        s"""$shinglesCte,
-           |hs AS (SELECT doc_id, ${h60("s")} & 1073741823 AS h FROM sh),
-           |mh AS (SELECT doc_id, seed, min(a * h + b) AS h
-           |       FROM hs CROSS JOIN (VALUES $seedRows) seeds(seed, a, b)
-           |       GROUP BY doc_id, seed),
-           |bandkeys AS (SELECT doc_id, seed // 4 AS band,
-           |       string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bkey
-           |       FROM mh GROUP BY doc_id, seed // 4),
-           |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           |       FROM bandkeys x JOIN bandkeys y
-           |         ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
-           |est AS (SELECT a, b,
-           |       CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_sim
-           |       FROM cand JOIN mh ma ON ma.doc_id = a
-           |       JOIN mh mb ON mb.doc_id = b AND mb.seed = ma.seed
-           |       GROUP BY a, b)
-           |SELECT a, b, est_sim FROM est WHERE est_sim >= 0.5
-           |ORDER BY a, b""".stripMargin
-      }),
+      Some(s"$minhashPairsSql\nORDER BY a, b")),
 
     // ----------------------------------------------------------------
     // d03 — SimHash signatures + same-signature bucket sizes, at the
@@ -138,6 +141,32 @@ object DedupQueries {
               |  ON x.bkey = y.bkey AND x.doc_id < y.doc_id
               |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
               |ORDER BY a, b""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // d07 — near-dup CLUSTERS: connected components over the d02 pair
+    // list (min-label propagation, one shuffle per iteration to a
+    // fixpoint). Pairwise matches alone can't dedup — A~B and B~C must
+    // yield ONE survivor for {A,B,C} even though A~C was never scored.
+    // The oracle states transitive reachability as a recursive CTE.
+    Q("d07_dedup_clusters",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.minHashPairs(docs, "doc_id", "text", k = 16,
+          bands = 4, minSim = 0.5)
+        Dedup.connectedComponents(pairs).orderBy(col("id"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+              |$minhashPairsSql
+              |),
+              |sym AS (SELECT a, b FROM pairs
+              |        UNION ALL SELECT b, a FROM pairs),
+              |nodes AS (SELECT DISTINCT a AS id FROM sym),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id)
+              |SELECT id, MIN(r) AS cluster FROM reach
+              |GROUP BY id ORDER BY id""".stripMargin)),
 
     // ----------------------------------------------------------------
     // d04 — exact n-gram (word-3-shingle) Jaccard pairs ≥ 0.8 via the

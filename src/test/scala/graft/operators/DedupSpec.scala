@@ -87,6 +87,20 @@ class DedupSpec extends SparkSpec {
     assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("connected components: chains merge, islands stay separate") {
+    // 1-2, 2-3, 3-4 chain (no direct 1-4 edge); 10-11 island; 20-21-22 via hub
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // deterministic across reruns
+    val again = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("jaccard pairs: exact dups at 1.0, unrelated absent") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.5)
       .select($"a", $"b", $"jaccard").as[(Long, Long, Double)].collect()
