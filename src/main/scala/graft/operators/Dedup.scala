@@ -150,8 +150,12 @@ object Dedup {
    * at any scale.
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE — its lineage may be an entire
+    // candidate-generation pipeline (e.g. the MinHash pair query), which
+    // every iteration's join would otherwise recompute from scratch
     val sym = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
