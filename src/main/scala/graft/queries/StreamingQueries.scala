@@ -31,7 +31,11 @@ object StreamingQueries {
 
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  private def run(s: SparkSession, dir: String): DataFrame = {
+  /** Run `transform` over the streaming read of the events table to
+   * completion (AvailableNow) through an append-mode parquet sink, and
+   * return the sink contents as a batch DataFrame. */
+  private def runToCompletion(s: SparkSession, dir: String,
+      transform: DataFrame => DataFrame): DataFrame = {
     val prev = s.conf.getOption(NanosConf)
     s.conf.set(NanosConf, "true")
     try {
@@ -52,25 +56,73 @@ object StreamingQueries {
             .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
         else raw
 
-      val out = Files.createTempDirectory("q30_out").toString
-      val cp = Files.createTempDirectory("q30_cp").toString
-      val q = EventStream.hourlyStats(ev, watermark = "1 hour")
-        .select(unix_timestamp(col("hour_start")).as("hour_epoch"),
-          col("event_type"), col("n"), col("sum_value"))
+      val out = Files.createTempDirectory("stream_out").toString
+      val cp = Files.createTempDirectory("stream_cp").toString
+      val q = transform(ev)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", cp)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(out).orderBy(col("hour_epoch"), col("event_type"))
+      s.read.parquet(out)
     } finally prev match {
       case Some(v) => s.conf.set(NanosConf, v)
       case None => s.conf.unset(NanosConf)
     }
   }
 
+  private def run(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(s, dir, ev =>
+      EventStream.hourlyStats(ev, watermark = "1 hour")
+        .select(unix_timestamp(col("hour_start")).as("hour_epoch"),
+          col("event_type"), col("n"), col("sum_value")))
+      .orderBy(col("hour_epoch"), col("event_type"))
+
+  /** q36: stateful SESSION windows through the real streaming engine —
+   * watermark-bounded merging state, append-mode emission of finalized
+   * sessions only (session end = last event + gap; a session is emitted
+   * once session_end ≤ the millisecond watermark). */
+  private def runSessions(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(s, dir, ev =>
+      EventStream.sessions(ev, gap = "30 minutes", watermark = "1 hour")
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("start_epoch"),
+          unix_timestamp(col("session_end")).as("end_epoch"),
+          col("n_events"), col("sum_value")))
+      .orderBy(col("user_id"), col("start_epoch"))
+
+  /** The q36 oracle: µs-precision gap islands (new session when the gap
+   * ≥ 30 min — session_window's [start, last+gap) end is exclusive),
+   * session end = last event + gap, finalized when end_us ≤ the
+   * ms-truncated watermark scaled back to µs. */
+  private def sessionsOracle: String =
+    s"""WITH e AS (SELECT user_id, event_id, value,
+       |    epoch_ns(ts) // 1000 AS us FROM events),
+       |m AS (SELECT max(us) AS mx FROM e),
+       |marked AS (
+       |  SELECT user_id, value, us,
+       |    CAST(SUM(CASE WHEN prev_us IS NULL
+       |                  OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS sid
+       |  FROM (SELECT *, lag(us) OVER
+       |          (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+       |        FROM e)),
+       |sess AS (
+       |  SELECT user_id, sid, COUNT(*) AS n_events,
+       |    ${Exact.sqlDsum("value")} AS sum_value,
+       |    MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us
+       |  FROM marked GROUP BY user_id, sid)
+       |SELECT user_id, start_us // 1000000 AS start_epoch,
+       |  end_us // 1000000 AS end_epoch, n_events, sum_value
+       |FROM sess, m
+       |WHERE end_us <= (mx // 1000 - 3600000) * 1000
+       |ORDER BY user_id, start_epoch""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q36_stream_sessions", runSessions, Some(sessionsOracle)),
     Q("q30_stream_hourly", run,
       Some(s"""WITH mx AS (SELECT max(ts) AS m FROM events),
               |agg AS (
