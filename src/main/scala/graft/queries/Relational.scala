@@ -426,6 +426,35 @@ object Relational {
               |FROM customer JOIN nation ON c_nationkey = n_nationkey
               |JOIN region ON n_regionkey = r_regionkey
               |GROUP BY ROLLUP(r_name, n_name)
-              |ORDER BY r_name, n_name""".stripMargin))
+              |ORDER BY r_name, n_name""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q37 — CUBE: every grouping-set combination (region×status, region,
+    // status, grand total) in ONE pass — Spark expands the sets map-side
+    // and aggregates once, where four separate GROUP BYs would scan the
+    // join four times.
+    Q("q37_cube",
+      (s, dir) => {
+        val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+        val r = t(s, dir, "region"); val o = t(s, dir, "orders")
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "inner")
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "inner")
+          .cube(col("r_name"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+            col("n_orders"), col("sum_price"))
+          .orderBy(col("r_name"), col("o_orderstatus"))
+      },
+      Some(s"""SELECT COALESCE(r_name, 'ALL') AS r_name,
+              |  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+              |  COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY CUBE(r_name, o_orderstatus)
+              |ORDER BY r_name, o_orderstatus""".stripMargin))
   )
 }
