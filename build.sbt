@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output goes RAW to stdout/stderr instead of through
+// sbt's logger: the driver json-parses the Bench line, and sbt's
+// `[info] ` prefix made it unparseable in rounds 1-2 (BENCH parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop the trailing "[success] Total time ..." line so the Bench JSON
+// line stays the last thing in the driver's bounded output tail.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

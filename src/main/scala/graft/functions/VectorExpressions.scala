@@ -68,19 +68,21 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat(i)"
-        else s"$a.getDouble(i)"
-      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat(i)"
-        else s"$b.getDouble(i)"
-      // fresh names: two instances of this expression can land in the
-      // same codegen scope (nullSafeCodeGen emits unbraced blocks for
-      // non-nullable children) — fixed locals would collide and kick the
-      // whole projection back to the interpreted path
+      // fresh names for EVERY local including loop variables: the spliced
+      // block can be nested inside generated code that already declares a
+      // local of the same name, and Java forbids local shadowing — a fixed
+      // `int i` kicked whole projections back to the interpreted path
+      // (janino: "Redefinition of local variable i", seen round 3)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      val i = ctx.freshName("i")
+      val lGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val rGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
       val nullCheck =
         if (elemNullable(left) || elemNullable(right))
-          s"if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }"
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
@@ -90,7 +92,7 @@ case class DotProductExpr(left: Expression, right: Expression)
          |}
          |int $n = $a.numElements();
          |double $sum = 0.0;
-         |for (int i = 0; i < $n; i++) {
+         |for (int $i = 0; $i < $n; $i++) {
          |  $nullCheck
          |  $sum += ($lGet) * ($rGet);
          |}
@@ -173,30 +175,34 @@ case class SimHashExpr(child: Expression, bits: Int)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     nullSafeCodeGen(ctx, ev, a => {
+      // fresh names for every local incl. loop vars (no Java local
+      // shadowing — see DotProductExpr.doGenCode)
       val counts = ctx.freshName("counts")
       val h = ctx.freshName("h")
       val n = ctx.freshName("n")
       val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
       val nullBranch =
         if (elemNullable)
-          s"""if ($a.isNullAt(i)) {
-             |  for (int b = 0; b < $bits; b++) $counts[b]--;
+          s"""if ($a.isNullAt($i)) {
+             |  for (int $b = 0; $b < $bits; $b++) $counts[$b]--;
              |  continue;
              |}""".stripMargin
         else ""
       s"""
          |int[] $counts = new int[$bits];
          |int $n = $a.numElements();
-         |for (int i = 0; i < $n; i++) {
+         |for (int $i = 0; $i < $n; $i++) {
          |  $nullBranch
-         |  long $h = $a.getLong(i);
-         |  for (int b = 0; b < $bits; b++) {
-         |    $counts[b] += ((($h >> b) & 1L) == 1L) ? 1 : -1;
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    $counts[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
          |  }
          |}
          |long $sig = 0L;
-         |for (int b = 0; b < $bits; b++) {
-         |  if ($counts[b] >= 0) $sig |= (1L << b);
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if ($counts[$b] >= 0) $sig |= (1L << $b);
          |}
          |${ev.value} = $sig;
        """.stripMargin
@@ -273,24 +279,29 @@ case class MinHashSigExpr(child: Expression, coeffA: Seq[Long],
     val aRef = ctx.addReferenceObj("mhA", coeffA.toArray, "long[]")
     val bRef = ctx.addReferenceObj("mhB", coeffB.toArray, "long[]")
     nullSafeCodeGen(ctx, ev, in => {
+      // fresh names for every local incl. loop vars (no Java local
+      // shadowing — see DotProductExpr.doGenCode)
       val mins = ctx.freshName("mins")
       val any = ctx.freshName("any")
       val h = ctx.freshName("h")
       val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val v = ctx.freshName("v")
       val nullSkip =
-        if (elemNullable) s"if ($in.isNullAt(i)) continue;" else ""
+        if (elemNullable) s"if ($in.isNullAt($i)) continue;" else ""
       s"""
          |long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |boolean $any = false;
          |int $n = $in.numElements();
-         |for (int i = 0; i < $n; i++) {
+         |for (int $i = 0; $i < $n; $i++) {
          |  $nullSkip
          |  $any = true;
-         |  long $h = $in.getLong(i);
-         |  for (int j = 0; j < $k; j++) {
-         |    long v = $h * $aRef[j] + $bRef[j];
-         |    if (v < $mins[j]) $mins[j] = v;
+         |  long $h = $in.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = $h * $aRef[$j] + $bRef[$j];
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
          |  }
          |}
          |${ev.value} = $any
@@ -369,14 +380,18 @@ case class HyperplaneSigExpr(child: Expression, weights: Seq[Double],
       ev: ExprCode): ExprCode = {
     val wRef = ctx.addReferenceObj("hpW", weights.toArray, "double[]")
     nullSafeCodeGen(ctx, ev, in => {
+      // fresh names for every local incl. loop vars (no Java local
+      // shadowing — see DotProductExpr.doGenCode)
       val projs = ctx.freshName("projs")
       val x = ctx.freshName("x")
       val sig = ctx.freshName("sig")
-      val get = if (elemIsFloat) s"(double) $in.getFloat(i)"
-        else s"$in.getDouble(i)"
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val get = if (elemIsFloat) s"(double) $in.getFloat($i)"
+        else s"$in.getDouble($i)"
       val nullBreak =
         if (elemNullable)
-          s"if ($in.isNullAt(i)) { $projs = null; break; }"
+          s"if ($in.isNullAt($i)) { $projs = null; break; }"
         else ""
       s"""
          |if ($in.numElements() < $dim) {
@@ -385,17 +400,17 @@ case class HyperplaneSigExpr(child: Expression, weights: Seq[Double],
          |    " elements, needs $dim");
          |}
          |double[] $projs = new double[$nBits];
-         |for (int i = 0; i < $dim; i++) {
+         |for (int $i = 0; $i < $dim; $i++) {
          |  $nullBreak
          |  double $x = $get;
-         |  for (int b = 0; b < $nBits; b++) {
-         |    $projs[b] += $x * $wRef[b * $dim + i];
+         |  for (int $b = 0; $b < $nBits; $b++) {
+         |    $projs[$b] += $x * $wRef[$b * $dim + $i];
          |  }
          |}
          |long $sig = 0L;
          |if ($projs != null) {
-         |  for (int b = 0; b < $nBits; b++) {
-         |    if ($projs[b] >= 0) $sig |= (1L << b);
+         |  for (int $b = 0; $b < $nBits; $b++) {
+         |    if ($projs[$b] >= 0) $sig |= (1L << $b);
          |  }
          |}
          |${ev.value} = $sig;

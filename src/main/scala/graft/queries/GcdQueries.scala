@@ -1,6 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, to_json}
+import org.apache.spark.sql.types.ArrayType
 import graft.etl.{GcdCredits, GcdSnapshot}
 import graft.etl.GcdSchemas.GcdFlags
 import graft.functions.Transforms
@@ -30,11 +32,27 @@ object GcdQueries {
   val snapshotDate = "2026-8-12"
 
   // ---------------------------------------------------------------- Spark
+  // The snapshot's multi-value fields (price, credits, genre, …) are
+  // arrays; the driver's comparator sorts rows with pandas, which cannot
+  // order array cells — so the GATED projection emits each array column
+  // as its canonical JSON text (Jackson and DuckDB's yyjson agree on the
+  // minimal-escape rendering: `["a","b"]`, NULL array → SQL NULL). The
+  // library API (GcdSnapshot.build) keeps the real array types.
+  private def jsonArrays(df: DataFrame): DataFrame = {
+    val cols: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case _: ArrayType => to_json(col(f.name)).as(f.name)
+        case _            => col(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
+
   private def run(flags: GcdFlags)(s: SparkSession, dir: String)
       : DataFrame = {
     val tables = GcdSnapshot.sourceTables.map(t =>
       t -> s.read.parquet(s"$fixturesDir/$t.parquet")).toMap
-    GcdSnapshot.build(s, tables, snapshotDate, flags)
+    jsonArrays(GcdSnapshot.build(s, tables, snapshotDate, flags))
   }
 
   // --------------------------------------------------------- DuckDB oracle
@@ -73,6 +91,10 @@ object GcdQueries {
   /** Story-block null guard (Main.java:459). */
   private def st(e: String): String =
     s"CASE WHEN st.id IS NOT NULL THEN $e END"
+
+  /** Credit stems, in reference column order (Main.java:472-506). */
+  private val creditStems = Seq("script", "pencils", "inks", "colors",
+    "letters", "editing", "painting")
 
   private def oracle(flags: GcdFlags): String = {
     val fx = fixturesDir
@@ -141,7 +163,17 @@ cred AS (
       if (flags.storyCredit) "LEFT JOIN cred ON st.id = cred.story_id"
       else ""
 
-    s"""WITH
+    // Same array→JSON-text canonicalization as the Spark side (jsonArrays)
+    val arrayAliases =
+      Seq("price", "editing", "series_binding", "story_genre",
+        "story_characters") ++
+        creditStems.map(s => s"story_$s") ++
+        creditStems.map(s => s"story_${s}_creator_id")
+    val jsonReplace = arrayAliases
+      .map(c => s"CAST(to_json($c) AS VARCHAR) AS $c").mkString(", ")
+
+    s"""SELECT * REPLACE ($jsonReplace) FROM (
+WITH
 i AS (SELECT * FROM ${rp("gcd_issue")}),
 s AS (SELECT * FROM ${rp("gcd_series")}),
 p AS (SELECT * FROM ${rp("gcd_publisher")}),
@@ -241,7 +273,8 @@ LEFT JOIN ${rp("stddata_country")} c_p ON p.country_id = c_p.id
 LEFT JOIN ${rp("stddata_country")} c_ip ON ip.country_id = c_ip.id
 LEFT JOIN ${rp("gcd_story_type")} sty ON st.type_id = sty.id
 LEFT JOIN ${rp("gcd_series_publication_type")} pt ON s.publication_type_id = pt.id
-$credJoin"""
+$credJoin
+) snap"""
   }
 
   /** All-capabilities-off parity with old GCD dumps (GcdSchema.java

@@ -71,6 +71,9 @@ object MultimodalQueries {
     // ever leaves it — at 100 TB the payload column is never shuffled.
     // Oracle: same windows in chars (ASCII corpus ⇒ chars ≡ bytes, the
     // precondition MultimodalSpec asserts), digest = md5 of the window.
+    // The digest list is emitted '|'-joined (hex digests, separator-safe):
+    // the driver's comparator sorts rows with pandas, which cannot order
+    // array cells.
     Q("m03_frame_sample",
       (s, dir) => {
         val media = Multimodal.fromDocuments(
@@ -81,7 +84,7 @@ object MultimodalQueries {
             col("meta.kind").as("kind"),
             col("meta.width").as("width"),
             col("meta.height").as("height"),
-            col("frame_digests"),
+            concat_ws("|", col("frame_digests")).as("frame_digests"),
             size(array_distinct(col("frame_digests"))).as("n_distinct_frames"))
           .orderBy(col("media_id"))
       },
@@ -92,7 +95,8 @@ object MultimodalQueries {
              |        greatest(sz // 4, 1)))) AS frame_digests
              |  FROM documents)
              |SELECT doc_id AS media_id, 'video' AS kind,
-             |  64 AS width, 64 AS height, frame_digests,
+             |  64 AS width, 64 AS height,
+             |  array_to_string(frame_digests, '|') AS frame_digests,
              |  CAST(len(list_distinct(frame_digests)) AS INT) AS n_distinct_frames
              |FROM f ORDER BY media_id""".stripMargin))
   )

@@ -115,12 +115,19 @@ object SimilarityQueries {
     // training loop of a real IVF index, gated end-to-end — deterministic
     // assignment (cosine argmax, ties to lower cid) and element-wise
     // cluster means through DECIMAL so both engines emit identical bits.
+    // Output is one row per (cid, dim): the driver's comparator sorts
+    // rows with pandas, which cannot order array cells, so the centroid
+    // vector is emitted exploded rather than as a DOUBLE[64] column.
     Q("s04_ivf_kmeans_step",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         Similarity.kmeansStep(e, "vec_id", "embedding",
             centroidStride = 50, maxCentroids = 32)
-          .orderBy(col("cid"))
+          .select(col("cid"), col("n"),
+            posexplode(col("centroid")).as(Seq("pos", "m")))
+          .select(col("cid"), col("n"),
+            (col("pos") + 1).cast("int").as("dim"), col("m"))
+          .orderBy(col("cid"), col("dim"))
       },
       Some(s"""WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
               |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
@@ -131,12 +138,11 @@ object SimilarityQueries {
               |        FROM v CROSS JOIN cent)) WHERE r = 1),
               |el AS (SELECT cid, i, vv[i]::DOUBLE AS x
               |       FROM assign CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
-              |means AS (SELECT cid, i,
+              |means AS (SELECT cid, CAST(i AS INTEGER) AS dim,
               |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS m
               |  FROM el GROUP BY cid, i),
-              |agg AS (SELECT cid, list(m ORDER BY i) AS centroid FROM means GROUP BY cid),
               |sizes AS (SELECT cid, COUNT(*) AS n FROM assign GROUP BY cid)
-              |SELECT cid, n, centroid FROM agg JOIN sizes USING (cid)
-              |ORDER BY cid""".stripMargin))
+              |SELECT cid, n, dim, m FROM means JOIN sizes USING (cid)
+              |ORDER BY cid, dim""".stripMargin))
   )
 }

@@ -30,10 +30,13 @@ class GcdFixtureSpec extends SparkSpec {
         if (r.isNullAt(r.fieldIndex("story_id"))) -1L
         else r.getLong(r.fieldIndex("story_id"))) -> r).toMap
 
-    // E1/curated story: provenance + compound expansion survived the gate
+    // E1/curated story: provenance + compound expansion survived the gate.
+    // Array columns surface as canonical JSON text in the gated projection
+    // (GcdQueries.jsonArrays) — these assertions pin the exact rendering
+    // the DuckDB oracle's to_json must also produce.
     val e1 = snap((9000001L, 9001000L))
     assert(e1.getAs[String]("story_credit_source") == "gcd_story_credit")
-    assert(e1.getAs[collection.Seq[String]]("story_script") == Seq("Jack K"))
+    assert(e1.getAs[String]("story_script") == """["Jack K"]""")
     // E2: null story block, missing dictionary, JDBC null→0
     val e2 = snap((9000002L, -1L))
     assert(e2.isNullAt(e2.fieldIndex("series_country_code")))
@@ -43,14 +46,13 @@ class GcdFixtureSpec extends SparkSpec {
     val e3 = snap((9000003L, 9001003L))
     assert(e3.getAs[Long]("indicia_publisher_id") == 0L)
     assert(e3.getAs[String]("story_credit_source") == "gcd_story")
-    assert(e3.getAs[collection.Seq[String]]("story_script") ==
-      Seq("Fallback", "Guy"))
+    assert(e3.getAs[String]("story_script") == """["Fallback","Guy"]""")
     // E4: overflow issue number → null; non-calendar date kept as digits
     val e4 = snap((9000004L, -1L))
     assert(e4.isNullAt(e4.fieldIndex("issue_number")))
     assert(e4.getAs[Int]("publication_date") == 19621399)
-    assert(e4.getAs[collection.Seq[String]]("price") == Seq(""))
-    assert(e4.getAs[collection.Seq[String]]("editing") == Seq())
+    assert(e4.getAs[String]("price") == """[""]""")
+    assert(e4.getAs[String]("editing") == "[]")
     // E5: signed number, all-zero date
     val e5 = snap((9000005L, -1L))
     assert(e5.getAs[Int]("issue_number") == -7)

@@ -24,8 +24,14 @@ def canon(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.10g}"
-    if isinstance(v, list):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (list, tuple)):
+        # The driver's comparator sorts rows with pandas.sort_values, which
+        # raises `unhashable type: numpy.ndarray` on array cells (round-2
+        # g01/g02/m03/s04). Mirror that: array-typed output is a hard FAIL —
+        # queries must emit scalar columns (explode, join, or to_json).
+        raise ValueError(
+            "array-typed value in result (driver comparator cannot sort "
+            "arrays — emit scalars: explode / concat_ws / to_json)")
     return str(v)
 
 
@@ -79,8 +85,15 @@ def main():
         # normalize column order by name, then sort rows
         sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
         didx = [duck_cols.index(c) for c in sorted(duck_cols)]
-        s_norm = sorted(tuple(canon(r[i]) for i in sidx) for r in spark_rows)
-        d_norm = sorted(tuple(canon(r[i]) for i in didx) for r in duck_rows)
+        try:
+            s_norm = sorted(tuple(canon(r[i]) for i in sidx)
+                            for r in spark_rows)
+            d_norm = sorted(tuple(canon(r[i]) for i in didx)
+                            for r in duck_rows)
+        except ValueError as e:
+            print(f"FAIL {name}: {e}")
+            failures += 1
+            continue
         if len(s_norm) != len(d_norm):
             print(f"FAIL {name}: rowcount spark={len(s_norm)} duck={len(d_norm)}")
             failures += 1
