@@ -20,6 +20,42 @@ object SimilarityQueries {
        |    sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))) AS nb,
        |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos""".stripMargin
 
+  private val s01Oracle: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+       |scored AS (SELECT qid, v.vec_id AS nid,
+       |    ${cosSelect("qv", "v.embedding")}
+       |  FROM q JOIN embeddings v ON v.vec_id <> qid),
+       |r AS (SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  private val s02Oracle: String =
+    s"""WITH planes AS (
+       |  SELECT b, i,
+       |    (CAST(('0x' || substr(md5('plane:' || b || ':' || i), 1, 15)) AS BIGINT)
+       |      % 2000001 - 1000000) / 1000000.0 AS w
+       |  FROM (SELECT unnest(generate_series(0, 3)) AS b),
+       |       (SELECT unnest(generate_series(0, 63)) AS i)),
+       |sigs AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS sig
+       |  FROM (SELECT e.vec_id, p.b, SUM(e.embedding[p.i + 1]::DOUBLE * p.w) AS proj
+       |        FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.b)
+       |  GROUP BY vec_id),
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, s.sig AS qsig
+       |      FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
+       |      WHERE e.vec_id % 50 = 0),
+       |scored AS (SELECT qid, v.vec_id AS nid,
+       |    ${cosSelect("qv", "v.embedding")}
+       |  FROM q JOIN sigs sv ON sv.sig = qsig
+       |  JOIN embeddings v ON v.vec_id = sv.vec_id AND v.vec_id <> qid),
+       |r AS (SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -31,15 +67,7 @@ object SimilarityQueries {
         Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
-              |scored AS (SELECT qid, v.vec_id AS nid,
-              |    ${cosSelect("qv", "v.embedding")}
-              |  FROM q JOIN embeddings v ON v.vec_id <> qid),
-              |r AS (SELECT qid, nid, cos,
-              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-              |  FROM scored)
-              |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
-              |ORDER BY qid, rank""".stripMargin)),
+      Some(s01Oracle)),
 
     // ----------------------------------------------------------------
     // s02 — 4-bit random-hyperplane LSH: queries score only their own
@@ -52,29 +80,39 @@ object SimilarityQueries {
             k = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s"""WITH planes AS (
-              |  SELECT b, i,
-              |    (CAST(('0x' || substr(md5('plane:' || b || ':' || i), 1, 15)) AS BIGINT)
-              |      % 2000001 - 1000000) / 1000000.0 AS w
-              |  FROM (SELECT unnest(generate_series(0, 3)) AS b),
-              |       (SELECT unnest(generate_series(0, 63)) AS i)),
-              |sigs AS (
-              |  SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS sig
-              |  FROM (SELECT e.vec_id, p.b, SUM(e.embedding[p.i + 1]::DOUBLE * p.w) AS proj
-              |        FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.b)
-              |  GROUP BY vec_id),
-              |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, s.sig AS qsig
-              |      FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
-              |      WHERE e.vec_id % 50 = 0),
-              |scored AS (SELECT qid, v.vec_id AS nid,
-              |    ${cosSelect("qv", "v.embedding")}
-              |  FROM q JOIN sigs sv ON sv.sig = qsig
-              |  JOIN embeddings v ON v.vec_id = sv.vec_id AND v.vec_id <> qid),
-              |r AS (SELECT qid, nid, cos,
-              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-              |  FROM scored)
-              |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
-              |ORDER BY qid, rank""".stripMargin)),
+      Some(s02Oracle)),
+
+    // ----------------------------------------------------------------
+    // s05 — ANN quality evaluation: recall@5 of the LSH bucket path
+    // against the exact brute-force ground truth, per query — the metric
+    // a real index deployment gates on before swapping s01 for s02.
+    // Composes the two existing operators and counts the overlap of the
+    // two top-5 sets; n_hits/5 is exact rational-in-double math, so the
+    // oracle (the two SQL restatements composed the same way) hash-matches
+    // with no rounding.
+    Q("s05_ann_recall",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val truth = Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5)
+          .select(col("qid"), col("nid"))
+        val approx = Similarity.lshTopK(e, q, "vec_id", "embedding",
+            dim = 64, bits = 4, k = 5)
+          .select(col("qid").as("aqid"), col("nid").as("anid"))
+        truth.join(approx,
+            col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("anid")).as("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            (col("n_hits").cast("double") / 5).as("recall_at_5"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""WITH t AS (SELECT qid, nid FROM ($s01Oracle)),
+              |a AS (SELECT qid, nid FROM ($s02Oracle))
+              |SELECT t.qid, COUNT(a.nid) AS n_hits,
+              |  CAST(COUNT(a.nid) AS DOUBLE) / 5 AS recall_at_5
+              |FROM t LEFT JOIN a ON t.qid = a.qid AND t.nid = a.nid
+              |GROUP BY t.qid ORDER BY t.qid""".stripMargin)),
 
     // ----------------------------------------------------------------
     // s03 — deterministic IVF (first 32 stride-50 centroids, 2 probes):

@@ -121,8 +121,31 @@ object StreamingQueries {
        |WHERE end_us <= (mx // 1000 - 3600000) * 1000
        |ORDER BY user_id, start_epoch""".stripMargin
 
+  /** q38: stream-stream interval join (click→purchase attribution within
+   * 1 hour) through the real streaming engine. Inner-join matches emit in
+   * the completing micro-batch, so the oracle is the batch interval join
+   * over exact µs integers — no watermark clause. */
+  private def runAttribution(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(s, dir, ev =>
+      EventStream.attribution(ev, "click", "purchase",
+        horizon = "1 hour", watermark = "2 hours"))
+      .select(col("user_id"), col("from_id").as("click_id"),
+        col("to_id").as("purchase_id"), col("lag_us"), col("value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+
+  private def attributionOracle: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+       |    epoch_ns(ts) // 1000 AS us FROM events)
+       |SELECT a.user_id AS user_id, a.event_id AS click_id,
+       |  b.event_id AS purchase_id, b.us - a.us AS lag_us, b.value
+       |FROM e a JOIN e b ON a.user_id = b.user_id
+       |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+       |  AND b.us >= a.us AND b.us - a.us <= 3600000000
+       |ORDER BY a.user_id, click_id, purchase_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q36_stream_sessions", runSessions, Some(sessionsOracle)),
+    Q("q38_stream_attribution", runAttribution, Some(attributionOracle)),
     Q("q30_stream_hourly", run,
       Some(s"""WITH mx AS (SELECT max(ts) AS m FROM events),
               |agg AS (

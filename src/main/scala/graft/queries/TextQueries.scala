@@ -252,6 +252,97 @@ object TextQueries {
               |FROM base ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // t07 — unigram language-model scoring (perplexity proxy): corpus
+    // unigram frequencies → per-document mean negative log-likelihood,
+    // the standard model-free quality/rarity signal over a pretraining
+    // corpus. Scale shape: per-(doc, token) counts FIRST (bounds the
+    // scoring join to distinct pairs, not token instances), vocab from a
+    // second partial-aggregated rollup of those counts, and the corpus
+    // total piggybacked onto the vocab rows via an unpartitioned window
+    // over the VOCAB (dictionary-sized, not corpus-sized — a third full
+    // corpus scan for one scalar would be the real cost at 100 TB).
+    // The scoring join broadcasts the vocab when it fits (AQE decides);
+    // a trillion-token corpus with an unbroadcastable vocab falls back to
+    // a shuffle join where the Zipf head is the skew key — operators/Skew
+    // salting is the documented escape hatch.
+    // Cross-engine exactness: each distinct count gets ONE 6dp-rounded
+    // -ln(p); the per-doc mean is the exact DECIMAL sum of those rounded
+    // values weighted by k, divided in doubles.
+    Q("t07_unigram_lm",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val docTok = docs
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("k"))
+        val wAll = Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val vocab = docTok.groupBy(col("tok")).agg(sum(col("k")).as("cnt"))
+          .withColumn("n_corpus", sum(col("cnt")).over(wAll))
+        docTok.join(vocab, "tok")
+          .withColumn("nll", round(-log(
+            col("cnt").cast("double") / col("n_corpus").cast("double")), 6))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("k")).as("n_tokens"),
+            (sum(Exact.dec(col("nll")) * col("k")).cast("double") /
+              sum(col("k"))).as("avg_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
+              |toks AS (SELECT doc_id, unnest(string_split_regex(t, ' ')) AS tok
+              |         FROM base WHERE t <> ''),
+              |dt AS (SELECT doc_id, tok, COUNT(*) AS k FROM toks GROUP BY doc_id, tok),
+              |vocab AS (SELECT tok, CAST(SUM(k) AS BIGINT) AS cnt FROM dt GROUP BY tok),
+              |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_corpus FROM vocab),
+              |scored AS (SELECT dt.doc_id, dt.k,
+              |    round(-ln(CAST(v.cnt AS DOUBLE) / CAST(t.n_corpus AS DOUBLE)), 6) AS nll
+              |  FROM dt JOIN vocab v USING (tok), tot t)
+              |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(CAST(nll AS DECIMAL(18,6)) * k) AS DOUBLE) / SUM(k) AS avg_nll
+              |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t08 — within-document repetition ratio (Gopher-style quality rule):
+    // fraction of word 3-gram instances that are repeats of an earlier
+    // 3-gram in the same document. Pure scan-stage expression math — the
+    // shingle arrays never leave the projection, so at 100 TB this is a
+    // single codegen'd pass with no shuffle at all (the only exchange is
+    // the final presentation sort, which a real pipeline wouldn't do).
+    // rep_ratio = (n - distinct)/n is one exact IEEE division — no
+    // rounding needed for the cross-engine hash.
+    Q("t08_repetition",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("doc_id"), TF.tokens(col("text")).as("__tok"))
+          .select(col("doc_id"),
+            greatest(size(col("__tok")) - 2, lit(0)).cast("long")
+              .as("n_grams"),
+            size(TF.wordShinglesFromTokens(col("__tok"), 3)).cast("long")
+              .as("n_distinct"))
+          .withColumn("rep_ratio",
+            when(col("n_grams") > 0,
+              (col("n_grams") - col("n_distinct")).cast("double") /
+                col("n_grams"))
+              .otherwise(lit(0.0)))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
+              |toks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM base),
+              |g AS (SELECT doc_id,
+              |    CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_grams,
+              |    CAST(CASE WHEN len(w) >= 3 THEN len(list_distinct(
+              |        list_transform(generate_series(1, len(w) - 2),
+              |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+              |      ELSE 0 END AS BIGINT) AS n_distinct
+              |  FROM toks)
+              |SELECT doc_id, n_grams, n_distinct,
+              |  CASE WHEN n_grams > 0
+              |    THEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams
+              |    ELSE 0.0 END AS rep_ratio
+              |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // t06 — benchmark decontamination (operators/Contamination): per
     // held-out doc (doc_id % 50 = 0), the fraction of its distinct word
     // 5-grams that occur anywhere in the training split. One equality

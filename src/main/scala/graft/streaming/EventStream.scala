@@ -41,4 +41,35 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), Exact.dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /**
+   * Stream-stream interval join (attribution): every `toType` event is
+   * matched to the same user's `fromType` events in the preceding
+   * `horizon` — click→purchase attribution shape. A true streaming
+   * self-join: both branches read the same stream, each carries its own
+   * watermark, and the two-sided event-time range condition is what lets
+   * the join state be evicted (without it, stream-stream join state grows
+   * forever). Inner-join matches emit in the micro-batch that completes
+   * them, so the batch restatement is the plain interval join — no
+   * watermark term in the oracle.
+   */
+  def attribution(events: DataFrame, fromType: String, toType: String,
+      horizon: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val from = events.filter(col("event_type") === fromType)
+      .select(col("event_id").as("from_id"), col("user_id"),
+        col("ts").as("from_ts"))
+      .withWatermark("from_ts", watermark)
+    val to = events.filter(col("event_type") === toType)
+      .select(col("event_id").as("to_id"), col("user_id").as("to_user"),
+        col("ts").as("to_ts"), col("value"))
+      .withWatermark("to_ts", watermark)
+    from.join(to,
+        expr(s"user_id = to_user AND to_ts >= from_ts " +
+          s"AND to_ts <= from_ts + interval $horizon"), "inner")
+      .select(col("user_id"), col("from_id"), col("to_id"),
+        (unix_micros(col("to_ts")) - unix_micros(col("from_ts")))
+          .as("lag_us"),
+        col("value"))
+  }
 }

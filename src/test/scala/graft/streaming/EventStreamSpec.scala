@@ -66,4 +66,26 @@ class EventStreamSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)))
   }
+
+  test("stream-stream attribution joins purchases to prior clicks in horizon") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.attribution(in.toDF(), "click", "purchase",
+        horizon = "1 hour")
+      .writeStream.format("memory").queryName("attr").outputMode("append")
+      .start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 0.0),
+        ev(2, "2024-01-01 10:30:00", 1, "purchase", 9.5), // 30m after → match
+        ev(3, "2024-01-01 12:00:00", 1, "purchase", 3.0), // 2h after → out
+        ev(4, "2024-01-01 09:00:00", 1, "purchase", 1.0), // before → out
+        ev(5, "2024-01-01 10:10:00", 2, "purchase", 7.0)) // other user → out
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM attr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(rows == Set((1L, 1L, 2L, 1800000000L, 9.5)))
+    } finally q.stop()
+  }
 }
