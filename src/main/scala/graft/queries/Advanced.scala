@@ -16,6 +16,32 @@ object Advanced {
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
+    // q39 — the skew-salted join (operators/Skew), driver-gated: the
+    // lineitem fact salted 8 ways against a replicated orders projection,
+    // then re-aggregated. The oracle is the PLAIN join — the driver's
+    // hash gate is the proof that salting is semantics-preserving, which
+    // is exactly the property you rely on when a hot key forces this
+    // shape at 100 TB (broadcast-infeasible dim + Zipf fact key). Salt
+    // comes from a high-cardinality column (l_partkey), never rand().
+    Q("q39_salted_join",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        graft.operators.Skew.saltedJoin(l, o, "l_orderkey", "o_orderkey",
+            saltFrom = "l_partkey", factor = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+              |  ${sqlDsum("l_extendedprice")} AS sum_price
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q19 — as-of (last-touch) attribution: each purchase matched to the
     // user's most recent earlier click, as an ordered window composition
     // (the "as-of join" of SURVEY §2.2 notes, built from existing ops).

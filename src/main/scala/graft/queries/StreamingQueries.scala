@@ -38,6 +38,14 @@ object StreamingQueries {
       transform: DataFrame => DataFrame): DataFrame = {
     val prev = s.conf.getOption(NanosConf)
     s.conf.set(NanosConf, "true")
+    // Streaming state cost scales with the partition count fixed at first
+    // run: every micro-batch commits one state-store delta PER PARTITION
+    // PER stateful operator (q38's join keeps 4 stores/partition), so 32
+    // partitions is pure fixed overhead at bench volumes. 8 here is a
+    // BENCH-scale setting — a real deployment sizes it to state volume,
+    // and the checkpoint pins it thereafter.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       // streaming file sources need an explicit schema; take it from the
       // batch footer read (ts arrives as LongType nanos under NanosConf)
@@ -66,9 +74,12 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(out)
-    } finally prev match {
-      case Some(v) => s.conf.set(NanosConf, v)
-      case None => s.conf.unset(NanosConf)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(v) => s.conf.set(NanosConf, v)
+        case None => s.conf.unset(NanosConf)
+      }
     }
   }
 
@@ -143,9 +154,35 @@ object StreamingQueries {
        |  AND b.us >= a.us AND b.us - a.us <= 3600000000
        |ORDER BY a.user_id, click_id, purchase_id""".stripMargin
 
+  /** q40: CUSTOM keyed state via typed flatMapGroupsWithState — per-user
+   * running (count, exact sum, last-seen), emitted when the event-time
+   * watermark passes last_seen + 30 min (group timeout), state dropped.
+   * Oracle: per-user aggregate filtered by the same strict ms-truncated
+   * timeout comparison, sum restated as SUM(CAST(value AS DECIMAL(18,6)))
+   * which the operator mirrors element-for-element. */
+  private def runInactive(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(s, dir, ev =>
+      EventStream.inactiveUserSummary(ev,
+        inactivityMs = 30L * 60 * 1000, watermark = "1 hour").toDF())
+      .orderBy(col("user_id"))
+
+  private def inactiveOracle: String =
+    s"""WITH e AS (SELECT user_id, value, epoch_ns(ts) // 1000 AS us
+       |           FROM events),
+       |m AS (SELECT max(us) AS mx FROM e),
+       |agg AS (SELECT user_id, COUNT(*) AS n_events,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       |    MAX(us) AS last_us
+       |  FROM e GROUP BY user_id)
+       |SELECT user_id, n_events, sum_value, last_us // 1000000 AS last_epoch
+       |FROM agg, m
+       |WHERE last_us // 1000 + 1800000 < mx // 1000 - 3600000
+       |ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q36_stream_sessions", runSessions, Some(sessionsOracle)),
     Q("q38_stream_attribution", runAttribution, Some(attributionOracle)),
+    Q("q40_stream_custom_state", runInactive, Some(inactiveOracle)),
     Q("q30_stream_hourly", run,
       Some(s"""WITH mx AS (SELECT max(ts) AS m FROM events),
               |agg AS (

@@ -1,8 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.queries.Exact
+
+/** Running per-user state for [[EventStream.inactiveUserSummary]]: the
+ * value sum is held as a scale-6 unscaled long (micro-units) so the
+ * accumulation is exact and ORDER-INDEPENDENT — a running double sum
+ * would depend on the nondeterministic within-group iterator order. */
+case class UserAgg(n: Long, sumMicros: Long, lastUs: Long)
+
+/** Emitted summary of a user gone inactive (see
+ * [[EventStream.inactiveUserSummary]]). */
+case class UserSummary(user_id: Long, n_events: Long, sum_value: Double,
+    last_epoch: Long)
 
 /**
  * Structured Streaming transforms over the `events` schema
@@ -71,5 +83,64 @@ object EventStream {
         (unix_micros(col("to_ts")) - unix_micros(col("from_ts")))
           .as("lag_us"),
         col("value"))
+  }
+
+  /**
+   * Custom keyed state via typed `flatMapGroupsWithState` (the API the
+   * built-in windows can't replace when state logic is arbitrary): per
+   * user, accumulate (count, exact value sum, last event time); when the
+   * event-time watermark passes `last event + inactivityMs`, the group
+   * TIMES OUT and emits one summary row, and its state is dropped.
+   *
+   * Semantics pinned for the batch restatement: a group fires when
+   * `last_ms + inactivityMs < watermark_ms` (Spark's timeout check is
+   * strict, and both sides are millisecond-truncated); the value sum
+   * mirrors `SUM(CAST(value AS DECIMAL(18,6)))` element-for-element
+   * (each double is decimal-rounded half-up on arrival, the accumulation
+   * is exact long arithmetic).
+   *
+   * Scale notes: state is one 24-byte struct per ACTIVE user — the
+   * watermark timeout is what keeps "active" bounded; without it this
+   * operator would hold every user ever seen. Timeout timestamps must be
+   * ahead of the current watermark, which holds for any in-order
+   * micro-batch feed of `inactivityMs ≥ 0` (late groups re-arm from
+   * their own watermark-bounded events).
+   */
+  def inactiveUserSummary(events: DataFrame,
+      inactivityMs: Long = 30L * 60 * 1000,
+      watermark: String = "1 hour"): Dataset[UserSummary] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select(col("user_id"), col("value"), col("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserAgg, UserSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
+            state: GroupState[UserAgg]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(UserSummary(uid, st.n,
+              BigDecimal(st.sumMicros, 6).toDouble, st.lastUs / 1000000L))
+          } else {
+            var st = state.getOption.getOrElse(UserAgg(0L, 0L, Long.MinValue))
+            rows.foreach { case (_, v, ts) =>
+              val us = math.floorDiv(ts.getTime, 1000L) * 1000000L +
+                ts.getNanos / 1000L
+              // same per-element rounding as Spark's/DuckDB's
+              // CAST(double AS DECIMAL(18,6))
+              val micros = BigDecimal.decimal(v)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .underlying.unscaledValue.longValueExact
+              st = UserAgg(st.n + 1, st.sumMicros + micros,
+                math.max(st.lastUs, us))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastUs / 1000L + inactivityMs)
+            Iterator.empty
+          }
+        })
   }
 }

@@ -88,4 +88,29 @@ class EventStreamSpec extends SparkSpec {
       assert(rows == Set((1L, 1L, 2L, 1800000000L, 9.5)))
     } finally q.stop()
   }
+
+  test("custom state emits a user summary on event-time timeout only") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.inactiveUserSummary(in.toDF(),
+        inactivityMs = 30L * 60 * 1000, watermark = "1 hour")
+      .toDF()
+      .writeStream.format("memory").queryName("ius").outputMode("append")
+      .start()
+    try {
+      // batch 1: user 1 active early, user 2 late (keeps watermark moving)
+      in.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "click", 1.25),
+        ev(2, "2024-01-01 10:10:00", 1, "view", 2.5))
+      q.processAllAvailable()
+      // batch 2: watermark → 13:00-1h = 12:00 > 10:10+30m → user 1 fires;
+      // user 3's own timeout (12:30) is not passed → stays in state
+      in.addData(ev(3, "2024-01-01 13:00:00", 3, "click", 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM ius").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(rows == Set((1L, 2L, 3.75, 1704103800L)))
+    } finally q.stop()
+  }
 }
