@@ -343,6 +343,111 @@ object TextQueries {
               |FROM g ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // t09 — document chunking for training: fixed 50-token windows (last
+    // partial window kept), the split step every pretraining pipeline
+    // runs before packing. All window math happens in the scan stage —
+    // the explode multiplies rows, not bytes (each chunk carries only its
+    // digest), so nothing doc-sized ever shuffles.
+    Q("t09_chunking",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("doc_id"), TF.tokens(col("text")).as("__tok"))
+          .select(col("doc_id"), col("__tok"),
+            size(col("__tok")).as("__n"))
+          .filter(col("__n") > 0)
+          .withColumn("chunk_idx",
+            explode(sequence(lit(0),
+              ((col("__n") - 1) / 50).cast("int"))))
+          .select(col("doc_id"), col("chunk_idx"),
+            slice(col("__tok"), col("chunk_idx") * 50 + 1, lit(50))
+              .as("__chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("__chunk")).as("n_chunk_tokens"),
+            md5(array_join(col("__chunk"), " ")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
+              |toks AS (SELECT doc_id, string_split_regex(t, ' ') AS w,
+              |    len(string_split_regex(t, ' ')) AS n FROM base
+              |  WHERE t <> ''),
+              |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+              |    w[i * 50 + 1 : least((i + 1) * 50, n)] AS c
+              |  FROM toks, unnest(generate_series(0, (n - 1) // 50)) u(i))
+              |SELECT doc_id, chunk_idx,
+              |  CAST(len(c) AS INT) AS n_chunk_tokens,
+              |  md5(array_to_string(c, ' ')) AS chunk_md5
+              |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t10 — deterministic training-mixture sampling: each source gets a
+    // rate from {1.0, 0.75, 0.5, 0.25} (derived from its index), and a
+    // doc survives iff hash60(source:doc_id) < rate·2^60 — the
+    // hash-threshold idiom that gives exact, reshuffle-stable mixture
+    // weights with no rand() and no coordination. The comparison is
+    // exact 60-bit integer math both engines reproduce bit-for-bit.
+    Q("t10_mixture",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val quarter = 288230376151711744L // 2^60 / 4
+        val m = expr("substring(source, 4)").cast("int") % 4
+        val limit = (lit(4) - m).cast("long") * quarter
+        val kept = TF.hash60(
+          concat(col("source"), lit(":"), col("doc_id").cast("string")))
+          .< (limit)
+        docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+            coalesce(sum(when(kept, col("n_chars"))), lit(0L))
+              .as("kept_chars"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source, doc_id, n_chars,
+             |    CAST(('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+             |      < (4 - CAST(substr(source, 4) AS INT) % 4) * 288230376151711744 AS kept
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_total,
+             |  CAST(COALESCE(SUM(CASE WHEN kept THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+             |  CAST(COALESCE(SUM(n_chars) FILTER (WHERE kept), 0) AS BIGINT) AS kept_chars
+             |FROM d GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t11 — sequence packing (concat-and-split): per shard (= source),
+    // documents are concatenated in doc_id order and the token stream is
+    // cut every 512 tokens — each doc learns its global token offset and
+    // the training-sequence range it lands in. The prefix sum is a window
+    // PARTITIONED BY the shard, so shards pack in parallel; a single
+    // global pack would be a one-partition window, which is exactly why
+    // real pipelines pack per shard.
+    Q("t11_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        docs.select(col("doc_id"), col("source"),
+            TF.tokenCount(col("text")).as("n_tokens"))
+          .withColumn("tok_offset",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("first_seq", expr("tok_offset div 512"))
+          .withColumn("last_seq",
+            expr("(tok_offset + n_tokens - 1) div 512"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, source, $normT AS t FROM documents),
+              |n AS (SELECT doc_id, source,
+              |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens
+              |  FROM base),
+              |o AS (SELECT doc_id, source, n_tokens,
+              |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+              |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+              |      AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+              |  FROM n)
+              |SELECT doc_id, source, n_tokens, tok_offset,
+              |  tok_offset // 512 AS first_seq,
+              |  (tok_offset + n_tokens - 1) // 512 AS last_seq
+              |FROM o ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // t06 — benchmark decontamination (operators/Contamination): per
     // held-out doc (doc_id % 50 = 0), the fraction of its distinct word
     // 5-grams that occur anywhere in the training split. One equality
