@@ -26,12 +26,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
  * is only emitted when the array type says elements can be null, so the
  * codegen'd hot loop stays branch-free for non-null vectors.
  */
-case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class DotProductExpr(left: Expression, right: Expression,
+    lenient: Boolean = false) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
-  override def nullable: Boolean =
+  override def nullable: Boolean = lenient ||
     left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {
@@ -49,8 +49,15 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) throw new IllegalArgumentException(
-      s"dot_product: vector length mismatch ${x.numElements()} vs ${y.numElements()}")
+    // strict: a malformed embedding fails loudly. lenient (the optimizer-
+    // rewrite target, RewriteHofDotProduct): mismatched lengths yield
+    // null — EXACTLY what aggregate(zip_with(a,b,*),0.0,+) computes,
+    // because zip_with pads the shorter side with nulls.
+    if (x.numElements() != y.numElements()) {
+      if (lenient) return null
+      throw new IllegalArgumentException(
+        s"dot_product: vector length mismatch ${x.numElements()} vs ${y.numElements()}")
+    }
     val n = x.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     val checkNulls = elemNullable(left) || elemNullable(right)
@@ -84,19 +91,23 @@ case class DotProductExpr(left: Expression, right: Expression)
         if (elemNullable(left) || elemNullable(right))
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
+      val mismatch =
+        if (lenient) s"${ev.isNull} = true;"
+        else s"""throw new IllegalArgumentException(
+           |  "dot_product: vector length mismatch " + $a.numElements() +
+           |  " vs " + $b.numElements());""".stripMargin
       s"""
          |if ($a.numElements() != $b.numElements()) {
-         |  throw new IllegalArgumentException(
-         |    "dot_product: vector length mismatch " + $a.numElements() +
-         |    " vs " + $b.numElements());
+         |  $mismatch
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $sum += ($lGet) * ($rGet);
+         |  }
+         |  ${ev.value} = $sum;
          |}
-         |int $n = $a.numElements();
-         |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  $sum += ($lGet) * ($rGet);
-         |}
-         |${ev.value} = $sum;
        """.stripMargin
     })
 

@@ -21,4 +21,12 @@ object GraftExpressionBridge {
       case Some(s: classic.SparkSession) => s.expression(c)
       case _ => classic.ExpressionUtils.expression(c)
     }
+
+  /** Test hook: the rules a `SparkSessionExtensions` instance would
+   * inject (`buildOptimizerRules` is `private[sql]`). */
+  def injectedOptimizerRules(ext: SparkSessionExtensions,
+      s: SparkSession): Seq[
+        org.apache.spark.sql.catalyst.rules.Rule[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(s)
 }
