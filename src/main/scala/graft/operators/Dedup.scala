@@ -131,6 +131,54 @@ object Dedup {
       .filter(col("est_sim") >= minSim)
   }
 
+  /**
+   * Incremental dedup: classify a NEW BATCH of documents against an
+   * existing corpus — `exact_dup` (fingerprint already in the corpus),
+   * `near_dup` (shares a MinHash/LSH band bucket with a corpus doc), or
+   * `new`. This is the monthly-snapshot shape: at 100 TB the corpus
+   * side's fingerprints and band keys are computed once and stored (here
+   * they're derived inline from the corpus frame — the plan is the
+   * same), and the batch probes them with two semi-joins. No candidate
+   * PAIRS are ever materialized: the near-dup probe is a left-semi on
+   * the band key, so a batch doc bucketed with a million corpus docs
+   * costs one hit, not a million.
+   *
+   * Docs with no shingles (under 3 tokens) never enter a bucket — an
+   * empty signature is all-null and would otherwise bucket every
+   * token-poor doc together.
+   */
+  def incremental(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def sigs(df: DataFrame) = df
+      .select(col(idCol).as("id"), TF.normalizeText(col(textCol)).as("__t"))
+      .select(col("id"), md5(col("__t")).as("fp"),
+        TF.tokensFromNorm(col("__t")).as("__tok"))
+      .select(col("id"), col("fp"),
+        TF.wordShinglesFromTokens(col("__tok"), 3).as("__sh"))
+      .select(col("id"), col("fp"), size(col("__sh")).as("__nsh"),
+        transform(col("__sh"),
+          s => TF.hash60(s).bitwiseAND(lit(MhMask))).as("__hs"))
+      .select(col("id"), col("fp"), col("__nsh"),
+        minHashSigFromHashes(col("__hs"), k).as("sig"))
+    def buckets(s: DataFrame) = s.filter(col("__nsh") > 0)
+      .select(col("id"), explode(array((0 until bands).map(b =>
+        concat(lit(s"$b|"), bandKey(col("sig"), b, r))): _*)).as("bkey"))
+    val cs = sigs(corpus); val bs = sigs(batch)
+    val corpusFp = cs.select(col("fp")).distinct()
+    val near = buckets(bs)
+      .join(buckets(cs).select(col("bkey")), Seq("bkey"), "left_semi")
+      .select(col("id")).distinct()
+    bs.select(col("id"), col("fp"))
+      .join(corpusFp.withColumn("__ex", lit(1)), Seq("fp"), "left")
+      .join(near.withColumn("__nr", lit(1)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__ex") === 1, "exact_dup")
+          .when(col("__nr") === 1, "near_dup")
+          .otherwise("new").as("status"))
+  }
+
   // ------------------------------------------------------------------
   // Near-dup clusters (connected components)
 

@@ -169,6 +169,50 @@ object DedupQueries {
               |GROUP BY id ORDER BY id""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // d08 — incremental dedup: the monthly-snapshot shape. Batch =
+    // doc_id % 10 = 0, corpus = the rest; each batch doc classified
+    // exact_dup / near_dup / new via two semi-join probes (fingerprint
+    // set, band-bucket set) — no candidate pairs materialized.
+    Q("d08_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        Dedup.incremental(corpus, batch, "doc_id", "text",
+            k = 16, bands = 4)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val seedRows = (0 until 16).map(i =>
+          s"($i, ${Dedup.mhCoeffA(i)}, ${Dedup.mhCoeffB(i)})")
+          .mkString(", ")
+        s"""$shinglesCte,
+           |fp AS (SELECT doc_id, md5(t) AS fp FROM d),
+           |corpus_fp AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 0),
+           |hs AS (SELECT doc_id, ${h60("s")} & 1073741823 AS h FROM sh),
+           |mh AS (SELECT doc_id, seed, min(a * h + b) AS h
+           |       FROM hs CROSS JOIN (VALUES $seedRows) seeds(seed, a, b)
+           |       GROUP BY doc_id, seed),
+           |bandkeys AS (SELECT doc_id, seed // 4 AS band,
+           |       string_agg(CAST(h AS VARCHAR), ',' ORDER BY seed) AS bkey
+           |       FROM mh GROUP BY doc_id, seed // 4),
+           |near AS (SELECT DISTINCT x.doc_id AS id
+           |       FROM bandkeys x JOIN bandkeys y
+           |         ON x.band = y.band AND x.bkey = y.bkey
+           |        AND x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0)
+           |SELECT f.doc_id,
+           |  CASE WHEN cf.fp IS NOT NULL THEN 'exact_dup'
+           |       WHEN n.id IS NOT NULL THEN 'near_dup'
+           |       ELSE 'new' END AS status
+           |FROM fp f
+           |LEFT JOIN corpus_fp cf ON f.fp = cf.fp
+           |LEFT JOIN near n ON f.doc_id = n.id
+           |WHERE f.doc_id % 10 = 0
+           |ORDER BY f.doc_id""".stripMargin
+      }),
+
+    // ----------------------------------------------------------------
     // d04 — exact n-gram (word-3-shingle) Jaccard pairs ≥ 0.8 via the
     // inverted shingle index (no O(n²) cross join), WITH the document-
     // frequency cap active: shingles in > 20 docs are dropped before the

@@ -124,4 +124,22 @@ class DedupSpec extends SparkSpec {
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("incremental dedup classifies batch docs against the corpus") {
+    // 11 repeats the SAME distinct shingle set as corpus doc 1 (the text
+    // is a longer cycle of the same 3 words) → identical minhash
+    // signature → near_dup deterministically, while fingerprints differ.
+    val corpus = Seq(
+      (1L, "x y z x y z"),
+      (2L, "p q r s t u v")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "x y z x y z"),            // identical text → exact_dup
+      (11L, "x y z x y z x y z"),      // same shingle set → near_dup
+      (12L, "completely different words here now") // → new
+    ).toDF("doc_id", "text")
+    val got = Dedup.incremental(corpus, batch, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "exact_dup", 11L -> "near_dup", 12L -> "new"))
+  }
 }
