@@ -62,12 +62,13 @@ object GraftFunctions {
   }
 }
 
-/** spark.sql.extensions hook — injects the function library at session
- * build time. */
+/** spark.sql.extensions hook — injects the function library AND the
+ * library's Catalyst optimizer rules at session build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    ext.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     GraftFunctions.unary.foreach { case (name, f) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft", name),

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+
 import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate,
   Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -80,13 +80,5 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     }
 }
 
-/**
- * `SparkSessionExtensions` entry point — enables the library's Catalyst
- * rules for sessions the library does not itself construct:
- *
- * {{{ spark.sql.extensions=graft.plans.GraftExtensions }}}
- */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
-}
+// The session-extensions entry point lives in [[graft.GraftExtensions]]
+// (one class injects the SQL function library and this rule together).

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
  * including the null-on-mismatch behavior the HOF form has. Behavior runs
  * on an isolated `newSession` with the rule installed through the public
  * `experimental.extraOptimizations` hook (a conf-built session with
- * `spark.sql.extensions` can't be constructed here: the suite JVM already
+ * `spark.sql.extensions` cannot be constructed here: the suite JVM already
  * holds a session, and extensions bind only at construction); the
  * `GraftExtensions` wiring itself is asserted against a fresh
  * `SparkSessionExtensions` instance. */
@@ -24,7 +24,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("GraftExtensions injects the rewrite rule") {
     val ext = new SparkSessionExtensions
-    new GraftExtensions().apply(ext)
+    new graft.GraftExtensions().apply(ext)
     val rules = org.apache.spark.sql.GraftExpressionBridge
       .injectedOptimizerRules(ext, graft.TestSpark.spark)
     assert(rules.contains(RewriteHofDotProduct),
