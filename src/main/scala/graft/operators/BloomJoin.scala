@@ -67,7 +67,11 @@ object BloomJoin {
   def bloomJoin(probe: DataFrame, build: DataFrame, probeKey: String,
       buildKey: String, expectedItems: Long): DataFrame = {
     val bloom = buildBloom(build, col(buildKey), expectedItems)
-    mightContain(probe, col(probeKey), bloom)
-      .join(build, col(probeKey) === col(buildKey))
+    val reduced = mightContain(probe, col(probeKey), bloom)
+    // Resolve each key against its own side: with bare col(...) both names
+    // would resolve in the JOINED plan, which is ambiguous whenever
+    // probeKey == buildKey (the common case) or either name exists on the
+    // other side.
+    reduced.join(build, reduced(probeKey) === build(buildKey))
   }
 }

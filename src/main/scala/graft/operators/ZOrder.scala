@@ -38,13 +38,20 @@ object ZOrder {
   def zValue(x: Column, y: Column, bits: Int): Column =
     interleave(pmod(x, lit(1L << bits)), pmod(y, lit(1L << bits)), bits)
 
-  /** The identical z-value arithmetic as engine-portable SQL (x/y are SQL
-   * expressions already bounded to `bits` bits). */
-  def zSql(x: String, y: String, bits: Int): String =
+  /** The identical z-value arithmetic as engine-portable SQL, including the
+   * same pmod bounding [[zValue]] applies — `zSql(x, y, b)` ≡
+   * `zValue(col(x), col(y), b)` for ALL inputs, negatives included
+   * (`%` alone is remainder in both engines, so the double-mod idiom
+   * spells pmod portably). */
+  def zSql(x: String, y: String, bits: Int): String = {
+    val m = 1L << bits
+    val xb = s"((($x) % $m + $m) % $m)"
+    val yb = s"((($y) % $m + $m) % $m)"
     (0 until bits).map { i =>
-      s"((($x) >> $i) & 1) * ${1L << (2 * i)} + " +
-        s"((($y) >> $i) & 1) * ${1L << (2 * i + 1)}"
+      s"(($xb >> $i) & 1) * ${1L << (2 * i)} + " +
+        s"(($yb >> $i) & 1) * ${1L << (2 * i + 1)}"
     }.mkString(" + ")
+  }
 
   /**
    * Layout operator: range-partition by z-value and sort within partitions,
@@ -54,9 +61,13 @@ object ZOrder {
    */
   def cluster(df: DataFrame, x: String, y: String, bits: Int,
       numPartitions: Int): DataFrame = {
-    val withZ = df.withColumn("__z", zValue(col(x), col(y), bits))
-    withZ.repartitionByRange(numPartitions, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    // Collision-free temp name: a caller's own "__z" (or "__z0"…) column
+    // must survive the round-trip untouched.
+    val tmp = Iterator.from(0).map(i => if (i == 0) "__z" else s"__z$i")
+      .find(n => !df.columns.contains(n)).get
+    val withZ = df.withColumn(tmp, zValue(col(x), col(y), bits))
+    withZ.repartitionByRange(numPartitions, col(tmp))
+      .sortWithinPartitions(col(tmp))
+      .drop(tmp)
   }
 }
