@@ -508,6 +508,64 @@ object Advanced {
              |  FROM orders o FULL OUTER JOIN newer n
              |    ON o.o_orderkey = n.o_orderkey)
              |SELECT o_orderkey, change_type FROM d
-             |WHERE change_type <> 'unchanged' ORDER BY o_orderkey""".stripMargin))
+             |WHERE change_type <> 'unchanged' ORDER BY o_orderkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q41 — Bloom-filter semi-join reduction (operators/BloomJoin),
+    // driver-gated: lineitem probed against a Bloom filter of a selective
+    // orders subset's keys BEFORE the exact join, so the shuffle carries
+    // only candidates. The oracle is the PLAIN filtered join — the hash
+    // gate proves the reduction is exact (the join removes the Bloom's
+    // false positives), the property a runtime filter relies on at 100 TB.
+    Q("q41_bloom_join",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 37 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        graft.operators.BloomJoin
+          .bloomJoin(l, o, "l_orderkey", "o_orderkey",
+            expectedItems = 100000L)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+              |  ${sqlDsum("l_extendedprice")} AS sum_price
+              |FROM lineitem
+              |JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+              |      WHERE o_orderkey % 37 = 0) o
+              |  ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q42 — Z-order curve math (operators/ZOrder), driver-gated: the
+    // Morton z-value over (l_partkey, l_suppkey) bucketed into 2-D tiles,
+    // with per-tile stats. The oracle recomputes the identical interleave
+    // via ZOrder.zSql — proving the curve any external reader of a
+    // z-clustered layout would compute matches the one the writer sorted
+    // by, which is what makes cross-engine row-group pruning sound.
+    Q("q42_zorder",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        l.withColumn("z",
+            graft.operators.ZOrder.zValue(col("l_partkey"), col("l_suppkey"), 6))
+          .withColumn("tile", shiftright(col("z"), 6))
+          .groupBy(col("tile"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("tile"))
+      },
+      Some(s"""SELECT tile, COUNT(*) AS n_rows,
+              |  MIN(z) AS z_min, MAX(z) AS z_max,
+              |  ${sqlDsum("l_quantity")} AS sum_qty
+              |FROM (SELECT (${graft.operators.ZOrder.zSql("l_partkey", "l_suppkey", 6)}) >> 6 AS tile,
+              |             (${graft.operators.ZOrder.zSql("l_partkey", "l_suppkey", 6)}) AS z,
+              |             l_quantity
+              |      FROM lineitem)
+              |GROUP BY tile ORDER BY tile""".stripMargin))
   )
 }
