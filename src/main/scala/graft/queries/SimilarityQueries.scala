@@ -181,6 +181,35 @@ object SimilarityQueries {
               |  FROM el GROUP BY cid, i),
               |sizes AS (SELECT cid, COUNT(*) AS n FROM assign GROUP BY cid)
               |SELECT cid, n, dim, m FROM means JOIN sizes USING (cid)
-              |ORDER BY cid, dim""".stripMargin))
+              |ORDER BY cid, dim""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // s06 — per-dimension embedding statistics (count / mean / min / max):
+    // the data-QA pass a vector corpus gets before indexing or training —
+    // a dead dimension, a scale outlier, or a truncated batch shows up
+    // here. One posexplode + one partial-aggregated shuffle on the
+    // dimension index (64 groups regardless of corpus size); means go
+    // through DECIMAL so both engines emit identical doubles, min/max are
+    // exact float widenings.
+    Q("s06_embedding_dim_stats",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        e.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select((col("pos") + 1).cast("int").as("dim"),
+            col("v").cast("double").as("x"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"),
+            Exact.davg(col("x")).as("mean_v"),
+            min(col("x")).as("min_v"), max(col("x")).as("max_v"))
+          .orderBy(col("dim"))
+      },
+      Some(s"""WITH u AS (
+              |  SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+              |         CAST(unnest(embedding) AS DOUBLE) AS x
+              |  FROM embeddings)
+              |SELECT dim, COUNT(*) AS n,
+              |  ${Exact.sqlDavg("x")} AS mean_v,
+              |  MIN(x) AS min_v, MAX(x) AS max_v
+              |FROM u GROUP BY dim ORDER BY dim""".stripMargin))
   )
 }

@@ -179,8 +179,30 @@ object StreamingQueries {
        |WHERE last_us // 1000 + 1800000 < mx // 1000 - 3600000
        |ORDER BY user_id""".stripMargin
 
+  /** q43: streaming exactly-once-style dedup through the real engine —
+   * the input stream is unioned with a copy of every third event (so
+   * one-third of ids arrive twice), then
+   * `dropDuplicatesWithinWatermark(event_id)` passes each id through
+   * once, state bounded by the watermark horizon. The sink must contain
+   * exactly the original event set; the oracle is simply the events
+   * table, which makes the driver's hash gate a direct proof that the
+   * duplicate copies were all absorbed and nothing real was dropped. */
+  private def runDedup(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(s, dir, ev => {
+      val dup = ev.union(ev.filter(col("event_id") % 3 === 0))
+      EventStream.dedupe(dup, watermark = "1 hour")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ep"), col("value"))
+    }).orderBy(col("event_id"))
+
+  private def dedupOracle: String =
+    """SELECT event_id, user_id, event_type,
+      |  epoch_us(ts) // 1000000 AS ep, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q36_stream_sessions", runSessions, Some(sessionsOracle)),
+    Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
     Q("q38_stream_attribution", runAttribution, Some(attributionOracle)),
     Q("q40_stream_custom_state", runInactive, Some(inactiveOracle)),
     Q("q30_stream_hourly", run,

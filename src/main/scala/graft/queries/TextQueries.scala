@@ -475,6 +475,91 @@ object TextQueries {
               |  COUNT(c.s) AS n_hit,
               |  round(CAST(COUNT(c.s) AS DOUBLE) / COUNT(*), 6) AS overlap
               |FROM held h LEFT JOIN corpus c ON h.s = c.s
-              |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin))
+              |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t12 — TF-IDF keyword extraction: top-3 terms per document by
+    // tf·ln((N+1)/(df+1)), ranked on the ROUNDED score (6 dp) so both
+    // engines order by the exact same hashed value — a transcendental
+    // (ln) is not guaranteed bit-identical across libm implementations,
+    // and ranking on the raw double would let a sub-ulp difference flip
+    // a rank. Plan: one token explode, two partial-aggregated shuffles
+    // (tf by (doc, term), df by term), a broadcast of the single-row
+    // corpus count, one window for the top-k — nothing driver-side.
+    Q("t12_tfidf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs
+          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))
+        tf.join(dfreq, "term")
+          .crossJoin(broadcast(nDocs))
+          .withColumn("tfidf", round(col("tf") *
+            log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+            col("df"), col("tfidf"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, t AS term FROM (
+              |    SELECT doc_id, unnest(string_split_regex($normT, ' ')) AS t
+              |    FROM documents)
+              |  WHERE len(t) > 0),
+              |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+              |       FROM toks GROUP BY doc_id, term),
+              |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              |scored AS (
+              |  SELECT doc_id, term, tf, df,
+              |    ROUND(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS tfidf
+              |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+              |ranked AS (
+              |  SELECT *, row_number() OVER
+              |    (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+              |  FROM scored)
+              |SELECT doc_id, rank, term, tf, df, tfidf FROM ranked
+              |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // k01 — the inverted-index computation (sinks/InvertedIndex.postings)
+    // in the driver gate: field-qualified posting lists with sorted doc
+    // ids and document frequency, the exact rows the Flamdex-analog sink
+    // lays out on disk (reference Main.java:249-352 emits these per-field
+    // term→docs entries). Sorted-array aggregation is one shuffle per
+    // field union leg; df comes from the same aggregate.
+    Q("k01_posting_lists",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.sinks.InvertedIndex.postings(docs, "doc_id",
+            Seq("lang", "source"))
+          .groupBy(col("field"), col("term_str"))
+          // posting list emitted as a joined string: the driver's
+          // comparator sorts rows with pandas, which cannot order array
+          // cells (same constraint as s04)
+          .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+              .as("docs"),
+            count(lit(1)).as("df"))
+          .orderBy(col("field"), col("term_str"))
+      },
+      Some("""WITH p AS (
+             |  SELECT 'lang' AS field, lang AS term_str, doc_id
+             |  FROM documents WHERE lang IS NOT NULL
+             |  UNION ALL
+             |  SELECT 'source', source, doc_id
+             |  FROM documents WHERE source IS NOT NULL)
+             |SELECT field, term_str,
+             |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs,
+             |  COUNT(*) AS df
+             |FROM p GROUP BY field, term_str
+             |ORDER BY field, term_str""".stripMargin))
   )
 }
