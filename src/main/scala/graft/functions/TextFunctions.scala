@@ -93,6 +93,17 @@ object TextFunctions {
   def wordShingles(c: Column, k: Int): Column =
     wordShinglesFromTokens(tokens(c), k)
 
+  /** POSITIONAL k-shingles (no dedup): element j covers tokens j..j+k-1,
+   * so `posexplode` positions are true token offsets — required when the
+   * shingle's LOCATION matters (content-defined chunk boundaries), not
+   * just its identity. */
+  def wordShinglesPositional(t: Column, k: Int): Column =
+    when(size(t) >= k,
+      transform(
+        sequence(lit(1), size(t) - lit(k - 1)),
+        i => array_join(slice(t, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Punct ratio over an ALREADY-PROJECTED normalized-text column. */
   def punctRatioFromNorm(t: Column): Column =
     when(length(t) > 0,

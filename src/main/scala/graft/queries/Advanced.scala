@@ -566,6 +566,42 @@ object Advanced {
               |             (${graft.operators.ZOrder.zSql("l_partkey", "l_suppkey", 6)}) AS z,
               |             l_quantity
               |      FROM lineitem)
-              |GROUP BY tile ORDER BY tile""".stripMargin))
+              |GROUP BY tile ORDER BY tile""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q44 — blocked fuzzy self-match (entity resolution): candidate pairs
+    // come from a BLOCKING key (first name word) — one shuffle on the
+    // block, never the O(n²) cross join — then exact Levenshtein scores
+    // the candidates (codegen'd integer DP in both engines). Per-block
+    // match stats gate the whole chain: blocking, pair generation,
+    // distance math. The blocking key is the standard recall/cost knob:
+    // at 100 TB you'd block on several keys and union, but each block
+    // join keeps this exact shape.
+    Q("q44_fuzzy_blocked_join",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"),
+            substring_index(col("p_name"), " ", 1).as("blk"))
+        val x = p.as("x"); val y = p.as("y")
+        x.join(y, col("x.blk") === col("y.blk") &&
+            col("x.p_partkey") < col("y.p_partkey"))
+          .select(col("x.blk").as("blk"),
+            levenshtein(col("x.p_name"), col("y.p_name")).cast("long")
+              .as("dist"))
+          .groupBy(col("blk"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("dist") <= 10, 1L).otherwise(0L)).as("n_matches"),
+            min(col("dist")).as("min_dist"))
+          .orderBy(col("blk"))
+      },
+      Some("""WITH p AS (SELECT p_partkey, p_name,
+             |    string_split(p_name, ' ')[1] AS blk FROM part)
+             |SELECT x.blk AS blk, COUNT(*) AS n_candidates,
+             |  CAST(SUM(CASE WHEN levenshtein(x.p_name, y.p_name) <= 10
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+             |  CAST(MIN(levenshtein(x.p_name, y.p_name)) AS BIGINT) AS min_dist
+             |FROM p x JOIN p y
+             |  ON x.blk = y.blk AND x.p_partkey < y.p_partkey
+             |GROUP BY x.blk ORDER BY x.blk""".stripMargin))
   )
 }

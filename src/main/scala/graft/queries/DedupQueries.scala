@@ -279,6 +279,65 @@ object DedupQueries {
              |    FROM sigs sx JOIN sigs sy ON sx.sig = sy.sig AND sx.vec_id < sy.vec_id
              |    JOIN embeddings x ON x.vec_id = sx.vec_id
              |    JOIN embeddings y ON y.vec_id = sy.vec_id))
-             |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin))
+             |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // p02 — cluster survivor selection: the policy step that turns d07's
+    // near-dup clusters into a KEEP list. Production dedup never keeps
+    // "min id" — it keeps the BEST member (here: most tokens, ties to
+    // lowest id) and records how many documents the survivor stands for.
+    // Docs in no pair are their own singleton cluster. One window shuffle
+    // on the cluster key on top of the clustering pass; the oracle
+    // extends d07's recursive-CTE reachability with the same argmax.
+    Q("p02_cluster_survivors",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.{TextFunctions => TF}
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.minHashPairs(docs, "doc_id", "text", k = 16,
+          bands = 4, minSim = 0.5)
+        val clusters = Dedup.connectedComponents(pairs)
+        val toks = docs.select(col("doc_id"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tokens"))
+        val labeled = toks
+          .join(clusters, toks("doc_id") === clusters("id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"),
+            col("n_tokens"))
+        val wRank = Window.partitionBy(col("cluster"))
+          .orderBy(col("n_tokens").desc, col("doc_id"))
+        val wAll = Window.partitionBy(col("cluster"))
+        labeled
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("n_members", count(lit(1)).over(wAll))
+          .filter(col("rn") === 1)
+          .select(col("cluster"), col("doc_id").as("survivor_id"),
+            col("n_tokens").as("survivor_tokens"), col("n_members"))
+          .orderBy(col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+              |$minhashPairsSql
+              |),
+              |sym AS (SELECT a, b FROM pairs
+              |        UNION ALL SELECT b, a FROM pairs),
+              |nodes AS (SELECT DISTINCT a AS id FROM sym),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id),
+              |labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+              |tok AS (SELECT doc_id,
+              |    CAST(len(string_split_regex($normT, ' ')) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |lab AS (SELECT doc_id, COALESCE(l.cluster, doc_id) AS cluster, n_tokens
+              |        FROM tok LEFT JOIN labels l ON tok.doc_id = l.id),
+              |ranked AS (SELECT *,
+              |    row_number() OVER (PARTITION BY cluster
+              |      ORDER BY n_tokens DESC, doc_id) AS rn,
+              |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+              |  FROM lab)
+              |SELECT cluster, doc_id AS survivor_id,
+              |  n_tokens AS survivor_tokens, n_members
+              |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin))
   )
 }

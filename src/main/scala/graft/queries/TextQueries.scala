@@ -16,6 +16,10 @@ object TextQueries {
   private val normT =
     raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
+  /** DuckDB spelling of TextFunctions.hash60. */
+  private def h60(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
   /** The stopword table as DuckDB VALUES rows, from TF.stopwords. */
   private val stopwordValues: String =
     TF.stopwords.toSeq.sortBy(_._1).map { case (code, words) =>
@@ -560,6 +564,68 @@ object TextQueries {
              |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS docs,
              |  COUNT(*) AS df
              |FROM p GROUP BY field, term_str
-             |ORDER BY field, term_str""".stripMargin))
+             |ORDER BY field, term_str""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t13 — CONTENT-DEFINED chunking (the dedup-friendly complement of
+    // t09's fixed windows): a chunk boundary falls after any token whose
+    // trailing 3-gram hashes to 0 mod 16, so boundaries move with the
+    // CONTENT — an insertion early in a document shifts every t09 window
+    // but only the one CDC chunk it lands in, which is what makes
+    // chunk-level dedup robust to edits. Expected chunk ~16 tokens; the
+    // md5-derived gear hash makes boundaries engine-portable. Plan: one
+    // shingle explode + boundary filter in the scan, a per-doc window for
+    // inter-boundary gaps, one aggregate — chunk text never leaves the
+    // scan stage, only positions do.
+    Q("t13_cdc_chunking",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs
+          .select(col("doc_id"), TF.tokens(col("text")).as("__tok"))
+          .select(col("doc_id"),
+            size(col("__tok")).cast("long").as("n_tokens"),
+            // positional shingles: boundary location needs true offsets,
+            // the distinct form would shift positions after a repeat
+            TF.wordShinglesPositional(col("__tok"), 3).as("__sh"))
+          .filter(col("n_tokens") > 0)
+        // boundary = 0-based index of the last token of a matching 3-gram
+        val bounds = toks
+          .select(col("doc_id"), posexplode(col("__sh")).as(Seq("p", "s")))
+          .filter(TF.hash60(col("s")) % 16 === 0)
+          .select(col("doc_id"), (col("p") + 2).cast("long").as("bpos"))
+        // sentinel boundary at the last token closes the tail chunk; it
+        // may coincide with a real boundary, hence the distinct
+        val sentinel = toks.select(col("doc_id"),
+          (col("n_tokens") - 1).as("bpos"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("bpos"))
+        val lens = bounds.union(sentinel).distinct()
+          .withColumn("clen",
+            col("bpos") - coalesce(lag(col("bpos"), 1).over(w), lit(-1L)))
+        lens.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"), max(col("clen")).as("max_chunk"))
+          .join(toks.select(col("doc_id"), col("n_tokens")), "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("n_chunks"),
+            col("max_chunk"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $normT AS t FROM documents),
+              |toks AS (SELECT doc_id, string_split_regex(t, ' ') AS w
+              |         FROM d WHERE t <> ''),
+              |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+              |sh AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              |       FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(i)
+              |       WHERE len(w) >= 3),
+              |b AS (SELECT doc_id, CAST(i + 1 AS BIGINT) AS bpos FROM sh
+              |      WHERE ${h60("s")} % 16 = 0
+              |      UNION
+              |      SELECT doc_id, n_tokens - 1 FROM n),
+              |lens AS (SELECT doc_id, bpos - COALESCE(
+              |    lag(bpos) OVER (PARTITION BY doc_id ORDER BY bpos), -1) AS clen
+              |  FROM b),
+              |g AS (SELECT doc_id, COUNT(*) AS n_chunks, MAX(clen) AS max_chunk
+              |      FROM lens GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, n_chunks, max_chunk
+              |FROM g JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin))
   )
 }

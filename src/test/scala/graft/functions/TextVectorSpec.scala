@@ -144,4 +144,20 @@ class TextVectorSpec extends SparkSpec {
       VectorFunctions.hyperplaneSigCols($"v", 3, 4).as("ref")).head()
     assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
   }
+
+  test("positional shingles keep duplicates at true token offsets") {
+    // "a b a b a b": distinct form collapses to 2 shingles, positional
+    // keeps all 4 so element j always covers tokens j..j+2
+    val in = Seq("a b a b a b", "x y", "").toDF("t")
+    val tok = in.select(TextFunctions.tokens($"t").as("tk"))
+    val pos = tok.select(
+      TextFunctions.wordShinglesPositional($"tk", 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(pos(0) == Seq("a b a", "b a b", "a b a", "b a b"))
+    assert(pos(1) == Seq.empty && pos(2) == Seq.empty)
+    val dist = tok.select(
+      TextFunctions.wordShinglesFromTokens($"tk", 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(dist(0) == Seq("a b a", "b a b"))
+  }
 }
