@@ -26,11 +26,15 @@ object Contamination {
    */
   def ngramOverlap(corpus: DataFrame, heldOut: DataFrame, idCol: String,
       textCol: String, shingleWords: Int = 5): DataFrame = {
+    // explode_OUTER + null filter: the non-outer explode's implicit
+    // `size(...) > 0` predicate would re-materialize the shingle array
+    // per row in a pushed-down filter
     def shingles(df: DataFrame): DataFrame = df
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__tok"))
       .select(col("id"),
-        explode(TF.wordShinglesFromTokens(col("__tok"), shingleWords))
+        explode_outer(TF.wordShinglesFromTokens(col("__tok"), shingleWords))
           .as("s"))
+      .filter(col("s").isNotNull)
       .distinct()
 
     val corpusSet = shingles(corpus).select(col("s")).distinct()

@@ -118,7 +118,9 @@ object Dedup {
     // two IDENTICAL plans on bkey, which Catalyst collapses into one
     // computed-once ReusedExchange — the signature scan runs a single time.
     val buckets = sigs.select(col("id"), col("sig"),
-      explode(array((0 until bands).map(b =>
+      // outer: the band array is never empty (fixed element count), and
+      // the non-outer form's implicit size>0 filter would rebuild it
+      explode_outer(array((0 until bands).map(b =>
         concat(lit(s"$b|"), bandKey(col("sig"), b, r))): _*)).as("bkey"))
     val x = buckets.as("x"); val y = buckets.as("y")
     x.join(y, col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
@@ -163,7 +165,7 @@ object Dedup {
       .select(col("id"), col("fp"), col("__nsh"),
         minHashSigFromHashes(col("__hs"), k).as("sig"))
     def buckets(s: DataFrame) = s.filter(col("__nsh") > 0)
-      .select(col("id"), explode(array((0 until bands).map(b =>
+      .select(col("id"), explode_outer(array((0 until bands).map(b =>
         concat(lit(s"$b|"), bandKey(col("sig"), b, r))): _*)).as("bkey"))
     val cs = sigs(corpus); val bs = sigs(batch)
     val corpusFp = cs.select(col("fp")).distinct()
@@ -301,7 +303,7 @@ object Dedup {
     val sigs = simHashSigs(df, idCol, textCol, bits)
       .select(col(idCol).as("id"), col("simhash"))
     val buckets = sigs.select(col("id"), col("simhash"),
-      explode(array((0 until nBands).map { b =>
+      explode_outer(array((0 until nBands).map { b =>
         concat(lit(s"$b|"),
           shiftright(col("simhash"), b * bandBits)
             .bitwiseAND(lit((1L << bandBits) - 1)).cast("string"))
@@ -337,10 +339,15 @@ object Dedup {
     // instead of ~25-byte trigram text — at 100 TB that is the dominant
     // shuffle, and the md5-derived hash keeps the oracle exact (both
     // engines hash the identical distinct shingle sets)
+    // explode_OUTER + null filter: the non-outer explode's implicit
+    // `size(...) > 0` predicate gets pushed below the projection and
+    // re-materializes the whole shingle array per row in the filter
     val sh = df
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__tok"))
       .select(col("id"),
-        explode(TF.wordShinglesFromTokens(col("__tok"), shingleWords)).as("s"))
+        explode_outer(TF.wordShinglesFromTokens(col("__tok"), shingleWords))
+          .as("s"))
+      .filter(col("s").isNotNull)
       .select(col("id"), TF.hash60(col("s")).as("h"))
     val filtered = maxShingleDf match {
       case Some(cap) =>

@@ -115,7 +115,11 @@ object TextQueries {
         val grams = docs
           .select(col("lang"), TF.tokens(col("text")).as("__tok"))
           .select(col("lang"),
-            explode(TF.wordShinglesFromTokens(col("__tok"), 2)).as("bigram"))
+            // outer + null filter: avoids the implicit size>0 predicate
+            // re-materializing the bigram array in a pushed-down filter
+            explode_outer(TF.wordShinglesFromTokens(col("__tok"), 2))
+              .as("bigram"))
+          .filter(col("bigram").isNotNull)
           .groupBy(col("lang"), col("bigram"))
           .agg(count(lit(1)).as("n"))
         val w = Window.partitionBy(col("lang"))
@@ -277,7 +281,9 @@ object TextQueries {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, dir, "documents")
         val docTok = docs
-          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"),
+            explode_outer(TF.tokens(col("text"))).as("tok"))
+          .filter(col("tok").isNotNull)
           .groupBy(col("doc_id"), col("tok"))
           .agg(count(lit(1)).as("k"))
         val wAll = Window.partitionBy(lit(1))
@@ -495,7 +501,8 @@ object TextQueries {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, dir, "documents")
         val toks = docs
-          .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+          .select(col("doc_id"),
+            explode_outer(TF.tokens(col("text"))).as("term"))
           .filter(length(col("term")) > 0)
         val tf = toks.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
@@ -589,10 +596,16 @@ object TextQueries {
             // the distinct form would shift positions after a repeat
             TF.wordShinglesPositional(col("__tok"), 3).as("__sh"))
           .filter(col("n_tokens") > 0)
-        // boundary = 0-based index of the last token of a matching 3-gram
+        // boundary = 0-based index of the last token of a matching 3-gram.
+        // posexplode_OUTER on purpose: the non-outer form adds an implicit
+        // `size(__sh) > 0` predicate that Catalyst pushes below the
+        // projections, inlining the whole shingle transform (and its
+        // tokenization) several more times per row in the scan filter —
+        // measured 5x slower. The outer generate has no implicit filter;
+        // the null rows it adds are dropped on the generated attribute.
         val bounds = toks
-          .select(col("doc_id"), posexplode(col("__sh")).as(Seq("p", "s")))
-          .filter(TF.hash60(col("s")) % 16 === 0)
+          .select(col("doc_id"), posexplode_outer(col("__sh")).as(Seq("p", "s")))
+          .filter(col("s").isNotNull && TF.hash60(col("s")) % 16 === 0)
           .select(col("doc_id"), (col("p") + 2).cast("long").as("bpos"))
         // sentinel boundary at the last token closes the tail chunk; it
         // may coincide with a real boundary, hence the distinct
