@@ -602,6 +602,39 @@ object Advanced {
              |  CAST(MIN(levenshtein(x.p_name, y.p_name)) AS BIGINT) AS min_dist
              |FROM p x JOIN p y
              |  ON x.blk = y.blk AND x.p_partkey < y.p_partkey
-             |GROUP BY x.blk ORDER BY x.blk""".stripMargin))
+             |GROUP BY x.blk ORDER BY x.blk""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q45 — relational top-k per group through the bounded-heap PARTIAL
+    // aggregate (functions/TopKAggregate): top-3 lineitems by price per
+    // supplier. Same answer as q12's window row_number, but the map side
+    // reduces each partition to ≤ k pairs per group BEFORE the exchange
+    // — the shuffle carries O(groups × k), not every row. That is the
+    // shape that survives a supplier with a billion lines; the oracle is
+    // the window formulation, so the hash gate proves heap ≡ sort.
+    Q("q45_topk_partial_agg",
+      (s, dir) => {
+        import graft.functions.TopKAggregate.topKPairs
+        val l = Tables.load(s, dir, "lineitem")
+        val scored = l.select(col("l_suppkey"),
+          col("l_extendedprice").as("score"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long")
+            .as("line_id"))
+        scored.groupBy(col("l_suppkey"))
+          .agg(topKPairs(struct(col("score"), col("line_id")), 3).as("top"))
+          .select(col("l_suppkey"), posexplode(col("top")))
+          .select(col("l_suppkey"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.id").as("line_id"), col("col.score").as("price"))
+          .orderBy(col("l_suppkey"), col("rank"))
+      },
+      Some("""SELECT l_suppkey, rank, line_id, price FROM (
+             |  SELECT l_suppkey, line_id, price,
+             |    row_number() OVER (PARTITION BY l_suppkey
+             |      ORDER BY price DESC, line_id) AS rank
+             |  FROM (SELECT l_suppkey,
+             |          CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS line_id,
+             |          l_extendedprice AS price
+             |        FROM lineitem))
+             |WHERE rank <= 3 ORDER BY l_suppkey, rank""".stripMargin))
   )
 }

@@ -68,4 +68,30 @@ class PlanShapeSpec extends SparkSpec {
     val nShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(nShuffles <= 2, s"d01 should shuffle once (+1 for ordering): $p")
   }
+
+  test("relational top-k keeps the partial heap aggregate before exchange") {
+    // q45 must map-side-reduce each group to <= k pairs, never shuffle +
+    // window-sort the full lineitem like its q12/oracle formulation
+    val p = plan("q45_topk_partial_agg")
+    assert(p.contains("partial_topk_pairs"),
+      s"bounded-heap partial aggregate missing from q45 plan:\n$p")
+    assert(!p.contains("Window"), s"q45 regressed to a window sort:\n$p")
+  }
+
+  test("explode of computed arrays stays outer (no size>0 re-materialization)") {
+    // the non-outer explode adds an implicit size>0 predicate that inlines
+    // the whole array expression again in a pushed-down filter (t13 was 5x
+    // slower); Generate nodes over computed shingle/token arrays must not
+    // carry that filter shape
+    Seq("t13_cdc_chunking", "d04_dedup_ngram_jaccard", "t04_top_bigrams")
+      .foreach { q =>
+        val p = plan(q)
+        // the degenerate shape is size()/isnotnull() OVER THE SHINGLE
+        // TRANSFORM itself (a plain size() over the token split is the
+        // legitimate n_tokens filter and is fine)
+        assert(!p.contains("size(CASE WHEN (size(") &&
+            !p.contains("isnotnull(transform("),
+          s"$q filter re-materializes a computed array via implicit size>0:\n$p")
+      }
+  }
 }
