@@ -100,12 +100,40 @@ object Similarity {
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, centroidStride: Int, nProbe: Int, k: Int,
       maxCentroids: Int = 256): DataFrame = {
-    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"),
-      VF.l2Norm(col(vecCol)).as("vn"))
     val cent = vectors.filter(col(idCol) % centroidStride === 0 &&
         col(idCol) < centroidStride.toLong * maxCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         VF.l2Norm(col(vecCol)).as("cn"))
+    ivfSearch(vectors, queries, idCol, vecCol, cent, nProbe, k)
+  }
+
+  /**
+   * IVF search against a TRAINED coarse quantizer: the [[kmeansStep]]
+   * centroids (one Lloyd refinement of the strided seed) instead of the
+   * raw seed vectors — the production IVF shape, where index build and
+   * search are separate passes over the same bounded centroid broadcast.
+   * The refined centroids tighten cluster boundaries, so the same nProbe
+   * reaches more of the true neighbors (measurable against s01 exactly
+   * like s05 measures the LSH path).
+   */
+  def ivfTopKTrained(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroidStride: Int, nProbe: Int, k: Int,
+      maxCentroids: Int = 256): DataFrame = {
+    val trained = kmeansStep(vectors, idCol, vecCol, centroidStride,
+        maxCentroids)
+      .select(col("cid"), col("centroid").as("cv"),
+        VF.l2Norm(col("centroid")).as("cn"))
+    ivfSearch(vectors, queries, idCol, vecCol, trained, nProbe, k)
+  }
+
+  /** Shared IVF search core: assignment scan + probe lists against any
+   * `(cid, cv, cn)` centroid set. Both joins broadcast the SAME centroid
+   * plan, so the exchange is computed once and reused. */
+  private def ivfSearch(vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cent: DataFrame, nProbe: Int,
+      k: Int): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"),
+      VF.l2Norm(col(vecCol)).as("vn"))
 
     // inverted lists: vector → nearest centroid (exact cosine argmax)
     val wAssign = Window.partitionBy(col("vid"))

@@ -210,6 +210,54 @@ object SimilarityQueries {
               |SELECT dim, COUNT(*) AS n,
               |  ${Exact.sqlDavg("x")} AS mean_v,
               |  MIN(x) AS min_v, MAX(x) AS max_v
-              |FROM u GROUP BY dim ORDER BY dim""".stripMargin))
+              |FROM u GROUP BY dim ORDER BY dim""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // s07 — IVF search against the TRAINED quantizer: s04's one-Lloyd-step
+    // centroids (DECIMAL-exact means) instead of the raw strided seeds —
+    // the production IVF shape, with index build (assignment) and search
+    // (probe + rank) as separate passes over ONE bounded centroid
+    // broadcast (computed once, reused by both joins). The oracle chains
+    // s04's training restatement into s03's search restatement; trained
+    // centroids are re-listed in dimension order so every norm and dot
+    // folds in the same element order in both engines.
+    Q("s07_ann_ivf_trained",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfTopKTrained(e, q, "vec_id", "embedding",
+            centroidStride = 50, nProbe = 2, k = 5, maxCentroids = 32)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+              |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
+              |assign0 AS (SELECT vid, vv, cid FROM (
+              |  SELECT vid, vv, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+              |  FROM (SELECT vid, vv, cid, ${cosSelect("vv", "cv").replace("AS cos", "AS ccos")}
+              |        FROM v CROSS JOIN cent)) WHERE r = 1),
+              |el AS (SELECT cid, i, vv[i]::DOUBLE AS x
+              |       FROM assign0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)),
+              |mm AS (SELECT cid, i,
+              |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / COUNT(x) AS m
+              |  FROM el GROUP BY cid, i),
+              |tc AS (SELECT cid, list(m ORDER BY i) AS cv FROM mm GROUP BY cid),
+              |assign AS (SELECT vid, vv, cid FROM (
+              |  SELECT vid, vv, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+              |  FROM (SELECT vid, vv, cid, ${cosSelect("vv", "cv").replace("AS cos", "AS ccos")}
+              |        FROM v CROSS JOIN tc)) WHERE r = 1),
+              |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+              |probes AS (SELECT qid, qv, cid FROM (
+              |  SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS r
+              |  FROM (SELECT qid, qv, cid, ${cosSelect("qv", "cv").replace("AS cos", "AS ccos")}
+              |        FROM q CROSS JOIN tc)) WHERE r <= 2),
+              |scored AS (SELECT qid, vid AS nid,
+              |    ${cosSelect("qv", "vv")}
+              |  FROM probes JOIN assign USING (cid) WHERE vid <> qid),
+              |r AS (SELECT qid, nid, cos,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+              |  FROM scored)
+              |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
+              |ORDER BY qid, rank""".stripMargin))
   )
 }
