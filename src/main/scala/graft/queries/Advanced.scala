@@ -635,6 +635,44 @@ object Advanced {
              |          CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS line_id,
              |          l_extendedprice AS price
              |        FROM lineitem))
-             |WHERE rank <= 3 ORDER BY l_suppkey, rank""".stripMargin))
+             |WHERE rank <= 3 ORDER BY l_suppkey, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q46 — the ranking/distribution window family in one gated shape:
+    // row_number, ntile, percent_rank, cume_dist, lag, lead over a single
+    // total-ordered window (one shuffle + one sort serves all six —
+    // Spark's WindowExec evaluates same-spec frames together). The
+    // output is sampled AFTER the windows so the functions see full
+    // partitions; percent_rank/cume_dist are rounded to 6 dp on both
+    // sides (their (rank-1)/(n-1) division is IEEE-identical, the round
+    // just pins the hashed text form).
+    Q("q46_window_suite",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        o.select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .filter(col("o_orderkey") % 10 === 0)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |    CAST(row_number() OVER w AS BIGINT) AS rn,
+             |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |    round(percent_rank() OVER w, 6) AS pct_rank,
+             |    round(cume_dist() OVER w, 6) AS cume,
+             |    lag(o_totalprice) OVER w AS prev_price,
+             |    lead(o_totalprice) OVER w AS next_price
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |               ORDER BY o_totalprice, o_orderkey))
+             |WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin))
   )
 }
