@@ -214,4 +214,60 @@ object Similarity {
         transform(col("pm"), e => e.getField("m")).as("centroid"))
     means.join(sizes, "cid").select(col("cid"), col("n"), col("centroid"))
   }
+
+  /**
+   * Scalar-quantized (SQ8) top-k: each dimension is affinely mapped to
+   * the integer grid 0..255 using per-dimension corpus min/max, and
+   * similarity is the INTEGER dot product of the quantized codes — the
+   * production memory-compression technique (4× smaller vectors, SIMD
+   * integer kernels) expressed engine-portably: every score is exact
+   * int64 arithmetic, so the oracle hash-matches with NO rounding
+   * anywhere. Quantization parameters are computed as a one-row
+   * broadcast (per-dimension min/max aggregate — 64 groups regardless of
+   * corpus size), never collected to the driver; codes are built in the
+   * scan stage; scoring reuses the codegen'd dot kernel on
+   * integer-valued doubles (exact up to 2^53 ≫ 64·255²).
+   */
+  def sq8TopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topKPairs
+    val statsRow = vectors
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("pos"), col("x").cast("double").as("x"))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pm"),
+        array_sort(collect_list(struct(col("pos"), col("mx")))).as("px"))
+      .select(transform(col("pm"), e => e.getField("mn")).as("mins"),
+        zip_with(
+          transform(col("px"), e => e.getField("mx")),
+          transform(col("pm"), e => e.getField("mn")),
+          (mx, mn) => when(mx > mn, lit(255.0) / (mx - mn))
+            .otherwise(lit(0.0))).as("scales"))
+
+    // codes staged in two projections so no interpreted HOF re-evaluates
+    // its argument expression per element
+    def quant(df: DataFrame, idOut: String, vecOut: String): DataFrame = df
+      .crossJoin(broadcast(statsRow))
+      .select(col(idCol).as(idOut),
+        zip_with(col(vecCol).cast("array<double>"), col("mins"),
+          (x, m) => x - m).as("__d"),
+        col("scales"))
+      .select(col(idOut),
+        zip_with(col("__d"), col("scales"),
+          (d, s) => round(d * s, 0)).as(vecOut))
+
+    val corpus = quant(vectors, "nid", "nv")
+    val q = quant(queries, "qid", "qv")
+    q.crossJoin(corpus)
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        VF.dot(col("qv"), col("nv")).as("score"))
+      .groupBy(col("qid"))
+      .agg(topKPairs(struct(col("score"), col("nid")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("nid"), col("col.score").cast("long").as("score"))
+  }
 }

@@ -258,6 +258,45 @@ object SimilarityQueries {
               |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
               |  FROM scored)
               |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
-              |ORDER BY qid, rank""".stripMargin))
+              |ORDER BY qid, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // s08 — scalar-quantized (SQ8) ANN: per-dimension min/max maps every
+    // value onto the 0..255 integer grid, similarity = integer dot of the
+    // codes (the 4×-memory-compression production technique). The whole
+    // scoring path is exact int64 arithmetic — the only doubles are the
+    // IEEE-deterministic affine map — so the gate needs no rounding at
+    // all. Quantization params are a one-row broadcast (64 groups), codes
+    // are scan-stage, ranking is the bounded-heap partial aggregate.
+    Q("s08_ann_sq8",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.sq8TopK(e, q, "vec_id", "embedding", k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH u AS (
+             |  SELECT generate_subscripts(embedding, 1) AS pos,
+             |         unnest(embedding)::DOUBLE AS x FROM embeddings),
+             |st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY pos),
+             |sc AS (SELECT list(mn ORDER BY pos) AS mins,
+             |         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+             |              ELSE 0.0 END ORDER BY pos) AS scales
+             |       FROM st),
+             |qv AS (SELECT vec_id AS id,
+             |         list_transform(generate_series(1, 64),
+             |           i -> round((embedding[i]::DOUBLE - mins[i]) * scales[i]))
+             |           AS v
+             |       FROM embeddings, sc),
+             |q AS (SELECT id AS qid, v AS qvec FROM qv WHERE id % 50 = 0),
+             |scored AS (SELECT qid, c.id AS nid,
+             |    CAST(list_sum(list_transform(generate_series(1, 64),
+             |      i -> qvec[i] * c.v[i])) AS BIGINT) AS score
+             |  FROM q JOIN qv c ON c.id <> qid),
+             |r AS (SELECT qid, nid, score,
+             |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+             |  FROM scored)
+             |SELECT qid, rank, nid, score FROM r WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin))
   )
 }
