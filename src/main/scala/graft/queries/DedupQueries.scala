@@ -338,6 +338,65 @@ object DedupQueries {
               |  FROM lab)
               |SELECT cluster, doc_id AS survivor_id,
               |  n_tokens AS survivor_tokens, n_members
-              |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin))
+              |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // d09 — MinHash calibration: for every d02 near-dup pair, the exact
+    // shingle Jaccard and the estimation error — the measurement that
+    // tells you whether 16 permutations are enough before you trust the
+    // estimate on 100 TB (the dedup counterpart of s05's ANN recall).
+    // Exact Jaccard is computed ONLY for the LSH candidate pairs (three
+    // joins keyed by pair id / shingle hash), never for all pairs — the
+    // uncapped all-pairs Jaccard would be the quadratic cliff d04's
+    // document-frequency cap exists to prevent.
+    Q("d09_minhash_calibration",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val est = Dedup.minHashPairs(docs, "doc_id", "text", k = 16,
+          bands = 4, minSim = 0.5)
+        val sh = docs
+          .select(col("doc_id").as("id"),
+            graft.functions.TextFunctions.tokens(col("text")).as("__tok"))
+          .select(col("id"), explode_outer(graft.functions.TextFunctions
+            .wordShinglesFromTokens(col("__tok"), 3)).as("s"))
+          .filter(col("s").isNotNull)
+          .select(col("id"), graft.functions.TextFunctions.hash60(col("s"))
+            .as("h"))
+        val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+        val inter = est.join(sh.as("x"), col("x.id") === col("a"))
+          .join(sh.as("y"),
+            col("y.id") === col("b") && col("y.h") === col("x.h"))
+          .groupBy(col("a"), col("b"), col("est_sim"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+          .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+          .withColumn("jraw", col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")))
+          .select(col("a"), col("b"), col("est_sim"),
+            round(col("jraw"), 6).as("jaccard"),
+            round(col("est_sim") - col("jraw"), 6).as("err"))
+          .orderBy(col("a"), col("b"))
+      },
+      Some(s"""WITH est AS (
+              |$minhashPairsSql
+              |),
+              |d2 AS (SELECT doc_id, $normT AS t FROM documents),
+              |t2 AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM d2),
+              |sh2 AS (SELECT DISTINCT doc_id,
+              |    ${h60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+              |  FROM t2, unnest(generate_series(1, len(w) - 2)) AS u(i)
+              |  WHERE len(w) >= 3),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id),
+              |inter AS (SELECT e.a, e.b, e.est_sim, COUNT(*) AS i
+              |  FROM est e JOIN sh2 x ON x.doc_id = e.a
+              |  JOIN sh2 y ON y.doc_id = e.b AND y.h = x.h
+              |  GROUP BY e.a, e.b, e.est_sim)
+              |SELECT a, b, est_sim,
+              |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard,
+              |  round(est_sim - CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS err
+              |FROM inter JOIN sizes na ON na.doc_id = a
+              |JOIN sizes nb ON nb.doc_id = b
+              |ORDER BY a, b""".stripMargin))
   )
 }
