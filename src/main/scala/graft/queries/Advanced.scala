@@ -673,6 +673,105 @@ object Advanced {
              |  FROM orders
              |  WINDOW w AS (PARTITION BY o_orderpriority
              |               ORDER BY o_totalprice, o_orderkey))
-             |WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin))
+             |WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q47 — CSV + JSON-lines source round-trip: the engine's non-parquet
+    // ingest surface, gated. A deterministic orders projection is written
+    // as CSV and as JSONL, read back through the respective sources with
+    // an EXPLICIT schema (schema inference is a scale anti-pattern — it
+    // costs an extra full pass and can flip types between runs), and
+    // aggregated per format; the oracle computes the same aggregate from
+    // the parquet table twice. Identical rows per format = both parsers
+    // round-trip values exactly.
+    Q("q47_format_roundtrip",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("fmt_roundtrip").toString
+        o.write.mode("overwrite").option("header", "true")
+          .csv(s"$tmp/csv")
+        o.write.mode("overwrite").json(s"$tmp/jsonl")
+        val schema = o.schema
+        val fromCsv = s.read.schema(schema).option("header", "true")
+          .csv(s"$tmp/csv").withColumn("fmt", lit("csv"))
+        val fromJson = s.read.schema(schema).json(s"$tmp/jsonl")
+          .withColumn("fmt", lit("jsonl"))
+        fromCsv.unionByName(fromJson)
+          .groupBy(col("fmt"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            min(col("o_orderkey")).as("min_key"),
+            max(col("o_orderkey")).as("max_key"))
+          .orderBy(col("fmt"), col("o_orderstatus"))
+      },
+      Some(s"""WITH agg AS (
+              |  SELECT o_orderstatus, COUNT(*) AS n,
+              |    ${sqlDsum("o_totalprice")} AS sum_price,
+              |    MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+              |  FROM orders GROUP BY o_orderstatus)
+              |SELECT fmt, o_orderstatus, n, sum_price, min_key, max_key
+              |FROM agg CROSS JOIN (VALUES ('csv'), ('jsonl')) f(fmt)
+              |ORDER BY fmt, o_orderstatus""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q48 — MERGE-apply (upsert + delete): the monthly-dump maintenance
+    // operation — a change batch (updates, inserts, tombstones) applied
+    // to a base table in ONE pass: tombstones drop rows, updates replace,
+    // everything else carries over. Stated as a full-outer-free plan:
+    // changes ∪ (base left-anti changes) — one shuffle each side, no
+    // row-by-row driver logic. The oracle restates it relationally.
+    Q("q48_merge_apply",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        // deterministic change batch: %7 rows are updates (+100 price),
+        // %11 rows are tombstones, and shifted-key rows are inserts
+        val updates = base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .withColumn("op", lit("u"))
+        val deletes = base.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("op", lit("d"))
+        val inserts = base.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+          .withColumn("op", lit("u"))
+        // precedence: a key both updated and tombstoned (%77) is deleted
+        // ('d' < 'u', so ascending op puts the tombstone first)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderkey")).orderBy(col("op"))
+        val changes = updates.unionByName(deletes).unionByName(inserts)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val applied = changes.filter(col("op") === "u").drop("op")
+          .unionByName(base.join(changes.select(col("o_orderkey")),
+            Seq("o_orderkey"), "left_anti"))
+        applied.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""WITH changes AS (
+              |  SELECT o_orderkey,
+              |    CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              |         ELSE o_totalprice + 100 END AS o_totalprice,
+              |    o_orderstatus,
+              |    CASE WHEN o_orderkey % 11 = 0 THEN 'd' ELSE 'u' END AS op
+              |  FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+              |  UNION ALL
+              |  SELECT o_orderkey + 20000000, o_totalprice, o_orderstatus, 'u'
+              |  FROM orders WHERE o_orderkey % 13 = 0),
+              |applied AS (
+              |  SELECT o_orderkey, o_totalprice, o_orderstatus
+              |  FROM changes WHERE op = 'u'
+              |  UNION ALL
+              |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+              |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes))
+              |SELECT o_orderstatus, COUNT(*) AS n,
+              |  ${sqlDsum("o_totalprice")} AS sum_price
+              |FROM applied GROUP BY o_orderstatus
+              |ORDER BY o_orderstatus""".stripMargin))
   )
 }
