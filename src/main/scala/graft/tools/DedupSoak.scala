@@ -86,6 +86,32 @@ object DedupSoak {
     if (simhashBits >= 60)
       assert(sh < n * 50, s"simhash pair blowup: $sh pairs for $n docs")
 
+    // clustering + survivor selection on top of the minhash pairs (the
+    // p02 path): every doc must land in exactly one cluster, and the
+    // per-cluster member counts must add back up to the corpus — the
+    // invariant that catches a label-propagation bug (dropped nodes,
+    // double-counted members) that pair counts alone cannot see
+    timed("clusters + survivors") {
+      val pairs = graft.operators.Dedup.minHashPairs(docs, "doc_id", "text")
+      val clusters = graft.operators.Dedup.connectedComponents(pairs)
+      val labeled = docs.select(col("doc_id"))
+        .join(clusters, docs("doc_id") === clusters("id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      val byCluster = labeled.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+      val (nClusters, nMembers) = {
+        val r = byCluster.agg(count(lit(1)), sum(col("n_members"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      println(s"==   clusters=$nClusters members=$nMembers")
+      assert(nMembers == n, s"survivor accounting lost docs: $nMembers != $n")
+      // each content group is one cluster (9 copies + 1 near-dup variant
+      // sharing every band) — cluster count must be ~nGroups, never n
+      assert(nClusters <= nGroups * 2,
+        s"clustering failed to merge groups: $nClusters clusters")
+    }
+
     spark.stop()
   }
 }
