@@ -772,6 +772,39 @@ object Advanced {
               |SELECT o_orderstatus, COUNT(*) AS n,
               |  ${sqlDsum("o_totalprice")} AS sum_price
               |FROM applied GROUP BY o_orderstatus
-              |ORDER BY o_orderstatus""".stripMargin))
+              |ORDER BY o_orderstatus""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q49 — partitioned-sink round-trip with partition pruning: orders
+    // written hive-partitioned by status (the K1 snapshot layout), read
+    // back with a partition-key predicate — the scan must touch ONE
+    // directory (pruning is what makes a date-partitioned 100 TB store
+    // queryable at all) — and aggregated per month. The partition column
+    // comes back as a directory VALUE, not file data; the hash gate
+    // proves the layout round-trips values and the pruned read misses
+    // nothing. Pruning itself is also pinned in SinkSpec.
+    Q("q49_partitioned_sink",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderstatus"))
+        val tmp = java.nio.file.Files
+          .createTempDirectory("part_sink").toString
+        o.write.mode("overwrite").partitionBy("o_orderstatus")
+          .option("compression", "snappy").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("sum_price"))
+          .select(unix_timestamp(col("month")).as("month_epoch"),
+            col("n"), col("sum_price"))
+          .orderBy(col("month_epoch"))
+      },
+      Some(s"""SELECT epoch_us(date_trunc('month', o_orderdate)) // 1000000
+              |    AS month_epoch,
+              |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders WHERE o_orderstatus = 'F'
+              |GROUP BY 1 ORDER BY month_epoch""".stripMargin))
   )
 }
