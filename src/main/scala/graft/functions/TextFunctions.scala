@@ -83,11 +83,7 @@ object TextFunctions {
    * tokens column — same per-element re-evaluation caveat as
    * [[charShinglesFromNorm]]. */
   def wordShinglesFromTokens(t: Column, k: Int): Column =
-    when(size(t) >= k,
-      array_distinct(transform(
-        sequence(lit(1), size(t) - lit(k - 1)),
-        i => array_join(slice(t, i, lit(k)), " "))))
-      .otherwise(array().cast("array<string>"))
+    array_distinct(wordShinglesPositional(t, k))
 
   /** Single-expression convenience form of [[wordShinglesFromTokens]]. */
   def wordShingles(c: Column, k: Int): Column =

@@ -255,8 +255,14 @@ object Similarity {
           (x, m) => x - m).as("__d"),
         col("scales"))
       .select(col(idOut),
+        // clamp to the grid: query vectors are NEW data, not necessarily
+        // inside the corpus min/max — without the clamp an out-of-range
+        // value yields a code outside 0..255, breaking the int8
+        // representation contract and (far enough out) the exact-int64
+        // bound
         zip_with(col("__d"), col("scales"),
-          (d, s) => round(d * s, 0)).as(vecOut))
+          (d, s) => least(lit(255.0), greatest(lit(0.0), round(d * s, 0))))
+          .as(vecOut))
 
     val corpus = quant(vectors, "nid", "nv")
     val q = quant(queries, "qid", "qv")

@@ -689,8 +689,7 @@ object Advanced {
         val o = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"),
             col("o_totalprice"))
-        val tmp = java.nio.file.Files
-          .createTempDirectory("fmt_roundtrip").toString
+        val tmp = graft.sources.Scratch.dir("fmt_roundtrip")
         o.write.mode("overwrite").option("header", "true")
           .csv(s"$tmp/csv")
         o.write.mode("overwrite").json(s"$tmp/jsonl")
@@ -788,8 +787,7 @@ object Advanced {
         val o = Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
             col("o_orderdate"), col("o_orderstatus"))
-        val tmp = java.nio.file.Files
-          .createTempDirectory("part_sink").toString
+        val tmp = graft.sources.Scratch.dir("part_sink")
         o.write.mode("overwrite").partitionBy("o_orderstatus")
           .option("compression", "snappy").parquet(tmp)
         s.read.parquet(tmp)

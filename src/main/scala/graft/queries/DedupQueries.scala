@@ -327,7 +327,9 @@ object DedupQueries {
               |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id),
               |labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
               |tok AS (SELECT doc_id,
-              |    CAST(len(string_split_regex($normT, ' ')) AS BIGINT) AS n_tokens
+              |    CASE WHEN $normT = '' THEN CAST(0 AS BIGINT)
+              |         ELSE CAST(len(string_split_regex($normT, ' ')) AS BIGINT)
+              |    END AS n_tokens
               |  FROM documents),
               |lab AS (SELECT doc_id, COALESCE(l.cluster, doc_id) AS cluster, n_tokens
               |        FROM tok LEFT JOIN labels l ON tok.doc_id = l.id),

@@ -285,7 +285,8 @@ object SimilarityQueries {
              |       FROM st),
              |qv AS (SELECT vec_id AS id,
              |         list_transform(generate_series(1, 64),
-             |           i -> round((embedding[i]::DOUBLE - mins[i]) * scales[i]))
+             |           i -> LEAST(255.0, GREATEST(0.0,
+             |             round((embedding[i]::DOUBLE - mins[i]) * scales[i]))))
              |           AS v
              |       FROM embeddings, sc),
              |q AS (SELECT id AS qid, v AS qvec FROM qv WHERE id % 50 = 0),

@@ -64,8 +64,8 @@ object StreamingQueries {
             .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
         else raw
 
-      val out = Files.createTempDirectory("stream_out").toString
-      val cp = Files.createTempDirectory("stream_cp").toString
+      val out = graft.sources.Scratch.dir("stream_out")
+      val cp = graft.sources.Scratch.dir("stream_cp")
       val q = transform(ev)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", cp)

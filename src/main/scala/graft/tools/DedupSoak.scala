@@ -107,9 +107,14 @@ object DedupSoak {
       println(s"==   clusters=$nClusters members=$nMembers")
       assert(nMembers == n, s"survivor accounting lost docs: $nMembers != $n")
       // each content group is one cluster (9 copies + 1 near-dup variant
-      // sharing every band) — cluster count must be ~nGroups, never n
+      // sharing every band) — cluster count must be ~nGroups: an
+      // under-merge leaves ~n singletons, an over-merge (min-label
+      // leaking across groups) collapses toward 1; bound it BOTH ways
       assert(nClusters <= nGroups * 2,
         s"clustering failed to merge groups: $nClusters clusters")
+      assert(nClusters >= nGroups / 2,
+        s"clustering over-merged disjoint groups: $nClusters clusters " +
+          s"for $nGroups content groups")
     }
 
     spark.stop()
