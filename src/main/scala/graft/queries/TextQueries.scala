@@ -639,6 +639,51 @@ object TextQueries {
               |g AS (SELECT doc_id, COUNT(*) AS n_chunks, MAX(clen) AS max_chunk
               |      FROM lens GROUP BY doc_id)
               |SELECT doc_id, n_tokens, n_chunks, max_chunk
-              |FROM g JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin))
+              |FROM g JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t14 — token-budget mixture fill: each source keeps documents (in
+    // deterministic arrival order) until its cumulative token count
+    // exceeds a fixed budget — "fill the training mix to N tokens per
+    // source", the budgeted complement of t10's rate sampling. One
+    // prefix-sum window per source partition (sources fill in parallel),
+    // then a per-source aggregate; a doc is kept iff its own cumulative
+    // total still fits the budget.
+    Q("t14_token_budget",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 20000L
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"), col("source"),
+          size(TF.tokens(col("text"))).cast("long").as("n_tokens"))
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        toks.withColumn("cum", sum(col("n_tokens")).over(w))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tokens_total"),
+            sum(when(col("cum") <= budget, 1L).otherwise(0L))
+              .as("n_kept"),
+            sum(when(col("cum") <= budget, col("n_tokens"))
+              .otherwise(0L)).as("tokens_kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH n AS (SELECT doc_id, source,
+              |    CASE WHEN $normT = '' THEN CAST(0 AS BIGINT)
+              |         ELSE CAST(len(string_split_regex($normT, ' ')) AS BIGINT)
+              |    END AS n_tokens
+              |  FROM documents),
+              |c AS (SELECT doc_id, source, n_tokens,
+              |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |      AS BIGINT) AS cum
+              |  FROM n)
+              |SELECT source, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+              |  CAST(SUM(CASE WHEN cum <= 20000 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_kept,
+              |  CAST(SUM(CASE WHEN cum <= 20000 THEN n_tokens ELSE 0 END)
+              |    AS BIGINT) AS tokens_kept
+              |FROM c GROUP BY source ORDER BY source""".stripMargin))
   )
 }
