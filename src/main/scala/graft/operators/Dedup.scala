@@ -108,14 +108,18 @@ object Dedup {
     // TextFunctions.wordShinglesFromTokens).
     val sigs = df
       .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__tok"))
-      .select(col("id"),
-        TF.wordShinglesFromTokens(col("__tok"), 3).as("__sh"))
       // docs with no shingles (<3 tokens) must never enter a bucket: their
       // all-NULL signature collapses to the same band keys (array_join
       // skips nulls), so a corpus with many short docs would self-join
       // quadratically inside those few buckets — the est_sim filter drops
-      // the pairs afterwards, but only after the O(n²) join has run
-      .filter(size(col("__sh")) > 0)
+      // the pairs afterwards, but only after the O(n²) join has run.
+      // Guarded on the TOKEN count, not size(__sh): a predicate on the
+      // computed shingle array would be pushed below its projection and
+      // re-materialize the whole transform per row (the explode_outer
+      // lesson — pushdown inlining this costs only one extra split)
+      .filter(size(col("__tok")) >= 3)
+      .select(col("id"),
+        TF.wordShinglesFromTokens(col("__tok"), 3).as("__sh"))
       .select(col("id"),
         transform(col("__sh"),
           s => TF.hash60(s).bitwiseAND(lit(MhMask))).as("__hs"))
