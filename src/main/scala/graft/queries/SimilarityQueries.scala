@@ -298,6 +298,48 @@ object SimilarityQueries {
              |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
              |  FROM scored)
              |SELECT qid, rank, nid, score FROM r WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q50 — the Catalyst optimizer rule in the hard gate: this query is
+    // written in the PLAIN-SPARK HOF dot-product form
+    // (aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v))
+    // that RewriteHofDotProduct upgrades to the codegen'd single-pass
+    // kernel — the gated sessions (Verify/Bench) install
+    // graft.GraftExtensions, so the hash gate proves the REWRITTEN plan
+    // computes exactly what the user wrote (rule equivalence is also
+    // unit-tested in GraftExtensionsSpec, including null-on-mismatch).
+    Q("q50_hof_dot_rewrite",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qv"))
+        val v = e.select(col("vec_id").as("nid"),
+          col("embedding").cast("array<double>").as("nv"))
+        val scored = broadcast(q).join(v, col("nid") =!= col("qid"))
+          .select(col("qid"), col("nid"),
+            round(aggregate(zip_with(col("qv"), col("nv"),
+                (x, y) => x * y),
+              lit(0.0), (acc, x) => acc + x), 6).as("dot"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("dot").desc, col("nid"))
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("qid"), col("rank"), col("nid"), col("dot"))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+             |          FROM embeddings WHERE vec_id % 100 = 0),
+             |scored AS (SELECT qid, v.vec_id AS nid,
+             |    round(list_sum(list_transform(generate_series(1, 64),
+             |      i -> qv[i]::DOUBLE * v.embedding[i]::DOUBLE)), 6) AS dot
+             |  FROM q JOIN embeddings v ON v.vec_id <> qid),
+             |r AS (SELECT qid, nid, dot,
+             |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rank
+             |  FROM scored)
+             |SELECT qid, rank, nid, dot FROM r WHERE rank <= 10
              |ORDER BY qid, rank""".stripMargin))
   )
 }
