@@ -101,4 +101,23 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.keySet.subsetOf(brute.keySet))
     lsh.foreach { case (n, c) => assert(c == brute(n)) }
   }
+
+  test("sq8 clamps out-of-range query values to the 0..255 grid") {
+    // corpus dims span [0, 1]; the query sits far outside on every dim —
+    // without the clamp its codes leave the grid (e.g. (100-0)*255) and
+    // the max score blows past the representable-code bound
+    val q = Seq((99L, Array(100.0f, -100.0f, 100.0f)))
+      .toDF("vec_id", "embedding")
+    val maxScore = Similarity.sq8TopK(vecs, q, "vec_id", "embedding", k = 5)
+      .agg(max($"score")).as[Long].head()
+    assert(maxScore >= 0 && maxScore <= 3L * 255 * 255,
+      s"score $maxScore outside the clamped-code bound")
+  }
+
+  test("sq8 ranking is deterministic with integer-tie id ordering") {
+    val q = vecs.filter($"vec_id" === 0)
+    val got = Similarity.sq8TopK(vecs, q, "vec_id", "embedding", k = 4)
+      .orderBy($"rank").select($"nid").as[Long].collect()
+    assert(got.length == 4 && got.distinct.length == 4)
+  }
 }
