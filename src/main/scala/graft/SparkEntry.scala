@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Advanced, DedupQueries, GcdQueries, MultimodalQueries,
-  Q, Relational, SimilarityQueries, StreamingQueries, TextQueries}
+import graft.queries.{Advanced, Analytics, DedupQueries, GcdQueries,
+  MultimodalQueries, Q, Relational, SimilarityQueries, StreamingQueries,
+  TextQueries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -12,7 +13,7 @@ object SparkEntry {
   /** Every verifiable query the engine ships (SURVEY.md §2 inventory +
    * training-data-pipeline operators), name → (impl, optional DuckDB oracle). */
   def registry: Seq[Q] =
-    Relational.all ++ Advanced.all ++ DedupQueries.all ++
+    Relational.all ++ Advanced.all ++ Analytics.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ TextQueries.all ++ MultimodalQueries.all ++
       GcdQueries.all ++ StreamingQueries.all
 

@@ -99,12 +99,45 @@ object Similarity {
    */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, centroidStride: Int, nProbe: Int, k: Int,
-      maxCentroids: Int = 256): DataFrame = {
-    val cent = vectors.filter(col(idCol) % centroidStride === 0 &&
+      maxCentroids: Int = 256): DataFrame =
+    ivfSearch(vectors, queries, idCol, vecCol,
+      strideCentroids(vectors, idCol, vecCol, centroidStride, maxCentroids),
+      nProbe, k)
+
+  /**
+   * The deterministic coarse-quantizer seed: the first `maxCentroids`
+   * vectors whose id is a multiple of `centroidStride`, as
+   * `(cid, cv, cn)`. The CAP (not just the stride) is the scale knob —
+   * it bounds the centroid broadcast and the O(n·C) assignment cost as
+   * the corpus grows.
+   */
+  def strideCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      centroidStride: Int, maxCentroids: Int): DataFrame =
+    vectors.filter(col(idCol) % centroidStride === 0 &&
         col(idCol) < centroidStride.toLong * maxCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         VF.l2Norm(col(vecCol)).as("cn"))
-    ivfSearch(vectors, queries, idCol, vecCol, cent, nProbe, k)
+
+  /**
+   * Nearest-centroid assignment against any `(cid, cv, cn)` centroid set:
+   * exact cosine argmax (6dp-rounded, ties to lower cid — the contract
+   * every oracle restates). Returns `(vid, vv, vn, cid)`. One bounded
+   * centroid broadcast, no shuffle of the vector side until the caller
+   * aggregates.
+   */
+  def assignToCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame): DataFrame = {
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"),
+      VF.l2Norm(col(vecCol)).as("vn"))
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    v.join(broadcast(cent))
+      .select(col("vid"), col("vv"), col("vn"), col("cid"),
+        round(VF.cosineFromParts(VF.dot(col("vv"), col("cv")),
+          col("vn"), col("cn")), 6).as("ccos"))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("vid"), col("vv"), col("vn"), col("cid"))
   }
 
   /**
@@ -132,19 +165,8 @@ object Similarity {
   private def ivfSearch(vectors: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, cent: DataFrame, nProbe: Int,
       k: Int): DataFrame = {
-    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"),
-      VF.l2Norm(col(vecCol)).as("vn"))
-
     // inverted lists: vector → nearest centroid (exact cosine argmax)
-    val wAssign = Window.partitionBy(col("vid"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assign = v.join(broadcast(cent))
-      .select(col("vid"), col("vv"), col("vn"), col("cid"),
-        round(VF.cosineFromParts(VF.dot(col("vv"), col("cv")),
-          col("vn"), col("cn")), 6).as("ccos"))
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
-      .select(col("vid"), col("vv"), col("vn"), col("cid"))
+    val assign = assignToCentroids(vectors, idCol, vecCol, cent)
 
     // probe lists: query → nProbe nearest centroids
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
@@ -186,21 +208,8 @@ object Similarity {
   def kmeansStep(vectors: DataFrame, idCol: String, vecCol: String,
       centroidStride: Int, maxCentroids: Int = 256): DataFrame = {
     import graft.queries.Exact
-    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"),
-      VF.l2Norm(col(vecCol)).as("vn"))
-    val cent = vectors.filter(col(idCol) % centroidStride === 0 &&
-        col(idCol) < centroidStride.toLong * maxCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"),
-        VF.l2Norm(col(vecCol)).as("cn"))
-
-    val wAssign = Window.partitionBy(col("vid"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assign = v.join(broadcast(cent))
-      .select(col("vid"), col("vv"), col("cid"),
-        round(VF.cosineFromParts(VF.dot(col("vv"), col("cv")),
-          col("vn"), col("cn")), 6).as("ccos"))
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
+    val assign = assignToCentroids(vectors, idCol, vecCol,
+        strideCentroids(vectors, idCol, vecCol, centroidStride, maxCentroids))
       .select(col("vid"), col("vv"), col("cid"))
 
     val sizes = assign.groupBy(col("cid")).agg(count(lit(1)).as("n"))

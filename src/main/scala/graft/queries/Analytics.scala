@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Bucketing
+import graft.sources.{Scratch, Tables}
+import Exact._
+
+/**
+ * Storage-layout and query-layer analytics capabilities:
+ *
+ *  - q51: bucketed-table co-located join — both sides of the recurring
+ *    fact-fact join written pre-hashed on the join key, so the join (and
+ *    the same-key aggregation above it) runs with NO exchange;
+ *  - q52: time-series gap-fill + forward-fill — per-key hourly grid with
+ *    carried-forward values, the feature-engineering primitive for
+ *    regularizing event streams;
+ *  - q54: exact-moment statistics (variance / covariance / correlation)
+ *    computed from DECIMAL power sums so every engine reproduces the
+ *    same doubles — the cross-engine answer to order-dependent float
+ *    aggregation;
+ *  - q55: the array / higher-order-function family (transform, filter,
+ *    aggregate, distinct, intersect, zip_with) over per-group collected
+ *    arrays, emitted as CSV strings (the driver's comparator cannot sort
+ *    array cells).
+ */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val all: Seq[Q] = Seq(
+
+    // ----------------------------------------------------------------
+    // q51 — bucketed co-located join: the storage-layout answer to the
+    // recurring shuffle (SURVEY.md §2.2's issue⋈story at every snapshot
+    // run). Both sides land pre-hashed into 8 buckets on the join key;
+    // the subsequent join reads bucket i against bucket i — no Exchange
+    // in the plan (BucketingSpec pins that) — and the per-order
+    // aggregation above it rides the same layout because hash(o_orderkey)
+    // partitioning satisfies the (o_orderkey, o_orderstatus) clustering.
+    // At 100 TB the bucket count is sized to the target scale at write
+    // time and the shuffle is paid once, amortized over every later run.
+    Q("q51_bucketed_join",
+      (s, dir) => {
+        val base = Scratch.dir("graft_bucketed")
+        Bucketing.writeBucketed(
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus")),
+          "graft_bkt_orders", s"$base/orders", buckets = 8,
+          key = "o_orderkey", sortCols = Seq("o_orderkey"))
+        Bucketing.writeBucketed(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"),
+              col("l_discount")),
+          "graft_bkt_lineitem", s"$base/lineitem", buckets = 8,
+          key = "l_orderkey", sortCols = Seq("l_orderkey"))
+        val bo = s.table("graft_bkt_orders")
+          .filter(col("o_orderkey") % 20 === 0)
+        val bl = s.table("graft_bkt_lineitem")
+        bo.join(bl, col("o_orderkey") === col("l_orderkey"), "inner")
+          .groupBy(col("o_orderkey"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+              .cast("double").as("revenue"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey, o_orderstatus, COUNT(*) AS n_lines,
+              |  CAST(SUM(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |WHERE o_orderkey % 20 = 0
+              |GROUP BY o_orderkey, o_orderstatus
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q52 — gap-fill + forward-fill: regularize each user's event stream
+    // onto an hourly grid between their first and last active hour
+    // (sequence + explode — the grid is generated distributed, never on
+    // the driver), left-join the actual hourly aggregates, and carry the
+    // last observed value across gaps with last(ignoreNulls) over a
+    // running window. One shuffle for the hourly aggregate, one window
+    // pass per user — grid size is bounded by span, not corpus size.
+    Q("q52_gapfill",
+      (s, dir) => {
+        val e = t(s, dir, "events").filter(col("user_id") < 10)
+        val hourly = e
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        val span = hourly.groupBy(col("user_id"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        val grid = span.select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+            .as("h"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left_outer")
+          .select(col("user_id"),
+            unix_timestamp(col("h")).as("hour_epoch"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("sum_value"), ignoreNulls = true).over(w)
+              .as("filled_sum"),
+            col("n").isNull.as("is_gap"))
+          .orderBy(col("user_id"), col("hour_epoch"))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+              |    COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+              |  FROM events WHERE user_id < 10 GROUP BY 1, 2),
+              |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+              |         FROM h GROUP BY user_id),
+              |grid AS (SELECT user_id,
+              |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              |  FROM span),
+              |j AS (SELECT g.user_id, g.h, n, sum_value
+              |      FROM grid g LEFT JOIN h ON h.user_id = g.user_id AND h.h = g.h)
+              |SELECT user_id, CAST(epoch(h) AS BIGINT) AS hour_epoch,
+              |  COALESCE(n, 0) AS n,
+              |  last_value(sum_value IGNORE NULLS) OVER (
+              |    PARTITION BY user_id ORDER BY h
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum,
+              |  n IS NULL AS is_gap
+              |FROM j ORDER BY user_id, hour_epoch""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q54 — exact-moment statistics: var/stddev/covar/corr derived from
+    // DECIMAL power sums (Σx, Σy, Σx², Σy², Σxy are exact and
+    // order-independent), with the textbook formulas evaluated in double
+    // as the IDENTICAL expression tree on both engines — deterministic
+    // IEEE arithmetic on identical inputs, so the gate needs no rounding.
+    // The built-in corr()/covar_samp() use order-dependent streaming
+    // merges that can differ across engines in final ulps; this is the
+    // cross-engine-stable formulation (StatsSpec checks it agrees with
+    // Spark's built-ins to 1e-9 relative).
+    Q("q54_exact_stats",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        val sums = l.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            dsum(x).as("sx"), dsum(y).as("sy"),
+            sum(dec(x) * dec(x)).cast("double").as("sxx"),
+            sum(dec(y) * dec(y)).cast("double").as("syy"),
+            sum(dec(x) * dec(y)).cast("double").as("sxy"))
+        sums.select(col("l_returnflag"), col("n"),
+            (col("sx") / col("n")).as("mean_x"),
+            (col("sy") / col("n")).as("mean_y"),
+            ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+              .as("var_x"),
+            ((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1))
+              .as("var_y"),
+            ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+              .as("covar_xy"))
+          .select(col("l_returnflag"), col("n"), col("mean_x"), col("mean_y"),
+            col("var_x"), col("var_y"), col("covar_xy"),
+            (col("covar_xy") / sqrt(col("var_x") * col("var_y")))
+              .as("corr_xy"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some {
+        // DECIMAL(19,6), not (18,6): DuckDB executes an (18)×(18) decimal
+        // product in int64 (runtime overflow on real sums); width 19
+        // forces int128 and 19+19=38 stays within its product-width cap.
+        // The value grid is identical to Spark's DECIMAL(18,6) operands.
+        def dec19(e: String) = s"CAST($e AS DECIMAL(19,6))"
+        s"""WITH sums AS (
+           |  SELECT l_returnflag, COUNT(*) AS n,
+           |    ${sqlDsum("l_quantity")} AS sx,
+           |    ${sqlDsum("l_extendedprice")} AS sy,
+           |    CAST(SUM(${dec19("l_quantity")} * ${dec19("l_quantity")}) AS DOUBLE) AS sxx,
+           |    CAST(SUM(${dec19("l_extendedprice")} * ${dec19("l_extendedprice")}) AS DOUBLE) AS syy,
+           |    CAST(SUM(${dec19("l_quantity")} * ${dec19("l_extendedprice")}) AS DOUBLE) AS sxy
+           |  FROM lineitem GROUP BY l_returnflag),
+              |m AS (
+              |  SELECT l_returnflag, n,
+              |    sx / n AS mean_x, sy / n AS mean_y,
+              |    (sxx - sx * sx / n) / (n - 1) AS var_x,
+              |    (syy - sy * sy / n) / (n - 1) AS var_y,
+              |    (sxy - sx * sy / n) / (n - 1) AS covar_xy
+              |  FROM sums)
+           |SELECT l_returnflag, n, mean_x, mean_y, var_x, var_y, covar_xy,
+           |  covar_xy / sqrt(var_x * var_y) AS corr_xy
+           |FROM m ORDER BY l_returnflag""".stripMargin
+      }),
+
+    // ----------------------------------------------------------------
+    // q55 — the array / higher-order-function family over per-group
+    // collected arrays: transform, filter, aggregate (fold), distinct,
+    // intersect, zip_with — all codegen-friendly builtins, no UDFs.
+    // Arrays are collected with a deterministic in-array order
+    // (array_sort on the linenumber key) and emitted as CSV strings
+    // because the driver's comparator cannot sort array cells.
+    Q("q55_array_hof",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem").filter(col("l_orderkey") % 500 === 0)
+        val arrs = l.groupBy(col("l_orderkey"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("l_linenumber").as("k"),
+              col("l_quantity").cast("int").as("v")))),
+            e => e.getField("v")).as("qty"))
+        arrs.select(col("l_orderkey"),
+            array_join(col("qty"), ",").as("qty_csv"),
+            array_join(transform(col("qty"), x => x * 2), ",")
+              .as("doubled_csv"),
+            array_join(filter(col("qty"), x => x > 25), ",").as("big_csv"),
+            aggregate(col("qty"), lit(0), (acc, x) => acc + x).cast("long")
+              .as("total_qty"),
+            array_join(array_sort(array_distinct(col("qty"))), ",")
+              .as("distinct_csv"),
+            array_join(array_sort(array_intersect(col("qty"),
+              sequence(lit(1), lit(25)))), ",").as("small_inter_csv"),
+            array_join(zip_with(col("qty"), reverse(col("qty")),
+              (a, b) => a + b), ",").as("palindrome_csv"),
+            size(col("qty")).as("n_items"))
+          .orderBy(col("l_orderkey"))
+      },
+      Some("""WITH o AS (
+             |  SELECT l_orderkey,
+             |    -- l_linenumber ties exist in the synthetic data; the value
+             |    -- itself is the tiebreaker (= Spark's struct sort order)
+             |    list(CAST(l_quantity AS INT) ORDER BY l_linenumber, l_quantity) AS qty
+             |  FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY l_orderkey)
+             |SELECT l_orderkey,
+             |  array_to_string(qty, ',') AS qty_csv,
+             |  array_to_string(list_transform(qty, x -> x * 2), ',') AS doubled_csv,
+             |  -- COALESCE: DuckDB's array_to_string([]) is NULL where
+             |  -- Spark's array_join([]) is ''
+             |  COALESCE(array_to_string(list_filter(qty, x -> x > 25), ','), '') AS big_csv,
+             |  CAST(list_sum(qty) AS BIGINT) AS total_qty,
+             |  array_to_string(list_sort(list_distinct(qty)), ',') AS distinct_csv,
+             |  COALESCE(array_to_string(list_sort(list_distinct(list_intersect(qty,
+             |    generate_series(1, 25)))), ','), '') AS small_inter_csv,
+             |  array_to_string(list_transform(generate_series(1, len(qty)),
+             |    i -> qty[i] + qty[len(qty) - i + 1]), ',') AS palindrome_csv,
+             |  CAST(len(qty) AS INT) AS n_items
+             |FROM o ORDER BY l_orderkey""".stripMargin))
+  )
+}

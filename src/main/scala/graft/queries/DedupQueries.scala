@@ -399,6 +399,46 @@ object DedupQueries {
               |  round(est_sim - CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS err
               |FROM inter JOIN sizes na ON na.doc_id = a
               |JOIN sizes nb ON nb.doc_id = b
-              |ORDER BY a, b""".stripMargin))
+              |ORDER BY a, b""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // d10 — SemDeDup-style semantic dedup: coarse-quantize the embedding
+    // corpus (the same deterministic stride-seeded centroids the IVF
+    // family uses), compare cosines ONLY within a cluster, and drop
+    // every vector with a lower-id duplicate above the threshold. The
+    // candidate set is Σ|cluster|² — the centroid count bounds cluster
+    // width at scale, so the quadratic work is per-cluster and the plan
+    // is one bounded broadcast + one shuffle on the cluster key, never
+    // all-pairs. The oracle restates assignment (argmax with the same
+    // 6dp rounding and lower-cid ties) and the within-cluster pair scan.
+    Q("d10_semantic_dedup",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        graft.operators.SemanticDedup.dedup(emb, "vec_id", "embedding",
+            centroidStride = 50, maxCentroids = 32, minCos = 0.4)
+          .orderBy(col("vid"))
+      },
+      Some("""WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+             |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
+             |assign AS (SELECT vid, vv, cid FROM (
+             |  SELECT vid, vv, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+             |  FROM (SELECT vid, vv, cid,
+             |    list_sum(list_transform(generate_series(1, len(vv)), i -> vv[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+             |    sqrt(list_sum(list_transform(generate_series(1, len(vv)), i -> vv[i]::DOUBLE * vv[i]::DOUBLE))) AS na,
+             |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
+             |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+             |        FROM v CROSS JOIN cent)) WHERE r = 1),
+             |pairs AS (SELECT a.vid AS aid, b.vid AS bid,
+             |    list_sum(list_transform(generate_series(1, len(a.vv)), i -> a.vv[i]::DOUBLE * b.vv[i]::DOUBLE)) AS dot,
+             |    sqrt(list_sum(list_transform(generate_series(1, len(a.vv)), i -> a.vv[i]::DOUBLE * a.vv[i]::DOUBLE))) AS na,
+             |    sqrt(list_sum(list_transform(generate_series(1, len(b.vv)), i -> b.vv[i]::DOUBLE * b.vv[i]::DOUBLE))) AS nb,
+             |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos
+             |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vid < b.vid),
+             |dropped AS (SELECT bid, MIN(aid) AS dup_of FROM pairs
+             |            WHERE cos >= 0.4 GROUP BY bid)
+             |SELECT cid, vid, dup_of, dup_of IS NULL AS keep
+             |FROM assign LEFT JOIN dropped ON vid = bid
+             |ORDER BY vid""".stripMargin))
   )
 }

@@ -200,8 +200,38 @@ object StreamingQueries {
       |  epoch_us(ts) // 1000000 AS ep, value
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** q53: stream-static enrichment join through the real engine — the
+   * event stream joined per micro-batch to the static customer dim
+   * (broadcast, stateless), then hourly windowed aggregation per market
+   * segment. Append mode emits a window once window.end ≤ watermark, so
+   * the oracle is the batch join+aggregate with q30's cutoff clause. */
+  private def runEnriched(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(s, dir, ev => {
+      val cust = graft.sources.Tables.load(s, dir, "customer")
+      graft.streaming.EventStream.enrichedHourly(ev, cust,
+          eventKey = "user_id", dimKey = "c_custkey",
+          dimAttr = "c_mktsegment", watermark = "1 hour")
+        .select(unix_timestamp(col("hour_start")).as("hour_epoch"),
+          col("c_mktsegment"), col("n"), col("sum_value"))
+    }).orderBy(col("hour_epoch"), col("c_mktsegment"))
+
+  private def enrichedOracle: String =
+    s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+       |agg AS (
+       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+       |    c_mktsegment, COUNT(*) AS n,
+       |    ${Exact.sqlDsum("value")} AS sum_value
+       |  FROM events JOIN customer ON user_id = c_custkey
+       |  GROUP BY 1, 2)
+       |SELECT CAST(epoch(h) AS BIGINT) AS hour_epoch, c_mktsegment, n,
+       |  sum_value
+       |FROM agg, mx
+       |WHERE epoch_ms(h) + 3600000 <= epoch_ms(m) - 3600000
+       |ORDER BY hour_epoch, c_mktsegment""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q36_stream_sessions", runSessions, Some(sessionsOracle)),
+    Q("q53_stream_static_join", runEnriched, Some(enrichedOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
     Q("q38_stream_attribution", runAttribution, Some(attributionOracle)),
     Q("q40_stream_custom_state", runInactive, Some(inactiveOracle)),

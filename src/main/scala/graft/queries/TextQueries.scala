@@ -684,6 +684,70 @@ object TextQueries {
               |    AS n_kept,
               |  CAST(SUM(CASE WHEN cum <= 20000 THEN n_tokens ELSE 0 END)
               |    AS BIGINT) AS tokens_kept
-              |FROM c GROUP BY source ORDER BY source""".stripMargin))
+              |FROM c GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t15 — corpus-level exact passage dedup (the ExactSubstr step of
+    // RefinedWeb/The-Pile pipelines, at paragraph granularity): chunk
+    // every document into t09's 50-token windows, keep only the FIRST
+    // occurrence of each distinct chunk corpus-wide (canonical order =
+    // (doc_id, chunk_idx)), and report per document what survived plus a
+    // digest of the residual chunk sequence. The plan is linear — one
+    // shuffle on the chunk hash for the first-occurrence window, one
+    // aggregate back per doc; no pair joins anywhere, which is what
+    // makes exact passage dedup run at 100 TB where near-dup methods
+    // need LSH.
+    Q("t15_passage_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val chunks = docs
+          .select(col("doc_id"), TF.tokens(col("text")).as("__tok"))
+          .select(col("doc_id"), col("__tok"), size(col("__tok")).as("__n"))
+          .filter(col("__n") > 0)
+          .withColumn("chunk_idx",
+            explode(sequence(lit(0), ((col("__n") - 1) / 50).cast("int"))))
+          .select(col("doc_id"), col("chunk_idx"),
+            slice(col("__tok"), col("chunk_idx") * 50 + 1, lit(50))
+              .as("__chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("__chunk")).cast("long").as("n_tok"),
+            md5(array_join(col("__chunk"), " ")).as("chunk_md5"))
+        val w = Window.partitionBy(col("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+        chunks.withColumn("keep", row_number().over(w) === 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!col("keep"), col("n_tok")).otherwise(0L))
+              .as("tokens_dropped"),
+            md5(array_join(transform(
+              array_sort(collect_list(when(col("keep"),
+                struct(col("chunk_idx"), col("chunk_md5"))))),
+              e => e.getField("chunk_md5")), "")).as("residual_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
+              |toks AS (SELECT doc_id, string_split_regex(t, ' ') AS w,
+              |    len(string_split_regex(t, ' ')) AS n FROM base
+              |  WHERE t <> ''),
+              |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+              |    w[i * 50 + 1 : least((i + 1) * 50, n)] AS c
+              |  FROM toks, unnest(generate_series(0, (n - 1) // 50)) u(i)),
+              |h AS (SELECT doc_id, chunk_idx,
+              |    CAST(len(c) AS BIGINT) AS n_tok,
+              |    md5(array_to_string(c, ' ')) AS chunk_md5
+              |  FROM ch),
+              |marked AS (SELECT *,
+              |    row_number() OVER (PARTITION BY chunk_md5
+              |      ORDER BY doc_id, chunk_idx) = 1 AS keep
+              |  FROM h)
+              |SELECT doc_id, COUNT(*) AS n_chunks,
+              |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(SUM(CASE WHEN keep THEN 0 ELSE n_tok END) AS BIGINT)
+              |    AS tokens_dropped,
+              |  md5(COALESCE(string_agg(CASE WHEN keep THEN chunk_md5 END, ''
+              |    ORDER BY chunk_idx), '')) AS residual_md5
+              |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

@@ -39,6 +39,29 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
         col("sum_value"))
 
+  /**
+   * Stream-static enrichment join: the event stream joined to a static
+   * dimension (read once per micro-batch, broadcast — the streaming
+   * counterpart of the reference's dictionary lookups J6,
+   * /root/reference/src/main/java/org/gcd/etl/Main.java:549-558), then
+   * windowed aggregation per dimension attribute. Stream-static inner
+   * joins are stateless (no join state at all — only the downstream
+   * window aggregate holds state), which is why enrichment is the one
+   * join shape you can run unbounded with a static side of any
+   * broadcast-able size.
+   */
+  def enrichedHourly(events: DataFrame, dim: DataFrame, eventKey: String,
+      dimKey: String, dimAttr: String,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col(eventKey) === col(dimKey), "inner")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col(dimAttr))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col(dimAttr), col("n"),
+        col("sum_value"))
+
   /** Exactly-once-style dedup on event_id within the watermark horizon. */
   def dedupe(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
