@@ -123,4 +123,30 @@ object Multimodal {
   def resizeMeta(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("meta",
       col("meta").withField("width", lit(w)).withField("height", lit(h)))
+
+  /**
+   * Media → embedding stage, pure expression form: the payload is split
+   * into `n` evenly-spaced windows (same math as [[sampleFrames]]) and
+   * each becomes one embedding dimension (mean byte value — the decode
+   * stub standing in for a real vision/audio encoder; the ASCII-corpus
+   * precondition makes bytes ≡ chars, asserted in MultimodalSpec).
+   * Output: `media_id`, `stripe_vec` array<double>. The embedding is
+   * computed in the scan stage — at 100 TB the payload column never
+   * reaches a shuffle, only the n-dim vector does, which is the entire
+   * point of embed-then-index pipelines.
+   */
+  def stripeEmbedding(media: DataFrame, n: Int): DataFrame = {
+    val s = decode(col("payload"), "UTF-8")
+    val size = length(s)
+    val stripes = (0 until n).map { i =>
+      val start = (size * i / n).cast(IntegerType) + 1
+      val len = greatest((size / n).cast(IntegerType), lit(1))
+      val w = s.substr(start, len)
+      when(length(w) > 0,
+        aggregate(transform(split(w, ""), c => ascii(c)), lit(0),
+          (a, x) => a + x).cast("double") / length(w))
+        .otherwise(lit(0.0))
+    }
+    media.select(col("media_id"), array(stripes: _*).as("stripe_vec"))
+  }
 }

@@ -225,6 +225,89 @@ object Similarity {
   }
 
   /**
+   * Product-quantized (PQ) top-k via asymmetric distance computation
+   * (ADC) — the memory-compression standard of large-scale ANN (Jégou
+   * et al., "Product Quantization for Nearest Neighbor Search", 2011):
+   * the vector space is split into `m` subspaces; each subvector is
+   * replaced by the index of its nearest codebook entry (k entries per
+   * subspace), so a 64-dim float vector becomes m small codes; at query
+   * time the UNCOMPRESSED query precomputes a (subspace × code) lookup
+   * table of partial dot products and every candidate is scored by m
+   * table lookups instead of a d-dim dot product.
+   *
+   * Spark shape: the codebook is deterministic (subvectors of the
+   * stride-seeded sample — same seeding contract as the IVF family) and
+   * tiny (m·k rows, broadcast); code assignment is a per-(vector,
+   * subspace) L2 argmin against the broadcast codebook (6dp-rounded,
+   * ties to lower code — the oracle contract); the ADC score joins the
+   * code table to the broadcast LUT and sums the m partial dots through
+   * DECIMAL so the total is order-independent; ranking is the
+   * bounded-heap partial aggregate. At 100 TB the corpus-side state is
+   * m·log2(k) bits per vector and the per-query cost is m lookups per
+   * candidate — that is the entire point of PQ.
+   */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, k: Int, codeStride: Int,
+      topK: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topKPairs
+    import graft.queries.Exact
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+
+    // deterministic codebook: subvectors of the first k stride-sampled
+    // vectors, one entry per (subspace s, code j)
+    val seeds = vectors.filter(col(idCol) % codeStride === 0 &&
+        col(idCol) < codeStride.toLong * k)
+      .select((col(idCol) / codeStride).cast("int").as("j"),
+        col(vecCol).cast("array<double>").as("__v"))
+    val codebook = seeds
+      .select(col("j"), explode(sequence(lit(0), lit(m - 1))).as("s"),
+        col("__v"))
+      .select(col("s"), col("j"),
+        slice(col("__v"), col("s") * sub + 1, lit(sub)).as("csub"))
+
+    // per-(vector, subspace) code: L2 argmin over the broadcast codebook
+    def subspaces(df: DataFrame, idOut: String): DataFrame = df
+      .select(col(idCol).as(idOut), col(vecCol).cast("array<double>").as("__v"))
+      .select(col(idOut), explode(sequence(lit(0), lit(m - 1))).as("s"),
+        col("__v"))
+      .select(col(idOut), col("s"),
+        slice(col("__v"), col("s") * sub + 1, lit(sub)).as("vsub"))
+
+    val wCode = Window.partitionBy(col("nid"), col("s"))
+      .orderBy(col("d2").asc, col("j"))
+    val codes = subspaces(vectors, "nid")
+      .join(broadcast(codebook), "s")
+      .select(col("nid"), col("s"), col("j"),
+        round(aggregate(zip_with(col("vsub"), col("csub"),
+          (x, c) => (x - c) * (x - c)), lit(0.0), (acc, e) => acc + e), 6)
+          .as("d2"))
+      .withColumn("r", row_number().over(wCode))
+      .filter(col("r") === 1)
+      .select(col("nid"), col("s"), col("j").as("code"))
+
+    // query-side ADC lookup table: partial dot of the RAW query subvector
+    // with every codebook entry
+    val lut = subspaces(queries, "qid")
+      .join(broadcast(codebook), "s")
+      .select(col("qid"), col("s"), col("j").as("code"),
+        VF.dot(col("vsub"), col("csub")).as("part"))
+
+    // score = Σ_s lut[s, code(v, s)] — exact decimal sum of the m partials
+    val scored = codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(round(sum(Exact.dec(col("part"))).cast("double"), 6).as("adc"))
+
+    scored
+      .groupBy(col("qid"))
+      .agg(topKPairs(struct(col("adc"), col("nid")), topK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("nid"), col("col.score").as("adc"))
+  }
+
+  /**
    * Scalar-quantized (SQ8) top-k: each dimension is affinely mapped to
    * the integer grid 0..255 using per-dimension corpus min/max, and
    * similarity is the INTEGER dot product of the quantized codes — the

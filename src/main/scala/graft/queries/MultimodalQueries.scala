@@ -98,6 +98,48 @@ object MultimodalQueries {
              |  64 AS width, 64 AS height,
              |  array_to_string(frame_digests, '|') AS frame_digests,
              |  CAST(len(list_distinct(frame_digests)) AS INT) AS n_distinct_frames
-             |FROM f ORDER BY media_id""".stripMargin))
+             |FROM f ORDER BY media_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // m04 — the embed-then-index cross-modal pipeline: payloads become
+    // 8-dim stripe-mean embeddings IN THE SCAN STAGE (the decode-stub
+    // encoder; payloads never reach a shuffle), then media-to-media ANN
+    // runs over the small vectors with the same exact cosine top-k the
+    // text-embedding family uses — the composition a real multimodal
+    // retrieval system deploys (encoder → vector → shared index). Oracle:
+    // stripe windows restated in chars (ASCII corpus ⇒ bytes ≡ chars,
+    // the MultimodalSpec precondition), cosine restated as in s01.
+    Q("m04_crossmodal_ann",
+      (s, dir) => {
+        val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
+        val emb = Multimodal.stripeEmbedding(media, 8)
+        val q = emb.filter(col("media_id") % 50 === 0)
+        graft.operators.Similarity
+          .cosineTopK(emb, q, "media_id", "stripe_vec", k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH f AS (SELECT doc_id AS id, len(text) AS sz, text FROM documents),
+             |st AS (SELECT id, i,
+             |    substr(text, (sz * i) // 8 + 1, greatest(sz // 8, 1)) AS w
+             |  FROM f, unnest(generate_series(0, 7)) u(i)),
+             |mn AS (SELECT id, i,
+             |    CASE WHEN len(w) > 0 THEN
+             |      CAST(list_sum(list_transform(generate_series(1, len(w)),
+             |        j -> ascii(substr(w, j, 1)))) AS DOUBLE) / len(w)
+             |    ELSE 0.0 END AS m
+             |  FROM st),
+             |v AS (SELECT id, list(m ORDER BY i) AS vv FROM mn GROUP BY id),
+             |q AS (SELECT id AS qid, vv AS qv FROM v WHERE id % 50 = 0),
+             |scored AS (SELECT qid, c.id AS nid,
+             |    list_sum(list_transform(generate_series(1, 8), k -> qv[k] * c.vv[k])) AS dot,
+             |    sqrt(list_sum(list_transform(generate_series(1, 8), k -> qv[k] * qv[k]))) AS na,
+             |    sqrt(list_sum(list_transform(generate_series(1, 8), k -> c.vv[k] * c.vv[k]))) AS nb,
+             |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos
+             |  FROM q JOIN v c ON c.id <> qid),
+             |r AS (SELECT qid, nid, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             |  FROM scored)
+             |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin))
   )
 }

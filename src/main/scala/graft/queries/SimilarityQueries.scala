@@ -301,6 +301,55 @@ object SimilarityQueries {
              |ORDER BY qid, rank""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // s09 — product-quantized (PQ) ANN via asymmetric distance
+    // computation: vectors compressed to 8 sub-space codes against a
+    // deterministic 16-entry-per-subspace codebook; queries stay raw and
+    // score candidates by 8 lookups in a precomputed partial-dot table.
+    // The corpus side carries m·log2(k) BITS per vector at scale — the
+    // memory-compression standard of billion-vector search. Codes and
+    // LUT are broadcast joins; the ADC sum runs through DECIMAL so the
+    // gate is exact; ranking is the bounded-heap partial aggregate.
+    Q("s09_ann_pq",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.pqTopK(e, q, "vec_id", "embedding", dim = 64, m = 8,
+            k = 16, codeStride = 50, topK = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id AS id, embedding AS ev FROM embeddings),
+             |sdim AS (SELECT unnest(generate_series(0, 7)) AS s),
+             |cb AS (SELECT CAST(vec_id // 50 AS INT) AS j, sdim.s AS s,
+             |    list_transform(generate_series(sdim.s * 8 + 1, sdim.s * 8 + 8),
+             |      i -> embedding[i]::DOUBLE) AS csub
+             |  FROM embeddings, sdim
+             |  WHERE vec_id % 50 = 0 AND vec_id < 800),
+             |subs AS (SELECT id, sdim.s AS s,
+             |    list_transform(generate_series(sdim.s * 8 + 1, sdim.s * 8 + 8),
+             |      i -> ev[i]::DOUBLE) AS vsub
+             |  FROM v, sdim),
+             |codes AS (SELECT id AS nid, s, j AS code FROM (
+             |  SELECT id, s, j,
+             |    row_number() OVER (PARTITION BY id, s ORDER BY d2 ASC, j) AS r
+             |  FROM (SELECT sub.id, sub.s, cb.j,
+             |      round(list_sum(list_transform(generate_series(1, 8),
+             |        i -> (vsub[i] - csub[i]) * (vsub[i] - csub[i]))), 6) AS d2
+             |    FROM subs sub JOIN cb ON cb.s = sub.s)) WHERE r = 1),
+             |lut AS (SELECT id AS qid, s, j AS code,
+             |    list_sum(list_transform(generate_series(1, 8),
+             |      i -> vsub[i] * csub[i])) AS part
+             |  FROM subs JOIN cb USING (s) WHERE id % 50 = 0),
+             |scored AS (SELECT qid, nid,
+             |    round(CAST(SUM(CAST(part AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
+             |  FROM codes JOIN lut USING (s, code) WHERE nid <> qid
+             |  GROUP BY qid, nid),
+             |r AS (SELECT qid, nid, adc,
+             |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rank
+             |  FROM scored)
+             |SELECT qid, rank, nid, adc FROM r WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is
     // written in the PLAIN-SPARK HOF dot-product form
     // (aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v))

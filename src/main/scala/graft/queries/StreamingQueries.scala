@@ -229,9 +229,80 @@ object StreamingQueries {
        |WHERE epoch_ms(h) + 3600000 <= epoch_ms(m) - 3600000
        |ORDER BY hour_epoch, c_mktsegment""".stripMargin
 
+  /** q56: incrementally-maintained materialized view via foreachBatch —
+   * the streaming upsert pattern parquet sinks can't express natively
+   * (no in-place update): each micro-batch reduces to its per-user
+   * latest event and MERGEs into a versioned keyed state table; the
+   * source is split into multiple files with maxFilesPerTrigger so the
+   * merge loop genuinely runs several times. At scale the state table is
+   * one row per key and each merge shuffles only (batch ∪ state) on the
+   * key; versioned directories + last-committed pointer is the
+   * poor-man's-transaction that table formats (Delta/Iceberg) formalize.
+   * The oracle is the batch argmax per user — the hash gate proves the
+   * incremental view equals the from-scratch recompute. */
+  private def runUpsert(s: SparkSession, dir: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val src = graft.sources.Scratch.dir("upsert_src")
+      val stateRoot = graft.sources.Scratch.dir("upsert_state")
+      val ev = graft.sources.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("value"))
+      ev.repartition(8).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(src)
+
+      // per-user latest event: max of (us, event_id, ...) — the struct
+      // comparison is lexicographic, so event_id breaks timestamp ties
+      def latest(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"))
+          .agg(max(struct(col("us"), col("event_id"), col("event_type"),
+            col("value"))).as("m"))
+          .select(col("user_id"), col("m.us").as("us"),
+            col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"),
+            col("m.value").as("value"))
+
+      var current: Option[String] = None
+      val q = stream.writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", graft.sources.Scratch.dir("upsert_cp"))
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val newest = latest(b)
+          val merged = current match {
+            case Some(p) => latest(newest.unionByName(s.read.parquet(p)))
+            case None => newest
+          }
+          val out = s"$stateRoot/v$id"
+          merged.write.mode("overwrite").parquet(out)
+          current = Some(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(current.get)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("us").as("last_us"),
+          col("value").as("last_value"))
+        .orderBy(col("user_id"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def upsertOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS us FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  us AS last_us, value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q36_stream_sessions", runSessions, Some(sessionsOracle)),
     Q("q53_stream_static_join", runEnriched, Some(enrichedOracle)),
+    Q("q56_stream_upsert_view", runUpsert, Some(upsertOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
     Q("q38_stream_attribution", runAttribution, Some(attributionOracle)),
     Q("q40_stream_custom_state", runInactive, Some(inactiveOracle)),

@@ -748,6 +748,67 @@ object TextQueries {
               |    AS tokens_dropped,
               |  md5(COALESCE(string_agg(CASE WHEN keep THEN chunk_md5 END, ''
               |    ORDER BY chunk_idx), '')) AS residual_md5
-              |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+              |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t16 — Gopher-style quality rule filtering (Rae et al. 2021 §A1.1):
+    // the explicit per-document rule battery a production corpus filter
+    // applies before model-based scoring — token-count window, mean word
+    // length window, alphabetic-token fraction, minimum stopword hits —
+    // each surfaced as its own boolean (so rejection reasons are
+    // auditable) plus the combined verdict. All rules are single-pass
+    // scan-stage math over one shared tokenization; the doubles are
+    // ratios of exact integers, so the gate needs no rounding.
+    Q("t16_quality_rules",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sw = array(TF.stopwords("en").map(lit): _*)
+        val toks = docs.select(col("doc_id"), TF.tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n"))
+        val feats = toks.select(col("doc_id"), col("n"),
+          when(col("n") > 0,
+            aggregate(transform(col("t"), w => length(w)), lit(0),
+              (a, x) => a + x).cast("double") / col("n")).otherwise(0.0)
+            .as("mean_len"),
+          when(col("n") > 0,
+            size(filter(col("t"), w => w.rlike("[a-z]"))).cast("double") /
+              col("n")).otherwise(0.0).as("alpha_frac"),
+          size(filter(col("t"), w => array_contains(sw, w))).cast("long")
+            .as("n_stop"))
+        feats.select(col("doc_id"), col("n"), col("mean_len"),
+            col("alpha_frac"), col("n_stop"),
+            (col("n") >= 50 && col("n") <= 100000).as("rule_len"),
+            (col("mean_len") >= 3.0 && col("mean_len") <= 10.0)
+              .as("rule_wordlen"),
+            (col("alpha_frac") >= 0.8).as("rule_alpha"),
+            (col("n_stop") >= 2).as("rule_stop"))
+          .withColumn("pass",
+            col("rule_len") && col("rule_wordlen") && col("rule_alpha") &&
+              col("rule_stop"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
+              |toks AS (SELECT doc_id,
+              |    CASE WHEN t = '' THEN [] ELSE string_split_regex(t, ' ') END AS w
+              |  FROM base),
+              |feats AS (SELECT doc_id,
+              |    CAST(len(w) AS BIGINT) AS n,
+              |    CASE WHEN len(w) > 0 THEN
+              |      CAST(list_sum(list_transform(w, x -> CAST(len(x) AS INT))) AS DOUBLE) / len(w)
+              |      ELSE 0.0 END AS mean_len,
+              |    CASE WHEN len(w) > 0 THEN
+              |      CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(w)
+              |      ELSE 0.0 END AS alpha_frac,
+              |    CAST(len(list_filter(w, x -> list_contains($enList, x))) AS BIGINT) AS n_stop
+              |  FROM toks)
+              |SELECT doc_id, n, mean_len, alpha_frac, n_stop,
+              |  (n >= 50 AND n <= 100000) AS rule_len,
+              |  (mean_len >= 3.0 AND mean_len <= 10.0) AS rule_wordlen,
+              |  (alpha_frac >= 0.8) AS rule_alpha,
+              |  (n_stop >= 2) AS rule_stop,
+              |  (n >= 50 AND n <= 100000 AND mean_len >= 3.0
+              |    AND mean_len <= 10.0 AND alpha_frac >= 0.8
+              |    AND n_stop >= 2) AS pass
+              |FROM feats ORDER BY doc_id""".stripMargin))
   )
 }

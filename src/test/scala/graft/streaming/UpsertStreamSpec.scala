@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSpec
+import graft.sources.{Scratch, Tables}
+
+/** The q56 upsert-view contract depends on the source actually being
+ * split into several micro-batches (otherwise the merge loop degenerates
+ * to a single batch and the incremental path is untested). This pins the
+ * mechanism: an 8-file source with maxFilesPerTrigger=2 under
+ * AvailableNow must run ≥ 4 foreachBatch invocations, and the merged
+ * view must equal the batch recompute. */
+class UpsertStreamSpec extends SparkSpec {
+
+  test("multi-batch foreachBatch upsert equals the batch argmax") {
+    val src = Scratch.dir("upsert_spec_src")
+    val ev = Tables.load(spark, sf(), "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("us"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.us").as("us"),
+          col("m.event_id").as("event_id"), col("m.value").as("value"))
+
+    val batches = new AtomicInteger(0)
+    var current: Option[String] = None
+    val stateRoot = Scratch.dir("upsert_spec_state")
+    val q = spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Scratch.dir("upsert_spec_cp"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        batches.incrementAndGet()
+        val merged = current match {
+          case Some(p) => latest(latest(b).unionByName(spark.read.parquet(p)))
+          case None => latest(b)
+        }
+        val out = s"$stateRoot/v$id"
+        merged.write.mode("overwrite").parquet(out)
+        current = Some(out)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+
+    assert(batches.get() >= 4, s"expected >= 4 micro-batches, got $batches")
+    val got = spark.read.parquet(current.get)
+    val want = latest(ev)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+}
