@@ -233,6 +233,81 @@ object Analytics {
              |  array_to_string(list_transform(generate_series(1, len(qty)),
              |    i -> qty[i] + qty[len(qty) - i + 1]), ',') AS palindrome_csv,
              |  CAST(len(qty) AS INT) AS n_items
-             |FROM o ORDER BY l_orderkey""".stripMargin))
+             |FROM o ORDER BY l_orderkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q57 — UNPIVOT (melt): wide per-group metrics rotated into long
+    // (group, metric, value) form — the inverse of q32's pivot and the
+    // standard reshape before charting/feature stores. Spark's native
+    // unpivot generates the rows map-side (no shuffle beyond the
+    // aggregate producing the wide table); the oracle restates it as the
+    // equivalent UNION ALL.
+    Q("q57_unpivot",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        val wide = l.groupBy(col("l_returnflag"))
+          .agg(dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            davg(col("l_discount")).as("avg_disc"))
+        wide.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("avg_disc")),
+            "metric", "value")
+          .orderBy(col("l_returnflag"), col("metric"))
+      },
+      Some(s"""WITH wide AS (
+              |  SELECT l_returnflag,
+              |    ${sqlDsum("l_quantity")} AS sum_qty,
+              |    ${sqlDsum("l_extendedprice")} AS sum_price,
+              |    ${sqlDavg("l_discount")} AS avg_disc
+              |  FROM lineitem GROUP BY l_returnflag)
+              |SELECT l_returnflag, metric, value FROM (
+              |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+              |  UNION ALL
+              |  SELECT l_returnflag, 'sum_price', sum_price FROM wide
+              |  UNION ALL
+              |  SELECT l_returnflag, 'avg_disc', avg_disc FROM wide)
+              |ORDER BY l_returnflag, metric""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q58 — the scalar string-function family (pad, translate, repeat,
+    // reverse, position, case mapping, slicing) — the reference's string
+    // surface (SURVEY.md §2.4: regex, split, zero-pad via format) plus
+    // the rest of the everyday query-layer toolkit, restated
+    // function-for-function in DuckDB. All scan-stage codegen, no UDFs.
+    Q("q58_string_suite",
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_custkey") % 100 === 0)
+        c.select(col("c_custkey"),
+            upper(col("c_mktsegment")).as("seg_upper"),
+            lower(col("c_name")).as("name_lower"),
+            lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+            rpad(col("c_mktsegment"), 12, ".").as("seg_rpad"),
+            translate(col("c_name"), "#0", "_x").as("name_translated"),
+            regexp_replace(col("c_name"), "0+", "0").as("name_squeezed"),
+            reverse(col("c_name")).as("name_rev"),
+            repeat(substring(col("c_name"), 1, 3), 2).as("name_rep"),
+            instr(col("c_name"), "#").cast("long").as("hash_pos"),
+            substring(col("c_name"), -4, 4).as("name_tail"),
+            concat_ws("/", col("c_mktsegment"),
+              col("c_custkey").cast("string")).as("seg_key"),
+            length(col("c_name")).as("name_len"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             |  upper(c_mktsegment) AS seg_upper,
+             |  lower(c_name) AS name_lower,
+             |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+             |  rpad(c_mktsegment, 12, '.') AS seg_rpad,
+             |  translate(c_name, '#0', '_x') AS name_translated,
+             |  regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
+             |  reverse(c_name) AS name_rev,
+             |  repeat(substr(c_name, 1, 3), 2) AS name_rep,
+             |  CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+             |  substr(c_name, len(c_name) - 3, 4) AS name_tail,
+             |  concat_ws('/', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+             |  CAST(len(c_name) AS INT) AS name_len
+             |FROM customer WHERE c_custkey % 100 = 0
+             |ORDER BY c_custkey""".stripMargin))
   )
 }

@@ -574,6 +574,64 @@ object TextQueries {
              |ORDER BY field, term_str""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // k02 — search THROUGH the index artifact: token-level postings are
+    // written with the real K2-analog sink (field-partitioned,
+    // range-partitioned on term, term-sorted files), read back through
+    // the partition-pruned path, and a conjunctive (AND) multi-term
+    // query ranks documents by total term frequency — the Imhotep
+    // term-group-stats query shape (reference Main.java:107-112's index
+    // consumer) executed natively in Spark. At scale the read touches
+    // one field dir and, within it, only the row groups whose term
+    // min/max straddle the queried terms — the write-time sort is what
+    // buys that pruning. The oracle restates the whole thing from the
+    // raw documents.
+    Q("k02_index_search",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          TF.tokens(col("text")).as("tokens"))
+        val path = graft.sources.Scratch.dir("k02_index")
+        graft.sinks.InvertedIndex.write(toks, "doc_id", Seq("tokens"), path)
+        val terms = Seq("data", "spark", "query")
+        val tf = s.read.parquet(path)
+          .filter(col("field") === "tokens" &&
+            col("term_str").isin(terms: _*))
+          .groupBy(col("doc_id"), col("term_str"))
+          .agg(count(lit(1)).as("tf"))
+        tf.groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("tf_total"),
+            sum(when(col("term_str") === "data", col("tf")).otherwise(0L))
+              .as("tf_data"),
+            sum(when(col("term_str") === "spark", col("tf")).otherwise(0L))
+              .as("tf_spark"),
+            sum(when(col("term_str") === "query", col("tf")).otherwise(0L))
+              .as("tf_query"),
+            countDistinct(col("term_str")).as("nt"))
+          .filter(col("nt") === terms.size)
+          .select(col("doc_id"), col("tf_total"), col("tf_data"),
+            col("tf_spark"), col("tf_query"))
+          .orderBy(col("tf_total").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split_regex(t, ' ')) AS term
+              |  FROM (SELECT doc_id, $normT AS t FROM documents)
+              |  WHERE t <> ''),
+              |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              |       WHERE term IN ('data', 'spark', 'query')
+              |       GROUP BY doc_id, term),
+              |agg AS (SELECT doc_id,
+              |    CAST(SUM(tf) AS BIGINT) AS tf_total,
+              |    CAST(SUM(CASE WHEN term = 'data' THEN tf ELSE 0 END) AS BIGINT) AS tf_data,
+              |    CAST(SUM(CASE WHEN term = 'spark' THEN tf ELSE 0 END) AS BIGINT) AS tf_spark,
+              |    CAST(SUM(CASE WHEN term = 'query' THEN tf ELSE 0 END) AS BIGINT) AS tf_query,
+              |    COUNT(DISTINCT term) AS nt
+              |  FROM tf GROUP BY doc_id)
+              |SELECT doc_id, tf_total, tf_data, tf_spark, tf_query
+              |FROM agg WHERE nt = 3
+              |ORDER BY tf_total DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // t13 — CONTENT-DEFINED chunking (the dedup-friendly complement of
     // t09's fixed windows): a chunk boundary falls after any token whose
     // trailing 3-gram hashes to 0 mod 16, so boundaries move with the

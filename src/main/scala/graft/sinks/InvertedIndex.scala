@@ -30,10 +30,15 @@ object InvertedIndex {
     val parts = fields.map { f =>
       df.schema(f).dataType match {
         case ArrayType(StringType, _) =>
+          // explode_outer + null filter, NOT explode: the non-outer form
+          // adds an implicit size(arr)>0 predicate that Catalyst pushes
+          // below the projection, re-materializing a COMPUTED array
+          // expression (e.g. a tokenization) once more per row
           df.select(lit(f).as("field"),
-            explode(col(f)).as("term_str"),
+            explode_outer(col(f)).as("term_str"),
             lit(null).cast(LongType).as("term_int"),
             col(docIdCol).cast(LongType).as("doc_id"))
+            .filter(col("term_str").isNotNull)
         case StringType =>
           df.filter(col(f).isNotNull)
             .select(lit(f).as("field"), col(f).as("term_str"),
