@@ -344,6 +344,52 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, minJaccard: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
+    val (sizes, inter) = shinglePairCounts(df, idCol, textCol, shingleWords,
+      maxShingleDf)
+    inter
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /**
+   * Shingle-containment pairs: C = |A∩B| / min(|A|, |B|) ≥ `minContainment`
+   * — the asymmetric complement of [[jaccardPairs]] that catches a SHORT
+   * document embedded verbatim inside a LONG one (quote farms, scraped
+   * boilerplate wrappers), which Jaccard misses because the union is
+   * dominated by the long side. Emits `(contained_id, container_id,
+   * containment)` with the smaller-shingle-set side as the contained
+   * document (ties → lower id). Same inverted-index plan as Jaccard: one
+   * shuffle on the shingle hash, document-frequency cap as the skew
+   * guard, never all-pairs.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, minContainment: Double = 0.9,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val (sizes, inter) = shinglePairCounts(df, idCol, textCol, shingleWords,
+      maxShingleDf)
+    inter
+      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
+      .select(
+        when(col("na") <= col("nb"), col("a")).otherwise(col("b"))
+          .as("contained_id"),
+        when(col("na") <= col("nb"), col("b")).otherwise(col("a"))
+          .as("container_id"),
+        (col("inter").cast(DoubleType) / least(col("na"), col("nb")))
+          .as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
+  /** Shared inverted-shingle-index core of [[jaccardPairs]] and
+   * [[containmentPairs]]: per-doc (capped) shingle-set sizes plus
+   * per-pair intersection counts from the hash-keyed self-join. */
+  private def shinglePairCounts(df: DataFrame, idCol: String,
+      textCol: String, shingleWords: Int,
+      maxShingleDf: Option[Int]): (DataFrame, DataFrame) = {
     // the inverted index is keyed by the 60-bit shingle HASH, not the
     // shingle string: the self-join shuffle then carries 8-byte keys
     // instead of ~25-byte trigram text — at 100 TB that is the dominant
@@ -372,13 +418,7 @@ object Dedup {
         col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
-      .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
-      .select(col("a"), col("b"),
-        (col("inter").cast(DoubleType) /
-          (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    (sizes, inter)
   }
 
   // ------------------------------------------------------------------

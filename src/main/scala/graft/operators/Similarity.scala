@@ -251,6 +251,85 @@ object Similarity {
       topK: Int): DataFrame = {
     import graft.functions.TopKAggregate.topKPairs
     import graft.queries.Exact
+    val (codes, lut) = pqParts(vectors, queries, idCol, vecCol, dim, m, k,
+      codeStride)
+
+    // score = Σ_s lut[s, code(v, s)] — exact decimal sum of the m partials
+    val scored = codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(round(sum(Exact.dec(col("part"))).cast("double"), 6).as("adc"))
+
+    scored
+      .groupBy(col("qid"))
+      .agg(topKPairs(struct(col("adc"), col("nid")), topK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("nid"), col("col.score").as("adc"))
+  }
+
+  /**
+   * IVF-PQ composed (the production recipe of billion-scale vector
+   * indexes, e.g. FAISS IVFxx,PQyy): the IVF coarse quantizer restricts
+   * every query to its `nProbe` nearest centroid lists, and within those
+   * lists candidates are scored in the COMPRESSED domain via PQ/ADC —
+   * the corpus stores only (cluster id, m codes) per vector. At scale
+   * this is the difference between scanning n candidates and scanning
+   * n·nProbe/C of them, each at m table lookups instead of a d-dim dot.
+   * All quantizers share the deterministic stride-seeding contract, so
+   * the whole composition restates in SQL for the oracle gate.
+   */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, k: Int, codeStride: Int,
+      centroidStride: Int, maxCentroids: Int, nProbe: Int,
+      topK: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topKPairs
+    import graft.queries.Exact
+    val cent = strideCentroids(vectors, idCol, vecCol, centroidStride,
+      maxCentroids)
+    // inverted lists (vector → cluster) from the coarse quantizer
+    val assign = assignToCentroids(vectors, idCol, vecCol, cent)
+      .select(col("vid"), col("cid"))
+    // query → nProbe nearest centroid lists
+    val q = queries.select(col(idCol).as("pqid"), col(vecCol).as("qv"),
+      VF.l2Norm(col(vecCol)).as("qn"))
+    val wProbe = Window.partitionBy(col("pqid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probes = q.join(broadcast(cent))
+      .select(col("pqid"), col("cid"),
+        round(VF.cosineFromParts(VF.dot(col("qv"), col("cv")),
+          col("qn"), col("cn")), 6).as("ccos"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nProbe)
+      .select(col("pqid"), col("cid"))
+
+    val (codes, lut) = pqParts(vectors, queries, idCol, vecCol, dim, m, k,
+      codeStride)
+
+    // candidates = vectors in probed clusters; ADC-score them only
+    val cand = probes.join(assign, "cid")
+      .select(col("pqid"), col("vid"))
+    val scored = cand.join(codes, col("vid") === codes("nid"))
+      .join(broadcast(lut),
+        col("pqid") === lut("qid") && codes("s") === lut("s") &&
+          codes("code") === lut("code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(round(sum(Exact.dec(col("part"))).cast("double"), 6).as("adc"))
+
+    scored
+      .groupBy(col("qid"))
+      .agg(topKPairs(struct(col("adc"), col("nid")), topK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("nid"), col("col.score").as("adc"))
+  }
+
+  /** Shared PQ machinery: per-(vector, subspace) codes against the
+   * deterministic codebook, plus the query-side ADC lookup table. */
+  private def pqParts(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, k: Int,
+      codeStride: Int): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
 
@@ -293,18 +372,7 @@ object Similarity {
       .select(col("qid"), col("s"), col("j").as("code"),
         VF.dot(col("vsub"), col("csub")).as("part"))
 
-    // score = Σ_s lut[s, code(v, s)] — exact decimal sum of the m partials
-    val scored = codes.join(broadcast(lut), Seq("s", "code"))
-      .filter(col("nid") =!= col("qid"))
-      .groupBy(col("qid"), col("nid"))
-      .agg(round(sum(Exact.dec(col("part"))).cast("double"), 6).as("adc"))
-
-    scored
-      .groupBy(col("qid"))
-      .agg(topKPairs(struct(col("adc"), col("nid")), topK).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("nid"), col("col.score").as("adc"))
+    (codes, lut)
   }
 
   /**

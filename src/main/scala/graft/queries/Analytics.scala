@@ -308,6 +308,40 @@ object Analytics {
              |  concat_ws('/', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
              |  CAST(len(c_name) AS INT) AS name_len
              |FROM customer WHERE c_custkey % 100 = 0
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q59 — explicit GROUPING SETS with grouping() flags: the general
+    // form behind q18's ROLLUP and q37's CUBE, with hand-picked sets and
+    // the grouping() indicator that disambiguates "NULL because
+    // aggregated away" from a real NULL. One pass: Spark expands the
+    // sets map-side and aggregates once. The Spark side runs AS SQL over
+    // the registered table views (the engine's query layer, SURVEY.md
+    // A4) — near-identical text to the DuckDB oracle.
+    Q("q59_grouping_sets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(s"""
+          |SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+          |  COALESCE(o_orderstatus, 'ALL') AS status,
+          |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+          |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+          |  (c_mktsegment), (o_orderstatus), ())
+          |ORDER BY seg, status""".stripMargin)
+      },
+      Some("""SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+             |  COALESCE(o_orderstatus, 'ALL') AS status,
+             |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+             |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+             |  (c_mktsegment), (o_orderstatus), ())
+             |ORDER BY seg, status""".stripMargin))
   )
 }

@@ -439,6 +439,38 @@ object DedupQueries {
              |            WHERE cos >= 0.4 GROUP BY bid)
              |SELECT cid, vid, dup_of, dup_of IS NULL AS keep
              |FROM assign LEFT JOIN dropped ON vid = bid
-             |ORDER BY vid""".stripMargin))
+             |ORDER BY vid""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // d11 — shingle-containment pairs: |∩| / min(|A|,|B|) ≥ 0.9 — the
+    // asymmetric near-dup detector for a short doc embedded in a long
+    // one, which symmetric Jaccard (d04) misses because the union is
+    // dominated by the long side. Same inverted-index plan (hash-keyed
+    // self-join + document-frequency skew cap), direction resolved to
+    // (contained, container) by shingle-set size with id tiebreak.
+    Q("d11_dedup_containment",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.containmentPairs(docs, "doc_id", "text", shingleWords = 3,
+            minContainment = 0.9, maxShingleDf = Some(20))
+          .orderBy(col("contained_id"), col("container_id"))
+      },
+      Some(s"""$shinglesCte,
+              |hs AS (SELECT doc_id, ${h60("s")} AS h FROM sh),
+              |f AS (SELECT doc_id, h FROM (
+              |       SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM hs)
+              |       WHERE df <= 20),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id),
+              |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i
+              |       FROM f x JOIN f y ON x.h = y.h AND x.doc_id < y.doc_id
+              |       GROUP BY x.doc_id, y.doc_id)
+              |SELECT contained_id, container_id, containment FROM (
+              |  SELECT CASE WHEN sa.n <= sb.n THEN a ELSE b END AS contained_id,
+              |         CASE WHEN sa.n <= sb.n THEN b ELSE a END AS container_id,
+              |         CAST(i AS DOUBLE) / least(sa.n, sb.n) AS containment
+              |  FROM inter JOIN sizes sa ON sa.doc_id = a
+              |  JOIN sizes sb ON sb.doc_id = b)
+              |WHERE containment >= 0.9
+              |ORDER BY contained_id, container_id""".stripMargin))
   )
 }

@@ -350,6 +350,78 @@ object SimilarityQueries {
              |ORDER BY qid, rank""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // s10 — IVF-PQ composed (the FAISS IVFxx,PQyy production recipe):
+    // the coarse quantizer restricts each query to its 2 nearest
+    // centroid lists and candidates are scored in the COMPRESSED domain
+    // via s09's ADC lookup table — per-vector corpus state is (cluster
+    // id + 8 codes). The oracle chains s03's assignment/probe
+    // restatement into s09's codebook/LUT restatement.
+    Q("s10_ann_ivfpq",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfPqTopK(e, q, "vec_id", "embedding", dim = 64, m = 8,
+            k = 16, codeStride = 50, centroidStride = 50, maxCentroids = 32,
+            nProbe = 2, topK = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH vv0 AS (SELECT vec_id AS vid, embedding AS vvec FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+             |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
+             |assign AS (SELECT vid, cid FROM (
+             |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+             |  FROM (SELECT vid, cid,
+             |    list_sum(list_transform(generate_series(1, len(vvec)), i -> vvec[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+             |    sqrt(list_sum(list_transform(generate_series(1, len(vvec)), i -> vvec[i]::DOUBLE * vvec[i]::DOUBLE))) AS na,
+             |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
+             |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+             |        FROM vv0 CROSS JOIN cent)) WHERE r = 1),
+             |q0 AS (SELECT vec_id AS qid0, embedding AS qvec FROM embeddings
+             |       WHERE vec_id % 50 = 0),
+             |probes AS (SELECT qid0, cid FROM (
+             |  SELECT qid0, cid, row_number() OVER (PARTITION BY qid0 ORDER BY ccos DESC, cid) AS r
+             |  FROM (SELECT qid0, cid,
+             |    list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+             |    sqrt(list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE))) AS na,
+             |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
+             |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+             |        FROM q0 CROSS JOIN cent)) WHERE r <= 2),
+             |sdim AS (SELECT unnest(generate_series(0, 7)) AS s),
+             |cb AS (SELECT CAST(vec_id // 50 AS INT) AS j, sdim.s AS s,
+             |    list_transform(generate_series(sdim.s * 8 + 1, sdim.s * 8 + 8),
+             |      i -> embedding[i]::DOUBLE) AS csub
+             |  FROM embeddings, sdim
+             |  WHERE vec_id % 50 = 0 AND vec_id < 800),
+             |subs AS (SELECT vid AS id, sdim.s AS s,
+             |    list_transform(generate_series(sdim.s * 8 + 1, sdim.s * 8 + 8),
+             |      i -> vvec[i]::DOUBLE) AS vsub
+             |  FROM vv0, sdim),
+             |codes AS (SELECT id AS nid, s, j AS code FROM (
+             |  SELECT id, s, j,
+             |    row_number() OVER (PARTITION BY id, s ORDER BY d2 ASC, j) AS r
+             |  FROM (SELECT sub.id, sub.s, cb.j,
+             |      round(list_sum(list_transform(generate_series(1, 8),
+             |        i -> (vsub[i] - csub[i]) * (vsub[i] - csub[i]))), 6) AS d2
+             |    FROM subs sub JOIN cb ON cb.s = sub.s)) WHERE r = 1),
+             |lut AS (SELECT id AS qid, s, j AS code,
+             |    list_sum(list_transform(generate_series(1, 8),
+             |      i -> vsub[i] * csub[i])) AS part
+             |  FROM subs JOIN cb USING (s) WHERE id % 50 = 0),
+             |cand AS (SELECT p.qid0 AS qid, a.vid AS nid
+             |         FROM probes p JOIN assign a ON a.cid = p.cid
+             |         WHERE a.vid <> p.qid0),
+             |scored AS (SELECT c.qid, c.nid,
+             |    round(CAST(SUM(CAST(l.part AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
+             |  FROM cand c JOIN codes k2 ON k2.nid = c.nid
+             |  JOIN lut l ON l.qid = c.qid AND l.s = k2.s AND l.code = k2.code
+             |  GROUP BY c.qid, c.nid),
+             |r AS (SELECT qid, nid, adc,
+             |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rank
+             |  FROM scored)
+             |SELECT qid, rank, nid, adc FROM r WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is
     // written in the PLAIN-SPARK HOF dot-product form
     // (aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v))

@@ -23,7 +23,8 @@ class PlanShapeSpec extends SparkSpec {
   private val bucketedPairQueries = Seq(
     "d02_dedup_minhash_lsh", "d03_dedup_simhash", "d04_dedup_ngram_jaccard",
     "d05_dedup_embedding", "d06_dedup_simhash_hamming", "s02_ann_lsh",
-    "p01_curation_pipeline", "q29_snapshot_diff", "q33_range_join")
+    "p01_curation_pipeline", "q29_snapshot_diff", "q33_range_join",
+    "d11_dedup_containment", "t15_passage_dedup", "k02_index_search")
 
   test("no cartesian/nested-loop joins in the bucketed scale paths") {
     bucketedPairQueries.foreach { q =>
@@ -67,6 +68,31 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("d01_dedup_exact")
     val nShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(nShuffles <= 2, s"d01 should shuffle once (+1 for ordering): $p")
+  }
+
+  test("semantic dedup: pair join is cluster-keyed, never a cartesian") {
+    // the centroid assignment legitimately uses a bounded
+    // BroadcastNestedLoopJoin (every vector × the capped centroid set —
+    // same shape as the IVF family); the PAIR join must be an equi-join
+    // on the cluster key, and nothing may be a true cartesian
+    val p = plan("d10_semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      s"d10 plan regressed to CartesianProduct:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"d10 pair join should be an equi-join on cid:\n$p")
+  }
+
+  test("PQ family: codebook and LUT broadcast, ranking via partial heap") {
+    Seq("s09_ann_pq", "s10_ann_ivfpq").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q codebook/LUT joins should broadcast:\n$p")
+      assert(p.contains("partial_topk_pairs"),
+        s"$q ranking should use the bounded-heap partial aggregate:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q plan regressed to CartesianProduct")
+    }
   }
 
   test("relational top-k keeps the partial heap aggregate before exchange") {

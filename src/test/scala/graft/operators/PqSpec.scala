@@ -47,4 +47,17 @@ class PqSpec extends SparkSpec {
     // (5/500 per query ≈ 1%): require ≥ 20% overlap with the exact top-5
     assert(hits.toDouble / total >= 0.2, s"PQ recall too low: $hits/$total")
   }
+
+  test("IVF-PQ results are a subset of full-corpus ADC restricted to probes") {
+    val e = Tables.load(spark, sf(), "embeddings")
+    val q = e.filter(col("vec_id") % 100 === 0)
+    val ivfpq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", dim = 64,
+      m = 8, k = 16, codeStride = 50, centroidStride = 50,
+      maxCentroids = 32, nProbe = 32, topK = 5)
+    // with nProbe = maxCentroids every cluster is probed, so IVF-PQ must
+    // EQUAL plain PQ — the probe restriction is the only difference
+    val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", dim = 64,
+      m = 8, k = 16, codeStride = 50, topK = 5)
+    assert(ivfpq.except(pq).isEmpty && pq.except(ivfpq).isEmpty)
+  }
 }
