@@ -117,6 +117,40 @@ object DedupSoak {
           s"for $nGroups content groups")
     }
 
+    // semantic dedup (d10 path) at volume: synthetic embeddings with
+    // planted exact-duplicate pairs — ids ≡ 0 (mod 10) share their
+    // vector with id+1 (cos = 1.0 after 6dp rounding), everything else
+    // is md5-pseudo-random 16-dim noise. The soak asserts (a) every
+    // planted duplicate is dropped, (b) total kept+dropped accounting
+    // holds, and (c) wall time stays in the per-cluster-quadratic
+    // envelope, not corpus-quadratic.
+    timed("semantic dedup (embeddings)") {
+      val dim = 16
+      val nv = math.min(n, 100000L)
+      // base id: duplicates (id % 10 == 1) reuse id-1's vector
+      val baseId = when(col("id") % 10 === 1, col("id") - 1)
+        .otherwise(col("id"))
+      val dims = (0 until dim).map(d =>
+        ((conv(substring(md5(concat(lit(s"e:$d:"), baseId)), 1, 5), 16, 10)
+          .cast("long") % 2000L) / 1000.0 - 0.5).cast("float"))
+      val emb = spark.range(nv).select(col("id").as("vec_id"),
+        array(dims: _*).as("embedding")).cache()
+      emb.count()
+      val out = graft.operators.SemanticDedup.dedup(emb, "vec_id",
+        "embedding", centroidStride = 997, maxCentroids = 64,
+        minCos = 0.999999).cache()
+      val dropped = out.filter(!col("keep")).count()
+      val kept = out.filter(col("keep")).count()
+      println(s"==   vectors=$nv kept=$kept dropped=$dropped")
+      assert(kept + dropped == nv, "semantic dedup lost vectors")
+      // every planted duplicate (vec, vec+1) lands in the same cluster
+      // (identical vectors assign identically) and must be dropped
+      val planted = nv / 10
+      assert(dropped >= planted,
+        s"planted duplicates not dropped: $dropped < $planted")
+      emb.unpersist(); out.unpersist()
+    }
+
     spark.stop()
   }
 }
