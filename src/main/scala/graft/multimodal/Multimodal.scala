@@ -142,8 +142,11 @@ object Multimodal {
       val start = (size * i / n).cast(IntegerType) + 1
       val len = greatest((size / n).cast(IntegerType), lit(1))
       val w = s.substr(start, len)
+      // long accumulator: an Int fold overflows (ANSI: throws) once a
+      // stripe's ascii sum passes 2^31 — a ~17 MB stripe, real at the
+      // payload sizes this module claims to handle
       when(length(w) > 0,
-        aggregate(transform(split(w, ""), c => ascii(c)), lit(0),
+        aggregate(transform(split(w, ""), c => ascii(c)), lit(0L),
           (a, x) => a + x).cast("double") / length(w))
         .otherwise(lit(0.0))
     }

@@ -36,7 +36,12 @@ object SemanticDedup {
       centroidStride: Int, maxCentroids: Int, minCos: Double): DataFrame = {
     val cent = Similarity.strideCentroids(vectors, idCol, vecCol,
       centroidStride, maxCentroids)
+    // materialize the assignment once: it feeds BOTH pair-join legs
+    // (those share the cid exchange) and the final keep projection
+    // (keyed on vid — a different key, so exchange reuse cannot cover
+    // it); without this the O(n·C) centroid argmax runs a third time
     val assigned = Similarity.assignToCentroids(vectors, idCol, vecCol, cent)
+      .localCheckpoint(true)
 
     val l = assigned.select(col("cid"), col("vid").as("aid"),
       col("vv").as("av"), col("vn").as("an"))

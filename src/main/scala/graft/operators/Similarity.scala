@@ -34,13 +34,14 @@ object Similarity {
    * contract: cos desc, nid asc on ties — identical to the oracle's
    * `row_number() OVER (ORDER BY cos DESC, nid)`.
    */
-  private def ranked(scored: DataFrame, k: Int): DataFrame = {
+  private def ranked(scored: DataFrame, k: Int,
+      scoreCol: String = "cos"): DataFrame = {
     import graft.functions.TopKAggregate.topKPairs
     scored.groupBy(col("qid"))
-      .agg(topKPairs(struct(col("cos"), col("nid")), k).as("top"))
+      .agg(topKPairs(struct(col(scoreCol), col("nid")), k).as("top"))
       .select(col("qid"), posexplode(col("top")))
       .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("nid"), col("col.score").as("cos"))
+        col("col.id").as("nid"), col("col.score").as(scoreCol))
   }
 
   /** Window-based reference formulation of [[ranked]] (kept for
@@ -162,6 +163,27 @@ object Similarity {
   /** Shared IVF search core: assignment scan + probe lists against any
    * `(cid, cv, cn)` centroid set. Both joins broadcast the SAME centroid
    * plan, so the exchange is computed once and reused. */
+  /**
+   * Query → `nProbe` nearest centroids against any `(cid, cv, cn)` set —
+   * the probe-list counterpart of [[assignToCentroids]], sharing its
+   * rounding and lower-cid tie contract. Returns `(qid, qv, qn, cid)`,
+   * one row per probed list.
+   */
+  def probeCentroids(queries: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      VF.l2Norm(col(vecCol)).as("qn"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    q.join(broadcast(cent))
+      .select(col("qid"), col("qv"), col("qn"), col("cid"),
+        round(VF.cosineFromParts(VF.dot(col("qv"), col("cv")),
+          col("qn"), col("cn")), 6).as("ccos"))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+  }
+
   private def ivfSearch(vectors: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, cent: DataFrame, nProbe: Int,
       k: Int): DataFrame = {
@@ -169,17 +191,7 @@ object Similarity {
     val assign = assignToCentroids(vectors, idCol, vecCol, cent)
 
     // probe lists: query → nProbe nearest centroids
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      VF.l2Norm(col(vecCol)).as("qn"))
-    val wProbe = Window.partitionBy(col("qid"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val probes = q.join(broadcast(cent))
-      .select(col("qid"), col("qv"), col("qn"), col("cid"),
-        round(VF.cosineFromParts(VF.dot(col("qv"), col("cv")),
-          col("qn"), col("cn")), 6).as("ccos"))
-      .withColumn("r", row_number().over(wProbe))
-      .filter(col("r") <= nProbe)
-      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    val probes = probeCentroids(queries, idCol, vecCol, cent, nProbe)
 
     val scored = probes.join(assign, "cid")
       .filter(col("vid") =!= col("qid"))
@@ -249,7 +261,6 @@ object Similarity {
   def pqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, m: Int, k: Int, codeStride: Int,
       topK: Int): DataFrame = {
-    import graft.functions.TopKAggregate.topKPairs
     import graft.queries.Exact
     val (codes, lut) = pqParts(vectors, queries, idCol, vecCol, dim, m, k,
       codeStride)
@@ -260,12 +271,7 @@ object Similarity {
       .groupBy(col("qid"), col("nid"))
       .agg(round(sum(Exact.dec(col("part"))).cast("double"), 6).as("adc"))
 
-    scored
-      .groupBy(col("qid"))
-      .agg(topKPairs(struct(col("adc"), col("nid")), topK).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("nid"), col("col.score").as("adc"))
+    ranked(scored, topK, scoreCol = "adc")
   }
 
   /**
@@ -283,7 +289,6 @@ object Similarity {
       vecCol: String, dim: Int, m: Int, k: Int, codeStride: Int,
       centroidStride: Int, maxCentroids: Int, nProbe: Int,
       topK: Int): DataFrame = {
-    import graft.functions.TopKAggregate.topKPairs
     import graft.queries.Exact
     val cent = strideCentroids(vectors, idCol, vecCol, centroidStride,
       maxCentroids)
@@ -291,17 +296,8 @@ object Similarity {
     val assign = assignToCentroids(vectors, idCol, vecCol, cent)
       .select(col("vid"), col("cid"))
     // query → nProbe nearest centroid lists
-    val q = queries.select(col(idCol).as("pqid"), col(vecCol).as("qv"),
-      VF.l2Norm(col(vecCol)).as("qn"))
-    val wProbe = Window.partitionBy(col("pqid"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val probes = q.join(broadcast(cent))
-      .select(col("pqid"), col("cid"),
-        round(VF.cosineFromParts(VF.dot(col("qv"), col("cv")),
-          col("qn"), col("cn")), 6).as("ccos"))
-      .withColumn("r", row_number().over(wProbe))
-      .filter(col("r") <= nProbe)
-      .select(col("pqid"), col("cid"))
+    val probes = probeCentroids(queries, idCol, vecCol, cent, nProbe)
+      .select(col("qid").as("pqid"), col("cid"))
 
     val (codes, lut) = pqParts(vectors, queries, idCol, vecCol, dim, m, k,
       codeStride)
@@ -317,12 +313,7 @@ object Similarity {
       .groupBy(col("qid"), col("nid"))
       .agg(round(sum(Exact.dec(col("part"))).cast("double"), 6).as("adc"))
 
-    scored
-      .groupBy(col("qid"))
-      .agg(topKPairs(struct(col("adc"), col("nid")), topK).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("nid"), col("col.score").as("adc"))
+    ranked(scored, topK, scoreCol = "adc")
   }
 
   /** Shared PQ machinery: per-(vector, subspace) codes against the

@@ -676,14 +676,15 @@ object Advanced {
              |WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey""".stripMargin)),
 
     // ----------------------------------------------------------------
-    // q47 — CSV + JSON-lines source round-trip: the engine's non-parquet
-    // ingest surface, gated. A deterministic orders projection is written
-    // as CSV and as JSONL, read back through the respective sources with
-    // an EXPLICIT schema (schema inference is a scale anti-pattern — it
-    // costs an extra full pass and can flip types between runs), and
-    // aggregated per format; the oracle computes the same aggregate from
-    // the parquet table twice. Identical rows per format = both parsers
-    // round-trip values exactly.
+    // q47 — CSV + JSON-lines + ORC source round-trip: the engine's
+    // non-parquet ingest surface, gated. A deterministic orders
+    // projection is written in each format, read back through the
+    // respective sources with an EXPLICIT schema (schema inference is a
+    // scale anti-pattern — it costs an extra full pass and can flip
+    // types between runs), and aggregated per format; the oracle
+    // computes the same aggregate from the parquet table once per
+    // format. Identical rows per format = every parser round-trips
+    // values exactly.
     Q("q47_format_roundtrip",
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
@@ -693,12 +694,15 @@ object Advanced {
         o.write.mode("overwrite").option("header", "true")
           .csv(s"$tmp/csv")
         o.write.mode("overwrite").json(s"$tmp/jsonl")
+        o.write.mode("overwrite").orc(s"$tmp/orc")
         val schema = o.schema
         val fromCsv = s.read.schema(schema).option("header", "true")
           .csv(s"$tmp/csv").withColumn("fmt", lit("csv"))
         val fromJson = s.read.schema(schema).json(s"$tmp/jsonl")
           .withColumn("fmt", lit("jsonl"))
-        fromCsv.unionByName(fromJson)
+        val fromOrc = s.read.schema(schema).orc(s"$tmp/orc")
+          .withColumn("fmt", lit("orc"))
+        fromCsv.unionByName(fromJson).unionByName(fromOrc)
           .groupBy(col("fmt"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n"),
             dsum(col("o_totalprice")).as("sum_price"),
@@ -712,7 +716,7 @@ object Advanced {
               |    MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
               |  FROM orders GROUP BY o_orderstatus)
               |SELECT fmt, o_orderstatus, n, sum_price, min_key, max_key
-              |FROM agg CROSS JOIN (VALUES ('csv'), ('jsonl')) f(fmt)
+              |FROM agg CROSS JOIN (VALUES ('csv'), ('jsonl'), ('orc')) f(fmt)
               |ORDER BY fmt, o_orderstatus""".stripMargin)),
 
     // ----------------------------------------------------------------

@@ -30,6 +30,9 @@ object Analytics {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Monotonic tag for q51's per-invocation bucketed table names. */
+  private val q51Run = new java.util.concurrent.atomic.AtomicLong(0L)
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -45,20 +48,27 @@ object Analytics {
     Q("q51_bucketed_join",
       (s, dir) => {
         val base = Scratch.dir("graft_bucketed")
+        // per-invocation table names: the returned DataFrame is lazy, so
+        // the tables cannot be dropped inside this body (the driver
+        // executes the plan after it returns) — unique names keep
+        // repeated/concurrent runs in one session from racing on the
+        // catalog; entries are session-scoped (in-memory catalog)
+        val tag = q51Run.incrementAndGet()
+        val (tblO, tblL) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
         Bucketing.writeBucketed(
           t(s, dir, "orders")
             .select(col("o_orderkey"), col("o_orderstatus")),
-          "graft_bkt_orders", s"$base/orders", buckets = 8,
+          tblO, s"$base/orders", buckets = 8,
           key = "o_orderkey", sortCols = Seq("o_orderkey"))
         Bucketing.writeBucketed(
           t(s, dir, "lineitem")
             .select(col("l_orderkey"), col("l_extendedprice"),
               col("l_discount")),
-          "graft_bkt_lineitem", s"$base/lineitem", buckets = 8,
+          tblL, s"$base/lineitem", buckets = 8,
           key = "l_orderkey", sortCols = Seq("l_orderkey"))
-        val bo = s.table("graft_bkt_orders")
+        val bo = s.table(tblO)
           .filter(col("o_orderkey") % 20 === 0)
-        val bl = s.table("graft_bkt_lineitem")
+        val bl = s.table(tblL)
         bo.join(bl, col("o_orderkey") === col("l_orderkey"), "inner")
           .groupBy(col("o_orderkey"), col("o_orderstatus"))
           .agg(count(lit(1)).as("n_lines"),
@@ -203,7 +213,7 @@ object Analytics {
             array_join(transform(col("qty"), x => x * 2), ",")
               .as("doubled_csv"),
             array_join(filter(col("qty"), x => x > 25), ",").as("big_csv"),
-            aggregate(col("qty"), lit(0), (acc, x) => acc + x).cast("long")
+            aggregate(col("qty"), lit(0L), (acc, x) => acc + x)
               .as("total_qty"),
             array_join(array_sort(array_distinct(col("qty"))), ",")
               .as("distinct_csv"),

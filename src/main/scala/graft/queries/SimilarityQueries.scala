@@ -20,6 +20,35 @@ object SimilarityQueries {
        |    sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))) AS nb,
        |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos""".stripMargin
 
+  /** Shared PQ restatement (s09/s10): codebook, per-(vector, subspace)
+   * L2-argmin codes, and the query-side ADC lookup table. Callers splice
+   * this after a `pqbase AS (SELECT vec_id AS id, embedding AS ev FROM
+   * embeddings)` CTE — one copy of the contract (16-entry codebook from
+   * ids < 800, 6dp-rounded distances, lower-code ties), two gated
+   * consumers. */
+  private val pqCtes: String =
+    """sdim AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |cb AS (SELECT CAST(vec_id // 50 AS INT) AS j, sdim.s AS s,
+      |    list_transform(generate_series(sdim.s * 8 + 1, sdim.s * 8 + 8),
+      |      i -> embedding[i]::DOUBLE) AS csub
+      |  FROM embeddings, sdim
+      |  WHERE vec_id % 50 = 0 AND vec_id < 800),
+      |subs AS (SELECT id, sdim.s AS s,
+      |    list_transform(generate_series(sdim.s * 8 + 1, sdim.s * 8 + 8),
+      |      i -> ev[i]::DOUBLE) AS vsub
+      |  FROM pqbase, sdim),
+      |codes AS (SELECT id AS nid, s, j AS code FROM (
+      |  SELECT id, s, j,
+      |    row_number() OVER (PARTITION BY id, s ORDER BY d2 ASC, j) AS r
+      |  FROM (SELECT sub.id, sub.s, cb.j,
+      |      round(list_sum(list_transform(generate_series(1, 8),
+      |        i -> (vsub[i] - csub[i]) * (vsub[i] - csub[i]))), 6) AS d2
+      |    FROM subs sub JOIN cb ON cb.s = sub.s)) WHERE r = 1),
+      |lut AS (SELECT id AS qid, s, j AS code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> vsub[i] * csub[i])) AS part
+      |  FROM subs JOIN cb USING (s) WHERE id % 50 = 0)""".stripMargin
+
   private val s01Oracle: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
        |scored AS (SELECT qid, v.vec_id AS nid,
@@ -317,37 +346,17 @@ object SimilarityQueries {
             k = 16, codeStride = 50, topK = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some("""WITH v AS (SELECT vec_id AS id, embedding AS ev FROM embeddings),
-             |sdim AS (SELECT unnest(generate_series(0, 7)) AS s),
-             |cb AS (SELECT CAST(vec_id // 50 AS INT) AS j, sdim.s AS s,
-             |    list_transform(generate_series(sdim.s * 8 + 1, sdim.s * 8 + 8),
-             |      i -> embedding[i]::DOUBLE) AS csub
-             |  FROM embeddings, sdim
-             |  WHERE vec_id % 50 = 0 AND vec_id < 800),
-             |subs AS (SELECT id, sdim.s AS s,
-             |    list_transform(generate_series(sdim.s * 8 + 1, sdim.s * 8 + 8),
-             |      i -> ev[i]::DOUBLE) AS vsub
-             |  FROM v, sdim),
-             |codes AS (SELECT id AS nid, s, j AS code FROM (
-             |  SELECT id, s, j,
-             |    row_number() OVER (PARTITION BY id, s ORDER BY d2 ASC, j) AS r
-             |  FROM (SELECT sub.id, sub.s, cb.j,
-             |      round(list_sum(list_transform(generate_series(1, 8),
-             |        i -> (vsub[i] - csub[i]) * (vsub[i] - csub[i]))), 6) AS d2
-             |    FROM subs sub JOIN cb ON cb.s = sub.s)) WHERE r = 1),
-             |lut AS (SELECT id AS qid, s, j AS code,
-             |    list_sum(list_transform(generate_series(1, 8),
-             |      i -> vsub[i] * csub[i])) AS part
-             |  FROM subs JOIN cb USING (s) WHERE id % 50 = 0),
-             |scored AS (SELECT qid, nid,
-             |    round(CAST(SUM(CAST(part AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
-             |  FROM codes JOIN lut USING (s, code) WHERE nid <> qid
-             |  GROUP BY qid, nid),
-             |r AS (SELECT qid, nid, adc,
-             |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rank
-             |  FROM scored)
-             |SELECT qid, rank, nid, adc FROM r WHERE rank <= 5
-             |ORDER BY qid, rank""".stripMargin)),
+      Some(s"""WITH pqbase AS (SELECT vec_id AS id, embedding AS ev FROM embeddings),
+              |$pqCtes,
+              |scored AS (SELECT qid, nid,
+              |    round(CAST(SUM(CAST(part AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
+              |  FROM codes JOIN lut USING (s, code) WHERE nid <> qid
+              |  GROUP BY qid, nid),
+              |r AS (SELECT qid, nid, adc,
+              |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rank
+              |  FROM scored)
+              |SELECT qid, rank, nid, adc FROM r WHERE rank <= 5
+              |ORDER BY qid, rank""".stripMargin)),
 
     // ----------------------------------------------------------------
     // s10 — IVF-PQ composed (the FAISS IVFxx,PQyy production recipe):
@@ -365,7 +374,8 @@ object SimilarityQueries {
             nProbe = 2, topK = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some("""WITH vv0 AS (SELECT vec_id AS vid, embedding AS vvec FROM embeddings),
+      Some(s"""WITH pqbase AS (SELECT vec_id AS id, embedding AS ev FROM embeddings),
+             |vv0 AS (SELECT vec_id AS vid, embedding AS vvec FROM embeddings),
              |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
              |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
              |assign AS (SELECT vid, cid FROM (
@@ -386,27 +396,7 @@ object SimilarityQueries {
              |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
              |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
              |        FROM q0 CROSS JOIN cent)) WHERE r <= 2),
-             |sdim AS (SELECT unnest(generate_series(0, 7)) AS s),
-             |cb AS (SELECT CAST(vec_id // 50 AS INT) AS j, sdim.s AS s,
-             |    list_transform(generate_series(sdim.s * 8 + 1, sdim.s * 8 + 8),
-             |      i -> embedding[i]::DOUBLE) AS csub
-             |  FROM embeddings, sdim
-             |  WHERE vec_id % 50 = 0 AND vec_id < 800),
-             |subs AS (SELECT vid AS id, sdim.s AS s,
-             |    list_transform(generate_series(sdim.s * 8 + 1, sdim.s * 8 + 8),
-             |      i -> vvec[i]::DOUBLE) AS vsub
-             |  FROM vv0, sdim),
-             |codes AS (SELECT id AS nid, s, j AS code FROM (
-             |  SELECT id, s, j,
-             |    row_number() OVER (PARTITION BY id, s ORDER BY d2 ASC, j) AS r
-             |  FROM (SELECT sub.id, sub.s, cb.j,
-             |      round(list_sum(list_transform(generate_series(1, 8),
-             |        i -> (vsub[i] - csub[i]) * (vsub[i] - csub[i]))), 6) AS d2
-             |    FROM subs sub JOIN cb ON cb.s = sub.s)) WHERE r = 1),
-             |lut AS (SELECT id AS qid, s, j AS code,
-             |    list_sum(list_transform(generate_series(1, 8),
-             |      i -> vsub[i] * csub[i])) AS part
-             |  FROM subs JOIN cb USING (s) WHERE id % 50 = 0),
+             |$pqCtes,
              |cand AS (SELECT p.qid0 AS qid, a.vid AS nid
              |         FROM probes p JOIN assign a ON a.cid = p.cid
              |         WHERE a.vid <> p.qid0),

@@ -825,7 +825,7 @@ object TextQueries {
           .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n"))
         val feats = toks.select(col("doc_id"), col("n"),
           when(col("n") > 0,
-            aggregate(transform(col("t"), w => length(w)), lit(0),
+            aggregate(transform(col("t"), w => length(w)), lit(0L),
               (a, x) => a + x).cast("double") / col("n")).otherwise(0.0)
             .as("mean_len"),
           when(col("n") > 0,

@@ -24,8 +24,9 @@ class SemanticDedupSpec extends SparkSpec {
     val keep = out.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("vid"))
     val dropped = out.filterNot(_.getAs[Boolean]("keep"))
       .map(r => r.getAs[Long]("vid") -> r.getAs[Long]("dup_of")).toMap
-    // 1 and 4 collapse onto 0; everything else survives (5 shares 2's
-    // cluster but cos = -1)
+    // 1 and 4 collapse onto 0; everything else survives (5 lands in
+    // cluster 0 — its best cosine is 0.0, tied between centroids 0 and
+    // 4, ties to lower cid — and scores ≤ 0 against every cluster-mate)
     assert(keep.toSet == Set(0L, 2L, 3L, 5L))
     assert(dropped == Map(1L -> 0L, 4L -> 0L))
   }
