@@ -352,6 +352,83 @@ object Analytics {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
              |  (c_mktsegment), (o_orderstatus), ())
-             |ORDER BY seg, status""".stripMargin))
+             |ORDER BY seg, status""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q60 — schema evolution on read: two parquet batches written months
+    // apart, the newer one carrying an added column; `mergeSchema=true`
+    // reconciles the footers and the old batch surfaces NULLs for the
+    // new column — the append-only table lifecycle every long-lived
+    // dataset goes through. (Spark reads a single footer by default
+    // precisely because footer-merging is an extra cost at 100k-file
+    // scale — pay it explicitly, or pin the union schema in the catalog.)
+    // The oracle derives the same batch split relationally.
+    Q("q60_schema_evolution",
+      (s, dir) => {
+        val base = Scratch.dir("schema_evo")
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        o.filter(col("o_orderkey") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$base/b=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_channel", lit("web"))
+          .write.mode("overwrite").parquet(s"$base/b=2")
+        s.read.option("mergeSchema", "true").parquet(base)
+          .groupBy(coalesce(col("o_channel"), lit("legacy")).as("channel"),
+            col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(col("channel"), col("o_orderstatus"))
+      },
+      Some(s"""SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'web' ELSE 'legacy' END AS channel,
+              |  o_orderstatus, COUNT(*) AS n,
+              |  ${sqlDsum("o_totalprice")} AS sum_price
+              |FROM orders
+              |GROUP BY 1, 2 ORDER BY channel, o_orderstatus""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q61 — nested struct / array-of-struct round-trip: the denormalized
+    // DOCUMENT shape (order header struct + array of line structs) is
+    // built with collect_list(struct(...)), written as genuinely nested
+    // parquet, read back, and shredded (explode + field access) into a
+    // relational aggregate. Nested columnar storage is how wide-event /
+    // log tables actually land; Parquet stores the struct fields as
+    // separate column chunks, so the shred reads only the accessed
+    // fields. The oracle computes the same aggregate from the flat
+    // tables directly — round-trip + shred must be lossless.
+    Q("q61_nested_shred",
+      (s, dir) => {
+        val base = Scratch.dir("nested_shred")
+        val o = t(s, dir, "orders").filter(col("o_orderkey") % 10 === 0)
+        val l = t(s, dir, "lineitem")
+        val nested = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .agg(array_sort(collect_list(struct(
+            col("l_linenumber").as("ln"),
+            col("l_quantity").cast("int").as("qty")))).as("items"))
+          .select(col("o_orderkey"),
+            struct(col("o_orderstatus").as("status"),
+              col("o_totalprice").as("total")).as("hdr"),
+            col("items"))
+        nested.write.mode("overwrite").parquet(base)
+        val back = s.read.parquet(base)
+        back.select(col("o_orderkey"), col("hdr.status").as("status"),
+            explode(col("items")).as("item"))
+          .groupBy(col("status"))
+          .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+            count(lit(1)).as("n_items"),
+            sum(col("item.qty").cast("long")).as("sum_qty"),
+            max(col("item.ln")).as("max_ln"))
+          .orderBy(col("status"))
+      },
+      Some("""SELECT o_orderstatus AS status,
+             |  COUNT(DISTINCT o_orderkey) AS n_orders,
+             |  COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+             |  MAX(l_linenumber) AS max_ln
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey % 10 = 0
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin))
   )
 }
