@@ -429,6 +429,41 @@ object Analytics {
              |  MAX(l_linenumber) AS max_ln
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE o_orderkey % 10 = 0
-             |GROUP BY o_orderstatus ORDER BY status""".stripMargin))
+             |GROUP BY o_orderstatus ORDER BY status""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q62 — correlated subqueries: a per-row correlated SCALAR subquery
+    // (order total vs 5× its own lines' average) and a correlated EXISTS
+    // — written as subqueries, executed as decorrelated joins (Catalyst's
+    // RewriteCorrelatedScalarSubquery / RewritePredicateSubquery turn
+    // them into an aggregate + join, which is the only shape that
+    // survives 100 TB; a per-row re-execution would be O(n²) scans).
+    // Identical SQL text runs on both engines; the scalar comparison
+    // goes through DECIMAL so the averages agree bitwise.
+    Q("q62_correlated_subquery",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(s"""
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey
+          |                AND l.l_quantity >= 45)
+          |  AND o_totalprice > 5 * (
+          |    SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+          |      / COUNT(*)
+          |    FROM lineitem l2 WHERE l2.l_orderkey = o.o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders o
+             |WHERE EXISTS (SELECT 1 FROM lineitem l
+             |              WHERE l.l_orderkey = o.o_orderkey
+             |                AND l.l_quantity >= 45)
+             |  AND o_totalprice > 5 * (
+             |    SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             |      / COUNT(*)
+             |    FROM lineitem l2 WHERE l2.l_orderkey = o.o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
