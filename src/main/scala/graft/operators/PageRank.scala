@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * PageRank with exact integer fixed-point arithmetic — the iterative
+ * distributed-graph pattern (beyond [[Dedup.connectedComponents]]'s
+ * min-label propagation) in an engine-portable form: ranks are carried
+ * as integer mass units (total mass 10^12) and every update is integer
+ * division, so each iteration is bit-exact on any engine — a DuckDB
+ * oracle can restate N unrolled iterations and hash-match, which a
+ * floating-point damping loop never survives (per-iteration double
+ * error compounds).
+ *
+ * Update rule (simplified PageRank, no dangling-mass redistribution):
+ *   r₀(v)    = M div N
+ *   rₜ₊₁(v) = (15·(M div N)) div 100 + (85·Σ_{u→v} rₜ(u) div outdeg(u)) div 100
+ *
+ * Scale shape per iteration: one join of the edge list with the rank
+ * table on src (shuffle keyed by src), one aggregate keyed by dst —
+ * the canonical distributed power-iteration; ranks are
+ * localCheckpoint'ed so lineage stays O(1) across iterations (driver
+ * loop is control flow only, exactly like connectedComponents).
+ */
+object PageRank {
+
+  val Mass: Long = 1000000000000L // total integer rank mass (10^12)
+
+  /**
+   * Run `iterations` power-iteration steps over a directed edge list
+   * (`src`, `dst` columns; self-loops and duplicates are removed here).
+   * Returns (`id`, `rank`) with rank in integer mass units.
+   */
+  def run(edgesRaw: DataFrame, iterations: Int): DataFrame = {
+    val edges = edgesRaw.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+
+    // N rides along as a one-row broadcast — the driver never holds it,
+    // so the same plan runs at any graph size
+    val n = nodes.agg(count(lit(1)).as("n_nodes"))
+    val base = nodes.crossJoin(broadcast(n))
+      .select(col("id"), expr(s"${Mass}L div n_nodes").as("r0"),
+        col("n_nodes"))
+
+    var rank = base.select(col("id"), col("r0").as("r"), col("n_nodes"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(rank.select(col("id").as("src"), col("r")), "src")
+        .join(outdeg, "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      rank = rank
+        .join(contrib, rank("id") === contrib("dst"), "left_outer")
+        .select(col("id"),
+          (expr(s"(15 * (${Mass}L div n_nodes)) div 100") +
+            expr("(85 * coalesce(in_mass, 0L)) div 100")).as("r"),
+          col("n_nodes"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("id"), col("r").as("rank"))
+  }
+}

@@ -464,6 +464,46 @@ object Analytics {
              |    SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
              |      / COUNT(*)
              |    FROM lineitem l2 WHERE l2.l_orderkey = o.o_orderkey)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q63 — iterative PageRank over a deterministic interaction graph
+    // (src = user, dst = event_id mod 150), five power-iteration steps
+    // in exact integer fixed-point (total mass 10^12, all updates
+    // integer division) — which is what lets a hash gate verify an
+    // ITERATIVE distributed algorithm at all: the oracle unrolls the
+    // same five steps and matches bit-for-bit, where a floating-point
+    // damping loop would drift per iteration. Plan per step: one edge⋈
+    // rank join keyed by src, one aggregate keyed by dst, lineage
+    // truncated per iteration (the connectedComponents shape).
+    Q("q63_pagerank",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val edges = e.select(col("user_id").as("src"),
+          (col("event_id") % 150).as("dst"))
+        graft.operators.PageRank.run(edges, iterations = 5)
+          .orderBy(col("id"))
+      },
+      Some {
+        def iter(k: Int): String =
+          s"""r$k AS (SELECT n.id,
+             |    CAST((15 * (1000000000000 // nn.c)) // 100 +
+             |         (85 * COALESCE(m.in_mass, 0)) // 100 AS BIGINT) AS r
+             |  FROM nodes n CROSS JOIN nn
+             |  LEFT JOIN (SELECT e.dst, SUM(rp.r // od.outdeg) AS in_mass
+             |             FROM e JOIN r${k - 1} rp ON rp.id = e.src
+             |             JOIN od ON od.src = e.src GROUP BY e.dst) m
+             |    ON m.dst = n.id)""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+           |           FROM events WHERE user_id <> event_id % 150),
+           |nodes AS (SELECT DISTINCT src AS id FROM e
+           |          UNION SELECT DISTINCT dst FROM e),
+           |nn AS (SELECT COUNT(*) AS c FROM nodes),
+           |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+           |r0 AS (SELECT id, CAST(1000000000000 // c AS BIGINT) AS r
+           |       FROM nodes CROSS JOIN nn),
+           |${(1 to 5).map(iter).mkString(",\n")}
+           |SELECT id, r AS rank FROM r5 ORDER BY id""".stripMargin
+      })
   )
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("one iteration matches the hand-computed integer fixed point") {
+    // 1→2, 2→1, 3→1: N=3, r0 = 10^12 div 3 = 333333333333 each
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r = PageRank.run(edges, iterations = 1)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank")).toMap
+    val base15 = (15L * (PageRank.Mass / 3)) / 100 // 49999999999
+    assert(r(1L) == base15 + (85L * (333333333333L * 2)) / 100)
+    assert(r(2L) == base15 + (85L * 333333333333L) / 100)
+    assert(r(3L) == base15) // no in-edges: damping base only
+  }
+
+  test("cycle members outrank the source-only node; mass bounded") {
+    // the 1↔2 cycle oscillates with period 2 (amplitude contracts by
+    // 0.85² per round trip), so 1-vs-2 ordering depends on iteration
+    // parity — what must hold at ANY iteration: both cycle members
+    // outrank node 3 (which receives only the damping base), and
+    // integer division only loses mass, never creates it
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r = PageRank.run(edges, iterations = 10)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank")).toMap
+    assert(r(1L) > r(3L) && r(2L) > r(3L))
+    assert(r.values.sum <= PageRank.Mass)
+    assert(r.values.forall(_ > 0))
+  }
+
+  test("duplicate and self-loop edges are ignored") {
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 1L), (2L, 1L))
+      .toDF("src", "dst")
+    val clean = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val a = PageRank.run(edges, 3).orderBy($"id")
+    val b = PageRank.run(clean, 3).orderBy($"id")
+    assert(a.collect().toSeq == b.collect().toSeq)
+  }
+}
