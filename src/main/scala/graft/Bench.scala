@@ -1,15 +1,36 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
 
 /**
  * Round benchmark: runs every registered query against
- * `SPARK_GRAFT_SF_DIR` (default sf0.1) on local[32] and prints one JSON
- * line `{"metric":"total","value":…,"queries":{…},"sf":…}`.
- * Each query is fully executed via count() (forces scans, shuffles and
- * the final projection — no collect of payload to the driver).
+ * `SPARK_GRAFT_SF_DIR` (default sf0.1) on local[32].
+ *
+ * Output contract (the driver records only a bounded ~2000-char TAIL of
+ * stdout, and the per-query map for 100+ queries is ~3 kB — round 5's
+ * single-line form overflowed it and the round lost its bench artifact):
+ * the per-query detail line is printed FIRST, and the LAST line is a
+ * short (≪200-char) summary `{"metric":"total","value":…,"unit":"sec",
+ * "n":…,"sf":…}` that always lands inside any tail window.
+ *
+ * Each query is forced through a full-column hash aggregate (not
+ * count(), which lets Catalyst prune every column the query computed —
+ * projection-heavy queries would time the scan, not the work). The hash
+ * collapses to one row on the driver, so nothing is collected.
  */
 object Bench {
+
+  /** Execute df end-to-end with all output columns materialized. */
+  private def force(df: DataFrame): Unit = {
+    try df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+      .agg(sum(col("__h"))).head()
+    catch {
+      // map-typed or otherwise unhashable output: fall back to count()
+      case _: org.apache.spark.sql.AnalysisException => df.count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,15 +50,12 @@ object Bench {
     }
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch {
+      try { force(q.run(spark, sfDir)) } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    // Keep the line SHORT (3dp, basename sf): the driver records only a
-    // bounded tail of the output, and round 2's full-precision line
-    // overflowed it. It must also be the LAST line printed.
     def f3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
@@ -45,6 +63,9 @@ object Bench {
     val total = results.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
     spark.stop()
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    // Detail first (may exceed the driver's tail window), short summary
+    // LAST so the parseable total always survives the bounded capture.
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"sf":"$sfName"}""")
   }
 }
