@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Bucketing
@@ -33,6 +33,27 @@ object Analytics {
   /** Monotonic tag for q51's per-invocation bucketed table names. */
   private val q51Run = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Catalog entries + scratch roots of FINISHED q51 invocations, dropped
+   * lazily at the next invocation's entry: the returned DataFrame is
+   * lazy (the driver executes it after the body returns), so a run can
+   * only clean up after its predecessors — that bounds a Verify/Bench
+   * loop to one live generation instead of an ever-growing catalog and
+   * temp dir (the remaining generation is dropped by [[Scratch]]'s JVM
+   * exit hook). Assumes the gate's sequential execution; concurrent q51
+   * calls would need the previous generation pinned longer. */
+  private val q51Dead =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Seq[String], String)]()
+
+  private def q51Cleanup(s: SparkSession): Unit = {
+    var prev = q51Dead.poll()
+    while (prev != null) {
+      val (tables, base) = prev
+      tables.foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+      graft.sources.Scratch.deleteNow(base)
+      prev = q51Dead.poll()
+    }
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -47,14 +68,17 @@ object Analytics {
     // time and the shuffle is paid once, amortized over every later run.
     Q("q51_bucketed_join",
       (s, dir) => {
+        q51Cleanup(s) // drop the previous invocation's tables + files
         val base = Scratch.dir("graft_bucketed")
         // per-invocation table names: the returned DataFrame is lazy, so
         // the tables cannot be dropped inside this body (the driver
         // executes the plan after it returns) — unique names keep
-        // repeated/concurrent runs in one session from racing on the
-        // catalog; entries are session-scoped (in-memory catalog)
+        // repeated runs in one session from racing on the catalog;
+        // entries are session-scoped (in-memory catalog) and retired via
+        // q51Dead at the NEXT invocation's entry
         val tag = q51Run.incrementAndGet()
         val (tblO, tblL) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+        q51Dead.add((Seq(tblO, tblL), base))
         Bucketing.writeBucketed(
           t(s, dir, "orders")
             .select(col("o_orderkey"), col("o_orderstatus")),
@@ -133,64 +157,92 @@ object Analytics {
               |FROM j ORDER BY user_id, hour_epoch""".stripMargin)),
 
     // ----------------------------------------------------------------
-    // q54 — exact-moment statistics: var/stddev/covar/corr derived from
-    // DECIMAL power sums (Σx, Σy, Σx², Σy², Σxy are exact and
-    // order-independent), with the textbook formulas evaluated in double
-    // as the IDENTICAL expression tree on both engines — deterministic
-    // IEEE arithmetic on identical inputs, so the gate needs no rounding.
-    // The built-in corr()/covar_samp() use order-dependent streaming
-    // merges that can differ across engines in final ulps; this is the
-    // cross-engine-stable formulation (StatsSpec checks it agrees with
-    // Spark's built-ins to 1e-9 relative).
+    // q54 — exact-moment statistics: var/stddev/covar/corr from EXACT
+    // integer power sums. Round 5 taught the hard lesson twice over:
+    // (a) the multi-op double chain (sxx - sx*sx/n)/(n-1) is NOT
+    // cross-engine bit-stable (reassociation / FMA contraction / cast
+    // rounding differ in final ulps), and (b) round(x, 6) cannot repair
+    // it at 1e9 magnitudes, where the 6dp grid sits ~15 significant
+    // digits deep — the two engines' round() algorithms themselves
+    // disagree there (930580260.482368 vs …69, observed). The stable
+    // contract is: every emitted moment is ONE IEEE operation chain of
+    // ≤3 single correctly-rounded ops (div; mul→div; mul→sqrt→div) on
+    // bit-identical inputs — single IEEE ops are deterministic, and only
+    // reassociable chains are not. Inputs are made bit-identical by
+    // computing the textbook numerators n·Σx²−(Σx)² etc. in scale-0
+    // DECIMAL (micro-unit fixed point, S=1e6): every sum/product/
+    // difference is exact integer arithmetic with NO decimal-scale
+    // adjustment on either engine, then one cast to double.
+    //   mean  = sx / (S·n)                        — 1 div
+    //   var   = m2 / (S²·n(n-1)), m2 = n·sxx−sx²  — 1 mul + 1 div
+    //   corr  = mxy / sqrt(m2x·m2y)               — S² cancels; mul,sqrt,div
+    // Range check (sf0.1: n≤6e5, y≤1.05e5): Σ(yS)² ≤ 6.6e27, n·Σ(yS)²
+    // ≤ 4e33 < 10^38 — inside DECIMAL(38,0)/HUGEINT. At a 100 TB run the
+    // micro-scale would be lowered (S=1e2 for prices) or the group split;
+    // the gate's contract is the sf0.1 envelope. StatsSpec checks the
+    // moments agree with Spark's built-in var_samp/covar_samp/corr to
+    // 1e-9 relative.
     Q("q54_exact_stats",
       (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
         val l = t(s, dir, "lineitem")
-        val x = col("l_quantity"); val y = col("l_extendedprice")
-        val sums = l.groupBy(col("l_returnflag"))
+        // exact micro-unit view: dec() (the repo's bit-equal 6dp decimal
+        // cast contract) scaled to an integer, scale-0 DECIMAL(38,0)
+        def fx(c: Column) = (dec(c) * lit(1000000L)).cast(DecimalType(38, 0))
+        val x = fx(col("l_quantity")); val y = fx(col("l_extendedprice"))
+        val sums = l.select(col("l_returnflag"), x.as("x"), y.as("y"))
+          .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-            dsum(x).as("sx"), dsum(y).as("sy"),
-            sum(dec(x) * dec(x)).cast("double").as("sxx"),
-            sum(dec(y) * dec(y)).cast("double").as("syy"),
-            sum(dec(x) * dec(y)).cast("double").as("sxy"))
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+        val m2x = (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")
+        val m2y = (col("n") * col("syy") - col("sy") * col("sy"))
+          .cast("double")
+        val mxy = (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double")
+        val sn = (col("n") * 1000000L).cast("double")        // S·n, exact
+        val nn1 = (col("n") * (col("n") - 1)).cast("double") // n(n-1), exact
         sums.select(col("l_returnflag"), col("n"),
-            (col("sx") / col("n")).as("mean_x"),
-            (col("sy") / col("n")).as("mean_y"),
-            ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-              .as("var_x"),
-            ((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1))
-              .as("var_y"),
-            ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
-              .as("covar_xy"))
-          .select(col("l_returnflag"), col("n"), col("mean_x"), col("mean_y"),
-            col("var_x"), col("var_y"), col("covar_xy"),
-            (col("covar_xy") / sqrt(col("var_x") * col("var_y")))
-              .as("corr_xy"))
+            (col("sx").cast("double") / sn).as("mean_x"),
+            (col("sy").cast("double") / sn).as("mean_y"),
+            (m2x / (lit(1.0e12) * nn1)).as("var_x"),
+            (m2y / (lit(1.0e12) * nn1)).as("var_y"),
+            (mxy / (lit(1.0e12) * nn1)).as("covar_xy"),
+            (mxy / sqrt(m2x * m2y)).as("corr_xy"))
           .orderBy(col("l_returnflag"))
       },
       Some {
-        // DECIMAL(19,6), not (18,6): DuckDB executes an (18)×(18) decimal
-        // product in int64 (runtime overflow on real sums); width 19
-        // forces int128 and 19+19=38 stays within its product-width cap.
-        // The value grid is identical to Spark's DECIMAL(18,6) operands.
-        def dec19(e: String) = s"CAST($e AS DECIMAL(19,6))"
-        s"""WITH sums AS (
+        // HUGEINT (int128) is DuckDB's scale-0 exact integer domain; the
+        // (18,6)×1e6 product runs at decimal width 26 → int128 (the
+        // repo's documented width-19+ rule), and the HUGEINT cast of the
+        // integral value is exact.
+        def fx(e: String) =
+          s"CAST(CAST($e AS DECIMAL(18,6)) * 1000000 AS HUGEINT)"
+        s"""WITH f AS (
+           |  SELECT l_returnflag,
+           |    ${fx("l_quantity")} AS x, ${fx("l_extendedprice")} AS y
+           |  FROM lineitem),
+           |sums AS (
            |  SELECT l_returnflag, COUNT(*) AS n,
-           |    ${sqlDsum("l_quantity")} AS sx,
-           |    ${sqlDsum("l_extendedprice")} AS sy,
-           |    CAST(SUM(${dec19("l_quantity")} * ${dec19("l_quantity")}) AS DOUBLE) AS sxx,
-           |    CAST(SUM(${dec19("l_extendedprice")} * ${dec19("l_extendedprice")}) AS DOUBLE) AS syy,
-           |    CAST(SUM(${dec19("l_quantity")} * ${dec19("l_extendedprice")}) AS DOUBLE) AS sxy
-           |  FROM lineitem GROUP BY l_returnflag),
-              |m AS (
-              |  SELECT l_returnflag, n,
-              |    sx / n AS mean_x, sy / n AS mean_y,
-              |    (sxx - sx * sx / n) / (n - 1) AS var_x,
-              |    (syy - sy * sy / n) / (n - 1) AS var_y,
-              |    (sxy - sx * sy / n) / (n - 1) AS covar_xy
-              |  FROM sums)
-           |SELECT l_returnflag, n, mean_x, mean_y, var_x, var_y, covar_xy,
-           |  covar_xy / sqrt(var_x * var_y) AS corr_xy
-           |FROM m ORDER BY l_returnflag""".stripMargin
+           |    SUM(x) AS sx, SUM(y) AS sy,
+           |    SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+           |  FROM f GROUP BY l_returnflag)
+           |SELECT l_returnflag, n,
+           |  CAST(sx AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean_x,
+           |  CAST(sy AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS mean_y,
+           |  CAST(n*sxx - sx*sx AS DOUBLE)
+           |    / (1e12 * CAST(n*(n-1) AS DOUBLE)) AS var_x,
+           |  CAST(n*syy - sy*sy AS DOUBLE)
+           |    / (1e12 * CAST(n*(n-1) AS DOUBLE)) AS var_y,
+           |  CAST(n*sxy - sx*sy AS DOUBLE)
+           |    / (1e12 * CAST(n*(n-1) AS DOUBLE)) AS covar_xy,
+           |  CAST(n*sxy - sx*sy AS DOUBLE)
+           |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+           |           * CAST(n*syy - sy*sy AS DOUBLE)) AS corr_xy
+           |FROM sums ORDER BY l_returnflag""".stripMargin
       }),
 
     // ----------------------------------------------------------------
