@@ -382,6 +382,64 @@ object Similarity {
   def sq8TopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     import graft.functions.TopKAggregate.topKPairs
+    val (corpus, q) = sq8Parts(vectors, queries, idCol, vecCol)
+    q.crossJoin(corpus)
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        VF.dot(col("qv"), col("nv")).as("score"))
+      .groupBy(col("qid"))
+      .agg(topKPairs(struct(col("score"), col("nid")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("nid"), col("col.score").cast("long").as("score"))
+  }
+
+  /**
+   * IVF-SQ8 composed (FAISS `IVFxx,SQ8`): the coarse quantizer restricts
+   * every query to its `nProbe` nearest centroid lists, and candidates in
+   * those lists are scored in the COMPRESSED domain by the exact integer
+   * dot of their SQ8 codes. This removes the one flat corpus scan the
+   * graded ANN set had left ([[sq8TopK]] is O(n·q) by design — it is the
+   * calibration baseline): per-vector corpus state is (cluster id + 64
+   * bytes of codes) and per-query work is its probed lists only. The
+   * scoring stays exact int64, so the gate needs no rounding anywhere.
+   */
+  def ivfSq8TopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroidStride: Int, maxCentroids: Int, nProbe: Int,
+      k: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topKPairs
+    val cent = strideCentroids(vectors, idCol, vecCol, centroidStride,
+      maxCentroids)
+    // inverted lists (vector → cluster) from the coarse quantizer
+    val assign = assignToCentroids(vectors, idCol, vecCol, cent)
+      .select(col("vid"), col("cid"))
+    // query → nProbe nearest centroid lists
+    val probes = probeCentroids(queries, idCol, vecCol, cent, nProbe)
+      .select(col("qid").as("pqid"), col("cid"))
+
+    val (corpus, q) = sq8Parts(vectors, queries, idCol, vecCol)
+
+    // candidates = vectors in probed clusters, scored on SQ8 codes only;
+    // the (small) quantized query set broadcasts into the candidate scan
+    val cand = probes.join(assign, "cid")
+      .select(col("pqid"), col("vid"))
+    cand.join(corpus, col("vid") === col("nid"))
+      .join(broadcast(q), col("pqid") === col("qid"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        VF.dot(col("qv"), col("nv")).as("score"))
+      .groupBy(col("qid"))
+      .agg(topKPairs(struct(col("score"), col("nid")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("nid"), col("col.score").cast("long").as("score"))
+  }
+
+  /** Shared SQ8 machinery: per-dimension affine 0..255 quantization of
+   * corpus and queries against the corpus min/max (one-row broadcast).
+   * Returns (`(nid, nv)`, `(qid, qv)`) with integer-valued double codes. */
+  private def sq8Parts(vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
     val statsRow = vectors
       .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .select(col("pos"), col("x").cast("double").as("x"))
@@ -415,16 +473,6 @@ object Similarity {
           (d, s) => least(lit(255.0), greatest(lit(0.0), round(d * s, 0))))
           .as(vecOut))
 
-    val corpus = quant(vectors, "nid", "nv")
-    val q = quant(queries, "qid", "qv")
-    q.crossJoin(corpus)
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        VF.dot(col("qv"), col("nv")).as("score"))
-      .groupBy(col("qid"))
-      .agg(topKPairs(struct(col("score"), col("nid")), k).as("top"))
-      .select(col("qid"), posexplode(col("top")))
-      .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
-        col("col.id").as("nid"), col("col.score").cast("long").as("score"))
+    (quant(vectors, "nid", "nv"), quant(queries, "qid", "qv"))
   }
 }

@@ -412,6 +412,71 @@ object SimilarityQueries {
              |ORDER BY qid, rank""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // s11 — IVF-SQ8 composed (FAISS IVFxx,SQ8): the coarse quantizer
+    // restricts each query to its 2 nearest centroid lists (s03's
+    // restatement) and candidates are scored by the exact INTEGER dot of
+    // their SQ8 codes (s08's restatement) — closing the one flat corpus
+    // scan the graded ANN set had left (s08 alone is O(n·q); it stays as
+    // the calibration baseline). Per-vector state at scale: cluster id +
+    // 64 one-byte codes.
+    Q("s11_ann_ivfsq8",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.ivfSq8TopK(e, q, "vec_id", "embedding",
+            centroidStride = 50, maxCentroids = 32, nProbe = 2, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some("""WITH u AS (
+             |  SELECT generate_subscripts(embedding, 1) AS pos,
+             |         unnest(embedding)::DOUBLE AS x FROM embeddings),
+             |st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY pos),
+             |sc AS (SELECT list(mn ORDER BY pos) AS mins,
+             |         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+             |              ELSE 0.0 END ORDER BY pos) AS scales
+             |       FROM st),
+             |qv AS (SELECT vec_id AS id,
+             |         list_transform(generate_series(1, 64),
+             |           i -> LEAST(255.0, GREATEST(0.0,
+             |             round((embedding[i]::DOUBLE - mins[i]) * scales[i]))))
+             |           AS v
+             |       FROM embeddings, sc),
+             |vv0 AS (SELECT vec_id AS vid, embedding AS vvec FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+             |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
+             |assign AS (SELECT vid, cid FROM (
+             |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+             |  FROM (SELECT vid, cid,
+             |    list_sum(list_transform(generate_series(1, len(vvec)), i -> vvec[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+             |    sqrt(list_sum(list_transform(generate_series(1, len(vvec)), i -> vvec[i]::DOUBLE * vvec[i]::DOUBLE))) AS na,
+             |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
+             |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+             |        FROM vv0 CROSS JOIN cent)) WHERE r = 1),
+             |q0 AS (SELECT vec_id AS qid0, embedding AS qvec FROM embeddings
+             |       WHERE vec_id % 50 = 0),
+             |probes AS (SELECT qid0, cid FROM (
+             |  SELECT qid0, cid, row_number() OVER (PARTITION BY qid0 ORDER BY ccos DESC, cid) AS r
+             |  FROM (SELECT qid0, cid,
+             |    list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+             |    sqrt(list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE))) AS na,
+             |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
+             |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+             |        FROM q0 CROSS JOIN cent)) WHERE r <= 2),
+             |cand AS (SELECT p.qid0 AS qid, a.vid AS nid
+             |         FROM probes p JOIN assign a ON a.cid = p.cid
+             |         WHERE a.vid <> p.qid0),
+             |scored AS (SELECT c.qid, c.nid,
+             |    CAST(list_sum(list_transform(generate_series(1, 64),
+             |      i -> qc.v[i] * nc.v[i])) AS BIGINT) AS score
+             |  FROM cand c JOIN qv qc ON qc.id = c.qid
+             |  JOIN qv nc ON nc.id = c.nid),
+             |r AS (SELECT qid, nid, score,
+             |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+             |  FROM scored)
+             |SELECT qid, rank, nid, score FROM r WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is
     // written in the PLAIN-SPARK HOF dot-product form
     // (aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v))

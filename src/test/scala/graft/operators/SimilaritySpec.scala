@@ -120,4 +120,37 @@ class SimilaritySpec extends SparkSpec {
       .orderBy($"rank").select($"nid").as[Long].collect()
     assert(got.length == 4 && got.distinct.length == 4)
   }
+
+  test("ivf-sq8 with full probe coverage matches flat sq8 exactly") {
+    // probing every centroid list makes the candidate set = full corpus,
+    // so the composed path must reproduce the flat scan bit-for-bit
+    // (same codes, same integer scores, same tie ordering)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter($"vec_id" % 100 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"rank", $"nid", $"score")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val flat = rows(Similarity.sq8TopK(e, q, "vec_id", "embedding", k = 5))
+    val composed = rows(Similarity.ivfSq8TopK(e, q, "vec_id", "embedding",
+      centroidStride = 100, maxCentroids = 4, nProbe = 4, k = 5))
+    assert(composed == flat)
+  }
+
+  test("ivf-sq8 with partial probes returns a truthful subset") {
+    // fewer probes → candidates only from probed lists; every returned
+    // (qid, nid, score) must carry the SAME integer score the flat scan
+    // assigns that pair (compression is shared, only candidates shrink)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter($"vec_id" % 100 === 0)
+    val flat = Similarity.sq8TopK(e, q, "vec_id", "embedding", k = 1000)
+      .select($"qid", $"nid", $"score").as[(Long, Long, Long)]
+      .collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    val part = Similarity.ivfSq8TopK(e, q, "vec_id", "embedding",
+      centroidStride = 50, maxCentroids = 32, nProbe = 2, k = 5)
+      .select($"qid", $"nid", $"score").as[(Long, Long, Long)].collect()
+    assert(part.nonEmpty)
+    part.foreach { case (qid, nid, s) =>
+      assert(flat.get((qid, nid)).contains(s), s"($qid,$nid) score mismatch")
+    }
+  }
 }
