@@ -241,17 +241,21 @@ object StreamingQueries {
    * The oracle is the batch argmax per user — the hash gate proves the
    * incremental view equals the from-scratch recompute. */
   private def runUpsert(s: SparkSession, dir: String): DataFrame = {
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // state sizing is scoped to a cloned session (own SQLConf, shared
+    // SparkContext) instead of mutating — even temporarily — the
+    // caller's session-global shuffle partitions, which would race with
+    // any concurrently-planned query in the same session
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    locally {
       val src = graft.sources.Scratch.dir("upsert_src")
       val stateRoot = graft.sources.Scratch.dir("upsert_state")
-      val ev = graft.sources.Tables.load(s, dir, "events")
+      val ev = graft.sources.Tables.load(ss, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"), col("value"))
       ev.repartition(8).write.mode("overwrite").parquet(src)
-      val schema = s.read.parquet(src).schema
-      val stream = s.readStream.schema(schema)
+      val schema = ss.read.parquet(src).schema
+      val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "2").parquet(src)
 
       // per-user latest event: max of (us, event_id, ...) — the struct
@@ -272,7 +276,7 @@ object StreamingQueries {
         .foreachBatch { (b: DataFrame, id: Long) =>
           val newest = latest(b)
           val merged = current match {
-            case Some(p) => latest(newest.unionByName(s.read.parquet(p)))
+            case Some(p) => latest(newest.unionByName(ss.read.parquet(p)))
             case None => newest
           }
           val out = s"$stateRoot/v$id"
@@ -282,12 +286,14 @@ object StreamingQueries {
         }
         .start()
       q.awaitTermination()
+      // the returned view is planned on the CALLER's session (and its
+      // shuffle-partition setting) — only the merge loop ran on the clone
       s.read.parquet(current.get)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_type"), col("us").as("last_us"),
           col("value").as("last_value"))
         .orderBy(col("user_id"))
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   private def upsertOracle: String =

@@ -25,6 +25,13 @@ object InvertedIndex {
    * Build posting rows from a document table.
    * String-array fields fan out one row per element; scalar string fields
    * index their value; long/int fields land in `term_int`.
+   *
+   * Contract note: NULL elements INSIDE a string array produce no posting
+   * row (the explode_outer + isNotNull pair below drops them) — a null
+   * term is unsearchable, so indexing it would only bloat the postings.
+   * This intentionally differs from a plain `explode`, which would emit a
+   * null-term row per null element; tokenizer output never contains
+   * nulls, but arbitrary string-array fields might.
    */
   def postings(df: DataFrame, docIdCol: String, fields: Seq[String]): DataFrame = {
     val parts = fields.map { f =>

@@ -19,6 +19,11 @@ object Scratch {
     p.toString
   }
 
+  /** Eagerly delete a scratch dir that is known dead before JVM exit
+   * (e.g. a retired q51 bucketed-table generation in a bench loop). The
+   * exit hook tolerates the already-deleted path. */
+  def deleteNow(dir: String): Unit = delete(Path.of(dir))
+
   private def delete(p: Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)
