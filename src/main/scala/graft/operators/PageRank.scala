@@ -13,9 +13,19 @@ import org.apache.spark.sql.functions._
  * floating-point damping loop never survives (per-iteration double
  * error compounds).
  *
- * Update rule (simplified PageRank, no dangling-mass redistribution):
+ * Update rule (simplified form; `redistributeDangling = false`):
  *   r₀(v)    = M div N
  *   rₜ₊₁(v) = (15·(M div N)) div 100 + (85·Σ_{u→v} rₜ(u) div outdeg(u)) div 100
+ *
+ * With `redistributeDangling = true` the textbook correction is applied:
+ * the mass held by dangling nodes (no outgoing edges — it would
+ * otherwise leak from the system each step) is summed per iteration
+ * (Dₜ) and every node receives an equal integer share inside the damped
+ * term:
+ *   rₜ₊₁(v) = (15·(M div N)) div 100
+ *           + (85·(Σ_{u→v} rₜ(u) div outdeg(u) + Dₜ div N)) div 100
+ * Dₜ is a one-row broadcast (an anti-join + sum), so the correction
+ * adds no per-node state and keeps every update integer-exact.
  *
  * Scale shape per iteration: one join of the edge list with the rank
  * table on src (shuffle keyed by src), one aggregate keyed by dst —
@@ -32,7 +42,8 @@ object PageRank {
    * (`src`, `dst` columns; self-loops and duplicates are removed here).
    * Returns (`id`, `rank`) with rank in integer mass units.
    */
-  def run(edgesRaw: DataFrame, iterations: Int): DataFrame = {
+  def run(edgesRaw: DataFrame, iterations: Int,
+      redistributeDangling: Boolean = false): DataFrame = {
     val edges = edgesRaw.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
@@ -56,13 +67,26 @@ object PageRank {
         .join(outdeg, "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      rank = rank
+      val withIn = rank
         .join(contrib, rank("id") === contrib("dst"), "left_outer")
-        .select(col("id"),
+      rank = (if (redistributeDangling) {
+        // Dₜ = total mass on nodes with no outgoing edges, one row,
+        // broadcast into the update — every node gets Dₜ div N back
+        val dangling = rank
+          .join(outdeg, rank("id") === outdeg("src"), "left_anti")
+          .agg(coalesce(sum(col("r")), lit(0L)).as("d_mass"))
+        withIn.crossJoin(broadcast(dangling))
+          .select(col("id"),
+            (expr(s"(15 * (${Mass}L div n_nodes)) div 100") +
+              expr("(85 * (coalesce(in_mass, 0L) + (d_mass div n_nodes))) div 100"))
+              .as("r"),
+            col("n_nodes"))
+      } else {
+        withIn.select(col("id"),
           (expr(s"(15 * (${Mass}L div n_nodes)) div 100") +
             expr("(85 * coalesce(in_mass, 0L)) div 100")).as("r"),
           col("n_nodes"))
-        .localCheckpoint(true)
+      }).localCheckpoint(true)
     }
     rank.select(col("id"), col("r").as("rank"))
   }

@@ -556,6 +556,50 @@ object Analytics {
            |       FROM nodes CROSS JOIN nn),
            |${(1 to 5).map(iter).mkString(",\n")}
            |SELECT id, r AS rank FROM r5 ORDER BY id""".stripMargin
+      }),
+
+    // ----------------------------------------------------------------
+    // q64 — PageRank with dangling-mass redistribution: the same
+    // interaction graph and integer fixed-point as q63, plus the
+    // textbook correction for nodes with no outgoing edges (event-only
+    // ids here): their mass Dₜ is summed each step (one anti-join +
+    // one-row broadcast) and every node receives Dₜ div N inside the
+    // damped term, so total mass is conserved instead of leaking
+    // through sinks. The oracle unrolls the same five corrected steps;
+    // every quantity stays integer, so the gate matches bit-for-bit.
+    Q("q64_pagerank_dangling",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val edges = e.select(col("user_id").as("src"),
+          (col("event_id") % 150).as("dst"))
+        graft.operators.PageRank.run(edges, iterations = 5,
+            redistributeDangling = true)
+          .orderBy(col("id"))
+      },
+      Some {
+        def iter(k: Int): String =
+          s"""d$k AS (SELECT CAST(COALESCE(SUM(rp.r), 0) AS BIGINT) AS d
+             |  FROM r${k - 1} rp
+             |  WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.src = rp.id)),
+             |r$k AS (SELECT n.id,
+             |    CAST((15 * (1000000000000 // nn.c)) // 100 +
+             |         (85 * (COALESCE(m.in_mass, 0) + d$k.d // nn.c)) // 100
+             |      AS BIGINT) AS r
+             |  FROM nodes n CROSS JOIN nn CROSS JOIN d$k
+             |  LEFT JOIN (SELECT e.dst, SUM(rp.r // od.outdeg) AS in_mass
+             |             FROM e JOIN r${k - 1} rp ON rp.id = e.src
+             |             JOIN od ON od.src = e.src GROUP BY e.dst) m
+             |    ON m.dst = n.id)""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+           |           FROM events WHERE user_id <> event_id % 150),
+           |nodes AS (SELECT DISTINCT src AS id FROM e
+           |          UNION SELECT DISTINCT dst FROM e),
+           |nn AS (SELECT COUNT(*) AS c FROM nodes),
+           |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+           |r0 AS (SELECT id, CAST(1000000000000 // c AS BIGINT) AS r
+           |       FROM nodes CROSS JOIN nn),
+           |${(1 to 5).map(iter).mkString(",\n")}
+           |SELECT id, r AS rank FROM r5 ORDER BY id""".stripMargin
       })
   )
 }

@@ -31,6 +31,32 @@ class PageRankSpec extends SparkSpec {
     assert(r.values.forall(_ > 0))
   }
 
+  test("dangling redistribution: hand-computed step, mass recovered") {
+    // 1→3, 2→3: node 3 is dangling (no out-edges). N=3,
+    // r0 = 333333333333 each, D₀ = r0(3).
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val r = PageRank.run(edges, iterations = 1, redistributeDangling = true)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank")).toMap
+    val r0 = PageRank.Mass / 3
+    val base15 = (15L * r0) / 100
+    val share = r0 / 3 // D₀ div N
+    assert(r(1L) == base15 + (85L * share) / 100)
+    assert(r(2L) == base15 + (85L * share) / 100)
+    assert(r(3L) == base15 + (85L * (2 * r0 + share)) / 100)
+    // the corrected total must beat the leaky variant's and stay ≤ M
+    val leaky = PageRank.run(edges, iterations = 1)
+      .agg(sum($"rank")).as[Long].head()
+    assert(r.values.sum > leaky && r.values.sum <= PageRank.Mass)
+  }
+
+  test("dangling redistribution is a no-op when every node has out-edges") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val a = PageRank.run(edges, 4).orderBy($"id").collect().toSeq
+    val b = PageRank.run(edges, 4, redistributeDangling = true)
+      .orderBy($"id").collect().toSeq
+    assert(a == b)
+  }
+
   test("duplicate and self-loop edges are ignored") {
     val edges = Seq((1L, 2L), (1L, 2L), (1L, 1L), (2L, 1L))
       .toDF("src", "dst")
