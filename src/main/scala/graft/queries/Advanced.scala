@@ -807,6 +807,75 @@ object Advanced {
               |    AS month_epoch,
               |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
               |FROM orders WHERE o_orderstatus = 'F'
-              |GROUP BY 1 ORDER BY month_epoch""".stripMargin))
+              |GROUP BY 1 ORDER BY month_epoch""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q65 — SCD type-2 dimension build from a change log: each user's
+    // event stream becomes versioned attribute history — a new version
+    // opens only when the attribute CHANGES (lag-compare), versions get
+    // [valid_from, valid_to) intervals via lead(), the open version is
+    // flagged current. This is the standard warehouse dimension-history
+    // operator (Kimball SCD2) the reference's monthly snapshot pipeline
+    // sidesteps by full recompute. Plan: one window pass keyed by
+    // user_id (change flag + running version number ride the same sort),
+    // one aggregate per version, one lead() window on the per-version
+    // table — shuffles scale by keys, never by history length. All
+    // timestamps stay integer nanos end-to-end, so the gate is exact.
+    Q("q65_scd2_dimension",
+      (s, dir) => {
+        // microsecond precision on both sides: DuckDB's parquet reader
+        // surfaces TIMESTAMP(NANOS) at us precision, so the shared
+        // ordering/interval domain is integer microseconds (event_id
+        // breaks any within-us tie identically on both engines)
+        val e = Tables.load(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+            col("event_id"), col("event_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val flagged = e.withColumn("prev",
+            lag(col("event_type"), 1).over(w))
+          .withColumn("chg",
+            when(col("prev").isNull || col("prev") =!= col("event_type"),
+              lit(1)).otherwise(lit(0)))
+          .withColumn("ver", sum(col("chg")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val versions = flagged.groupBy(col("user_id"), col("ver"))
+          .agg(min(col("event_type")).as("event_type"),
+            min(col("ts_us")).as("valid_from_us"),
+            count(lit(1)).as("n_events"))
+        val wv = Window.partitionBy(col("user_id")).orderBy(col("ver"))
+        versions
+          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+          .withColumn("is_current", col("valid_to_us").isNull)
+          .select(col("user_id"), col("ver"), col("event_type"),
+            col("valid_from_us"), col("valid_to_us"), col("n_events"),
+            col("is_current"))
+          .orderBy(col("user_id"), col("ver"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+             |  FROM events WHERE user_id < 20),
+             |f AS (SELECT *,
+             |    CASE WHEN lag(event_type) OVER w IS NULL
+             |          OR lag(event_type) OVER w <> event_type
+             |         THEN 1 ELSE 0 END AS chg
+             |  FROM e WINDOW w AS (PARTITION BY user_id
+             |                      ORDER BY ts_us, event_id)),
+             |v AS (SELECT *, CAST(SUM(chg) OVER (
+             |    PARTITION BY user_id ORDER BY ts_us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS ver
+             |  FROM f),
+             |g AS (SELECT user_id, ver, MIN(event_type) AS event_type,
+             |    MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+             |  FROM v GROUP BY user_id, ver)
+             |SELECT user_id, ver, event_type, valid_from_us,
+             |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
+             |    AS valid_to_us,
+             |  n_events,
+             |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
+             |    IS NULL AS is_current
+             |FROM g ORDER BY user_id, ver""".stripMargin))
   )
 }
