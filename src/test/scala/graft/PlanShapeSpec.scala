@@ -84,7 +84,7 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("PQ family: codebook and LUT broadcast, ranking via partial heap") {
-    Seq("s09_ann_pq", "s10_ann_ivfpq").foreach { q =>
+    Seq("s09_ann_pq", "s10_ann_ivfpq", "s11_ann_ivfsq8").foreach { q =>
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"),
         s"$q codebook/LUT joins should broadcast:\n$p")
