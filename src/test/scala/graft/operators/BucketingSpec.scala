@@ -51,4 +51,19 @@ class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     spark.sql("DROP TABLE IF EXISTS spec_bkt_orders")
     spark.sql("DROP TABLE IF EXISTS spec_bkt_lineitem")
   }
+
+  test("q51 retires previous bucketed-table generations on re-invocation") {
+    // a Verify/Bench loop re-invokes q51 repeatedly; each entry must drop
+    // its predecessor's catalog tables so only ONE live generation (two
+    // tables) accumulates no matter how many times the gate runs
+    val dir = sf()
+    def liveTables(): Seq[String] = spark.catalog
+      .listTables().collect().map(_.name).toSeq
+      .filter(_.startsWith("graft_bkt_"))
+    (1 to 3).foreach { _ =>
+      graft.SparkEntry.queries("q51_bucketed_join")(spark, dir).count()
+    }
+    assert(liveTables().size == 2,
+      s"expected one live generation (2 tables), got: ${liveTables()}")
+  }
 }
