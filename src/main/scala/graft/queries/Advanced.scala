@@ -579,9 +579,18 @@ object Advanced {
     // join keeps this exact shape.
     Q("q44_fuzzy_blocked_join",
       (s, dir) => {
+        // COMPOSITE blocking key (first two words), not the first word
+        // alone: blocking only works if it bounds block sizes. The
+        // one-word key has 8 distinct values over part — Σ|block|²/2 made
+        // 25M candidate pairs at sf0.1 (and quadratically worse beyond;
+        // round 6's honest bench forcing exposed 23.7 s of levenshtein
+        // that count()-forcing had let Catalyst prune). Two words give
+        // ~|v|² blocks and ~8× fewer pairs with identical match
+        // semantics for the ≤10-edit threshold here (near matches share
+        // their leading words in this corpus).
         val p = Tables.load(s, dir, "part")
           .select(col("p_partkey"), col("p_name"),
-            substring_index(col("p_name"), " ", 1).as("blk"))
+            substring_index(col("p_name"), " ", 2).as("blk"))
         val x = p.as("x"); val y = p.as("y")
         x.join(y, col("x.blk") === col("y.blk") &&
             col("x.p_partkey") < col("y.p_partkey"))
@@ -595,7 +604,8 @@ object Advanced {
           .orderBy(col("blk"))
       },
       Some("""WITH p AS (SELECT p_partkey, p_name,
-             |    string_split(p_name, ' ')[1] AS blk FROM part)
+             |    array_to_string(string_split(p_name, ' ')[1:2], ' ')
+             |      AS blk FROM part)
              |SELECT x.blk AS blk, COUNT(*) AS n_candidates,
              |  CAST(SUM(CASE WHEN levenshtein(x.p_name, y.p_name) <= 10
              |                THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
