@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 
 /**
  * Round benchmark: runs every registered query against
@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions.{col, struct, sum, xxhash64}
  */
 object Bench {
 
-  /** Execute df end-to-end with all output columns materialized. */
+  /** Execute df end-to-end with all output columns materialized.
+   * The row hashes combine via bit_xor, NOT sum: under ANSI mode the
+   * sum of uniform 64-bit hashes overflows a long after a handful of
+   * rows and throws — xor is closed over Long and order-independent. */
   private def force(df: DataFrame): Unit = {
     try df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
-      .agg(sum(col("__h"))).head()
+      .agg(expr("bit_xor(__h)")).head()
     catch {
       // map-typed or otherwise unhashable output: fall back to count()
       case _: org.apache.spark.sql.AnalysisException => df.count()
