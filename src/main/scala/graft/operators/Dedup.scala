@@ -147,13 +147,17 @@ object Dedup {
    * Incremental dedup: classify a NEW BATCH of documents against an
    * existing corpus — `exact_dup` (fingerprint already in the corpus),
    * `near_dup` (shares a MinHash/LSH band bucket with a corpus doc), or
-   * `new`. This is the monthly-snapshot shape: at 100 TB the corpus
-   * side's fingerprints and band keys are computed once and stored (here
-   * they're derived inline from the corpus frame — the plan is the
-   * same), and the batch probes them with two semi-joins. No candidate
-   * PAIRS are ever materialized: the near-dup probe is a left-semi on
-   * the band key, so a batch doc bucketed with a million corpus docs
-   * costs one hit, not a million.
+   * `new`. This is the monthly-snapshot shape: the corpus side's
+   * fingerprints and signatures are computed ONCE and materialized (at
+   * 100 TB the corpus signature index is long-lived state reused by
+   * every batch — and within one run, each signature table has two plan
+   * consumers [fingerprint probe + bucket probe], which would otherwise
+   * re-run the whole normalize/shingle/minhash pipeline per consumer:
+   * the round-6 honest bench caught exactly that recompute). The batch
+   * probes with two semi-joins; no candidate PAIRS are ever
+   * materialized: the near-dup probe is a left-semi on the band key, so
+   * a batch doc bucketed with a million corpus docs costs one hit, not
+   * a million.
    *
    * Docs with no shingles (under 3 tokens) never enter a bucket — an
    * empty signature is all-null and would otherwise bucket every
@@ -177,7 +181,14 @@ object Dedup {
     def buckets(s: DataFrame) = s.filter(col("__nsh") > 0)
       .select(col("id"), explode_outer(array((0 until bands).map(b =>
         concat(lit(s"$b|"), bandKey(col("sig"), b, r))): _*)).as("bkey"))
-    val cs = sigs(corpus); val bs = sigs(batch)
+    // one signature pass per side, materialized (the corpus index shape)
+    def materialize(df: DataFrame, tag: String): DataFrame = {
+      val path = graft.sources.Scratch.dir(s"incdedup_$tag")
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    }
+    val cs = materialize(sigs(corpus), "corpus_sig")
+    val bs = materialize(sigs(batch), "batch_sig")
     val corpusFp = cs.select(col("fp")).distinct()
     val near = buckets(bs)
       .join(buckets(cs).select(col("bkey")), Seq("bkey"), "left_semi")
