@@ -24,8 +24,10 @@ object Bench {
   /** Execute df end-to-end with all output columns materialized.
    * The row hashes combine via bit_xor, NOT sum: under ANSI mode the
    * sum of uniform 64-bit hashes overflows a long after a handful of
-   * rows and throws — xor is closed over Long and order-independent. */
-  private def force(df: DataFrame): Unit = {
+   * rows and throws — xor is closed over Long and order-independent.
+   * (Also used by the BenchOne dev tool so single-query timings share
+   * the same no-pruning contract as the round bench.) */
+  private[graft] def force(df: DataFrame): Unit = {
     try df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
       .agg(expr("bit_xor(__h)")).head()
     catch {

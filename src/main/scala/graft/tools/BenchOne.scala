@@ -21,8 +21,13 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, dir).count()
-      println(s"== $name run $i: $n rows in ${(System.nanoTime() - t0) / 1e9}s")
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      // same full-column forcing as the round bench — count() would let
+      // Catalyst prune the projection (and sometimes whole joins) out of
+      // the measurement
+      graft.Bench.force(df)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"== $name run $i: forced in $secs%.3f s")
     }
     spark.stop()
   }
