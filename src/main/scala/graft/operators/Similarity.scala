@@ -435,6 +435,36 @@ object Similarity {
         col("col.id").as("nid"), col("col.score").cast("long").as("score"))
   }
 
+  /**
+   * Two-stage retrieve-then-rerank (the production ANN serving shape —
+   * e.g. FAISS/ScaNN candidate generation + exact re-scoring): stage 1
+   * pulls `candK` candidates per query in the COMPRESSED domain through
+   * [[ivfSq8TopK]] (probe-restricted integer dots — cheap, approximate
+   * ordering); stage 2 re-scores ONLY those candidates with the exact
+   * full-precision cosine and returns the top `k`. At scale this is the
+   * standard cost split: the corpus-wide pass never touches raw
+   * vectors, and the exact math runs on O(queries × candK) rows. The
+   * raw-vector lookup for stage 2 is a hash join on the candidate ids —
+   * at 100 TB that join is the random-access pattern a vector store
+   * serves from its id-keyed layout.
+   */
+  def rerankTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, centroidStride: Int, maxCentroids: Int, nProbe: Int,
+      candK: Int, k: Int): DataFrame = {
+    val cand = ivfSq8TopK(vectors, queries, idCol, vecCol, centroidStride,
+        maxCentroids, nProbe, candK)
+      .select(col("qid").as("cqid"), col("nid").as("cnid"))
+    val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+      VF.l2Norm(col(vecCol)).as("nn"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      VF.l2Norm(col(vecCol)).as("qn"))
+    val scored = cand
+      .join(v, col("cnid") === col("nid"))
+      .join(broadcast(q), col("cqid") === col("qid"))
+      .select(col("qid"), col("nid"), scoreCos.as("cos"))
+    ranked(scored, k)
+  }
+
   /** Shared SQ8 machinery: per-dimension affine 0..255 quantization of
    * corpus and queries against the corpus min/max (one-row broadcast).
    * Returns (`(nid, nv)`, `(qid, qv)`) with integer-valued double codes. */

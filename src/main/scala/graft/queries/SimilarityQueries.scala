@@ -49,6 +49,60 @@ object SimilarityQueries {
       |      i -> vsub[i] * csub[i])) AS part
       |  FROM subs JOIN cb USING (s) WHERE id % 50 = 0)""".stripMargin
 
+  /** Shared IVF-SQ8 restatement (s11/s12): SQ8 quantization of every
+   * vector (corpus min/max affine map, 0..255 clamp), the s03-style
+   * coarse-quantizer assignment/probe chain, and the compressed-domain
+   * integer-dot ranking. Ends at CTE `r` = (qid, nid, score, rank);
+   * consumers append their own final SELECT (s11) or further CTEs
+   * (s12's exact re-rank). */
+  private val ivfSq8Ctes: String =
+    """WITH u AS (
+      |  SELECT generate_subscripts(embedding, 1) AS pos,
+      |         unnest(embedding)::DOUBLE AS x FROM embeddings),
+      |st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY pos),
+      |sc AS (SELECT list(mn ORDER BY pos) AS mins,
+      |         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
+      |              ELSE 0.0 END ORDER BY pos) AS scales
+      |       FROM st),
+      |qv AS (SELECT vec_id AS id,
+      |         list_transform(generate_series(1, 64),
+      |           i -> LEAST(255.0, GREATEST(0.0,
+      |             round((embedding[i]::DOUBLE - mins[i]) * scales[i]))))
+      |           AS v
+      |       FROM embeddings, sc),
+      |vv0 AS (SELECT vec_id AS vid, embedding AS vvec FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
+      |assign AS (SELECT vid, cid FROM (
+      |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+      |  FROM (SELECT vid, cid,
+      |    list_sum(list_transform(generate_series(1, len(vvec)), i -> vvec[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+      |    sqrt(list_sum(list_transform(generate_series(1, len(vvec)), i -> vvec[i]::DOUBLE * vvec[i]::DOUBLE))) AS na,
+      |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
+      |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+      |        FROM vv0 CROSS JOIN cent)) WHERE r = 1),
+      |q0 AS (SELECT vec_id AS qid0, embedding AS qvec FROM embeddings
+      |       WHERE vec_id % 50 = 0),
+      |probes AS (SELECT qid0, cid FROM (
+      |  SELECT qid0, cid, row_number() OVER (PARTITION BY qid0 ORDER BY ccos DESC, cid) AS r
+      |  FROM (SELECT qid0, cid,
+      |    list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+      |    sqrt(list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE))) AS na,
+      |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
+      |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+      |        FROM q0 CROSS JOIN cent)) WHERE r <= 2),
+      |cand AS (SELECT p.qid0 AS qid, a.vid AS nid
+      |         FROM probes p JOIN assign a ON a.cid = p.cid
+      |         WHERE a.vid <> p.qid0),
+      |scored AS (SELECT c.qid, c.nid,
+      |    CAST(list_sum(list_transform(generate_series(1, 64),
+      |      i -> qc.v[i] * nc.v[i])) AS BIGINT) AS score
+      |  FROM cand c JOIN qv qc ON qc.id = c.qid
+      |  JOIN qv nc ON nc.id = c.nid),
+      |r AS (SELECT qid, nid, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
+      |  FROM scored)""".stripMargin
+
   private val s01Oracle: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
        |scored AS (SELECT qid, v.vec_id AS nid,
@@ -427,53 +481,37 @@ object SimilarityQueries {
             centroidStride = 50, maxCentroids = 32, nProbe = 2, k = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some("""WITH u AS (
-             |  SELECT generate_subscripts(embedding, 1) AS pos,
-             |         unnest(embedding)::DOUBLE AS x FROM embeddings),
-             |st AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY pos),
-             |sc AS (SELECT list(mn ORDER BY pos) AS mins,
-             |         list(CASE WHEN mx > mn THEN 255.0 / (mx - mn)
-             |              ELSE 0.0 END ORDER BY pos) AS scales
-             |       FROM st),
-             |qv AS (SELECT vec_id AS id,
-             |         list_transform(generate_series(1, 64),
-             |           i -> LEAST(255.0, GREATEST(0.0,
-             |             round((embedding[i]::DOUBLE - mins[i]) * scales[i]))))
-             |           AS v
-             |       FROM embeddings, sc),
-             |vv0 AS (SELECT vec_id AS vid, embedding AS vvec FROM embeddings),
-             |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-             |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
-             |assign AS (SELECT vid, cid FROM (
-             |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
-             |  FROM (SELECT vid, cid,
-             |    list_sum(list_transform(generate_series(1, len(vvec)), i -> vvec[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
-             |    sqrt(list_sum(list_transform(generate_series(1, len(vvec)), i -> vvec[i]::DOUBLE * vvec[i]::DOUBLE))) AS na,
-             |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
-             |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
-             |        FROM vv0 CROSS JOIN cent)) WHERE r = 1),
-             |q0 AS (SELECT vec_id AS qid0, embedding AS qvec FROM embeddings
-             |       WHERE vec_id % 50 = 0),
-             |probes AS (SELECT qid0, cid FROM (
-             |  SELECT qid0, cid, row_number() OVER (PARTITION BY qid0 ORDER BY ccos DESC, cid) AS r
-             |  FROM (SELECT qid0, cid,
-             |    list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
-             |    sqrt(list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE))) AS na,
-             |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
-             |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
-             |        FROM q0 CROSS JOIN cent)) WHERE r <= 2),
-             |cand AS (SELECT p.qid0 AS qid, a.vid AS nid
-             |         FROM probes p JOIN assign a ON a.cid = p.cid
-             |         WHERE a.vid <> p.qid0),
-             |scored AS (SELECT c.qid, c.nid,
-             |    CAST(list_sum(list_transform(generate_series(1, 64),
-             |      i -> qc.v[i] * nc.v[i])) AS BIGINT) AS score
-             |  FROM cand c JOIN qv qc ON qc.id = c.qid
-             |  JOIN qv nc ON nc.id = c.nid),
-             |r AS (SELECT qid, nid, score,
-             |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
-             |  FROM scored)
+      Some(s"""$ivfSq8Ctes
              |SELECT qid, rank, nid, score FROM r WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // s12 — two-stage retrieve-then-rerank (the production ANN serving
+    // shape): s11's compressed-domain IVF-SQ8 pass pulls 20 candidates
+    // per query, then ONLY those are re-scored with the exact
+    // full-precision cosine and cut to the top 5. The corpus-wide pass
+    // never touches raw vectors; exact math runs on O(q × 20) rows. The
+    // oracle chains s11's restatement into s01's exact-cosine form.
+    Q("s12_ann_rerank",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.rerankTopK(e, q, "vec_id", "embedding",
+            centroidStride = 50, maxCentroids = 32, nProbe = 2,
+            candK = 20, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""$ivfSq8Ctes,
+             |cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
+             |raw AS (SELECT vec_id, embedding FROM embeddings),
+             |rr AS (SELECT c.qid, c.nid,
+             |    ${cosSelect("qe.embedding", "ne.embedding")}
+             |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
+             |  JOIN raw ne ON ne.vec_id = c.nid),
+             |r2 AS (SELECT qid, nid, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             |  FROM rr)
+             |SELECT qid, rank, nid, cos FROM r2 WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
     // ----------------------------------------------------------------

@@ -136,6 +136,45 @@ class SimilaritySpec extends SparkSpec {
     assert(composed == flat)
   }
 
+  test("rerank with full probe + candidate coverage equals brute force") {
+    // candK ≥ corpus and every list probed → stage 1 passes every vector
+    // through; the exact re-rank must then reproduce cosineTopK exactly
+    // (scores AND tie ordering)
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter($"vec_id" % 100 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"rank", $"nid", $"cos")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = rows(Similarity.cosineTopK(e, q, "vec_id", "embedding", 5))
+    val rr = rows(Similarity.rerankTopK(e, q, "vec_id", "embedding",
+      centroidStride = 100, maxCentroids = 4, nProbe = 4,
+      candK = 100000, k = 5))
+    assert(rr == brute)
+  }
+
+  test("rerank beats or matches its own stage-1 ordering on exact scores") {
+    // the exact top-5 of the candidate set is at least as good as the
+    // compressed ordering: every reranked score must equal the true
+    // cosine (stage 2 is exact), and results are candidates of stage 1
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter($"vec_id" % 100 === 0)
+    val cand = Similarity.ivfSq8TopK(e, q, "vec_id", "embedding",
+        centroidStride = 50, maxCentroids = 32, nProbe = 2, k = 20)
+      .select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", 1000)
+      .select($"qid", $"nid", $"cos").as[(Long, Long, Double)]
+      .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    val rr = Similarity.rerankTopK(e, q, "vec_id", "embedding",
+        centroidStride = 50, maxCentroids = 32, nProbe = 2,
+        candK = 20, k = 5)
+      .select($"qid", $"nid", $"cos").as[(Long, Long, Double)].collect()
+    assert(rr.nonEmpty)
+    rr.foreach { case (qid, nid, c) =>
+      assert(cand.contains((qid, nid)), s"($qid,$nid) not a stage-1 candidate")
+      assert(exact.get((qid, nid)).contains(c), s"($qid,$nid) score not exact")
+    }
+  }
+
   test("ivf-sq8 with partial probes returns a truthful subset") {
     // fewer probes → candidates only from probed lists; every returned
     // (qid, nid, score) must carry the SAME integer score the flat scan
