@@ -32,7 +32,11 @@ object Bench {
       .agg(expr("bit_xor(__h)")).head()
     catch {
       // map-typed or otherwise unhashable output: fall back to count()
-      case _: org.apache.spark.sql.AnalysisException => df.count()
+      // — loudly, because count() lets Catalyst prune the projection
+      // and the query's number stops being comparable to the others
+      case e: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"[bench] count()-forcing fallback (${e.getErrorClass})")
+        df.count()
     }
   }
 
