@@ -886,6 +886,53 @@ object Advanced {
              |  n_events,
              |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
              |    IS NULL AS is_current
-             |FROM g ORDER BY user_id, ver""".stripMargin))
+             |FROM g ORDER BY user_id, ver""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q66 — count-min sketch heavy hitters: a 4×1024 integer counter
+    // grid built in ONE bounded aggregation (4,096 groups at ANY input
+    // size — the sketch answer to "top users" without a full groupBy
+    // over the key space; disjoint partitions merge cell-wise). The
+    // exact top-20 keys are then point-estimated against the broadcast
+    // grid; output carries exact count, CMS estimate, overestimate and
+    // the est ≥ exact guarantee. Hashing is the engine-portable
+    // md5-prefix pattern, so every counter — and therefore every
+    // estimate — is an exact integer the oracle reproduces bit-for-bit.
+    Q("q66_countmin_heavy_hitters",
+      (s, dir) => {
+        import graft.operators.CountMin
+        val e = Tables.load(s, dir, "events")
+        val cms = CountMin.counters(e, "user_id", depth = 4, width = 1024)
+        val top = e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("user_id"))
+          .limit(20)
+        CountMin.estimate(top, "user_id", cms, depth = 4, width = 1024)
+          .join(top, "user_id")
+          .select(col("user_id"), col("exact_n"), col("cms_est"),
+            (col("cms_est") - col("exact_n")).as("overestimate"),
+            (col("cms_est") >= col("exact_n")).as("est_ok"))
+          .orderBy(col("exact_n").desc, col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id AS k FROM events),
+             |d AS (SELECT unnest(generate_series(0, 3)) AS i),
+             |c AS (SELECT i,
+             |    CAST(('0x' || substr(md5(i || ':' || k), 1, 15)) AS BIGINT)
+             |      % 1024 AS b,
+             |    COUNT(*) AS n
+             |  FROM e CROSS JOIN d GROUP BY 1, 2),
+             |ex AS (SELECT k, COUNT(*) AS exact_n FROM e GROUP BY k),
+             |top AS (SELECT k, exact_n FROM ex
+             |        ORDER BY exact_n DESC, k LIMIT 20),
+             |est AS (SELECT t.k, t.exact_n, MIN(c.n) AS cms_est
+             |  FROM top t CROSS JOIN d
+             |  JOIN c ON c.i = d.i AND c.b =
+             |    CAST(('0x' || substr(md5(d.i || ':' || t.k), 1, 15)) AS BIGINT)
+             |      % 1024
+             |  GROUP BY t.k, t.exact_n)
+             |SELECT k AS user_id, exact_n, cms_est,
+             |  cms_est - exact_n AS overestimate,
+             |  cms_est >= exact_n AS est_ok
+             |FROM est ORDER BY exact_n DESC, user_id""".stripMargin))
   )
 }
