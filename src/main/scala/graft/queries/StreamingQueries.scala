@@ -154,6 +154,57 @@ object StreamingQueries {
        |  AND b.us >= a.us AND b.us - a.us <= 3600000000
        |ORDER BY a.user_id, click_id, purchase_id""".stripMargin
 
+  /** q67: LEFT-OUTER stream-stream interval join — matched pairs emit
+   * like q38; clicks with no purchase in the horizon emit a null-match
+   * row once the watermark proves no match can arrive (left state
+   * evicts at watermark − horizon; the AvailableNow no-data final batch
+   * advances the watermark to max(ts) − 2h and flushes the last
+   * evictable state). Oracle: the inner matches with no watermark term
+   * UNION ALL the never-matched clicks old enough that the final
+   * watermark passed from_ts + horizon (ms-truncated comparison, the
+   * same boundary contract q36/q40 pinned). With TWO withWatermark
+   * nodes the global watermark is the MIN of the per-side watermarks —
+   * max(click ts) and max(purchase ts) differ, so the oracle's cutoff
+   * uses least() of the two, not max over all events (found by the
+   * gate: one click sat between the two candidate cutoffs). */
+  private def runAttributionOuter(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(s, dir, ev =>
+      EventStream.attributionOuter(ev, "click", "purchase",
+        horizon = "1 hour", watermark = "2 hours"))
+      .select(col("user_id"), col("from_id").as("click_id"),
+        col("to_id").as("purchase_id"), col("lag_us"), col("value"),
+        col("is_matched"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+
+  private def attributionOuterOracle: String =
+    s"""WITH e AS (SELECT event_id, user_id, event_type, value,
+       |    epoch_ns(ts) // 1000 AS us FROM events),
+       |m AS (SELECT least(
+       |    (SELECT max(us) FROM e WHERE event_type = 'click'),
+       |    (SELECT max(us) FROM e WHERE event_type = 'purchase')) AS mx),
+       |matched AS (
+       |  SELECT a.user_id, a.event_id AS click_id,
+       |    b.event_id AS purchase_id, b.us - a.us AS lag_us, b.value,
+       |    TRUE AS is_matched
+       |  FROM e a JOIN e b ON a.user_id = b.user_id
+       |  WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+       |    AND b.us >= a.us AND b.us - a.us <= 3600000000),
+       |expired_unmatched AS (
+       |  SELECT a.user_id, a.event_id AS click_id,
+       |    CAST(NULL AS BIGINT) AS purchase_id,
+       |    CAST(NULL AS BIGINT) AS lag_us,
+       |    CAST(NULL AS DOUBLE) AS value,
+       |    FALSE AS is_matched
+       |  FROM e a, m
+       |  WHERE a.event_type = 'click'
+       |    AND NOT EXISTS (SELECT 1 FROM e b
+       |      WHERE b.event_type = 'purchase' AND b.user_id = a.user_id
+       |        AND b.us >= a.us AND b.us - a.us <= 3600000000)
+       |    AND a.us // 1000 + 3600000 < mx // 1000 - 7200000)
+       |SELECT * FROM matched
+       |UNION ALL SELECT * FROM expired_unmatched
+       |ORDER BY user_id, click_id, purchase_id""".stripMargin
+
   /** q40: CUSTOM keyed state via typed flatMapGroupsWithState — per-user
    * running (count, exact sum, last-seen), emitted when the event-time
    * watermark passes last_seen + 30 min (group timeout), state dropped.
@@ -311,6 +362,8 @@ object StreamingQueries {
     Q("q56_stream_upsert_view", runUpsert, Some(upsertOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
     Q("q38_stream_attribution", runAttribution, Some(attributionOracle)),
+    Q("q67_stream_outer_attribution", runAttributionOuter,
+      Some(attributionOuterOracle)),
     Q("q40_stream_custom_state", runInactive, Some(inactiveOracle)),
     Q("q30_stream_hourly", run,
       Some(s"""WITH mx AS (SELECT max(ts) AS m FROM events),

@@ -109,6 +109,41 @@ object EventStream {
   }
 
   /**
+   * LEFT-OUTER stream-stream interval join: like [[attribution]], but
+   * `fromType` events with NO matching `toType` event in the horizon
+   * still emit — with null match columns — once the watermark proves no
+   * match can arrive (left state older than watermark − horizon is
+   * evicted; an unmatched evictee emits its null row at that point).
+   * This is the streaming "abandoned funnel" primitive: clicks that
+   * never converted, emitted incrementally and exactly once, instead of
+   * a periodic batch anti-join. The final no-data micro-batch (AvailableNow)
+   * advances the watermark to max(ts) − delay and flushes the last
+   * expirable state, so the batch restatement carries the same
+   * watermark-horizon cutoff for the null rows (matched rows restate
+   * with no watermark term, exactly like the inner join).
+   */
+  def attributionOuter(events: DataFrame, fromType: String, toType: String,
+      horizon: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val from = events.filter(col("event_type") === fromType)
+      .select(col("event_id").as("from_id"), col("user_id"),
+        col("ts").as("from_ts"))
+      .withWatermark("from_ts", watermark)
+    val to = events.filter(col("event_type") === toType)
+      .select(col("event_id").as("to_id"), col("user_id").as("to_user"),
+        col("ts").as("to_ts"), col("value"))
+      .withWatermark("to_ts", watermark)
+    from.join(to,
+        expr(s"user_id = to_user AND to_ts >= from_ts " +
+          s"AND to_ts <= from_ts + interval $horizon"), "left_outer")
+      .select(col("user_id"), col("from_id"), col("to_id"),
+        (unix_micros(col("to_ts")) - unix_micros(col("from_ts")))
+          .as("lag_us"),
+        col("value"),
+        col("to_id").isNotNull.as("is_matched"))
+  }
+
+  /**
    * Custom keyed state via typed `flatMapGroupsWithState` (the API the
    * built-in windows can't replace when state logic is arbitrary): per
    * user, accumulate (count, exact value sum, last event time); when the
