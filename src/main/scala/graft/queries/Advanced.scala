@@ -933,6 +933,69 @@ object Advanced {
              |SELECT k AS user_id, exact_n, cms_est,
              |  cms_est - exact_n AS overestimate,
              |  cms_est >= exact_n AS est_ok
-             |FROM est ORDER BY exact_n DESC, user_id""".stripMargin))
+             |FROM est ORDER BY exact_n DESC, user_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q68 — quantile binning (feature discretization): NTILE(10) over a
+    // deterministic total order (value, event_id tiebreak) assigns each
+    // event an equal-frequency decile per type; per-bin boundaries and
+    // mass come back as the bin dictionary a feature pipeline ships.
+    // One window sort + one aggregate; both engines share NTILE's
+    // floor/ceil bucket-size rule given the identical total order.
+    Q("q68_quantile_binning",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        e.select(col("event_type"), col("value"), col("event_id"))
+          .withColumn("bin", ntile(10).over(w))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n"),
+            min(col("value")).as("lo"), max(col("value")).as("hi"),
+            dsum(col("value")).as("sum_value"))
+          .orderBy(col("event_type"), col("bin"))
+      },
+      Some(s"""SELECT event_type, bin, COUNT(*) AS n,
+              |  MIN(value) AS lo, MAX(value) AS hi,
+              |  ${sqlDsum("value")} AS sum_value
+              |FROM (SELECT event_type, value,
+              |    CAST(ntile(10) OVER (PARTITION BY event_type
+              |      ORDER BY value, event_id) AS INT) AS bin
+              |  FROM events)
+              |GROUP BY event_type, bin
+              |ORDER BY event_type, bin""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q69 — time-RANGE rolling window (the sliding-hour feature): per
+    // user, each event carries the count and exact sum of that user's
+    // events in the PRECEDING HOUR — a RANGE frame over integer
+    // microseconds, not a ROWS frame (q46's family), so peers at the
+    // same instant aggregate identically on both engines with no
+    // tiebreak sensitivity. One window shuffle per user key; frame
+    // width bounds nothing — state is the frame's events per partition,
+    // which is what a real rolling-feature job sizes executors for.
+    Q("q69_rolling_time_window",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("event_id"),
+            expr("ts_ns div 1000").as("us"), col("value"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600000000L, 0L)
+        e.select(col("user_id"), col("event_id"), col("us"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(dec(col("value"))).over(w).cast("double").as("sum_1h"))
+          .orderBy(col("user_id"), col("us"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, us,
+             |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+             |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
+             |    AS DECIMAL(38,6)) AS DOUBLE) AS sum_1h
+             |FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+             |        value
+             |      FROM events WHERE user_id < 10)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, us, event_id""".stripMargin))
   )
 }
