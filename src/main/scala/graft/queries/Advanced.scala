@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Scd2
 import graft.sources.Tables
 import Exact._
 
@@ -12,6 +14,43 @@ import Exact._
  * bucketed histograms — each stated identically in Spark and DuckDB.
  */
 object Advanced {
+
+  /** Shared q65/q70 change log: bounded user set, integer-microsecond
+   * timestamps (the cross-engine-exact domain). */
+  private def scd2Events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+
+  /** The full SCD2 rebuild restatement — oracle of BOTH q65 (direct
+   * build) and q70 (incremental maintenance): sharing it IS the q70
+   * correctness statement, maintain(build(old), batch) ≡ build(all). */
+  private val scd2RebuildOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      |  FROM events WHERE user_id < 20),
+      |f AS (SELECT *,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |          OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM e WINDOW w AS (PARTITION BY user_id
+      |                      ORDER BY ts_us, event_id)),
+      |v AS (SELECT *, CAST(SUM(chg) OVER (
+      |    PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS ver
+      |  FROM f),
+      |g AS (SELECT user_id, ver, MIN(event_type) AS event_type,
+      |    MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
+      |  FROM v GROUP BY user_id, ver)
+      |SELECT user_id, ver, event_type, valid_from_us,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
+      |    AS valid_to_us,
+      |  n_events,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
+      |    IS NULL AS is_current
+      |FROM g ORDER BY user_id, ver""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -837,56 +876,11 @@ object Advanced {
         // surfaces TIMESTAMP(NANOS) at us precision, so the shared
         // ordering/interval domain is integer microseconds (event_id
         // breaks any within-us tie identically on both engines)
-        val e = Tables.load(s, dir, "events")
-          .filter(col("user_id") < 20)
-          .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
-            col("event_id"), col("event_type"))
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts_us"), col("event_id"))
-        val flagged = e.withColumn("prev",
-            lag(col("event_type"), 1).over(w))
-          .withColumn("chg",
-            when(col("prev").isNull || col("prev") =!= col("event_type"),
-              lit(1)).otherwise(lit(0)))
-          .withColumn("ver", sum(col("chg")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        val versions = flagged.groupBy(col("user_id"), col("ver"))
-          .agg(min(col("event_type")).as("event_type"),
-            min(col("ts_us")).as("valid_from_us"),
-            count(lit(1)).as("n_events"))
-        val wv = Window.partitionBy(col("user_id")).orderBy(col("ver"))
-        versions
-          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
-          .withColumn("is_current", col("valid_to_us").isNull)
-          .select(col("user_id"), col("ver"), col("event_type"),
-            col("valid_from_us"), col("valid_to_us"), col("n_events"),
-            col("is_current"))
+        Scd2.build(scd2Events(s, dir), "user_id", "event_type",
+            "ts_us", "event_id")
           .orderBy(col("user_id"), col("ver"))
       },
-      Some("""WITH e AS (
-             |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
-             |  FROM events WHERE user_id < 20),
-             |f AS (SELECT *,
-             |    CASE WHEN lag(event_type) OVER w IS NULL
-             |          OR lag(event_type) OVER w <> event_type
-             |         THEN 1 ELSE 0 END AS chg
-             |  FROM e WINDOW w AS (PARTITION BY user_id
-             |                      ORDER BY ts_us, event_id)),
-             |v AS (SELECT *, CAST(SUM(chg) OVER (
-             |    PARTITION BY user_id ORDER BY ts_us, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |      AS BIGINT) AS ver
-             |  FROM f),
-             |g AS (SELECT user_id, ver, MIN(event_type) AS event_type,
-             |    MIN(ts_us) AS valid_from_us, COUNT(*) AS n_events
-             |  FROM v GROUP BY user_id, ver)
-             |SELECT user_id, ver, event_type, valid_from_us,
-             |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
-             |    AS valid_to_us,
-             |  n_events,
-             |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY ver)
-             |    IS NULL AS is_current
-             |FROM g ORDER BY user_id, ver""".stripMargin)),
+Some(scd2RebuildOracle)),
 
     // ----------------------------------------------------------------
     // q66 — count-min sketch heavy hitters: a 4×1024 integer counter
@@ -996,6 +990,35 @@ object Advanced {
              |      FROM events WHERE user_id < 10)
              |WINDOW w AS (PARTITION BY user_id ORDER BY us
              |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-             |ORDER BY user_id, us, event_id""".stripMargin))
+             |ORDER BY user_id, us, event_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q70 — INCREMENTAL SCD2 maintenance: the change log is split at
+    // its midpoint timestamp into "already loaded" and "new batch"; the
+    // base SCD2 table is built from the first half, then the batch is
+    // applied via Scd2.maintain — touched keys rebuilt from their full
+    // history, untouched keys carried over verbatim (the partition-
+    // upsert strategy; at scale only touched keys shuffle). The oracle
+    // is q65's FULL-rebuild restatement — sharing it is the correctness
+    // statement this gate hash-proves: maintain(build(old), batch) ≡
+    // build(old ∪ batch), cross-engine, bit-for-bit.
+    Q("q70_scd2_incremental",
+      (s, dir) => {
+        val all = scd2Events(s, dir)
+        val bounds = all.agg(min(col("ts_us")).as("mn"),
+          max(col("ts_us")).as("mx"))
+        val withT0 = all.crossJoin(broadcast(bounds))
+          .withColumn("t0", expr("(mn + mx) div 2"))
+        val baseEv = withT0.filter(col("ts_us") < col("t0"))
+          .select(all.columns.map(col): _*)
+        val batchEv = withT0.filter(col("ts_us") >= col("t0"))
+          .select(all.columns.map(col): _*)
+        val baseScd = Scd2.build(baseEv, "user_id", "event_type",
+          "ts_us", "event_id")
+        Scd2.maintain(baseScd, baseEv, batchEv, "user_id", "event_type",
+            "ts_us", "event_id")
+          .orderBy(col("user_id"), col("ver"))
+      },
+      Some(scd2RebuildOracle))
   )
 }

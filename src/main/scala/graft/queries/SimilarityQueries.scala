@@ -515,6 +515,42 @@ object SimilarityQueries {
              |ORDER BY qid, rank""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // s13 — FILTERED vector search (the vector-DB "metadata predicate +
+    // ANN" feature): search runs entirely within the label-3 shard —
+    // corpus, coarse quantizer AND queries are pre-filtered, so recall
+    // is exact w.r.t. the filtered universe (PRE-filtering; the
+    // alternative, post-filtering an unfiltered index's top-k, silently
+    // loses recall when the predicate is selective — that trade-off is
+    // the point of making filtered search a first-class operator). The
+    // full retrieve-then-rerank stack composes unchanged over the
+    // filtered frame; the oracle shadows `embeddings` with the filtered
+    // subset and reuses the identical IVF-SQ8 + rerank restatement.
+    Q("s13_ann_filtered",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "embeddings")
+          .filter(col("label") % 3 === 0)
+        val q = base.filter(col("vec_id") % 50 === 0)
+        Similarity.rerankTopK(base, q, "vec_id", "embedding",
+            centroidStride = 50, maxCentroids = 32, nProbe = 2,
+            candK = 20, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""WITH embeddings AS (
+             |  SELECT * FROM main.embeddings WHERE label % 3 = 0),
+             |${ivfSq8Ctes.stripPrefix("WITH ")},
+             |cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
+             |raw AS (SELECT vec_id, embedding FROM embeddings),
+             |rr AS (SELECT c.qid, c.nid,
+             |    ${cosSelect("qe.embedding", "ne.embedding")}
+             |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
+             |  JOIN raw ne ON ne.vec_id = c.nid),
+             |r2 AS (SELECT qid, nid, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             |  FROM rr)
+             |SELECT qid, rank, nid, cos FROM r2 WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is
     // written in the PLAIN-SPARK HOF dot-product form
     // (aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v))
