@@ -930,19 +930,71 @@ Some(scd2RebuildOracle)),
              |FROM est ORDER BY exact_n DESC, user_id""".stripMargin)),
 
     // ----------------------------------------------------------------
-    // q68 — quantile binning (feature discretization): NTILE(10) over a
-    // deterministic total order (value, event_id tiebreak) assigns each
-    // event an equal-frequency decile per type; per-bin boundaries and
-    // mass come back as the bin dictionary a feature pipeline ships.
-    // One window sort + one aggregate; both engines share NTILE's
-    // floor/ceil bucket-size rule given the identical total order.
+    // q68 — quantile binning (feature discretization): each event gets an
+    // equal-frequency decile per type under the deterministic total order
+    // (value, event_id tiebreak); per-bin boundaries and mass come back
+    // as the bin dictionary a feature pipeline ships.
+    //
+    // NOT ntile().over(partitionBy(event_type)): with ~5 distinct types
+    // that window sorts ~N/5 of ALL events in ONE task — a straggler/OOM
+    // cliff at 100×. Instead the exact rank is computed scalably in two
+    // fully-parallel passes over a deterministic value-histogram grid:
+    //   1. bucket = monotone value bin (256 cells over the global
+    //      [min,max]; a pure function of the value — no sampling, no
+    //      partition-id dependence, so recomputation is stable);
+    //   2. per-(type,bucket) counts (a ~1280-group aggregate) → running
+    //      offsets + per-type totals via a window over that TINY table;
+    //   3. rank = broadcast-joined bucket offset + row_number within
+    //      (type,bucket) — each window partition holds ~N/1280 rows,
+    //      parallel across the grid — then NTILE's exact floor/ceil
+    //      bucket-size rule applied arithmetically from (rank, total).
+    // Adversarially-constant values collapse buckets (documented limit);
+    // uniform-ish features parallelize 256-ways per type. The oracle
+    // stays the direct NTILE statement — the hash gate proves the
+    // decomposition reproduces it bit-for-bit.
     Q("q68_quantile_binning",
       (s, dir) => {
+        val nCells = 256
         val e = Tables.load(s, dir, "events")
-        val w = Window.partitionBy(col("event_type"))
+          .select(col("event_type"), col("value"), col("event_id"))
+        val bounds = e.agg(min(col("value")).as("mn"),
+          max(col("value")).as("mx"))
+        val cell = when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("mn")) * nCells /
+              (col("mx") - col("mn"))).cast("long"),
+            lit(nCells - 1L)))
+        val withCell = e.crossJoin(broadcast(bounds))
+          .withColumn("__cell", cell)
+          .select(col("event_type"), col("value"), col("event_id"),
+            col("__cell"))
+        // tiny per-(type,cell) histogram → running offsets + totals
+        val wOff = Window.partitionBy(col("event_type"))
+          .orderBy(col("__cell"))
+        val offs = withCell.groupBy(col("event_type"), col("__cell"))
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__off", coalesce(sum(col("__c")).over(
+            wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("__n", sum(col("__c")).over(
+            Window.partitionBy(col("event_type"))))
+          .select(col("event_type"), col("__cell"), col("__off"),
+            col("__n"))
+        // exact global rank per type = cell offset + local row_number;
+        // then NTILE(10)'s bucket rule: first (n % 10) bins hold
+        // ceil(n/10) rows, the rest floor(n/10)
+        val wLoc = Window.partitionBy(col("event_type"), col("__cell"))
           .orderBy(col("value"), col("event_id"))
-        e.select(col("event_type"), col("value"), col("event_id"))
-          .withColumn("bin", ntile(10).over(w))
+        withCell.join(broadcast(offs), Seq("event_type", "__cell"))
+          .withColumn("__rn",
+            col("__off") + row_number().over(wLoc).cast("long"))
+          .withColumn("__q", expr("__n div 10"))
+          .withColumn("__r", expr("__n % 10"))
+          .withColumn("bin",
+            when(col("__rn") <= (col("__q") + 1) * col("__r"),
+              expr("(__rn - 1) div (__q + 1) + 1"))
+            .otherwise(expr(
+              "__r + (__rn - __r * (__q + 1) - 1) div greatest(__q, 1) + 1"))
+            .cast("int"))
           .groupBy(col("event_type"), col("bin"))
           .agg(count(lit(1)).as("n"),
             min(col("value")).as("lo"), max(col("value")).as("hi"),

@@ -104,6 +104,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Window"), s"q45 regressed to a window sort:\n$p")
   }
 
+  test("q68 binning: rank windows are cell-grid-keyed, never whole-type") {
+    // the scale cliff this pins against: ntile()/row_number() windowed by
+    // event_type alone (~5 distinct values) sorts ~N/5 of all events in
+    // ONE task; the two-pass decomposition must keep every per-row rank
+    // window keyed by the 256-cell value grid
+    val p = plan("q68_quantile_binning")
+    assert(!p.contains("ntile"), s"q68 regressed to a whole-type NTILE:\n$p")
+    val rankLines = p.linesIterator
+      .filter(_.contains("row_number()")).toSeq
+    assert(rankLines.nonEmpty, s"q68 lost its rank window:\n$p")
+    assert(rankLines.forall(_.contains("__cell")),
+      s"q68 rank window not keyed by the value-cell grid:\n${rankLines.mkString("\n")}")
+  }
+
   test("explode of computed arrays stays outer (no size>0 re-materialization)") {
     // the non-outer explode adds an implicit size>0 predicate that inlines
     // the whole array expression again in a pushed-down filter (t13 was 5x
