@@ -284,8 +284,43 @@ $credJoin
     volumeNotPrinted = false, seriesIsSingleton = false,
     storyFirstLine = false, storyCredit = false)
 
+  /** g03 — INCREMENTAL snapshot maintenance ([[graft.etl.GcdIncremental]]):
+   * "yesterday's" dump is the fixture minus a deterministic ~1/7 of
+   * issues (they arrive "today", with their stories and credits);
+   * yesterday's snapshot is built in full, then today's dump is applied
+   * by rebuilding ONLY the touched issues and carrying every other row
+   * over by anti-join. The oracle is g01's FULL-rebuild statement over
+   * today's dump — sharing it is the correctness contract this gate
+   * hash-proves: maintain(build(yesterday), touched) ≡ build(today),
+   * the Scd2.maintain partition-upsert strategy applied to the
+   * flagship itself (the reference recomputes everything per dump,
+   * Main.java:380-513). */
+  private def runIncremental(s: SparkSession, dir: String): DataFrame = {
+    val tables = GcdSnapshot.sourceTables.map(t =>
+      t -> s.read.parquet(s"$fixturesDir/$t.parquet")).toMap
+    val issue = tables("gcd_issue")
+    val touched = issue.filter(col("id") % 7 === 0)
+      .select(col("id").cast("long").as("issue_id"))
+    // yesterday's dump: today's tables minus the arriving issues' rows
+    val story = tables("gcd_story")
+    val yStory = story.join(touched,
+      story("issue_id") === touched("issue_id"), "left_anti")
+    val credit = tables("gcd_story_credit")
+    val yTables = tables +
+      ("gcd_issue" -> issue.join(touched,
+        issue("id") === touched("issue_id"), "left_anti")) +
+      ("gcd_story" -> yStory) +
+      ("gcd_story_credit" -> credit.join(
+        yStory.select(col("id").as("__sid")),
+        credit("story_id") === col("__sid"), "left_semi"))
+    val base = GcdSnapshot.build(s, yTables, snapshotDate, GcdFlags())
+    jsonArrays(graft.etl.GcdIncremental.maintain(s, base, tables,
+      touched, snapshotDate, GcdFlags()))
+  }
+
   val all: Seq[Q] = Seq(
     Q("g01_gcd_snapshot", run(GcdFlags()), Some(oracle(GcdFlags()))),
     Q("g02_gcd_snapshot_legacy", run(legacyFlags),
-      Some(oracle(legacyFlags))))
+      Some(oracle(legacyFlags))),
+    Q("g03_gcd_incremental", runIncremental, Some(oracle(GcdFlags()))))
 }

@@ -283,14 +283,16 @@ object StreamingQueries {
   /** q56: incrementally-maintained materialized view via foreachBatch —
    * the streaming upsert pattern parquet sinks can't express natively
    * (no in-place update): each micro-batch reduces to its per-user
-   * latest event and MERGEs into a versioned keyed state table; the
-   * source is split into multiple files with maxFilesPerTrigger so the
-   * merge loop genuinely runs several times. At scale the state table is
-   * one row per key and each merge shuffles only (batch ∪ state) on the
-   * key; versioned directories + last-committed pointer is the
-   * poor-man's-transaction that table formats (Delta/Iceberg) formalize.
-   * The oracle is the batch argmax per user — the hash gate proves the
-   * incremental view equals the from-scratch recompute. */
+   * latest event and MERGEs into [[graft.streaming.BucketedUpsert]]'s
+   * key-bucketed state — touched buckets are read/rewritten, untouched
+   * buckets carry over by pointer with ZERO I/O, so per-batch cost is
+   * O(batch + touched state), never O(full state). The source is split
+   * into multiple files with maxFilesPerTrigger so the merge loop
+   * genuinely runs several times; StreamSoak's upsert stage is the
+   * at-volume proof that per-batch reads stay bounded by the touched
+   * key set while total state grows. The oracle is the batch argmax per
+   * user — the hash gate proves the incremental view equals the
+   * from-scratch recompute. */
   private def runUpsert(s: SparkSession, dir: String): DataFrame = {
     // state sizing is scoped to a cloned session (own SQLConf, shared
     // SparkContext) instead of mutating — even temporarily — the
@@ -300,7 +302,6 @@ object StreamingQueries {
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     locally {
       val src = graft.sources.Scratch.dir("upsert_src")
-      val stateRoot = graft.sources.Scratch.dir("upsert_state")
       val ev = graft.sources.Tables.load(ss, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"), col("value"))
@@ -311,35 +312,20 @@ object StreamingQueries {
 
       // per-user latest event: max of (us, event_id, ...) — the struct
       // comparison is lexicographic, so event_id breaks timestamp ties
-      def latest(df: DataFrame): DataFrame =
-        df.groupBy(col("user_id"))
-          .agg(max(struct(col("us"), col("event_id"), col("event_type"),
-            col("value"))).as("m"))
-          .select(col("user_id"), col("m.us").as("us"),
-            col("m.event_id").as("event_id"),
-            col("m.event_type").as("event_type"),
-            col("m.value").as("value"))
+      val state = new graft.streaming.BucketedUpsert.State(ss,
+        keyCol = "user_id",
+        payloadCols = Seq("us", "event_id", "event_type", "value"),
+        nBuckets = 16)
 
-      var current: Option[String] = None
       val q = stream.writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", graft.sources.Scratch.dir("upsert_cp"))
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          val newest = latest(b)
-          val merged = current match {
-            case Some(p) => latest(newest.unionByName(ss.read.parquet(p)))
-            case None => newest
-          }
-          val out = s"$stateRoot/v$id"
-          merged.write.mode("overwrite").parquet(out)
-          current = Some(out)
-          ()
-        }
+        .foreachBatch { (b: DataFrame, id: Long) => state.merge(b, id) }
         .start()
       q.awaitTermination()
       // the returned view is planned on the CALLER's session (and its
       // shuffle-partition setting) — only the merge loop ran on the clone
-      s.read.parquet(current.get)
+      state.view(s)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("event_type").as("last_type"), col("us").as("last_us"),
           col("value").as("last_value"))

@@ -2,7 +2,7 @@ package graft.tools
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -172,6 +172,79 @@ object StreamSoak {
     assert(nSessions >= nUsers && nUsers > 0,
       s"sessions: $nSessions sessions over $nUsers users")
     println(s"== sessions: $nSessions finalized sessions over $nUsers users")
+
+    // ---- bucketed streaming upsert (q56's machinery): per-batch cost
+    // bounded by the TOUCHED buckets, not total state. Phase 1 builds a
+    // 20k-key state; phase 2's batches each touch only 4 hot keys → ≤4
+    // of 64 buckets. The metrics assert the merge READ stays ~state/16
+    // per batch while the view holds all 20k keys, and the final view
+    // equals the batch argmax restatement over the whole feed.
+    locally {
+      val upDir = Files.createTempDirectory("soak_upsert_src").toString
+      val nKeys = 20000L
+      def feedRow(idExpr: Column, userExpr: Column, step: Long) = Seq(
+        idExpr.as("event_id"), userExpr.as("user_id"),
+        (lit(base) + lit(step) * 60000000L + idExpr % 1000L).as("us"),
+        element_at(array(lit("click"), lit("view"), lit("purchase")),
+          (pmod(idExpr, lit(3)) + 1).cast("int")).as("event_type"),
+        (pmod(idExpr * 7919L, lit(10000L)).cast("double") / 100.0)
+          .as("value"))
+      // phase 1: 5 events per key over 20k keys, 4 files
+      spark.range(nKeys * 5)
+        .select(feedRow(col("id"), col("id") % nKeys, 0): _*)
+        .repartition(4).write.mode("overwrite").parquet(upDir)
+      // phase 2: 8 single-file batches over 4 hot keys only
+      (0 until 8).foreach { i =>
+        val tmp = Files.createTempDirectory(s"soak_upsert_b$i").toString
+        spark.range(200)
+          .select(feedRow(col("id") + 200000L + i * 1000L,
+            col("id") % 4L, 10L + i): _*)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        Files.move(part.toPath,
+          java.nio.file.Path.of(upDir, f"zbatch-$i%02d.parquet"))
+      }
+      new java.io.File(upDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1700000000000L + i * 10000L)
+        }
+      val feed = spark.read.parquet(upDir)
+      val state = new graft.streaming.BucketedUpsert.State(spark,
+        keyCol = "user_id",
+        payloadCols = Seq("us", "event_id", "event_type", "value"),
+        nBuckets = 64, collectMetrics = true)
+      timed("bucketed upsert (12 micro-batches, 64 buckets)") {
+        val q = spark.readStream.schema(feed.schema)
+          .option("maxFilesPerTrigger", 1).parquet(upDir)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            Files.createTempDirectory("soak_upsert_cp").toString)
+          .foreachBatch { (b: DataFrame, id: Long) => state.merge(b, id) }
+          .start()
+        q.awaitTermination()
+      }
+      state.metrics.foreach { m =>
+        println(s"   batch ${m.batchId}: touched=${m.touchedBuckets}/64 " +
+          s"stateRowsRead=${m.stateRowsRead} wall=${m.wallMs}ms")
+      }
+      val hot = state.metrics.filter(_.batchId >= 4)
+      assert(hot.nonEmpty && hot.forall(_.touchedBuckets <= 4),
+        s"hot batches touched more than their 4 key buckets: $hot")
+      assert(hot.forall(_.stateRowsRead < nKeys / 8),
+        s"hot-batch merge read should be bounded by touched buckets " +
+          s"(~state/16), not the $nKeys-key state: $hot")
+      val wantView = feed.groupBy(col("user_id"))
+        .agg(max(struct(col("us"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select(col("user_id"), col("m.us"), col("m.event_id"),
+          col("m.event_type"), col("m.value"))
+      assertEqual("bucketed upsert view ≡ batch argmax",
+        state.view(spark).select(col("user_id"), col("us"),
+          col("event_id"), col("event_type"), col("value")),
+        wantView)
+    }
 
     println(f"== soak OK: n=$n")
     spark.stop()
