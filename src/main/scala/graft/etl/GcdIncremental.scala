@@ -64,7 +64,10 @@ object GcdIncremental {
       credits.map("gcd_story_credit" -> _)
 
     val rebuilt = GcdSnapshot.build(spark, restricted, date, flags)
+    // the using-column anti-join hoists issue_id to the front — restore
+    // the snapshot's canonical column order before the union
     val carried = baseSnapshot.join(touched, Seq("issue_id"), "left_anti")
+      .select(baseSnapshot.columns.map(col): _*)
     carried.unionByName(rebuilt)
   }
 }
