@@ -43,7 +43,11 @@ object CountMin {
 
   /** Point-estimate every key of `keys` against a finished counter
    * table: est(key) = min_i counters(i, h_i(key)) — the counter grid
-   * broadcasts (d·w rows), so this is a map-side join at any key count. */
+   * broadcasts (d·w rows), so this is a map-side join at any key count.
+   * The join is LEFT outer with absent cells coalesced to 0: a counter
+   * row missing from the table means no key hashed there (count 0), so
+   * a never-sketched probe key correctly estimates 0 instead of taking
+   * min over fewer than d counters — or vanishing from the output. */
   def estimate(keys: DataFrame, keyCol: String, counterTab: DataFrame,
       depth: Int, width: Int): DataFrame = {
     val exploded = keys.select(col(keyCol),
@@ -53,8 +57,8 @@ object CountMin {
     exploded
       .join(broadcast(counterTab),
         exploded("ib.i") === counterTab("i") &&
-          exploded("ib.b") === counterTab("b"))
+          exploded("ib.b") === counterTab("b"), "left_outer")
       .groupBy(col(keyCol))
-      .agg(min(col("n")).as("cms_est"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("cms_est"))
   }
 }

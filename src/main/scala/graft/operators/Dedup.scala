@@ -163,6 +163,11 @@ object Dedup {
    * empty signature is all-null and would otherwise bucket every
    * token-poor doc together.
    */
+  /** Scratch dirs of the last [[incremental]] call, retired at the next
+   * call's entry (valid only under sequential gate/bench execution —
+   * a held plan from a superseded call would read deleted paths). */
+  private var retiredSigDirs: Seq[String] = Nil
+
   def incremental(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, k: Int = 16, bands: Int = 4): DataFrame = {
     require(k % bands == 0, "bands must divide k")
@@ -181,14 +186,22 @@ object Dedup {
     def buckets(s: DataFrame) = s.filter(col("__nsh") > 0)
       .select(col("id"), explode_outer(array((0 until bands).map(b =>
         concat(lit(s"$b|"), bandKey(col("sig"), b, r))): _*)).as("bkey"))
-    // one signature pass per side, materialized (the corpus index shape)
+    // one signature pass per side, materialized (the corpus index shape).
+    // The PREVIOUS invocation's tables are dead once a new one starts
+    // (the strictly-sequential gate/bench contract, like q51's catalog
+    // cleanup) — retire them on re-entry so a BenchOne rep loop holds
+    // one live generation on disk instead of accumulating 2N copies.
+    retiredSigDirs.foreach(graft.sources.Scratch.deleteNow)
+    val newDirs = Seq.newBuilder[String]
     def materialize(df: DataFrame, tag: String): DataFrame = {
       val path = graft.sources.Scratch.dir(s"incdedup_$tag")
+      newDirs += path
       df.write.mode("overwrite").parquet(path)
       df.sparkSession.read.parquet(path)
     }
     val cs = materialize(sigs(corpus), "corpus_sig")
     val bs = materialize(sigs(batch), "batch_sig")
+    retiredSigDirs = newDirs.result()
     val corpusFp = cs.select(col("fp")).distinct()
     val near = buckets(bs)
       .join(buckets(cs).select(col("bkey")), Seq("bkey"), "left_semi")

@@ -892,6 +892,9 @@ Some(scd2RebuildOracle)),
     // the est ≥ exact guarantee. Hashing is the engine-portable
     // md5-prefix pattern, so every counter — and therefore every
     // estimate — is an exact integer the oracle reproduces bit-for-bit.
+    // (The oracle's `e CROSS JOIN d` is a CONSTANT ×4 fan-out — d is
+    // generate_series(0,3), the sketch depth — mirroring the Spark
+    // side's 4-element explode, not a data-dependent cartesian.)
     Q("q66_countmin_heavy_hitters",
       (s, dir) => {
         import graft.operators.CountMin

@@ -33,26 +33,25 @@ object Analytics {
   /** Monotonic tag for q51's per-invocation bucketed table names. */
   private val q51Run = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Catalog entries + scratch roots of FINISHED q51 invocations, dropped
-   * lazily at the next invocation's entry: the returned DataFrame is
-   * lazy (the driver executes it after the body returns), so a run can
-   * only clean up after its predecessors — that bounds a Verify/Bench
-   * loop to one live generation instead of an ever-growing catalog and
-   * temp dir (the remaining generation is dropped by [[Scratch]]'s JVM
-   * exit hook). Assumes the gate's sequential execution; concurrent q51
-   * calls would need the previous generation pinned longer. */
+  /** Catalog entries + scratch roots of FINISHED q51 invocations, retired
+   * lazily: the returned DataFrame is lazy (the driver executes it after
+   * the body returns), so cleanup keeps the NEWEST finished generation
+   * alive — a caller still holding (or re-executing) the previous
+   * invocation's plan reads intact tables — and drops everything older.
+   * A Verify/Bench loop is thus bounded to two live generations (the
+   * kept predecessor + the one being built) instead of an ever-growing
+   * catalog and temp dir; the survivors fall to [[Scratch]]'s JVM exit
+   * hook. Holding a plan across TWO newer invocations, or running q51
+   * concurrently, remains out of contract. */
   private val q51Dead =
     new java.util.concurrent.ConcurrentLinkedQueue[(Seq[String], String)]()
 
-  private def q51Cleanup(s: SparkSession): Unit = {
-    var prev = q51Dead.poll()
-    while (prev != null) {
-      val (tables, base) = prev
+  private def q51Cleanup(s: SparkSession): Unit =
+    while (q51Dead.size() > 1) {
+      val (tables, base) = q51Dead.poll()
       tables.foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
       graft.sources.Scratch.deleteNow(base)
-      prev = q51Dead.poll()
     }
-  }
 
   val all: Seq[Q] = Seq(
 

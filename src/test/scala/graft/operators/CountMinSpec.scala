@@ -38,6 +38,21 @@ class CountMinSpec extends SparkSpec {
     est.foreach { case (e, x) => assert(e == x) }
   }
 
+  test("probe keys never sketched estimate 0, not min-over-fewer or absent") {
+    // keys far outside the sketched set: on a wide grid their cells are
+    // (with these fixed keys, verifiably) untouched → est must be 0, and
+    // the keys must still APPEAR in the output (left join, not inner)
+    val small = Seq(1L, 1L, 2L).toDF("user_id")
+    val cms = CountMin.counters(small, "user_id", depth = 4, width = 4096)
+    val probes = Seq(900001L, 900002L).toDF("user_id")
+    val est = CountMin.estimate(probes, "user_id", cms, depth = 4,
+        width = 4096)
+      .select($"user_id", $"cms_est").as[(Long, Long)].collect().toMap
+    assert(est.keySet == Set(900001L, 900002L),
+      s"unseen probe keys missing from estimate output: $est")
+    est.foreach { case (k, e) => assert(e == 0L, s"key $k: est $e != 0") }
+  }
+
   test("sketches of disjoint partitions merge by cell-wise addition") {
     val a = events.filter($"user_id" % 2 === 0)
     val b = events.filter($"user_id" % 2 =!= 0)

@@ -18,6 +18,14 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Queries whose oracle emits a WIDE-decimal -> double cast (the one class
+# where local DuckDB 1.0.0's two-step rounding lands 1 ulp off Spark's
+# correctly-rounded BigDecimal cast while the DRIVER's DuckDB hash-matches).
+# Only these may downgrade a <=1-ulp-everywhere diff to WARN; anywhere else
+# a 1-ulp diff is a genuine cross-engine formula divergence (exactly the
+# round-5 q54 class) and must FAIL so it's fixed before the driver sees it.
+ULP_WARN_ALLOWLIST = {"q02_agg_groupby", "q14_topk_revenue"}
+
 
 def canon(v):
     if isinstance(v, float):
@@ -133,7 +141,8 @@ def main():
             # (r5: q02/q14 green). A <=1-ulp-everywhere mismatch is
             # therefore a local-cast artifact: WARN, don't fail. Anything
             # wider is a real divergence.
-            if within_one_ulp(spark_rows, duck_rows, sidx, didx):
+            if name in ULP_WARN_ALLOWLIST and \
+                    within_one_ulp(spark_rows, duck_rows, sidx, didx):
                 n_diff = sum(1 for a, b in zip(s_norm, d_norm) if a != b)
                 print(f"WARN {name}: {len(s_norm)} rows; {n_diff} rows differ "
                       f"by <=1 ulp (local decimal->double cast artifact; "
