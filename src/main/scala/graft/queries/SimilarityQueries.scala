@@ -103,6 +103,31 @@ object SimilarityQueries {
       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rank
       |  FROM scored)""".stripMargin
 
+  /** Recall@5 of `approx` against exact `truth` (both `(qid, nid, …)`
+   * top-5 sets): overlap count per query, n_hits/5 as exact
+   * rational-in-double math — s05's shape, shared by s14/s15/s16. */
+  private def recallOf(truth: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    truth.select(col("qid"), col("nid"))
+      .join(approx.select(col("qid").as("aqid"), col("nid").as("anid")),
+        col("qid") === col("aqid") && col("nid") === col("anid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("anid")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits").cast("double") / 5).as("recall_at_5"))
+      .orderBy(col("qid"))
+
+  /** DuckDB restatement of [[recallOf]] over two `(qid, nid)` selects
+   * (each may carry its own WITH — DuckDB allows CTEs in derived
+   * tables). */
+  private def recallSql(truthSel: String, approxSel: String): String =
+    s"""WITH t AS (SELECT qid, nid FROM ($truthSel)),
+       |a AS (SELECT qid, nid FROM ($approxSel))
+       |SELECT t.qid, COUNT(a.nid) AS n_hits,
+       |  CAST(COUNT(a.nid) AS DOUBLE) / 5 AS recall_at_5
+       |FROM t LEFT JOIN a ON t.qid = a.qid AND t.nid = a.nid
+       |GROUP BY t.qid ORDER BY t.qid""".stripMargin
+
   private val s01Oracle: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
        |scored AS (SELECT qid, v.vec_id AS nid,
@@ -549,6 +574,80 @@ object SimilarityQueries {
              |  FROM rr)
              |SELECT qid, rank, nid, cos FROM r2 WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // s14/s15/s16 — recall gating for the COMPOSED stack (s05 grades the
+    // basic LSH path; these quantify the production configurations):
+    // recall@5 of IVF-SQ8 (s11), retrieve-then-rerank (s12), and
+    // filtered rerank (s13, truth = brute force over the SAME filtered
+    // universe) against exact ground truth, per query. The approximate
+    // entries thus carry a quantified quality contract, not just
+    // exact-arithmetic hashes; SimilaritySpec pins recall floors so a
+    // quantizer/probe regression fails in-JVM before the gate sees it.
+    Q("s14_recall_ivfsq8",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        recallOf(
+          Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5),
+          Similarity.ivfSq8TopK(e, q, "vec_id", "embedding",
+            centroidStride = 50, maxCentroids = 32, nProbe = 2, k = 5))
+      },
+      Some(recallSql(s01Oracle,
+        s"""$ivfSq8Ctes
+           |SELECT qid, nid FROM r WHERE rank <= 5""".stripMargin))),
+
+    Q("s15_recall_rerank",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        recallOf(
+          Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5),
+          Similarity.rerankTopK(e, q, "vec_id", "embedding",
+            centroidStride = 50, maxCentroids = 32, nProbe = 2,
+            candK = 20, k = 5))
+      },
+      Some(recallSql(s01Oracle,
+        s"""$ivfSq8Ctes,
+           |cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
+           |raw AS (SELECT vec_id, embedding FROM embeddings),
+           |rr AS (SELECT c.qid, c.nid,
+           |    ${cosSelect("qe.embedding", "ne.embedding")}
+           |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
+           |  JOIN raw ne ON ne.vec_id = c.nid),
+           |r2 AS (SELECT qid, nid, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           |  FROM rr)
+           |SELECT qid, nid FROM r2 WHERE rank <= 5""".stripMargin))),
+
+    Q("s16_recall_filtered",
+      (s, dir) => {
+        val base = Tables.load(s, dir, "embeddings")
+          .filter(col("label") % 3 === 0)
+        val q = base.filter(col("vec_id") % 50 === 0)
+        recallOf(
+          Similarity.cosineTopK(base, q, "vec_id", "embedding", k = 5),
+          Similarity.rerankTopK(base, q, "vec_id", "embedding",
+            centroidStride = 50, maxCentroids = 32, nProbe = 2,
+            candK = 20, k = 5))
+      },
+      Some {
+        val shadow =
+          "WITH embeddings AS (\n  SELECT * FROM main.embeddings WHERE label % 3 = 0),\n"
+        recallSql(
+          shadow + s01Oracle.stripPrefix("WITH "),
+          s"""$shadow${ivfSq8Ctes.stripPrefix("WITH ")},
+             |cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
+             |raw AS (SELECT vec_id, embedding FROM embeddings),
+             |rr AS (SELECT c.qid, c.nid,
+             |    ${cosSelect("qe.embedding", "ne.embedding")}
+             |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
+             |  JOIN raw ne ON ne.vec_id = c.nid),
+             |r2 AS (SELECT qid, nid, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             |  FROM rr)
+             |SELECT qid, nid FROM r2 WHERE rank <= 5""".stripMargin)
+      }),
 
     // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is

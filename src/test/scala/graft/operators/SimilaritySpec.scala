@@ -175,6 +175,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("recall floors: rerank recovers what compressed-domain ordering loses") {
+    // the s14/s15/s16 quality contract, pinned in-JVM so a quantizer or
+    // probe regression fails before the gate: s11's INTEGER-dot ordering
+    // (unnormalized, quantized) diverges from cosine truth — that gap is
+    // exactly what the exact-cosine rerank stage exists to close, so
+    // rerank recall must dominate compressed-domain recall, and both
+    // must clear conservative absolute floors (sf0.001 observed: 0.10 /
+    // 0.30 / 0.56)
+    val reg = graft.SparkEntry.queries
+    def mean(name: String): Double = {
+      val r = reg(name)(spark, sf())
+        .agg(avg($"recall_at_5")).as[Double].head()
+      r
+    }
+    val sq8 = mean("s14_recall_ivfsq8")
+    val rerank = mean("s15_recall_rerank")
+    val filtered = mean("s16_recall_filtered")
+    assert(rerank >= sq8,
+      s"rerank recall $rerank below compressed-domain recall $sq8")
+    assert(sq8 >= 0.05, s"ivf-sq8 recall floor broken: $sq8")
+    assert(rerank >= 0.2, s"rerank recall floor broken: $rerank")
+    assert(filtered >= 0.3, s"filtered rerank recall floor broken: $filtered")
+  }
+
   test("ivf-sq8 with partial probes returns a truthful subset") {
     // fewer probes → candidates only from probed lists; every returned
     // (qid, nid, score) must carry the SAME integer score the flat scan
