@@ -450,10 +450,33 @@ object Similarity {
    */
   def rerankTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, centroidStride: Int, maxCentroids: Int, nProbe: Int,
-      candK: Int, k: Int): DataFrame = {
-    val cand = ivfSq8TopK(vectors, queries, idCol, vecCol, centroidStride,
-        maxCentroids, nProbe, candK)
-      .select(col("qid").as("cqid"), col("nid").as("cnid"))
+      candK: Int, k: Int): DataFrame =
+    rerankExact(vectors, queries, idCol, vecCol,
+      ivfSq8TopK(vectors, queries, idCol, vecCol, centroidStride,
+        maxCentroids, nProbe, candK), k)
+
+  /**
+   * [[rerankTopK]]'s sibling over the MORE memory-aggressive stage-1
+   * config: candidates come from [[ivfPqTopK]]'s compressed-domain ADC
+   * ordering (m·log2(k) BITS per corpus vector vs SQ8's byte-per-dim),
+   * then the same exact-cosine re-score on O(queries × candK) rows —
+   * the FAISS `IVFxx,PQyy` + refine production pairing.
+   */
+  def rerankPqTopK(vectors: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, k: Int, codeStride: Int,
+      centroidStride: Int, maxCentroids: Int, nProbe: Int, candK: Int,
+      topK: Int): DataFrame =
+    rerankExact(vectors, queries, idCol, vecCol,
+      ivfPqTopK(vectors, queries, idCol, vecCol, dim, m, k, codeStride,
+        centroidStride, maxCentroids, nProbe, candK), topK)
+
+  /** Stage 2 shared by the rerank family: exact full-precision cosine
+   * over a `(qid, nid, …)` candidate set only; the raw-vector lookup is
+   * an id-keyed hash join (the vector store's random-access shape). */
+  private def rerankExact(vectors: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, candidates: DataFrame,
+      k: Int): DataFrame = {
+    val cand = candidates.select(col("qid").as("cqid"), col("nid").as("cnid"))
     val v = vectors.select(col(idCol).as("nid"), col(vecCol).as("nv"),
       VF.l2Norm(col(vecCol)).as("nn"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),

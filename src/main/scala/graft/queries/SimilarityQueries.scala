@@ -128,6 +128,46 @@ object SimilarityQueries {
        |FROM t LEFT JOIN a ON t.qid = a.qid AND t.nid = a.nid
        |GROUP BY t.qid ORDER BY t.qid""".stripMargin
 
+  /** Shared IVF-PQ restatement (s10/s17): s03's coarse assignment/probe
+   * chain into s09's codebook/LUT ADC scoring, ending at CTE `r` =
+   * (qid, nid, adc, rank); consumers append their final SELECT (s10) or
+   * the exact-rerank CTEs (s17). */
+  private val ivfPqCtes: String =
+    s"""WITH pqbase AS (SELECT vec_id AS id, embedding AS ev FROM embeddings),
+       |vv0 AS (SELECT vec_id AS vid, embedding AS vvec FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
+       |assign AS (SELECT vid, cid FROM (
+       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+       |  FROM (SELECT vid, cid,
+       |    list_sum(list_transform(generate_series(1, len(vvec)), i -> vvec[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(vvec)), i -> vvec[i]::DOUBLE * vvec[i]::DOUBLE))) AS na,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
+       |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+       |        FROM vv0 CROSS JOIN cent)) WHERE r = 1),
+       |q0 AS (SELECT vec_id AS qid0, embedding AS qvec FROM embeddings
+       |       WHERE vec_id % 50 = 0),
+       |probes AS (SELECT qid0, cid FROM (
+       |  SELECT qid0, cid, row_number() OVER (PARTITION BY qid0 ORDER BY ccos DESC, cid) AS r
+       |  FROM (SELECT qid0, cid,
+       |    list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE))) AS na,
+       |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
+       |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+       |        FROM q0 CROSS JOIN cent)) WHERE r <= 2),
+       |$pqCtes,
+       |cand AS (SELECT p.qid0 AS qid, a.vid AS nid
+       |         FROM probes p JOIN assign a ON a.cid = p.cid
+       |         WHERE a.vid <> p.qid0),
+       |scored AS (SELECT c.qid, c.nid,
+       |    round(CAST(SUM(CAST(l.part AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
+       |  FROM cand c JOIN codes k2 ON k2.nid = c.nid
+       |  JOIN lut l ON l.qid = c.qid AND l.s = k2.s AND l.code = k2.code
+       |  GROUP BY c.qid, c.nid),
+       |r AS (SELECT qid, nid, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rank
+       |  FROM scored)""".stripMargin
+
   private val s01Oracle: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
        |scored AS (SELECT qid, v.vec_id AS nid,
@@ -453,40 +493,7 @@ object SimilarityQueries {
             nProbe = 2, topK = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s"""WITH pqbase AS (SELECT vec_id AS id, embedding AS ev FROM embeddings),
-             |vv0 AS (SELECT vec_id AS vid, embedding AS vvec FROM embeddings),
-             |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-             |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
-             |assign AS (SELECT vid, cid FROM (
-             |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
-             |  FROM (SELECT vid, cid,
-             |    list_sum(list_transform(generate_series(1, len(vvec)), i -> vvec[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
-             |    sqrt(list_sum(list_transform(generate_series(1, len(vvec)), i -> vvec[i]::DOUBLE * vvec[i]::DOUBLE))) AS na,
-             |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
-             |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
-             |        FROM vv0 CROSS JOIN cent)) WHERE r = 1),
-             |q0 AS (SELECT vec_id AS qid0, embedding AS qvec FROM embeddings
-             |       WHERE vec_id % 50 = 0),
-             |probes AS (SELECT qid0, cid FROM (
-             |  SELECT qid0, cid, row_number() OVER (PARTITION BY qid0 ORDER BY ccos DESC, cid) AS r
-             |  FROM (SELECT qid0, cid,
-             |    list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
-             |    sqrt(list_sum(list_transform(generate_series(1, len(qvec)), i -> qvec[i]::DOUBLE * qvec[i]::DOUBLE))) AS na,
-             |    sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb,
-             |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
-             |        FROM q0 CROSS JOIN cent)) WHERE r <= 2),
-             |$pqCtes,
-             |cand AS (SELECT p.qid0 AS qid, a.vid AS nid
-             |         FROM probes p JOIN assign a ON a.cid = p.cid
-             |         WHERE a.vid <> p.qid0),
-             |scored AS (SELECT c.qid, c.nid,
-             |    round(CAST(SUM(CAST(l.part AS DECIMAL(18,6))) AS DOUBLE), 6) AS adc
-             |  FROM cand c JOIN codes k2 ON k2.nid = c.nid
-             |  JOIN lut l ON l.qid = c.qid AND l.s = k2.s AND l.code = k2.code
-             |  GROUP BY c.qid, c.nid),
-             |r AS (SELECT qid, nid, adc,
-             |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rank
-             |  FROM scored)
+      Some(s"""$ivfPqCtes
              |SELECT qid, rank, nid, adc FROM r WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
@@ -648,6 +655,35 @@ object SimilarityQueries {
              |  FROM rr)
              |SELECT qid, nid FROM r2 WHERE rank <= 5""".stripMargin)
       }),
+
+    // ----------------------------------------------------------------
+    // s17 — retrieve-then-rerank over IVF-PQ candidates (s12's sibling
+    // for the more memory-aggressive production config): stage 1 orders
+    // candidates by s10's compressed-domain ADC (m·log2(k) bits per
+    // corpus vector), stage 2 re-scores the 20 survivors per query with
+    // exact full-precision cosine. The oracle chains s10's restatement
+    // into s01's exact-cosine form, exactly as s12 chains s11's.
+    Q("s17_ann_ivfpq_rerank",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        Similarity.rerankPqTopK(e, q, "vec_id", "embedding", dim = 64,
+            m = 8, k = 16, codeStride = 50, centroidStride = 50,
+            maxCentroids = 32, nProbe = 2, candK = 20, topK = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s"""$ivfPqCtes,
+             |cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
+             |raw AS (SELECT vec_id, embedding FROM embeddings),
+             |rr AS (SELECT c.qid, c.nid,
+             |    ${cosSelect("qe.embedding", "ne.embedding")}
+             |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
+             |  JOIN raw ne ON ne.vec_id = c.nid),
+             |r2 AS (SELECT qid, nid, cos,
+             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+             |  FROM rr)
+             |SELECT qid, rank, nid, cos FROM r2 WHERE rank <= 5
+             |ORDER BY qid, rank""".stripMargin)),
 
     // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is
