@@ -52,18 +52,22 @@ class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     spark.sql("DROP TABLE IF EXISTS spec_bkt_lineitem")
   }
 
-  test("q51 retires previous bucketed-table generations on re-invocation") {
-    // a Verify/Bench loop re-invokes q51 repeatedly; each entry must drop
-    // its predecessor's catalog tables so only ONE live generation (two
-    // tables) accumulates no matter how many times the gate runs
+  test("q51 retires old bucketed-table generations on re-invocation") {
+    // a Verify/Bench loop re-invokes q51 repeatedly; cleanup keeps the
+    // NEWEST finished generation alive (a holder of the previous
+    // invocation's lazy plan must still read intact tables) and drops
+    // everything older — so no matter how many times the gate runs, at
+    // most TWO generations (4 tables) are live
     val dir = sf()
     def liveTables(): Seq[String] = spark.catalog
       .listTables().collect().map(_.name).toSeq
       .filter(_.startsWith("graft_bkt_"))
-    (1 to 3).foreach { _ =>
+    (1 to 4).foreach { _ =>
       graft.SparkEntry.queries("q51_bucketed_join")(spark, dir).count()
     }
-    assert(liveTables().size == 2,
-      s"expected one live generation (2 tables), got: ${liveTables()}")
+    assert(liveTables().size <= 4,
+      s"expected at most two live generations (4 tables), got: ${liveTables()}")
+    assert(liveTables().size >= 2,
+      s"the just-built generation must be live, got: ${liveTables()}")
   }
 }
