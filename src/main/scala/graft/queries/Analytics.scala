@@ -599,6 +599,74 @@ object Analytics {
            |       FROM nodes CROSS JOIN nn),
            |${(1 to 5).map(iter).mkString(",\n")}
            |SELECT id, r AS rank FROM r5 ORDER BY id""".stripMargin
-      })
+      }),
+
+    // ----------------------------------------------------------------
+    // q71 — triangle counting over the interaction graph (user_id%200,
+    // event_id%200), per-node participation counts. The Spark side runs
+    // the degree-ordered orientation (every out-degree bounded by O(√m),
+    // so no hub explodes the wedge join — see operators/Triangles.scala);
+    // the oracle restates the semantics as the naive a<b<c triple join,
+    // which is fine for DuckDB at gate scale and proves the oriented
+    // plan counts exactly the same triangles.
+    Q("q71_triangle_count",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val edges = e.select((col("user_id") % 200).as("src"),
+          (col("event_id") % 200).as("dst"))
+        graft.operators.Triangles.perNode(edges).orderBy(col("id"))
+      },
+      Some("""WITH raw AS (SELECT user_id % 200 AS s, event_id % 200 AS d
+             |            FROM events),
+             |e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+             |      FROM raw WHERE s <> d),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |        FROM e e1
+             |        JOIN e e2 ON e2.a = e1.b
+             |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |m AS (SELECT x AS id FROM tri
+             |      UNION ALL SELECT y FROM tri
+             |      UNION ALL SELECT z FROM tri)
+             |SELECT id, COUNT(*) AS n_triangles FROM m
+             |GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q72 — market-basket frequent pairs with a-priori pruning: baskets
+    // are orders, items are parts; items below 35 baskets are dropped
+    // BEFORE the per-basket pair expansion (the a-priori property — a
+    // pair is frequent only if both items are), pairs below 2 baskets
+    // after. Lift = pair_n·N / (n1·n2) as ONE double division of exact
+    // integers, so it is bit-identical cross-engine; ordering never
+    // compares the float. See operators/FrequentPairs.scala for the
+    // scale analysis of the pruned self-join.
+    Q("q72_basket_pairs",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+        graft.operators.FrequentPairs.mine(
+          l.select(col("l_orderkey"), col("l_partkey")),
+          basketCol = "l_orderkey", itemCol = "l_partkey",
+          minSupport = 35L, minPair = 2L)
+      },
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+             |           FROM lineitem),
+             |n AS (SELECT COUNT(DISTINCT bk) AS n_baskets FROM b),
+             |ic AS (SELECT item, COUNT(*) AS item_n FROM b GROUP BY item),
+             |f AS (SELECT item, item_n FROM ic WHERE item_n >= 35),
+             |fb AS (SELECT bk, item FROM b
+             |       WHERE item IN (SELECT item FROM f)),
+             |pr AS (SELECT b1.item AS p1, b2.item AS p2,
+             |         CAST(COUNT(*) AS BIGINT) AS pair_n
+             |       FROM fb b1 JOIN fb b2
+             |         ON b1.bk = b2.bk AND b1.item < b2.item
+             |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+             |SELECT p1, p2, pair_n,
+             |  f1.item_n AS n1, f2.item_n AS n2,
+             |  CAST(pair_n * n.n_baskets AS DOUBLE) /
+             |    CAST(f1.item_n * f2.item_n AS DOUBLE) AS lift
+             |FROM pr
+             |JOIN f f1 ON f1.item = pr.p1
+             |JOIN f f2 ON f2.item = pr.p2
+             |CROSS JOIN n
+             |ORDER BY pair_n DESC, p1, p2""".stripMargin))
   )
 }

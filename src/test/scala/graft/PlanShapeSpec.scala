@@ -118,6 +118,34 @@ class PlanShapeSpec extends SparkSpec {
       s"q68 rank window not keyed by the value-cell grid:\n${rankLines.mkString("\n")}")
   }
 
+  test("q71 triangles: wedge and closing joins are equi-joins, no cartesian") {
+    // the degree-ordered orientation only bounds work if the wedge
+    // self-join stays keyed on the center node and the closing probe is
+    // an equi-join on (a, b) — a cartesian/nested-loop here is the hub
+    // explosion the orientation exists to prevent
+    val p = plan("q71_triangle_count")
+    assert(!p.contains("CartesianProduct"),
+      s"q71 plan regressed to CartesianProduct:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q71 plan regressed to BroadcastNestedLoopJoin:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"q71 closing-edge probe should be a left-semi join:\n$p")
+  }
+
+  test("q72 basket pairs: a-priori semi-join prunes before the expansion") {
+    // the frequent-item prune must hit the basket table as a semi-join
+    // BEFORE the quadratic self-join, and the small pruned count tables
+    // must ride broadcast joins (the only nested-loop is the one-row
+    // basket-count broadcast)
+    val p = plan("q72_basket_pairs")
+    assert(!p.contains("CartesianProduct"),
+      s"q72 plan regressed to CartesianProduct:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"q72 lost the a-priori semi-join prune:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q72 frequent-item count joins should broadcast:\n$p")
+  }
+
   test("explode of computed arrays stays outer (no size>0 re-materialization)") {
     // the non-outer explode adds an implicit size>0 predicate that inlines
     // the whole array expression again in a pushed-down filter (t13 was 5x
