@@ -1074,6 +1074,46 @@ Some(scd2RebuildOracle)),
             "ts_us", "event_id")
           .orderBy(col("user_id"), col("ver"))
       },
-      Some(scd2RebuildOracle))
+      Some(scd2RebuildOracle)),
+
+    // ----------------------------------------------------------------
+    // q73 — MERGEABLE sketch rollup (the pre-aggregate-then-merge
+    // pattern that makes 100 TB distinct counts affordable): stage 1
+    // builds one Datasketches HLL per (event_type, day) — the small
+    // artifact a pipeline persists per ingest partition; stage 2 merges
+    // the sketches per type with hll_union_agg and estimates, WITHOUT
+    // re-touching a single raw event row. That restructuring is the
+    // whole point: a month-over-month distinct-user rollup re-reads
+    // ~30 sketch rows per type instead of the raw 100 TB, and sketch
+    // union is associative/commutative so any partitioning works.
+    // Like q23, the sketch estimate itself is checked in-engine (the
+    // register state is order-independent, but Datasketches abandons
+    // its HIP estimator on union, so a merged sketch can differ from a
+    // single-pass one by a few counts — HllMergeSpec pins exact-in-
+    // sparse-mode and the dense-mode error bound), and the gate hashes
+    // the exact columns + the ok flag.
+    Q("q73_hll_mergeable",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val daily = e.groupBy(col("event_type"),
+            to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        val merged = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = e.groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).as("exact_users"))
+        merged.join(exact, "event_type")
+          .select(col("event_type"), col("n_days"), col("exact_users"),
+            (abs(col("est") - col("exact_users")) <=
+              greatest(col("exact_users").cast("double") * 0.05, lit(4.0)))
+              .as("approx_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+             |  COUNT(DISTINCT user_id) AS exact_users,
+             |  TRUE AS approx_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

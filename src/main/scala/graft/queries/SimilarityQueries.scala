@@ -686,6 +686,34 @@ object SimilarityQueries {
              |ORDER BY qid, rank""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // s18 — recall gate for s17 (the IVF-PQ rerank path), completing the
+    // recall battery: every composed approximate configuration now
+    // carries a quantified quality row (s14 IVF-SQ8, s15 SQ8-rerank,
+    // s16 filtered, s18 PQ-rerank) against the same exact ground truth.
+    Q("s18_recall_ivfpq_rerank",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        recallOf(
+          Similarity.cosineTopK(e, q, "vec_id", "embedding", k = 5),
+          Similarity.rerankPqTopK(e, q, "vec_id", "embedding", dim = 64,
+            m = 8, k = 16, codeStride = 50, centroidStride = 50,
+            maxCentroids = 32, nProbe = 2, candK = 20, topK = 5))
+      },
+      Some(recallSql(s01Oracle,
+        s"""$ivfPqCtes,
+           |cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
+           |raw AS (SELECT vec_id, embedding FROM embeddings),
+           |rr AS (SELECT c.qid, c.nid,
+           |    ${cosSelect("qe.embedding", "ne.embedding")}
+           |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
+           |  JOIN raw ne ON ne.vec_id = c.nid),
+           |r2 AS (SELECT qid, nid, cos,
+           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           |  FROM rr)
+           |SELECT qid, nid FROM r2 WHERE rank <= 5""".stripMargin))),
+
+    // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is
     // written in the PLAIN-SPARK HOF dot-product form
     // (aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v))

@@ -197,6 +197,9 @@ class SimilaritySpec extends SparkSpec {
     assert(sq8 >= 0.05, s"ivf-sq8 recall floor broken: $sq8")
     assert(rerank >= 0.2, s"rerank recall floor broken: $rerank")
     assert(filtered >= 0.3, s"filtered rerank recall floor broken: $filtered")
+    // s18: the PQ-candidate rerank (sf0.001 observed: 0.74)
+    val pqRerank = mean("s18_recall_ivfpq_rerank")
+    assert(pqRerank >= 0.3, s"ivf-pq rerank recall floor broken: $pqRerank")
   }
 
   test("ivf-sq8 with partial probes returns a truthful subset") {
