@@ -125,6 +125,47 @@ object Multimodal {
       col("meta").withField("width", lit(w)).withField("height", lit(h)))
 
   /**
+   * Perceptual average-hash (aHash) of the payload, integer-exact: the
+   * payload is split into `n` evenly-spaced windows (the decode stub's
+   * "downsampled pixels" — same window math as [[sampleFrames]]), and
+   * bit i is set iff window i's mean byte value exceeds the payload's
+   * overall mean. The mean comparison is done as the integer
+   * cross-multiply `s_i·L > S·l_i` (window byte-sum × total length vs
+   * total byte-sum × window length) so no float division ever happens
+   * and any engine reproduces the signature bit-for-bit.
+   *
+   * `n` is capped at 60 so the bit sum stays clear of the BIGINT sign
+   * bit in SQL restatements (the hash60 convention). Like all
+   * perceptual hashes the width is FIXED — near-dup banding over it
+   * therefore scales via the band count, not the hash width (see
+   * [[graft.operators.Dedup.hammingPairs]]).
+   *
+   * Computed entirely in the scan stage: only (media_id, one long)
+   * leaves it — the payload never reaches a shuffle.
+   */
+  def aHash(media: DataFrame, n: Int = 60): DataFrame = {
+    require(n > 0 && n <= 60, "aHash width must be 1..60")
+    val txt = decode(col("payload"), "UTF-8")
+    val size = length(txt)
+    val stage1 = media.select(col("media_id") +: (0 until n).flatMap { i =>
+      val start = (size * i / n).cast(IntegerType) + 1
+      val len = greatest((size / n).cast(IntegerType), lit(1))
+      val w = txt.substr(start, len)
+      Seq(
+        aggregate(transform(split(w, ""), c => ascii(c).cast("long")),
+          lit(0L), (a, x) => a + x).as(s"__s$i"),
+        length(w).cast("long").as(s"__l$i"))
+    }: _*)
+    val stot = (0 until n).map(i => col(s"__s$i")).reduce(_ + _)
+    val ltot = (0 until n).map(i => col(s"__l$i")).reduce(_ + _)
+    val sig = (0 until n).map { i =>
+      when(col(s"__s$i") * ltot > stot * col(s"__l$i"), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    stage1.select(col("media_id"), sig.as("ahash"))
+  }
+
+  /**
    * Media → embedding stage, pure expression form: the payload is split
    * into `n` evenly-spaced windows (same math as [[sampleFrames]]) and
    * each becomes one embedding dimension (mean byte value — the decode

@@ -330,22 +330,52 @@ object Dedup {
    * the 60-bit scale configuration.
    */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 16, maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      simHashSigs(df, idCol, textCol, bits)
+        .select(col(idCol).as("id"), col("simhash").as("sig")),
+      bits, maxHamming)
+
+  /**
+   * The pigeonhole band machinery over PRECOMPUTED signatures (`id`,
+   * `sig` columns): any signature source rides the same candidate
+   * generation — d06 feeds text simhashes, m05 feeds perceptual
+   * average-hashes of media payloads. Returns (`a`, `b`, `hamming`)
+   * with a < b.
+   *
+   * When the signature width CAN grow with the corpus (text simhash),
+   * that is the scale knob (see [[simHashPairs]]). A perceptual hash
+   * is fixed-width, so at large n a hot band value (many media with
+   * the same 5-bit band) turns the bucket join quadratic — the same
+   * skew cliff as d02/d04's stop-shingles, with the same remedy:
+   * `maxBucket > 0` drops band buckets holding more than that many
+   * rows from candidate generation. A pair loses NOTHING unless every
+   * band it agrees on is hot (each pair has `maxHamming + 1` pigeonhole
+   * chances), which is how the shingle-df cap behaves too — bounded
+   * work, graceful recall degradation on the saturated region only.
+   */
+  def hammingPairs(sigs: DataFrame, bits: Int, maxHamming: Int,
+      maxBucket: Long = 0L): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = bits / nBands
     require(bandBits > 0, "bits must exceed maxHamming")
-    val sigs = simHashSigs(df, idCol, textCol, bits)
-      .select(col(idCol).as("id"), col("simhash"))
-    val buckets = sigs.select(col("id"), col("simhash"),
+    val buckets0 = sigs.select(col("id"), col("sig"),
       explode_outer(array((0 until nBands).map { b =>
         concat(lit(s"$b|"),
-          shiftright(col("simhash"), b * bandBits)
+          shiftright(col("sig"), b * bandBits)
             .bitwiseAND(lit((1L << bandBits) - 1)).cast("string"))
       }: _*)).as("bkey"))
+    val buckets =
+      if (maxBucket <= 0L) buckets0
+      else buckets0
+        .withColumn("__bsz",
+          count(lit(1)).over(Window.partitionBy(col("bkey"))))
+        .filter(col("__bsz") <= maxBucket)
+        .drop("__bsz")
     val x = buckets.as("x"); val y = buckets.as("y")
     x.join(y, col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig")))
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

@@ -140,6 +140,58 @@ object MultimodalQueries {
              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
              |  FROM scored)
              |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
-             |ORDER BY qid, rank""".stripMargin))
+             |ORDER BY qid, rank""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // m05 — perceptual-hash near-dup detection (the LAION-style image
+    // dedup shape): each payload becomes a 60-bit integer-exact
+    // average-hash IN THE SCAN STAGE (bit i = window i brighter than
+    // the whole payload, compared by integer cross-multiply — see
+    // Multimodal.aHash), then pairs within Hamming distance 11 come
+    // from Dedup.hammingPairs' pigeonhole band buckets (12 bands × 5
+    // bits). A perceptual hash is FIXED-width (unlike d06's text
+    // simhash, whose width grows with the corpus), so the at-scale
+    // guard is the hot-bucket cap: band values held by > 2000 media
+    // are dropped from candidate generation (not binding at any test
+    // SF — sf0.1's hottest bucket holds 501 — binding at 100×, where
+    // it bounds the join; a pair only loses when ALL 12 of its bands
+    // are hot). Oracle restates windows in chars (ASCII corpus ⇒
+    // bytes ≡ chars, the MultimodalSpec precondition), the signature
+    // as the same cross-multiplied bit sum, and candidates via the
+    // same capped band buckets.
+    Q("m05_phash_dedup",
+      (s, dir) => {
+        val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
+        val sigs = Multimodal.aHash(media, n = 60)
+          .select(col("media_id").as("id"), col("ahash").as("sig"))
+        graft.operators.Dedup.hammingPairs(sigs, bits = 60, maxHamming = 11,
+            maxBucket = 2000L)
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""WITH f AS (SELECT doc_id AS id, text, len(text) AS sz FROM documents),
+             |st AS (SELECT id, i,
+             |    substr(text, (sz * i) // 60 + 1, greatest(sz // 60, 1)) AS w
+             |  FROM f, unnest(generate_series(0, 59)) u(i)),
+             |sums AS (SELECT id, i, CAST(len(w) AS BIGINT) AS l,
+             |    CAST(COALESCE(list_sum(list_transform(generate_series(1, len(w)),
+             |      j -> ascii(substr(w, j, 1)))), 0) AS BIGINT) AS s
+             |  FROM st),
+             |tot AS (SELECT id, CAST(SUM(s) AS BIGINT) AS stot,
+             |    CAST(SUM(l) AS BIGINT) AS ltot
+             |  FROM sums GROUP BY id),
+             |sig AS (SELECT sums.id,
+             |    CAST(SUM(CASE WHEN s * ltot > stot * l
+             |      THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS sig
+             |  FROM sums JOIN tot ON tot.id = sums.id GROUP BY sums.id),
+             |buckets AS (SELECT id, sig,
+             |    bb || '|' || CAST((sig >> (bb * 5)) & 31 AS VARCHAR) AS bkey
+             |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS bb) bands
+             |  QUALIFY COUNT(*) OVER (PARTITION BY bkey) <= 2000)
+             |SELECT DISTINCT x.id AS a, y.id AS b,
+             |    CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+             |FROM buckets x JOIN buckets y
+             |  ON x.bkey = y.bkey AND x.id < y.id
+             |WHERE bit_count(xor(x.sig, y.sig)) <= 11
+             |ORDER BY a, b""".stripMargin))
   )
 }

@@ -24,7 +24,8 @@ class PlanShapeSpec extends SparkSpec {
     "d02_dedup_minhash_lsh", "d03_dedup_simhash", "d04_dedup_ngram_jaccard",
     "d05_dedup_embedding", "d06_dedup_simhash_hamming", "s02_ann_lsh",
     "p01_curation_pipeline", "q29_snapshot_diff", "q33_range_join",
-    "d11_dedup_containment", "t15_passage_dedup", "k02_index_search")
+    "d11_dedup_containment", "t15_passage_dedup", "k02_index_search",
+    "m05_phash_dedup")
 
   test("no cartesian/nested-loop joins in the bucketed scale paths") {
     bucketedPairQueries.foreach { q =>

@@ -69,4 +69,34 @@ class MultimodalSpec extends SparkSpec {
     assert(m.length == 1 && m(0).getInt(0) == 64 && m(0).getInt(1) == 64 &&
       m(0).getString(2) == "image")
   }
+
+  test("aHash: hand-computed signature for a half-dark/half-bright payload") {
+    // 120 chars: 60×'a' (97) then 60×'z' (122). 60 windows of length 2:
+    // windows 0..29 are "aa" (sum 194), 30..59 are "zz" (sum 244).
+    // Overall: S = 30·194 + 30·244 = 13140, L = 120. Bit i is set iff
+    // s_i·L > S·l_i: 194·120 = 23280 < 26280 (clear), 244·120 = 29280 >
+    // 26280 (set) → bits 30..59 → 2^60 − 2^30.
+    val d = Seq((7L, "a" * 60 + "z" * 60)).toDF("doc_id", "text")
+    val h = Multimodal.aHash(Multimodal.fromDocuments(d))
+      .select($"ahash").as[Long].head()
+    assert(h === (1L << 60) - (1L << 30))
+  }
+
+  test("aHash pairs: identical payloads at hamming 0, one-window flips few bits") {
+    val d = Seq(
+      (1L, "a" * 60 + "z" * 60),
+      (2L, "a" * 60 + "z" * 60), // identical
+      (3L, "a" * 58 + "zz" + "z" * 60) // brightens one early window
+    ).toDF("doc_id", "text")
+    val sigs = Multimodal.aHash(Multimodal.fromDocuments(d))
+      .select($"media_id".as("id"), $"ahash".as("sig"))
+    val pairs = graft.operators.Dedup
+      .hammingPairs(sigs, bits = 60, maxHamming = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    // the near-identical doc must surface against both exact twins,
+    // with a small but nonzero distance
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 3L && h > 0 })
+    assert(pairs.size === 3)
+  }
 }

@@ -87,6 +87,22 @@ class DedupSpec extends SparkSpec {
     assert(!m.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("hammingPairs hot-bucket cap drops saturated buckets, keeps cold pairs") {
+    // 40 ids share signature 0 (every band bucket holds 40 — hot);
+    // ids 100/101 share a distinct signature (cold buckets of 2).
+    val sigs = ((1L to 40L).map(_ -> 0L) ++
+      Seq(100L -> 0x3FFL, 101L -> 0x3FFL)).toDF("id", "sig")
+    val uncapped = Dedup.hammingPairs(sigs, bits = 60, maxHamming = 3)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((100L, 101L)) && uncapped.size == 40 * 39 / 2 + 1)
+    val capped = Dedup.hammingPairs(sigs, bits = 60, maxHamming = 3,
+        maxBucket = 10L)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    // every band of the 40-dup cluster exceeds the cap → its pairs are
+    // traded away; the cold pair is untouched
+    assert(capped == Set((100L, 101L)))
+  }
+
   test("connected components: chains merge, islands stay separate") {
     // 1-2, 2-3, 3-4 chain (no direct 1-4 edge); 10-11 island; 20-21-22 via hub
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
