@@ -145,24 +145,34 @@ object Multimodal {
    */
   def aHash(media: DataFrame, n: Int = 60): DataFrame = {
     require(n > 0 && n <= 60, "aHash width must be 1..60")
-    val txt = decode(col("payload"), "UTF-8")
-    val size = length(txt)
-    val stage1 = media.select(col("media_id") +: (0 until n).flatMap { i =>
-      val start = (size * i / n).cast(IntegerType) + 1
-      val len = greatest((size / n).cast(IntegerType), lit(1))
-      val w = txt.substr(start, len)
-      Seq(
-        aggregate(transform(split(w, ""), c => ascii(c).cast("long")),
-          lit(0L), (a, x) => a + x).as(s"__s$i"),
-        length(w).cast("long").as(s"__l$i"))
-    }: _*)
-    val stot = (0 until n).map(i => col(s"__s$i")).reduce(_ + _)
-    val ltot = (0 until n).map(i => col(s"__l$i")).reduce(_ + _)
-    val sig = (0 until n).map { i =>
-      when(col(s"__s$i") * ltot > stot * col(s"__l$i"), lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
-    stage1.select(col("media_id"), sig.as("ahash"))
+    val m = n - 1
+    // Single pass per payload: one char-code array, window sums via
+    // slice over it, then one fold assembling the bit vector. Keeping
+    // the tree small (nested HOFs instead of n unrolled per-window
+    // aggregates) matters: the unrolled form generated a codegen unit
+    // that took ~10 s of Janino per executor and tripled per-row work.
+    media
+      .withColumn("__sz", length(decode(col("payload"), "UTF-8"))
+        .cast("long"))
+      .withColumn("__chars",
+        transform(split(decode(col("payload"), "UTF-8"), ""),
+          c => ascii(c).cast("long")))
+      .withColumn("__sums", expr(
+        s"""transform(sequence(0L, ${m}L), i ->
+           |  aggregate(slice(__chars, int((__sz * i) div $n + 1),
+           |      int(greatest(__sz div $n, 1L))),
+           |    0L, (a, x) -> a + x))""".stripMargin))
+      .withColumn("__lens", expr(
+        s"""transform(sequence(0L, ${m}L), i ->
+           |  greatest(least(greatest(__sz div $n, 1L),
+           |    __sz - ((__sz * i) div $n + 1) + 1), 0L))""".stripMargin))
+      .withColumn("__stot", expr("aggregate(__sums, 0L, (a, x) -> a + x)"))
+      .withColumn("__ltot", expr("aggregate(__lens, 0L, (a, x) -> a + x)"))
+      .select(col("media_id"), expr(
+        s"""aggregate(sequence(0L, ${m}L), 0L, (acc, i) ->
+           |  acc + IF(element_at(__sums, int(i + 1)) * __ltot >
+           |           __stot * element_at(__lens, int(i + 1)),
+           |    shiftleft(1L, int(i)), 0L))""".stripMargin).as("ahash"))
   }
 
   /**

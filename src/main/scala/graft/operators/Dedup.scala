@@ -372,7 +372,15 @@ object Dedup {
           count(lit(1)).over(Window.partitionBy(col("bkey"))))
         .filter(col("__bsz") <= maxBucket)
         .drop("__bsz")
-    val x = buckets.as("x"); val y = buckets.as("y")
+    // Force the self-join to shuffle BOTH sides on bkey: the two inputs
+    // are the identical subtree, so the exchange is planned once and
+    // ReusedExchange feeds the other side — the signature projection
+    // runs ONCE. (Left to itself the planner broadcasts the small side
+    // at test scale, which splits the subtrees and recomputes every
+    // upstream signature; at corpus scale the bucket table could never
+    // broadcast anyway, so the shuffle join is also the honest plan.)
+    val x = buckets.hint("shuffle_hash").as("x")
+    val y = buckets.hint("shuffle_hash").as("y")
     x.join(y, col("x.bkey") === col("y.bkey") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig")))
