@@ -342,7 +342,50 @@ object StreamingQueries {
       |  us AS last_us, value AS last_value
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** q74: per-window distinct users through the REAL streaming engine
+   * with HLL++ sketch state (exact count_distinct is not streamable —
+   * its state is the value set; the sketch is fixed-size per (window,
+   * type) and merges across micro-batches). The streamed sketch
+   * estimate is then checked against the batch exact distinct per
+   * finalized window, q73-style: the gate hashes the exact columns
+   * plus a tolerance flag, so the approximate path carries a
+   * quantified quality contract cross-engine. */
+  private def runHourlyUsers(s: SparkSession, dir: String): DataFrame = {
+    val streamed = runToCompletion(s, dir, ev =>
+      EventStream.hourlyUsers(ev, watermark = "1 hour")
+        .select(unix_timestamp(col("hour_start")).as("hour_epoch"),
+          col("event_type"), col("n"), col("approx_users")))
+    val exact = graft.sources.Tables.load(s, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts")))
+          .as("hour_epoch"),
+        col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    // the sink rows define the finalized-window set; the batch side
+    // only supplies the exact verifier values
+    streamed.join(exact, Seq("hour_epoch", "event_type"))
+      .select(col("hour_epoch"), col("event_type"), col("n"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          greatest(col("exact_users").cast("double") * 0.05, lit(4.0)))
+          .as("approx_ok"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
+
+  private def hourlyUsersOracle: String =
+    """WITH mx AS (SELECT max(ts) AS m FROM events),
+      |agg AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+      |    event_type, COUNT(*) AS n,
+      |    COUNT(DISTINCT user_id) AS exact_users
+      |  FROM events GROUP BY 1, 2)
+      |SELECT CAST(epoch(h) AS BIGINT) AS hour_epoch, event_type, n,
+      |  exact_users, TRUE AS approx_ok
+      |FROM agg, mx
+      |WHERE epoch_ms(h) + 3600000 <= epoch_ms(m) - 3600000
+      |ORDER BY hour_epoch, event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q74_stream_approx_users", runHourlyUsers, Some(hourlyUsersOracle)),
     Q("q36_stream_sessions", runSessions, Some(sessionsOracle)),
     Q("q53_stream_static_join", runEnriched, Some(enrichedOracle)),
     Q("q56_stream_upsert_view", runUpsert, Some(upsertOracle)),

@@ -40,6 +40,25 @@ object EventStream {
         col("sum_value"))
 
   /**
+   * Tumbling hourly DISTINCT-user counts via HLL++ partial aggregation —
+   * the bounded-state form of cardinality in a stream. Exact
+   * `count_distinct` is not streamable (its state is the value set
+   * itself, unbounded per window); `approx_count_distinct` keeps one
+   * fixed-size HLL++ sketch per (window, type) that merges across
+   * micro-batches, which is what makes per-window uniques affordable
+   * unbounded — the streaming counterpart of q73's batch sketch rollup.
+   */
+  def hourlyUsers(events: DataFrame, watermark: String = "2 hours",
+      rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
+        col("approx_users"))
+
+  /**
    * Stream-static enrichment join: the event stream joined to a static
    * dimension (read once per micro-batch, broadcast — the streaming
    * counterpart of the reference's dictionary lookups J6,

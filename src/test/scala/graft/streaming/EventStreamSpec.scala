@@ -35,6 +35,31 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hourly uniques: sketch merges across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.hourlyUsers(in.toDF())
+      .writeStream.format("memory").queryName("hu").outputMode("complete")
+      .start()
+    try {
+      // same window fed from TWO micro-batches with overlapping users:
+      // the per-(window, type) sketch state must merge, not reset
+      in.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:10:00", 2, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(
+        ev(3, "2024-01-01 10:20:00", 2, "click", 1.0), // dup user
+        ev(4, "2024-01-01 10:30:00", 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM hu").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // HLL++ at rsd 0.02 is exact at this cardinality
+      assert(rows == Set(("2024-01-01 10:00:00.0", "click", 4L, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup forwards each event_id once within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
