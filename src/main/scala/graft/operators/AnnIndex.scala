@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/**
+ * Persisted IVF index: the build-once / serve-many shape that separates
+ * [[Similarity.ivfTopK]]'s one-shot search into an INDEX ARTIFACT on
+ * storage and a serving path that reads only what a query probes —
+ * the same progression k01/k02 gave the text postings.
+ *
+ * Layout: a small centroid table plus the posting lists written
+ * `partitionBy(cid)` — one directory per inverted list. At serve time
+ * the probe set joins the posting scan on the partition column, so
+ * Spark's dynamic partition pruning restricts the read to the probed
+ * lists: a 2-probe query against a 1024-list index touches 2/1024 of
+ * the corpus bytes, which is the entire economics of serving ANN from
+ * object storage (AnnIndexSpec pins the dynamicpruning expression in
+ * the scan, and the gate hash-proves serve-from-artifact ≡ the s03
+ * in-memory chain).
+ *
+ * Scale notes: the build pays one bounded-broadcast assignment scan +
+ * one partitioned write (amortized over every later query batch, the
+ * q51 argument); the serving plan never materializes candidates beyond
+ * the probed lists and ranks through the bounded-heap partial
+ * aggregate, so the exchange carries O(queries × k).
+ */
+object AnnIndex {
+
+  /** Artifact root of the previous [[build]], retired at the next
+   * call's entry (strictly-sequential gate/bench contract — the
+   * incremental-dedup / q51 cleanup pattern). */
+  private var retiredRoot: Option[String] = None
+
+  /**
+   * Build the index artifact under a fresh scratch root: `centroids`
+   * (cid, cv, cn) and `postings` (vid, vv, vn) partitioned by cid.
+   * Returns the artifact root path.
+   */
+  def build(vectors: DataFrame, idCol: String, vecCol: String,
+      centroidStride: Int, maxCentroids: Int): String = {
+    retiredRoot.foreach(graft.sources.Scratch.deleteNow)
+    val root = graft.sources.Scratch.dir("ann_index")
+    retiredRoot = Some(root)
+    val cent = Similarity.strideCentroids(vectors, idCol, vecCol,
+      centroidStride, maxCentroids)
+    cent.write.mode("overwrite").parquet(s"$root/centroids")
+    Similarity.assignToCentroids(vectors, idCol, vecCol, cent)
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$root/postings")
+    root
+  }
+
+  /**
+   * Serve top-k from the artifact: queries probe the centroid table
+   * (small broadcast), and the posting scan is restricted to the
+   * probed cid partitions by dynamic partition pruning.
+   */
+  def search(spark: SparkSession, root: String, queries: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
+    val cent = spark.read.parquet(s"$root/centroids")
+    val probes = Similarity.probeCentroids(queries, idCol, vecCol,
+      cent, nProbe)
+    val postings = spark.read.parquet(s"$root/postings")
+    val scored = postings.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        round(VF.cosineFromParts(VF.dot(col("qv"), col("vv")),
+          col("qn"), col("vn")), 6).as("cos"))
+    Similarity.ranked(scored, k)
+  }
+}

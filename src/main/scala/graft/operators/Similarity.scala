@@ -34,7 +34,7 @@ object Similarity {
    * contract: cos desc, nid asc on ties — identical to the oracle's
    * `row_number() OVER (ORDER BY cos DESC, nid)`.
    */
-  private def ranked(scored: DataFrame, k: Int,
+  private[operators] def ranked(scored: DataFrame, k: Int,
       scoreCol: String = "cos"): DataFrame = {
     import graft.functions.TopKAggregate.topKPairs
     scored.groupBy(col("qid"))

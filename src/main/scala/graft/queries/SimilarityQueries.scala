@@ -168,6 +168,31 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rank
        |  FROM scored)""".stripMargin
 
+  /** The deterministic-IVF restatement (centroid seed, cosine-argmax
+   * assignment, 2-probe search) — shared by s03 (in-memory chain) and
+   * s19 (the same math served from the persisted index artifact). */
+  private lazy val s03Oracle: String =
+    s"""WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
+       |assign AS (SELECT vid, vv, cid FROM (
+       |  SELECT vid, vv, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+       |  FROM (SELECT vid, vv, cid, ${cosSelect("vv", "cv").replace("AS cos", "AS ccos")}
+       |        FROM v CROSS JOIN cent)) WHERE r = 1),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+       |probes AS (SELECT qid, qv, cid FROM (
+       |  SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS r
+       |  FROM (SELECT qid, qv, cid, ${cosSelect("qv", "cv").replace("AS cos", "AS ccos")}
+       |        FROM q CROSS JOIN cent)) WHERE r <= 2),
+       |scored AS (SELECT qid, vid AS nid,
+       |    ${cosSelect("qv", "vv")}
+       |  FROM probes JOIN assign USING (cid) WHERE vid <> qid),
+       |r AS (SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   private val s01Oracle: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
        |scored AS (SELECT qid, v.vec_id AS nid,
@@ -275,26 +300,7 @@ object SimilarityQueries {
             centroidStride = 50, nProbe = 2, k = 5, maxCentroids = 32)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s"""WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
-              |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-              |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
-              |assign AS (SELECT vid, vv, cid FROM (
-              |  SELECT vid, vv, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
-              |  FROM (SELECT vid, vv, cid, ${cosSelect("vv", "cv").replace("AS cos", "AS ccos")}
-              |        FROM v CROSS JOIN cent)) WHERE r = 1),
-              |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
-              |probes AS (SELECT qid, qv, cid FROM (
-              |  SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS r
-              |  FROM (SELECT qid, qv, cid, ${cosSelect("qv", "cv").replace("AS cos", "AS ccos")}
-              |        FROM q CROSS JOIN cent)) WHERE r <= 2),
-              |scored AS (SELECT qid, vid AS nid,
-              |    ${cosSelect("qv", "vv")}
-              |  FROM probes JOIN assign USING (cid) WHERE vid <> qid),
-              |r AS (SELECT qid, nid, cos,
-              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-              |  FROM scored)
-              |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
-              |ORDER BY qid, rank""".stripMargin)),
+      Some(s03Oracle)),
 
     // ----------------------------------------------------------------
     // s04 — one k-means (Lloyd) step over the s03 seed centroids: the
@@ -712,6 +718,28 @@ object SimilarityQueries {
            |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
            |  FROM rr)
            |SELECT qid, nid FROM r2 WHERE rank <= 5""".stripMargin))),
+
+    // ----------------------------------------------------------------
+    // s19 — the PERSISTED index: s03's exact math served from a parquet
+    // artifact (small centroid table + cid-partitioned posting lists,
+    // the k01/k02 progression applied to vectors). Build writes the
+    // index once; serve probes the centroid table and reads ONLY the
+    // probed posting partitions — dynamic partition pruning restricts
+    // the scan to nProbe/nLists of the corpus bytes (AnnIndexSpec pins
+    // the dynamicpruning expression in the executed scan). The oracle
+    // is s03's restatement verbatim: the gate hash-proves
+    // serve-from-artifact ≡ the in-memory chain.
+    Q("s19_ann_index_persist",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val root = graft.operators.AnnIndex.build(e, "vec_id", "embedding",
+          centroidStride = 50, maxCentroids = 32)
+        graft.operators.AnnIndex.search(s, root, q, "vec_id", "embedding",
+            nProbe = 2, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s03Oracle)),
 
     // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is

@@ -24,7 +24,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # Only these may downgrade a <=1-ulp-everywhere diff to WARN; anywhere else
 # a 1-ulp diff is a genuine cross-engine formula divergence (exactly the
 # round-5 q54 class) and must FAIL so it's fixed before the driver sees it.
-ULP_WARN_ALLOWLIST = {"q02_agg_groupby", "q14_topk_revenue"}
+# q03 joined the list in round 7: its dsum column hits the same cast class
+# at sf0.001/sf0.1 (value-dependent; exact at the driver's sf0.01 gate).
+ULP_WARN_ALLOWLIST = {"q02_agg_groupby", "q14_topk_revenue",
+                      "q03_join_inner"}
 
 
 def canon(v):
