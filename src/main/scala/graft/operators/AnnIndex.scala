@@ -53,6 +53,25 @@ object AnnIndex {
   }
 
   /**
+   * Incremental maintenance: assign ONLY the new batch against the
+   * artifact's existing centroids and append its posting rows into the
+   * cid-partitioned layout — no rebuild, no touch of existing posting
+   * files (parquet append adds files per partition directory). The
+   * quantizer is intentionally frozen: that is how production IVF
+   * indexes ingest (re-training centroids would move existing vectors'
+   * assignments and force a rebuild); s20's gate hash-proves
+   * maintain(build(half), rest) ≡ build(all) BECAUSE the frozen
+   * stride quantizer is identical either way.
+   */
+  def maintain(spark: SparkSession, root: String, newVectors: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val cent = spark.read.parquet(s"$root/centroids")
+    Similarity.assignToCentroids(newVectors, idCol, vecCol, cent)
+      .write.mode("append").partitionBy("cid")
+      .parquet(s"$root/postings")
+  }
+
+  /**
    * Serve top-k from the artifact: queries probe the centroid table
    * (small broadcast), and the posting scan is restricted to the
    * probed cid partitions by dynamic partition pruning.

@@ -742,6 +742,32 @@ object SimilarityQueries {
       Some(s03Oracle)),
 
     // ----------------------------------------------------------------
+    // s20 — incremental index maintenance: build the artifact from the
+    // even-id half of the corpus (which contains every stride-quantizer
+    // centroid id — multiples of 50 are even — so the frozen quantizer
+    // is identical to the full build's), then APPEND the odd-id half
+    // via AnnIndex.maintain: only the new batch is assigned, existing
+    // posting files are never touched. The oracle is s03's FULL-corpus
+    // restatement — the gate hash-proves maintain(build(half), rest) ≡
+    // build(all), the q70/g03 maintain-equals-rebuild contract applied
+    // to the vector index.
+    Q("s20_ann_index_maintain",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val base = e.filter(col("vec_id") % 2 === 0)
+        val batch = e.filter(col("vec_id") % 2 === 1)
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val root = graft.operators.AnnIndex.build(base, "vec_id",
+          "embedding", centroidStride = 50, maxCentroids = 32)
+        graft.operators.AnnIndex.maintain(s, root, batch, "vec_id",
+          "embedding")
+        graft.operators.AnnIndex.search(s, root, q, "vec_id", "embedding",
+            nProbe = 2, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s03Oracle)),
+
+    // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is
     // written in the PLAIN-SPARK HOF dot-product form
     // (aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v))

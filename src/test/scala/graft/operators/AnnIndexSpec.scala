@@ -36,6 +36,19 @@ class AnnIndexSpec extends SparkSpec {
       s"posting scan not dynamically pruned:\n$plan")
   }
 
+  test("maintain(build(half), rest) == build(all): frozen-quantizer append") {
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val rFull = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
+    val full = AnnIndex.search(spark, rFull, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    val rInc = AnnIndex.build(evens, "vec_id", "embedding", 50, 32)
+    AnnIndex.maintain(spark, rInc, odds, "vec_id", "embedding")
+    val inc = AnnIndex.search(spark, rInc, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    assert(inc === full)
+  }
+
   test("rebuild retires the previous artifact generation") {
     val r1 = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
     assert(new java.io.File(r1).exists)
