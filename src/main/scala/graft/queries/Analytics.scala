@@ -667,6 +667,52 @@ object Analytics {
              |JOIN f f1 ON f1.item = pr.p1
              |JOIN f f2 ON f2.item = pr.p2
              |CROSS JOIN n
-             |ORDER BY pair_n DESC, p1, p2""".stripMargin))
+             |ORDER BY pair_n DESC, p1, p2""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q75 — hierarchy flattening by pointer doubling: the observed user
+    // ids induce a binary org tree (parent = id div 2, root 0), closed
+    // under parent by exploding each id's shift chain; every node gets
+    // (root, depth) in O(log depth) self-joins — operators/Hierarchy's
+    // pointer-jumping, the O(d)-to-O(log d) shuffle reduction — plus
+    // the per-node rollup (observed users whose chain passes through
+    // it). The oracle walks the same tree with a RECURSIVE CTE — the
+    // O(d) formulation DuckDB can afford at gate scale — so the gate
+    // hash-proves the doubled walk ≡ the step-at-a-time one.
+    Q("q75_hierarchy_flatten",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val ids = e.select(col("user_id").as("v")).distinct()
+        val anc = ids.select(col("v"),
+            explode(expr("transform(sequence(0, 40), i -> shiftright(v, i))"))
+              .as("a"))
+          .distinct()
+        val nodes = anc.select(col("a").as("id")).distinct()
+          .select(col("id"), expr("id div 2").as("parent"))
+        val flat = graft.operators.Hierarchy.flatten(nodes, maxIters = 6)
+        val rollup = anc.groupBy(col("a").as("id"))
+          .agg(count(lit(1)).as("n_users"))
+        flat.join(rollup, Seq("id"))
+          .select(col("id"), col("root"), col("depth"), col("n_users"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE ids AS (
+             |  SELECT DISTINCT user_id AS v FROM events),
+             |anc AS (SELECT DISTINCT v, v >> s.i AS a FROM ids,
+             |  (SELECT unnest(generate_series(0, 40)) AS i) s),
+             |nodes AS (SELECT DISTINCT a AS id FROM anc),
+             |walk(id, anc, d) AS (
+             |  SELECT id, id, 0 FROM nodes
+             |  UNION ALL
+             |  SELECT id, anc // 2, d + 1 FROM walk WHERE anc <> anc // 2),
+             |flat AS (SELECT w.id, w.anc AS root, dd.depth
+             |  FROM walk w
+             |  JOIN (SELECT id, MAX(d) AS depth FROM walk GROUP BY id) dd
+             |    ON dd.id = w.id AND dd.depth = w.d),
+             |sub AS (SELECT a AS id, COUNT(*) AS n_users FROM anc GROUP BY a)
+             |SELECT f.id, f.root, CAST(f.depth AS BIGINT) AS depth,
+             |  sub.n_users
+             |FROM flat f JOIN sub ON sub.id = f.id
+             |ORDER BY f.id""".stripMargin))
   )
 }
