@@ -128,11 +128,15 @@ object Multimodal {
    * Perceptual average-hash (aHash) of the payload, integer-exact: the
    * payload is split into `n` evenly-spaced windows (the decode stub's
    * "downsampled pixels" — same window math as [[sampleFrames]]), and
-   * bit i is set iff window i's mean byte value exceeds the payload's
-   * overall mean. The mean comparison is done as the integer
-   * cross-multiply `s_i·L > S·l_i` (window byte-sum × total length vs
-   * total byte-sum × window length) so no float division ever happens
-   * and any engine reproduces the signature bit-for-bit.
+   * bit i is set iff window i's mean byte value exceeds the mean over
+   * ALL SAMPLED WINDOWS (S = Σ s_j, L = Σ l_j over the windows — for
+   * payloads whose size is not a multiple of `n` the windows skip or
+   * repeat a few bytes, so this is the downsampled image's mean, not
+   * the raw payload's; the m05 oracle restates exactly the windowed
+   * form). The mean comparison is done as the integer cross-multiply
+   * `s_i·L > S·l_i` (window byte-sum × total sampled length vs total
+   * sampled byte-sum × window length) so no float division ever
+   * happens and any engine reproduces the signature bit-for-bit.
    *
    * `n` is capped at 60 so the bit sum stays clear of the BIGINT sign
    * bit in SQL restatements (the hash60 convention). Like all

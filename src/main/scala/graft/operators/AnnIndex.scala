@@ -28,10 +28,14 @@ import graft.functions.{VectorFunctions => VF}
  */
 object AnnIndex {
 
-  /** Artifact root of the previous [[build]], retired at the next
-   * call's entry (strictly-sequential gate/bench contract — the
-   * incremental-dedup / q51 cleanup pattern). */
-  private var retiredRoot: Option[String] = None
+  /** Roots of finished [[build]] generations, retired lazily: the
+   * NEWEST finished generation stays on disk so a caller still holding
+   * (or re-executing) the previous build's lazy search() plan reads
+   * intact files, and everything older is deleted — a Verify/Bench
+   * loop is bounded to two live generations (the q51 two-generation
+   * cleanup contract). Holding a plan across TWO newer builds, or
+   * building concurrently, remains out of contract. */
+  private val deadRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   /**
    * Build the index artifact under a fresh scratch root: `centroids`
@@ -40,9 +44,10 @@ object AnnIndex {
    */
   def build(vectors: DataFrame, idCol: String, vecCol: String,
       centroidStride: Int, maxCentroids: Int): String = {
-    retiredRoot.foreach(graft.sources.Scratch.deleteNow)
+    while (deadRoots.size() > 1)
+      graft.sources.Scratch.deleteNow(deadRoots.poll())
     val root = graft.sources.Scratch.dir("ann_index")
-    retiredRoot = Some(root)
+    deadRoots.add(root)
     val cent = Similarity.strideCentroids(vectors, idCol, vecCol,
       centroidStride, maxCentroids)
     cent.write.mode("overwrite").parquet(s"$root/centroids")

@@ -682,9 +682,16 @@ object Analytics {
     Q("q75_hierarchy_flatten",
       (s, dir) => {
         val e = t(s, dir, "events")
-        val ids = e.select(col("user_id").as("v")).distinct()
+        // non-negative ids only: for v >= 0 the 63-shift chain IS the
+        // div-2 ancestor chain down to root 0, so the node set is
+        // closed under parent for the ENTIRE long range (flatten's
+        // contract); negative ids would break that (truncating div
+        // disagrees with both shiftright and DuckDB's floor //) and
+        // are excluded identically on both sides
+        val ids = e.select(col("user_id").as("v"))
+          .filter(col("v") >= 0).distinct()
         val anc = ids.select(col("v"),
-            explode(expr("transform(sequence(0, 40), i -> shiftright(v, i))"))
+            explode(expr("transform(sequence(0, 63), i -> shiftright(v, i))"))
               .as("a"))
           .distinct()
         val nodes = anc.select(col("a").as("id")).distinct()
@@ -697,9 +704,9 @@ object Analytics {
           .orderBy(col("id"))
       },
       Some("""WITH RECURSIVE ids AS (
-             |  SELECT DISTINCT user_id AS v FROM events),
+             |  SELECT DISTINCT user_id AS v FROM events WHERE user_id >= 0),
              |anc AS (SELECT DISTINCT v, v >> s.i AS a FROM ids,
-             |  (SELECT unnest(generate_series(0, 40)) AS i) s),
+             |  (SELECT unnest(generate_series(0, 63)) AS i) s),
              |nodes AS (SELECT DISTINCT a AS id FROM anc),
              |walk(id, anc, d) AS (
              |  SELECT id, id, 0 FROM nodes

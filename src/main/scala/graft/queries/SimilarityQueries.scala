@@ -168,6 +168,22 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, nid) AS rank
        |  FROM scored)""".stripMargin
 
+  /** The exact-rerank restatement (candidate cut at 20 → full-precision
+   * cosine on survivors → re-rank), chained after any CTE chain ending
+   * at `r` = (qid, nid, …, rank) — ONE copy of the contract for its six
+   * consumers (s12/s13 gated rerank, s15/s16/s18 recall gates, s17
+   * PQ-rerank); a candidate-cut or tie-break fix lands everywhere. */
+  private lazy val rerankCtes: String =
+    s"""cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
+       |raw AS (SELECT vec_id, embedding FROM embeddings),
+       |rr AS (SELECT c.qid, c.nid,
+       |    ${cosSelect("qe.embedding", "ne.embedding")}
+       |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
+       |  JOIN raw ne ON ne.vec_id = c.nid),
+       |r2 AS (SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM rr)""".stripMargin
+
   /** The deterministic-IVF restatement (centroid seed, cosine-argmax
    * assignment, 2-probe search) — shared by s03 (in-memory chain) and
    * s19 (the same math served from the persisted index artifact). */
@@ -540,15 +556,7 @@ object SimilarityQueries {
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""$ivfSq8Ctes,
-             |cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
-             |raw AS (SELECT vec_id, embedding FROM embeddings),
-             |rr AS (SELECT c.qid, c.nid,
-             |    ${cosSelect("qe.embedding", "ne.embedding")}
-             |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
-             |  JOIN raw ne ON ne.vec_id = c.nid),
-             |r2 AS (SELECT qid, nid, cos,
-             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-             |  FROM rr)
+             |$rerankCtes
              |SELECT qid, rank, nid, cos FROM r2 WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
@@ -576,15 +584,7 @@ object SimilarityQueries {
       Some(s"""WITH embeddings AS (
              |  SELECT * FROM main.embeddings WHERE label % 3 = 0),
              |${ivfSq8Ctes.stripPrefix("WITH ")},
-             |cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
-             |raw AS (SELECT vec_id, embedding FROM embeddings),
-             |rr AS (SELECT c.qid, c.nid,
-             |    ${cosSelect("qe.embedding", "ne.embedding")}
-             |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
-             |  JOIN raw ne ON ne.vec_id = c.nid),
-             |r2 AS (SELECT qid, nid, cos,
-             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-             |  FROM rr)
+             |$rerankCtes
              |SELECT qid, rank, nid, cos FROM r2 WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
@@ -622,15 +622,7 @@ object SimilarityQueries {
       },
       Some(recallSql(s01Oracle,
         s"""$ivfSq8Ctes,
-           |cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
-           |raw AS (SELECT vec_id, embedding FROM embeddings),
-           |rr AS (SELECT c.qid, c.nid,
-           |    ${cosSelect("qe.embedding", "ne.embedding")}
-           |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
-           |  JOIN raw ne ON ne.vec_id = c.nid),
-           |r2 AS (SELECT qid, nid, cos,
-           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-           |  FROM rr)
+           |$rerankCtes
            |SELECT qid, nid FROM r2 WHERE rank <= 5""".stripMargin))),
 
     Q("s16_recall_filtered",
@@ -650,15 +642,7 @@ object SimilarityQueries {
         recallSql(
           shadow + s01Oracle.stripPrefix("WITH "),
           s"""$shadow${ivfSq8Ctes.stripPrefix("WITH ")},
-             |cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
-             |raw AS (SELECT vec_id, embedding FROM embeddings),
-             |rr AS (SELECT c.qid, c.nid,
-             |    ${cosSelect("qe.embedding", "ne.embedding")}
-             |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
-             |  JOIN raw ne ON ne.vec_id = c.nid),
-             |r2 AS (SELECT qid, nid, cos,
-             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-             |  FROM rr)
+             |$rerankCtes
              |SELECT qid, nid FROM r2 WHERE rank <= 5""".stripMargin)
       }),
 
@@ -679,15 +663,7 @@ object SimilarityQueries {
           .orderBy(col("qid"), col("rank"))
       },
       Some(s"""$ivfPqCtes,
-             |cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
-             |raw AS (SELECT vec_id, embedding FROM embeddings),
-             |rr AS (SELECT c.qid, c.nid,
-             |    ${cosSelect("qe.embedding", "ne.embedding")}
-             |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
-             |  JOIN raw ne ON ne.vec_id = c.nid),
-             |r2 AS (SELECT qid, nid, cos,
-             |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-             |  FROM rr)
+             |$rerankCtes
              |SELECT qid, rank, nid, cos FROM r2 WHERE rank <= 5
              |ORDER BY qid, rank""".stripMargin)),
 
@@ -708,15 +684,7 @@ object SimilarityQueries {
       },
       Some(recallSql(s01Oracle,
         s"""$ivfPqCtes,
-           |cand2 AS (SELECT qid, nid FROM r WHERE rank <= 20),
-           |raw AS (SELECT vec_id, embedding FROM embeddings),
-           |rr AS (SELECT c.qid, c.nid,
-           |    ${cosSelect("qe.embedding", "ne.embedding")}
-           |  FROM cand2 c JOIN raw qe ON qe.vec_id = c.qid
-           |  JOIN raw ne ON ne.vec_id = c.nid),
-           |r2 AS (SELECT qid, nid, cos,
-           |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-           |  FROM rr)
+           |$rerankCtes
            |SELECT qid, nid FROM r2 WHERE rank <= 5""".stripMargin))),
 
     // ----------------------------------------------------------------

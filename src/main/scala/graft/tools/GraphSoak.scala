@@ -21,6 +21,7 @@ object GraphSoak {
 
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 1000000L
+    require(n >= 100, s"soak needs a non-degenerate graph (nNodes=$n)")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -71,8 +72,10 @@ object GraphSoak {
     val oriented = orientedDeg.agg(sum(expr("od * (od - 1) div 2")))
       .head.getLong(0)
     val maxOd = orientedDeg.agg(max(col("od"))).head.getLong(0)
-    println(s"== wedges naive=$naive oriented=$oriented " +
-      f"(${naive.toDouble / oriented}%.0fx fewer), max outdeg=$maxOd")
+    val ratio = if (oriented > 0) f"(${naive.toDouble / oriented}%.0fx fewer)"
+      else "(no oriented wedges)"
+    println(s"== wedges naive=$naive oriented=$oriented $ratio, " +
+      s"max outdeg=$maxOd")
 
     val tri = timed("triangles perNode") {
       val t = graft.operators.Triangles.perNode(edges)

@@ -49,12 +49,14 @@ class AnnIndexSpec extends SparkSpec {
     assert(inc === full)
   }
 
-  test("rebuild retires the previous artifact generation") {
+  test("rebuild keeps the PREVIOUS generation alive, retires older ones") {
     val r1 = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
-    assert(new java.io.File(r1).exists)
     val r2 = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
-    assert(r1 != r2)
-    assert(!new java.io.File(r1).exists, "previous generation not retired")
-    assert(new java.io.File(r2).exists)
+    // a holder of r1's lazy search() plan must still read intact files
+    assert(r1 != r2 && new java.io.File(r1).exists &&
+      new java.io.File(r2).exists)
+    val r3 = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
+    assert(!new java.io.File(r1).exists, "two-generations-old not retired")
+    assert(new java.io.File(r2).exists && new java.io.File(r3).exists)
   }
 }
