@@ -692,10 +692,12 @@ object SimilarityQueries {
     // artifact (small centroid table + cid-partitioned posting lists,
     // the k01/k02 progression applied to vectors). Build writes the
     // index once; serve probes the centroid table and reads ONLY the
-    // probed posting partitions — dynamic partition pruning restricts
-    // the scan to nProbe/nLists of the corpus bytes (AnnIndexSpec pins
-    // the dynamicpruning expression in the executed scan). The oracle
-    // is s03's restatement verbatim: the gate hash-proves
+    // probed posting partitions — the collected probe set (bounded by
+    // the list count) becomes a literal partition filter, and
+    // AnnIndexSpec asserts the scan's ACTUAL pruned file count (a
+    // plan-text "dynamicpruning" check proved vacuous: Spark plans
+    // dynamicpruningexpression(true) for this shape). The oracle is
+    // s03's restatement verbatim: the gate hash-proves
     // serve-from-artifact ≡ the in-memory chain.
     Q("s19_ann_index_persist",
       (s, dir) => {
