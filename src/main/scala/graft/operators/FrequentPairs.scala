@@ -61,13 +61,17 @@ object FrequentPairs {
       .agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minPair)
 
-    // The frequent-item count table is support-pruned and small by
-    // construction — broadcast it to both probe sides; N is one row.
+    // The frequent-item count table is support-pruned, but "pruned" is
+    // not "broadcast-sized" at every scale (an absolute floor over a
+    // 100 TB basket table can leave millions of frequent items) — so
+    // no forced broadcast here: the planner/AQE broadcasts when the
+    // runtime size allows and shuffles on the item key otherwise. Only
+    // N, one row by construction, is broadcast unconditionally.
     pairs
-      .join(broadcast(frequent.select(col("item").as("p1"),
-        col("item_n").as("n1"))), "p1")
-      .join(broadcast(frequent.select(col("item").as("p2"),
-        col("item_n").as("n2"))), "p2")
+      .join(frequent.select(col("item").as("p1"),
+        col("item_n").as("n1")), "p1")
+      .join(frequent.select(col("item").as("p2"),
+        col("item_n").as("n2")), "p2")
       .crossJoin(broadcast(nBaskets))
       .select(col("p1"), col("p2"), col("pair_n"), col("n1"), col("n2"),
         ((col("pair_n") * col("n_baskets")).cast("double") /

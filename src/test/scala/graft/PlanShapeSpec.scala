@@ -135,16 +135,24 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q72 basket pairs: a-priori semi-join prunes before the expansion") {
     // the frequent-item prune must hit the basket table as a semi-join
-    // BEFORE the quadratic self-join, and the small pruned count tables
-    // must ride broadcast joins (the only nested-loop is the one-row
-    // basket-count broadcast)
+    // BEFORE the quadratic self-join. The count joins are deliberately
+    // NOT force-broadcast (a support-pruned vocabulary over 100 TB of
+    // baskets can still be millions of rows — AQE broadcasts at runtime
+    // when the actual size allows); statically they must still be keyed
+    // equi-joins. The only nested-loop allowed is the one-row
+    // basket-count broadcast.
     val p = plan("q72_basket_pairs")
     assert(!p.contains("CartesianProduct"),
       s"q72 plan regressed to CartesianProduct:\n$p")
     assert(p.contains("LeftSemi"),
       s"q72 lost the a-priori semi-join prune:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"q72 frequent-item count joins should broadcast:\n$p")
+    // exactly one BroadcastNestedLoopJoin NODE: the one-row n_baskets
+    // cross join — the pair expansion and count joins must all be
+    // equi-joins (formatted explain names each node twice, tree +
+    // detail, so count detail headers only)
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1,
+      s"q72 grew a nested-loop join beyond the one-row count broadcast:\n$p")
   }
 
   test("explode of computed arrays stays outer (no size>0 re-materialization)") {
