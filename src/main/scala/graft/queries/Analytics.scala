@@ -720,6 +720,58 @@ object Analytics {
              |SELECT f.id, f.root, CAST(f.depth AS BIGINT) AS depth,
              |  sub.n_users
              |FROM flat f JOIN sub ON sub.id = f.id
-             |ORDER BY f.id""".stripMargin))
+             |ORDER BY f.id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q76 — k-core extraction over the co-purchase graph: parts are
+    // linked when ≥2 distinct orders contain both (the per-order pair
+    // expansion is bounded by order size, ~7 lines, so the quadratic
+    // term never explodes), then 12 peel rounds toward the 3-core.
+    // Both engines run EXACTLY 12 rounds (peeling is monotone and
+    // idempotent past the fixpoint — reached in ~11 rounds at sf0.01,
+    // where the cascade prunes 1880 → 935 parts), so the oracle is the
+    // same function restated as unrolled CTE rounds, not a convergence
+    // test. Output never compares floats; core_deg is an exact count.
+    Q("q76_kcore",
+      (s, dir) => {
+        val lp = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = lp.select(col("ok"), col("pk").as("src"))
+          .join(lp.select(col("ok"), col("pk").as("dst")), Seq("ok"))
+          .filter(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select(col("src"), col("dst"))
+        graft.operators.KCore.peel(edges, k = 3, rounds = 12)
+          .orderBy(col("id"))
+      },
+      Some {
+        // One peel round must reference the previous round's edge set
+        // exactly ONCE: DuckDB inlines CTEs, so a (v_i, s_i) join pair
+        // that references s_{i-1} three times expands 3^rounds scans of
+        // lineitem (531k at 12 rounds — found the hard way as "too many
+        // open files"). Degree-per-endpoint as two windows over the
+        // symmetric list keeps the expansion linear in the round count.
+        def round(i: Int): String =
+          s"""s$i AS (SELECT s, d FROM (
+             |    SELECT s, d, COUNT(*) OVER (PARTITION BY s) AS cs,
+             |                 COUNT(*) OVER (PARTITION BY d) AS cd
+             |    FROM s${i - 1})
+             |  WHERE cs >= 3 AND cd >= 3)""".stripMargin
+        s"""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           |            FROM lineitem),
+           |pw AS (SELECT l1.pk AS a, l2.pk AS b, COUNT(*) AS w
+           |       FROM lp l1 JOIN lp l2
+           |         ON l1.ok = l2.ok AND l1.pk < l2.pk
+           |       GROUP BY 1, 2),
+           |e AS (SELECT a, b FROM pw WHERE w >= 2),
+           |s0 AS (SELECT a AS s, b AS d FROM e
+           |       UNION ALL SELECT b, a FROM e),
+           |${(1 to 12).map(round).mkString(",\n")}
+           |SELECT s AS id, COUNT(*) AS core_deg FROM s12
+           |GROUP BY s ORDER BY id""".stripMargin
+      })
   )
 }

@@ -25,7 +25,7 @@ class PlanShapeSpec extends SparkSpec {
     "d05_dedup_embedding", "d06_dedup_simhash_hamming", "s02_ann_lsh",
     "p01_curation_pipeline", "q29_snapshot_diff", "q33_range_join",
     "d11_dedup_containment", "t15_passage_dedup", "k02_index_search",
-    "m05_phash_dedup")
+    "m05_phash_dedup", "q76_kcore")
 
   test("no cartesian/nested-loop joins in the bucketed scale paths") {
     bucketedPairQueries.foreach { q =>
