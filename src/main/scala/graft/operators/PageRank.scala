@@ -90,4 +90,66 @@ object PageRank {
     }
     rank.select(col("id"), col("r").as("rank"))
   }
+
+  /**
+   * Personalized (topic-sensitive) PageRank: identical power iteration,
+   * but the teleport vector is concentrated uniformly on a SEED set
+   * instead of all nodes — the "relevance to these starting points"
+   * ranking (seed = a creator cohort, a trusted-domain set, a query's
+   * click neighborhood). Two changes from [[run]], both exact-integer:
+   *
+   *   r₀(v)    = [v ∈ S] · (M div |S|)
+   *   rₜ₊₁(v) = [v ∈ S] · ((15·(M div |S|)) div 100)
+   *           + (85·(Σ_{u→v} rₜ(u) div outdeg(u) + [v ∈ S]·(Dₜ div |S|))) div 100
+   *
+   * i.e. both the damped teleport AND the dangling mass Dₜ return to the
+   * seeds (the standard PPR convention — dangling mass "restarts" like
+   * any walk). Seeds outside the graph are ignored; the seed set must be
+   * non-empty after that restriction (M div 0 faults under ANSI, as it
+   * should). Per-iteration plan shape is [[run]]'s: one src-keyed join,
+   * one dst-keyed aggregate, Dₜ and |S| as one-row broadcasts, the seed
+   * flag riding the rank table as a 0/1 column.
+   */
+  def personalized(edgesRaw: DataFrame, seedsRaw: DataFrame,
+      iterations: Int): DataFrame = {
+    val edges = edgesRaw.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+
+    val seeds = seedsRaw.select(col("id")).distinct()
+      .join(nodes, Seq("id"), "left_semi")
+    val ns = seeds.agg(count(lit(1)).as("n_seeds"))
+
+    var rank = nodes
+      .join(seeds.select(col("id"), lit(1L).as("s")), Seq("id"), "left_outer")
+      .crossJoin(broadcast(ns))
+      .select(col("id"), coalesce(col("s"), lit(0L)).as("is_seed"),
+        col("n_seeds"))
+      .select(col("id"), col("is_seed"), col("n_seeds"),
+        expr(s"is_seed * (${Mass}L div n_seeds)").as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = edges
+        .join(rank.select(col("id").as("src"), col("r")), "src")
+        .join(outdeg, "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      val dangling = rank
+        .join(outdeg, rank("id") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("d_mass"))
+      rank = rank
+        .join(contrib, rank("id") === contrib("dst"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(rank("id"), col("is_seed"), col("n_seeds"),
+          (expr(s"is_seed * ((15 * (${Mass}L div n_seeds)) div 100)") +
+            expr("(85 * (coalesce(in_mass, 0L) +" +
+              " is_seed * (d_mass div n_seeds))) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("id"), col("r").as("rank"))
+  }
 }

@@ -772,6 +772,59 @@ object Analytics {
            |${(1 to 12).map(round).mkString(",\n")}
            |SELECT s AS id, COUNT(*) AS core_deg FROM s12
            |GROUP BY s ORDER BY id""".stripMargin
+      }),
+
+    // ----------------------------------------------------------------
+    // q77 — personalized PageRank on the q63/q64 interaction graph:
+    // teleport (and the dangling mass) concentrated on the seed cohort
+    // user_id % 5 = 0 instead of spread uniformly — "relevance to this
+    // cohort" rather than global centrality. Same integer fixed-point
+    // contract as q63/q64 (total mass 10^12, every update an integer
+    // division) so five unrolled oracle iterations hash-match bit-exactly.
+    Q("q77_personalized_pagerank",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val edges = e.select(col("user_id").as("src"),
+          (col("event_id") % 150).as("dst"))
+        val seeds = e.filter(col("user_id") % 5 === 0)
+          .select(col("user_id").as("id"))
+        graft.operators.PageRank.personalized(edges, seeds, iterations = 5)
+          .orderBy(col("id"))
+      },
+      Some {
+        def iter(k: Int): String =
+          s"""d$k AS (SELECT CAST(COALESCE(SUM(rp.r), 0) AS BIGINT) AS d
+             |  FROM r${k - 1} rp
+             |  WHERE NOT EXISTS (SELECT 1 FROM od WHERE od.src = rp.id)),
+             |r$k AS (SELECT n.id,
+             |    CAST(CASE WHEN sd.id IS NOT NULL
+             |          THEN (15 * (1000000000000 // ns.c)) // 100
+             |          ELSE 0 END +
+             |         (85 * (COALESCE(m.in_mass, 0) +
+             |                CASE WHEN sd.id IS NOT NULL
+             |                 THEN d$k.d // ns.c ELSE 0 END)) // 100
+             |      AS BIGINT) AS r
+             |  FROM nodes n CROSS JOIN ns CROSS JOIN d$k
+             |  LEFT JOIN sd ON sd.id = n.id
+             |  LEFT JOIN (SELECT e.dst, SUM(rp.r // od.outdeg) AS in_mass
+             |             FROM e JOIN r${k - 1} rp ON rp.id = e.src
+             |             JOIN od ON od.src = e.src GROUP BY e.dst) m
+             |    ON m.dst = n.id)""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT user_id AS src, event_id % 150 AS dst
+           |           FROM events WHERE user_id <> event_id % 150),
+           |nodes AS (SELECT DISTINCT src AS id FROM e
+           |          UNION SELECT DISTINCT dst FROM e),
+           |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+           |sd AS (SELECT DISTINCT user_id AS id FROM events
+           |       WHERE user_id % 5 = 0
+           |         AND user_id IN (SELECT id FROM nodes)),
+           |ns AS (SELECT COUNT(*) AS c FROM sd),
+           |r0 AS (SELECT n.id,
+           |    CAST(CASE WHEN sd.id IS NOT NULL
+           |          THEN 1000000000000 // ns.c ELSE 0 END AS BIGINT) AS r
+           |  FROM nodes n CROSS JOIN ns LEFT JOIN sd ON sd.id = n.id),
+           |${(1 to 5).map(iter).mkString(",\n")}
+           |SELECT id, r AS rank FROM r5 ORDER BY id""".stripMargin
       })
   )
 }
