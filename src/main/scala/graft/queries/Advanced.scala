@@ -1114,6 +1114,74 @@ Some(scd2RebuildOracle)),
              |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
              |  COUNT(DISTINCT user_id) AS exact_users,
              |  TRUE AS approx_ok
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q78 — mergeable KLL quantile rollup, the rank counterpart of
+    // q73's HLL distinct rollup: per-(type, day) sketches at ingest
+    // grain, merged per type WITHOUT re-touching raw rows. Values ride
+    // as exact integer cents (decimal *100 — value has 2 decimals) so
+    // every gated column is integer-exact; the exact reference median
+    // comes from the bounded cents dictionary (value-frequency table +
+    // running counts — a window over the SMALL dictionary, never a
+    // whole-type row sort, the q68 lesson) with the pure-integer rank
+    // rule ceil(q*n) = (q%*n + 99) div 100. KLL compaction is
+    // randomized, so the sketch estimate is gated as a tolerance flag
+    // (inside the exact p45..p55 band — rank error at k=200 is ~1.65%,
+    // the band is ±5%), the q73 contract.
+    Q("q78_kll_quantiles",
+      (s, dir) => {
+        import graft.functions.KllAggregate._
+        val e = Tables.load(s, dir, "events")
+        val ev = e.select(col("event_type"), to_date(col("ts")).as("day"),
+          (dec(col("value")) * 100).cast("long").as("cents"))
+        val daily = ev.groupBy(col("event_type"), col("day"))
+          .agg(kllBuild(col("cents").cast("double"), 200).as("sk"))
+        val merged = daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), kllMerge(col("sk")).as("msk"))
+          .select(col("event_type"), col("n_days"),
+            kllQuantile(col("msk"), 0.5).cast("long").as("sk_p50"))
+        val freq = ev.groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("c"))
+        val cum = freq
+          .withColumn("cum",
+            sum(col("c")).over(Window.partitionBy("event_type")
+              .orderBy("cents")))
+          .withColumn("n",
+            sum(col("c")).over(Window.partitionBy("event_type")))
+        def sel(p: Int, name: String) =
+          min(when(col("cum") >= expr(s"($p * n + 99) div 100"),
+            col("cents"))).as(name)
+        val exact = cum.groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_rows"), sel(45, "p45"),
+            sel(50, "p50_cents"), sel(55, "p55"))
+        merged.join(exact, "event_type")
+          .select(col("event_type"), col("n_days"), col("n_rows"),
+            col("p50_cents"),
+            (col("sk_p50") >= col("p45") && col("sk_p50") <= col("p55"))
+              .as("sk_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+              |    CAST(${sqlDec("value")} * 100 AS BIGINT) AS cents
+              |  FROM events),
+              |freq AS (SELECT event_type, cents, COUNT(*) AS c
+              |         FROM ev GROUP BY 1, 2),
+              |cum AS (SELECT event_type, cents,
+              |    CAST(SUM(c) OVER (PARTITION BY event_type
+              |                      ORDER BY cents) AS BIGINT) AS cum,
+              |    CAST(SUM(c) OVER (PARTITION BY event_type)
+              |         AS BIGINT) AS n
+              |  FROM freq),
+              |ex AS (SELECT event_type, MAX(n) AS n_rows,
+              |    MIN(CASE WHEN cum >= (50 * n + 99) // 100
+              |        THEN cents END) AS p50_cents
+              |  FROM cum GROUP BY event_type),
+              |nd AS (SELECT event_type, COUNT(DISTINCT day) AS n_days
+              |       FROM ev GROUP BY 1)
+              |SELECT ex.event_type, nd.n_days, ex.n_rows, ex.p50_cents,
+              |  TRUE AS sk_ok
+              |FROM ex JOIN nd ON nd.event_type = ex.event_type
+              |ORDER BY ex.event_type""".stripMargin))
   )
 }
