@@ -1182,6 +1182,53 @@ Some(scd2RebuildOracle)),
               |SELECT ex.event_type, nd.n_days, ex.n_rows, ex.p50_cents,
               |  TRUE AS sk_ok
               |FROM ex JOIN nd ON nd.event_type = ex.event_type
-              |ORDER BY ex.event_type""".stripMargin))
+              |ORDER BY ex.event_type""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q79 — theta-sketch audience overlap: the set operation HLL cannot
+    // do. Per-(type, day) theta sketches of user_id union-merge per
+    // type (never re-touching raw rows), then every type PAIR's overlap
+    // ("users who did both") comes from scalar sketch intersection.
+    // The pair join is a constant 5x5 type fan-out, not data-dependent.
+    // Below nominal entries (4096) theta is in exact mode, so at every
+    // test SF (<=1500 users) the estimate is exact and partitioning-
+    // independent — the est_ok tolerance flag (q73 contract) is
+    // deterministic here and headroom for the estimation regime.
+    Q("q79_theta_overlap",
+      (s, dir) => {
+        import graft.functions.ThetaAggregate._
+        val e = Tables.load(s, dir, "events")
+        val daily = e.groupBy(col("event_type"),
+            to_date(col("ts")).as("day"))
+          .agg(thetaBuild(col("user_id")).as("sk"))
+        val perType = daily.groupBy(col("event_type"))
+          .agg(thetaUnion(col("sk")).as("sk"))
+        val est = perType.as("x").join(perType.as("y"),
+            col("x.event_type") < col("y.event_type"))
+          .select(col("x.event_type").as("ta"),
+            col("y.event_type").as("tb"),
+            thetaEstimate(thetaIntersect(col("x.sk"), col("y.sk")))
+              .as("est"))
+        val ut = e.select(col("event_type"), col("user_id")).distinct()
+        val exact = ut.as("x").join(ut.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("ta"),
+            col("y.event_type").as("tb"))
+          .agg(count(lit(1)).as("exact_overlap"))
+        est.join(exact, Seq("ta", "tb"))
+          .select(col("ta"), col("tb"), col("exact_overlap"),
+            (abs(col("est") - col("exact_overlap")) <=
+              greatest(col("exact_overlap").cast("double") * 0.05,
+                lit(4.0))).as("est_ok"))
+          .orderBy(col("ta"), col("tb"))
+      },
+      Some("""WITH ut AS (SELECT DISTINCT event_type, user_id
+             |            FROM events)
+             |SELECT x.event_type AS ta, y.event_type AS tb,
+             |  COUNT(*) AS exact_overlap, TRUE AS est_ok
+             |FROM ut x JOIN ut y
+             |  ON x.user_id = y.user_id AND x.event_type < y.event_type
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
