@@ -632,6 +632,62 @@ object TextQueries {
               |ORDER BY tf_total DESC, doc_id LIMIT 10""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // k03 — index GENERATIONS + compaction, the LSM/Lucene lifecycle
+    // over k02's artifact: the base corpus is indexed once (gen=0),
+    // an appended doc batch is indexed as its own generation (gen=1 —
+    // gen-0 files untouched, which is how an index ingests at scale),
+    // both generations are read back through one partition-discovered
+    // root and merged into a single compacted artifact (one re-sort
+    // job), and the k02 conjunctive search runs THROUGH the compacted
+    // artifact. The oracle is the search restated over the full raw
+    // corpus, so the gate hash-proves maintain + compact ≡ rebuild —
+    // the q70/g03/s20 contract applied to the index sink. Different
+    // terms than k02, so the two entries pin different posting paths.
+    Q("k03_index_compaction",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          TF.tokens(col("text")).as("tokens"))
+        val base = graft.sources.Scratch.dir("k03_gens")
+        graft.sinks.InvertedIndex.write(
+          toks.filter(col("doc_id") % 2 === 0), "doc_id", Seq("tokens"),
+          base + "/gen=0")
+        graft.sinks.InvertedIndex.write(
+          toks.filter(col("doc_id") % 2 =!= 0), "doc_id", Seq("tokens"),
+          base + "/gen=1")
+        val compacted = graft.sources.Scratch.dir("k03_compacted")
+        graft.sinks.InvertedIndex.writePostings(
+          s.read.parquet(base).drop("gen"), compacted)
+        val terms = Seq("stream", "batch", "window")
+        val tf = s.read.parquet(compacted)
+          .filter(col("field") === "tokens" &&
+            col("term_str").isin(terms: _*))
+          .groupBy(col("doc_id"), col("term_str"))
+          .agg(count(lit(1)).as("tf"))
+        tf.groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("tf_total"),
+            countDistinct(col("term_str")).as("nt"))
+          .filter(col("nt") === terms.size)
+          .select(col("doc_id"), col("tf_total"))
+          .orderBy(col("tf_total").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split_regex(t, ' ')) AS term
+              |  FROM (SELECT doc_id, $normT AS t FROM documents)
+              |  WHERE t <> ''),
+              |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              |       WHERE term IN ('stream', 'batch', 'window')
+              |       GROUP BY doc_id, term),
+              |agg AS (SELECT doc_id,
+              |    CAST(SUM(tf) AS BIGINT) AS tf_total,
+              |    COUNT(DISTINCT term) AS nt
+              |  FROM tf GROUP BY doc_id)
+              |SELECT doc_id, tf_total
+              |FROM agg WHERE nt = 3
+              |ORDER BY tf_total DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // t13 — CONTENT-DEFINED chunking (the dedup-friendly complement of
     // t09's fixed windows): a chunk boundary falls after any token whose
     // trailing 3-gram hashes to 0 mod 16, so boundaries move with the

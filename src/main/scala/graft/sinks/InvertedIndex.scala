@@ -67,7 +67,14 @@ object InvertedIndex {
    * from parquet min/max row-group pruning on the term columns). */
   def write(df: DataFrame, docIdCol: String, fields: Seq[String],
       path: String): Unit =
-    postings(df, docIdCol, fields)
+    writePostings(postings(df, docIdCol, fields), path)
+
+  /** Write PRE-BUILT posting rows in the [[write]] layout — the path a
+   * generation compaction takes: read N term-sorted generation
+   * artifacts, re-sort once, lay out a single merged artifact (the
+   * LSM/Lucene segment merge as one Spark job). */
+  def writePostings(p: DataFrame, path: String): Unit =
+    p
       // Range-partition on (field, term): `repartition(field)` alone puts
       // each field on ONE reducer (13 fields → 13 write tasks no matter the
       // data size); range keys keep the field-dir layout while spreading a
