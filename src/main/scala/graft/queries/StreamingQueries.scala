@@ -384,8 +384,75 @@ object StreamingQueries {
       |WHERE epoch_ms(h) + 3600000 <= epoch_ms(m) - 3600000
       |ORDER BY hour_epoch, event_type""".stripMargin
 
+  /** q80: per-window value medians through the real streaming engine
+   * with KLL sketch state — q74's rank counterpart (an exact median's
+   * state is the window's whole value multiset; the sketch is a few
+   * KB per (window, type) and merges across micro-batches). The
+   * streamed estimate is gated q78-style: exact integer cents, the
+   * exact median from the bounded cents dictionary, and the sketch
+   * value checked against the exact p45..p55 band (KLL compaction is
+   * randomized, so only the band is contractual). */
+  private def runHourlyQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val streamed = runToCompletion(s, dir, ev =>
+      EventStream.hourlyQuantiles(ev, watermark = "1 hour")
+        .select(unix_timestamp(col("hour_start")).as("hour_epoch"),
+          col("event_type"), col("n"), col("sk_p50")))
+    val ev = graft.sources.Tables.load(s, dir, "events")
+      .select(unix_timestamp(date_trunc("hour", col("ts")))
+          .as("hour_epoch"),
+        col("event_type"),
+        (Exact.dec(col("value")) * 100).cast("long").as("cents"))
+    val freq = ev.groupBy(col("hour_epoch"), col("event_type"),
+        col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val byWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour_epoch", "event_type")
+    val cum = freq
+      .withColumn("cum", sum(col("c")).over(byWin.orderBy("cents")))
+      .withColumn("nn", sum(col("c")).over(byWin))
+    def sel(p: Int, name: String) =
+      min(when(col("cum") >= expr(s"($p * nn + 99) div 100"),
+        col("cents"))).as(name)
+    val exact = cum.groupBy(col("hour_epoch"), col("event_type"))
+      .agg(sel(45, "p45"), sel(50, "p50_cents"), sel(55, "p55"))
+    // the sink rows define the finalized-window set; the batch side
+    // only supplies the exact verifier values
+    streamed.join(exact, Seq("hour_epoch", "event_type"))
+      .select(col("hour_epoch"), col("event_type"), col("n"),
+        col("p50_cents"),
+        (col("sk_p50") >= col("p45") && col("sk_p50") <= col("p55"))
+          .as("sk_ok"))
+      .orderBy(col("hour_epoch"), col("event_type"))
+  }
+
+  private def hourlyQuantilesOracle: String =
+    """WITH mx AS (SELECT max(ts) AS m FROM events),
+      |ev AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+      |    event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |freq AS (SELECT h, event_type, cents, COUNT(*) AS c
+      |         FROM ev GROUP BY 1, 2, 3),
+      |cum AS (SELECT h, event_type, cents,
+      |    CAST(SUM(c) OVER (PARTITION BY h, event_type
+      |                      ORDER BY cents) AS BIGINT) AS cum,
+      |    CAST(SUM(c) OVER (PARTITION BY h, event_type)
+      |         AS BIGINT) AS nn
+      |  FROM freq),
+      |ex AS (SELECT h, event_type, MAX(nn) AS n,
+      |    MIN(CASE WHEN cum >= (50 * nn + 99) // 100
+      |        THEN cents END) AS p50_cents
+      |  FROM cum GROUP BY 1, 2)
+      |SELECT CAST(epoch(h) AS BIGINT) AS hour_epoch, event_type, n,
+      |  p50_cents, TRUE AS sk_ok
+      |FROM ex, mx
+      |WHERE epoch_ms(h) + 3600000 <= epoch_ms(m) - 3600000
+      |ORDER BY hour_epoch, event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q74_stream_approx_users", runHourlyUsers, Some(hourlyUsersOracle)),
+    Q("q80_stream_kll_quantiles", runHourlyQuantiles,
+      Some(hourlyQuantilesOracle)),
     Q("q36_stream_sessions", runSessions, Some(sessionsOracle)),
     Q("q53_stream_static_join", runEnriched, Some(enrichedOracle)),
     Q("q56_stream_upsert_view", runUpsert, Some(upsertOracle)),

@@ -59,6 +59,31 @@ object EventStream {
         col("approx_users"))
 
   /**
+   * Tumbling hourly value QUANTILES via KLL sketch state — the rank
+   * counterpart of [[hourlyUsers]]: an exact per-window median needs
+   * the window's whole value multiset as state, which is unbounded; a
+   * KLL sketch is a few KB per (window, type), merges across
+   * micro-batches through the state store exactly like any
+   * TypedImperativeAggregate buffer, and bounds the rank error by a
+   * constant. Values ride as exact integer cents (so the downstream
+   * comparison band is integer-exact); the emitted quantile is one of
+   * the retained inputs (inclusive criterion).
+   */
+  def hourlyQuantiles(events: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        (Exact.dec(col("value")) * 100).cast("long").cast("double")
+          .as("cents"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.KllAggregate.kllBuild(col("cents"), 200).as("sk"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("n"),
+        graft.functions.KllAggregate.kllQuantile(col("sk"), 0.5)
+          .cast("long").as("sk_p50"))
+
+  /**
    * Stream-static enrichment join: the event stream joined to a static
    * dimension (read once per micro-batch, broadcast — the streaming
    * counterpart of the reference's dictionary lookups J6,

@@ -60,6 +60,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hourly quantiles: KLL sketch state merges across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.hourlyQuantiles(in.toDF())
+      .writeStream.format("memory").queryName("hq").outputMode("complete")
+      .start()
+    try {
+      // one window fed from TWO micro-batches: the per-(window, type)
+      // sketch must merge — the median of the UNION (1,2,3,4,5 dollars
+      // = 300 cents) is reachable only if batch-2 values landed in the
+      // same sketch as batch-1's
+      in.addData(
+        ev(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+        ev(2, "2024-01-01 10:10:00", 2, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(
+        ev(3, "2024-01-01 10:20:00", 3, "click", 3.0),
+        ev(4, "2024-01-01 10:30:00", 4, "click", 4.0),
+        ev(5, "2024-01-01 10:40:00", 5, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM hq").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // 5 values < k: the sketch is exact, p50 = 3.00 = 300 cents
+      assert(rows == Set(("2024-01-01 10:00:00.0", "click", 5L, 300L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup forwards each event_id once within the watermark") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Ev]
