@@ -83,6 +83,45 @@ object GraphSoak {
     }
     println(s"== triangles: $tri")
 
+    // k-core peel at volume: the defining invariant — every survivor
+    // keeps degree ≥ k IN the surviving subgraph — is assertable from
+    // the output alone, so the soak checks correctness (at fixpoint),
+    // not just wall time. Near the critical k an ER-ish graph's
+    // removal cascade runs DEEP, and past the critical k the whole
+    // graph collapses (mean degree here is 6.6; the ER 5-core
+    // emergence threshold is ~6.8, so k=5 empties it over a ~20-round
+    // cascade while k=4, threshold ~5.1, keeps a giant core) — so the
+    // soak peels in 10-round
+    // batches, re-feeding the surviving subgraph, until a batch
+    // removes nobody — measuring the cascade depth instead of
+    // guessing it. Each resumed batch is legal because peeling is a
+    // pure function of the surviving edge set.
+    timed("k-core peel to fixpoint (k=4)") {
+      var cur = edges
+      var rounds = 0
+      var nCore = -1L
+      var done = false
+      while (!done && rounds < 100) {
+        val core = graft.operators.KCore.peel(cur, k = 4, rounds = 10)
+          .cache()
+        rounds += 10
+        val survivors = core.count()
+        done = core.filter(col("core_deg") < 4).count() == 0L ||
+          survivors == 0L
+        nCore = survivors
+        val ids = core.select(col("id"))
+        cur = cur
+          .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).localCheckpoint(true)
+      }
+      assert(done, s"cascade still running after $rounds rounds")
+      val hubIn = cur.filter(col("src") === 0L || col("dst") === 0L)
+        .count() > 0L
+      println(s"== core: $nCore survivors of $n nodes after <=$rounds " +
+        s"rounds, hub in core: $hubIn")
+    }
+
     // Pointer doubling: 2^20-node binary tree, every depth checked
     // against the id's bit length (integer-exact truth).
     timed("hierarchy flatten 2^20") {
