@@ -52,6 +52,12 @@ object ThetaAggregate {
       ThetaIntersectExpr(GraftExpressionBridge.toExpression(a),
         GraftExpressionBridge.toExpression(b)))
 
+  /** `thetaDiff(a, b)`: serialized difference A \ B of two sketches. */
+  def thetaDiff(a: Column, b: Column): Column =
+    GraftExpressionBridge.toColumn(
+      ThetaDiffExpr(GraftExpressionBridge.toExpression(a),
+        GraftExpressionBridge.toExpression(b)))
+
   /** `thetaEstimate(sketch)`: the sketch's distinct estimate. */
   def thetaEstimate(sketch: Column): Column =
     GraftExpressionBridge.toColumn(
@@ -168,6 +174,26 @@ case class ThetaIntersectExpr(left: Expression, right: Expression)
       newRight: Expression): ThetaIntersectExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "theta_intersect"
+}
+
+/** Scalar difference A \ B of two serialized sketches (the third set
+ * operation — with union and intersection the full audience algebra). */
+case class ThetaDiffExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetOperation.builder().buildANotB()
+      .aNotB(ThetaAggregate.wrap(a.asInstanceOf[Array[Byte]]),
+        ThetaAggregate.wrap(b.asInstanceOf[Array[Byte]]))
+      .toByteArray
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ThetaDiffExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "theta_diff"
 }
 
 /** Scalar distinct estimate of a serialized sketch. */

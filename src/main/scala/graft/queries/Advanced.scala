@@ -1229,6 +1229,62 @@ Some(scd2RebuildOracle)),
              |  COUNT(*) AS exact_overlap, TRUE AS est_ok
              |FROM ut x JOIN ut y
              |  ON x.user_id = y.user_id AND x.event_type < y.event_type
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q81 — theta-sketch DIFFERENCE (A \ B), completing the audience
+    // algebra (q73/q74 union, q79 intersection): per-day "viewed but
+    // never clicked that day" from per-(day, type) sketches — the
+    // unconverted-audience / retention shape, answered from persisted
+    // segment sketches without re-scanning raw rows. The exact verifier
+    // is the day-keyed anti-join; the estimate gates as a tolerance
+    // flag that is deterministic in theta's exact mode (<=1500 users
+    // at every test SF). Day rides as an integer epoch-day so no
+    // engine-specific date hashing enters the gate.
+    Q("q81_theta_unconverted",
+      (s, dir) => {
+        import graft.functions.ThetaAggregate._
+        val e = Tables.load(s, dir, "events")
+        val daily = e.filter(col("event_type").isin("view", "click"))
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg(thetaBuild(col("user_id")).as("sk"))
+        val v = daily.filter(col("event_type") === "view")
+          .select(col("d"), col("sk").as("vsk"))
+        val c = daily.filter(col("event_type") === "click")
+          .select(col("d"), col("sk").as("csk"))
+        val est = v.join(c, Seq("d"), "left_outer")
+          .select(col("d"),
+            coalesce(
+              thetaEstimate(thetaDiff(col("vsk"), col("csk"))),
+              thetaEstimate(col("vsk"))).as("est"))
+        val viewers = e.filter(col("event_type") === "view")
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val clickers = e.filter(col("event_type") === "click")
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val exact = viewers.join(clickers, Seq("d", "user_id"), "left_anti")
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("exact_unconverted"))
+        est.join(exact, Seq("d"))
+          .select(datediff(col("d"), lit("1970-01-01")).cast("long")
+              .as("day_num"),
+            col("exact_unconverted"),
+            (abs(col("est") - col("exact_unconverted")) <=
+              greatest(col("exact_unconverted").cast("double") * 0.05,
+                lit(4.0))).as("est_ok"))
+          .orderBy(col("day_num"))
+      },
+      Some("""WITH viewers AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+             |  FROM events WHERE event_type = 'view'),
+             |clickers AS (
+             |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+             |  FROM events WHERE event_type = 'click')
+             |SELECT CAST(datediff('day', DATE '1970-01-01', v.d)
+             |            AS BIGINT) AS day_num,
+             |  COUNT(*) AS exact_unconverted, TRUE AS est_ok
+             |FROM viewers v
+             |LEFT JOIN clickers c ON c.d = v.d AND c.user_id = v.user_id
+             |WHERE c.user_id IS NULL
+             |GROUP BY v.d ORDER BY day_num""".stripMargin))
   )
 }

@@ -56,6 +56,23 @@ class ThetaSketchSpec extends SparkSpec {
     assert(merged == single && merged == 2500.0)
   }
 
+  test("difference estimates the true A-minus-B exactly below k") {
+    // A = 1..1500, B = 1001..2500 -> A\B = 1..1000, B\A = 1501..2500
+    val df = ((1 to 1500).map(("a", _)) ++ (1001 to 2500).map(("b", _)))
+      .toDF("g", "v")
+    val sk = df.groupBy(col("g")).agg(thetaBuild(col("v")).as("sk"))
+    val ests = sk.as("x").join(sk.as("y"), col("x.g") < col("y.g"))
+      .select(thetaEstimate(thetaDiff(col("x.sk"), col("y.sk"))).as("ab"),
+        thetaEstimate(thetaDiff(col("y.sk"), col("x.sk"))).as("ba"))
+      .head()
+    assert(ests.getDouble(0) == 1000.0 && ests.getDouble(1) == 1000.0)
+    // the algebra closes: |A| = |A∩B| + |A\B|
+    val inter = sk.as("x").join(sk.as("y"), col("x.g") < col("y.g"))
+      .select(thetaEstimate(thetaIntersect(col("x.sk"), col("y.sk"))))
+      .as[Double].head()
+    assert(inter + ests.getDouble(0) == 1500.0)
+  }
+
   test("string values hash distinctly; nulls are skipped") {
     val df = Seq(Some("x"), Some("y"), Some("x"), None).toDF("v")
     val est = df.agg(thetaEstimate(thetaBuild(col("v")))).as[Double].head()
