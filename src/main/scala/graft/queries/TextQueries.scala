@@ -29,6 +29,15 @@ object TextQueries {
   private val enList: String =
     s"[${TF.stopwords("en").map(w => s"'$w'").mkString(", ")}]"
 
+  /** k03 writes three index artifacts per invocation (two generations
+   * + the compacted merge); a Verify/Bench rep loop would accumulate
+   * 3N copies until JVM exit. Two-generation retirement (the
+   * q51/AnnIndex contract): the NEWEST finished invocation's dirs stay
+   * alive for any lazily-held plan, everything older is deleted on
+   * re-entry. */
+  private var k03Prev: Seq[String] = Nil
+  private var k03Older: Seq[String] = Nil
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -648,6 +657,8 @@ object TextQueries {
         val docs = Tables.load(s, dir, "documents")
         val toks = docs.select(col("doc_id"),
           TF.tokens(col("text")).as("tokens"))
+        k03Older.foreach(graft.sources.Scratch.deleteNow)
+        k03Older = k03Prev
         val base = graft.sources.Scratch.dir("k03_gens")
         graft.sinks.InvertedIndex.write(
           toks.filter(col("doc_id") % 2 === 0), "doc_id", Seq("tokens"),
@@ -656,6 +667,7 @@ object TextQueries {
           toks.filter(col("doc_id") % 2 =!= 0), "doc_id", Seq("tokens"),
           base + "/gen=1")
         val compacted = graft.sources.Scratch.dir("k03_compacted")
+        k03Prev = Seq(base, compacted)
         graft.sinks.InvertedIndex.writePostings(
           s.read.parquet(base).drop("gen"), compacted)
         val terms = Seq("stream", "batch", "window")
