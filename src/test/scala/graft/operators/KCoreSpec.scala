@@ -55,4 +55,37 @@ class KCoreSpec extends SparkSpec {
       (2L, 3L), (3L, 1L))
     assert(c === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("randomized cross-check against an in-JVM reference fixpoint peel") {
+    // rounds = |V| guarantees fixpoint (each pre-fixpoint round removes
+    // >= 1 vertex), so the distributed peel must equal the sequential
+    // whole-fixpoint reference on any graph
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 6) {
+      val n = 8 + rnd.nextInt(4)
+      val edges = Seq.fill(2 * n)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val k = 2 + rnd.nextInt(2)
+      val got = core(k, rounds = n, edges: _*)
+      assert(got === refKCore(edges, k), s"trial $trial: k=$k edges=$edges")
+    }
+  }
+
+  /** Sequential reference: peel to fixpoint on a simple undirected
+   * graph, return survivors with their in-core degree. */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var es = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    var changed = true
+    while (changed) {
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, xs) => v -> xs.size }
+      val alive = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => alive(e._1) && alive(e._2))
+      changed = next != es
+      es = next
+    }
+    es.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, xs) => v -> xs.size.toLong }
+  }
 }
