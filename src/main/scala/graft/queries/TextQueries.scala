@@ -935,6 +935,68 @@ object TextQueries {
               |  (n >= 50 AND n <= 100000 AND mean_len >= 3.0
               |    AND mean_len <= 10.0 AND alpha_frac >= 0.8
               |    AND n_stop >= 2) AS pass
-              |FROM feats ORDER BY doc_id""".stripMargin))
+              |FROM feats ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t17 — SOURCE overlap matrix: exact pairwise Jaccard between
+    // sources over their distinct 3-shingle-hash sets — the corpus-
+    // level contamination audit ("how much of source A is also in
+    // source B") run before mixing training sources. Scale shape: the
+    // per-source shingle sets are distinct'd FIRST, so the
+    // intersection self-join keyed on the 8-byte hash fans out at most
+    // (#sources)² per hash — bounded by the source count, NOT by
+    // document frequency (no stop-shingle cap needed, unlike d04's
+    // doc-level join). Jaccard is ONE double division of exact
+    // integers (the ≤3-single-op rule).
+    Q("t17_source_overlap",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val hs = docs
+          .select(col("source"), TF.tokens(col("text")).as("__tok"))
+          .select(col("source"),
+            explode_outer(TF.wordShinglesFromTokens(col("__tok"), 3))
+              .as("sgl"))
+          .filter(col("sgl").isNotNull)
+          .select(col("source"), TF.hash60(col("sgl")).as("h"))
+          .distinct()
+        val sizes = hs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val inter = hs.as("x").join(hs.as("y"),
+            col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+          .agg(count(lit(1)).as("inter_n"))
+        inter
+          .join(sizes.select(col("source").as("sa"), col("n").as("na")),
+            "sa")
+          .join(sizes.select(col("source").as("sb"), col("n").as("nb")),
+            "sb")
+          .select(col("sa"), col("sb"), col("inter_n"), col("na"),
+            col("nb"),
+            (col("inter_n").cast("double") /
+              (col("na") + col("nb") - col("inter_n")).cast("double"))
+              .as("jaccard"))
+          .orderBy(col("sa"), col("sb"))
+      },
+      Some(s"""WITH d AS (SELECT source, $normT AS t FROM documents),
+              |toks AS (SELECT source, string_split_regex(t, ' ') AS w
+              |         FROM d),
+              |sh AS (SELECT DISTINCT source,
+              |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              |       FROM toks,
+              |         unnest(generate_series(1, len(w) - 2)) AS u(i)
+              |       WHERE len(w) >= 3),
+              |hs AS (SELECT DISTINCT source, ${h60("s")} AS h FROM sh),
+              |sizes AS (SELECT source, COUNT(*) AS n FROM hs
+              |          GROUP BY source),
+              |inter AS (SELECT x.source AS sa, y.source AS sb,
+              |            COUNT(*) AS inter_n
+              |          FROM hs x JOIN hs y
+              |            ON x.h = y.h AND x.source < y.source
+              |          GROUP BY 1, 2)
+              |SELECT sa, sb, inter_n, a.n AS na, b.n AS nb,
+              |  CAST(inter_n AS DOUBLE) / (a.n + b.n - inter_n) AS jaccard
+              |FROM inter
+              |JOIN sizes a ON a.source = sa
+              |JOIN sizes b ON b.source = sb
+              |ORDER BY sa, sb""".stripMargin))
   )
 }
