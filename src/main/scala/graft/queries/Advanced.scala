@@ -688,27 +688,98 @@ object Advanced {
 
     // ----------------------------------------------------------------
     // q46 — the ranking/distribution window family in one gated shape:
-    // row_number, ntile, percent_rank, cume_dist, lag, lead over a single
-    // total-ordered window (one shuffle + one sort serves all six —
-    // Spark's WindowExec evaluates same-spec frames together). The
-    // output is sampled AFTER the windows so the functions see full
-    // partitions; percent_rank/cume_dist are rounded to 6 dp on both
-    // sides (their (rank-1)/(n-1) division is IEEE-identical, the round
-    // just pins the hashed text form).
+    // row_number, ntile, percent_rank, cume_dist, lag, lead, all over
+    // PARTITION BY o_orderpriority ORDER BY (o_totalprice, o_orderkey).
+    //
+    // NOT as literal window calls: o_orderpriority has ~5 distinct
+    // values, so that window sorts ~N/5 of ALL orders in ONE task — the
+    // straggler/OOM cliff q68 was decomposed to avoid. Instead every
+    // function derives from the q68 cell-grid rank (per-(priority,cell)
+    // offsets over a ~1,280-row histogram + row_number within the cell,
+    // 256-way parallel per priority):
+    //   - rn         = cell offset + local row_number (exact global rank;
+    //                  the (price, orderkey) order is strict — orderkey is
+    //                  the table key — so rank ≡ row_number, no tie terms)
+    //   - quartile   = ntile(4)'s floor/ceil bucket rule from (rn, n)
+    //   - pct_rank   = (rn-1)/(n-1), cume_dist = rn/n — each one single
+    //                  correctly-rounded IEEE division of exact integers,
+    //                  bit-identical to the engines' internal forms
+    //   - lag/lead   = local within the cell; the cell's edge rows take
+    //                  the neighboring cell's boundary value from the
+    //                  tiny table (lag/lead over the histogram itself)
+    // The oracle stays the direct six-window statement — the hash gate
+    // proves the decomposition reproduces every function bit-for-bit.
+    // percent_rank/cume_dist round to 6 dp on both sides as before (the
+    // round just pins the hashed text form).
     Q("q46_window_suite",
       (s, dir) => {
+        val nCells = 256
         val o = Tables.load(s, dir, "orders")
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice"), col("o_orderkey"))
-        o.select(col("o_orderkey"), col("o_orderpriority"),
+          .select(col("o_orderkey"), col("o_orderpriority"),
             col("o_totalprice"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .withColumn("quartile", ntile(4).over(w).cast("long"))
-          .withColumn("pct_rank", round(percent_rank().over(w), 6))
-          .withColumn("cume", round(cume_dist().over(w), 6))
-          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
-          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        val bounds = o.agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        val cell = when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("o_totalprice") - col("mn")) * nCells /
+              (col("mx") - col("mn"))).cast("long"),
+            lit(nCells - 1L)))
+        val withCell = o.crossJoin(broadcast(bounds))
+          .withColumn("__cell", cell)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"), col("__cell"))
+        // tiny per-(priority,cell) histogram: counts → running offsets +
+        // totals, plus each cell's first/last value in the full order so
+        // lag/lead can cross cell boundaries without a whole-priority sort
+        val wOff = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("__cell"))
+        val offs = withCell
+          .groupBy(col("o_orderpriority"), col("__cell"))
+          .agg(count(lit(1)).as("__c"),
+            min(struct(col("o_totalprice"), col("o_orderkey")))
+              .as("__first"),
+            max(struct(col("o_totalprice"), col("o_orderkey")))
+              .as("__last"))
+          .withColumn("__off", coalesce(sum(col("__c")).over(
+            wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("__n", sum(col("__c")).over(
+            Window.partitionBy(col("o_orderpriority"))))
+          .withColumn("__prev_last",
+            lag(col("__last.o_totalprice"), 1).over(wOff))
+          .withColumn("__next_first",
+            lead(col("__first.o_totalprice"), 1).over(wOff))
+          .select(col("o_orderpriority"), col("__cell"), col("__c"),
+            col("__off"), col("__n"), col("__prev_last"),
+            col("__next_first"))
+        val wLoc = Window.partitionBy(col("o_orderpriority"), col("__cell"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        withCell.join(broadcast(offs), Seq("o_orderpriority", "__cell"))
+          .withColumn("__lrn", row_number().over(wLoc).cast("long"))
+          .withColumn("rn", col("__off") + col("__lrn"))
+          .withColumn("__q", expr("__n div 4"))
+          .withColumn("__r", expr("__n % 4"))
+          .withColumn("quartile",
+            when(col("rn") <= (col("__q") + 1) * col("__r"),
+              expr("(rn - 1) div (__q + 1) + 1"))
+            .otherwise(expr(
+              "__r + (rn - __r * (__q + 1) - 1) div greatest(__q, 1) + 1"))
+            .cast("long"))
+          .withColumn("pct_rank", when(col("__n") === 1, lit(0.0))
+            .otherwise(round((col("rn") - 1).cast("double") /
+              (col("__n") - 1).cast("double"), 6)))
+          .withColumn("cume", round(col("rn").cast("double") /
+            col("__n").cast("double"), 6))
+          .withColumn("prev_price",
+            when(col("__lrn") === 1, col("__prev_last"))
+              .otherwise(lag(col("o_totalprice"), 1).over(wLoc)))
+          .withColumn("next_price",
+            when(col("__lrn") === col("__c"), col("__next_first"))
+              .otherwise(lead(col("o_totalprice"), 1).over(wLoc)))
           .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"), col("rn"), col("quartile"),
+            col("pct_rank"), col("cume"), col("prev_price"),
+            col("next_price"))
           .orderBy(col("o_orderkey"))
       },
       Some("""SELECT * FROM (

@@ -119,6 +119,34 @@ class PlanShapeSpec extends SparkSpec {
       s"q68 rank window not keyed by the value-cell grid:\n${rankLines.mkString("\n")}")
   }
 
+  test("q46 window suite: no window partitions on o_orderpriority alone") {
+    // the scale cliff this pins against: any of the six window functions
+    // evaluated over PARTITION BY o_orderpriority (~5 distinct values)
+    // sorts ~N/5 of all orders in ONE task. The cell-grid decomposition
+    // must keep every window spec that mentions the priority key ALSO
+    // keyed (or ordered, for the tiny-histogram windows) by the 256-cell
+    // value grid — and the native ntile/percent_rank/cume_dist calls
+    // must be gone entirely.
+    val p = plan("q46_window_suite")
+    Seq("ntile", "percent_rank", "cume_dist").foreach { fn =>
+      assert(!p.contains(fn), s"q46 regressed to a whole-priority $fn:\n$p")
+    }
+    val specs = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, s"q46 lost its windows:\n$p")
+    // the hazard is a RAW-ROW window (one that sorts by o_totalprice)
+    // partitioned by the priority key without the grid; the per-
+    // (priority)-only windows over the ~1,280-row histogram (offsets,
+    // totals, boundary lag/lead ordered by __cell) are the point of the
+    // decomposition and are fine
+    val bad = specs.filter(l =>
+      l.contains("o_orderpriority") && l.contains("o_totalprice ASC") &&
+        !l.contains("__cell"))
+    assert(bad.isEmpty,
+      s"q46 raw-row window partitions on o_orderpriority without the " +
+        s"cell grid:\n${bad.mkString("\n")}")
+  }
+
   test("q71 triangles: wedge and closing joins are equi-joins, no cartesian") {
     // the degree-ordered orientation only bounds work if the wedge
     // self-join stays keyed on the center node and the closing probe is
