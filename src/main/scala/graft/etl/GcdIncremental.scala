@@ -1,9 +1,12 @@
 package graft.etl
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import GcdSchemas.GcdFlags
+import graft.sources.Scratch
 
 /**
  * Incremental snapshot maintenance — the answer to the reference's real
@@ -12,8 +15,7 @@ import GcdSchemas.GcdFlags
  * 5-way join for all ~2.5M issues even when a weekly dump touches a few
  * thousand). Every snapshot row derives from exactly ONE issue (the join
  * tree is rooted at `gcd_issue`; stories, credits and dictionary probes
- * are all per-issue satellites), so the snapshot is maintainable with
- * the same partition-upsert strategy as [[graft.operators.Scd2.maintain]]:
+ * are all per-issue satellites), so the snapshot is maintainable:
  *
  *   - rebuild ONLY the touched issues — run the full
  *     [[GcdSnapshot.build]] plan over the source tables semi-join-
@@ -21,34 +23,38 @@ import GcdSchemas.GcdFlags
  *     reads of the issue/story/credit tables, dictionary dims broadcast
  *     as always);
  *   - carry every other issue's rows over from the previous snapshot
- *     verbatim (anti-join on the touched set — at 100 TB this is a
- *     file-level copy-by-reference for untouched partitions);
+ *     verbatim;
  *   - deletions (issues absent from the new dump) fall out of the same
- *     anti-join by including them in the touched set with no rebuild
- *     rows to contribute.
+ *     carry by including them in the touched set with no rebuild rows
+ *     to contribute.
+ *
+ * Two forms ship. [[maintain]] is the ALGEBRA — carried ∪ rebuilt as
+ * pure DataFrames, retained for in-JVM property pins (identity /
+ * deletion / ≡-full-rebuild in GcdIncrementalSpec); its carry anti-joins
+ * the whole base, so as a physical plan it reads and rewrites O(base)
+ * per dump. [[SnapshotStore]] is the PHYSICAL operator the driver gates
+ * (g03): the snapshot persists bucketed by `pmod(issue_id, nBuckets)`,
+ * the carry anti-join runs only INSIDE the buckets the dump touches, and
+ * every untouched bucket's files carry over by pointer with zero I/O —
+ * [[graft.streaming.BucketedUpsert]]'s merge strategy applied to the
+ * flagship. A dump touching k of n buckets pays O(dump + base·k/n)
+ * instead of O(base); at 100 TB, nBuckets is sized so a bucket is a few
+ * files (~1 GB) and a weekly dump reads thousands of bucket files, not
+ * the whole store. GcdSoak's `incremental` stage measures exactly that
+ * (the StreamSoak evidence pattern).
  *
  * Correctness contract (hash-gated by g03 against the FULL-rebuild g01
  * oracle): maintain(build(yesterday), touched) ≡ build(today).
  */
 object GcdIncremental {
 
-  /**
-   * Apply one dump's changes to an existing snapshot.
-   *
-   * @param baseSnapshot   the previous snapshot (88-column
-   *                       [[GcdSnapshot.build]] output, array-typed)
-   * @param tables         TODAY's source tables ([[GcdSnapshot.sourceTables]])
-   * @param touchedIssues  one-column DataFrame `issue_id` of issues whose
-   *                       rows must be (re)built — changed, added, or
-   *                       deleted in the new dump
-   */
-  def maintain(spark: SparkSession, baseSnapshot: DataFrame,
-      tables: Map[String, DataFrame], touchedIssues: DataFrame,
-      date: String, flags: GcdFlags = GcdFlags()): DataFrame = {
-    val touched = touchedIssues.select(col("issue_id")).distinct()
-
-    // restrict the per-issue inputs to the touched set; dictionary dims
-    // stay whole (they broadcast regardless)
+  /** Rebuild rows for the touched issues only: the full snapshot plan
+   * over semi-join-restricted per-issue sources (dictionary dims stay
+   * whole — they broadcast regardless). Shared by [[maintain]] and
+   * [[SnapshotStore.maintain]]. */
+  private[etl] def rebuildTouched(spark: SparkSession,
+      tables: Map[String, DataFrame], touched: DataFrame,
+      date: String, flags: GcdFlags): DataFrame = {
     val issueTab = tables("gcd_issue")
     val issues = issueTab
       .join(touched, issueTab("id") === touched("issue_id"), "left_semi")
@@ -62,12 +68,138 @@ object GcdIncremental {
     val restricted = tables +
       ("gcd_issue" -> issues) + ("gcd_story" -> stories) ++
       credits.map("gcd_story_credit" -> _)
+    GcdSnapshot.build(spark, restricted, date, flags)
+  }
 
-    val rebuilt = GcdSnapshot.build(spark, restricted, date, flags)
+  /**
+   * Dataframe-level maintenance algebra: carried ∪ rebuilt. This is the
+   * SPECIFICATION the store is proven against (GcdIncrementalSpec pins
+   * identity, deletion, and ≡-full-rebuild on it in-JVM); as a physical
+   * plan its carry scans the entire base, so production maintenance goes
+   * through [[SnapshotStore]], whose carry is partition-pruned.
+   *
+   * @param baseSnapshot   the previous snapshot (88-column
+   *                       [[GcdSnapshot.build]] output, array-typed)
+   * @param tables         TODAY's source tables ([[GcdSnapshot.sourceTables]])
+   * @param touchedIssues  one-column DataFrame `issue_id` of issues whose
+   *                       rows must be (re)built — changed, added, or
+   *                       deleted in the new dump
+   */
+  def maintain(spark: SparkSession, baseSnapshot: DataFrame,
+      tables: Map[String, DataFrame], touchedIssues: DataFrame,
+      date: String, flags: GcdFlags = GcdFlags()): DataFrame = {
+    val touched = touchedIssues.select(col("issue_id")).distinct()
+    val rebuilt = rebuildTouched(spark, tables, touched, date, flags)
     // the using-column anti-join hoists issue_id to the front — restore
     // the snapshot's canonical column order before the union
     val carried = baseSnapshot.join(touched, Seq("issue_id"), "left_anti")
       .select(baseSnapshot.columns.map(col): _*)
     carried.unionByName(rebuilt)
+  }
+
+  /** Per-maintain evidence for the soak: what the carry actually read. */
+  final case class MaintainMetrics(touchedBuckets: Int, nBuckets: Int,
+      carryRowsRead: Long, wallMs: Long)
+
+  /**
+   * The persisted, bucket-partitioned snapshot store. One generation
+   * directory per write; within it, one `__bucket=<b>` leaf dir (one
+   * file — the write is repartitioned on the bucket key) per key bucket.
+   * Per-bucket current-version pointers live on the driver (bounded:
+   * nBuckets strings — the same driver-side-scalar shape as
+   * [[graft.streaming.BucketedUpsert]]; a production deployment commits
+   * them to a transaction log, which Delta/Iceberg formalize). Superseded
+   * bucket versions are retired as soon as the replacing write commits,
+   * so a previously-returned lazy [[view]] must be consumed before the
+   * next maintain.
+   *
+   * @param collectMetrics when true (soak), each maintain also counts
+   *   the carry rows it read — an extra pass over the TOUCHED buckets
+   *   only, left off in gated runs.
+   */
+  final class SnapshotStore(ss: SparkSession, nBuckets: Int = 64,
+      collectMetrics: Boolean = false) {
+
+    private val root = Scratch.dir("gcd_snap_store")
+    private val current = mutable.Map.empty[Int, String]
+    private var gen = 0
+    private var columns: Array[String] = Array.empty
+    val metrics: mutable.ArrayBuffer[MaintainMetrics] =
+      mutable.ArrayBuffer()
+
+    private def bucketOf = pmod(col("issue_id"), lit(nBuckets)).cast("int")
+
+    /** One file per bucket per generation: repartition on the bucket key
+     * so each bucket's rows land in a single task's single leaf file. */
+    private def writeBuckets(df: DataFrame): Map[Int, String] = {
+      val out = s"$root/g$gen"; gen += 1
+      df.withColumn("__bucket", bucketOf)
+        .repartition(nBuckets, col("__bucket"))
+        .write.partitionBy("__bucket").parquet(out)
+      val dirs = new java.io.File(out).listFiles()
+      if (dirs == null) Map.empty
+      else dirs.iterator
+        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .map(f => f.getName.stripPrefix("__bucket=").toInt -> f.getPath)
+        .toMap
+    }
+
+    /** Full (re)build of the store from a complete snapshot. */
+    def init(snapshot: DataFrame): Unit = {
+      columns = snapshot.columns
+      current.foreach { case (_, p) => Scratch.deleteNow(p) }
+      current.clear()
+      current ++= writeBuckets(snapshot)
+    }
+
+    /** Apply one dump: rebuild touched issues, anti-join-carry ONLY the
+     * touched buckets, carry every untouched bucket by pointer. */
+    def maintain(tables: Map[String, DataFrame], touchedIssues: DataFrame,
+        date: String, flags: GcdFlags = GcdFlags()): Unit = {
+      val t0 = System.nanoTime()
+      val touched = touchedIssues.select(col("issue_id")).distinct()
+      val rebuilt = rebuildTouched(ss, tables, touched, date, flags)
+      // bounded driver-side list (≤ nBuckets ints), not a data collect
+      val tb = touched.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (tb.nonEmpty) {
+        val prevPaths = tb.toSeq.flatMap(current.get)
+        val carried = prevPaths.headOption.map { _ =>
+          ss.read.parquet(prevPaths: _*)
+            .join(touched, Seq("issue_id"), "left_anti")
+            .select(columns.map(col): _*)
+        }
+        val carryRows =
+          if (collectMetrics)
+            prevPaths.headOption
+              .map(_ => ss.read.parquet(prevPaths: _*).count())
+              .getOrElse(0L)
+          else -1L
+        val written = writeBuckets(
+          carried.map(_.unionByName(rebuilt)).getOrElse(rebuilt))
+        // every written bucket is a touched bucket (rebuilt rows belong
+        // to touched issues; carried rows came from touched buckets)
+        tb.foreach { b =>
+          // retire the superseded bucket version now that the replacing
+          // write committed — disk stays one live generation per bucket
+          current.get(b).foreach(Scratch.deleteNow)
+          written.get(b) match {
+            case Some(p) => current(b) = p
+            case None    => current.remove(b) // bucket fully deleted
+          }
+        }
+        metrics += MaintainMetrics(tb.length, nBuckets, carryRows,
+          (System.nanoTime() - t0) / 1000000)
+      }
+    }
+
+    /** The maintained snapshot: the union of every bucket's current
+     * version (bucket dirs are leaf paths, so the partition column is
+     * absent and the schema is exactly the snapshot's 88 columns). */
+    def view: DataFrame = {
+      val paths = current.values.toSeq
+      require(paths.nonEmpty, "snapshot store read before init")
+      ss.read.parquet(paths: _*)
+    }
   }
 }

@@ -294,7 +294,14 @@ $credJoin
    * hash-proves: maintain(build(yesterday), touched) ≡ build(today),
    * the Scd2.maintain partition-upsert strategy applied to the
    * flagship itself (the reference recomputes everything per dump,
-   * Main.java:380-513). */
+   * Main.java:380-513).
+   *
+   * The gated path runs through [[graft.etl.GcdIncremental.SnapshotStore]]
+   * — the PERSISTED bucket-partitioned store whose carry anti-join reads
+   * only the buckets the dump touches and carries every other bucket's
+   * files by pointer (O(dump + base·k/n) per maintain, not O(base); the
+   * BucketedUpsert strategy applied to the flagship). GcdSoak's
+   * `incremental` stage measures the bounded carry I/O at volume. */
   private def runIncremental(s: SparkSession, dir: String): DataFrame = {
     val tables = GcdSnapshot.sourceTables.map(t =>
       t -> s.read.parquet(s"$fixturesDir/$t.parquet")).toMap
@@ -314,8 +321,10 @@ $credJoin
         yStory.select(col("id").as("__sid")),
         credit("story_id") === col("__sid"), "left_semi"))
     val base = GcdSnapshot.build(s, yTables, snapshotDate, GcdFlags())
-    jsonArrays(graft.etl.GcdIncremental.maintain(s, base, tables,
-      touched, snapshotDate, GcdFlags()))
+    val store = new graft.etl.GcdIncremental.SnapshotStore(s)
+    store.init(base)
+    store.maintain(tables, touched, snapshotDate, GcdFlags())
+    jsonArrays(store.view)
   }
 
   val all: Seq[Q] = Seq(

@@ -169,6 +169,41 @@ object GcdSoak {
       spark.stop(); return
     }
 
+    if (args.contains("incremental")) {
+      // Evidence stage for the SnapshotStore's at-scale cost model: a
+      // small dump against a large bucketed base must read (and rewrite)
+      // only the buckets it touches — carry I/O bounded by
+      // base × touchedBuckets/nBuckets, NOT by base size (the full-scan
+      // carry of the dataframe algebra reads 100% every maintain).
+      val nBuckets = 256
+      val touchedN = 24 // a small dump: 24 issues of `nIssues`
+      val t0 = System.nanoTime()
+      val base = graft.etl.GcdSnapshot.build(spark, tables, "2026-8-12")
+      val store = new graft.etl.GcdIncremental.SnapshotStore(
+        spark, nBuckets, collectMetrics = true)
+      store.init(base)
+      val baseRows = store.view.count()
+      val tInit = (System.nanoTime() - t0) / 1e9
+      val touched = spark.range(touchedN)
+        .select((col("id") * (nIssues / touchedN)).as("issue_id"))
+      store.maintain(tables, touched, "2026-8-12")
+      val m = store.metrics.last
+      val pct = 100.0 * m.carryRowsRead / baseRows
+      println(f"== incremental: base=$baseRows rows (init $tInit%.1fs); " +
+        f"dump of $touchedN issues -> ${m.touchedBuckets}/${m.nBuckets} " +
+        f"buckets, carry read ${m.carryRowsRead} rows ($pct%.1f%% of " +
+        f"base vs 100%% full-scan), wall ${m.wallMs} ms")
+      val afterRows = store.view.count()
+      println(s"== incremental: rows after maintain $afterRows (expect $baseRows)")
+      assert(afterRows == baseRows)
+      assert(m.touchedBuckets <= touchedN,
+        s"touched ${m.touchedBuckets} buckets for a $touchedN-issue dump")
+      // the carry must be partition-pruned: ≲ k/n of base, never ~base
+      assert(m.carryRowsRead <= baseRows * (m.touchedBuckets + 1) / nBuckets * 2,
+        s"carry read ${m.carryRowsRead} of $baseRows rows — not bucket-pruned")
+      spark.stop(); return
+    }
+
     val t0 = System.nanoTime()
     val snap = graft.etl.GcdSnapshot.build(spark, tables, "2026-8-12")
     graft.etl.GcdSink.writeSnapshot(snap, "2026-8-12", out)

@@ -67,6 +67,34 @@ class GcdIncrementalSpec extends SparkSpec {
     assertSame(out, GcdSnapshot.build(spark, tables, date))
   }
 
+  test("snapshot store: bucket-pruned maintain == full rebuild (algebra's physical twin)") {
+    // the same partial-touched scenario as above, through the PERSISTED
+    // bucket-partitioned store the driver gates (g03): carry restricted
+    // to touched buckets + pointer-carried untouched buckets must equal
+    // the from-scratch rebuild — and an empty dump must be the identity
+    // without writing a single bucket
+    val issue = tables("gcd_issue")
+    val touched = issue.filter(col("id") % 5 === 1)
+      .select(col("id").cast("long").as("issue_id"))
+    val story = tables("gcd_story")
+    val yStory = story.join(touched,
+      story("issue_id") === touched("issue_id"), "left_anti")
+    val credit = tables("gcd_story_credit")
+    val yTables = tables +
+      ("gcd_issue" -> issue.join(touched,
+        issue("id") === touched("issue_id"), "left_anti")) +
+      ("gcd_story" -> yStory) +
+      ("gcd_story_credit" -> credit.join(
+        yStory.select(col("id").as("__sid")),
+        credit("story_id") === col("__sid"), "left_semi"))
+    val store = new GcdIncremental.SnapshotStore(spark, nBuckets = 16)
+    store.init(GcdSnapshot.build(spark, yTables, date))
+    val empty = spark.range(0).select(col("id").as("issue_id"))
+    store.maintain(tables, empty, date) // no-op: no buckets touched
+    store.maintain(tables, touched, date)
+    assertSame(store.view, GcdSnapshot.build(spark, tables, date))
+  }
+
   test("deletion: touched issues absent from today's dump drop from the view") {
     val issue = tables("gcd_issue")
     val deleted = issue.filter(col("id") % 11 === 3)
