@@ -208,14 +208,24 @@ object Advanced {
     // q27 — exact interpolated percentiles (both engines implement the
     // same (1-g)·a + g·b definition over the sorted values, so the exact
     // form is oracle-comparable where the sketch form (q23) is not).
+    // NOT Spark's percentile(): its aggregation buffer is a per-group
+    // value map — unbounded state on a continuous domain at 100×. The
+    // grid-rank operator computes the identical interpolation from a
+    // bounded 256-cell histogram + a sort of only the cells the
+    // percentile positions land in (operators/GridPercentile.scala);
+    // the hash gate proves it reproduces percentile() bit-for-bit.
     Q("q27_exact_percentiles",
       (s, dir) => {
+        import graft.operators.GridPercentile
         val e = Tables.load(s, dir, "events")
+        val pctl = GridPercentile.exact(
+          e.select(col("event_type"), col("value")),
+          "event_type", "value", Seq("p50" -> 0.5, "p90" -> 0.9))
         e.groupBy(col("event_type"))
-          .agg(
-            expr("percentile(value, 0.5)").as("p50"),
-            expr("percentile(value, 0.9)").as("p90"),
-            min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+          .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+          .join(pctl, Seq("event_type"))
+          .select(col("event_type"), col("p50"), col("p90"),
+            col("vmin"), col("vmax"))
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type,
@@ -271,7 +281,14 @@ object Advanced {
     // a boolean and fails the hash.
     Q("q23_sketches",
       (s, dir) => {
+        // the exact percentile BANDS come from the bounded-state grid
+        // rank (operators/GridPercentile.scala), not percentile()'s
+        // unbounded per-group value map — same q27 scale contract
         val e = Tables.load(s, dir, "events")
+        val bands = graft.operators.GridPercentile.exact(
+          e.select(col("event_type"), col("value")),
+          "event_type", "value",
+          Seq("p49" -> 0.49, "p51" -> 0.51, "p94" -> 0.94, "p96" -> 0.96))
         e.groupBy(col("event_type"))
           .agg(
             count(lit(1)).as("n_events"),
@@ -279,11 +296,8 @@ object Advanced {
             approx_count_distinct(col("user_id"), rsd = 0.02)
               .as("approx_users"),
             percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50s"),
-            percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95s"),
-            expr("percentile(value, 0.49)").as("p49"),
-            expr("percentile(value, 0.51)").as("p51"),
-            expr("percentile(value, 0.94)").as("p94"),
-            expr("percentile(value, 0.96)").as("p96"))
+            percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95s"))
+          .join(bands, Seq("event_type"))
           .select(col("event_type"), col("n_events"), col("exact_users"),
             (abs(col("approx_users") - col("exact_users")) <=
               col("exact_users").cast("double") * 0.05).as("approx_users_ok"),
