@@ -5,6 +5,7 @@ import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -66,6 +67,15 @@ case class KllBuildAgg(child: Expression, k: Int,
 
   require(k >= 8 && k <= 65535, s"KLL k out of range: $k")
 
+  // analysis-time type check: kllBuild over a non-double column must
+  // fail in the analyzer, not as a mid-job ClassCastException
+  // (AbstractDataType/ExpectsInputTypes are private[sql] in Spark 4,
+  // so the check is spelled via checkInputDataTypes)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_build requires a DOUBLE input, got ${child.dataType.simpleString}")
+
   override def createAggregationBuffer(): KllDoublesSketch =
     KllDoublesSketch.newHeapInstance(k)
 
@@ -108,6 +118,11 @@ case class KllBuildAgg(child: Expression, k: Int,
 case class KllMergeAgg(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_merge requires a BINARY sketch input, got ${child.dataType.simpleString}")
 
   // start at max k: merging adopts the smallest k seen, so the neutral
   // element must not tighten anyone's accuracy
@@ -153,6 +168,11 @@ case class KllQuantileExpr(child: Expression, q: Double)
     extends UnaryExpression with CodegenFallback {
 
   require(q >= 0.0 && q <= 1.0, s"quantile rank out of [0,1]: $q")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kll_quantile requires a BINARY sketch input, got ${child.dataType.simpleString}")
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

@@ -5,6 +5,7 @@ import org.apache.datasketches.theta.{CompactSketch, Intersection, SetOperation,
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExpressionBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -77,6 +78,15 @@ case class ThetaBuildAgg(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Union] {
 
+  // analysis-time type check (update() pattern-matches exactly these;
+  // ExpectsInputTypes/TypeCollection are private[sql] in Spark 4)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"theta_build requires BIGINT/INT/STRING input, got ${t.simpleString}")
+  }
+
   override def createAggregationBuffer(): Union = ThetaAggregate.newUnion()
 
   override def update(buf: Union, input: InternalRow): Union = {
@@ -121,6 +131,11 @@ case class ThetaUnionAgg(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Union] {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta_union requires a BINARY sketch input, got ${child.dataType.simpleString}")
+
   override def createAggregationBuffer(): Union = ThetaAggregate.newUnion()
 
   override def update(buf: Union, input: InternalRow): Union = {
@@ -159,6 +174,11 @@ case class ThetaUnionAgg(child: Expression,
 case class ThetaIntersectExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "theta_intersect requires two BINARY sketch inputs")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
@@ -181,6 +201,11 @@ case class ThetaIntersectExpr(left: Expression, right: Expression)
 case class ThetaDiffExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "theta_diff requires two BINARY sketch inputs")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
@@ -200,6 +225,10 @@ case class ThetaDiffExpr(left: Expression, right: Expression)
 case class ThetaEstimateExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta_estimate requires a BINARY sketch input, got ${child.dataType.simpleString}")
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 

@@ -163,10 +163,14 @@ object Dedup {
    * empty signature is all-null and would otherwise bucket every
    * token-poor doc together.
    */
-  /** Scratch dirs of the last [[incremental]] call, retired at the next
-   * call's entry (valid only under sequential gate/bench execution —
-   * a held plan from a superseded call would read deleted paths). */
-  private var retiredSigDirs: Seq[String] = Nil
+  /** Finished signature-table generations, newest last. Entry keeps the
+   * NEWEST finished generation alive and retires only older ones (the
+   * AnnIndex.deadRoots / q51 / k03 two-generation contract): a lazily
+   * held plan from the immediately preceding call still reads intact
+   * files while a new call builds. Holding a plan across TWO newer
+   * calls, or building concurrently, remains out of contract. */
+  private val retiredSigDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
 
   def incremental(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, k: Int = 16, bands: Int = 4): DataFrame = {
@@ -187,11 +191,12 @@ object Dedup {
       .select(col("id"), explode_outer(array((0 until bands).map(b =>
         concat(lit(s"$b|"), bandKey(col("sig"), b, r))): _*)).as("bkey"))
     // one signature pass per side, materialized (the corpus index shape).
-    // The PREVIOUS invocation's tables are dead once a new one starts
-    // (the strictly-sequential gate/bench contract, like q51's catalog
-    // cleanup) — retire them on re-entry so a BenchOne rep loop holds
-    // one live generation on disk instead of accumulating 2N copies.
-    retiredSigDirs.foreach(graft.sources.Scratch.deleteNow)
+    // Generations older than the newest FINISHED one are dead once a new
+    // call starts — retire them on re-entry, so a bench rep loop holds
+    // at most two live generations instead of accumulating 2N copies
+    // while the previous call's returned plan stays readable.
+    while (retiredSigDirs.size() > 1)
+      retiredSigDirs.poll().foreach(graft.sources.Scratch.deleteNow)
     val newDirs = Seq.newBuilder[String]
     def materialize(df: DataFrame, tag: String): DataFrame = {
       val path = graft.sources.Scratch.dir(s"incdedup_$tag")
@@ -201,7 +206,7 @@ object Dedup {
     }
     val cs = materialize(sigs(corpus), "corpus_sig")
     val bs = materialize(sigs(batch), "batch_sig")
-    retiredSigDirs = newDirs.result()
+    retiredSigDirs.add(newDirs.result())
     val corpusFp = cs.select(col("fp")).distinct()
     val near = buckets(bs)
       .join(buckets(cs).select(col("bkey")), Seq("bkey"), "left_semi")

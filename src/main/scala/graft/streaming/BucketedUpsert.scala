@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path, StandardCopyOption}
+
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -30,14 +32,20 @@ import graft.sources.Scratch
  * on: rewrite matched files only). The naive alternative — union the
  * batch with the FULL state and rewrite all of it — pays O(state) per
  * micro-batch and fails at 100 TB of keyed state; here a batch touching
- * k of n buckets pays O(batch + state·k/n). Superseded bucket versions
- * are deleted as soon as the replacing write commits, so disk holds one
- * live generation per bucket (plus the in-flight write).
+ * k of n buckets pays O(batch + state·k/n).
  *
- * The per-bucket current-version pointers live on the driver (bounded:
- * nBuckets strings). A production deployment would instead commit them
- * to a transaction log next to the checkpoint (Delta/Iceberg formalize
- * exactly this); the merge plan — the part that scales — is identical.
+ * Durability — the mini transaction log: after every merge the
+ * per-bucket pointer map is COMMITTED to a `_manifest` file at the
+ * state root (tmp-write + atomic rename, one tiny write per batch),
+ * and superseded bucket versions are deleted only AFTER that commit.
+ * So at any crash point the last committed manifest references only
+ * live files, and [[BucketedUpsert.recover]] reattaches a fresh State
+ * to it. Batch writes go to attempt-unique directories (`v<id>_a<k>`),
+ * so a foreachBatch RETRY of a batch id — after a crash or a transient
+ * failure — never collides with the half-written previous attempt and
+ * re-merges against the last committed state; the latest-wins merge
+ * makes the replay idempotent. (Delta/Iceberg formalize exactly this
+ * log; the merge plan — the part that scales — is identical.)
  */
 object BucketedUpsert {
 
@@ -53,13 +61,16 @@ object BucketedUpsert {
    * @param collectMetrics when true (soak), each merge also counts the
    *   state rows it read — an extra pass over the TOUCHED buckets only,
    *   left off in gated runs.
+   * @param root an existing state root to attach to (recovery); default
+   *   a fresh scratch dir.
    */
   final class State(ss: SparkSession, keyCol: String,
       payloadCols: Seq[String], nBuckets: Int,
-      collectMetrics: Boolean = false) {
+      collectMetrics: Boolean = false, root: Option[String] = None) {
 
-    private val root = Scratch.dir("upsert_state")
+    private val stateRoot = root.getOrElse(Scratch.dir("upsert_state"))
     private val current = mutable.Map.empty[Int, String]
+    private var attempt = 0L
     val metrics: mutable.ArrayBuffer[BatchMetrics] = mutable.ArrayBuffer()
 
     private def bucketOf = pmod(col(keyCol), lit(nBuckets)).cast("int")
@@ -88,19 +99,54 @@ object BucketedUpsert {
           case Some(p) => latest(newest.unionByName(p))
           case None => newest
         }
-        val out = s"$root/v$id"
+        // attempt-unique dir: a retried batch id never collides with a
+        // previous half-written attempt
+        val out = s"$stateRoot/v${id}_a$attempt"; attempt += 1
         merged.withColumn("__bucket", bucketOf)
           .write.partitionBy("__bucket").parquet(out)
-        touched.foreach { b =>
-          // retire the superseded bucket version now that the replacing
-          // write committed — disk stays one live generation per bucket
-          current.get(b).foreach(Scratch.deleteNow)
-          current(b) = s"$out/__bucket=$b"
-        }
+        val superseded = touched.toSeq.flatMap(current.get)
+        touched.foreach(b => current(b) = s"$out/__bucket=$b")
+        // commit the pointer map BEFORE retiring the superseded files:
+        // any crash leaves the last committed manifest fully readable
+        commitManifest(id)
+        superseded.foreach(Scratch.deleteNow)
         metrics += BatchMetrics(id, touched.length, stateRows,
           (System.nanoTime() - t0) / 1000000)
       }
     }
+
+    /** One tiny write per batch: bucket→path map, tmp + atomic rename. */
+    private def commitManifest(batchId: Long): Unit = {
+      val body = (s"batch $batchId" +:
+        current.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
+        .mkString("\n")
+      val tmp = Path.of(stateRoot, "_manifest.tmp")
+      Files.writeString(tmp, body)
+      Files.move(tmp, Path.of(stateRoot, "_manifest"),
+        StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    private[streaming] def loadManifest(): Unit = {
+      val mf = Path.of(stateRoot, "_manifest")
+      require(Files.exists(mf),
+        s"recover: no committed manifest at $stateRoot")
+      current.clear()
+      Files.readString(mf).linesIterator.drop(1).filter(_.nonEmpty)
+        .foreach { l =>
+          val Array(b, p) = l.split("\t", 2); current(b.toInt) = p
+        }
+      // resume attempt numbering past every existing write dir (retired
+      // bucket dirs leave their v* shells behind, so the count covers
+      // all prior attempts — committed or crashed)
+      val dirs = new java.io.File(stateRoot).listFiles()
+      attempt = if (dirs == null) 0
+        else dirs.count(_.getName.startsWith("v")).toLong
+    }
+
+    /** The state root (pass to [[BucketedUpsert.recover]] after a
+     * simulated or real driver loss). */
+    def rootDir: String = stateRoot
 
     /** The maintained view: the union of every bucket's current version
      * (bucket dirs are leaf paths, so the partition column is absent and
@@ -110,5 +156,18 @@ object BucketedUpsert {
       require(paths.nonEmpty, "upsert view read before any batch merged")
       reader.read.parquet(paths: _*)
     }
+  }
+
+  /** Reattach to a state root from its last committed manifest: the
+   * recovery half of the transaction log. Requires at least one
+   * committed batch (a State that never merged has no manifest — a
+   * fresh root needs a fresh State, not recovery). */
+  def recover(ss: SparkSession, keyCol: String, payloadCols: Seq[String],
+      nBuckets: Int, stateRoot: String,
+      collectMetrics: Boolean = false): State = {
+    val st = new State(ss, keyCol, payloadCols, nBuckets, collectMetrics,
+      Some(stateRoot))
+    st.loadManifest()
+    st
   }
 }

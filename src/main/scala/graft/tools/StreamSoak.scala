@@ -174,13 +174,19 @@ object StreamSoak {
     println(s"== sessions: $nSessions finalized sessions over $nUsers users")
 
     // ---- bucketed streaming upsert (q56's machinery): per-batch cost
-    // bounded by the TOUCHED buckets, not total state. Phase 1 builds a
-    // 20k-key state; phase 2's batches each touch only 4 hot keys → ≤4
-    // of 64 buckets. The metrics assert the merge READ stays ~state/16
-    // per batch while the view holds all 20k keys, and the final view
-    // equals the batch argmax restatement over the whole feed.
+    // bounded by the TOUCHED buckets, not total state — AND the state
+    // survives a driver loss. Phase 1 builds a 20k-key state over 4
+    // micro-batches, then the driver "crashes": the State object is
+    // discarded and a fresh one reattaches via the per-batch _manifest
+    // (BucketedUpsert.recover). Phase 2 resumes from the SAME streaming
+    // checkpoint with 8 hot-key batches, each touching only 4 keys → ≤4
+    // of 64 buckets. The metrics assert the post-recovery merge READ
+    // stays ~state/16 per batch while the view holds all 20k keys, and
+    // the final recovered view equals the batch argmax restatement over
+    // the whole feed — the kill/recover hash proof.
     locally {
       val upDir = Files.createTempDirectory("soak_upsert_src").toString
+      val cpDir = Files.createTempDirectory("soak_upsert_cp").toString
       val nKeys = 20000L
       def feedRow(idExpr: Column, userExpr: Column, step: Long) = Seq(
         idExpr.as("event_id"), userExpr.as("user_id"),
@@ -193,6 +199,26 @@ object StreamSoak {
       spark.range(nKeys * 5)
         .select(feedRow(col("id"), col("id") % nKeys, 0): _*)
         .repartition(4).write.mode("overwrite").parquet(upDir)
+      val schema = spark.read.parquet(upDir).schema
+      val payload = Seq("us", "event_id", "event_type", "value")
+      def runStream(st: graft.streaming.BucketedUpsert.State): Unit = {
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(upDir)
+          .writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", cpDir)
+          .foreachBatch { (b: DataFrame, id: Long) => st.merge(b, id) }
+          .start()
+        q.awaitTermination()
+      }
+      val state = new graft.streaming.BucketedUpsert.State(spark,
+        keyCol = "user_id", payloadCols = payload,
+        nBuckets = 64, collectMetrics = true)
+      timed("bucketed upsert phase 1 (4 micro-batches, 20k keys)") {
+        runStream(state)
+      }
+      // driver loss: the State (and its in-memory pointer map) is gone;
+      // only the state root's files + committed _manifest survive
+      val stateRoot = state.rootDir
       // phase 2: 8 single-file batches over 4 hot keys only
       (0 until 8).foreach { i =>
         val tmp = Files.createTempDirectory(s"soak_upsert_b$i").toString
@@ -202,46 +228,36 @@ object StreamSoak {
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.startsWith("part-")).get
-        Files.move(part.toPath,
-          java.nio.file.Path.of(upDir, f"zbatch-$i%02d.parquet"))
+        val dst = java.nio.file.Path.of(upDir, f"zbatch-$i%02d.parquet")
+        Files.move(part.toPath, dst)
+        // deterministic pickup order for the resumed source listing
+        dst.toFile.setLastModified(
+          System.currentTimeMillis() + i * 10000L)
       }
-      new java.io.File(upDir).listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        .zipWithIndex.foreach { case (f, i) =>
-          f.setLastModified(1700000000000L + i * 10000L)
-        }
-      val feed = spark.read.parquet(upDir)
-      val state = new graft.streaming.BucketedUpsert.State(spark,
-        keyCol = "user_id",
-        payloadCols = Seq("us", "event_id", "event_type", "value"),
-        nBuckets = 64, collectMetrics = true)
-      timed("bucketed upsert (12 micro-batches, 64 buckets)") {
-        val q = spark.readStream.schema(feed.schema)
-          .option("maxFilesPerTrigger", 1).parquet(upDir)
-          .writeStream.trigger(Trigger.AvailableNow())
-          .option("checkpointLocation",
-            Files.createTempDirectory("soak_upsert_cp").toString)
-          .foreachBatch { (b: DataFrame, id: Long) => state.merge(b, id) }
-          .start()
-        q.awaitTermination()
+      val recovered = graft.streaming.BucketedUpsert.recover(spark,
+        keyCol = "user_id", payloadCols = payload,
+        nBuckets = 64, stateRoot = stateRoot, collectMetrics = true)
+      timed("bucketed upsert phase 2 (recovered state, 8 hot batches)") {
+        runStream(recovered)
       }
-      state.metrics.foreach { m =>
+      recovered.metrics.foreach { m =>
         println(s"   batch ${m.batchId}: touched=${m.touchedBuckets}/64 " +
           s"stateRowsRead=${m.stateRowsRead} wall=${m.wallMs}ms")
       }
-      val hot = state.metrics.filter(_.batchId >= 4)
+      val hot = recovered.metrics
       assert(hot.nonEmpty && hot.forall(_.touchedBuckets <= 4),
         s"hot batches touched more than their 4 key buckets: $hot")
       assert(hot.forall(_.stateRowsRead < nKeys / 8),
         s"hot-batch merge read should be bounded by touched buckets " +
           s"(~state/16), not the $nKeys-key state: $hot")
+      val feed = spark.read.parquet(upDir)
       val wantView = feed.groupBy(col("user_id"))
         .agg(max(struct(col("us"), col("event_id"), col("event_type"),
           col("value"))).as("m"))
         .select(col("user_id"), col("m.us"), col("m.event_id"),
           col("m.event_type"), col("m.value"))
-      assertEqual("bucketed upsert view ≡ batch argmax",
-        state.view(spark).select(col("user_id"), col("us"),
+      assertEqual("recovered upsert view ≡ batch argmax",
+        recovered.view(spark).select(col("user_id"), col("us"),
           col("event_id"), col("event_type"), col("value")),
         wantView)
     }

@@ -14,6 +14,20 @@ import KllAggregate._
 class KllSketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("wrong-typed input fails at analysis, not as a mid-job cast error") {
+    val df = Seq(("a", 1.0), ("b", 2.0)).toDF("s", "v")
+    // kllBuild over a string column: analyzer-time failure
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(kllBuild(col("s"), 200)).queryExecution.analyzed
+    }
+    assert(e1.getMessage.contains("kll_build"))
+    // kllMerge over a non-binary column: analyzer-time failure
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(kllMerge(col("v"))).queryExecution.analyzed
+    }
+    assert(e2.getMessage.contains("kll_merge"))
+  }
+
   test("below k the sketch is exact: quantiles are true order statistics") {
     // 100 values into a k=200 sketch: no compaction can have occurred
     val df = (1 to 100).map(_.toDouble).toDF("v")

@@ -56,4 +56,37 @@ class UpsertStreamSpec extends SparkSpec {
     val want = latest(ev)
     assert(got.except(want).isEmpty && want.except(got).isEmpty)
   }
+
+  test("manifest recovery + batch replay: reattached state is exact, replay idempotent") {
+    import graft.streaming.BucketedUpsert
+    val ev = spark.range(1000).select(
+      (col("id") % 50).as("user_id"), col("id").as("event_id"),
+      (col("id") * 1000L).as("us"),
+      (col("id") % 7).cast("double").as("value"))
+    val payload = Seq("us", "event_id", "value")
+    def latest(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("us"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("m.us").as("us"),
+          col("m.event_id").as("event_id"), col("m.value").as("value"))
+
+    val st = new BucketedUpsert.State(spark, "user_id", payload,
+      nBuckets = 8)
+    st.merge(ev.filter(col("id") < 400), 0)
+    st.merge(ev.filter(col("id") >= 400 && col("id") < 700), 1)
+    // driver loss: only the state root (files + committed _manifest)
+    // survives; reattach a fresh State to it
+    val rec = BucketedUpsert.recover(spark, "user_id", payload, 8,
+      st.rootDir)
+    // foreachBatch retry of the last batch id after recovery: the
+    // attempt-unique write dir avoids any collision with the previous
+    // attempt, and the latest-wins merge makes the replay idempotent
+    rec.merge(ev.filter(col("id") >= 400 && col("id") < 700), 1)
+    rec.merge(ev.filter(col("id") >= 700), 2)
+    val got = rec.view(spark)
+      .select(col("user_id"), col("us"), col("event_id"), col("value"))
+    val want = latest(ev)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "recovered+replayed view differs from batch argmax")
+  }
 }
