@@ -1370,6 +1370,98 @@ Some(scd2RebuildOracle)),
              |FROM viewers v
              |LEFT JOIN clickers c ON c.d = v.d AND c.user_id = v.user_id
              |WHERE c.user_id IS NULL
-             |GROUP BY v.d ORDER BY day_num""".stripMargin))
+             |GROUP BY v.d ORDER BY day_num""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q82 — PERSISTED sketch-store serve: q73/q78's rollups answered
+    // from a persisted artifact instead of in-query sketches. The
+    // per-(type, day) sketch table is built once (the ingest side) and
+    // the rollup's SERVE PLAN reads ONLY that artifact — exact counts
+    // by integer sum, distinct users from the HLL union, the median
+    // cents from the KLL merge; SketchStoreSpec pins that the serve
+    // plan contains exactly one scan and it is the sketch table. The
+    // raw events are touched here solely to compute the gate's exact
+    // references (exact_users, the p45..p55 cents band) that the
+    // sketch estimates are tolerance-checked against — the q73
+    // contract, since KLL compaction is randomized and HLL drops HIP
+    // on union.
+    Q("q82_sketch_store_serve",
+      (s, dir) => {
+        val root = graft.operators.SketchStore.build(
+          Tables.load(s, dir, "events"))
+        sketchStoreGate(s, dir, root)
+      },
+      Some(sketchStoreOracle)),
+
+    // ----------------------------------------------------------------
+    // q83 — sketch-store MAINTENANCE: the event history splits at its
+    // midpoint day; the store is built from the older half, then the
+    // newer days are ingested via maintain — a pure day-partition
+    // APPEND whose rows are computed from the new events alone, with
+    // every existing day file byte-untouched (the k03 generation
+    // contract). Sharing q82's oracle is the correctness statement the
+    // gate hash-proves: maintain(build(days<mid), days>=mid) serves
+    // identically to build(all) — exact because per-day sketch rows
+    // depend only on that day's events.
+    Q("q83_sketch_store_maintain",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val bounds = e.agg(min(to_date(col("ts"))).as("mn"),
+          max(to_date(col("ts"))).as("mx"))
+        val withMid = e.crossJoin(broadcast(bounds))
+          .withColumn("__mid", date_add(col("mn"),
+            (datediff(col("mx"), col("mn")) / 2).cast("int")))
+        val base = withMid.filter(to_date(col("ts")) < col("__mid"))
+          .select(e.columns.map(col): _*)
+        val fresh = withMid.filter(to_date(col("ts")) >= col("__mid"))
+          .select(e.columns.map(col): _*)
+        val root = graft.operators.SketchStore.build(base)
+        graft.operators.SketchStore.maintain(root, fresh)
+        sketchStoreGate(s, dir, root)
+      },
+      Some(sketchStoreOracle))
   )
+
+  /** Shared q82/q83 gate shape: the store's artifact-only serve output
+   * joined with exact references computed from raw events (exact
+   * distinct users; the q78 bounded-cents-dictionary p45..p55 band) —
+   * the raw side exists ONLY to give the gate its exact reference, the
+   * serve plan itself never touches it. */
+  private def sketchStoreGate(s: SparkSession, dir: String,
+      root: String): DataFrame = {
+    val e = Tables.load(s, dir, "events")
+    val served = graft.operators.SketchStore.serve(s, root)
+    val exact = e.groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    val ev = e.select(col("event_type"),
+      (dec(col("value")) * 100).cast("long").as("cents"))
+    val cum = ev.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("event_type").orderBy("cents")))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy("event_type")))
+    def sel(p: Int, name: String) =
+      min(when(col("cum") >= expr(s"($p * n + 99) div 100"),
+        col("cents"))).as(name)
+    val band = cum.groupBy(col("event_type"))
+      .agg(sel(45, "p45"), sel(55, "p55"))
+    served.join(exact, Seq("event_type")).join(band, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("exact_users"),
+        (abs(col("est_users") - col("exact_users")) <=
+          greatest(col("exact_users").cast("double") * 0.05, lit(4.0)))
+          .as("users_ok"),
+        (col("sk_p50_cents") >= col("p45") &&
+          col("sk_p50_cents") <= col("p55")).as("p50_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  private def sketchStoreOracle: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS users_ok, TRUE AS p50_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }
