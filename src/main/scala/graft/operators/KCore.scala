@@ -47,16 +47,17 @@ object KCore {
    * with its degree in the surviving subgraph — the k-core exactly when
    * `rounds` reaches the cascade's fixpoint.
    */
-  def peel(edgesRaw: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def peel(edgesRaw: DataFrame, k: Int, rounds: Int): DataFrame =
+    peelCanonical(GraphEdges.canonical(edgesRaw), k, rounds)
+
+  /** As [[peel]], over an ALREADY-canonical (a < b, simple) edge list —
+   * the entry point for pipelines that canonicalize once via
+   * [[GraphEdges.canonical]] and run several graph operators over the
+   * same edge set. */
+  def peelCanonical(canon: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got $k, $rounds")
-    // Canonical simple undirected edges (a < b, deduplicated), then the
-    // symmetric orientation so one degree aggregate keyed on `s` sees
-    // every incidence.
-    val canon = edgesRaw
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    // The symmetric orientation of the canonical edges, so one degree
+    // aggregate keyed on `s` sees every incidence.
     var sym = canon.select(col("a").as("s"), col("b").as("d"))
       .union(canon.select(col("b").as("s"), col("a").as("d")))
       .localCheckpoint(true)

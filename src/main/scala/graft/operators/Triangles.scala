@@ -40,17 +40,15 @@ object Triangles {
    * self-loops are ignored). Returns (`id`, `n_triangles`) for every
    * node that is part of at least one triangle.
    */
-  def perNode(edgesRaw: DataFrame): DataFrame = {
-    // Canonical simple undirected edges: a < b, deduplicated.
-    val canon = edgesRaw
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+  def perNode(edgesRaw: DataFrame): DataFrame =
+    perNodeCanonical(GraphEdges.canonical(edgesRaw))
 
-    val deg = canon.select(col("a").as("id"))
-      .union(canon.select(col("b").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+  /** As [[perNode]], over an ALREADY-canonical (a < b, simple) edge
+   * list — the entry point for pipelines that canonicalize once via
+   * [[GraphEdges.canonical]] and run several graph operators over the
+   * same edge set. */
+  def perNodeCanonical(canon: DataFrame): DataFrame = {
+    val deg = GraphEdges.degrees(canon)
 
     // Orient each edge from the lower (deg, id) endpoint to the higher.
     // canon already has a < b, so the tie-break on equal degrees is a→b.

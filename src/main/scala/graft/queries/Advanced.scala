@@ -1105,9 +1105,18 @@ Some(scd2RebuildOracle)),
     // events in the PRECEDING HOUR — a RANGE frame over integer
     // microseconds, not a ROWS frame (q46's family), so peers at the
     // same instant aggregate identically on both engines with no
-    // tiebreak sensitivity. One window shuffle per user key; frame
-    // width bounds nothing — state is the frame's events per partition,
-    // which is what a real rolling-feature job sizes executors for.
+    // tiebreak sensitivity. One window shuffle per user key.
+    //
+    // State bound: WindowExec holds the FRAME's rows per partition —
+    // here one hour of one user's events — so executor memory is sized
+    // by the HOTTEST key's in-frame event rate, not by data volume. At
+    // 100× a pathological key (bot traffic at ~10k events/min is ~600k
+    // in-frame rows) is the hazard; the remedy is the dedup-style cap:
+    // pre-aggregate the hot key's events to a coarser grain (e.g.
+    // per-second count/sum partials — the frame then holds ≤3600 rows
+    // per user regardless of rate, and count/sum over partials is
+    // exact) or cap-and-flag keys beyond a rate threshold upstream,
+    // exactly like Dedup's maxShingleDf hot-bucket cap.
     Q("q69_rolling_time_window",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
