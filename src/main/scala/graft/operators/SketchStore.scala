@@ -78,6 +78,61 @@ object SketchStore {
   def table(ss: SparkSession, root: String): DataFrame =
     ss.read.parquet(s"$root/days")
 
+  /** Late-data-tolerant ingest: merge a batch that may RE-FEED days the
+   * store already holds. All four columns are mergeable monoids (counts
+   * sum; HLL/KLL/theta union), so the batch's partial day rows merge
+   * with the existing rows of exactly the TOUCHED days — read
+   * partition-pruned, rewritten via dynamic partition overwrite — and
+   * every untouched day partition is left alone. This is the streaming/
+   * backfill counterpart of [[maintain]]'s whole-day append: per batch
+   * it costs O(batch + touched day rows), never O(store), and it is
+   * what a foreachBatch micro-batch ingest calls (micro-batches do not
+   * align to day boundaries; the q56 BucketedUpsert economics applied
+   * to the artifact). The touched-day list is a bounded driver-side
+   * scalar set (ingest grain: days), not a data collect. */
+  def upsertDays(ss: SparkSession, root: String,
+      newEvents: DataFrame): Unit = {
+    val partial = dayRows(newEvents)
+    val touched = partial.select(col("day")).distinct()
+      .collect().map(_.getDate(0))
+    if (touched.nonEmpty) {
+      val existing = table(ss, root)
+        .filter(col("day").isin(touched.toSeq: _*))
+      val merged = existing.unionByName(partial)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n_rows")).as("n_rows"),
+          hll_union_agg(col("sk_hll")).as("sk_hll"),
+          KllAggregate.kllMerge(col("sk_kll")).as("sk_kll"),
+          ThetaAggregate.thetaUnion(col("sk_theta")).as("sk_theta"))
+      // Spark refuses to overwrite a path its own plan reads — stage
+      // the merged day rows (tiny: touched days × types) and rewrite
+      // ONLY those day partitions via dynamic partition overwrite
+      val tmp = graft.sources.Scratch.dir("sketch_upsert_stage")
+      merged.write.parquet(s"$tmp/rows")
+      ss.read.parquet(s"$tmp/rows")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(s"$root/days")
+      graft.sources.Scratch.deleteNow(tmp)
+    }
+  }
+
+  /** [[serve]] over a day range, answered from the artifact alone with
+   * the range pushed into PARTITION PRUNING (day is the partition
+   * column, so only the in-range day directories are ever read —
+   * SketchStoreSpec pins the PartitionFilters in the plan). */
+  def serveRange(ss: SparkSession, root: String,
+      fromDay: java.sql.Date, toDay: java.sql.Date): DataFrame =
+    table(ss, root)
+      .filter(col("day") >= lit(fromDay) && col("day") <= lit(toDay))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_rows")).as("n_events"),
+        hll_sketch_estimate(hll_union_agg(col("sk_hll"))).as("est_users"),
+        KllAggregate.kllQuantile(
+          KllAggregate.kllMerge(col("sk_kll")), 0.5).cast("long")
+          .as("sk_p50_cents"))
+
   /** Per-type rollup answered from the ARTIFACT ALONE — the serve plan
    * scans only the sketch table (SketchStoreSpec pins that): exact
    * event counts by integer sum, distinct users from the HLL union,

@@ -1396,9 +1396,9 @@ Some(scd2RebuildOracle)),
     // on union.
     Q("q82_sketch_store_serve",
       (s, dir) => {
-        val root = graft.operators.SketchStore.build(
-          Tables.load(s, dir, "events"))
-        sketchStoreGate(s, dir, root)
+        val e = Tables.load(s, dir, "events")
+        val root = graft.operators.SketchStore.build(e)
+        sketchStoreGate(e, graft.operators.SketchStore.serve(s, root))
       },
       Some(sketchStoreOracle)),
 
@@ -1426,20 +1426,87 @@ Some(scd2RebuildOracle)),
           .select(e.columns.map(col): _*)
         val root = graft.operators.SketchStore.build(base)
         graft.operators.SketchStore.maintain(root, fresh)
-        sketchStoreGate(s, dir, root)
+        sketchStoreGate(e, graft.operators.SketchStore.serve(s, root))
       },
-      Some(sketchStoreOracle))
+      Some(sketchStoreOracle)),
+
+    // ----------------------------------------------------------------
+    // q84 — sketch-store LATE-DATA upsert: unlike q83's whole-day
+    // append, real ingest (a micro-batch stream, a backfill) re-feeds
+    // days the store already holds. Every store column is a mergeable
+    // monoid (counts sum; HLL registers max; KLL/theta union), so a
+    // batch's partial day rows merge with the existing rows of exactly
+    // the touched days — read partition-pruned, rewritten via dynamic
+    // partition overwrite, untouched day partitions left alone
+    // (O(batch + touched days) per batch, the q56 economics applied to
+    // the artifact). The history is dealt into three hash-disjoint
+    // subsets, built from the first and upserted twice with the
+    // others — every day is re-fed — and sharing q82's oracle
+    // hash-proves upsert(upsert(build(⅓))) serves ≡ build(all): exact
+    // columns exactly (counts sum associatively), HLL identically
+    // (register max is order-independent), KLL/theta inside their
+    // gated bands.
+    Q("q84_sketch_store_upsert",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val h = pmod(xxhash64(col("event_id")), lit(4))
+        val root = graft.operators.SketchStore.build(
+          e.filter(h === 0 || h === 1))
+        graft.operators.SketchStore.upsertDays(s, root, e.filter(h === 2))
+        graft.operators.SketchStore.upsertDays(s, root, e.filter(h === 3))
+        sketchStoreGate(e, graft.operators.SketchStore.serve(s, root))
+      },
+      Some(sketchStoreOracle)),
+
+    // ----------------------------------------------------------------
+    // q85 — sketch-store RANGE serve with partition pruning: "distinct
+    // users / median over the first half of the history" answered from
+    // the in-range day DIRECTORIES alone — day is the artifact's
+    // partition column, and the range rides as a STATIC literal filter
+    // (a join-derived bound would not prune partitions), so the scan
+    // never opens an out-of-range day file (SketchStoreSpec pins the
+    // PartitionFilters and the pruned file count). The two range
+    // bounds come from a bounded one-row collect (two dates — the
+    // documented driver-side-scalar shape, not a data collect). The
+    // raw side of the gate restricts to the same range to produce the
+    // exact references.
+    Q("q85_sketch_store_range",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val root = graft.operators.SketchStore.build(e)
+        val r = e.agg(min(to_date(col("ts"))).as("mn"),
+          max(to_date(col("ts"))).as("mx")).head()
+        val mn = r.getDate(0)
+        val mid = java.sql.Date.valueOf(mn.toLocalDate.plusDays(
+          java.time.temporal.ChronoUnit.DAYS.between(
+            mn.toLocalDate, r.getDate(1).toLocalDate) / 2))
+        val served = graft.operators.SketchStore.serveRange(
+          s, root, mn, mid)
+        sketchStoreGate(
+          e.filter(to_date(col("ts")).between(lit(mn), lit(mid))),
+          served)
+      },
+      Some("""WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS mn,
+             |    MAX(CAST(ts AS DATE)) AS mx FROM events),
+             |ev AS (SELECT e.* FROM events e, b
+             |  WHERE CAST(e.ts AS DATE) BETWEEN b.mn
+             |    AND b.mn + CAST((b.mx - b.mn) // 2 AS INTEGER))
+             |SELECT event_type,
+             |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+             |  COUNT(*) AS n_events,
+             |  COUNT(DISTINCT user_id) AS exact_users,
+             |  TRUE AS users_ok, TRUE AS p50_ok
+             |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
-  /** Shared q82/q83 gate shape: the store's artifact-only serve output
+  /** Shared q82-q85 gate shape: the store's artifact-only serve output
    * joined with exact references computed from raw events (exact
    * distinct users; the q78 bounded-cents-dictionary p45..p55 band) —
    * the raw side exists ONLY to give the gate its exact reference, the
-   * serve plan itself never touches it. */
-  private def sketchStoreGate(s: SparkSession, dir: String,
-      root: String): DataFrame = {
-    val e = Tables.load(s, dir, "events")
-    val served = graft.operators.SketchStore.serve(s, root)
+   * serve plan itself never touches it. `e` is the raw event set the
+   * serve output is supposed to summarize (range-restricted for q85). */
+  private def sketchStoreGate(e: DataFrame,
+      served: DataFrame): DataFrame = {
     val exact = e.groupBy(col("event_type"))
       .agg(count_distinct(col("user_id")).as("exact_users"))
     val ev = e.select(col("event_type"),

@@ -119,6 +119,22 @@ class PlanShapeSpec extends SparkSpec {
       s"q68 rank window not keyed by the value-cell grid:\n${rankLines.mkString("\n")}")
   }
 
+  test("q27 percentiles: no unbounded value-map aggregate, rank windows cell-keyed") {
+    // the scale cliff this pins against: Spark's percentile() buffers a
+    // per-group map of every distinct value — unbounded aggregation
+    // state on a continuous domain. The grid-rank decomposition must
+    // keep the plan free of it, and every row-ranking window keyed by
+    // the value-cell grid (never the group key alone)
+    val p = plan("q27_exact_percentiles")
+    assert(!p.contains("percentile("),
+      s"q27 regressed to the unbounded percentile() aggregate:\n$p")
+    val rankLines = p.linesIterator
+      .filter(_.contains("row_number()")).toSeq
+    assert(rankLines.nonEmpty, s"q27 lost its grid rank window:\n$p")
+    assert(rankLines.forall(_.contains("__cell")),
+      s"q27 rank window not keyed by the value-cell grid:\n${rankLines.mkString("\n")}")
+  }
+
   test("q46 window suite: no window partitions on o_orderpriority alone") {
     // the scale cliff this pins against: any of the six window functions
     // evaluated over PARTITION BY o_orderpriority (~5 distinct values)

@@ -90,4 +90,94 @@ class SketchStoreSpec extends SparkSpec {
     assert(incServe == fullServe,
       "maintained serve rollup differs from full rebuild")
   }
+
+  test("late-data upsert == rebuild; untouched day partitions byte-identical") {
+    import scala.jdk.CollectionConverters._
+    def filesUnder(p: Path): Map[String, Array[Byte]] = {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.readAllBytes(f)).toMap
+      finally walk.close()
+    }
+    val all = events(20000)
+    val days = all.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy(col("d")).collect().map(_.getDate(0))
+    assert(days.length == 7)
+    val lateFrom = days(5) // the upsert batch touches only days 5..6
+    val late = all.filter(col("user_id") % 2 === 1 &&
+      to_date(col("ts")) >= lit(lateFrom))
+    val base = all.exceptAll(late)
+
+    // exact columns must match the rebuild EXACTLY; HLL estimates only
+    // inside the tolerance band — a sketch's estimate depends on its
+    // construction path (the union path drops the HIP estimator), so
+    // merged-from-partials vs single-pass differ by a few counts even
+    // over identical rows (the q73 contract; KllSketch/HllMerge specs
+    // pin the same)
+    val fullRoot = SketchStore.build(all)
+    val fullRows = SketchStore.table(spark, fullRoot)
+      .select(col("event_type"), col("day"), col("n_rows"),
+        hll_sketch_estimate(col("sk_hll")).as("est"))
+      .collect().map(r => ((r.get(0), r.get(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+
+    val upRoot = SketchStore.build(base)
+    val before = filesUnder(Path.of(upRoot, "days"))
+    SketchStore.upsertDays(spark, upRoot, late)
+    val after = filesUnder(Path.of(upRoot, "days"))
+    val untouched = before.keys.filter(f =>
+      !f.contains(s"day=${days(5)}") && !f.contains(s"day=${days(6)}"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { f =>
+      assert(after.contains(f) &&
+        java.util.Arrays.equals(after(f), before(f)),
+        s"upsert touched out-of-batch day file $f")
+    }
+    // the re-fed days WERE rewritten (dynamic partition overwrite)
+    assert(before.keys.exists(f => f.contains(s"day=${days(5)}") &&
+      !after.contains(f)), "upsert did not rewrite the re-fed day")
+
+    val upRows = SketchStore.table(spark, upRoot)
+      .select(col("event_type"), col("day"), col("n_rows"),
+        hll_sketch_estimate(col("sk_hll")).as("est"))
+      .collect().map(r => ((r.get(0), r.get(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(upRows.keySet == fullRows.keySet,
+      "upserted artifact has different (type, day) rows than the rebuild")
+    upRows.foreach { case (k, (n, est)) =>
+      val (wantN, wantEst) = fullRows(k)
+      assert(n == wantN, s"$k: n_rows $n != rebuild $wantN")
+      assert(math.abs(est - wantEst) <= math.max(4L, wantN / 50),
+        s"$k: HLL estimate $est outside the band around rebuild $wantEst")
+    }
+  }
+
+  test("range serve prunes day partitions and matches the in-range rebuild") {
+    val all = events(10000)
+    val days = all.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy(col("d")).collect().map(_.getDate(0))
+    val root = SketchStore.build(all)
+    val served = SketchStore.serveRange(spark, root, days(0), days(2))
+    val p = served.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator
+      .find(_.trim.startsWith("PartitionFilters")).getOrElse("")
+    assert(pf.contains("day") && (pf.contains(">=") || pf.contains("<=")),
+      s"range serve should push the day range into PartitionFilters:\n$p")
+    // correctness: identical to serving a store built from the range only
+    val inRange = all.filter(to_date(col("ts")).between(
+      lit(days(0)), lit(days(2))))
+    val wantRoot = SketchStore.build(inRange)
+    val want = SketchStore.serve(spark, wantRoot)
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("est_users"))
+      .collect().map(_.toSeq).toSet
+    val got = served
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("est_users"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "range serve differs from in-range rebuild")
+  }
 }
