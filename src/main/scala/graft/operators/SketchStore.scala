@@ -61,7 +61,12 @@ object SketchStore {
       graft.sources.Scratch.deleteNow(deadRoots.poll())
     val root = graft.sources.Scratch.dir("sketch_store")
     deadRoots.add(root)
-    dayRows(events).write.partitionBy("day").parquet(s"$root/days")
+    // day-keyed repartition → ONE file per day partition (an
+    // un-repartitioned partitionBy sprays every shuffle partition's
+    // slice of a day into its own tiny file — the AnnSoak lesson); the
+    // day rows are kilobytes, so the extra shuffle is free
+    dayRows(events).repartition(col("day"))
+      .write.partitionBy("day").parquet(s"$root/days")
     root
   }
 
@@ -71,7 +76,7 @@ object SketchStore {
    * (the ingest contract); re-feeding an existing day would add a
    * second row for it, which [[serve]]'s merge would double-count. */
   def maintain(root: String, newDayEvents: DataFrame): Unit =
-    dayRows(newDayEvents).write.mode("append")
+    dayRows(newDayEvents).repartition(col("day")).write.mode("append")
       .partitionBy("day").parquet(s"$root/days")
 
   /** The sketch table itself (one row per (type, day)). */
@@ -110,10 +115,38 @@ object SketchStore {
       val tmp = graft.sources.Scratch.dir("sketch_upsert_stage")
       merged.write.parquet(s"$tmp/rows")
       ss.read.parquet(s"$tmp/rows")
+        .repartition(col("day"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day").parquet(s"$root/days")
       graft.sources.Scratch.deleteNow(tmp)
+    }
+  }
+
+  /** Streaming micro-batch ingest: [[upsertDays]] guarded by a per-batch
+   * commit marker so foreachBatch REPLAYS of an already-applied batch id
+   * are no-ops (without the guard a replayed batch would double-count —
+   * the merge is a monoid, not idempotent). The marker is committed
+   * tmp + atomic-rename AFTER the day rewrite lands (the BucketedUpsert
+   * `_manifest` idiom), so the one failure mode left is a crash INSIDE
+   * [[upsertDays]] itself: the restarted batch re-merges days the
+   * crashed attempt may have half-rewritten. The store is derived data,
+   * so the documented remedy is cheap and local — rebuild exactly the
+   * crashed batch's touched days from the raw day partitions (one
+   * [[maintain]]-shaped pass over those days) before resuming; making
+   * the rewrite itself transactional would need manifest-pointed
+   * generation dirs (the BucketedUpsert state layout), which this
+   * artifact doesn't otherwise require. */
+  def ingestBatch(ss: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val marker = Path.of(root, "_ingested", s"batch-$batchId")
+    if (!Files.exists(marker)) {
+      upsertDays(ss, root, batch)
+      Files.createDirectories(marker.getParent)
+      val tmp = Path.of(root, "_ingested", s".batch-$batchId.tmp")
+      Files.write(tmp, Array.emptyByteArray)
+      Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
     }
   }
 

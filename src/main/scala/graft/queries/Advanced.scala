@@ -1499,13 +1499,15 @@ Some(scd2RebuildOracle)),
              |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
-  /** Shared q82-q85 gate shape: the store's artifact-only serve output
+  /** Shared q82-q86 gate shape: the store's artifact-only serve output
    * joined with exact references computed from raw events (exact
    * distinct users; the q78 bounded-cents-dictionary p45..p55 band) —
    * the raw side exists ONLY to give the gate its exact reference, the
    * serve plan itself never touches it. `e` is the raw event set the
-   * serve output is supposed to summarize (range-restricted for q85). */
-  private def sketchStoreGate(e: DataFrame,
+   * serve output is supposed to summarize (range-restricted for q85;
+   * q86 in StreamingQueries gates its streamed ingest through the same
+   * shape). */
+  private[queries] def sketchStoreGate(e: DataFrame,
       served: DataFrame): DataFrame = {
     val exact = e.groupBy(col("event_type"))
       .agg(count_distinct(col("user_id")).as("exact_users"))
@@ -1533,7 +1535,7 @@ Some(scd2RebuildOracle)),
       .orderBy(col("event_type"))
   }
 
-  private def sketchStoreOracle: String =
+  private[queries] def sketchStoreOracle: String =
     """SELECT event_type,
       |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
       |  COUNT(*) AS n_events,

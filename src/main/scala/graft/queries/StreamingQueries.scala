@@ -449,7 +449,66 @@ object StreamingQueries {
       |WHERE epoch_ms(h) + 3600000 <= epoch_ms(m) - 3600000
       |ORDER BY hour_epoch, event_type""".stripMargin
 
+  /** q86: streaming ingest INTO the persisted sketch store — the
+   * production path the q82-q85 artifact exists for. The store is
+   * bootstrapped from the history before a mid-range timestamp cut; the
+   * tail streams through the real engine in several day-clustered
+   * micro-batches (time-range-partitioned source files,
+   * maxFilesPerTrigger), each of which foreachBatch-merges into the
+   * artifact via [[graft.operators.SketchStore.ingestBatch]] —
+   * replay-guarded upsertDays, so per batch the store I/O is
+   * O(batch + touched day rows), never O(store). The cut lands mid-day,
+   * so the boundary day is re-fed by the stream and exercises the real
+   * late-data merge; the two cut scalars are a bounded one-row collect
+   * (the documented driver-side-scalar shape). Sharing q82's oracle
+   * hash-proves stream-ingested store serves ≡ build(full history):
+   * exact columns exactly (mergeable-monoid sums), sketch estimates
+   * inside their gated bands. SketchSoak is the at-volume proof that
+   * per-batch upsert I/O stays bounded by touched days while the store
+   * holds months. */
+  private def runSketchIngest(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    locally {
+      val e = graft.sources.Tables.load(ss, dir, "events")
+        .select(col("event_type"), col("ts"), col("user_id"), col("value"))
+      val r = e.agg(unix_micros(min(col("ts"))).as("mn"),
+        unix_micros(max(col("ts"))).as("mx")).head()
+      val cutUs = (r.getLong(0) + r.getLong(1)) / 2
+      val root = graft.operators.SketchStore.build(
+        e.filter(unix_micros(col("ts")) < cutUs))
+
+      // stage the tail as time-ordered files so micro-batches are
+      // day-clustered (each batch touches a bounded day subset — the
+      // shape a partitioned ingest pipeline delivers)
+      val src = graft.sources.Scratch.dir("sketch_ingest_src")
+      e.filter(unix_micros(col("ts")) >= cutUs)
+        .repartitionByRange(8, col("ts"))
+        .write.mode("overwrite").parquet(src)
+      val schema = ss.read.parquet(src).schema
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(src)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.sources.Scratch.dir("sketch_ingest_cp"))
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.operators.SketchStore.ingestBatch(ss, root, b, id)
+        }
+        .start()
+      q.awaitTermination()
+
+      // gate planned on the CALLER's session; serve reads the artifact
+      // the stream maintained
+      Advanced.sketchStoreGate(
+        graft.sources.Tables.load(s, dir, "events"),
+        graft.operators.SketchStore.serve(s, root))
+    }
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q86_stream_sketch_ingest", runSketchIngest,
+      Some(Advanced.sketchStoreOracle)),
     Q("q74_stream_approx_users", runHourlyUsers, Some(hourlyUsersOracle)),
     Q("q80_stream_kll_quantiles", runHourlyQuantiles,
       Some(hourlyQuantilesOracle)),

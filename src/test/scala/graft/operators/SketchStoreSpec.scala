@@ -154,6 +154,35 @@ class SketchStoreSpec extends SparkSpec {
     }
   }
 
+  test("ingestBatch: replayed batch id is a no-op; distinct ids apply") {
+    import scala.jdk.CollectionConverters._
+    def storeBytes(root: String): Map[String, Array[Byte]] = {
+      val walk = Files.walk(Path.of(root, "days"))
+      try walk.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.readAllBytes(f)).toMap
+      finally walk.close()
+    }
+    val all = events(8000)
+    val batch = all.filter(col("user_id") % 3 === 1)
+    val root = SketchStore.build(all.exceptAll(batch))
+    SketchStore.ingestBatch(spark, root, batch, batchId = 7L)
+    val applied = storeBytes(root)
+    // a foreachBatch REPLAY of the committed id must not double-merge
+    // (the upsert is a monoid, not idempotent — the marker is the guard)
+    SketchStore.ingestBatch(spark, root, batch, batchId = 7L)
+    val replayed = storeBytes(root)
+    assert(applied.keySet == replayed.keySet &&
+      applied.forall { case (f, bs) =>
+        java.util.Arrays.equals(bs, replayed(f)) },
+      "replaying a committed batch id mutated the store")
+    // and the applied store counts every event exactly once
+    val n = SketchStore.table(spark, root)
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    assert(n == 8000, s"store holds $n rows, want 8000")
+  }
+
   test("range serve prunes day partitions and matches the in-range rebuild") {
     val all = events(10000)
     val days = all.select(to_date(col("ts")).as("d")).distinct()
