@@ -96,11 +96,24 @@ object SketchStore {
    * to the artifact). The touched-day list is a bounded driver-side
    * scalar set (ingest grain: days), not a data collect. */
   def upsertDays(ss: SparkSession, root: String,
-      newEvents: DataFrame): Unit = {
+      newEvents: DataFrame): Unit =
+    stageUpsert(ss, root, newEvents).foreach { stage =>
+      applyStage(ss, root, stage)
+      graft.sources.Scratch.deleteNow(stage)
+    }
+
+  /** First half of an upsert: compute the merged touched-day rows into
+   * an attempt-unique staged dir (None for an empty batch). The stage
+   * reads the store BEFORE any rewrite, so it is the one artifact a
+   * recovery can safely re-apply — recomputing the merge against a
+   * half-rewritten store would double-count. */
+  private[operators] def stageUpsert(ss: SparkSession, root: String,
+      newEvents: DataFrame): Option[String] = {
     val partial = dayRows(newEvents)
     val touched = partial.select(col("day")).distinct()
       .collect().map(_.getDate(0))
-    if (touched.nonEmpty) {
+    if (touched.isEmpty) None
+    else {
       val existing = table(ss, root)
         .filter(col("day").isin(touched.toSeq: _*))
       val merged = existing.unionByName(partial)
@@ -110,44 +123,71 @@ object SketchStore {
           KllAggregate.kllMerge(col("sk_kll")).as("sk_kll"),
           ThetaAggregate.thetaUnion(col("sk_theta")).as("sk_theta"))
       // Spark refuses to overwrite a path its own plan reads — stage
-      // the merged day rows (tiny: touched days × types) and rewrite
-      // ONLY those day partitions via dynamic partition overwrite
+      // the merged day rows (tiny: touched days × types), then rewrite
+      // ONLY those day partitions from the stage
       val tmp = graft.sources.Scratch.dir("sketch_upsert_stage")
       merged.write.parquet(s"$tmp/rows")
-      ss.read.parquet(s"$tmp/rows")
-        .repartition(col("day"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day").parquet(s"$root/days")
-      graft.sources.Scratch.deleteNow(tmp)
+      Some(tmp)
     }
   }
 
-  /** Streaming micro-batch ingest: [[upsertDays]] guarded by a per-batch
-   * commit marker so foreachBatch REPLAYS of an already-applied batch id
-   * are no-ops (without the guard a replayed batch would double-count —
-   * the merge is a monoid, not idempotent). The marker is committed
-   * tmp + atomic-rename AFTER the day rewrite lands (the BucketedUpsert
-   * `_manifest` idiom), so the one failure mode left is a crash INSIDE
-   * [[upsertDays]] itself: the restarted batch re-merges days the
-   * crashed attempt may have half-rewritten. The store is derived data,
-   * so the documented remedy is cheap and local — rebuild exactly the
-   * crashed batch's touched days from the raw day partitions (one
-   * [[maintain]]-shaped pass over those days) before resuming; making
-   * the rewrite itself transactional would need manifest-pointed
-   * generation dirs (the BucketedUpsert state layout), which this
-   * artifact doesn't otherwise require. */
+  /** Second half: rewrite exactly the staged days via dynamic partition
+   * overwrite. Idempotent for a FIXED stage — re-applying the same
+   * staged rows replaces the same day partitions with the same content,
+   * which is what makes crash recovery in [[ingestBatch]] safe. */
+  private[operators] def applyStage(ss: SparkSession, root: String,
+      stage: String): Unit =
+    ss.read.parquet(s"$stage/rows")
+      .repartition(col("day"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(s"$root/days")
+
+  /** Streaming micro-batch ingest, EXACTLY-ONCE across foreachBatch
+   * replays via a two-phase commit on tiny local files (the
+   * BucketedUpsert `_manifest` idiom):
+   *
+   *   1. stage the merged touched-day rows ([[stageUpsert]] — reads the
+   *      store before any rewrite);
+   *   2. atomically commit an INTENT marker naming the stage;
+   *   3. apply the stage ([[applyStage]] — idempotent for a fixed
+   *      stage);
+   *   4. atomically commit the batch marker, then retire intent+stage.
+   *
+   * A replay of a committed batch id is a no-op (marker short-circuit —
+   * the merge is a monoid, not idempotent, so the guard is what keeps a
+   * replayed batch from double-counting). A crash between intent and
+   * marker leaves the intent pointing at the complete pre-computed
+   * stage, and the replayed batch id RE-APPLIES that stage — never
+   * re-merges against a possibly half-rewritten store — converging on
+   * the same bytes the uncrashed run would have produced
+   * (SketchStoreSpec simulates exactly this). Markers and stages are
+   * one tiny write per batch next to the artifact. */
   def ingestBatch(ss: SparkSession, root: String, batch: DataFrame,
       batchId: Long): Unit = {
     import java.nio.file.{Files, Path, StandardCopyOption}
-    val marker = Path.of(root, "_ingested", s"batch-$batchId")
-    if (!Files.exists(marker)) {
-      upsertDays(ss, root, batch)
-      Files.createDirectories(marker.getParent)
-      val tmp = Path.of(root, "_ingested", s".batch-$batchId.tmp")
-      Files.write(tmp, Array.emptyByteArray)
-      Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+    import java.nio.charset.StandardCharsets.UTF_8
+    val dir = Path.of(root, "_ingested")
+    val marker = dir.resolve(s"batch-$batchId")
+    val intent = dir.resolve(s"batch-$batchId.intent")
+    def commit(target: Path, body: String): Unit = {
+      Files.createDirectories(dir)
+      val tmp = dir.resolve(s".${target.getFileName}.tmp")
+      Files.write(tmp, body.getBytes(UTF_8))
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     }
+    if (Files.exists(marker)) return
+    val stage =
+      if (Files.exists(intent))
+        new String(Files.readAllBytes(intent), UTF_8) // crashed attempt
+      else stageUpsert(ss, root, batch) match {
+        case None => commit(marker, ""); return // empty batch
+        case Some(p) => commit(intent, p); p
+      }
+    applyStage(ss, root, stage)
+    commit(marker, "")
+    Files.deleteIfExists(intent)
+    graft.sources.Scratch.deleteNow(stage)
   }
 
   /** [[serve]] over a day range, answered from the artifact alone with

@@ -183,6 +183,50 @@ class SketchStoreSpec extends SparkSpec {
     assert(n == 8000, s"store holds $n rows, want 8000")
   }
 
+  test("ingestBatch: crash between apply and marker recovers exactly-once") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val all = events(8000)
+    val batch = all.filter(col("user_id") % 3 === 2)
+    val base = all.exceptAll(batch)
+    def rows(root: String): Map[(Any, Any), Long] =
+      SketchStore.table(spark, root)
+        .select(col("event_type"), col("day"), col("n_rows"))
+        .collect().map(r => ((r.get(0), r.get(1)), r.getLong(2))).toMap
+
+    // reference: the uncrashed run
+    val cleanRoot = SketchStore.build(base)
+    SketchStore.ingestBatch(spark, cleanRoot, batch, batchId = 3L)
+    val want = rows(cleanRoot)
+
+    // crashed run: stage + intent committed, stage APPLIED, then "crash"
+    // before the batch marker lands — the worst spot: the store is
+    // already rewritten, so a recovery that re-merged from the store
+    // would double-count the batch
+    val root = SketchStore.build(base)
+    val stage = SketchStore.stageUpsert(spark, root, batch).get
+    val dir = Files.createDirectories(Path.of(root, "_ingested"))
+    Files.write(dir.resolve("batch-3.intent"), stage.getBytes(UTF_8))
+    SketchStore.applyStage(spark, root, stage)
+
+    // foreachBatch replays batch 3: must re-apply the STAGE, not
+    // re-merge, and converge on the clean run's rows
+    SketchStore.ingestBatch(spark, root, batch, batchId = 3L)
+    assert(rows(root) == want,
+      "recovered store differs from the uncrashed run")
+    assert(Files.exists(dir.resolve("batch-3")), "batch marker missing")
+    assert(!Files.exists(dir.resolve("batch-3.intent")),
+      "intent not retired after recovery")
+
+    // the same crash BEFORE the apply (intent only) also recovers
+    val root2 = SketchStore.build(base)
+    val stage2 = SketchStore.stageUpsert(spark, root2, batch).get
+    val dir2 = Files.createDirectories(Path.of(root2, "_ingested"))
+    Files.write(dir2.resolve("batch-3.intent"), stage2.getBytes(UTF_8))
+    SketchStore.ingestBatch(spark, root2, batch, batchId = 3L)
+    assert(rows(root2) == want,
+      "pre-apply crash recovery differs from the uncrashed run")
+  }
+
   test("range serve prunes day partitions and matches the in-range rebuild") {
     val all = events(10000)
     val days = all.select(to_date(col("ts")).as("d")).distinct()
