@@ -79,9 +79,127 @@ object SketchStore {
     dayRows(newDayEvents).repartition(col("day")).write.mode("append")
       .partitionBy("day").parquet(s"$root/days")
 
-  /** The sketch table itself (one row per (type, day)). */
+  /** The DAY-tier sketch table (one row per (type, day)). Ingest paths
+   * ([[maintain]]/[[upsertDays]]/[[ingestBatch]]) merge against this
+   * tier only — ingest must stay at or above the compaction cutoff
+   * (re-feeding a compacted day would double-count against its month
+   * row; production tiering never compacts the hot ingest window). */
   def table(ss: SparkSession, root: String): DataFrame =
     ss.read.parquet(s"$root/days")
+
+  /** Both tiers as one mergeable row set: day rows carry n_days=1, month
+   * rows their compacted day count; every other column is the same
+   * monoid in both tiers, so rollups are tier-agnostic. */
+  private def tiered(ss: SparkSession, root: String): DataFrame = {
+    val day = table(ss, root).select(col("event_type"),
+      lit(1L).as("n_days"), col("n_rows"),
+      col("sk_hll"), col("sk_kll"), col("sk_theta"))
+    if (new java.io.File(s"$root/months").exists())
+      day.unionByName(ss.read.parquet(s"$root/months")
+        .select(col("event_type"), col("n_days"), col("n_rows"),
+          col("sk_hll"), col("sk_kll"), col("sk_theta")))
+    else day
+  }
+
+  /**
+   * Tier every day partition strictly BEFORE `cutoffDay` into
+   * per-(event_type, month) rollup rows under `<root>/months` — the
+   * storage lifecycle a 100 TB store needs: after a few years the day
+   * tier is thousands of files per type, but almost all rollups touch
+   * old data only at coarse grain, so the cold range collapses ~30
+   * day rows into one month row (and its file count with it) while the
+   * hot ingest window stays at day grain. Every store column is a
+   * mergeable monoid and the merges are associative — exact counts sum,
+   * HLL is register-wise max, theta keeps the k smallest hashes — so a
+   * month row is EXACTLY equivalent to its day rows in any later
+   * [[serve]] union: est_users is bit-identical pre/post compaction
+   * (SketchStoreSpec pins that), KLL stays inside its gated band.
+   *
+   * Crash-safe via the [[ingestBatch]] intent idiom: the merged month
+   * tier (existing month rows ∪ compacted day rows — tiny: types ×
+   * months) is staged first, an intent marker commits atomically, and
+   * only then is the month tier overwritten and the compacted day
+   * partitions dropped. Both apply steps are idempotent for a fixed
+   * stage, so a re-entrant [[compact]] after any crash point converges;
+   * re-STAGING after a partial apply is what would double-count, and
+   * the intent short-circuit prevents exactly that. The compacted-day
+   * list is a bounded driver-side scalar set (ingest grain: days).
+   *
+   * `cutoffDay` must precede the newest day (the hot tier is never
+   * empty) and later ingest must stay >= `cutoffDay`.
+   */
+  def compact(ss: SparkSession, root: String,
+      cutoffDay: java.sql.Date): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val intent = Path.of(root, "_compact.intent")
+    val stage: String =
+      if (Files.exists(intent))
+        new String(Files.readAllBytes(intent), UTF_8) // crashed attempt
+      else stageCompact(ss, root, cutoffDay) match {
+        case None    => return // nothing below the cutoff
+        case Some(p) => p
+      }
+    applyCompact(ss, root, stage)
+    Files.deleteIfExists(intent)
+    graft.sources.Scratch.deleteNow(stage)
+  }
+
+  /** First half: stage the merged month tier (existing month rows ∪
+   * compacted day rows) plus the compacted-day list, then atomically
+   * commit the intent marker naming the stage. Reads the store before
+   * any mutation — the one artifact recovery can safely re-apply. */
+  private[operators] def stageCompact(ss: SparkSession, root: String,
+      cutoffDay: java.sql.Date): Option[String] = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    import java.nio.charset.StandardCharsets.UTF_8
+    val old = table(ss, root).filter(col("day") < lit(cutoffDay))
+    val days = old.select(col("day")).distinct()
+      .collect().map(_.getDate(0)).sorted
+    if (days.isEmpty) None
+    else {
+      val partials = old
+        .groupBy(col("event_type"), trunc(col("day"), "month").as("month"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n_rows")).as("n_rows"),
+          hll_union_agg(col("sk_hll")).as("sk_hll"),
+          KllAggregate.kllMerge(col("sk_kll")).as("sk_kll"),
+          ThetaAggregate.thetaUnion(col("sk_theta")).as("sk_theta"))
+      val merged =
+        if (new java.io.File(s"$root/months").exists())
+          ss.read.parquet(s"$root/months").unionByName(partials)
+            .groupBy(col("event_type"), col("month"))
+            .agg(sum(col("n_days")).as("n_days"),
+              sum(col("n_rows")).as("n_rows"),
+              hll_union_agg(col("sk_hll")).as("sk_hll"),
+              KllAggregate.kllMerge(col("sk_kll")).as("sk_kll"),
+              ThetaAggregate.thetaUnion(col("sk_theta")).as("sk_theta"))
+        else partials
+      val tmp = graft.sources.Scratch.dir("sketch_compact_stage")
+      merged.repartition(col("month")).write.parquet(s"$tmp/rows")
+      Files.write(Path.of(tmp, "days"),
+        days.map(_.toString).mkString("\n").getBytes(UTF_8))
+      val t = Path.of(root, "._compact.intent.tmp")
+      Files.write(t, tmp.getBytes(UTF_8))
+      Files.move(t, Path.of(root, "_compact.intent"),
+        StandardCopyOption.ATOMIC_MOVE)
+      Some(tmp)
+    }
+  }
+
+  /** Second half, idempotent for a fixed stage: the month tier is tiny
+   * (types × months), so a whole-tier overwrite — not per-partition
+   * surgery — keeps replays trivially convergent; then the tiered-away
+   * day partitions drop (already-gone dirs are no-ops). */
+  private[operators] def applyCompact(ss: SparkSession, root: String,
+      stage: String): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.nio.charset.StandardCharsets.UTF_8
+    ss.read.parquet(s"$stage/rows").repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(s"$root/months")
+    new String(Files.readAllBytes(Path.of(stage, "days")), UTF_8)
+      .split("\n").iterator.filter(_.nonEmpty)
+      .foreach(d => graft.sources.Scratch.deleteNow(s"$root/days/day=$d"))
+  }
 
   /** Late-data-tolerant ingest: merge a batch that may RE-FEED days the
    * store already holds. All four columns are mergeable monoids (counts
@@ -191,29 +309,42 @@ object SketchStore {
   }
 
   /** [[serve]] over a day range, answered from the artifact alone with
-   * the range pushed into PARTITION PRUNING (day is the partition
-   * column, so only the in-range day directories are ever read —
-   * SketchStoreSpec pins the PartitionFilters in the plan). */
+   * the range pushed into PARTITION PRUNING (day/month are the tier
+   * partition columns, so only the in-range directories are ever read —
+   * SketchStoreSpec pins the PartitionFilters in the plan). On a
+   * compacted store the range must align to month grain inside the
+   * compacted region (a month row is indivisible — its days no longer
+   * exist at day grain); production tiering picks the cutoff so hot
+   * ranges resolve in the day tier. */
   def serveRange(ss: SparkSession, root: String,
-      fromDay: java.sql.Date, toDay: java.sql.Date): DataFrame =
-    table(ss, root)
+      fromDay: java.sql.Date, toDay: java.sql.Date): DataFrame = {
+    val day = table(ss, root)
       .filter(col("day") >= lit(fromDay) && col("day") <= lit(toDay))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_days"),
-        sum(col("n_rows")).as("n_events"),
-        hll_sketch_estimate(hll_union_agg(col("sk_hll"))).as("est_users"),
-        KllAggregate.kllQuantile(
-          KllAggregate.kllMerge(col("sk_kll")), 0.5).cast("long")
-          .as("sk_p50_cents"))
+      .select(col("event_type"), lit(1L).as("n_days"), col("n_rows"),
+        col("sk_hll"), col("sk_kll"), col("sk_theta"))
+    val rows =
+      if (new java.io.File(s"$root/months").exists())
+        day.unionByName(ss.read.parquet(s"$root/months")
+          // only months ENTIRELY inside the range (month is its start)
+          .filter(col("month") >= lit(fromDay) &&
+            add_months(col("month"), 1) <= date_add(lit(toDay), 1))
+          .select(col("event_type"), col("n_days"), col("n_rows"),
+            col("sk_hll"), col("sk_kll"), col("sk_theta")))
+      else day
+    rollup(rows)
+  }
 
   /** Per-type rollup answered from the ARTIFACT ALONE — the serve plan
    * scans only the sketch table (SketchStoreSpec pins that): exact
    * event counts by integer sum, distinct users from the HLL union,
-   * the median value (cents) from the KLL merge. */
+   * the median value (cents) from the KLL merge. Reads both tiers, so
+   * it is compaction-transparent. */
   def serve(ss: SparkSession, root: String): DataFrame =
-    table(ss, root)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_days"),
+    rollup(tiered(ss, root))
+
+  private def rollup(rows: DataFrame): DataFrame =
+    rows.groupBy(col("event_type"))
+      .agg(sum(col("n_days")).as("n_days"),
         sum(col("n_rows")).as("n_events"),
         hll_sketch_estimate(hll_union_agg(col("sk_hll"))).as("est_users"),
         KllAggregate.kllQuantile(

@@ -1496,7 +1496,37 @@ Some(scd2RebuildOracle)),
              |  COUNT(*) AS n_events,
              |  COUNT(DISTINCT user_id) AS exact_users,
              |  TRUE AS users_ok, TRUE AS p50_ok
-             |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q87 — sketch-store COMPACTION: the storage-lifecycle op the day
+    // tier needs at 100 TB (years of days = thousands of files per
+    // type; cold rollups don't need day grain). Days older than the
+    // history midpoint are tiered into per-(type, month) rollup rows —
+    // existing-month-tier merge + day-partition drop committed through
+    // the same intent/stage two-phase idiom as q86's ingest — and the
+    // serve reads BOTH tiers transparently. Because every store column
+    // is an associatively-mergeable monoid, compaction is exact for
+    // the gate: counts sum, HLL union is register-max (est_users is
+    // bit-identical pre/post — SketchStoreSpec pins that), KLL/theta
+    // stay in their gated bands. Sharing q82's oracle hash-proves
+    // serve(compact(build(all))) ≡ build(all)'s rollup; the spec adds
+    // the file-level half (recent day files byte-untouched, old day
+    // partitions gone) and SketchSoak measures the file-count collapse.
+    Q("q87_sketch_store_compact",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+        val root = graft.operators.SketchStore.build(e)
+        val r = e.agg(min(to_date(col("ts"))).as("mn"),
+          max(to_date(col("ts"))).as("mx")).head()
+        val mn = r.getDate(0)
+        val cutoff = java.sql.Date.valueOf(mn.toLocalDate.plusDays(
+          java.time.temporal.ChronoUnit.DAYS.between(
+            mn.toLocalDate, r.getDate(1).toLocalDate) / 2))
+        graft.operators.SketchStore.compact(s, root, cutoff)
+        sketchStoreGate(e, graft.operators.SketchStore.serve(s, root))
+      },
+      Some(sketchStoreOracle))
   )
 
   /** Shared q82-q86 gate shape: the store's artifact-only serve output

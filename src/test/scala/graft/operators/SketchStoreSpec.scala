@@ -227,6 +227,101 @@ class SketchStoreSpec extends SparkSpec {
       "pre-apply crash recovery differs from the uncrashed run")
   }
 
+  test("compact: serve identical on exact cols + est_users; hot day files " +
+      "byte-untouched; cold day partitions tiered away") {
+    import scala.jdk.CollectionConverters._
+    def filesUnder(p: Path): Map[String, Array[Byte]] = {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.toString -> Files.readAllBytes(f)).toMap
+      finally walk.close()
+    }
+    val all = events(20000)
+    val days = all.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy(col("d")).collect().map(_.getDate(0))
+    val cutoff = days(4) // days 0..3 tier to month grain, 4..6 stay hot
+    val root = SketchStore.build(all)
+    // est_users must be BIT-identical pre/post: HLL union is
+    // register-wise max and max is associative, so the month-row
+    // sketches carry exactly the registers their day rows would have
+    // contributed to the serve union
+    val want = SketchStore.serve(spark, root)
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("est_users"))
+      .collect().map(_.toSeq).toSet
+    val hotBefore = filesUnder(Path.of(root, "days")).filter {
+      case (f, _) => days.drop(4).exists(d => f.contains(s"day=$d")) }
+    assert(hotBefore.nonEmpty)
+
+    SketchStore.compact(spark, root, cutoff)
+
+    val after = filesUnder(Path.of(root, "days"))
+    hotBefore.foreach { case (f, bytes) =>
+      assert(after.contains(f) &&
+        java.util.Arrays.equals(after(f), bytes),
+        s"compaction touched hot day file $f")
+    }
+    days.take(4).foreach { d =>
+      assert(!after.keys.exists(_.contains(s"day=$d")),
+        s"compacted day $d still has day-tier files")
+    }
+    assert(Files.exists(Path.of(root, "months")), "month tier missing")
+    assert(!Files.exists(Path.of(root, "_compact.intent")),
+      "intent marker not retired")
+    val got = SketchStore.serve(spark, root)
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("est_users"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "compacted serve differs from pre-compaction serve")
+    // re-compacting at the same cutoff is a no-op (day tier below the
+    // cutoff is empty)
+    SketchStore.compact(spark, root, cutoff)
+    assert(SketchStore.serve(spark, root)
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("est_users"))
+      .collect().map(_.toSeq).toSet == want,
+      "re-compaction at the same cutoff changed the serve")
+  }
+
+  test("compact: crash after intent recovers by re-applying the stage") {
+    val all = events(20000)
+    val days = all.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy(col("d")).collect().map(_.getDate(0))
+    val cutoff = days(4)
+    def serveRows(root: String) = SketchStore.serve(spark, root)
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("est_users"))
+      .collect().map(_.toSeq).toSet
+
+    // reference: the uncrashed compaction
+    val cleanRoot = SketchStore.build(all)
+    SketchStore.compact(spark, cleanRoot, cutoff)
+    val want = serveRows(cleanRoot)
+
+    // crashed run A: stage + intent committed, apply never ran
+    val rootA = SketchStore.build(all)
+    SketchStore.stageCompact(spark, rootA, cutoff)
+    SketchStore.compact(spark, rootA, cutoff) // recovery
+    assert(serveRows(rootA) == want,
+      "pre-apply crash recovery differs from the uncrashed compaction")
+    assert(!Files.exists(Path.of(rootA, "_compact.intent")))
+
+    // crashed run B: the worst spot — month tier already overwritten and
+    // day partitions dropped, intent still standing; recovery must
+    // re-apply the SAME stage (idempotent), never re-stage against the
+    // half-mutated store (re-merging month rows with themselves would
+    // double-count)
+    val rootB = SketchStore.build(all)
+    val stageB = SketchStore.stageCompact(spark, rootB, cutoff).get
+    SketchStore.applyCompact(spark, rootB, stageB)
+    SketchStore.compact(spark, rootB, cutoff) // recovery
+    assert(serveRows(rootB) == want,
+      "post-apply crash recovery differs from the uncrashed compaction")
+    assert(!Files.exists(Path.of(rootB, "_compact.intent")))
+  }
+
   test("range serve prunes day partitions and matches the in-range rebuild") {
     val all = events(10000)
     val days = all.select(to_date(col("ts")).as("d")).distinct()
