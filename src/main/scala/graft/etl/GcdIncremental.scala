@@ -153,9 +153,22 @@ object GcdIncremental {
     }
 
     /** Apply one dump: rebuild touched issues, anti-join-carry ONLY the
-     * touched buckets, carry every untouched bucket by pointer. */
+     * touched buckets, carry every untouched bucket by pointer.
+     *
+     * With `emitFeed` set, the maintain also appends a CHANGE-DATA-FEED
+     * generation under `<root>/changes/` — the row-level delta this dump
+     * caused, as 'D' before-images ∪ 'I' after-images (an update is its
+     * D+I pair; unchanged rows of a touched issue cancel in the
+     * symmetric diff). Both sides are parquet re-reads of the TOUCHED
+     * buckets only — before-images from the superseded bucket files
+     * (diffed before retirement), after-images from the replacing ones —
+     * so the feed costs O(dump + touched buckets), never O(base): the
+     * same economics as the carry, and the reason a consumer can tail
+     * the feed instead of diffing snapshots (a full-snapshot diff is the
+     * 100 TB anti-pattern; g04 hash-proves the bounded diff equals it). */
     def maintain(tables: Map[String, DataFrame], touchedIssues: DataFrame,
-        date: String, flags: GcdFlags = GcdFlags()): Unit = {
+        date: String, flags: GcdFlags = GcdFlags(),
+        emitFeed: Boolean = false): Unit = {
       val t0 = System.nanoTime()
       val touched = touchedIssues.select(col("issue_id")).distinct()
       val rebuilt = rebuildTouched(ss, tables, touched, date, flags)
@@ -177,6 +190,27 @@ object GcdIncremental {
           else -1L
         val written = writeBuckets(
           carried.map(_.unionByName(rebuilt)).getOrElse(rebuilt))
+        if (emitFeed) {
+          // touched-issue row images on each side of this maintain; a
+          // missing side (all-new buckets / full deletion) is an empty
+          // relation with the snapshot schema
+          def images(paths: Seq[String]): DataFrame = {
+            val any = (paths ++ prevPaths ++ written.values).head
+            (if (paths.nonEmpty) ss.read.parquet(paths: _*)
+             else ss.read.parquet(any).limit(0))
+              .join(touched, Seq("issue_id"), "left_semi")
+              .select(columns.map(col): _*)
+          }
+          val before = images(prevPaths)
+          val after = images(tb.toSeq.flatMap(written.get))
+          val feed = before.except(after)
+            .select(lit("D").as("op") +: columns.map(col): _*)
+            .unionByName(after.except(before)
+              .select(lit("I").as("op") +: columns.map(col): _*))
+          val out = s"$root/changes/g${gen - 1}"
+          feed.write.parquet(out)
+          feedPaths += out
+        }
         // every written bucket is a touched bucket (rebuilt rows belong
         // to touched issues; carried rows came from touched buckets)
         tb.foreach { b =>
@@ -191,6 +225,16 @@ object GcdIncremental {
         metrics += MaintainMetrics(tb.length, nBuckets, carryRows,
           (System.nanoTime() - t0) / 1000000)
       }
+    }
+
+    private val feedPaths = mutable.ArrayBuffer.empty[String]
+
+    /** The persisted change log: every feed generation emitted so far
+     * (op 'D'/'I' + the 88 snapshot columns), the append-only artifact
+     * downstream consumers tail. */
+    def changeFeed: DataFrame = {
+      require(feedPaths.nonEmpty, "no change-feed generations emitted")
+      ss.read.parquet(feedPaths.toSeq: _*)
     }
 
     /** The maintained snapshot: the union of every bucket's current

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, to_json}
+import org.apache.spark.sql.functions.{col, lit, to_json, when}
 import org.apache.spark.sql.types.ArrayType
 import graft.etl.{GcdCredits, GcdSnapshot}
 import graft.etl.GcdSchemas.GcdFlags
@@ -96,9 +96,14 @@ object GcdQueries {
   private val creditStems = Seq("script", "pencils", "inks", "colors",
     "letters", "editing", "painting")
 
-  private def oracle(flags: GcdFlags): String = {
+  /** g01/g02's full-rebuild oracle; `srcOverride` swaps a source table
+   * for an arbitrary SQL relation (g04 uses it to restate yesterday's
+   * and today's dumps from the same fixture files). */
+  private def oracle(flags: GcdFlags,
+      srcOverride: Map[String, String] = Map.empty): String = {
     val fx = fixturesDir
-    def rp(t: String) = s"read_parquet('$fx/$t.parquet')"
+    def rp(t: String) = srcOverride.getOrElse(t,
+      s"read_parquet('$fx/$t.parquet')")
 
     // A3 mapping VALUES, generated from the same expansion table
     val mappingRows = GcdCredits.expansionPairs
@@ -327,9 +332,84 @@ $credJoin
     jsonArrays(store.view)
   }
 
+  // ------------------------------------------------------------- g04 CDC
+  // The dump scenario for the change feed, disjoint by construction:
+  //   arrivals  A: id % 7 = 0                     — absent yesterday
+  //   deletions D: id % 7 ≠ 0 ∧ id % 11 = 3       — absent today
+  //   modified  M: id % 7 ≠ 0 ∧ id % 11 ≠ 3 ∧ id % 5 = 1
+  //               — yesterday carried price = 'old'
+  // touched = A ∪ D ∪ M (in production: the dump differ / modified
+  // timestamps; here stated explicitly so the oracle can restate it).
+  private def runChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val tables = GcdSnapshot.sourceTables.map(t =>
+      t -> s.read.parquet(s"$fixturesDir/$t.parquet")).toMap
+    val issue = tables("gcd_issue")
+    val story = tables("gcd_story")
+    val credit = tables("gcd_story_credit")
+    val isA = col("id") % 7 === 0
+    val isD = col("id") % 7 =!= 0 && col("id") % 11 === 3
+    val isM = col("id") % 7 =!= 0 && col("id") % 11 =!= 3 &&
+      col("id") % 5 === 1
+    val touched = issue.filter(isA || isD || isM)
+      .select(col("id").cast("long").as("issue_id"))
+
+    def restrict(iss: DataFrame): Map[String, DataFrame] = {
+      val st = story.join(iss.select(col("id").as("__iid")),
+        story("issue_id") === col("__iid"), "left_semi")
+      tables + ("gcd_issue" -> iss) + ("gcd_story" -> st) +
+        ("gcd_story_credit" -> credit.join(
+          st.select(col("id").as("__sid")),
+          credit("story_id") === col("__sid"), "left_semi"))
+    }
+    // yesterday: arrivals absent, modified issues carry the old price
+    val yTables = restrict(issue.filter(!isA)
+      .withColumn("price", when(isM, lit("old")).otherwise(col("price"))))
+    // today: deletions absent
+    val tTables = restrict(issue.filter(!isD))
+
+    val base = GcdSnapshot.build(s, yTables, snapshotDate, GcdFlags())
+    val store = new graft.etl.GcdIncremental.SnapshotStore(s)
+    store.init(base)
+    store.maintain(tTables, touched, snapshotDate, GcdFlags(),
+      emitFeed = true)
+    jsonArrays(store.changeFeed)
+  }
+
+  /** g04's oracle: the FULL-snapshot symmetric diff — yesterday's and
+   * today's complete g01 statements, 'D' = rows only yesterday had,
+   * 'I' = rows only today has. The engine never computes either full
+   * snapshot for the feed (its diff runs over touched buckets only);
+   * carried rows are identical on both sides by construction, so they
+   * cancel in the EXCEPT — sharing this oracle is exactly the proof
+   * that the bounded diff loses nothing. */
+  private def changeFeedOracle: String = {
+    val fx = fixturesDir
+    def rp(t: String) = s"read_parquet('$fx/$t.parquet')"
+    val yIssue = s"(SELECT * REPLACE (CASE WHEN id % 7 <> 0 " +
+      s"AND id % 11 <> 3 AND id % 5 = 1 THEN 'old' ELSE price END " +
+      s"AS price) FROM ${rp("gcd_issue")} WHERE id % 7 <> 0)"
+    val tIssue = s"(SELECT * FROM ${rp("gcd_issue")} " +
+      s"WHERE NOT (id % 7 <> 0 AND id % 11 = 3))"
+    def deps(issueRel: String): Map[String, String] = {
+      val st = s"(SELECT st.* FROM ${rp("gcd_story")} st " +
+        s"JOIN $issueRel i ON st.issue_id = i.id)"
+      Map("gcd_issue" -> issueRel, "gcd_story" -> st,
+        "gcd_story_credit" -> (s"(SELECT sc.* FROM " +
+          s"${rp("gcd_story_credit")} sc JOIN $st s2 " +
+          s"ON sc.story_id = s2.id)"))
+    }
+    s"""WITH y AS (${oracle(GcdFlags(), deps(yIssue))}),
+       |t AS (${oracle(GcdFlags(), deps(tIssue))}),
+       |d AS (SELECT * FROM y EXCEPT SELECT * FROM t),
+       |i AS (SELECT * FROM t EXCEPT SELECT * FROM y)
+       |SELECT 'D' AS op, * FROM d
+       |UNION ALL SELECT 'I' AS op, * FROM i""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("g01_gcd_snapshot", run(GcdFlags()), Some(oracle(GcdFlags()))),
     Q("g02_gcd_snapshot_legacy", run(legacyFlags),
       Some(oracle(legacyFlags))),
-    Q("g03_gcd_incremental", runIncremental, Some(oracle(GcdFlags()))))
+    Q("g03_gcd_incremental", runIncremental, Some(oracle(GcdFlags()))),
+    Q("g04_gcd_change_feed", runChangeFeed, Some(changeFeedOracle)))
 }

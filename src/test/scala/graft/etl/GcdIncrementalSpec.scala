@@ -20,19 +20,20 @@ class GcdIncrementalSpec extends SparkSpec {
       t -> spark.read.parquet(s"$fx/$t.parquet")).toMap
   private val date = "2026-8-12"
 
-  private def assertSame(got: DataFrame, want: DataFrame): Unit = {
-    // array columns make rows unsortable for except(); compare via the
-    // same JSON canonicalization the gate uses
-    def canon(df: DataFrame): DataFrame = {
-      val cols = df.schema.fields.toSeq.map { f =>
-        f.dataType match {
-          case _: org.apache.spark.sql.types.ArrayType =>
-            to_json(col(f.name)).as(f.name)
-          case _ => col(f.name)
-        }
+  // array columns make rows unsortable for except(); compare via the
+  // same JSON canonicalization the gate uses
+  private def canon(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
       }
-      df.select(cols: _*)
     }
+    df.select(cols: _*)
+  }
+
+  private def assertSame(got: DataFrame, want: DataFrame): Unit = {
     val g = canon(got)
     val w = canon(want)
     assert(g.exceptAll(w).isEmpty && w.exceptAll(g).isEmpty,
@@ -114,5 +115,45 @@ class GcdIncrementalSpec extends SparkSpec {
     val base = GcdSnapshot.build(spark, tables, date)
     val out = GcdIncremental.maintain(spark, base, tTables, deleted, date)
     assertSame(out, GcdSnapshot.build(spark, tTables, date))
+  }
+
+  test("change feed: base − D + I reconstructs the maintained view; " +
+      "untouched issues never appear") {
+    // modification-only dump: every issue exists on both sides, the
+    // touched ones carried price='old' yesterday — the feed must pair
+    // each changed row as D(before) + I(after), and rows of untouched
+    // issues must cancel entirely in the bounded diff
+    val issue = tables("gcd_issue")
+    val isM = col("id") % 5 === 1
+    val touched = issue.filter(isM)
+      .select(col("id").cast("long").as("issue_id"))
+    val yTables = tables + ("gcd_issue" -> issue.withColumn("price",
+      when(isM, lit("old")).otherwise(col("price"))))
+    val base = GcdSnapshot.build(spark, yTables, date)
+    val store = new GcdIncremental.SnapshotStore(spark)
+    store.init(base)
+    store.maintain(tables, touched, date, GcdFlags(), emitFeed = true)
+    val feed = store.changeFeed.cache()
+    try {
+      val d = feed.filter(col("op") === "D").drop("op")
+      val i = feed.filter(col("op") === "I").drop("op")
+      assert(d.count() > 0 && i.count() > 0,
+        "modification dump must emit both before- and after-images")
+      // the feed REPLAYS: yesterday's rows − D + I == today's view
+      val reconstructed = canon(base).except(canon(d))
+        .unionByName(canon(i))
+      val view = canon(store.view)
+      assert(reconstructed.exceptAll(view).isEmpty &&
+        view.exceptAll(reconstructed).isEmpty,
+        "replaying the change feed does not reconstruct the view")
+      // bounded-diff guarantee: only touched issues in the feed
+      assert(feed.join(touched, Seq("issue_id"), "left_anti").isEmpty,
+        "feed leaked rows of untouched issues")
+      // and every D has its I twin per (issue, story) — an update pair
+      val dKeys = d.select(col("issue_id"), col("story_id"))
+      val iKeys = i.select(col("issue_id"), col("story_id"))
+      assert(dKeys.exceptAll(iKeys).isEmpty,
+        "a before-image lost its after-image in a pure-modification dump")
+    } finally feed.unpersist()
   }
 }
