@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Volume soak for the persisted sketch store (q82-q86): 2M synthetic
+ * Volume soak for the persisted sketch store (q82-q87): 2M synthetic
  * events over 64 days, store bootstrapped from the first 48, the rest
  * ingested as day-clustered micro-batches through the replay-guarded
  * [[graft.operators.SketchStore.ingestBatch]] — including LATE data
@@ -180,6 +180,46 @@ object SketchSoak {
     }
     println(s"== serve ≡ rebuild over ${want.size} types " +
       "(exact cols equal, HLL in band)")
+
+    // ---- compaction (q87): tier the 48 cold days to month grain ----
+    // the serve must be IDENTICAL (exact cols + HLL bit-equal — union
+    // is register-max, max is associative), the 16 hot day files byte-
+    // untouched, and the store's file count collapses 64 → 16 + months
+    val preCompact = graft.operators.SketchStore.serve(spark, root)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val hotBefore = dayFiles().filter { case (f, _) =>
+      (48 until 64).exists(i => f.contains(s"day=${d(i)}")) }
+    assert(hotBefore.size == 16)
+    timed("compact days 0..47 -> month tier") {
+      graft.operators.SketchStore.compact(spark, root, d(48))
+    }
+    val dayAfter = dayFiles()
+    hotBefore.foreach { case (f, bytes) =>
+      assert(dayAfter.contains(f) &&
+        java.util.Arrays.equals(dayAfter(f), bytes),
+        s"compaction touched hot day file $f")
+    }
+    assert(dayAfter.size == 16,
+      s"day tier holds ${dayAfter.size} files post-compaction, want 16")
+    val monthFiles = {
+      val walk = Files.walk(Path.of(root, "months"))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.count(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+      } finally walk.close()
+    }
+    println(s"== compaction: 64 files -> 16 hot days + $monthFiles " +
+      "month files (one per cold month)")
+    assert(monthFiles <= 3, s"$monthFiles month files for ~2 cold months")
+    val postCompact = graft.operators.SketchStore.serve(spark, root)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(postCompact == preCompact,
+      "compaction changed the serve (exact cols or HLL estimate)")
+    println("== post-compaction serve bit-identical " +
+      s"over ${postCompact.size} types")
     spark.stop()
   }
 }
