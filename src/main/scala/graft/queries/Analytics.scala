@@ -825,6 +825,52 @@ object Analytics {
            |  FROM nodes n CROSS JOIN ns LEFT JOIN sd ON sd.id = n.id),
            |${(1 to 5).map(iter).mkString(",\n")}
            |SELECT id, r AS rank FROM r5 ORDER BY id""".stripMargin
-      })
+      }),
+
+    // ----------------------------------------------------------------
+    // q88 — INCREMENTAL connected components: the graph family's
+    // maintain operator (the g03/q83/s20 lifecycle applied to graphs).
+    // A sparse interaction graph (5000 possible vertices, multiplier-
+    // scrambled dst so components stay small and merges are genuine) is
+    // split 3:1 by event id; the old 3/4 is labeled once, then the new
+    // 1/4 arrives as a batch folded in by contract-merge-relabel
+    // (operators/IncrementalCC.scala) — CC runs over the BATCH's
+    // contracted edges only, never re-walking the old edge set. The
+    // oracle recomputes components of the WHOLE graph from scratch
+    // (recursive-CTE reachability); labels are min-ids so the
+    // equivalence is exact, and sharing the full-recompute oracle is
+    // the proof that the bounded maintain loses nothing.
+    Q("q88_incremental_cc",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        def edgesOf(part: DataFrame): DataFrame = part.select(
+          (col("user_id") % 5000).as("src"),
+          ((col("event_id") % 100000) * 2654435761L % 5000).as("dst"))
+        // the sparse graph can sit in the critical percolation regime
+        // at small SFs, where component diameter exceeds the default
+        // propagation bound — a generous maxIter costs nothing (the
+        // loop early-stops at the fixpoint) and keeps the labeling
+        // exact at every SF
+        val prev = graft.operators.Dedup.connectedComponents(
+          graft.operators.GraphEdges.canonical(
+            edgesOf(e.filter(col("event_id") % 4 =!= 0))), maxIter = 100)
+        graft.operators.IncrementalCC.maintain(prev,
+            edgesOf(e.filter(col("event_id") % 4 === 0)), maxIter = 100)
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE raw AS (
+             |  SELECT user_id % 5000 AS s,
+             |         ((event_id % 100000) * 2654435761) % 5000 AS d
+             |  FROM events),
+             |e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+             |      FROM raw WHERE s <> d),
+             |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+             |nodes AS (SELECT DISTINCT a AS id FROM sym),
+             |reach(id, r) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION
+             |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id)
+             |SELECT id, MIN(r) AS cluster FROM reach
+             |GROUP BY id ORDER BY id""".stripMargin))
   )
 }
