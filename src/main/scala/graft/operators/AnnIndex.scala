@@ -84,6 +84,38 @@ object AnnIndex {
   }
 
   /**
+   * Compaction: every [[maintain]] appends one file per touched list
+   * (parquet append semantics), so a daily-ingest index accumulates
+   * batch-count files per inverted list — and the serve path's
+   * economics are file-count economics (each probed list should be ONE
+   * contiguous read, not a seek per historical batch). Rewrite the
+   * posting rows clustered back to one file per list and swap the
+   * compacted layout in: stage to a sibling dir first (Spark refuses
+   * to overwrite a path it reads, and a crash mid-stage leaves the
+   * live layout untouched), then two renames install it — the same
+   * swap contract as `GcdSink.compactSnapshot`. Row content is
+   * unchanged, so serve results are identical pre/post (spec-pinned,
+   * along with the 1-file-per-list invariant); the k03/q87 tiering
+   * stage applied to the vector index.
+   */
+  def compact(spark: SparkSession, root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val live = new Path(s"$root/postings")
+    val staged = new Path(s"$root/postings.compact")
+    val bak = new Path(s"$root/.postings.bak")
+    spark.read.parquet(live.toString)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(staged.toString)
+    fs.delete(bak, true)
+    require(fs.rename(live, bak), s"cannot stage $live")
+    require(fs.rename(staged, live), s"cannot install compacted $live")
+    fs.delete(bak, true)
+  }
+
+  /**
    * Serve top-k from the artifact: queries probe the centroid table
    * (small broadcast), and the posting scan is restricted to the
    * probed cid partitions by a LITERAL partition filter built from the

@@ -738,6 +738,33 @@ object SimilarityQueries {
       Some(s03Oracle)),
 
     // ----------------------------------------------------------------
+    // s21 — index COMPACTION: two maintain batches leave every posting
+    // list fragmented across append files (batch-count seeks per probed
+    // list at serve time — the file-count economics AnnIndexSpec pins);
+    // AnnIndex.compact rewrites each list back to one contiguous file
+    // behind a stage-then-swap (crash mid-stage leaves the live layout
+    // untouched). Row content is unchanged, so the same s03 full-corpus
+    // oracle hash-proves compact(maintain²(build(half))) ≡ build(all) —
+    // the k03/q87 tiering stage completing the vector index lifecycle.
+    Q("s21_ann_index_compact",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val q = e.filter(col("vec_id") % 50 === 0)
+        val root = graft.operators.AnnIndex.build(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          centroidStride = 50, maxCentroids = 32)
+        graft.operators.AnnIndex.maintain(s, root,
+          e.filter(col("vec_id") % 4 === 1), "vec_id", "embedding")
+        graft.operators.AnnIndex.maintain(s, root,
+          e.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
+        graft.operators.AnnIndex.compact(s, root)
+        graft.operators.AnnIndex.search(s, root, q, "vec_id", "embedding",
+            nProbe = 2, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s03Oracle)),
+
+    // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is
     // written in the PLAIN-SPARK HOF dot-product form
     // (aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v))

@@ -68,6 +68,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(inc === full)
   }
 
+  test("compact: fragmented lists -> one file per list, serve identical") {
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val root = AnnIndex.build(base, "vec_id", "embedding", 50, 32)
+    AnnIndex.maintain(spark, root, emb.filter(col("vec_id") % 4 === 1),
+      "vec_id", "embedding")
+    AnnIndex.maintain(spark, root, emb.filter(col("vec_id") % 4 === 3),
+      "vec_id", "embedding")
+    def filesPerList(): Map[String, Int] = {
+      val dirs = new java.io.File(s"$root/postings").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      dirs.map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    assert(filesPerList().values.max > 1,
+      "two appends should leave fragmented lists (else the test is vacuous)")
+    AnnIndex.compact(spark, root)
+    val fp = filesPerList()
+    assert(fp.nonEmpty && fp.values.forall(_ == 1),
+      s"lists not compacted to one file each: $fp")
+    val after = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    assert(after === before, "compaction changed serve results")
+  }
+
   test("rebuild keeps the PREVIOUS generation alive, retires older ones") {
     val r1 = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
     val r2 = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
