@@ -44,7 +44,11 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        // an object-init-order bug (registry Seq forward-referencing an
+        // oracle val) once surfaced here as an opaque NPE — name the query
+        require(v != null, s"null oracle SQL for $k (init-order bug?)")
+        s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

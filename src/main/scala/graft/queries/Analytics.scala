@@ -53,6 +53,35 @@ object Analytics {
       graft.sources.Scratch.deleteNow(base)
     }
 
+  /** The q88/q89 interaction graph: 5000 possible vertices,
+   * multiplier-scrambled dst so components stay small and merges are
+   * genuine. */
+  def interactionEdges(part: DataFrame): DataFrame = part.select(
+    (col("user_id") % 5000).as("src"),
+    ((col("event_id") % 100000) * 2654435761L % 5000).as("dst"))
+
+  /** Full-graph recompute (recursive-CTE reachability, min-id labels) —
+   * shared by q88 (batch maintain) and q89 (streaming maintain): both
+   * bounded paths hash-prove against the same from-scratch truth.
+   * NOTE: declared BEFORE `all` — a forward reference from the
+   * registry Seq would initialize to null (bitten once: Verify NPE'd
+   * escaping a null oracle). */
+  val incCcOracle: String =
+    """WITH RECURSIVE raw AS (
+      |  SELECT user_id % 5000 AS s,
+      |         ((event_id % 100000) * 2654435761) % 5000 AS d
+      |  FROM events),
+      |e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+      |      FROM raw WHERE s <> d),
+      |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+      |nodes AS (SELECT DISTINCT a AS id FROM sym),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id)
+      |SELECT id, MIN(r) AS cluster FROM reach
+      |GROUP BY id ORDER BY id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -843,9 +872,6 @@ object Analytics {
     Q("q88_incremental_cc",
       (s, dir) => {
         val e = t(s, dir, "events")
-        def edgesOf(part: DataFrame): DataFrame = part.select(
-          (col("user_id") % 5000).as("src"),
-          ((col("event_id") % 100000) * 2654435761L % 5000).as("dst"))
         // the sparse graph can sit in the critical percolation regime
         // at small SFs, where component diameter exceeds the default
         // propagation bound — a generous maxIter costs nothing (the
@@ -853,24 +879,13 @@ object Analytics {
         // exact at every SF
         val prev = graft.operators.Dedup.connectedComponents(
           graft.operators.GraphEdges.canonical(
-            edgesOf(e.filter(col("event_id") % 4 =!= 0))), maxIter = 100)
+            interactionEdges(e.filter(col("event_id") % 4 =!= 0))),
+          maxIter = 100)
         graft.operators.IncrementalCC.maintain(prev,
-            edgesOf(e.filter(col("event_id") % 4 === 0)), maxIter = 100)
+            interactionEdges(e.filter(col("event_id") % 4 === 0)),
+            maxIter = 100)
           .orderBy(col("id"))
       },
-      Some("""WITH RECURSIVE raw AS (
-             |  SELECT user_id % 5000 AS s,
-             |         ((event_id % 100000) * 2654435761) % 5000 AS d
-             |  FROM events),
-             |e AS (SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
-             |      FROM raw WHERE s <> d),
-             |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-             |nodes AS (SELECT DISTINCT a AS id FROM sym),
-             |reach(id, r) AS (
-             |  SELECT id, id FROM nodes
-             |  UNION
-             |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id)
-             |SELECT id, MIN(r) AS cluster FROM reach
-             |GROUP BY id ORDER BY id""".stripMargin))
+      Some(incCcOracle))
   )
 }

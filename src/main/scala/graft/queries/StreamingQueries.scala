@@ -506,7 +506,56 @@ object StreamingQueries {
     }
   }
 
+  /** q89: STREAMING incremental connected components — the q86 shape
+   * (real engine foreachBatch-maintaining a persisted-progression
+   * artifact) applied to the graph family's maintain operator. The
+   * label table starts EMPTY and every micro-batch folds its
+   * interaction edges in via [[graft.operators.IncrementalCC.maintain]]:
+   * per batch, CC iterates only the batch's contracted delta (the
+   * GraphSoak measurement: 3 contracted edges for a 10k-edge batch
+   * against 3.3M accumulated), the label state is a distributed
+   * (id, cluster) table carried across batches by eager
+   * localCheckpoint — executor blocks, the driver holds only the plan
+   * handle — and the accumulated edge set is NEVER re-read (it has no
+   * representation here at all; the labeling subsumes it). Sharing
+   * q88's full-recompute oracle hash-proves that a stream of bounded
+   * maintains converges to exactly cc(all edges), independent of how
+   * the engine happened to batch the files. */
+  private def runStreamCc(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    locally {
+      val e = graft.sources.Tables.load(ss, dir, "events")
+        .select(col("event_id"), col("user_id"))
+      val src = graft.sources.Scratch.dir("stream_cc_src")
+      e.repartitionByRange(8, col("event_id"))
+        .write.mode("overwrite").parquet(src)
+      val schema = ss.read.parquet(src).schema
+      var labels: DataFrame = ss.range(0)
+        .select(col("id"), col("id").as("cluster"))
+        .localCheckpoint(true)
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(src)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.sources.Scratch.dir("stream_cc_cp"))
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          labels = graft.operators.IncrementalCC.maintain(labels,
+              Analytics.interactionEdges(b), maxIter = 100)
+            .localCheckpoint(true)
+        }
+        .start()
+      q.awaitTermination()
+      // gate planned on the CALLER's session from the final label table
+      val out = graft.sources.Scratch.dir("stream_cc_out")
+      labels.write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy(col("id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q89_stream_incremental_cc", runStreamCc, Some(Analytics.incCcOracle)),
     Q("q86_stream_sketch_ingest", runSketchIngest,
       Some(Advanced.sketchStoreOracle)),
     Q("q74_stream_approx_users", runHourlyUsers, Some(hourlyUsersOracle)),

@@ -45,6 +45,20 @@ class IncrementalCCSpec extends SparkSpec {
     }
   }
 
+  test("multi-batch fold from empty labeling == cc(all) (the q89 shape)") {
+    val all = edges(11L, 500, 700).localCheckpoint(true)
+    val withIdx = all.withColumn("__i", monotonically_increasing_id())
+    var labels = spark.range(0).select(col("id"), col("id").as("cluster"))
+    for (k <- 0 until 5) {
+      labels = IncrementalCC.maintain(labels,
+          withIdx.filter(col("__i") % 5 === k).drop("__i"), maxIter = 200)
+        .localCheckpoint(true)
+    }
+    assert(labelsOf(labels) == labelsOf(Dedup.connectedComponents(
+      GraphEdges.canonical(all), maxIter = 200)),
+      "five-batch fold diverges from single-shot cc")
+  }
+
   test("empty batch is the identity; empty prior labeling is a full cc") {
     val all = edges(9L, 200, 300).localCheckpoint(true)
     val prev = Dedup.connectedComponents(GraphEdges.canonical(all))
