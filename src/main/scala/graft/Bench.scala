@@ -110,7 +110,11 @@ object Bench {
     }
     // Detail first (may exceed the driver's tail window), short summary
     // LAST so the parseable total always survives the bounded capture.
+    // `failed` = queries with ZERO successful reps (the -1.0 sentinel):
+    // the total silently sums only successes, so without this count a
+    // red query family can hide inside a green-looking total.
+    val nFailed = results.count(_._2 < 0)
     println(s"""{"metric":"queries","reps":$reps,"queries":$qs,"sf":"$sfName"}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"reps":$reps,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"reps":$reps,"sf":"$sfName"}""")
   }
 }

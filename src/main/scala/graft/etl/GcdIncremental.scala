@@ -116,6 +116,16 @@ object GcdIncremental {
    * @param collectMetrics when true (soak), each maintain also counts
    *   the carry rows it read — an extra pass over the TOUCHED buckets
    *   only, left off in gated runs.
+   *
+   * On the g03/g04 gates' two-generation wall cost: a gate run pays
+   * init (full bucketed write of yesterday's base) + maintain. Neither
+   * write is skippable without un-testing the operator — if init didn't
+   * persist, the carry would have to recompute yesterday's build plan
+   * instead of reading bucket files, which is exactly the in-memory
+   * [[GcdIncremental.maintain]] ALGEBRA the store exists to supersede.
+   * The init write is a once-per-store cost amortized over every later
+   * dump; GcdSoak's `incremental` stage prints the maintain/rebuild
+   * wall ratio to prove the per-dump side pays for itself.
    */
   final class SnapshotStore(ss: SparkSession, nBuckets: Int = 64,
       collectMetrics: Boolean = false) {

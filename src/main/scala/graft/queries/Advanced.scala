@@ -18,9 +18,9 @@ object Advanced {
   /** Shared q65/q70 change log: bounded user set, integer-microsecond
    * timestamps (the cross-engine-exact domain). */
   private def scd2Events(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "events")
+    Tables.eventsUs(s, dir)
       .filter(col("user_id") < 20)
-      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+      .select(col("user_id"), col("ts_us"),
         col("event_id"), col("event_type"))
 
   /** The full SCD2 rebuild restatement — oracle of BOTH q65 (direct
@@ -407,9 +407,9 @@ object Advanced {
     // argmax; q19 is the inlined single-table cousin.
     Q("q34_asof_join",
       (s, dir) => {
-        val e = Tables.load(s, dir, "events")
+        val e = Tables.eventsUs(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
-            expr("ts_ns div 1000").as("ts_us"))
+            col("ts_us"))
         val purchases = e.filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"), col("user_id"),
             col("ts_us"))
@@ -448,9 +448,9 @@ object Advanced {
     // the hash gate proves the bucketing loses and invents nothing.
     Q("q33_range_join",
       (s, dir) => {
-        val e = Tables.load(s, dir, "events")
+        val e = Tables.eventsUs(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
-            expr("ts_ns div 1000").as("ts_us"))
+            col("ts_us"))
         val errors = e.filter(col("event_type") === "error")
           .select(col("event_id").as("err_id"), col("user_id"),
             col("ts_us").as("err_ts"))
@@ -1119,10 +1119,10 @@ Some(scd2RebuildOracle)),
     // exactly like Dedup's maxShingleDf hot-bucket cap.
     Q("q69_rolling_time_window",
       (s, dir) => {
-        val e = Tables.load(s, dir, "events")
+        val e = Tables.eventsUs(s, dir)
           .filter(col("user_id") < 10)
           .select(col("user_id"), col("event_id"),
-            expr("ts_ns div 1000").as("us"), col("value"))
+            col("ts_us").as("us"), col("value"))
         val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
           .rangeBetween(-3600000000L, 0L)
         e.select(col("user_id"), col("event_id"), col("us"),

@@ -48,21 +48,17 @@ object StreamingQueries {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       // streaming file sources need an explicit schema; take it from the
-      // batch footer read (ts arrives as LongType nanos under NanosConf)
+      // batch footer read (whatever encoding the producer wrote)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // the streaming file source wants a directory; select just the
       // events file out of the sf dir with a glob filter
       val raw = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      // same guard as the batch path (Tables.load): only the legacy
-      // nanos-as-long read needs the ns→µs conversion; a file already
-      // storing timestamps streams through untouched
-      val ev =
-        if (schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-          raw.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-        else raw
+      // same contract as the batch path: normalize ANY upstream ts
+      // encoding (INT64 nanos / TIMESTAMP / TIMESTAMP_NTZ) to
+      // ts_ns + watermarkable µs-TIMESTAMP ts before the transform —
+      // withWatermark rejects NTZ, unix_micros rejects NTZ.
+      val ev = graft.sources.Tables.normalizeEvents(raw)
 
       val out = graft.sources.Scratch.dir("stream_out")
       val cp = graft.sources.Scratch.dir("stream_cp")

@@ -1,8 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /**
  * Table registry for the engine's file-backed sources.
@@ -20,28 +20,61 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   /**
+   * Normalize the events timestamp to the engine's two-column contract,
+   * from WHATEVER encoding the upstream producer wrote:
+   *
+   *  - INT64 TIMESTAMP(NANOS) (read as a long under
+   *    `spark.sql.legacy.parquet.nanosAsLong`, which keeps the scan
+   *    vectorized — no row-group fallback) → `ts_ns` is the raw long,
+   *    `ts` = µs truncation;
+   *  - TIMESTAMP (µs, instant-adjusted) → `ts` as stored,
+   *    `ts_ns` = unix_micros × 1000;
+   *  - TIMESTAMP_NTZ (µs, naive) → cast to TIMESTAMP first — the session
+   *    timezone is pinned UTC engine-wide, so the naive datetime maps to
+   *    the same instant DuckDB's epoch functions compute — then as above.
+   *
+   * Output column order is canonical regardless of source encoding:
+   * `ts_ns` sits in the source `ts` slot, the µs `ts` TIMESTAMP is
+   * appended last. Consumers (watermarks, `ts_ns div 1000` µs math)
+   * never see the encoding. Works on batch and streaming DataFrames.
+   */
+  def normalizeEvents(raw: DataFrame): DataFrame = {
+    val norm = raw.schema("ts").dataType match {
+      case LongType =>
+        // Integer division: double division rounds above 2^53 (ULP at
+        // 1.7e18 ns is 256 ns), which can truncate to a different µs.
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampType =>
+        raw.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other: DataType =>
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported type ${other.sql}; expected " +
+            "INT64 TIMESTAMP(NANOS), TIMESTAMP or TIMESTAMP_NTZ")
+    }
+    val order: Seq[Column] =
+      (raw.columns.map(c => if (c == "ts") "ts_ns" else c) :+ "ts")
+        .toIndexedSeq.map(col)
+    norm.select(order: _*)
+  }
+
+  /**
    * Load one table from `dir/<name>.parquet`.
    *
-   * `events.ts` is written as Parquet INT64 TIMESTAMP(NANOS) which Spark's
-   * vectorized reader rejects; we read nanos as a long
-   * (spark.sql.legacy.parquet.nanosAsLong) and surface both the raw
-   * `ts_ns` long and a microsecond-precision `ts` timestamp. This keeps the
-   * scan vectorized (no row-group fallback) at any scale.
+   * `events` is normalized to the `ts_ns` (long nanos) + `ts` (µs
+   * TIMESTAMP) contract from any upstream encoding — see
+   * [[normalizeEvents]]. An engine at 100 TB cannot assume a producer
+   * never upgrades its timestamp encoding.
    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      try {
-        val raw = spark.read.parquet(s"$dir/events.parquet")
-        // ts arrives as LongType nanos; keep ns precision and add micros ts.
-        if (raw.schema("ts").dataType == LongType) {
-          // Integer division: double division rounds above 2^53 (ULP at
-          // 1.7e18 ns is 256 ns), which can truncate to a different µs.
-          raw.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-        } else raw
-      } finally {
+      try normalizeEvents(spark.read.parquet(s"$dir/events.parquet"))
+      finally {
         prev match {
           case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
           case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
@@ -51,6 +84,12 @@ object Tables {
       spark.read.parquet(s"$dir/$name.parquet")
     }
   }
+
+  /** The µs-integer projection of events (the cross-engine-exact domain
+   * shared by the as-of/range-join/SCD2/rolling-window consumers):
+   * everything [[load]] returns plus `ts_us = ts_ns div 1000`. */
+  def eventsUs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events").withColumn("ts_us", expr("ts_ns div 1000"))
 
   /** Register every table in `dir` as a temp view (the Spark SQL query layer —
    * replaces the reference's Athena external table,

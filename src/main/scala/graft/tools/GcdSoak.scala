@@ -182,17 +182,27 @@ object GcdSoak {
       val store = new graft.etl.GcdIncremental.SnapshotStore(
         spark, nBuckets, collectMetrics = true)
       store.init(base)
-      val baseRows = store.view.count()
+      // tInit = build(all) + full bucketed write — exactly what a
+      // non-incremental pipeline pays on EVERY dump (the reference's
+      // recompute-everything model, Main.java:380-513), so it doubles
+      // as the full-rebuild bar the maintain ratio is judged against.
       val tInit = (System.nanoTime() - t0) / 1e9
+      val baseRows = store.view.count()
       val touched = spark.range(touchedN)
         .select((col("id") * (nIssues / touchedN)).as("issue_id"))
       store.maintain(tables, touched, "2026-8-12")
       val m = store.metrics.last
       val pct = 100.0 * m.carryRowsRead / baseRows
-      println(f"== incremental: base=$baseRows rows (init $tInit%.1fs); " +
+      val tMaintain = m.wallMs / 1000.0
+      println(f"== incremental: base=$baseRows rows (rebuild+write $tInit%.1fs); " +
         f"dump of $touchedN issues -> ${m.touchedBuckets}/${m.nBuckets} " +
         f"buckets, carry read ${m.carryRowsRead} rows ($pct%.1f%% of " +
         f"base vs 100%% full-scan), wall ${m.wallMs} ms")
+      println(f"== incremental: maintain/rebuild ratio = " +
+        f"$tMaintain%.2fs / $tInit%.2fs = ${tMaintain / tInit}%.2f " +
+        f"(must be < 1: the store pays off vs recompute-per-dump)")
+      assert(tMaintain < tInit,
+        f"maintain ($tMaintain%.2fs) not cheaper than full rebuild ($tInit%.2fs)")
       val afterRows = store.view.count()
       println(s"== incremental: rows after maintain $afterRows (expect $baseRows)")
       assert(afterRows == baseRows)

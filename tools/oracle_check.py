@@ -11,7 +11,9 @@ mismatch. Dev-only tooling — the shipped library is pure Scala/Spark.
 """
 import json
 import math
+import os
 import sys
+import time
 
 import duckdb
 
@@ -76,6 +78,16 @@ def within_one_ulp(s_rows, d_rows, sidx, didx):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    # Round-8 lesson: a green sweep claim is only valid if it postdates the
+    # data it swept — the driver regenerates /root/testdata between rounds,
+    # and round 8's closing claim was made against data that no longer
+    # existed at judging time. Stamp both times into the artifact.
+    def iso(t):
+        return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(t))
+    newest = max(os.path.getmtime(os.path.join(dp, f))
+                 for dp, _, fs in os.walk(sf_dir) for f in fs)
+    print(f"testdata newest mtime: {iso(newest)}; sweep run at: "
+          f"{iso(time.time())} (claim valid only if run > mtime)")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
