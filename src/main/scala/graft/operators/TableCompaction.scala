@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Size-aware small-file compaction for a partitioned parquet table — the
+ * data-lake OPTIMIZE operation. Long-running ingest (streaming sinks,
+ * frequent incremental maintains) accretes many small files per
+ * partition; at 100 TB that debt dominates scan cost (per-file open +
+ * footer read + a task per tiny split) long before data volume does.
+ *
+ * Spark-first design:
+ *  - PLAN from file metadata only: list each `part=`-style leaf dir,
+ *    sum its data-file sizes; a partition is in debt when its file
+ *    count exceeds ceil(bytes / targetBytes). No data is read to
+ *    decide. (This is the engine-side half of what table formats keep
+ *    in their manifests; on raw parquet the listing IS the manifest.)
+ *  - REWRITE every debt partition in ONE job — not a job per partition
+ *    (a driver loop over thousands of partitions schedules thousands
+ *    of tiny jobs): read only the touched partition dirs, assign each
+ *    row a file slot `pmod(xxhash64(cols), targetFiles(partition))`
+ *    via a broadcast of the (bounded, driver-side) plan, shuffle on
+ *    (partition, slot), and write `partitionBy(partCol)` — each
+ *    partition lands in at most its targetFiles output files.
+ *  - SWAP per partition behind a stage: the rewrite goes to a sibling
+ *    stage dir; each touched partition dir is then renamed out and the
+ *    staged one renamed in (the `GcdSink.compactSnapshot` /
+ *    `AnnIndex.compact` crash contract: a crash mid-stage leaves the
+ *    live table untouched; a crash mid-swap leaves either the old or
+ *    the new complete partition plus debris).
+ *  - Partitions already within target are never read, rewritten, or
+ *    renamed — their files stay byte-identical (spec-pinned).
+ *
+ * The reference has no counterpart (its sink writes once, per dump —
+ * /root/reference/src/main/java/org/gcd/etl/Main.java:380-513); this is
+ * the operation its 2M-rows-per-file K1 contract grows into when the
+ * table is maintained instead of rewritten.
+ */
+object TableCompaction {
+
+  /** One partition's layout debt: current files vs the size-derived
+   * target. */
+  final case class PartitionPlan(partDir: String, partValue: String,
+      nFiles: Int, bytes: Long, targetFiles: Int) {
+    def inDebt: Boolean = nFiles > targetFiles
+  }
+
+  final case class Report(touched: Seq[PartitionPlan], skipped: Int)
+
+  private def dataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Array[FileStatus] =
+    fs.listStatus(dir).filter { f =>
+      val n = f.getPath.getName
+      f.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Metadata-only compaction plan over `root`'s `<partCol>=<v>` leaf
+   * dirs. */
+  def plan(spark: SparkSession, root: String, partCol: String,
+      targetBytes: Long): Seq[PartitionPlan] = {
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(root)).toSeq
+      .filter(d => d.isDirectory &&
+        d.getPath.getName.startsWith(s"$partCol="))
+      .map { d =>
+        val files = dataFiles(fs, d.getPath)
+        val bytes = files.map(_.getLen).sum
+        val target = math.max(1L,
+          (bytes + targetBytes - 1) / targetBytes).toInt
+        PartitionPlan(d.getPath.toString,
+          d.getPath.getName.stripPrefix(s"$partCol="),
+          files.length, bytes, target)
+      }
+  }
+
+  /** Compact every in-debt partition of `root`; returns what was
+   * rewritten. Clean partitions are untouched (not even read). */
+  def compact(spark: SparkSession, root: String, partCol: String,
+      targetBytes: Long): Report = {
+    val plans = plan(spark, root, partCol, targetBytes)
+    val touched = plans.filter(_.inDebt)
+    if (touched.isEmpty) return Report(Nil, plans.size)
+
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val stage = new Path(s"$root.compact")
+    fs.delete(stage, true)
+
+    // one job over the touched partitions only; basePath keeps the
+    // partition column in the schema
+    val df = spark.read.option("basePath", root)
+      .parquet(touched.map(_.partDir): _*)
+    val dataCols = df.columns.filterNot(_ == partCol)
+    // bounded broadcast: (partition value, target file count) — one row
+    // per TOUCHED partition, the same driver-side-scalar shape as the
+    // store operators' touched-bucket lists
+    val targets = spark.createDataFrame(
+        touched.map(p => (p.partValue, p.targetFiles)))
+      .toDF("__pv", "__nf")
+    val slotted = df
+      .withColumn("__pv", col(partCol).cast("string"))
+      .join(broadcast(targets), Seq("__pv"))
+      .withColumn("__slot",
+        pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), col("__nf")))
+    slotted
+      .repartition(touched.map(_.targetFiles).sum,
+        col(partCol), col("__slot"))
+      .select((dataCols :+ partCol).map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").partitionBy(partCol)
+      .parquet(stage.toString)
+
+    touched.foreach { p =>
+      val live = new Path(p.partDir)
+      val bak = new Path(live.getParent, s".${live.getName}.bak")
+      val staged = new Path(stage, live.getName)
+      require(fs.exists(staged), s"stage missing ${live.getName}")
+      fs.delete(bak, true)
+      require(fs.rename(live, bak), s"cannot stage out $live")
+      require(fs.rename(staged, live), s"cannot install $live")
+      fs.delete(bak, true)
+    }
+    fs.delete(stage, true)
+    Report(touched, plans.size - touched.size)
+  }
+}

@@ -944,6 +944,39 @@ object Advanced {
               |GROUP BY 1 ORDER BY month_epoch""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q90 — small-file COMPACTION of a partitioned sink (the data-lake
+    // OPTIMIZE op — operators/TableCompaction): a day-partitioned events
+    // table is written with deliberate small-file debt (12 files per
+    // day — what a streaming sink or frequent incremental maintain
+    // accretes), then compacted: the plan is METADATA-ONLY (file
+    // listings, no data read), every in-debt partition is rewritten in
+    // ONE job to its size-derived target file count, and the swap is
+    // staged per partition. The oracle aggregates the raw events table —
+    // the hash gate proves the compacted layout lost and invented
+    // nothing. File-count collapse, clean-partition byte-identity and
+    // idempotence are pinned in TableCompactionSpec.
+    Q("q90_sink_compaction",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"),
+            date_format(col("ts"), "yyyyMMdd").cast("int").as("day"))
+        val root = graft.sources.Scratch.dir("compact_sink") + "/events"
+        e.repartition(12).write.partitionBy("day").parquet(root)
+        val report = graft.operators.TableCompaction.compact(
+          s, root, "day", targetBytes = 64L * 1024 * 1024)
+        require(report.touched.nonEmpty,
+          "compaction scenario produced no small-file debt")
+        s.read.parquet(root)
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("day"))
+      },
+      Some(s"""SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS day,
+              |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+              |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q65 — SCD type-2 dimension build from a change log: each user's
     // event stream becomes versioned attribute history — a new version
     // opens only when the attribute CHANGES (lag-compare), versions get
