@@ -15,8 +15,9 @@ object DedupQueries {
   private def h60(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
-  /** DuckDB spelling of TextFunctions.normalizeText. */
-  private val normT =
+  /** DuckDB spelling of TextFunctions.normalizeText (shared with q91's
+   * streaming fingerprint store). */
+  private[queries] val normT =
     raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
   /** The d02 MinHash/LSH pair SQL (no final ORDER BY) — shared by d02

@@ -550,7 +550,58 @@ object StreamingQueries {
     }
   }
 
+  /** q91: streaming exact-dedup FINGERPRINT STORE — the corpus-level
+   * dedup ledger a continuously-ingesting training-data pipeline
+   * maintains (arriving docs are fingerprinted once, in the batch that
+   * carries them; the corpus is never re-scanned). Every micro-batch
+   * folds `(fingerprint, doc_id, 1)` rows into a
+   * [[graft.streaming.BucketedUpsert]] state keyed by the md5 content
+   * fingerprint with a MONOID combine — keeper = min(doc_id),
+   * n_docs = sum — so the merged store is independent of how the
+   * engine batched the files (min/sum commute and associate; contrast
+   * q56's latest-wins replace). Per batch the store reads only the
+   * touched key buckets; the oracle is the batch GROUP BY over the
+   * whole corpus — the hash gate proves stream-maintained ledger ≡
+   * full recompute, d01's exact-dedup semantics as a live artifact. */
+  private def runDedupStore(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    locally {
+      val src = graft.sources.Scratch.dir("dedup_store_src")
+      graft.sources.Tables.load(ss, dir, "documents")
+        .select(
+          graft.functions.TextFunctions.fingerprint(col("text"))
+            .as("fingerprint"),
+          col("doc_id").as("keeper_id"), lit(1L).as("n_docs"))
+        .repartition(8).write.mode("overwrite").parquet(src)
+      val schema = ss.read.parquet(src).schema
+      val state = new graft.streaming.BucketedUpsert.State(ss,
+        keyCol = "fingerprint",
+        payloadCols = Seq("keeper_id", "n_docs"), nBuckets = 16,
+        combine = Some(df => df.groupBy(col("fingerprint"))
+          .agg(min(col("keeper_id")).as("keeper_id"),
+            sum(col("n_docs")).as("n_docs"))),
+        hashKey = true)
+      val q = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(src)
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.sources.Scratch.dir("dedup_store_cp"))
+        .foreachBatch { (b: DataFrame, id: Long) => state.merge(b, id) }
+        .start()
+      q.awaitTermination()
+      state.view(s).orderBy(col("fingerprint"))
+    }
+  }
+
+  private def dedupStoreOracle: String =
+    s"""SELECT md5(${DedupQueries.normT}) AS fingerprint,
+       |  min(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q91_stream_dedup_store", runDedupStore, Some(dedupStoreOracle)),
     Q("q89_stream_incremental_cc", runStreamCc, Some(Analytics.incCcOracle)),
     Q("q86_stream_sketch_ingest", runSketchIngest,
       Some(Advanced.sketchStoreOracle)),

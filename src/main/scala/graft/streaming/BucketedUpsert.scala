@@ -54,26 +54,40 @@ object BucketedUpsert {
       stateRowsRead: Long, wallMs: Long)
 
   /**
-   * Mutable state handle for one upsert view. `payloadCols` order
-   * defines "latest": the per-key max of `struct(payloadCols)` wins
-   * (put the event-time column first, a unique id second as tiebreak).
+   * Mutable state handle for one upsert view. By default `payloadCols`
+   * order defines "latest": the per-key max of `struct(payloadCols)`
+   * wins (put the event-time column first, a unique id second as
+   * tiebreak). Pass `combine` for non-replace merge semantics: any
+   * per-key reduce that is COMMUTATIVE and ASSOCIATIVE over
+   * key+payload rows (a monoid fold — e.g. min/sum accumulators for a
+   * dedup-fingerprint store). The same reduce runs over a raw batch
+   * and over batch ∪ prior state, which is exactly what makes the
+   * merged view independent of how the engine batched the stream.
    *
    * @param collectMetrics when true (soak), each merge also counts the
    *   state rows it read — an extra pass over the TOUCHED buckets only,
    *   left off in gated runs.
    * @param root an existing state root to attach to (recovery); default
    *   a fresh scratch dir.
+   * @param hashKey bucket on `pmod(xxhash64(key), n)` instead of
+   *   `pmod(key, n)` — required for non-numeric keys (string
+   *   fingerprints); still a pure function of the key.
    */
   final class State(ss: SparkSession, keyCol: String,
       payloadCols: Seq[String], nBuckets: Int,
-      collectMetrics: Boolean = false, root: Option[String] = None) {
+      collectMetrics: Boolean = false, root: Option[String] = None,
+      combine: Option[DataFrame => DataFrame] = None,
+      hashKey: Boolean = false) {
 
     private val stateRoot = root.getOrElse(Scratch.dir("upsert_state"))
     private val current = mutable.Map.empty[Int, String]
     private var attempt = 0L
     val metrics: mutable.ArrayBuffer[BatchMetrics] = mutable.ArrayBuffer()
 
-    private def bucketOf = pmod(col(keyCol), lit(nBuckets)).cast("int")
+    private def bucketOf = {
+      val k = if (hashKey) xxhash64(col(keyCol)) else col(keyCol)
+      pmod(k, lit(nBuckets)).cast("int")
+    }
 
     /** Per-key latest row of `df` under the payload-struct order. */
     def latest(df: DataFrame): DataFrame =
@@ -82,10 +96,13 @@ object BucketedUpsert {
         .select(col(keyCol) +:
           payloadCols.map(c => col(s"__m.$c").as(c)): _*)
 
+    private def reduce(df: DataFrame): DataFrame =
+      combine.getOrElse(latest _)(df)
+
     /** The foreachBatch body: merge one micro-batch into the view. */
     def merge(batch: DataFrame, id: Long): Unit = {
       val t0 = System.nanoTime()
-      val newest = latest(batch)
+      val newest = reduce(batch)
       // bounded driver-side list (≤ nBuckets ints), not a data collect
       val touched = newest.select(bucketOf.as("__b")).distinct()
         .collect().map(_.getInt(0)).sorted
@@ -96,7 +113,7 @@ object BucketedUpsert {
         val stateRows =
           if (collectMetrics) prev.map(_.count()).getOrElse(0L) else -1L
         val merged = prev match {
-          case Some(p) => latest(newest.unionByName(p))
+          case Some(p) => reduce(newest.unionByName(p))
           case None => newest
         }
         // attempt-unique dir: a retried batch id never collides with a

@@ -89,4 +89,39 @@ class UpsertStreamSpec extends SparkSpec {
     assert(got.except(want).isEmpty && want.except(got).isEmpty,
       "recovered+replayed view differs from batch argmax")
   }
+
+  test("monoid combine: merged store is independent of batch order") {
+    import graft.streaming.BucketedUpsert
+    // string-keyed store with min/sum accumulators (the q91 dedup
+    // ledger shape): 20 fingerprints × repeated docs
+    val docs = spark.range(300).select(
+      concat(lit("fp"), col("id") % 20).as("fp"),
+      col("id").as("keeper_id"), lit(1L).as("n_docs"))
+    val payload = Seq("keeper_id", "n_docs")
+    def combine(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("fp"))
+        .agg(min(col("keeper_id")).as("keeper_id"),
+          sum(col("n_docs")).as("n_docs"))
+    def mkState() = new BucketedUpsert.State(spark, "fp", payload,
+      nBuckets = 8, combine = Some(combine), hashKey = true)
+
+    val slices = Seq(
+      docs.filter(col("keeper_id") < 100),
+      docs.filter(col("keeper_id") >= 100 && col("keeper_id") < 200),
+      docs.filter(col("keeper_id") >= 200))
+    val fwd = mkState()
+    slices.zipWithIndex.foreach { case (b, i) => fwd.merge(b, i.toLong) }
+    val rev = mkState()
+    slices.reverse.zipWithIndex.foreach { case (b, i) =>
+      rev.merge(b, i.toLong) }
+
+    val cols = Seq("fp", "keeper_id", "n_docs").map(col)
+    val a = fwd.view(spark).select(cols: _*)
+    val b = rev.view(spark).select(cols: _*)
+    val want = combine(docs).select(cols: _*)
+    assert(a.except(want).isEmpty && want.except(a).isEmpty,
+      "forward-merged store differs from whole-corpus reduce")
+    assert(b.except(want).isEmpty && want.except(b).isEmpty,
+      "reverse-merged store differs from whole-corpus reduce")
+  }
 }
