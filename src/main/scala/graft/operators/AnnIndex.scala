@@ -84,6 +84,71 @@ object AnnIndex {
   }
 
   /**
+   * EXACTLY-ONCE streaming ingest (the s22 foreachBatch body).
+   * [[maintain]] is a blind append, so a foreachBatch RETRY of a batch
+   * id — crash recovery, transient sink failure — would double its
+   * vectors. This wraps the same frozen-quantizer append in the
+   * SketchStore intent idiom: the batch's assigned posting files are
+   * STAGED first, an intent marker naming the stage commits atomically,
+   * then the staged part files MOVE into the live cid dirs and an
+   * applied marker retires the batch id. Every crash point recovers on
+   * re-invocation: applied → no-op; intent → resume the move (a part
+   * file lives in the stage or the live dir, never both — file moves
+   * are idempotent, and staged filenames are write-unique so resumed
+   * moves never collide); no marker → full path.
+   */
+  def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long, idCol: String, vecCol: String): Unit = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val applied = Path.of(root, s"_ingest_$batchId.applied")
+    if (Files.exists(applied)) return
+    val intent = Path.of(root, s"_ingest_$batchId.intent")
+    val stage: String =
+      if (Files.exists(intent)) Files.readString(intent) // crashed attempt
+      else stageIngest(spark, root, batch, batchId, idCol, vecCol)
+    // apply: promote every staged part file into its live list dir
+    val live = Path.of(root, "postings")
+    val stageDirs = Option(new java.io.File(stage).listFiles())
+      .getOrElse(Array.empty)
+    stageDirs.filter(d => d.isDirectory && d.getName.startsWith("cid="))
+      .foreach { d =>
+        val dst = live.resolve(d.getName)
+        Files.createDirectories(dst)
+        d.listFiles().filter(f => f.isFile &&
+          f.getName.endsWith(".parquet")).foreach { f =>
+          Files.move(f.toPath, dst.resolve(f.getName),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+    val tmp = Path.of(root, s"_ingest_$batchId.applied.tmp")
+    Files.writeString(tmp, stage)
+    Files.move(tmp, applied, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.Scratch.deleteNow(stage)
+    Files.deleteIfExists(intent)
+  }
+
+  /** First half of [[ingestBatch]]: write the assigned batch postings
+   * to a stage dir, then atomically commit the intent marker naming
+   * it. Split out so the spec can pin crash-between-intent-and-apply
+   * recovery. */
+  private[operators] def stageIngest(spark: SparkSession, root: String,
+      batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String): String = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val st = s"$root/.ingest_stage_$batchId"
+    val cent = spark.read.parquet(s"$root/centroids")
+    Similarity.assignToCentroids(batch, idCol, vecCol, cent)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(st)
+    val tmp = Path.of(root, s"_ingest_$batchId.intent.tmp")
+    Files.writeString(tmp, st)
+    Files.move(tmp, Path.of(root, s"_ingest_$batchId.intent"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    st
+  }
+
+  /**
    * Compaction: every [[maintain]] appends one file per touched list
    * (parquet append semantics), so a daily-ingest index accumulates
    * batch-count files per inverted list — and the serve path's

@@ -765,6 +765,51 @@ object SimilarityQueries {
       Some(s03Oracle)),
 
     // ----------------------------------------------------------------
+    // s22 — STREAMING ingest into the persisted ANN index: the q86/q91
+    // shape (real engine foreachBatch-maintaining a persisted artifact)
+    // applied to the vector index. The index is built from half the
+    // corpus; the other half streams through in several micro-batches,
+    // each folded in by AnnIndex.ingestBatch — the frozen-quantizer
+    // append behind a staged two-phase commit, so a replayed batch id
+    // is a no-op instead of double-ingesting its vectors (pinned in
+    // AnnIndexSpec). Sharing s03's full-corpus oracle hash-proves
+    // stream-ingested index serves ≡ build(all), independent of how
+    // the engine batched the files — s20's maintain contract upgraded
+    // to the streaming engine with exactly-once durability.
+    Q("s22_stream_ann_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val e = Tables.load(ss, dir, "embeddings")
+        val root = graft.operators.AnnIndex.build(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          centroidStride = 50, maxCentroids = 32)
+        val src = graft.sources.Scratch.dir("ann_ingest_src")
+        e.filter(col("vec_id") % 2 === 1)
+          .repartitionByRange(8, col("vec_id"))
+          .write.mode("overwrite").parquet(src)
+        val q = ss.readStream.schema(ss.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", "2").parquet(src)
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.sources.Scratch.dir("ann_ingest_cp"))
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.operators.AnnIndex.ingestBatch(ss, root, b, id,
+              "vec_id", "embedding")
+          }
+          .start()
+        q.awaitTermination()
+        graft.operators.AnnIndex.search(s, root,
+            Tables.load(s, dir, "embeddings")
+              .filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", nProbe = 2, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s03Oracle)),
+
+    // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is
     // written in the PLAIN-SPARK HOF dot-product form
     // (aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v))

@@ -94,6 +94,39 @@ class AnnIndexSpec extends SparkSpec {
     assert(after === before, "compaction changed serve results")
   }
 
+  test("ingestBatch: replayed batch id is a no-op; result == one maintain") {
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val root = AnnIndex.build(evens, "vec_id", "embedding", 50, 32)
+    AnnIndex.ingestBatch(spark, root, odds, 7L, "vec_id", "embedding")
+    val once = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    val rows = spark.read.parquet(s"$root/postings").count()
+    // foreachBatch retry of the same batch id after a sink failure
+    AnnIndex.ingestBatch(spark, root, odds, 7L, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$root/postings").count() == rows,
+      "replayed batch id re-appended its vectors")
+    val twice = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    assert(twice === once)
+  }
+
+  test("ingestBatch: crash between intent and apply recovers exactly-once") {
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val root = AnnIndex.build(evens, "vec_id", "embedding", 50, 32)
+    // simulate the crash: stage + intent committed, apply never ran
+    AnnIndex.stageIngest(spark, root, odds, 3L, "vec_id", "embedding")
+    // re-invocation (the foreachBatch retry) must complete the apply
+    AnnIndex.ingestBatch(spark, root, odds, 3L, "vec_id", "embedding")
+    val got = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    val rRef = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
+    val want = AnnIndex.search(spark, rRef, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    assert(got === want, "recovered ingest differs from build(all)")
+  }
+
   test("rebuild keeps the PREVIOUS generation alive, retires older ones") {
     val r1 = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
     val r2 = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
