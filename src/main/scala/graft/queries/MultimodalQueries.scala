@@ -14,6 +14,26 @@ import graft.sources.Tables
  */
 object MultimodalQueries {
 
+  /** DuckDB restatement of Multimodal.aHash(n=60) over documents-derived
+   * media: CTE chain ending in `sig(id, sig)` — shared by m05 (banded
+   * near-dup pairs) and m06 (streaming ledger group-by). */
+  private val sigCte =
+    """f AS (SELECT doc_id AS id, text, len(text) AS sz FROM documents),
+      |st AS (SELECT id, i,
+      |    substr(text, (sz * i) // 60 + 1, greatest(sz // 60, 1)) AS w
+      |  FROM f, unnest(generate_series(0, 59)) u(i)),
+      |sums AS (SELECT id, i, CAST(len(w) AS BIGINT) AS l,
+      |    CAST(COALESCE(list_sum(list_transform(generate_series(1, len(w)),
+      |      j -> ascii(substr(w, j, 1)))), 0) AS BIGINT) AS s
+      |  FROM st),
+      |tot AS (SELECT id, CAST(SUM(s) AS BIGINT) AS stot,
+      |    CAST(SUM(l) AS BIGINT) AS ltot
+      |  FROM sums GROUP BY id),
+      |sig AS (SELECT sums.id,
+      |    CAST(SUM(CASE WHEN s * ltot > stot * l
+      |      THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS sig
+      |  FROM sums JOIN tot ON tot.id = sums.id GROUP BY sums.id)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -168,21 +188,7 @@ object MultimodalQueries {
             maxBucket = 2000L)
           .orderBy(col("a"), col("b"))
       },
-      Some("""WITH f AS (SELECT doc_id AS id, text, len(text) AS sz FROM documents),
-             |st AS (SELECT id, i,
-             |    substr(text, (sz * i) // 60 + 1, greatest(sz // 60, 1)) AS w
-             |  FROM f, unnest(generate_series(0, 59)) u(i)),
-             |sums AS (SELECT id, i, CAST(len(w) AS BIGINT) AS l,
-             |    CAST(COALESCE(list_sum(list_transform(generate_series(1, len(w)),
-             |      j -> ascii(substr(w, j, 1)))), 0) AS BIGINT) AS s
-             |  FROM st),
-             |tot AS (SELECT id, CAST(SUM(s) AS BIGINT) AS stot,
-             |    CAST(SUM(l) AS BIGINT) AS ltot
-             |  FROM sums GROUP BY id),
-             |sig AS (SELECT sums.id,
-             |    CAST(SUM(CASE WHEN s * ltot > stot * l
-             |      THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS sig
-             |  FROM sums JOIN tot ON tot.id = sums.id GROUP BY sums.id),
+      Some(s"""WITH $sigCte,
              |buckets AS (SELECT id, sig,
              |    bb || '|' || CAST((sig >> (bb * 5)) & 31 AS VARCHAR) AS bkey
              |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS bb) bands
@@ -192,6 +198,59 @@ object MultimodalQueries {
              |FROM buckets x JOIN buckets y
              |  ON x.bkey = y.bkey AND x.id < y.id
              |WHERE bit_count(xor(x.sig, y.sig)) <= 11
-             |ORDER BY a, b""".stripMargin))
+             |ORDER BY a, b""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // m06 — STREAMING perceptual-hash LEDGER: the q91 dedup-store shape
+    // on the media family. Media rows stream through the engine with
+    // the 60-bit average-hash computed IN the arriving micro-batch (a
+    // pure scan-stage expression — the corpus is never re-hashed), and
+    // each batch folds (sig, media_id, 1) into a BucketedUpsert state
+    // with the min/sum MONOID combine — keeper = min(media_id),
+    // n_media = sum — so the ledger is independent of engine batching.
+    // Per batch the store reads only touched sig buckets. The oracle
+    // groups m05's signature restatement over the whole corpus: the
+    // hash gate proves stream-maintained ledger ≡ full recompute. A
+    // LAION-scale image-dedup pipeline maintains exactly this artifact
+    // (new shards hash on arrival; exact-pHash dups collapse into the
+    // ledger; near-dup mining — m05 — runs over ledger keys, not raw
+    // media).
+    Q("m06_stream_phash_ledger",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val src = graft.sources.Scratch.dir("phash_ledger_src")
+        Tables.load(ss, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(8).write.mode("overwrite").parquet(src)
+        val state = new graft.streaming.BucketedUpsert.State(ss,
+          keyCol = "sig",
+          payloadCols = Seq("keeper_id", "n_media"), nBuckets = 16,
+          combine = Some(df => df.groupBy(col("sig"))
+            .agg(min(col("keeper_id")).as("keeper_id"),
+              sum(col("n_media")).as("n_media"))))
+        val q = ss.readStream.schema(ss.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", "2").parquet(src)
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.sources.Scratch.dir("phash_ledger_cp"))
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            state.merge(
+              Multimodal.aHash(Multimodal.fromDocuments(b), n = 60)
+                .select(col("ahash").as("sig"),
+                  col("media_id").as("keeper_id"),
+                  lit(1L).as("n_media")),
+              id)
+          }
+          .start()
+        q.awaitTermination()
+        state.view(s).orderBy(col("sig"))
+      },
+      Some(s"""WITH $sigCte
+             |SELECT sig, min(id) AS keeper_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_media
+             |FROM sig GROUP BY 1 ORDER BY sig""".stripMargin))
   )
 }
