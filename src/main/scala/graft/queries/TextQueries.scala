@@ -700,6 +700,75 @@ object TextQueries {
               |ORDER BY tf_total DESC, doc_id LIMIT 10""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // k04 — STREAMING index ingest: k03's LSM-generation lifecycle fed
+    // by the real streaming engine. Documents stream in micro-batches;
+    // each foreachBatch tokenizes ITS batch (scan-stage work on arriving
+    // docs only — the corpus is never re-tokenized) and writes one
+    // `gen=<batchId>` generation with the k01 sink. Exactly-once comes
+    // free from the layout: a generation dir is KEYED BY BATCH ID and
+    // written with mode=overwrite, so a foreachBatch replay rewrites its
+    // own generation instead of duplicating postings (the idempotence
+    // that q86/s22 need a staged two-phase commit for — here the LSM
+    // layout IS the commit protocol). The k02 conjunctive search runs
+    // across all generations through one partition-discovered root (the
+    // pre-compaction read path k03 then merges); the oracle restates it
+    // over the raw corpus, hash-proving stream-ingested index ≡ rebuild
+    // regardless of engine batching. With q86/q89/q91/s22/m06 this
+    // closes streaming ingest across every persisted artifact family
+    // (sketches, graph, dedup, vectors, media, text postings).
+    Q("k04_stream_index_ingest",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val src = graft.sources.Scratch.dir("k04_src")
+        Tables.load(ss, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(8).write.mode("overwrite").parquet(src)
+        val base = graft.sources.Scratch.dir("k04_gens")
+        val q = ss.readStream.schema(ss.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", "2").parquet(src)
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.sources.Scratch.dir("k04_cp"))
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.sinks.InvertedIndex.write(
+              b.select(col("doc_id"), TF.tokens(col("text")).as("tokens")),
+              "doc_id", Seq("tokens"), s"$base/gen=$id")
+          }
+          .start()
+        q.awaitTermination()
+        val terms = Seq("merge", "sort", "scan")
+        val tf = s.read.parquet(base).drop("gen")
+          .filter(col("field") === "tokens" &&
+            col("term_str").isin(terms: _*))
+          .groupBy(col("doc_id"), col("term_str"))
+          .agg(count(lit(1)).as("tf"))
+        tf.groupBy(col("doc_id"))
+          .agg(sum(col("tf")).as("tf_total"),
+            countDistinct(col("term_str")).as("nt"))
+          .filter(col("nt") === terms.size)
+          .select(col("doc_id"), col("tf_total"))
+          .orderBy(col("tf_total").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT doc_id, unnest(string_split_regex(t, ' ')) AS term
+              |  FROM (SELECT doc_id, $normT AS t FROM documents)
+              |  WHERE t <> ''),
+              |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+              |       WHERE term IN ('merge', 'sort', 'scan')
+              |       GROUP BY doc_id, term),
+              |agg AS (SELECT doc_id,
+              |    CAST(SUM(tf) AS BIGINT) AS tf_total,
+              |    COUNT(DISTINCT term) AS nt
+              |  FROM tf GROUP BY doc_id)
+              |SELECT doc_id, tf_total
+              |FROM agg WHERE nt = 3
+              |ORDER BY tf_total DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // t13 — CONTENT-DEFINED chunking (the dedup-friendly complement of
     // t09's fixed windows): a chunk boundary falls after any token whose
     // trailing 3-gram hashes to 0 mod 16, so boundaries move with the
