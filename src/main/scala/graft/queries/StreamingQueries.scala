@@ -86,6 +86,42 @@ object StreamingQueries {
           col("event_type"), col("n"), col("sum_value")))
       .orderBy(col("hour_epoch"), col("event_type"))
 
+  /** q92: HOPPING (sliding) windows through the real streaming engine —
+   * 1-hour windows every 15 minutes, so each event lands in exactly 4
+   * overlapping windows and the state holds ~4× the tumbling-window
+   * partials (still watermark-bounded — the state cost of overlap is
+   * window/slide, a constant, never the stream length). Append mode
+   * emits a window once its END ≤ the ms watermark, exactly q30's
+   * finalization contract at 4× emission density. The oracle restates
+   * the hop assignment arithmetically — an event's windows start at
+   * its 15-minute bucket minus 0..3 slides — over the whole table,
+   * with the same watermark cutoff. */
+  private def runHopping(s: SparkSession, dir: String): DataFrame =
+    runToCompletion(s, dir, ev =>
+      ev.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Exact.dsum(col("value")).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_epoch"),
+          col("event_type"), col("n"), col("sum_value")))
+      .orderBy(col("win_epoch"), col("event_type"))
+
+  private def hoppingOracle: String =
+    s"""WITH mx AS (SELECT max(ts) AS m FROM events),
+       |h AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+       |        - k * INTERVAL '15 minutes' AS ws, event_type, value
+       |      FROM events CROSS JOIN
+       |        (SELECT unnest(generate_series(0, 3)) AS k) hops),
+       |agg AS (SELECT ws, event_type, COUNT(*) AS n,
+       |    ${Exact.sqlDsum("value")} AS sum_value
+       |  FROM h GROUP BY 1, 2)
+       |SELECT CAST(epoch(ws) AS BIGINT) AS win_epoch, event_type, n,
+       |  sum_value
+       |FROM agg, mx
+       |WHERE epoch_ms(ws) + 3600000 <= epoch_ms(m) - 3600000
+       |ORDER BY win_epoch, event_type""".stripMargin
+
   /** q36: stateful SESSION windows through the real streaming engine —
    * watermark-bounded merging state, append-mode emission of finalized
    * sessions only (session end = last event + gap; a session is emitted
@@ -601,6 +637,7 @@ object StreamingQueries {
        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
 
   val all: Seq[Q] = Seq(
+    Q("q92_stream_hopping", runHopping, Some(hoppingOracle)),
     Q("q91_stream_dedup_store", runDedupStore, Some(dedupStoreOracle)),
     Q("q89_stream_incremental_cc", runStreamCc, Some(Analytics.incCcOracle)),
     Q("q86_stream_sketch_ingest", runSketchIngest,
