@@ -325,45 +325,83 @@ object StreamingQueries {
    * key set while total state grows. The oracle is the batch argmax per
    * user — the hash gate proves the incremental view equals the
    * from-scratch recompute. */
+  /** The q56/q93 shared merge loop: stream the events upsert source in
+   * several micro-batches into a fresh BucketedUpsert state (runs on a
+   * cloned session so state sizing never mutates the caller's
+   * session-global shuffle partitions) and return the state handle. */
+  private def upsertViewState(ss: SparkSession, dir: String)
+      : graft.streaming.BucketedUpsert.State = {
+    val src = graft.sources.Scratch.dir("upsert_src")
+    val ev = graft.sources.Tables.load(ss, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    val schema = ss.read.parquet(src).schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+
+    // per-user latest event: max of (us, event_id, ...) — the struct
+    // comparison is lexicographic, so event_id breaks timestamp ties
+    val state = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "user_id",
+      payloadCols = Seq("us", "event_id", "event_type", "value"),
+      nBuckets = 16)
+
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", graft.sources.Scratch.dir("upsert_cp"))
+      .foreachBatch { (b: DataFrame, id: Long) => state.merge(b, id) }
+      .start()
+    q.awaitTermination()
+    state
+  }
+
+  private def upsertViewCols(state: graft.streaming.BucketedUpsert.State,
+      reader: SparkSession): DataFrame =
+    // the returned view is planned on the CALLER's session (and its
+    // shuffle-partition setting) — only the merge loop ran on the clone
+    state.view(reader)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("us").as("last_us"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"))
+
   private def runUpsert(s: SparkSession, dir: String): DataFrame = {
-    // state sizing is scoped to a cloned session (own SQLConf, shared
-    // SparkContext) instead of mutating — even temporarily — the
-    // caller's session-global shuffle partitions, which would race with
-    // any concurrently-planned query in the same session
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    locally {
-      val src = graft.sources.Scratch.dir("upsert_src")
-      val ev = graft.sources.Tables.load(ss, dir, "events")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"), col("value"))
-      ev.repartition(8).write.mode("overwrite").parquet(src)
-      val schema = ss.read.parquet(src).schema
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2").parquet(src)
-
-      // per-user latest event: max of (us, event_id, ...) — the struct
-      // comparison is lexicographic, so event_id breaks timestamp ties
-      val state = new graft.streaming.BucketedUpsert.State(ss,
-        keyCol = "user_id",
-        payloadCols = Seq("us", "event_id", "event_type", "value"),
-        nBuckets = 16)
-
-      val q = stream.writeStream
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", graft.sources.Scratch.dir("upsert_cp"))
-        .foreachBatch { (b: DataFrame, id: Long) => state.merge(b, id) }
-        .start()
-      q.awaitTermination()
-      // the returned view is planned on the CALLER's session (and its
-      // shuffle-partition setting) — only the merge loop ran on the clone
-      state.view(s)
-        .select(col("user_id"), col("event_id").as("last_event_id"),
-          col("event_type").as("last_type"), col("us").as("last_us"),
-          col("value").as("last_value"))
-        .orderBy(col("user_id"))
-    }
+    upsertViewCols(upsertViewState(ss, dir), s)
   }
+
+  /** q93: targeted KEY DELETION on the streamed upsert view — the
+   * compliance (right-to-be-forgotten) operation a persisted keyed
+   * store must serve: after the q56 merge loop builds the view, every
+   * user with `user_id % 10 = 3` is deleted via
+   * [[graft.streaming.BucketedUpsert.State.delete]] — only the buckets
+   * holding a requested key are read, anti-joined and rewritten
+   * (manifest-committed before the superseded files retire); untouched
+   * buckets carry by pointer. The oracle is q56's batch argmax with
+   * the deleted users filtered out: the hash gate proves the delete
+   * removed exactly the requested keys and disturbed nothing else. */
+  private def runUpsertDelete(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val state = upsertViewState(ss, dir)
+    state.delete(
+      graft.sources.Tables.load(ss, dir, "events")
+        .filter(col("user_id") % 10 === 3).select(col("user_id")),
+      opId = 1000L)
+    upsertViewCols(state, s)
+  }
+
+  private def upsertDeleteOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS us FROM events
+      |  WHERE user_id % 10 <> 3),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  us AS last_us, value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   private def upsertOracle: String =
     """WITH e AS (SELECT user_id, event_id, event_type, value,
@@ -648,6 +686,8 @@ object StreamingQueries {
     Q("q36_stream_sessions", runSessions, Some(sessionsOracle)),
     Q("q53_stream_static_join", runEnriched, Some(enrichedOracle)),
     Q("q56_stream_upsert_view", runUpsert, Some(upsertOracle)),
+    Q("q93_upsert_targeted_delete", runUpsertDelete,
+      Some(upsertDeleteOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
     Q("q38_stream_attribution", runAttribution, Some(attributionOracle)),
     Q("q67_stream_outer_attribution", runAttributionOuter,

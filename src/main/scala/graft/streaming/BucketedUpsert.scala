@@ -132,6 +132,44 @@ object BucketedUpsert {
       }
     }
 
+    /** Targeted KEY DELETION — the compliance (right-to-be-forgotten)
+     * path every persisted keyed store eventually needs. Same
+     * partition-pruned economics as [[merge]]: only the buckets
+     * holding a requested key are read, anti-joined and rewritten;
+     * every other bucket carries by pointer with zero I/O; a bucket
+     * emptied by the delete drops its pointer entirely. The manifest
+     * commits before superseded files retire (crash-safe), and
+     * re-running the same delete is a natural no-op (anti-join of
+     * absent keys rewrites the bucket identically). `opId` namespaces
+     * the write dir like a batch id. */
+    def delete(keys: DataFrame, opId: Long): Unit = {
+      val t0 = System.nanoTime()
+      val ks = keys.select(col(keyCol)).distinct()
+      val touched = ks.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val present = touched.toSeq.filter(current.contains)
+      if (present.nonEmpty) {
+        val prevPaths = present.flatMap(current.get)
+        val stateRows =
+          if (collectMetrics) ss.read.parquet(prevPaths: _*).count()
+          else -1L
+        val remaining = ss.read.parquet(prevPaths: _*)
+          .join(ks, Seq(keyCol), "left_anti")
+        val out = s"$stateRoot/v${opId}_a$attempt"; attempt += 1
+        remaining.withColumn("__bucket", bucketOf)
+          .write.partitionBy("__bucket").parquet(out)
+        present.foreach { b =>
+          val p = s"$out/__bucket=$b"
+          if (new java.io.File(p).exists) current(b) = p
+          else current.remove(b)
+        }
+        commitManifest(opId)
+        prevPaths.foreach(Scratch.deleteNow)
+        metrics += BatchMetrics(opId, present.length, stateRows,
+          (System.nanoTime() - t0) / 1000000)
+      }
+    }
+
     /** One tiny write per batch: bucket→path map, tmp + atomic rename. */
     private def commitManifest(batchId: Long): Unit = {
       val body = (s"batch $batchId" +:

@@ -90,6 +90,31 @@ class UpsertStreamSpec extends SparkSpec {
       "recovered+replayed view differs from batch argmax")
   }
 
+  test("targeted delete: pruned rewrite, emptied-bucket drop, idempotent") {
+    import graft.streaming.BucketedUpsert
+    val ev = spark.range(640).select(
+      (col("id") % 64).as("user_id"), col("id").as("event_id"),
+      (col("id") * 1000L).as("us"),
+      (col("id") % 5).cast("double").as("value"))
+    val payload = Seq("us", "event_id", "value")
+    val st = new BucketedUpsert.State(spark, "user_id", payload,
+      nBuckets = 8, collectMetrics = true)
+    st.merge(ev, 0)
+    // keys 0..63 over pmod 8: users ≡ 2 (mod 8) live in exactly bucket 2
+    val victims = spark.range(64).select(col("id").as("user_id"))
+      .filter(col("user_id") % 8 === 2)
+    st.delete(victims, 1L)
+    val m = st.metrics.last
+    assert(m.touchedBuckets == 1, s"delete read ${m.touchedBuckets} buckets")
+    // bucket 2 is fully emptied -> its pointer must drop, view intact
+    val got = st.view(spark)
+    assert(got.filter(col("user_id") % 8 === 2).count() == 0)
+    assert(got.count() == 56)
+    // replaying the same delete is a no-op on content
+    st.delete(victims, 2L)
+    assert(st.view(spark).count() == 56)
+  }
+
   test("monoid combine: merged store is independent of batch order") {
     import graft.streaming.BucketedUpsert
     // string-keyed store with min/sum accumulators (the q91 dedup
