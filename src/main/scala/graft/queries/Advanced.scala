@@ -977,6 +977,37 @@ object Advanced {
               |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q94 — persisted PER-FILE data-skipping index
+    // (operators/SkippingIndex): point lookups on a column the table is
+    // neither partitioned nor sorted by. The events table is written
+    // range-clustered into plain files (no hive partitions), a sidecar
+    // of per-file (min, max, Bloom sketch of the key set) is built with
+    // one file-count-sized job, and the lookup scans ONLY range-covered
+    // Bloom-positive files plus an exact residual filter — the q41
+    // runtime Bloom filter made durable (Delta/Iceberg's data-skipping
+    // stats as an engine-side operator). The oracle is the plain IN
+    // lookup over the whole table: the hash gate proves skipping loses
+    // no row; actual file-count pruning is pinned in SkippingIndexSpec.
+    Q("q94_skipping_index",
+      (s, dir) => {
+        val e = Tables.eventsUs(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts_us"), col("value"))
+        val root = graft.sources.Scratch.dir("skip_idx") + "/events"
+        e.repartitionByRange(16, col("user_id"))
+          .write.parquet(root)
+        graft.operators.SkippingIndex.build(s, root, "user_id",
+          expectedItemsPerFile = 10000L)
+        graft.operators.SkippingIndex.lookup(s, root, "user_id",
+            Seq(3L, 11L, 42L))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, event_type,
+             |  epoch_ns(ts) // 1000 AS ts_us, value
+             |FROM events WHERE user_id IN (3, 11, 42)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q65 — SCD type-2 dimension build from a change log: each user's
     // event stream becomes versioned attribute history — a new version
     // opens only when the attribute CHANGES (lag-compare), versions get

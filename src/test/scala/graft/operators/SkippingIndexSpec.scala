@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the parts of the q94 gate the hash can't see: the lookup reads
+ * STRICTLY fewer files than the table holds (real skipping), min/max
+ * alone prunes out-of-range probes to zero files, and the sidecar is
+ * invisible to normal table reads. */
+class SkippingIndexSpec extends SparkSpec {
+
+  private def mkTable(root: String): Unit = {
+    import spark.implicits._
+    (0L until 10000L).map(i => (i, i % 500, s"e${i % 7}"))
+      .toDF("event_id", "user_id", "event_type")
+      .repartitionByRange(8, col("user_id"))
+      .write.parquet(root)
+  }
+
+  test("lookup scans fewer files, returns exactly the full-scan rows") {
+    val root = graft.sources.Scratch.dir("skip_spec") + "/t"
+    mkTable(root)
+    SkippingIndex.build(spark, root, "user_id", 5000L)
+    val total = new java.io.File(root).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val probes = Seq(3L, 401L)
+    val cand = SkippingIndex.candidateFiles(spark, root, "user_id", probes)
+    assert(cand.nonEmpty && cand.size < total,
+      s"no pruning: ${cand.size} of $total files")
+    val got = SkippingIndex.lookup(spark, root, "user_id", probes)
+      .orderBy("event_id").collect().toSeq
+    val want = spark.read.parquet(root)
+      .filter(col("user_id").isin(probes.map(Long.box): _*))
+      .orderBy("event_id").collect().toSeq
+    assert(got == want)
+  }
+
+  test("out-of-range probe prunes to zero files; empty result keeps schema") {
+    val root = graft.sources.Scratch.dir("skip_spec2") + "/t"
+    mkTable(root)
+    SkippingIndex.build(spark, root, "user_id", 5000L)
+    assert(SkippingIndex.candidateFiles(spark, root, "user_id",
+      Seq(-5L, 10000L)).isEmpty)
+    val empty = SkippingIndex.lookup(spark, root, "user_id", Seq(-5L))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq ==
+      Seq("event_id", "user_id", "event_type"))
+  }
+
+  test("sidecar is invisible to normal reads of the table") {
+    val root = graft.sources.Scratch.dir("skip_spec3") + "/t"
+    mkTable(root)
+    val before = spark.read.parquet(root).count()
+    SkippingIndex.build(spark, root, "user_id", 5000L)
+    assert(spark.read.parquet(root).count() == before)
+    assert(spark.read.parquet(root).columns.toSeq ==
+      Seq("event_id", "user_id", "event_type"))
+  }
+}
