@@ -48,8 +48,54 @@ object SkippingIndex {
       .agg(B.toColumn(agg.toAggregateExpression()).as("bloom"),
         min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"),
         count(lit(1)).as("rows"))
+      .withColumn("gen", lit(0L))
       .coalesce(1)
       .write.mode("overwrite").parquet(sidecarDir(tableDir, keyCol))
+  }
+
+  /** Incremental REFRESH after the table's file set changed (appends,
+   * compaction, deletes): sketch ONLY files the sidecar doesn't cover
+   * yet, keep covered rows verbatim (their `gen` tags prove it), drop
+   * rows whose file vanished. Cost is O(new files' data + sidecar),
+   * never O(table) — the maintain half every persisted artifact here
+   * carries. */
+  def refresh(spark: SparkSession, tableDir: String, keyCol: String,
+      expectedItemsPerFile: Long = 100000L): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val liveFiles = fs.listStatus(new Path(tableDir)).iterator
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(f => f.getPath.toUri.toString).toSet
+    val side = spark.read.parquet(sidecarDir(tableDir, keyCol))
+    val covered = side.select("file").collect().map(_.getString(0)).toSet
+    // file uris from input_file_name() are file:///-style; normalize
+    def norm(u: String) = u.stripPrefix("file://").stripPrefix("file:")
+    val liveNorm = liveFiles.map(norm)
+    val added = liveFiles.filterNot(f => covered.map(norm).contains(norm(f)))
+    val kept = side.filter(col("file")
+      .isin(covered.filter(f => liveNorm.contains(norm(f))).toSeq: _*))
+    val maxGen = side.agg(max(col("gen"))).head().getLong(0)
+    val fresh =
+      if (added.isEmpty) kept
+      else {
+        val agg = new BloomFilterAggregate(
+          B.toExpression(xxhash64(col(keyCol))), expectedItemsPerFile)
+        kept.unionByName(
+          spark.read.parquet(added.toSeq: _*)
+            .groupBy(input_file_name().as("file"))
+            .agg(B.toColumn(agg.toAggregateExpression()).as("bloom"),
+              min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"),
+              count(lit(1)).as("rows"))
+            .withColumn("gen", lit(maxGen + 1)))
+      }
+    // stage-then-swap: Spark won't overwrite a path it is reading
+    val stage = sidecarDir(tableDir, keyCol) + ".stage"
+    fresh.coalesce(1).write.mode("overwrite").parquet(stage)
+    val livePath = new Path(sidecarDir(tableDir, keyCol))
+    fs.delete(livePath, true)
+    require(fs.rename(new Path(stage), livePath), "sidecar swap failed")
   }
 
   /** The files a lookup of `values` must scan: range-covered AND

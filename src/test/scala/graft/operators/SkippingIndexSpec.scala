@@ -48,6 +48,30 @@ class SkippingIndexSpec extends SparkSpec {
       Seq("event_id", "user_id", "event_type"))
   }
 
+  test("refresh covers appended files without re-sketching covered ones") {
+    import spark.implicits._
+    val root = graft.sources.Scratch.dir("skip_spec4") + "/t"
+    mkTable(root)
+    SkippingIndex.build(spark, root, "user_id", 5000L)
+    // append a new file carrying a key range the base never had
+    (20000L until 21000L).map(i => (i, i, "x"))
+      .toDF("event_id", "user_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(root)
+    SkippingIndex.refresh(spark, root, "user_id", 5000L)
+    val side = spark.read.parquet(s"$root/_skip_user_id")
+    val total = new java.io.File(root).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(side.count() == total, "sidecar rows != data files")
+    // covered rows kept verbatim (gen 0), only the appended file is new
+    assert(side.filter(col("gen") === 1).count() == 1)
+    assert(side.filter(col("gen") === 0).count() == total - 1)
+    // the new keys are findable, old lookups unchanged
+    val got = SkippingIndex.lookup(spark, root, "user_id", Seq(20500L))
+    assert(got.count() == 1)
+    assert(SkippingIndex.lookup(spark, root, "user_id", Seq(3L))
+      .count() == 20)
+  }
+
   test("sidecar is invisible to normal reads of the table") {
     val root = graft.sources.Scratch.dir("skip_spec3") + "/t"
     mkTable(root)
