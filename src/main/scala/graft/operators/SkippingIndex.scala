@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
  * the file listing any query already pays), so collecting it for
  * pruning is the bounded-driver-scalar shape of BloomJoin/AnnIndex —
  * never row data.
+ *
+ * Lifecycle: [[refresh]] covers file APPENDS and deletions in place
+ * (flat table dirs). A dir-swap rewrite ([[TableCompaction]],
+ * `GcdSink.compactSnapshot`) replaces the directory wholesale and the
+ * sidecar goes with it — by design: after a compaction every covered
+ * file is gone, and a stale sidecar silently skipping live files would
+ * be strictly worse than none. Rebuild after compacting (spec-pinned).
  */
 object SkippingIndex {
 

@@ -72,6 +72,33 @@ class SkippingIndexSpec extends SparkSpec {
       .count() == 20)
   }
 
+  test("TableCompaction's dir swap removes a leaf sidecar; rebuild re-covers") {
+    import spark.implicits._
+    // day-partitioned debt table (the q90 scenario) with a skippable key
+    val root = graft.sources.Scratch.dir("skip_spec5") + "/t"
+    (0L until 8000L).map(i => (i, i % 400, (i % 4).toString))
+      .toDF("event_id", "user_id", "p")
+      .repartition(8).write.partitionBy("p").parquet(root)
+    val leaf = root + "/p=0"
+    SkippingIndex.build(spark, leaf, "user_id", 5000L)
+    assert(SkippingIndex.candidateFiles(spark, leaf, "user_id",
+      Seq(8L)).nonEmpty)
+    TableCompaction.compact(spark, root, "p", 64L * 1024 * 1024)
+    // the compacted leaf was swapped whole — the old sidecar went with
+    // it (BY DESIGN: every covered file vanished, and a stale sidecar
+    // silently skipping live files would be worse than none)
+    assert(!new java.io.File(s"$leaf/_skip_user_id").exists)
+    // rebuild over the compacted layout: one file, exact lookups
+    SkippingIndex.build(spark, leaf, "user_id", 5000L)
+    assert(SkippingIndex.candidateFiles(spark, leaf, "user_id",
+      Seq(8L)).size == 1)
+    val got = SkippingIndex.lookup(spark, leaf, "user_id", Seq(8L))
+      .orderBy("event_id").collect().toSeq
+    val want = spark.read.parquet(leaf)
+      .filter(col("user_id") === 8L).orderBy("event_id").collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("sidecar is invisible to normal reads of the table") {
     val root = graft.sources.Scratch.dir("skip_spec3") + "/t"
     mkTable(root)
