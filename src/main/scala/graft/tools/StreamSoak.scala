@@ -260,6 +260,32 @@ object StreamSoak {
         recovered.view(spark).select(col("user_id"), col("us"),
           col("event_id"), col("event_type"), col("value")),
         wantView)
+
+      // ---- targeted delete (q93's machinery) at volume: a compliance
+      // forget-request is KEY-scale (a handful of users), and its cost
+      // must be bucket-scale — 8 victims live in ≤8 of 64 buckets, so
+      // the delete reads ≤8/64 of the 20k-key state and rewrites only
+      // those buckets; the other 56+ carry by pointer untouched.
+      val mBefore = recovered.metrics.size
+      val victims = spark.range(8)
+        .select((col("id") * 2311L + 5L).as("user_id"))
+      timed("targeted delete of 8/20000 keys") {
+        recovered.delete(victims, 9000L)
+      }
+      val dm = recovered.metrics.drop(mBefore).head
+      println(s"   delete: touched=${dm.touchedBuckets}/64 " +
+        s"stateRowsRead=${dm.stateRowsRead} wall=${dm.wallMs}ms")
+      assert(dm.touchedBuckets <= 8,
+        s"delete touched more than its 8 key buckets: $dm")
+      assert(dm.stateRowsRead < nKeys / 4,
+        s"delete read should be bounded by touched buckets: $dm")
+      val after = recovered.view(spark)
+      assert(after.join(victims, Seq("user_id"), "left_semi").count() == 0,
+        "deleted keys survive in the view")
+      assertEqual("post-delete view ≡ batch argmax minus victims",
+        after.select(col("user_id"), col("us"), col("event_id"),
+          col("event_type"), col("value")),
+        wantView.join(victims, Seq("user_id"), "left_anti"))
     }
 
     println(f"== soak OK: n=$n")
