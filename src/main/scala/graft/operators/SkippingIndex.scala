@@ -1,8 +1,12 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftExpressionBridge => B, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+
+import graft.functions.BloomContainsAnyExpr
 
 /**
  * Persisted PER-FILE data-skipping index — the lakehouse sidecar that
@@ -12,9 +16,9 @@ import org.apache.spark.sql.functions._
  * column a 100 TB table still scans every file. The sidecar stores, per
  * data file: min/max of the key plus a serialized Bloom filter of its
  * key set (Spark's own `BloomFilterAggregate` sketch — the q41 runtime
- * filter made durable). A point lookup consults the sidecar — METADATA
- * work, one tiny parquet read — and scans only the files whose range
- * covers the probe AND whose Bloom filter might contain it; Bloom
+ * filter made durable). A point lookup consults the sidecar — a Spark
+ * job over one tiny parquet table — and scans only the files whose
+ * range covers a probe AND whose Bloom filter might contain it; Bloom
  * false-positive files are removed by the exact residual filter, and
  * false negatives cannot happen.
  *
@@ -23,42 +27,72 @@ import org.apache.spark.sql.functions._
  * data-sized. The sidecar lives under `_skip_<col>/` INSIDE the table
  * dir: the `_` prefix makes it invisible to normal reads of the table.
  * Keys are 64-bit integers (the id-lookup shape); the sketch hashes
- * `xxhash64(key)` on build and probe alike, so driver-side
- * `mightContainLong` evaluates exactly what `BloomFilterMightContain`
- * would.
+ * `xxhash64(key)` on build, and the probe side evaluates the same
+ * Catalyst `XxHash64` (same seed) driver-side over the bounded probe
+ * list, so build and probe hashing are bit-identical.
  *
- * The sidecar row set is bounded by the FILE count (the same scale as
- * the file listing any query already pays), so collecting it for
- * pruning is the bounded-driver-scalar shape of BloomJoin/AnnIndex —
- * never row data.
+ * PRUNING RUNS ON THE EXECUTORS: [[candidateFilesDF]] range-filters the
+ * literal probe array per sidecar row (`filter` HOF over mn/mx) and
+ * applies [[BloomContainsAnyExpr]] to the surviving hashes — each row
+ * deserializes its own filter where the row lives. Only the matching
+ * FILE NAMES are collected (bounded by candidates), never Bloom bytes:
+ * at 100 TB (~100k × 1 GB files, ~100 KB filter each) the old
+ * collect-the-sidecar approach moved ~10 GB of filter bytes through the
+ * driver per lookup; this plan moves a few file-name strings.
  *
  * Lifecycle: [[refresh]] covers file APPENDS and deletions in place
  * (flat table dirs). A dir-swap rewrite ([[TableCompaction]],
  * `GcdSink.compactSnapshot`) replaces the directory wholesale and the
  * sidecar goes with it — by design: after a compaction every covered
  * file is gone, and a stale sidecar silently skipping live files would
- * be strictly worse than none. Rebuild after compacting (spec-pinned).
+ * be strictly worse than none. Compaction can rebuild it in the same
+ * call (`TableCompaction.compact(rebuildSkipIndexes = ...)`), or
+ * rebuild manually (both spec-pinned). [[lookup]] additionally
+ * reconciles the sidecar against the LIVE file listing and scans any
+ * uncovered file unpruned, so a lookup between an append and the next
+ * [[refresh]] stays exact instead of silently dropping the new file's
+ * rows.
  */
 object SkippingIndex {
 
   private def sidecarDir(tableDir: String, keyCol: String) =
     s"$tableDir/_skip_$keyCol"
 
-  /** Build (or rebuild) the sidecar for `keyCol` over every data file
-   * of `tableDir`. `expectedItemsPerFile` sizes each Bloom filter. */
-  def build(spark: SparkSession, tableDir: String, keyCol: String,
-      expectedItemsPerFile: Long = 100000L): Unit = {
-    val df = spark.read.parquet(tableDir)
+  /** Per-file sketch rows for `paths` (files or a whole table dir). */
+  private def sketch(spark: SparkSession, paths: Seq[String],
+      keyCol: String, expectedItemsPerFile: Long, gen: Long): DataFrame = {
     val agg = new BloomFilterAggregate(
       B.toExpression(xxhash64(col(keyCol))), expectedItemsPerFile)
-    df.groupBy(input_file_name().as("file"))
+    spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("file"))
       .agg(B.toColumn(agg.toAggregateExpression()).as("bloom"),
         min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"),
         count(lit(1)).as("rows"))
-      .withColumn("gen", lit(0L))
+      .withColumn("gen", lit(gen))
+  }
+
+  /** Build (or rebuild) the sidecar for `keyCol` over every data file
+   * of `tableDir`. `expectedItemsPerFile` sizes each Bloom filter. */
+  def build(spark: SparkSession, tableDir: String, keyCol: String,
+      expectedItemsPerFile: Long = 100000L): Unit =
+    sketch(spark, Seq(tableDir), keyCol, expectedItemsPerFile, 0L)
       .coalesce(1)
       .write.mode("overwrite").parquet(sidecarDir(tableDir, keyCol))
+
+  /** The table's live data files (skips `_`/`.` metadata entries). */
+  private def liveDataFiles(spark: SparkSession,
+      tableDir: String): Set[String] = {
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(tableDir)).iterator
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(f => f.getPath.toUri.toString).toSet
   }
+
+  // file uris from input_file_name() are file:///-style; normalize
+  private def norm(u: String) =
+    u.stripPrefix("file://").stripPrefix("file:")
 
   /** Incremental REFRESH after the table's file set changed (appends,
    * compaction, deletes): sketch ONLY files the sidecar doesn't cover
@@ -68,35 +102,24 @@ object SkippingIndex {
    * carries. */
   def refresh(spark: SparkSession, tableDir: String, keyCol: String,
       expectedItemsPerFile: Long = 100000L): Unit = {
-    import org.apache.hadoop.fs.Path
     val fs = new Path(tableDir).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val liveFiles = fs.listStatus(new Path(tableDir)).iterator
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-        !f.getPath.getName.startsWith("."))
-      .map(f => f.getPath.toUri.toString).toSet
+    val liveFiles = liveDataFiles(spark, tableDir)
     val side = spark.read.parquet(sidecarDir(tableDir, keyCol))
     val covered = side.select("file").collect().map(_.getString(0)).toSet
-    // file uris from input_file_name() are file:///-style; normalize
-    def norm(u: String) = u.stripPrefix("file://").stripPrefix("file:")
+    val coveredNorm = covered.map(norm)
     val liveNorm = liveFiles.map(norm)
-    val added = liveFiles.filterNot(f => covered.map(norm).contains(norm(f)))
+    val added = liveFiles.filterNot(f => coveredNorm.contains(norm(f)))
     val kept = side.filter(col("file")
       .isin(covered.filter(f => liveNorm.contains(norm(f))).toSeq: _*))
-    val maxGen = side.agg(max(col("gen"))).head().getLong(0)
+    // coalesce: an empty sidecar (build over an empty table) has no max
+    val maxGen = side.agg(coalesce(max(col("gen")), lit(0L)))
+      .head().getLong(0)
     val fresh =
       if (added.isEmpty) kept
-      else {
-        val agg = new BloomFilterAggregate(
-          B.toExpression(xxhash64(col(keyCol))), expectedItemsPerFile)
-        kept.unionByName(
-          spark.read.parquet(added.toSeq: _*)
-            .groupBy(input_file_name().as("file"))
-            .agg(B.toColumn(agg.toAggregateExpression()).as("bloom"),
-              min(col(keyCol)).as("mn"), max(col(keyCol)).as("mx"),
-              count(lit(1)).as("rows"))
-            .withColumn("gen", lit(maxGen + 1)))
-      }
+      else kept.unionByName(
+        sketch(spark, added.toSeq, keyCol, expectedItemsPerFile,
+          maxGen + 1))
     // stage-then-swap: Spark won't overwrite a path it is reading
     val stage = sidecarDir(tableDir, keyCol) + ".stage"
     fresh.coalesce(1).write.mode("overwrite").parquet(stage)
@@ -105,32 +128,54 @@ object SkippingIndex {
     require(fs.rename(new Path(stage), livePath), "sidecar swap failed")
   }
 
-  /** The files a lookup of `values` must scan: range-covered AND
-   * Bloom-positive. Exposed so specs/soaks can assert the actual
-   * pruning, not a plan string. */
-  def candidateFiles(spark: SparkSession, tableDir: String,
-      keyCol: String, values: Seq[Long]): Seq[String] = {
-    import org.apache.spark.util.sketch.BloomFilter
-    val side = spark.read.parquet(sidecarDir(tableDir, keyCol)).collect()
-    // hash each probe THROUGH SPARK's xxhash64 so build and probe use
-    // bit-identical hashing (one metadata-sized job, no row data)
-    val hs = spark.createDataFrame(values.map(Tuple1(_))).toDF("v")
-      .select(col("v"), xxhash64(col("v")).as("h"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    side.iterator.filter { r =>
-      val bf = BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-      values.exists(v => v >= r.getAs[Long]("mn") &&
-        v <= r.getAs[Long]("mx") && bf.mightContainLong(hs(v)))
-    }.map(_.getAs[String]("file")).toSeq.sorted
+  /** The pruning PLAN: sidecar rows whose range covers a probe and
+   * whose Bloom filter might contain it, projected to the file name
+   * only. All filter evaluation happens executor-side; collecting this
+   * moves candidate file names, never Bloom bytes (spec-pinned). */
+  def candidateFilesDF(spark: SparkSession, tableDir: String,
+      keyCol: String, values: Seq[Long]): DataFrame = {
+    val side = spark.read.parquet(sidecarDir(tableDir, keyCol))
+    val probes = values.distinct
+    if (probes.isEmpty) return side.filter(lit(false)).select(col("file"))
+    // hash each probe through Catalyst's XxHash64 (the expression
+    // behind functions.xxhash64, same default seed) so build and probe
+    // hashing are bit-identical — pure driver-side arithmetic, no job
+    val probeArr = array(probes.map(v => struct(lit(v).as("v"),
+      lit(new XxHash64(Seq(Literal(v))).eval(null).asInstanceOf[Long])
+        .as("h"))): _*)
+    val inRange = filter(probeArr,
+      p => p("v") >= col("mn") && p("v") <= col("mx"))
+    side
+      .filter(size(inRange) > 0)
+      .filter(B.toColumn(BloomContainsAnyExpr(
+        B.toExpression(col("bloom")),
+        B.toExpression(transform(inRange, p => p("h"))))))
+      .select(col("file"))
   }
 
-  /** Point lookup through the sidecar: scan only candidate files, then
-   * apply the exact predicate (removes Bloom false positives — results
-   * are exact, the sidecar only decides WHICH files to read). */
+  /** The files a lookup of `values` must scan per the SIDECAR:
+   * range-covered AND Bloom-positive. Exposed so specs/soaks can
+   * assert the actual pruning, not a plan string. */
+  def candidateFiles(spark: SparkSession, tableDir: String,
+      keyCol: String, values: Seq[Long]): Seq[String] =
+    candidateFilesDF(spark, tableDir, keyCol, values)
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Point lookup through the sidecar: scan only candidate files plus
+   * any live file the sidecar does not cover yet (appended since the
+   * last build/refresh — scanned unpruned rather than silently
+   * dropped), then apply the exact predicate (removes Bloom false
+   * positives — results are exact, the sidecar only decides WHICH
+   * covered files to read). */
   def lookup(spark: SparkSession, tableDir: String, keyCol: String,
       values: Seq[Long]): DataFrame = {
-    val files = candidateFiles(spark, tableDir, keyCol, values)
+    val side = spark.read.parquet(sidecarDir(tableDir, keyCol))
+    val coveredNorm = side.select("file").collect()
+      .map(r => norm(r.getString(0))).toSet
+    val uncovered = liveDataFiles(spark, tableDir)
+      .filterNot(f => coveredNorm.contains(norm(f))).toSeq.sorted
+    val files =
+      candidateFiles(spark, tableDir, keyCol, values) ++ uncovered
     if (files.isEmpty)
       spark.read.parquet(tableDir).filter(lit(false))
     else

@@ -48,6 +48,59 @@ class SkippingIndexSpec extends SparkSpec {
       Seq("event_id", "user_id", "event_type"))
   }
 
+  test("pruning is a Spark job: only file names reach the driver") {
+    val root = graft.sources.Scratch.dir("skip_spec6") + "/t"
+    mkTable(root)
+    SkippingIndex.build(spark, root, "user_id", 5000L)
+    val df = SkippingIndex.candidateFilesDF(spark, root, "user_id",
+      Seq(3L, 401L))
+    // the collected plan output carries file names ONLY — no binary
+    // bloom column can reach the driver through it
+    assert(df.schema.fieldNames.toSeq == Seq("file"))
+    // and the bloom probe is IN the plan (executor-side), not a
+    // driver-side loop over collected sidecar rows
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_contains_any"), plan)
+    assert(df.collect().map(_.getString(0)).toSeq.sorted ==
+      SkippingIndex.candidateFiles(spark, root, "user_id",
+        Seq(3L, 401L)))
+  }
+
+  test("lookup stays exact when a file was appended but not refreshed") {
+    import spark.implicits._
+    val root = graft.sources.Scratch.dir("skip_spec7") + "/t"
+    mkTable(root)
+    SkippingIndex.build(spark, root, "user_id", 5000L)
+    (20000L until 21000L).map(i => (i, i, "x"))
+      .toDF("event_id", "user_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(root)
+    // no refresh: the sidecar doesn't cover the new file, so it is
+    // scanned unpruned instead of its rows silently vanishing
+    assert(SkippingIndex.lookup(spark, root, "user_id", Seq(20500L))
+      .count() == 1)
+    // covered files still prune: an in-range covered probe reads fewer
+    // files than the table holds (candidates + the one uncovered file)
+    assert(SkippingIndex.candidateFiles(spark, root, "user_id",
+      Seq(3L)).size < 8)
+    assert(SkippingIndex.lookup(spark, root, "user_id", Seq(3L))
+      .count() == 20)
+  }
+
+  test("refresh over an empty sidecar (empty initial table) does not NPE") {
+    import spark.implicits._
+    val root = graft.sources.Scratch.dir("skip_spec8") + "/t"
+    Seq.empty[(Long, Long, String)]
+      .toDF("event_id", "user_id", "event_type")
+      .coalesce(1).write.parquet(root)
+    SkippingIndex.build(spark, root, "user_id", 5000L)
+    (0L until 100L).map(i => (i, i, "x"))
+      .toDF("event_id", "user_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(root)
+    SkippingIndex.refresh(spark, root, "user_id", 5000L)
+    assert(SkippingIndex.lookup(spark, root, "user_id", Seq(42L))
+      .count() == 1)
+  }
+
   test("refresh covers appended files without re-sketching covered ones") {
     import spark.implicits._
     val root = graft.sources.Scratch.dir("skip_spec4") + "/t"
