@@ -1,9 +1,10 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
 
 import scala.collection.mutable
 
+import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,6 +47,17 @@ import graft.sources.Scratch
  * re-merges against the last committed state; the latest-wins merge
  * makes the replay idempotent. (Delta/Iceberg formalize exactly this
  * log; the merge plan — the part that scales — is identical.)
+ *
+ * All state I/O — manifest commit/read, bucket existence, superseded
+ * retirement — goes through the Hadoop FileSystem/FileContext API
+ * resolved from the state root, so the store works unchanged on any
+ * object store Spark can write (HDFS, S3A, …), matching SkippingIndex /
+ * TableCompaction / AnnIndex. The manifest swap uses FileContext's
+ * rename-with-OVERWRITE — the atomic replace the commit contract needs.
+ * The manifest records the bucketing function (`hashKey`) and merge
+ * kind (`latest` vs custom combine), so recovering with mismatched
+ * semantics fails loudly instead of silently re-bucketing keys or
+ * merging with the wrong reduce.
  */
 object BucketedUpsert {
 
@@ -80,9 +92,16 @@ object BucketedUpsert {
       hashKey: Boolean = false) {
 
     private val stateRoot = root.getOrElse(Scratch.dir("upsert_state"))
+    private val rootPath = new Path(stateRoot)
+    private val fs = rootPath.getFileSystem(
+      ss.sessionState.newHadoopConf())
+    private val fc = FileContext.getFileContext(rootPath.toUri,
+      ss.sessionState.newHadoopConf())
     private val current = mutable.Map.empty[Int, String]
     private var attempt = 0L
     val metrics: mutable.ArrayBuffer[BatchMetrics] = mutable.ArrayBuffer()
+
+    private def mergeKind = if (combine.isDefined) "custom" else "latest"
 
     private def bucketOf = {
       val k = if (hashKey) xxhash64(col(keyCol)) else col(keyCol)
@@ -126,7 +145,7 @@ object BucketedUpsert {
         // commit the pointer map BEFORE retiring the superseded files:
         // any crash leaves the last committed manifest fully readable
         commitManifest(id)
-        superseded.foreach(Scratch.deleteNow)
+        superseded.foreach(p => fs.delete(new Path(p), true))
         metrics += BatchMetrics(id, touched.length, stateRows,
           (System.nanoTime() - t0) / 1000000)
       }
@@ -160,43 +179,66 @@ object BucketedUpsert {
           .write.partitionBy("__bucket").parquet(out)
         present.foreach { b =>
           val p = s"$out/__bucket=$b"
-          if (new java.io.File(p).exists) current(b) = p
+          if (fs.exists(new Path(p))) current(b) = p
           else current.remove(b)
         }
         commitManifest(opId)
-        prevPaths.foreach(Scratch.deleteNow)
+        prevPaths.foreach(p => fs.delete(new Path(p), true))
         metrics += BatchMetrics(opId, present.length, stateRows,
           (System.nanoTime() - t0) / 1000000)
       }
     }
 
-    /** One tiny write per batch: bucket→path map, tmp + atomic rename. */
+    /** One tiny write per batch: bucket→path map plus the store's
+     * semantic config, tmp + atomic rename-with-overwrite. */
     private def commitManifest(batchId: Long): Unit = {
-      val body = (s"batch $batchId" +:
-        current.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
-        .mkString("\n")
-      val tmp = Path.of(stateRoot, "_manifest.tmp")
-      Files.writeString(tmp, body)
-      Files.move(tmp, Path.of(stateRoot, "_manifest"),
-        StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      val body =
+        (s"batch $batchId hashKey=$hashKey merge=$mergeKind" +:
+          current.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
+          .mkString("\n")
+      val tmp = new Path(rootPath, "_manifest.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(UTF_8)) finally out.close()
+      fc.rename(tmp, new Path(rootPath, "_manifest"),
+        Options.Rename.OVERWRITE)
     }
 
     private[streaming] def loadManifest(): Unit = {
-      val mf = Path.of(stateRoot, "_manifest")
-      require(Files.exists(mf),
+      val mf = new Path(rootPath, "_manifest")
+      require(fs.exists(mf),
         s"recover: no committed manifest at $stateRoot")
+      val in = fs.open(mf)
+      val body =
+        try new String(in.readAllBytes(), UTF_8)
+        finally in.close()
+      val lines = body.linesIterator.toSeq
+      // the manifest pins the store's semantic config: recovering with
+      // a different bucketing function or merge kind would silently
+      // route keys to wrong buckets / merge with wrong semantics
+      val header = lines.head.split(" ")
+      val mfHashKey = header.collectFirst {
+        case s if s.startsWith("hashKey=") =>
+          s.stripPrefix("hashKey=").toBoolean
+      }.getOrElse(false)
+      val mfMerge = header.collectFirst {
+        case s if s.startsWith("merge=") => s.stripPrefix("merge=")
+      }.getOrElse("latest")
+      require(mfHashKey == hashKey,
+        s"recover: manifest bucketing hashKey=$mfHashKey but State " +
+          s"was built with hashKey=$hashKey — keys would route to " +
+          "wrong buckets")
+      require(mfMerge == mergeKind,
+        s"recover: manifest merge kind '$mfMerge' but State was built " +
+          s"with '$mergeKind' — pass the same combine to recover()")
       current.clear()
-      Files.readString(mf).linesIterator.drop(1).filter(_.nonEmpty)
-        .foreach { l =>
-          val Array(b, p) = l.split("\t", 2); current(b.toInt) = p
-        }
+      lines.drop(1).filter(_.nonEmpty).foreach { l =>
+        val Array(b, p) = l.split("\t", 2); current(b.toInt) = p
+      }
       // resume attempt numbering past every existing write dir (retired
       // bucket dirs leave their v* shells behind, so the count covers
       // all prior attempts — committed or crashed)
-      val dirs = new java.io.File(stateRoot).listFiles()
-      attempt = if (dirs == null) 0
-        else dirs.count(_.getName.startsWith("v")).toLong
+      attempt = fs.listStatus(rootPath)
+        .count(_.getPath.getName.startsWith("v")).toLong
     }
 
     /** The state root (pass to [[BucketedUpsert.recover]] after a
@@ -216,12 +258,17 @@ object BucketedUpsert {
   /** Reattach to a state root from its last committed manifest: the
    * recovery half of the transaction log. Requires at least one
    * committed batch (a State that never merged has no manifest — a
-   * fresh root needs a fresh State, not recovery). */
+   * fresh root needs a fresh State, not recovery). A store built with
+   * non-default `combine`/`hashKey` must recover with the SAME config —
+   * the manifest records both and [[State.loadManifest]] rejects a
+   * mismatch loudly. */
   def recover(ss: SparkSession, keyCol: String, payloadCols: Seq[String],
       nBuckets: Int, stateRoot: String,
-      collectMetrics: Boolean = false): State = {
+      collectMetrics: Boolean = false,
+      combine: Option[DataFrame => DataFrame] = None,
+      hashKey: Boolean = false): State = {
     val st = new State(ss, keyCol, payloadCols, nBuckets, collectMetrics,
-      Some(stateRoot))
+      Some(stateRoot), combine, hashKey)
     st.loadManifest()
     st
   }

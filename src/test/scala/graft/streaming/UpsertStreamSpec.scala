@@ -115,6 +115,38 @@ class UpsertStreamSpec extends SparkSpec {
     assert(st.view(spark).count() == 56)
   }
 
+  test("recover carries combine+hashKey; a mismatched recovery fails loudly") {
+    import graft.streaming.BucketedUpsert
+    val docs = spark.range(300).select(
+      concat(lit("fp"), col("id") % 20).as("fp"),
+      col("id").as("keeper_id"), lit(1L).as("n_docs"))
+    val payload = Seq("keeper_id", "n_docs")
+    def combine(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("fp"))
+        .agg(min(col("keeper_id")).as("keeper_id"),
+          sum(col("n_docs")).as("n_docs"))
+    val st = new BucketedUpsert.State(spark, "fp", payload,
+      nBuckets = 8, combine = Some(combine), hashKey = true)
+    st.merge(docs.filter(col("keeper_id") < 150), 0)
+    // recovery WITHOUT the store's combine/hashKey config must fail
+    // loudly (it would silently reattach latest-wins over pmod(raw key)
+    // — string keys cast to null buckets, merges route wrong)
+    val ex = intercept[IllegalArgumentException] {
+      BucketedUpsert.recover(spark, "fp", payload, 8, st.rootDir)
+    }
+    assert(ex.getMessage.contains("hashKey") ||
+      ex.getMessage.contains("merge"), ex.getMessage)
+    // recovery WITH the config resumes the monoid fold exactly
+    val rec = BucketedUpsert.recover(spark, "fp", payload, 8,
+      st.rootDir, combine = Some(combine), hashKey = true)
+    rec.merge(docs.filter(col("keeper_id") >= 150), 1)
+    val cols = Seq("fp", "keeper_id", "n_docs").map(col)
+    val got = rec.view(spark).select(cols: _*)
+    val want = combine(docs).select(cols: _*)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "recovered monoid store differs from whole-corpus reduce")
+  }
+
   test("monoid combine: merged store is independent of batch order") {
     import graft.streaming.BucketedUpsert
     // string-keyed store with min/sum accumulators (the q91 dedup
