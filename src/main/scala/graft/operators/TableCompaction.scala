@@ -24,14 +24,34 @@ import org.apache.spark.sql.functions._
  *    via a broadcast of the (bounded, driver-side) plan, shuffle on
  *    (partition, slot), and write `partitionBy(partCol)` — each
  *    partition lands in at most its targetFiles output files.
+ *  - GUARD before swapping: the slot join matches rows to the plan by
+ *    the dir-name-derived partition value vs `cast(partCol as string)`;
+ *    if the two representations ever diverge (Hive-escaped specials,
+ *    `__HIVE_DEFAULT_PARTITION__`, timestamp formatting) rows would
+ *    silently vanish from the rewrite. So: an unmatched row RAISES in
+ *    the rewrite job itself (`raise_error`, names the culprit value),
+ *    and the staged row count — observed in-flight on the source side,
+ *    footer-counted on the staged side — must equal the source before
+ *    any partition is swapped. Loss fails loudly; it cannot install.
  *  - SWAP per partition behind a stage: the rewrite goes to a sibling
- *    stage dir; each touched partition dir is then renamed out and the
- *    staged one renamed in (the `GcdSink.compactSnapshot` /
- *    `AnnIndex.compact` crash contract: a crash mid-stage leaves the
- *    live table untouched; a crash mid-swap leaves either the old or
- *    the new complete partition plus debris).
+ *    stage dir; each touched partition dir is then renamed out to a
+ *    `.bak` name and the staged one renamed in. A crash mid-stage
+ *    leaves the live table untouched. A crash BETWEEN the two renames
+ *    leaves that one partition ABSENT from live reads until its
+ *    dot-prefixed `.bak` dir is renamed back — the data is never lost,
+ *    but the honest contract is "old data, new data, or a manual
+ *    .bak restore for the one partition mid-swap", not "always one of
+ *    the two" (two dir renames cannot be made atomic together on a
+ *    filesystem API).
  *  - Partitions already within target are never read, rewritten, or
  *    renamed — their files stay byte-identical (spec-pinned).
+ *  - A compacted partition's `_skip_*` sidecars ([[SkippingIndex]])
+ *    vanish with the swapped-out dir BY DESIGN (every covered file is
+ *    gone; stale skipping would be silent wrong results). With
+ *    `rebuildSkipIndexes = true` the same call re-runs
+ *    `SkippingIndex.build` per swapped partition for exactly the key
+ *    columns that were covered before, restoring coverage atomically
+ *    with the compaction instead of leaving it to the caller.
  *
  * The reference has no counterpart (its sink writes once, per dump —
  * /root/reference/src/main/java/org/gcd/etl/Main.java:380-513); this is
@@ -79,7 +99,7 @@ object TableCompaction {
   /** Compact every in-debt partition of `root`; returns what was
    * rewritten. Clean partitions are untouched (not even read). */
   def compact(spark: SparkSession, root: String, partCol: String,
-      targetBytes: Long): Report = {
+      targetBytes: Long, rebuildSkipIndexes: Boolean = false): Report = {
     val plans = plan(spark, root, partCol, targetBytes)
     val touched = plans.filter(_.inDebt)
     if (touched.isEmpty) return Report(Nil, plans.size)
@@ -100,9 +120,19 @@ object TableCompaction {
     val targets = spark.createDataFrame(
         touched.map(p => (p.partValue, p.targetFiles)))
       .toDF("__pv", "__nf")
+    // LEFT join + per-row raise: a partition-value representation the
+    // dir-name plan doesn't match fails the rewrite job with the
+    // culprit value instead of silently dropping the row
+    val obs = org.apache.spark.sql.Observation("compact_src")
     val slotted = df
       .withColumn("__pv", col(partCol).cast("string"))
-      .join(broadcast(targets), Seq("__pv"))
+      .join(broadcast(targets), Seq("__pv"), "left")
+      .withColumn("__nf", when(col("__nf").isNull,
+          raise_error(concat(
+            lit("compact: partition value unmatched by plan: "),
+            col("__pv"))).cast("int"))
+        .otherwise(col("__nf")))
+      .observe(obs, count(lit(1)).as("rows"))
       .withColumn("__slot",
         pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), col("__nf")))
     slotted
@@ -111,16 +141,31 @@ object TableCompaction {
       .select((dataCols :+ partCol).map(col).toIndexedSeq: _*)
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(stage.toString)
+    // row-conservation gate before ANY swap: source rows observed
+    // in-flight vs staged rows (parquet footer counts — metadata read)
+    val srcRows = obs.get("rows").asInstanceOf[Long]
+    val stagedRows = spark.read.parquet(stage.toString).count()
+    require(stagedRows == srcRows,
+      s"compact: staged rewrite has $stagedRows rows, source had " +
+        s"$srcRows — refusing to swap")
 
     touched.foreach { p =>
       val live = new Path(p.partDir)
       val bak = new Path(live.getParent, s".${live.getName}.bak")
       val staged = new Path(stage, live.getName)
       require(fs.exists(staged), s"stage missing ${live.getName}")
+      // key columns whose _skip_* sidecars the swap retires
+      val skipCols =
+        if (!rebuildSkipIndexes) Nil
+        else fs.listStatus(live).toSeq
+          .filter(d => d.isDirectory &&
+            d.getPath.getName.startsWith("_skip_"))
+          .map(_.getPath.getName.stripPrefix("_skip_"))
       fs.delete(bak, true)
       require(fs.rename(live, bak), s"cannot stage out $live")
       require(fs.rename(staged, live), s"cannot install $live")
       fs.delete(bak, true)
+      skipCols.foreach(k => SkippingIndex.build(spark, p.partDir, k))
     }
     fs.delete(stage, true)
     Report(touched, plans.size - touched.size)

@@ -152,6 +152,34 @@ class SkippingIndexSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("compact(rebuildSkipIndexes=true) restores sidecar coverage in the same call") {
+    import spark.implicits._
+    val root = graft.sources.Scratch.dir("skip_spec9") + "/t"
+    (0L until 8000L).map(i => (i, i % 400, (i % 4).toString))
+      .toDF("event_id", "user_id", "p")
+      .repartition(8).write.partitionBy("p").parquet(root)
+    val leaf = root + "/p=0"
+    SkippingIndex.build(spark, leaf, "user_id", 5000L)
+    val report = TableCompaction.compact(spark, root, "p",
+      64L * 1024 * 1024, rebuildSkipIndexes = true)
+    assert(report.touched.nonEmpty)
+    // the flag rebuilt exactly the key columns that were covered: the
+    // swapped leaf has a fresh sidecar over the compacted file set and
+    // lookups are exact with no manual rebuild step
+    assert(new java.io.File(s"$leaf/_skip_user_id").exists)
+    val side = spark.read.parquet(s"$leaf/_skip_user_id")
+    val files = new java.io.File(leaf).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(side.count() == files, "rebuilt sidecar rows != live files")
+    val got = SkippingIndex.lookup(spark, leaf, "user_id", Seq(8L))
+      .orderBy("event_id").collect().toSeq
+    val want = spark.read.parquet(leaf)
+      .filter(col("user_id") === 8L).orderBy("event_id").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // partitions that never had a sidecar don't grow one
+    assert(!new java.io.File(s"$root/p=1/_skip_user_id").exists)
+  }
+
   test("sidecar is invisible to normal reads of the table") {
     val root = graft.sources.Scratch.dir("skip_spec3") + "/t"
     mkTable(root)
