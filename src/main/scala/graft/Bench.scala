@@ -102,11 +102,14 @@ object Bench {
     // as a repo-committable artifact — the driver's bounded stdout tail
     // keeps only the total + the last ~75 query timings, so round-over-
     // round per-query regression diffs need a file in git.
+    // `stages`: per-stage walls for multi-stage persisted-artifact gates
+    // (StageTimer) — attributes a moved number to init vs maintain
     sys.env.get("SPARK_GRAFT_BENCH_DETAIL").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         s"""{"metric":"queries","reps":$reps,"sf":"$sfName",""" +
           s""""total":${f3(total)},"n":${results.size},""" +
-          s""""failed":$failedJson,"queries":$qs}""" + "\n")
+          s""""failed":$failedJson,"stages":${StageTimer.json},""" +
+          s""""queries":$qs}""" + "\n")
     }
     // Detail first (may exceed the driver's tail window), short summary
     // LAST so the parseable total always survives the bounded capture.

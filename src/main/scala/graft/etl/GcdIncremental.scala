@@ -213,10 +213,22 @@ object GcdIncremental {
           }
           val before = images(prevPaths)
           val after = images(tb.toSeq.flatMap(written.get))
-          val feed = before.except(after)
-            .select(lit("D").as("op") +: columns.map(col): _*)
-            .unionByName(after.except(before)
-              .select(lit("I").as("op") +: columns.map(col): _*))
+          // symmetric diff in ONE shuffle: tag each side, group on the
+          // full row, keep rows present on exactly one side. min/max of
+          // the tag distinguishes only-before (max=-1 → 'D') from
+          // only-after (min=1 → 'I'); both-sides rows have min<max and
+          // cancel. Set semantics identical to the two-EXCEPT form
+          // (groupBy dedupes within a side), at half the shuffle cost —
+          // each EXCEPT was itself a full aggregate over both sides.
+          val tagged = before.withColumn("__side", lit(-1))
+            .unionByName(after.withColumn("__side", lit(1)))
+          val feed = tagged
+            .groupBy(columns.map(col).toIndexedSeq: _*)
+            .agg(min(col("__side")).as("__mn"),
+              max(col("__side")).as("__mx"))
+            .filter(col("__mn") === col("__mx"))
+            .select(when(col("__mx") === -1, lit("D"))
+              .otherwise(lit("I")).as("op") +: columns.map(col): _*)
           val out = s"$root/changes/g${gen - 1}"
           feed.write.parquet(out)
           feedPaths += out

@@ -29,6 +29,8 @@ object BenchOne {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"== $name run $i: forced in $secs%.3f s")
     }
+    if (graft.StageTimer.json != "{}")
+      println(s"== stages (last rep): ${graft.StageTimer.json}")
     spark.stop()
   }
 }
