@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /**
  * Table registry for the engine's file-backed sources.
@@ -62,6 +62,58 @@ object Tables {
   }
 
   /**
+   * Normalize the embeddings table to the engine contract
+   * (`vec_id: long, embedding: array<float>, label: int`) from the
+   * plausible upstream re-encodings: a producer that computes in double
+   * precision ships `array<double>`; one that renumbers ships 32-bit
+   * ids or 64-bit labels. The round-8 events crash proved one
+   * environmental assumption can kill every consumer of a table —
+   * this is the same guard for the similarity stack (the `ts` lesson
+   * generalized; spec-pinned by SourceEncodingSpec).
+   */
+  def normalizeEmbeddings(raw: DataFrame): DataFrame = {
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"embeddings.embedding has unsupported type ${other.sql}; " +
+          "expected array<float> or array<double>")
+    }
+    raw.select(raw.schema.fields.toIndexedSeq.map { f =>
+      (f.name, f.dataType) match {
+        case ("embedding", _) =>
+          col("embedding").cast(ArrayType(FloatType)).as("embedding")
+        case ("vec_id", IntegerType) => col("vec_id").cast(LongType).as("vec_id")
+        case ("label", LongType) => col("label").cast(IntegerType).as("label")
+        case _ => col(f.name)
+      }
+    }: _*)
+  }
+
+  /**
+   * Normalize the documents table to the engine contract (`text`,
+   * `lang`, `source` as UTF-8 strings; `doc_id`, `n_chars` as longs)
+   * from the plausible upstream re-encodings: a producer shipping raw
+   * UTF-8 bytes writes `binary` text columns; a renumbering one writes
+   * 32-bit counts/ids. Binary→string is the UTF-8 decode cast. Same
+   * pattern as [[normalizeEvents]]; spec-pinned by SourceEncodingSpec.
+   */
+  def normalizeDocuments(raw: DataFrame): DataFrame =
+    raw.select(raw.schema.fields.toIndexedSeq.map { f =>
+      (f.name, f.dataType) match {
+        case ("text" | "lang" | "source", BinaryType) =>
+          col(f.name).cast(StringType).as(f.name)
+        case ("text" | "lang" | "source", StringType) => col(f.name)
+        case ("text" | "lang" | "source", other) =>
+          throw new IllegalArgumentException(
+            s"documents.${f.name} has unsupported type ${other.sql}; " +
+              "expected string or binary")
+        case ("doc_id" | "n_chars", IntegerType) =>
+          col(f.name).cast(LongType).as(f.name)
+        case _ => col(f.name)
+      }
+    }: _*)
+
+  /**
    * Load one table from `dir/<name>.parquet`.
    *
    * `events` is normalized to the `ts_ns` (long nanos) + `ts` (µs
@@ -80,8 +132,13 @@ object Tables {
           case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         }
       }
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+    } else name match {
+      case "embeddings" =>
+        normalizeEmbeddings(spark.read.parquet(s"$dir/embeddings.parquet"))
+      case "documents" =>
+        normalizeDocuments(spark.read.parquet(s"$dir/documents.parquet"))
+      case _ =>
+        spark.read.parquet(s"$dir/$name.parquet")
     }
   }
 
