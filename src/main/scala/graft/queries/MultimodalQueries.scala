@@ -231,7 +231,7 @@ object MultimodalQueries {
             .agg(min(col("keeper_id")).as("keeper_id"),
               sum(col("n_media")).as("n_media"))))
         val q = ss.readStream.schema(ss.read.parquet(src).schema)
-          .option("maxFilesPerTrigger", "2").parquet(src)
+          .option("maxFilesPerTrigger", StreamingQueries.GateFilesPerTrigger).parquet(src)
           .writeStream
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation",

@@ -790,7 +790,7 @@ object SimilarityQueries {
           .repartitionByRange(8, col("vec_id"))
           .write.mode("overwrite").parquet(src)
         val q = ss.readStream.schema(ss.read.parquet(src).schema)
-          .option("maxFilesPerTrigger", "2").parquet(src)
+          .option("maxFilesPerTrigger", StreamingQueries.GateFilesPerTrigger).parquet(src)
           .writeStream
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation",

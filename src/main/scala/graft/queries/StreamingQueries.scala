@@ -31,6 +31,17 @@ object StreamingQueries {
 
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** Gate-path micro-batch granularity for the 8-file staged sources:
+   * 4 files per trigger → two REAL merge batches (+ the no-data final).
+   * The gates' evidence is "the incremental fold runs more than once
+   * and equals the batch recompute" — batch-COUNT robustness
+   * (order-independence, per-batch pruning, kill/recover) is pinned at
+   * higher batch counts by UpsertStreamSpec (≥4 batches) and the soaks
+   * (StreamSoak: 20); the driver bench shouldn't pay 4+ rounds of
+   * micro-batch engine overhead per gate to re-prove what the specs
+   * already pin (round-9 verdict item #6). */
+  private[queries] val GateFilesPerTrigger = "4"
+
   /** Run `transform` over the streaming read of the events table to
    * completion (AvailableNow) through an append-mode parquet sink, and
    * return the sink contents as a batch DataFrame. */
@@ -338,7 +349,7 @@ object StreamingQueries {
     ev.repartition(8).write.mode("overwrite").parquet(src)
     val schema = ss.read.parquet(src).schema
     val stream = ss.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(src)
+      .option("maxFilesPerTrigger", StreamingQueries.GateFilesPerTrigger).parquet(src)
 
     // per-user latest event: max of (us, event_id, ...) — the struct
     // comparison is lexicographic, so event_id breaks timestamp ties
@@ -557,7 +568,7 @@ object StreamingQueries {
         .write.mode("overwrite").parquet(src)
       val schema = ss.read.parquet(src).schema
       val q = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2").parquet(src)
+        .option("maxFilesPerTrigger", StreamingQueries.GateFilesPerTrigger).parquet(src)
         .writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
@@ -605,7 +616,7 @@ object StreamingQueries {
         .select(col("id"), col("id").as("cluster"))
         .localCheckpoint(true)
       val q = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2").parquet(src)
+        .option("maxFilesPerTrigger", StreamingQueries.GateFilesPerTrigger).parquet(src)
         .writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
@@ -657,7 +668,7 @@ object StreamingQueries {
             sum(col("n_docs")).as("n_docs"))),
         hashKey = true)
       val q = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "2").parquet(src)
+        .option("maxFilesPerTrigger", StreamingQueries.GateFilesPerTrigger).parquet(src)
         .writeStream
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",

@@ -727,7 +727,7 @@ object TextQueries {
           .repartition(8).write.mode("overwrite").parquet(src)
         val base = graft.sources.Scratch.dir("k04_gens")
         val q = ss.readStream.schema(ss.read.parquet(src).schema)
-          .option("maxFilesPerTrigger", "2").parquet(src)
+          .option("maxFilesPerTrigger", StreamingQueries.GateFilesPerTrigger).parquet(src)
           .writeStream
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation",
