@@ -146,11 +146,10 @@ object GcdIncremental {
       df.withColumn("__bucket", bucketOf)
         .repartition(nBuckets, col("__bucket"))
         .write.partitionBy("__bucket").parquet(out)
-      val dirs = new java.io.File(out).listFiles()
-      if (dirs == null) Map.empty
-      else dirs.iterator
-        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
-        .map(f => f.getName.stripPrefix("__bucket=").toInt -> f.getPath)
+      graft.sources.StoreIO.list(df.sparkSession, out)
+        .filter(_.getName.startsWith("__bucket="))
+        .map(p => p.getName.stripPrefix("__bucket=").toInt ->
+          p.toUri.getPath)
         .toMap
     }
 

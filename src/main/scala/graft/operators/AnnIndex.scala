@@ -99,33 +99,32 @@ object AnnIndex {
    */
   def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, idCol: String, vecCol: String): Unit = {
-    import java.nio.file.{Files, Path, StandardCopyOption}
-    val applied = Path.of(root, s"_ingest_$batchId.applied")
-    if (Files.exists(applied)) return
-    val intent = Path.of(root, s"_ingest_$batchId.intent")
+    import graft.sources.StoreIO
+    val applied = s"$root/_ingest_$batchId.applied"
+    if (StoreIO.exists(spark, applied)) return
+    val intent = s"$root/_ingest_$batchId.intent"
     val stage: String =
-      if (Files.exists(intent)) Files.readString(intent) // crashed attempt
+      if (StoreIO.exists(spark, intent))
+        StoreIO.readString(spark, intent) // crashed attempt
       else stageIngest(spark, root, batch, batchId, idCol, vecCol)
     // apply: promote every staged part file into its live list dir
-    val live = Path.of(root, "postings")
-    val stageDirs = Option(new java.io.File(stage).listFiles())
-      .getOrElse(Array.empty)
-    stageDirs.filter(d => d.isDirectory && d.getName.startsWith("cid="))
+    val fs = StoreIO.fs(spark, root)
+    val live = new org.apache.hadoop.fs.Path(s"$root/postings")
+    StoreIO.list(spark, stage)
+      .filter(d => d.getName.startsWith("cid=") && fs.isDirectory(d))
       .foreach { d =>
-        val dst = live.resolve(d.getName)
-        Files.createDirectories(dst)
-        d.listFiles().filter(f => f.isFile &&
-          f.getName.endsWith(".parquet")).foreach { f =>
-          Files.move(f.toPath, dst.resolve(f.getName),
-            StandardCopyOption.ATOMIC_MOVE)
+        val dst = new org.apache.hadoop.fs.Path(live, d.getName)
+        fs.mkdirs(dst)
+        fs.listStatus(d).filter(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet")).foreach { f =>
+          require(fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(dst, f.getPath.getName)),
+            s"ingest apply: cannot move ${f.getPath} into $dst")
         }
       }
-    val tmp = Path.of(root, s"_ingest_$batchId.applied.tmp")
-    Files.writeString(tmp, stage)
-    Files.move(tmp, applied, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    graft.sources.Scratch.deleteNow(stage)
-    Files.deleteIfExists(intent)
+    StoreIO.writeAtomic(spark, applied, stage)
+    StoreIO.delete(spark, stage)
+    StoreIO.delete(spark, intent)
   }
 
   /** First half of [[ingestBatch]]: write the assigned batch postings
@@ -135,16 +134,13 @@ object AnnIndex {
   private[operators] def stageIngest(spark: SparkSession, root: String,
       batch: DataFrame, batchId: Long, idCol: String,
       vecCol: String): String = {
-    import java.nio.file.{Files, Path, StandardCopyOption}
     val st = s"$root/.ingest_stage_$batchId"
     val cent = spark.read.parquet(s"$root/centroids")
     Similarity.assignToCentroids(batch, idCol, vecCol, cent)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(st)
-    val tmp = Path.of(root, s"_ingest_$batchId.intent.tmp")
-    Files.writeString(tmp, st)
-    Files.move(tmp, Path.of(root, s"_ingest_$batchId.intent"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    graft.sources.StoreIO.writeAtomic(spark,
+      s"$root/_ingest_$batchId.intent", st)
     st
   }
 

@@ -94,7 +94,7 @@ object SketchStore {
     val day = table(ss, root).select(col("event_type"),
       lit(1L).as("n_days"), col("n_rows"),
       col("sk_hll"), col("sk_kll"), col("sk_theta"))
-    if (new java.io.File(s"$root/months").exists())
+    if (graft.sources.StoreIO.exists(ss, s"$root/months"))
       day.unionByName(ss.read.parquet(s"$root/months")
         .select(col("event_type"), col("n_days"), col("n_rows"),
           col("sk_hll"), col("sk_kll"), col("sk_theta")))
@@ -130,18 +130,17 @@ object SketchStore {
    */
   def compact(ss: SparkSession, root: String,
       cutoffDay: java.sql.Date): Unit = {
-    import java.nio.file.{Files, Path}
-    import java.nio.charset.StandardCharsets.UTF_8
-    val intent = Path.of(root, "_compact.intent")
+    import graft.sources.StoreIO
+    val intent = s"$root/_compact.intent"
     val stage: String =
-      if (Files.exists(intent))
-        new String(Files.readAllBytes(intent), UTF_8) // crashed attempt
+      if (StoreIO.exists(ss, intent))
+        StoreIO.readString(ss, intent) // crashed attempt
       else stageCompact(ss, root, cutoffDay) match {
         case None    => return // nothing below the cutoff
         case Some(p) => p
       }
     applyCompact(ss, root, stage)
-    Files.deleteIfExists(intent)
+    StoreIO.delete(ss, intent)
     graft.sources.Scratch.deleteNow(stage)
   }
 
@@ -151,8 +150,7 @@ object SketchStore {
    * any mutation — the one artifact recovery can safely re-apply. */
   private[operators] def stageCompact(ss: SparkSession, root: String,
       cutoffDay: java.sql.Date): Option[String] = {
-    import java.nio.file.{Files, Path, StandardCopyOption}
-    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.sources.StoreIO
     val old = table(ss, root).filter(col("day") < lit(cutoffDay))
     val days = old.select(col("day")).distinct()
       .collect().map(_.getDate(0)).sorted
@@ -165,7 +163,7 @@ object SketchStore {
           KllAggregate.kllMerge(col("sk_kll")).as("sk_kll"),
           ThetaAggregate.thetaUnion(col("sk_theta")).as("sk_theta"))
       val merged =
-        if (new java.io.File(s"$root/months").exists())
+        if (StoreIO.exists(ss, s"$root/months"))
           ss.read.parquet(s"$root/months").unionByName(partials)
             .groupBy(col("event_type"), col("month"))
             .agg(sum(col("n_days")).as("n_days"),
@@ -176,12 +174,9 @@ object SketchStore {
         else partials
       val tmp = graft.sources.Scratch.dir("sketch_compact_stage")
       merged.repartition(col("month")).write.parquet(s"$tmp/rows")
-      Files.write(Path.of(tmp, "days"),
-        days.map(_.toString).mkString("\n").getBytes(UTF_8))
-      val t = Path.of(root, "._compact.intent.tmp")
-      Files.write(t, tmp.getBytes(UTF_8))
-      Files.move(t, Path.of(root, "_compact.intent"),
-        StandardCopyOption.ATOMIC_MOVE)
+      StoreIO.writeAtomic(ss, s"$tmp/days",
+        days.map(_.toString).mkString("\n"))
+      StoreIO.writeAtomic(ss, s"$root/_compact.intent", tmp)
       Some(tmp)
     }
   }
@@ -192,13 +187,12 @@ object SketchStore {
    * day partitions drop (already-gone dirs are no-ops). */
   private[operators] def applyCompact(ss: SparkSession, root: String,
       stage: String): Unit = {
-    import java.nio.file.{Files, Path}
-    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.sources.StoreIO
     ss.read.parquet(s"$stage/rows").repartition(col("month"))
       .write.mode("overwrite").partitionBy("month").parquet(s"$root/months")
-    new String(Files.readAllBytes(Path.of(stage, "days")), UTF_8)
+    StoreIO.readString(ss, s"$stage/days")
       .split("\n").iterator.filter(_.nonEmpty)
-      .foreach(d => graft.sources.Scratch.deleteNow(s"$root/days/day=$d"))
+      .foreach(d => StoreIO.delete(ss, s"$root/days/day=$d"))
   }
 
   /** Late-data-tolerant ingest: merge a batch that may RE-FEED days the
@@ -283,28 +277,20 @@ object SketchStore {
    * one tiny write per batch next to the artifact. */
   def ingestBatch(ss: SparkSession, root: String, batch: DataFrame,
       batchId: Long): Unit = {
-    import java.nio.file.{Files, Path, StandardCopyOption}
-    import java.nio.charset.StandardCharsets.UTF_8
-    val dir = Path.of(root, "_ingested")
-    val marker = dir.resolve(s"batch-$batchId")
-    val intent = dir.resolve(s"batch-$batchId.intent")
-    def commit(target: Path, body: String): Unit = {
-      Files.createDirectories(dir)
-      val tmp = dir.resolve(s".${target.getFileName}.tmp")
-      Files.write(tmp, body.getBytes(UTF_8))
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    }
-    if (Files.exists(marker)) return
+    import graft.sources.StoreIO
+    val marker = s"$root/_ingested/batch-$batchId"
+    val intent = s"$root/_ingested/batch-$batchId.intent"
+    if (StoreIO.exists(ss, marker)) return
     val stage =
-      if (Files.exists(intent))
-        new String(Files.readAllBytes(intent), UTF_8) // crashed attempt
+      if (StoreIO.exists(ss, intent))
+        StoreIO.readString(ss, intent) // crashed attempt
       else stageUpsert(ss, root, batch) match {
-        case None => commit(marker, ""); return // empty batch
-        case Some(p) => commit(intent, p); p
+        case None => StoreIO.writeAtomic(ss, marker, ""); return // empty
+        case Some(p) => StoreIO.writeAtomic(ss, intent, p); p
       }
     applyStage(ss, root, stage)
-    commit(marker, "")
-    Files.deleteIfExists(intent)
+    StoreIO.writeAtomic(ss, marker, "")
+    StoreIO.delete(ss, intent)
     graft.sources.Scratch.deleteNow(stage)
   }
 
@@ -323,7 +309,7 @@ object SketchStore {
       .select(col("event_type"), lit(1L).as("n_days"), col("n_rows"),
         col("sk_hll"), col("sk_kll"), col("sk_theta"))
     val rows =
-      if (new java.io.File(s"$root/months").exists())
+      if (graft.sources.StoreIO.exists(ss, s"$root/months"))
         day.unionByName(ss.read.parquet(s"$root/months")
           // only months ENTIRELY inside the range (month is its start)
           .filter(col("month") >= lit(fromDay) &&
