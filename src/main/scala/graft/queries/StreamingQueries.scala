@@ -340,7 +340,8 @@ object StreamingQueries {
    * several micro-batches into a fresh BucketedUpsert state (runs on a
    * cloned session so state sizing never mutates the caller's
    * session-global shuffle partitions) and return the state handle. */
-  private def upsertViewState(ss: SparkSession, dir: String)
+  private def upsertViewState(ss: SparkSession, dir: String,
+      retainHistory: Boolean = false)
       : graft.streaming.BucketedUpsert.State = {
     val src = graft.sources.Scratch.dir("upsert_src")
     val ev = graft.sources.Tables.load(ss, dir, "events")
@@ -356,7 +357,7 @@ object StreamingQueries {
     val state = new graft.streaming.BucketedUpsert.State(ss,
       keyCol = "user_id",
       payloadCols = Seq("us", "event_id", "event_type", "value"),
-      nBuckets = 16)
+      nBuckets = 16, retainHistory = retainHistory)
 
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
@@ -401,6 +402,80 @@ object StreamingQueries {
       graft.sources.Tables.load(ss, dir, "events")
         .filter(col("user_id") % 10 === 3).select(col("user_id")),
       opId = 1000L)
+    upsertViewCols(state, s)
+  }
+
+  /** q95: TIME TRAVEL on the upsert store — with `retainHistory` every
+   * commit leaves an immutable numbered manifest, and `readAsOf` serves
+   * the view exactly as a past commit left it (how a pipeline
+   * reproduces "the corpus as the run that trained checkpoint N saw
+   * it"; Delta/Iceberg snapshot reads over their logs). Batches are
+   * explicit and DETERMINISTIC here (even event_ids then odd) so the
+   * as-of-first-commit view is batch-composition-independent and the
+   * DuckDB oracle can restate it exactly: the per-user argmax over
+   * even-id events only. Real-streaming coverage of the same store is
+   * q56/q93/q96 — this gate isolates the versioned-read contract. */
+  private def runTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ev = graft.sources.Tables.load(ss, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val state = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "user_id",
+      payloadCols = Seq("us", "event_id", "event_type", "value"),
+      nBuckets = 16, retainHistory = true)
+    state.merge(ev.filter(col("event_id") % 2 === 0), 0L)
+    state.merge(ev.filter(col("event_id") % 2 === 1), 1L)
+    val firstCommit = state.history().head
+    state.readAsOf(s, firstCommit)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("us").as("last_us"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private def timeTravelOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS us FROM events
+      |  WHERE event_id % 2 = 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  us AS last_us, value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  /** q96: RETENTION VACUUM on the history-retaining streamed store —
+   * the storage-reclamation half of the time-travel contract (Delta
+   * VACUUM / Iceberg expire_snapshots). The q56 merge loop runs through
+   * the REAL streaming engine with history on, so superseded bucket
+   * versions accumulate instead of retiring; `vacuum(retainPrior = 0)`
+   * then drops all but the newest committed manifest and deletes every
+   * unreferenced bucket version — metadata-only work (manifests parsed,
+   * no data read). The in-query requires pin that the vacuum actually
+   * reclaimed something and that a dropped version fails loudly; the
+   * hash gate proves the surviving view is untouched: it still equals
+   * the batch argmax recompute. */
+  private def runUpsertVacuum(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val state = upsertViewState(ss, dir, retainHistory = true)
+    val versions = state.history()
+    require(versions.length >= 2,
+      s"vacuum gate expects >=2 committed versions, got $versions")
+    val report = state.vacuum(retainPrior = 0)
+    require(report.droppedManifests == versions.length - 1,
+      s"vacuum dropped ${report.droppedManifests} manifests, " +
+        s"expected ${versions.length - 1}")
+    require(report.deletedDirs > 0,
+      "vacuum reclaimed no superseded bucket versions — the merge " +
+        "loop should have left some")
+    // a vacuumed version must fail loudly, never read partially
+    val vanished =
+      try { state.readAsOf(ss, versions.head); false }
+      catch { case _: IllegalArgumentException => true }
+    require(vanished, s"readAsOf(${versions.head}) still readable " +
+      "after vacuum past retention")
     upsertViewCols(state, s)
   }
 
@@ -699,6 +774,8 @@ object StreamingQueries {
     Q("q56_stream_upsert_view", runUpsert, Some(upsertOracle)),
     Q("q93_upsert_targeted_delete", runUpsertDelete,
       Some(upsertDeleteOracle)),
+    Q("q95_upsert_time_travel", runTimeTravel, Some(timeTravelOracle)),
+    Q("q96_upsert_vacuum", runUpsertVacuum, Some(upsertOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
     Q("q38_stream_attribution", runAttribution, Some(attributionOracle)),
     Q("q67_stream_outer_attribution", runAttributionOuter,

@@ -58,12 +58,36 @@ import graft.sources.Scratch
  * kind (`latest` vs custom combine), so recovering with mismatched
  * semantics fails loudly instead of silently re-bucketing keys or
  * merging with the wrong reduce.
+ *
+ * TIME TRAVEL + VACUUM (the rest of the transaction-log contract):
+ * with `retainHistory = true` every commit ALSO writes an immutable
+ * numbered manifest (`_manifest.v<seq>`) and superseded bucket versions
+ * are NOT retired at merge time — each numbered manifest stays a fully
+ * readable snapshot of the view as of that commit ([[State.readAsOf]]),
+ * which is how a training pipeline reproduces "the corpus exactly as
+ * the run that trained checkpoint N saw it". Storage is reclaimed by
+ * the explicit [[State.vacuum]]: keep the newest `retainPrior + 1`
+ * snapshots, drop older manifests FIRST, then delete every bucket
+ * version no retained manifest references. That ordering is the crash
+ * contract — at any crash point every surviving manifest references
+ * only live files (a crash after the manifest drop merely leaves
+ * orphaned bucket dirs for the next vacuum, which is a natural no-op
+ * re-run). Reading a vacuumed version fails loudly, never partially.
+ * Vacuum cost is metadata-only: it lists and parses file-count-sized
+ * manifests and issues deletes — no data is read or moved, so it holds
+ * at 100 TB of state. (Delta's VACUUM / Iceberg's expire_snapshots are
+ * exactly this operation over their logs.)
  */
 object BucketedUpsert {
 
   /** Per-batch evidence for the soak: what the merge actually read. */
   final case class BatchMetrics(batchId: Long, touchedBuckets: Int,
       stateRowsRead: Long, wallMs: Long)
+
+  /** What a [[State.vacuum]] actually reclaimed — metadata-only
+   * evidence, mirror of the soaks' per-batch metrics. */
+  final case class VacuumReport(droppedManifests: Int, deletedDirs: Int,
+      keptDirs: Int)
 
   /**
    * Mutable state handle for one upsert view. By default `payloadCols`
@@ -84,12 +108,16 @@ object BucketedUpsert {
    * @param hashKey bucket on `pmod(xxhash64(key), n)` instead of
    *   `pmod(key, n)` — required for non-numeric keys (string
    *   fingerprints); still a pure function of the key.
+   * @param retainHistory keep every commit readable ([[readAsOf]]) by
+   *   writing numbered manifests and deferring superseded-file
+   *   retirement to [[vacuum]]; default false = the legacy eager
+   *   retirement (only the newest version ever exists on disk).
    */
   final class State(ss: SparkSession, keyCol: String,
       payloadCols: Seq[String], nBuckets: Int,
       collectMetrics: Boolean = false, root: Option[String] = None,
       combine: Option[DataFrame => DataFrame] = None,
-      hashKey: Boolean = false) {
+      hashKey: Boolean = false, retainHistory: Boolean = false) {
 
     private val stateRoot = root.getOrElse(Scratch.dir("upsert_state"))
     private val rootPath = new Path(stateRoot)
@@ -99,6 +127,7 @@ object BucketedUpsert {
       ss.sessionState.newHadoopConf())
     private val current = mutable.Map.empty[Int, String]
     private var attempt = 0L
+    private var commitSeq = 0L
     val metrics: mutable.ArrayBuffer[BatchMetrics] = mutable.ArrayBuffer()
 
     private def mergeKind = if (combine.isDefined) "custom" else "latest"
@@ -143,9 +172,12 @@ object BucketedUpsert {
         val superseded = touched.toSeq.flatMap(current.get)
         touched.foreach(b => current(b) = s"$out/__bucket=$b")
         // commit the pointer map BEFORE retiring the superseded files:
-        // any crash leaves the last committed manifest fully readable
+        // any crash leaves the last committed manifest fully readable.
+        // A history-retaining store retires nothing here — prior
+        // versions stay readable via readAsOf until vacuum.
         commitManifest(id)
-        superseded.foreach(p => fs.delete(new Path(p), true))
+        if (!retainHistory)
+          superseded.foreach(p => fs.delete(new Path(p), true))
         metrics += BatchMetrics(id, touched.length, stateRows,
           (System.nanoTime() - t0) / 1000000)
       }
@@ -183,17 +215,23 @@ object BucketedUpsert {
           else current.remove(b)
         }
         commitManifest(opId)
-        prevPaths.foreach(p => fs.delete(new Path(p), true))
+        if (!retainHistory)
+          prevPaths.foreach(p => fs.delete(new Path(p), true))
         metrics += BatchMetrics(opId, present.length, stateRows,
           (System.nanoTime() - t0) / 1000000)
       }
     }
 
     /** One tiny write per batch: bucket→path map plus the store's
-     * semantic config, tmp + atomic rename-with-overwrite. */
+     * semantic config, tmp + atomic rename-with-overwrite. A
+     * history-retaining store also writes the same body to an immutable
+     * `_manifest.v<seq>` — the numbered snapshot [[readAsOf]] serves. */
     private def commitManifest(batchId: Long): Unit = {
+      commitSeq += 1
+      val header = s"batch $batchId seq=$commitSeq hashKey=$hashKey " +
+        s"merge=$mergeKind"
       val body =
-        (s"batch $batchId hashKey=$hashKey merge=$mergeKind" +:
+        (header +:
           current.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
           .mkString("\n")
       val tmp = new Path(rootPath, "_manifest.tmp")
@@ -201,6 +239,83 @@ object BucketedUpsert {
       try out.write(body.getBytes(UTF_8)) finally out.close()
       fc.rename(tmp, new Path(rootPath, "_manifest"),
         Options.Rename.OVERWRITE)
+      if (retainHistory) {
+        val h = fs.create(new Path(rootPath, s"_manifest.v$commitSeq"),
+          true)
+        try h.write(body.getBytes(UTF_8)) finally h.close()
+      }
+    }
+
+    /** Committed version numbers still readable via [[readAsOf]],
+     * oldest first (history-retaining stores only). */
+    def history(): Seq[Long] =
+      fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_manifest.v"))
+        .map(_.stripPrefix("_manifest.v").toLong).sorted
+
+    /** Bucket pointer map of one committed version. */
+    private def manifestPaths(seq: Long): Seq[String] = {
+      val mf = new Path(rootPath, s"_manifest.v$seq")
+      require(fs.exists(mf),
+        s"readAsOf($seq): no such committed version at $stateRoot — " +
+          "never committed, vacuumed past retention, or the store was " +
+          "built without retainHistory")
+      val in = fs.open(mf)
+      val body =
+        try new String(in.readAllBytes(), UTF_8)
+        finally in.close()
+      body.linesIterator.drop(1).filter(_.nonEmpty)
+        .map(_.split("\t", 2)(1)).toSeq
+    }
+
+    /** TIME TRAVEL: the view exactly as of committed version `seq` —
+     * the corpus a run that consumed version `seq` saw, reproducible
+     * until [[vacuum]] drops the version. Fails loudly (never
+     * partially) on a vacuumed or unknown version. */
+    def readAsOf(reader: SparkSession, seq: Long): DataFrame = {
+      val paths = manifestPaths(seq)
+      require(paths.nonEmpty, s"readAsOf($seq): version is empty")
+      reader.read.parquet(paths: _*)
+    }
+
+    /** RETENTION VACUUM: keep the newest `retainPrior + 1` committed
+     * versions, reclaim everything older. Old manifests are dropped
+     * FIRST, then every bucket version no surviving manifest (or the
+     * live pointer map) references — so a crash at any point leaves
+     * every surviving manifest fully readable, and the worst leftover
+     * is orphaned bucket dirs the next vacuum (an idempotent re-run)
+     * removes. Metadata-only: parses file-count-sized manifests,
+     * reads no data. Empty `v*` attempt shells are kept — recovery's
+     * attempt numbering counts them to stay collision-free. */
+    def vacuum(retainPrior: Int = 0): VacuumReport = {
+      require(retainHistory,
+        "vacuum: store was built without retainHistory (eager " +
+          "retirement already reclaims superseded files)")
+      val seqs = history()
+      val (drop, keep) = seqs.splitAt(
+        math.max(0, seqs.length - (retainPrior + 1)))
+      drop.foreach(v =>
+        fs.delete(new Path(rootPath, s"_manifest.v$v"), true))
+      // normalized (scheme-free) referenced set, built ONCE — manifest
+      // strings may carry file:/ prefixes the fs listing does not
+      val referenced =
+        (keep.flatMap(manifestPaths) ++ current.values)
+          .map(r => new Path(r).toUri.getPath).toSet
+      var deleted = 0; var kept = 0
+      fs.listStatus(rootPath).iterator
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("v"))
+        .foreach { shell =>
+          fs.listStatus(shell.getPath).iterator
+            .filter(b => b.isDirectory &&
+              b.getPath.getName.startsWith("__bucket="))
+            .foreach { b =>
+              val asListed =
+                s"${shell.getPath.toUri.getPath}/${b.getPath.getName}"
+              if (referenced.contains(asListed)) kept += 1
+              else { fs.delete(b.getPath, true); deleted += 1 }
+            }
+        }
+      VacuumReport(drop.length, deleted, kept)
     }
 
     private[streaming] def loadManifest(): Unit = {
@@ -230,6 +345,13 @@ object BucketedUpsert {
       require(mfMerge == mergeKind,
         s"recover: manifest merge kind '$mfMerge' but State was built " +
           s"with '$mergeKind' — pass the same combine to recover()")
+      // resume version numbering past the last commit (and past any
+      // newer numbered manifest a crash may have left behind)
+      commitSeq = math.max(
+        header.collectFirst {
+          case s if s.startsWith("seq=") => s.stripPrefix("seq=").toLong
+        }.getOrElse(0L),
+        history().lastOption.getOrElse(0L))
       current.clear()
       lines.drop(1).filter(_.nonEmpty).foreach { l =>
         val Array(b, p) = l.split("\t", 2); current(b.toInt) = p
@@ -266,9 +388,9 @@ object BucketedUpsert {
       nBuckets: Int, stateRoot: String,
       collectMetrics: Boolean = false,
       combine: Option[DataFrame => DataFrame] = None,
-      hashKey: Boolean = false): State = {
+      hashKey: Boolean = false, retainHistory: Boolean = false): State = {
     val st = new State(ss, keyCol, payloadCols, nBuckets, collectMetrics,
-      Some(stateRoot), combine, hashKey)
+      Some(stateRoot), combine, hashKey, retainHistory)
     st.loadManifest()
     st
   }

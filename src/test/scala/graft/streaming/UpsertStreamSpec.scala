@@ -181,4 +181,75 @@ class UpsertStreamSpec extends SparkSpec {
     assert(b.except(want).isEmpty && want.except(b).isEmpty,
       "reverse-merged store differs from whole-corpus reduce")
   }
+
+  test("time travel: every retained version reads back exactly; " +
+      "vacuum enforces retention, reclaims, and is idempotent") {
+    import graft.streaming.BucketedUpsert
+    // 10 keys × 3 overlapping batches, ver strictly increasing — every
+    // batch supersedes every key's bucket version
+    def batch(ver: Long) = spark.range(10).select(
+      col("id").as("k"), lit(ver).as("ver"), (col("id") * ver).as("x"))
+    def latest(df: DataFrame) = df.groupBy(col("k"))
+      .agg(max(struct(col("ver"), col("x"))).as("m"))
+      .select(col("k"), col("m.ver").as("ver"), col("m.x").as("x"))
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, retainHistory = true)
+    (1L to 3L).foreach(v => st.merge(batch(v), v))
+
+    assert(st.history() == Seq(1L, 2L, 3L))
+    val cols = Seq("k", "ver", "x").map(col)
+    (1L to 3L).foreach { v =>
+      val got = st.readAsOf(spark, v).select(cols: _*)
+      val want = latest((1L to v).map(batch).reduce(_ unionByName _))
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"readAsOf($v) differs from the cumulative recompute")
+    }
+
+    val r1 = st.vacuum(retainPrior = 1)
+    assert(r1.droppedManifests == 1 && r1.deletedDirs > 0,
+      s"expected version 1 reclaimed, got $r1")
+    assert(st.history() == Seq(2L, 3L))
+    // retained version still exact; dropped version fails loudly
+    val keep2 = st.readAsOf(spark, 2L).select(cols: _*)
+    val want2 = latest(batch(1L).unionByName(batch(2L)))
+    assert(keep2.except(want2).isEmpty && want2.except(keep2).isEmpty)
+    intercept[IllegalArgumentException](st.readAsOf(spark, 1L))
+    // live view untouched by the vacuum
+    val live = st.view(spark).select(cols: _*)
+    val want3 = latest((1L to 3L).map(batch).reduce(_ unionByName _))
+    assert(live.except(want3).isEmpty && want3.except(live).isEmpty)
+    // idempotent re-run reclaims nothing further
+    val r2 = st.vacuum(retainPrior = 1)
+    assert(r2.droppedManifests == 0 && r2.deletedDirs == 0, s"$r2")
+
+    // a non-history store has nothing to vacuum — loud, not silent
+    val eager = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4)
+    eager.merge(batch(1L), 0L)
+    intercept[IllegalArgumentException](eager.vacuum())
+  }
+
+  test("recovered history store resumes version numbering; prior " +
+      "versions stay readable") {
+    import graft.streaming.BucketedUpsert
+    def batch(ver: Long) = spark.range(10).select(
+      col("id").as("k"), lit(ver).as("ver"), (col("id") * ver).as("x"))
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, retainHistory = true)
+    st.merge(batch(1L), 0L); st.merge(batch(2L), 1L)
+    val root = st.rootDir
+
+    val re = BucketedUpsert.recover(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, stateRoot = root, retainHistory = true)
+    re.merge(batch(3L), 2L)
+    // numbering continued past the pre-crash commits — no collision,
+    // and the pre-crash versions still read exactly
+    assert(re.history() == Seq(1L, 2L, 3L))
+    val cols = Seq("k", "ver", "x").map(col)
+    val v1 = re.readAsOf(spark, 1L).select(cols: _*)
+    val want1 = spark.range(10).select(col("id").as("k"),
+      lit(1L).as("ver"), col("id").as("x"))
+    assert(v1.except(want1).isEmpty && want1.except(v1).isEmpty,
+      "version 1 changed across recovery")
+  }
 }
