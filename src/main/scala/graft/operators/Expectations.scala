@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Declarative data-quality EXPECTATIONS over a DataFrame — the
+ * constraint-validation gate a training-data pipeline runs before any
+ * corpus version is committed (Delta Live Tables expectations / Great
+ * Expectations / dbt tests as an engine-side operator). A rule is a
+ * named pass-predicate; a row VIOLATES a rule when the predicate is not
+ * true (false OR null — a null check result is a failure, not a pass,
+ * so a corrupt column can never slip through as "unknown").
+ *
+ * Scale design: [[report]] computes every rule's violation count in
+ * ONE scan — each rule becomes one conditional-sum aggregate, all of
+ * them map-side partial over the same pass, so 50 rules on 100 TB cost
+ * one read, not 50 (the naive loop-of-counts is a job per rule).
+ * [[audit]]/[[quarantine]] are scan-stage row transforms (no shuffle,
+ * no join): the violation list is computed per row inside whole-stage
+ * codegen and rows route to the main or quarantine side by one filter
+ * each. Referential rules ([[refRule]]) compose as a broadcast left
+ * join against the (small) dimension's distinct keys — the fact table
+ * is still scanned once; fact-sized dimensions should use a bloom-side
+ * check (q41) instead.
+ *
+ * The reference validates per-row during its JDBC copy (lenient parses,
+ * null-skipping setters — SURVEY §2.4 T5/T10/T13); this is that
+ * tolerance turned into an explicit, countable, enforceable contract.
+ */
+object Expectations {
+
+  /** One named expectation: `passes` must evaluate TRUE for a row to
+   * pass; false OR NULL counts as a violation. */
+  final case class Rule(name: String, passes: Column)
+
+  private def violates(r: Rule): Column = !coalesce(r.passes, lit(false))
+
+  /** Per-rule violation counts in ONE scan of `df`: columns
+   * `(rule, violations, n_rows)`, one row per rule, rule-name order.
+   * `n_rows` repeats the scanned total so every row carries its own
+   * denominator (violation RATE = violations / n_rows). */
+  def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "expectations: no rules")
+    val aggs = count(lit(1)).as("__n") +: rules.map(r =>
+      sum(violates(r).cast("long")).as(s"__v_${r.name}"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // one-row wide → long: stack is a plain projection of the single
+    // aggregate row, no second pass over the data
+    val pairs = rules.map(r => s"'${r.name}', __v_${r.name}")
+      .mkString(", ")
+    wide.selectExpr(
+        s"stack(${rules.size}, $pairs) AS (rule, violations)",
+        "__n AS n_rows")
+      .orderBy(col("rule"))
+  }
+
+  /** `df` plus a `violations` array column naming every rule the row
+   * fails (empty array = clean row). Pure scan-stage projection. */
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    df.withColumn("violations",
+      array_compact(array(rules.map(r =>
+        when(violates(r), lit(r.name))): _*)))
+
+  /** Split into (clean, quarantined) — quarantined rows carry the
+   * `violations` column naming why. Two filters over the same audited
+   * scan; Spark will not double-read a cached/reused exchange, and at
+   * pipeline scale the two sides are written to different sinks anyway. */
+  def quarantine(df: DataFrame, rules: Seq[Rule])
+      : (DataFrame, DataFrame) = {
+    val a = audit(df, rules)
+    (a.filter(size(col("violations")) === 0).drop("violations"),
+      a.filter(size(col("violations")) > 0))
+  }
+
+  /** Referential expectation: `factKey` must exist in `dim`'s
+   * `dimKey` column. Returns the joined frame plus the rule to pass to
+   * [[report]]/[[audit]] — the join is a broadcast of the dimension's
+   * DISTINCT keys, so the fact side stays a single unshuffled scan. */
+  def refRule(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, name: String): (DataFrame, Rule) = {
+    val keys = dim.select(col(dimKey).as(s"__ref_$name")).distinct()
+    val joined = fact.join(broadcast(keys),
+      fact(factKey) === col(s"__ref_$name"), "left")
+    (joined, Rule(name, col(s"__ref_$name").isNotNull))
+  }
+
+  /** Enforcement: raise (fail the pipeline) when any rule's violation
+   * RATE exceeds its budget. `budgets` maps rule name → max allowed
+   * fraction (0.0 = zero tolerance). Returns the report for logging. */
+  def enforce(df: DataFrame, rules: Seq[Rule],
+      budgets: Map[String, Double]): DataFrame = {
+    val rep = report(df, rules)
+    val over = rep.filter(
+        coalesce(udfFreeRate, lit(0.0)) >
+          coalesce(budgetCol(budgets), lit(Double.MaxValue)))
+      .collect()
+    require(over.isEmpty,
+      "expectations exceeded budget: " + over.map(r =>
+        s"${r.getString(0)} ${r.getLong(1)}/${r.getLong(2)}")
+        .mkString(", "))
+    rep
+  }
+
+  private def udfFreeRate: Column =
+    col("violations").cast("double") / col("n_rows")
+
+  private def budgetCol(budgets: Map[String, Double]): Column =
+    budgets.foldLeft(lit(null).cast("double")) { case (acc, (n, b)) =>
+      when(col("rule") === n, lit(b)).otherwise(acc)
+    }
+}

@@ -182,4 +182,34 @@ object SkippingIndex {
       spark.read.parquet(files: _*)
         .filter(col(keyCol).isin(values.map(Long.box): _*))
   }
+
+  /** CONJUNCTIVE multi-column lookup: predicates on several indexed
+   * columns AND-ed together. A file is skipped the moment ANY column's
+   * sidecar proves its conjunct absent (range-miss or Bloom-negative) —
+   * sound for conjunctions, and the per-file stats of every indexed
+   * column compose exactly like Delta/Iceberg skipping stats. Per
+   * column the file set to scan is its candidates plus the files that
+   * sidecar doesn't cover (those it cannot rule out); the conjunctive
+   * scan set is the INTERSECTION. Exact residual predicate as in
+   * [[lookup]]. */
+  def lookupAll(spark: SparkSession, tableDir: String,
+      preds: Seq[(String, Seq[Long])]): DataFrame = {
+    require(preds.nonEmpty, "lookupAll: no predicates")
+    val live = liveDataFiles(spark, tableDir)
+    val liveByNorm = live.iterator.map(f => norm(f) -> f).toMap
+    val perCol = preds.map { case (c, vs) =>
+      val coveredNorm = spark.read.parquet(sidecarDir(tableDir, c))
+        .select("file").collect().map(r => norm(r.getString(0))).toSet
+      val cand = candidateFiles(spark, tableDir, c, vs).map(norm).toSet
+      // this column cannot rule out files its sidecar never covered
+      cand ++ liveByNorm.keySet.filterNot(coveredNorm.contains)
+    }
+    val files = perCol.reduce(_ intersect _).toSeq.sorted
+      .flatMap(liveByNorm.get)
+    val residual = preds.map { case (c, vs) =>
+      col(c).isin(vs.map(Long.box): _*) }.reduce(_ && _)
+    if (files.isEmpty)
+      spark.read.parquet(tableDir).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(residual)
+  }
 }

@@ -1008,6 +1008,93 @@ object Advanced {
              |ORDER BY event_id""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q97 — declarative data-quality EXPECTATIONS
+    // (operators/Expectations): the constraint-validation gate a
+    // pipeline runs before committing a corpus version (Delta Live
+    // Tables expectations / dbt tests as an engine operator). Four
+    // rules over events — a JSON-field range, a categorical domain, a
+    // numeric bound, and a REFERENTIAL check against the customer dim
+    // (broadcast of its distinct keys; the fact side stays one scan) —
+    // all counted in ONE pass: each rule is a conditional-sum aggregate
+    // over the same map-side partial, so 50 rules on 100 TB still cost
+    // one read. Not-true = violation (null never passes). The oracle
+    // restates every count; ExpectationsSpec pins the one-scan plan and
+    // the audit/quarantine split.
+    Q("q97_expectations",
+      (s, dir) => {
+        import graft.operators.Expectations
+        import graft.operators.Expectations.Rule
+        val ev = Tables.load(s, dir, "events")
+        val cust = Tables.load(s, dir, "customer")
+        val (joined, refR) = Expectations.refRule(ev, "user_id", cust,
+          "c_custkey", "user_in_dim")
+        Expectations.report(joined, Seq(
+          Rule("props_k_lt90",
+            get_json_object(col("props"), "$.k").cast("long") < 90),
+          Rule("type_known", col("event_type")
+            .isin("click", "view", "purchase", "signup")),
+          Rule("value_pos", col("value") > 0),
+          refR))
+      },
+      Some("""WITH t AS (SELECT e.*, c.c_custkey AS ref FROM events e
+             |    LEFT JOIN customer c ON e.user_id = c.c_custkey),
+             |v AS (
+             |  SELECT 'props_k_lt90' AS rule,
+             |    SUM(CASE WHEN NOT COALESCE(
+             |      CAST(json_extract_string(props, '$.k') AS BIGINT) < 90,
+             |      FALSE) THEN 1 ELSE 0 END) AS violations,
+             |    COUNT(*) AS n_rows FROM t
+             |  UNION ALL SELECT 'type_known',
+             |    SUM(CASE WHEN NOT COALESCE(event_type IN
+             |      ('click', 'view', 'purchase', 'signup'), FALSE)
+             |      THEN 1 ELSE 0 END), COUNT(*) FROM t
+             |  UNION ALL SELECT 'value_pos',
+             |    SUM(CASE WHEN NOT COALESCE(value > 0, FALSE)
+             |      THEN 1 ELSE 0 END), COUNT(*) FROM t
+             |  UNION ALL SELECT 'user_in_dim',
+             |    SUM(CASE WHEN ref IS NULL THEN 1 ELSE 0 END),
+             |    COUNT(*) FROM t)
+             |SELECT rule, CAST(violations AS BIGINT) AS violations,
+             |  CAST(n_rows AS BIGINT) AS n_rows
+             |FROM v ORDER BY rule""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q98 — CONJUNCTIVE multi-column data skipping: one sidecar per key
+    // column (q94's per-file min/max + Bloom), a lookup with predicates
+    // on BOTH columns prunes with each sidecar independently and scans
+    // only files no sidecar could rule out — sound because a file may
+    // be skipped the moment ANY conjunct is provably absent from it
+    // (Delta/Iceberg skip on per-file stats of every indexed column the
+    // same way). The table is range-clustered by user_id, so the
+    // user_id sidecar prunes by RANGE while the scattered event_id
+    // sidecar prunes by BLOOM — the two pruning modes compose. Oracle =
+    // the plain conjunctive IN lookup; the intersection pruning (fewer
+    // files than either single-column lookup) is pinned in
+    // SkippingIndexSpec.
+    Q("q98_conjunctive_skipping",
+      (s, dir) => {
+        val e = Tables.eventsUs(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts_us"), col("value"))
+        val root = graft.sources.Scratch.dir("skip_conj") + "/events"
+        e.repartitionByRange(16, col("user_id"))
+          .write.parquet(root)
+        graft.operators.SkippingIndex.build(s, root, "user_id",
+          expectedItemsPerFile = 10000L)
+        graft.operators.SkippingIndex.build(s, root, "event_id",
+          expectedItemsPerFile = 10000L)
+        graft.operators.SkippingIndex.lookupAll(s, root, Seq(
+            "user_id" -> Seq(3L, 11L, 42L),
+            "event_id" -> Seq(5L, 12L, 47L, 81L, 999999999L)))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id, event_type,
+             |  epoch_ns(ts) // 1000 AS ts_us, value
+             |FROM events WHERE user_id IN (3, 11, 42)
+             |  AND event_id IN (5, 12, 47, 81, 999999999)
+             |ORDER BY event_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q65 — SCD type-2 dimension build from a change log: each user's
     // event stream becomes versioned attribute history — a new version
     // opens only when the attribute CHANGES (lag-compare), versions get

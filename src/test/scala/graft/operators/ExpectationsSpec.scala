@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Expectations.Rule
+
+/** Pins what the q97 hash gate can't see: the report is ONE scan of the
+ * fact regardless of rule count, null never passes a rule, and the
+ * audit/quarantine split is a lossless partition of the input. */
+class ExpectationsSpec extends SparkSpec {
+
+  private def facts = {
+    import spark.implicits._
+    Seq(
+      (1L, Some(5.0), "a"), // clean
+      (2L, Some(-1.0), "a"), // violates pos
+      (3L, None, "b"), // null value -> violates pos; bad cat
+      (4L, Some(2.0), "zz") // bad cat
+    ).toDF("id", "value", "cat")
+  }
+
+  private val rules = Seq(
+    Rule("value_pos", col("value") > 0),
+    Rule("cat_known", col("cat").isin("a", "b")))
+
+  test("report counts violations with null-never-passes semantics") {
+    val rep = Expectations.report(facts, rules)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rep.toSeq == Seq(("cat_known", 1L, 4L),
+      ("value_pos", 2L, 4L)))
+  }
+
+  test("report is ONE scan of the fact no matter how many rules") {
+    val dir = graft.sources.Scratch.dir("exp_spec") + "/f"
+    facts.write.parquet(dir)
+    val pf = spark.read.parquet(dir)
+    val many = (1 to 20).map(i => Rule(s"r$i", col("value") > i))
+    val plan = Expectations.report(pf, many).queryExecution.executedPlan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(
+              _.toString.contains("exp_spec")) => 1
+        case _ => 0
+      }) + p.children.map(scans).sum + p.subqueries.map(scans).sum
+    assert(scans(plan) == 1,
+      s"expected exactly one fact scan, plan:\n$plan")
+  }
+
+  test("audit names each row's failed rules; quarantine is a lossless " +
+      "partition") {
+    val audited = Expectations.audit(facts, rules)
+      .select(col("id"), col("violations"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .toMap
+    assert(audited(1L) == Set())
+    assert(audited(2L) == Set("value_pos"))
+    assert(audited(3L) == Set("value_pos")) // null value fails pos only
+    assert(audited(4L) == Set("cat_known"))
+
+    val (clean, bad) = Expectations.quarantine(facts, rules)
+    assert(clean.columns.toSeq == facts.columns.toSeq)
+    assert(clean.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L))
+    assert(bad.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L))
+    assert(clean.count() + bad.count() == facts.count())
+  }
+
+  test("refRule counts fact keys missing from the dimension; fact side " +
+      "broadcast-joins") {
+    import spark.implicits._
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val (joined, r) = Expectations.refRule(facts, "id", dim, "k",
+      "id_in_dim")
+    val rep = Expectations.report(joined, Seq(r)).collect()
+    assert(rep.head.getString(0) == "id_in_dim" &&
+      rep.head.getLong(1) == 1L && rep.head.getLong(2) == 4L)
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin") ||
+      planStr.contains("BroadcastNestedLoopJoin"),
+      s"referential join is not broadcast:\n$planStr")
+  }
+
+  test("enforce raises on a blown budget, passes within budget") {
+    intercept[IllegalArgumentException] {
+      Expectations.enforce(facts, rules,
+        Map("value_pos" -> 0.0))
+    }
+    // 2/4 violations <= 50% budget: passes and returns the report
+    val rep = Expectations.enforce(facts, rules,
+      Map("value_pos" -> 0.5, "cat_known" -> 0.25))
+    assert(rep.count() == 2)
+  }
+}

@@ -189,4 +189,41 @@ class SkippingIndexSpec extends SparkSpec {
     assert(spark.read.parquet(root).columns.toSeq ==
       Seq("event_id", "user_id", "event_type"))
   }
+
+  test("conjunctive lookup: scan set is the intersection of per-column " +
+      "pruning; exact; uncovered columns cannot rule files out") {
+    val root = graft.sources.Scratch.dir("skip_spec7") + "/t"
+    // range-clustered user_id (range pruning), scattered event_id
+    // (Bloom pruning) — the q98 shape
+    mkTable(root)
+    SkippingIndex.build(spark, root, "user_id", 5000L)
+    SkippingIndex.build(spark, root, "event_id", 5000L)
+    val preds = Seq("user_id" -> Seq(3L, 401L),
+      "event_id" -> Seq(3L, 8500L))
+    val candU = SkippingIndex.candidateFiles(spark, root, "user_id",
+      preds(0)._2).toSet
+    val candE = SkippingIndex.candidateFiles(spark, root, "event_id",
+      preds(1)._2).toSet
+    assert((candU intersect candE).size < math.min(candU.size, candE.size)
+      || (candU intersect candE).size < 8,
+      s"intersection ${candU.size}x${candE.size} prunes nothing")
+    val got = SkippingIndex.lookupAll(spark, root, preds)
+      .orderBy("event_id").collect().toSeq
+    val want = spark.read.parquet(root)
+      .filter(col("user_id").isin(3L, 401L) &&
+        col("event_id").isin(3L, 8500L))
+      .orderBy("event_id").collect().toSeq
+    assert(got == want && got.nonEmpty)
+
+    // append a file AFTER both builds: neither sidecar covers it, so
+    // the conjunctive lookup must scan it rather than drop its rows
+    import spark.implicits._
+    Seq((200000L, 3L, "ex")).toDF("event_id", "user_id", "event_type")
+      .coalesce(1).write.mode("append").parquet(root)
+    val got2 = SkippingIndex.lookupAll(spark, root, Seq(
+      "user_id" -> Seq(3L), "event_id" -> Seq(200000L)))
+      .collect().toSeq
+    assert(got2.map(_.getLong(0)) == Seq(200000L),
+      s"appended uncovered row missing from conjunctive lookup: $got2")
+  }
 }
