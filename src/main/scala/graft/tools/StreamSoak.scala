@@ -286,6 +286,51 @@ object StreamSoak {
         after.select(col("user_id"), col("us"), col("event_id"),
           col("event_type"), col("value")),
         wantView.join(victims, Seq("user_id"), "left_anti"))
+
+      // ---- time travel + retention vacuum (q95/q96 machinery) at
+      // volume: a history-retaining store commits 10 versions over the
+      // same 20k-key feed (every merge supersedes most buckets, so the
+      // history holds ~10× the live state), a MID-HISTORY version must
+      // read back exactly as its cumulative recompute, and the vacuum
+      // that drops all but the newest two versions is METADATA-ONLY —
+      // its wall is manifest parsing + deletes, independent of the 100k
+      // rows of state data, and the live view is untouched.
+      val slices = 10
+      val hist = new graft.streaming.BucketedUpsert.State(spark,
+        keyCol = "user_id", payloadCols = payload, nBuckets = 64,
+        retainHistory = true)
+      timed(s"history store: $slices merges, every version retained") {
+        (0 until slices).foreach { i =>
+          hist.merge(feed.filter(
+            pmod(col("event_id"), lit(slices)) === i), i.toLong)
+        }
+      }
+      assert(hist.history() == (1L to slices.toLong),
+        s"expected $slices retained versions, got ${hist.history()}")
+      val want5 = feed.filter(pmod(col("event_id"), lit(slices)) < 5)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("us"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select(col("user_id"), col("m.us"), col("m.event_id"),
+          col("m.event_type"), col("m.value"))
+      assertEqual("readAsOf(5) ≡ cumulative argmax of slices 0-4",
+        hist.readAsOf(spark, 5L).select(col("user_id"), col("us"),
+          col("event_id"), col("event_type"), col("value")),
+        want5)
+      val vrep = timed("vacuum to newest 2 versions (metadata-only)") {
+        hist.vacuum(retainPrior = 1)
+      }
+      println(s"   vacuum: dropped ${vrep.droppedManifests} manifests, " +
+        s"deleted ${vrep.deletedDirs} bucket dirs, kept ${vrep.keptDirs}")
+      assert(vrep.droppedManifests == slices - 2 && vrep.deletedDirs > 0,
+        s"vacuum reclaimed nothing: $vrep")
+      assertEqual("post-vacuum live view ≡ batch argmax",
+        hist.view(spark).select(col("user_id"), col("us"),
+          col("event_id"), col("event_type"), col("value")),
+        wantView)
+      val vrep2 = hist.vacuum(retainPrior = 1)
+      assert(vrep2.droppedManifests == 0 && vrep2.deletedDirs == 0,
+        s"vacuum re-run was not a no-op: $vrep2")
     }
 
     println(f"== soak OK: n=$n")
