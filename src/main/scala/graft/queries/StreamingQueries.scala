@@ -435,6 +435,56 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** q99: version-to-version CHANGE FEED from the upsert store's
+   * manifest history — Delta CDF as an engine operator. The q95 store
+   * commits two deterministic versions (even event_ids, then odd);
+   * `changesBetween(1, 2)` emits every row whose state changed, tagged
+   * insert/update (no deletes here — delete-op rows are spec-pinned via
+   * the targeted-delete path), reading ONLY the buckets whose manifest
+   * pointers differ between the versions — identical pointers mean
+   * identical bytes. The oracle restates the diff of the two argmax
+   * recomputes with IS DISTINCT FROM over the full payload. */
+  private def runChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ev = graft.sources.Tables.load(ss, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val state = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "user_id",
+      payloadCols = Seq("us", "event_id", "event_type", "value"),
+      nBuckets = 16, retainHistory = true)
+    state.merge(ev.filter(col("event_id") % 2 === 0), 0L)
+    state.merge(ev.filter(col("event_id") % 2 === 1), 1L)
+    state.changesBetween(s, 1L, 2L)
+      .select(col("op"), col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("us").as("last_us"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private def changeFeedOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS us FROM events),
+      |r1 AS (SELECT user_id, event_id, event_type, value, us FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY user_id
+      |     ORDER BY us DESC, event_id DESC) AS rn FROM e
+      |   WHERE event_id % 2 = 0) WHERE rn = 1),
+      |r2 AS (SELECT user_id, event_id, event_type, value, us FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY user_id
+      |     ORDER BY us DESC, event_id DESC) AS rn FROM e) WHERE rn = 1)
+      |SELECT CASE WHEN r1.user_id IS NULL THEN 'insert'
+      |    ELSE 'update' END AS op,
+      |  r2.user_id, r2.event_id AS last_event_id,
+      |  r2.event_type AS last_type, r2.us AS last_us,
+      |  r2.value AS last_value
+      |FROM r2 LEFT JOIN r1 ON r2.user_id = r1.user_id
+      |WHERE r1.user_id IS NULL OR
+      |  (r1.event_id, r1.event_type, r1.value, r1.us) IS DISTINCT FROM
+      |  (r2.event_id, r2.event_type, r2.value, r2.us)
+      |ORDER BY r2.user_id""".stripMargin
+
   private def timeTravelOracle: String =
     """WITH e AS (SELECT user_id, event_id, event_type, value,
       |    epoch_ns(ts) // 1000 AS us FROM events
@@ -776,6 +826,7 @@ object StreamingQueries {
       Some(upsertDeleteOracle)),
     Q("q95_upsert_time_travel", runTimeTravel, Some(timeTravelOracle)),
     Q("q96_upsert_vacuum", runUpsertVacuum, Some(upsertOracle)),
+    Q("q99_upsert_change_feed", runChangeFeed, Some(changeFeedOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
     Q("q38_stream_attribution", runAttribution, Some(attributionOracle)),
     Q("q67_stream_outer_attribution", runAttributionOuter,

@@ -253,8 +253,8 @@ object BucketedUpsert {
         .filter(_.startsWith("_manifest.v"))
         .map(_.stripPrefix("_manifest.v").toLong).sorted
 
-    /** Bucket pointer map of one committed version. */
-    private def manifestPaths(seq: Long): Seq[String] = {
+    /** Bucket→path pointer map of one committed version. */
+    private def manifestMap(seq: Long): Map[Int, String] = {
       val mf = new Path(rootPath, s"_manifest.v$seq")
       require(fs.exists(mf),
         s"readAsOf($seq): no such committed version at $stateRoot — " +
@@ -264,9 +264,13 @@ object BucketedUpsert {
       val body =
         try new String(in.readAllBytes(), UTF_8)
         finally in.close()
-      body.linesIterator.drop(1).filter(_.nonEmpty)
-        .map(_.split("\t", 2)(1)).toSeq
+      body.linesIterator.drop(1).filter(_.nonEmpty).map { l =>
+        val Array(b, p) = l.split("\t", 2); b.toInt -> p
+      }.toMap
     }
+
+    private def manifestPaths(seq: Long): Seq[String] =
+      manifestMap(seq).values.toSeq
 
     /** TIME TRAVEL: the view exactly as of committed version `seq` —
      * the corpus a run that consumed version `seq` saw, reproducible
@@ -276,6 +280,46 @@ object BucketedUpsert {
       val paths = manifestPaths(seq)
       require(paths.nonEmpty, s"readAsOf($seq): version is empty")
       reader.read.parquet(paths: _*)
+    }
+
+    /** VERSION-TO-VERSION CHANGE FEED (the Delta CDF shape served from
+     * the manifest history): every row whose state differs between two
+     * committed versions, tagged `op` = insert / update / delete (for
+     * updates the NEW payload is emitted). Cost scales with the CHANGE,
+     * not the store: the two pointer maps identify the buckets whose
+     * pointers differ — identical pointers mean identical bytes, those
+     * buckets are never read — and only differing buckets are loaded
+     * and full-outer-joined on the key. This is g04's bucket-pruned
+     * snapshot diff generalized to ANY two retained versions of the
+     * keyed store. */
+    def changesBetween(reader: SparkSession, fromSeq: Long,
+        toSeq: Long): DataFrame = {
+      require(fromSeq < toSeq,
+        s"changesBetween: fromSeq $fromSeq must precede toSeq $toSeq")
+      val before = manifestMap(fromSeq)
+      val after = manifestMap(toSeq)
+      val diffBuckets = (before.keySet ++ after.keySet)
+        .filter(b => before.get(b) != after.get(b))
+      val schemaSrc = (before.values ++ after.values).toSeq
+      val emptySide = reader.read.parquet(schemaSrc.head).limit(0)
+      def side(m: Map[Int, String]): DataFrame = {
+        val ps = diffBuckets.toSeq.sorted.flatMap(m.get)
+        if (ps.isEmpty) emptySide else reader.read.parquet(ps: _*)
+      }
+      val pay = payloadCols
+      val o = side(before).select(col(keyCol).as("__k"),
+        struct(pay.map(col): _*).as("__old"))
+      val n = side(after).select(col(keyCol).as("__k"),
+        struct(pay.map(col): _*).as("__new"))
+      o.join(n, Seq("__k"), "full_outer")
+        .withColumn("op",
+          when(col("__old").isNull, lit("insert"))
+            .when(col("__new").isNull, lit("delete"))
+            .when(!(col("__old") <=> col("__new")), lit("update")))
+        .filter(col("op").isNotNull)
+        .select(col("op") +: col("__k").as(keyCol) +:
+          pay.map(c => coalesce(col(s"__new.$c"), col(s"__old.$c"))
+            .as(c)): _*)
     }
 
     /** RETENTION VACUUM: keep the newest `retainPrior + 1` committed

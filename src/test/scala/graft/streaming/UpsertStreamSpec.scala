@@ -229,6 +229,43 @@ class UpsertStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException](eager.vacuum())
   }
 
+  test("changesBetween reads only differing buckets and emits " +
+      "insert/update/delete exactly") {
+    import graft.streaming.BucketedUpsert
+    def rows(ks: Seq[Long], ver: Long) = {
+      import spark.implicits._
+      ks.map(k => (k, ver, k * ver)).toDF("k", "ver", "x")
+    }
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, retainHistory = true)
+    st.merge(rows(0L to 9L, 1L), 0L) // v1: keys 0-9 across all buckets
+    st.merge(rows(Seq(0L, 100L), 2L), 1L) // v2: update 0, insert 100
+    val ch = st.changesBetween(spark, 1L, 2L)
+    // keys 0 and 100 both hash to bucket 0 — every OTHER bucket's
+    // pointer is unchanged between v1 and v2 and must never be read
+    assert(ch.inputFiles.nonEmpty &&
+      ch.inputFiles.forall(_.contains("__bucket=0")),
+      s"change feed read unchanged buckets: ${ch.inputFiles.toSeq}")
+    val got = ch.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("update", 0L, 2L), ("insert", 100L, 2L)),
+      s"unexpected change rows: $got")
+
+    // targeted delete commits v3; the feed shows it as a delete op
+    // carrying the last payload, and unchanged co-bucketed keys are
+    // correctly absent (same content, new file)
+    import spark.implicits._
+    st.delete(Seq(5L).toDF("k"), 100L)
+    val got2 = st.changesBetween(spark, 2L, 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == Set(("delete", 5L, 1L)), s"$got2")
+    // spanning diff composes: v1 -> v3 sees the update, insert, delete
+    val got13 = st.changesBetween(spark, 1L, 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got13 == Set(("update", 0L), ("insert", 100L),
+      ("delete", 5L)), s"$got13")
+  }
+
   test("recovered history store resumes version numbering; prior " +
       "versions stay readable") {
     import graft.streaming.BucketedUpsert
