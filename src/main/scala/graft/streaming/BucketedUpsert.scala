@@ -192,7 +192,15 @@ object BucketedUpsert {
      * commits before superseded files retire (crash-safe), and
      * re-running the same delete is a natural no-op (anti-join of
      * absent keys rewrites the bucket identically). `opId` namespaces
-     * the write dir like a batch id. */
+     * the write dir like a batch id.
+     *
+     * COMPLIANCE NOTE for history-retaining stores: the delete removes
+     * the key from the LIVE view and every later version, but earlier
+     * retained versions still hold the victim's rows on disk (time
+     * travel exists to reproduce them). Full forgetting = this delete
+     * followed by [[vacuum]] with retention short enough to drop every
+     * pre-delete version — spec-pinned: after delete + vacuum(0) no
+     * file under the state root contains the key. */
     def delete(keys: DataFrame, opId: Long): Unit = {
       val t0 = System.nanoTime()
       val ks = keys.select(col(keyCol)).distinct()

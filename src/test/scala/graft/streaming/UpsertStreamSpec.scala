@@ -266,6 +266,37 @@ class UpsertStreamSpec extends SparkSpec {
       ("delete", 5L)), s"$got13")
   }
 
+  test("compliance purge: delete removes from live, history keeps the " +
+      "victim until vacuum drops every pre-delete version") {
+    import graft.streaming.BucketedUpsert
+    import spark.implicits._
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, retainHistory = true)
+    st.merge((0L to 9L).map(k => (k, 1L, k)).toDF("k", "ver", "x"), 0L)
+    st.delete(Seq(3L).toDF("k"), 1L) // commits version 2
+    // live + as-of-v2 forget the key; as-of-v1 reproduces it (that IS
+    // time travel), and the bytes are still on disk
+    assert(st.view(spark).filter(col("k") === 3).count() == 0)
+    assert(st.readAsOf(spark, 1L).filter(col("k") === 3).count() == 1)
+    // every bucket version still on disk, read as leaf dirs (the same
+    // shape view() reads) — shells without buckets contribute nothing
+    def onDisk = {
+      val dirs = new java.io.File(st.rootDir).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("v"))
+        .flatMap(_.listFiles())
+        .filter(d => d.isDirectory && d.getName.startsWith("__bucket="))
+        .map(_.getPath).toSeq
+      if (dirs.isEmpty) 0L
+      else spark.read.parquet(dirs: _*).filter(col("k") === 3).count()
+    }
+    assert(onDisk == 1, "victim bytes should still exist pre-vacuum")
+    // full forgetting: vacuum past every pre-delete version
+    st.vacuum(retainPrior = 0)
+    assert(st.history() == Seq(2L))
+    assert(onDisk == 0, "victim bytes survived delete + vacuum(0)")
+    assert(st.view(spark).count() == 9)
+  }
+
   test("recovered history store resumes version numbering; prior " +
       "versions stay readable") {
     import graft.streaming.BucketedUpsert
