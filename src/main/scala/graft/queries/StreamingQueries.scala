@@ -485,6 +485,54 @@ object StreamingQueries {
       |  (r2.event_id, r2.event_type, r2.value, r2.us)
       |ORDER BY r2.user_id""".stripMargin
 
+  /** q100: SCHEMA EVOLUTION on the upsert store — the payload widens
+   * across a recovery (old code wrote 3 payload columns; new code
+   * recovers the same state root with a 4th appended and keeps
+   * merging), the Delta/Iceberg add-column analog on keyed state. The
+   * manifest records the committed payload and recovery enforces
+   * prefix-widening only (drop/reorder fails loudly); buckets written
+   * before the widening read into the view with the new column as
+   * typed nulls. Deterministic batches (even ids under the old schema,
+   * odd under the new) make the view oracle-able: a user's
+   * `last_value` is real iff their latest event arrived post-widening
+   * (odd id), else null. */
+  private def runSchemaEvolution(s: SparkSession, dir: String)
+      : DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ev = graft.sources.Tables.load(ss, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val old = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "user_id",
+      payloadCols = Seq("us", "event_id", "event_type"),
+      nBuckets = 16, retainHistory = true)
+    old.merge(ev.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("us"), col("event_id"),
+        col("event_type")), 0L)
+    // "deploy the new code": same root, payload widened by `value`
+    val widened = graft.streaming.BucketedUpsert.recover(ss,
+      keyCol = "user_id",
+      payloadCols = Seq("us", "event_id", "event_type", "value"),
+      nBuckets = 16, stateRoot = old.rootDir, retainHistory = true)
+    widened.merge(ev.filter(col("event_id") % 2 === 1), 1L)
+    widened.view(s)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("us").as("last_us"),
+        col("value").as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private def schemaEvolutionOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS us FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  us AS last_us,
+      |  CASE WHEN event_id % 2 = 1 THEN value END AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   private def timeTravelOracle: String =
     """WITH e AS (SELECT user_id, event_id, event_type, value,
       |    epoch_ns(ts) // 1000 AS us FROM events
@@ -827,6 +875,8 @@ object StreamingQueries {
     Q("q95_upsert_time_travel", runTimeTravel, Some(timeTravelOracle)),
     Q("q96_upsert_vacuum", runUpsertVacuum, Some(upsertOracle)),
     Q("q99_upsert_change_feed", runChangeFeed, Some(changeFeedOracle)),
+    Q("q100_upsert_schema_evolution", runSchemaEvolution,
+      Some(schemaEvolutionOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
     Q("q38_stream_attribution", runAttribution, Some(attributionOracle)),
     Q("q67_stream_outer_attribution", runAttributionOuter,

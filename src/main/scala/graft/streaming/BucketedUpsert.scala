@@ -156,12 +156,16 @@ object BucketedUpsert {
         .collect().map(_.getInt(0)).sorted
       if (touched.nonEmpty) {
         val prevPaths = touched.toSeq.flatMap(current.get)
+        // mergeSchema + allowMissingColumns: buckets written before a
+        // payload widening lack the new columns; they read and merge as
+        // typed nulls (the schema-evolution contract in loadManifest)
         val prev = prevPaths.headOption.map(_ =>
-          ss.read.parquet(prevPaths: _*))
+          ss.read.option("mergeSchema", "true").parquet(prevPaths: _*))
         val stateRows =
           if (collectMetrics) prev.map(_.count()).getOrElse(0L) else -1L
         val merged = prev match {
-          case Some(p) => reduce(newest.unionByName(p))
+          case Some(p) =>
+            reduce(newest.unionByName(p, allowMissingColumns = true))
           case None => newest
         }
         // attempt-unique dir: a retried batch id never collides with a
@@ -212,7 +216,8 @@ object BucketedUpsert {
         val stateRows =
           if (collectMetrics) ss.read.parquet(prevPaths: _*).count()
           else -1L
-        val remaining = ss.read.parquet(prevPaths: _*)
+        val remaining = ss.read.option("mergeSchema", "true")
+          .parquet(prevPaths: _*)
           .join(ks, Seq(keyCol), "left_anti")
         val out = s"$stateRoot/v${opId}_a$attempt"; attempt += 1
         remaining.withColumn("__bucket", bucketOf)
@@ -237,7 +242,7 @@ object BucketedUpsert {
     private def commitManifest(batchId: Long): Unit = {
       commitSeq += 1
       val header = s"batch $batchId seq=$commitSeq hashKey=$hashKey " +
-        s"merge=$mergeKind"
+        s"merge=$mergeKind payload=${payloadCols.mkString(",")}"
       val body =
         (header +:
           current.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
@@ -287,7 +292,9 @@ object BucketedUpsert {
     def readAsOf(reader: SparkSession, seq: Long): DataFrame = {
       val paths = manifestPaths(seq)
       require(paths.nonEmpty, s"readAsOf($seq): version is empty")
-      reader.read.parquet(paths: _*)
+      // a version may span a payload widening; missing columns read as
+      // typed nulls (a purely pre-widening version keeps its old schema)
+      reader.read.option("mergeSchema", "true").parquet(paths: _*)
     }
 
     /** VERSION-TO-VERSION CHANGE FEED (the Delta CDF shape served from
@@ -312,12 +319,23 @@ object BucketedUpsert {
       val emptySide = reader.read.parquet(schemaSrc.head).limit(0)
       def side(m: Map[Int, String]): DataFrame = {
         val ps = diffBuckets.toSeq.sorted.flatMap(m.get)
-        if (ps.isEmpty) emptySide else reader.read.parquet(ps: _*)
+        if (ps.isEmpty) emptySide
+        else reader.read.option("mergeSchema", "true").parquet(ps: _*)
       }
-      val pay = payloadCols
-      val o = side(before).select(col(keyCol).as("__k"),
+      // versions may straddle a payload widening: pad each side with
+      // the columns only the other side carries (typed nulls), so the
+      // payload structs compare field-for-field
+      def pad(df: DataFrame, ref: DataFrame): DataFrame =
+        ref.schema.fields.filterNot(f => df.columns.contains(f.name))
+          .foldLeft(df)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val oRaw = side(before)
+      val nRaw = side(after)
+      val pay = payloadCols.filter(c =>
+        oRaw.columns.contains(c) || nRaw.columns.contains(c))
+      val o = pad(oRaw, nRaw).select(col(keyCol).as("__k"),
         struct(pay.map(col): _*).as("__old"))
-      val n = side(after).select(col(keyCol).as("__k"),
+      val n = pad(nRaw, oRaw).select(col(keyCol).as("__k"),
         struct(pay.map(col): _*).as("__new"))
       o.join(n, Seq("__k"), "full_outer")
         .withColumn("op",
@@ -397,6 +415,22 @@ object BucketedUpsert {
       require(mfMerge == mergeKind,
         s"recover: manifest merge kind '$mfMerge' but State was built " +
           s"with '$mergeKind' — pass the same combine to recover()")
+      // SCHEMA EVOLUTION contract: recovering with MORE payload columns
+      // is allowed iff the committed payload is a PREFIX of the new one
+      // (widening appends — the struct-ordering semantics of every
+      // already-written row are preserved, and old bucket files read
+      // with the new columns as typed nulls). Anything else — dropped,
+      // reordered, or renamed columns — would silently change merge
+      // semantics or lose data, so it fails loudly.
+      header.collectFirst {
+        case s if s.startsWith("payload=") =>
+          s.stripPrefix("payload=").split(",").toSeq
+      }.foreach { mfPayload =>
+        require(payloadCols.take(mfPayload.length) == mfPayload,
+          s"recover: committed payload [${mfPayload.mkString(",")}] is " +
+            s"not a prefix of [${payloadCols.mkString(",")}] — only " +
+            "appending new payload columns is a safe evolution")
+      }
       // resume version numbering past the last commit (and past any
       // newer numbered manifest a crash may have left behind)
       commitSeq = math.max(
@@ -425,7 +459,10 @@ object BucketedUpsert {
     def view(reader: SparkSession): DataFrame = {
       val paths = current.values.toSeq
       require(paths.nonEmpty, "upsert view read before any batch merged")
-      reader.read.parquet(paths: _*)
+      // mergeSchema: buckets not rewritten since a payload widening
+      // still carry the old schema; their rows surface with the new
+      // columns as typed nulls (footer-merge is file-count-sized work)
+      reader.read.option("mergeSchema", "true").parquet(paths: _*)
     }
   }
 

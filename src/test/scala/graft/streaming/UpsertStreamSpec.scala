@@ -297,6 +297,46 @@ class UpsertStreamSpec extends SparkSpec {
     assert(st.view(spark).count() == 9)
   }
 
+  test("schema evolution: prefix-widening recovery merges old buckets " +
+      "as typed nulls; narrowing or reorder fails loudly") {
+    import graft.streaming.BucketedUpsert
+    import spark.implicits._
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, retainHistory = true)
+    st.merge((0L to 9L).map(k => (k, 1L, k)).toDF("k", "ver", "x"), 0L)
+    val root = st.rootDir
+
+    // narrowing and reordering are rejected — they would silently
+    // change merge semantics or lose committed data
+    intercept[IllegalArgumentException] {
+      BucketedUpsert.recover(spark, "k", Seq("ver"), 4, root,
+        retainHistory = true)
+    }
+    intercept[IllegalArgumentException] {
+      BucketedUpsert.recover(spark, "k", Seq("x", "ver"), 4, root,
+        retainHistory = true)
+    }
+
+    // widening appends a column; only keys 0-4 get post-widening rows
+    val wide = BucketedUpsert.recover(spark, "k",
+      Seq("ver", "x", "extra"), 4, root, retainHistory = true)
+    wide.merge((0L to 4L).map(k => (k, 2L, k * 2, s"e$k"))
+      .toDF("k", "ver", "x", "extra"), 1L)
+    val got = wide.view(spark).orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(3)).getOrElse("-"))).toSeq
+    assert(got == (0L to 4L).map(k => (k, 2L, s"e$k")) ++
+      (5L to 9L).map(k => (k, 1L, "-")),
+      s"widened view wrong: $got")
+    // the pre-widening version still reads with its own (old) schema
+    assert(wide.readAsOf(spark, 1L).columns.toSeq ==
+      Seq("k", "ver", "x"))
+    // the change feed across the widening pads the old side with nulls
+    val ch = wide.changesBetween(spark, 1L, 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ch == (0L to 4L).map(k => ("update", k)).toSet, s"$ch")
+  }
+
   test("recovered history store resumes version numbering; prior " +
       "versions stay readable") {
     import graft.streaming.BucketedUpsert
