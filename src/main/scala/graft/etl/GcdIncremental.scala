@@ -128,7 +128,7 @@ object GcdIncremental {
    * wall ratio to prove the per-dump side pays for itself.
    */
   final class SnapshotStore(ss: SparkSession, nBuckets: Int = 64,
-      collectMetrics: Boolean = false) {
+      collectMetrics: Boolean = false, retainHistory: Boolean = false) {
 
     private val root = Scratch.dir("gcd_snap_store")
     private val current = mutable.Map.empty[Int, String]
@@ -136,6 +136,13 @@ object GcdIncremental {
     private var columns: Array[String] = Array.empty
     val metrics: mutable.ArrayBuffer[MaintainMetrics] =
       mutable.ArrayBuffer()
+    // with retainHistory: the pointer map as of each committed
+    // init/maintain, oldest first — bucket versions referenced by any
+    // retained entry are never retired, so [[snapshotAsOf]] reproduces
+    // the snapshot exactly as dump N left it (the durable-manifest form
+    // of this log is [[graft.streaming.BucketedUpsert]]; here the
+    // monthly-dump semantics are what g05 gates)
+    private val history = mutable.ArrayBuffer.empty[Map[Int, String]]
 
     private def bucketOf = pmod(col("issue_id"), lit(nBuckets)).cast("int")
 
@@ -156,9 +163,11 @@ object GcdIncremental {
     /** Full (re)build of the store from a complete snapshot. */
     def init(snapshot: DataFrame): Unit = {
       columns = snapshot.columns
-      current.foreach { case (_, p) => Scratch.deleteNow(p) }
+      if (!retainHistory)
+        current.foreach { case (_, p) => Scratch.deleteNow(p) }
       current.clear()
       current ++= writeBuckets(snapshot)
+      if (retainHistory) history += current.toMap
     }
 
     /** Apply one dump: rebuild touched issues, anti-join-carry ONLY the
@@ -237,12 +246,14 @@ object GcdIncremental {
         tb.foreach { b =>
           // retire the superseded bucket version now that the replacing
           // write committed — disk stays one live generation per bucket
-          current.get(b).foreach(Scratch.deleteNow)
+          // (a history-retaining store keeps it for snapshotAsOf)
+          if (!retainHistory) current.get(b).foreach(Scratch.deleteNow)
           written.get(b) match {
             case Some(p) => current(b) = p
             case None    => current.remove(b) // bucket fully deleted
           }
         }
+        if (retainHistory) history += current.toMap
         metrics += MaintainMetrics(tb.length, nBuckets, carryRows,
           (System.nanoTime() - t0) / 1000000)
       }
@@ -265,6 +276,49 @@ object GcdIncremental {
       val paths = current.values.toSeq
       require(paths.nonEmpty, "snapshot store read before init")
       ss.read.parquet(paths: _*)
+    }
+
+    /** Committed generations still readable via [[snapshotAsOf]]
+     * (history-retaining stores; 1 = the init build, 2 = after the
+     * first dump, …). */
+    def generations: Int = history.size
+
+    /** TIME TRAVEL over the dump history: the snapshot exactly as
+     * generation `g` left it — what the reference recomputes from
+     * scratch per monthly dump, served here from retained bucket
+     * versions (only buckets the later dumps touched exist twice).
+     * `g` indexes the RETAINED history, oldest first (after a
+     * [[pruneHistory]] the surviving generations renumber from 1 —
+     * the durable, stable-numbered form of this log is
+     * [[graft.streaming.BucketedUpsert]]). */
+    def snapshotAsOf(g: Int): DataFrame = {
+      require(retainHistory, "snapshotAsOf: store built without " +
+        "retainHistory")
+      require(g >= 1 && g <= history.size,
+        s"snapshotAsOf($g): retained generations are 1..${history.size}" +
+          " (older ones may have been pruned)")
+      ss.read.parquet(history(g - 1).values.toSeq: _*)
+    }
+
+    /** Retention for the dump history: keep the newest `keep`
+     * generations (and the live pointer map), delete every bucket
+     * version nothing retained references. Mirrors
+     * [[graft.streaming.BucketedUpsert.State.vacuum]]'s ordering:
+     * history entries drop first, so a surviving entry never references
+     * a deleted file; metadata-only. */
+    def pruneHistory(keep: Int): Int = {
+      require(retainHistory, "pruneHistory: store built without " +
+        "retainHistory")
+      val nDrop = math.max(0, history.size - keep)
+      val dropped = history.take(nDrop).toSeq
+      history.remove(0, nDrop)
+      val referenced =
+        (history.flatMap(_.values) ++ current.values).toSet
+      var deleted = 0
+      dropped.flatMap(_.values).distinct
+        .filterNot(referenced.contains)
+        .foreach { p => Scratch.deleteNow(p); deleted += 1 }
+      deleted
     }
   }
 }

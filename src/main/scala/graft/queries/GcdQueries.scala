@@ -346,7 +346,10 @@ $credJoin
   //               — yesterday carried price = 'old'
   // touched = A ∪ D ∪ M (in production: the dump differ / modified
   // timestamps; here stated explicitly so the oracle can restate it).
-  private def runChangeFeed(s: SparkSession, dir: String): DataFrame = {
+  /** The g04/g05 dump scenario: (touched issues, yesterday's tables,
+   * today's tables) per the A/D/M construction above. */
+  private def dumpScenario(s: SparkSession)
+      : (DataFrame, Map[String, DataFrame], Map[String, DataFrame]) = {
     val tables = GcdSnapshot.sourceTables.map(t =>
       t -> s.read.parquet(s"$fixturesDir/$t.parquet")).toMap
     val issue = tables("gcd_issue")
@@ -372,6 +375,11 @@ $credJoin
       .withColumn("price", when(isM, lit("old")).otherwise(col("price"))))
     // today: deletions absent
     val tTables = restrict(issue.filter(!isD))
+    (touched, yTables, tTables)
+  }
+
+  private def runChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    val (touched, yTables, tTables) = dumpScenario(s)
 
     val store = new graft.etl.GcdIncremental.SnapshotStore(s)
     graft.StageTimer.time("g04_gcd_change_feed", "init_yesterday") {
@@ -391,34 +399,73 @@ $credJoin
    * carried rows are identical on both sides by construction, so they
    * cancel in the EXCEPT — sharing this oracle is exactly the proof
    * that the bounded diff loses nothing. */
-  private def changeFeedOracle: String = {
-    val fx = fixturesDir
-    def rp(t: String) = s"read_parquet('$fx/$t.parquet')"
-    val yIssue = s"(SELECT * REPLACE (CASE WHEN id % 7 <> 0 " +
+  private def scenarioRp(t: String) =
+    s"read_parquet('$fixturesDir/$t.parquet')"
+
+  /** SQL restatement of [[dumpScenario]]'s yesterday issue relation. */
+  private def scenarioYIssue: String =
+    s"(SELECT * REPLACE (CASE WHEN id % 7 <> 0 " +
       s"AND id % 11 <> 3 AND id % 5 = 1 THEN 'old' ELSE price END " +
-      s"AS price) FROM ${rp("gcd_issue")} WHERE id % 7 <> 0)"
-    val tIssue = s"(SELECT * FROM ${rp("gcd_issue")} " +
+      s"AS price) FROM ${scenarioRp("gcd_issue")} WHERE id % 7 <> 0)"
+
+  /** SQL restatement of [[dumpScenario]]'s today issue relation. */
+  private def scenarioTIssue: String =
+    s"(SELECT * FROM ${scenarioRp("gcd_issue")} " +
       s"WHERE NOT (id % 7 <> 0 AND id % 11 = 3))"
-    def deps(issueRel: String): Map[String, String] = {
-      val st = s"(SELECT st.* FROM ${rp("gcd_story")} st " +
-        s"JOIN $issueRel i ON st.issue_id = i.id)"
-      Map("gcd_issue" -> issueRel, "gcd_story" -> st,
-        "gcd_story_credit" -> (s"(SELECT sc.* FROM " +
-          s"${rp("gcd_story_credit")} sc JOIN $st s2 " +
-          s"ON sc.story_id = s2.id)"))
-    }
-    s"""WITH y AS (${oracle(GcdFlags(), deps(yIssue))}),
-       |t AS (${oracle(GcdFlags(), deps(tIssue))}),
+
+  /** Source-table overrides restricting the oracle to `issueRel`'s
+   * issues (stories and credits follow by join), mirroring
+   * [[dumpScenario]]'s `restrict`. */
+  private def scenarioDeps(issueRel: String): Map[String, String] = {
+    val st = s"(SELECT st.* FROM ${scenarioRp("gcd_story")} st " +
+      s"JOIN $issueRel i ON st.issue_id = i.id)"
+    Map("gcd_issue" -> issueRel, "gcd_story" -> st,
+      "gcd_story_credit" -> (s"(SELECT sc.* FROM " +
+        s"${scenarioRp("gcd_story_credit")} sc JOIN $st s2 " +
+        s"ON sc.story_id = s2.id)"))
+  }
+
+  private def changeFeedOracle: String =
+    s"""WITH y AS (${oracle(GcdFlags(), scenarioDeps(scenarioYIssue))}),
+       |t AS (${oracle(GcdFlags(), scenarioDeps(scenarioTIssue))}),
        |d AS (SELECT * FROM y EXCEPT SELECT * FROM t),
        |i AS (SELECT * FROM t EXCEPT SELECT * FROM y)
        |SELECT 'D' AS op, * FROM d
        |UNION ALL SELECT 'I' AS op, * FROM i""".stripMargin
+
+  // ------------------------------------------------------------ g05 asof
+  /** g05: TIME TRAVEL over the dump history. The reference answers
+   * "what did the snapshot say after dump N" by keeping (or recomputing)
+   * whole monthly outputs; the history-retaining store serves it from
+   * retained bucket versions — only buckets later dumps touched exist
+   * twice. The gate applies the g04 dump on top of yesterday's init,
+   * then reads the snapshot AS OF GENERATION 1; the oracle is the full
+   * yesterday-snapshot statement — the hash proves the later maintain
+   * disturbed nothing the as-of read can see. */
+  private def runSnapshotAsOf(s: SparkSession, dir: String): DataFrame = {
+    val (touched, yTables, tTables) = dumpScenario(s)
+    val store = new graft.etl.GcdIncremental.SnapshotStore(s,
+      retainHistory = true)
+    graft.StageTimer.time("g05_gcd_snapshot_asof", "init_yesterday") {
+      store.init(GcdSnapshot.build(s, yTables, snapshotDate, GcdFlags()))
+    }
+    graft.StageTimer.time("g05_gcd_snapshot_asof", "maintain") {
+      store.maintain(tTables, touched, snapshotDate, GcdFlags())
+    }
+    require(store.generations == 2,
+      s"expected 2 committed generations, got ${store.generations}")
+    jsonArrays(store.snapshotAsOf(1))
   }
+
+  private def snapshotAsOfOracle: String =
+    oracle(GcdFlags(), scenarioDeps(scenarioYIssue))
 
   val all: Seq[Q] = Seq(
     Q("g01_gcd_snapshot", run(GcdFlags()), Some(oracle(GcdFlags()))),
     Q("g02_gcd_snapshot_legacy", run(legacyFlags),
       Some(oracle(legacyFlags))),
     Q("g03_gcd_incremental", runIncremental, Some(oracle(GcdFlags()))),
-    Q("g04_gcd_change_feed", runChangeFeed, Some(changeFeedOracle)))
+    Q("g04_gcd_change_feed", runChangeFeed, Some(changeFeedOracle)),
+    Q("g05_gcd_snapshot_asof", runSnapshotAsOf,
+      Some(snapshotAsOfOracle)))
 }

@@ -156,4 +156,31 @@ class GcdIncrementalSpec extends SparkSpec {
         "a before-image lost its after-image in a pure-modification dump")
     } finally feed.unpersist()
   }
+
+  test("history store: snapshotAsOf reproduces each generation; " +
+      "pruneHistory retires only unreferenced bucket versions") {
+    val issue = tables("gcd_issue")
+    val isM = col("id") % 5 === 1
+    val touched = issue.filter(isM)
+      .select(col("id").cast("long").as("issue_id"))
+    val yTables = tables + ("gcd_issue" -> issue.withColumn("price",
+      when(isM, lit("old")).otherwise(col("price"))))
+    val base = GcdSnapshot.build(spark, yTables, date)
+    val store = new GcdIncremental.SnapshotStore(spark,
+      retainHistory = true)
+    store.init(base)
+    store.maintain(tables, touched, date, GcdFlags())
+    assert(store.generations == 2)
+    // generation 1 = the init build, untouched by the later maintain
+    assertSame(store.snapshotAsOf(1), base)
+    assertSame(store.snapshotAsOf(2), store.view)
+    // prune to the newest generation: gen-1-only bucket versions retire
+    val deleted = store.pruneHistory(keep = 1)
+    assert(deleted > 0, "modification dump must leave prunable versions")
+    assert(store.generations == 1)
+    intercept[IllegalArgumentException](store.snapshotAsOf(0))
+    // the surviving generation and the live view are intact
+    assertSame(store.snapshotAsOf(1), store.view)
+    assertSame(store.view, GcdSnapshot.build(spark, tables, date))
+  }
 }
