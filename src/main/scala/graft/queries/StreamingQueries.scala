@@ -533,6 +533,59 @@ object StreamingQueries {
       |  CASE WHEN event_id % 2 = 1 THEN value END AS last_value
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  /** p03: REPRODUCIBLE TRAINING EPOCH from a corpus version — the
+   * reason the store retains history: (corpus version, seed) must
+   * deterministically yield the exact shard assignment and within-shard
+   * order a past run consumed, long after the live corpus moved on.
+   * The epoch plan is pure hash arithmetic over the as-of view: a
+   * seeded 60-bit hash orders rows, `pmod` assigns shards, row_number
+   * places within the shard — no RNG state, so any worker can recompute
+   * any shard independently (at 100 TB the plan is one scan + one
+   * shard-partitioned sort, no driver involvement). Oracle: the argmax
+   * restatement of version 1 run through the same md5 arithmetic. */
+  private def runReproducibleEpoch(s: SparkSession, dir: String)
+      : DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ev = graft.sources.Tables.load(ss, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val state = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "user_id",
+      payloadCols = Seq("us", "event_id", "event_type", "value"),
+      nBuckets = 16, retainHistory = true)
+    state.merge(ev.filter(col("event_id") % 2 === 0), 0L)
+    state.merge(ev.filter(col("event_id") % 2 === 1), 1L)
+    val corpus = state.readAsOf(s, 1L) // the version the run trained on
+    val ord = graft.functions.TextFunctions.hash60(
+      concat(lit("ep1:"), col("user_id").cast("string")))
+    import org.apache.spark.sql.expressions.Window
+    corpus
+      .withColumn("ord", ord)
+      .withColumn("shard", pmod(col("ord"), lit(4)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("ord"), col("user_id"))))
+      .select(col("shard"), col("pos"), col("user_id"),
+        col("event_id").as("last_event_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private def reproducibleEpochOracle: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    epoch_ns(ts) // 1000 AS us FROM events WHERE event_id % 2 = 0),
+      |r AS (SELECT user_id, event_id FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY user_id
+      |     ORDER BY us DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
+      |h AS (SELECT user_id, event_id,
+      |    CAST(('0x' || substr(md5('ep1:' || CAST(user_id AS VARCHAR)),
+      |      1, 15)) AS BIGINT) AS ord FROM r)
+      |SELECT CAST(ord % 4 AS INT) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY ord % 4
+      |    ORDER BY ord, user_id) AS INT) AS pos,
+      |  user_id, event_id AS last_event_id
+      |FROM h ORDER BY shard, pos""".stripMargin
+
   private def timeTravelOracle: String =
     """WITH e AS (SELECT user_id, event_id, event_type, value,
       |    epoch_ns(ts) // 1000 AS us FROM events
@@ -877,6 +930,8 @@ object StreamingQueries {
     Q("q99_upsert_change_feed", runChangeFeed, Some(changeFeedOracle)),
     Q("q100_upsert_schema_evolution", runSchemaEvolution,
       Some(schemaEvolutionOracle)),
+    Q("p03_reproducible_epoch", runReproducibleEpoch,
+      Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
     Q("q38_stream_attribution", runAttribution, Some(attributionOracle)),
     Q("q67_stream_outer_attribution", runAttributionOuter,
