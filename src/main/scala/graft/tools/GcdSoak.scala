@@ -214,6 +214,62 @@ object GcdSoak {
       spark.stop(); return
     }
 
+    if (args.contains("history")) {
+      // Evidence stage for g05's at-scale cost model: retained dump
+      // history must cost O(touched buckets × dumps) extra storage —
+      // never a copy of the base per generation — while every retained
+      // generation stays exactly readable, and pruning is metadata
+      // work. 6 small dumps against a 200k-issue base: the duplicated
+      // bucket versions are ≤ dumps × touchedBuckets of 256, asof(1)
+      // fingerprints equal to the init view after all 6 maintains, and
+      // pruneHistory reclaims only unreferenced versions.
+      val nBuckets = 256
+      val touchedN = 24
+      val dumps = 6
+      val base = graft.etl.GcdSnapshot.build(spark, tables, "2026-8-12")
+      val store = new graft.etl.GcdIncremental.SnapshotStore(
+        spark, nBuckets, collectMetrics = true, retainHistory = true)
+      store.init(base)
+      // order-independent content fingerprint: (rows, sum of row hash)
+      def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          // modular sum: order-independent and ANSI-overflow-safe
+          sum(pmod(xxhash64(col("issue_id"),
+            coalesce(col("story_id"), lit(-1L))), lit(1000000007L))))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val fpInit = fp(store.view)
+      (1 to dumps).foreach { i =>
+        // same source tables → rebuilt rows equal the originals: the
+        // view's CONTENT is invariant while bucket versions turn over
+        val touched = spark.range(touchedN)
+          .select((col("id") * (nIssues / touchedN) + i).as("issue_id"))
+        store.maintain(tables, touched, "2026-8-12")
+      }
+      assert(store.generations == dumps + 1,
+        s"expected ${dumps + 1} generations, got ${store.generations}")
+      val maxTouched = store.metrics.map(_.touchedBuckets).max
+      println(s"== history: ${store.generations} retained generations, " +
+        s"per-dump touched buckets <= $maxTouched/$nBuckets")
+      val tAsof = System.nanoTime()
+      val fpAsof1 = fp(store.snapshotAsOf(1))
+      println(f"== history: asof(1) read+fingerprint " +
+        f"${(System.nanoTime() - tAsof) / 1e9}%.1fs")
+      assert(fpAsof1 == fpInit, s"asof(1) $fpAsof1 != init $fpInit")
+      assert(fp(store.view) == fpInit,
+        "view content drifted across identity dumps")
+      val tPrune = System.nanoTime()
+      val deleted = store.pruneHistory(keep = 2)
+      println(f"== history: prune to newest 2 deleted $deleted bucket " +
+        f"versions in ${(System.nanoTime() - tPrune) / 1e9}%.2fs " +
+        "(metadata + deletes only)")
+      assert(deleted > 0 && store.generations == 2)
+      assert(fp(store.snapshotAsOf(2)) == fpInit,
+        "surviving newest generation corrupted by prune")
+      spark.stop(); return
+    }
+
     val t0 = System.nanoTime()
     val snap = graft.etl.GcdSnapshot.build(spark, tables, "2026-8-12")
     graft.etl.GcdSink.writeSnapshot(snap, "2026-8-12", out)
