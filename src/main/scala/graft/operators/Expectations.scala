@@ -42,16 +42,23 @@ object Expectations {
    * denominator (violation RATE = violations / n_rows). */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "expectations: no rules")
-    val aggs = count(lit(1)).as("__n") +: rules.map(r =>
-      sum(violates(r).cast("long")).as(s"__v_${r.name}"))
+    require(rules.map(_.name).distinct.size == rules.size,
+      "expectations: duplicate rule names")
+    // internal columns are INDEX-named — rule names are data (lit),
+    // never identifiers, so any human-written name ("value > 0, eh?")
+    // is legal
+    val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
+      case (r, i) => sum(violates(r).cast("long")).as(s"__v_$i") }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    // one-row wide → long: stack is a plain projection of the single
-    // aggregate row, no second pass over the data
-    val pairs = rules.map(r => s"'${r.name}', __v_${r.name}")
-      .mkString(", ")
-    wide.selectExpr(
-        s"stack(${rules.size}, $pairs) AS (rule, violations)",
-        "__n AS n_rows")
+    // one-row wide → long: explode over a literal struct array is a
+    // plain projection of the single aggregate row, no second pass
+    wide.select(
+        explode(array(rules.zipWithIndex.map { case (r, i) =>
+          struct(lit(r.name).as("rule"),
+            col(s"__v_$i").as("violations")) }: _*)).as("__r"),
+        col("__n").as("n_rows"))
+      .select(col("__r.rule").as("rule"),
+        col("__r.violations").as("violations"), col("n_rows"))
       .orderBy(col("rule"))
   }
 
@@ -79,10 +86,15 @@ object Expectations {
    * DISTINCT keys, so the fact side stays a single unshuffled scan. */
   def refRule(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, name: String): (DataFrame, Rule) = {
-    val keys = dim.select(col(dimKey).as(s"__ref_$name")).distinct()
+    // the marker column is referenced through the DataFrame (an
+    // attribute, not a re-parsed name), so `name` may contain any
+    // characters — it's only ever emitted as data
+    val keys = dim.select(col(dimKey).as(s"__ref_${dim.hashCode.abs}"))
+      .distinct()
+    val refCol = keys(keys.columns.head)
     val joined = fact.join(broadcast(keys),
-      fact(factKey) === col(s"__ref_$name"), "left")
-    (joined, Rule(name, col(s"__ref_$name").isNotNull))
+      fact(factKey) === refCol, "left")
+    (joined, Rule(name, refCol.isNotNull))
   }
 
   /** Enforcement: raise (fail the pipeline) when any rule's violation
@@ -90,6 +102,11 @@ object Expectations {
    * fraction (0.0 = zero tolerance). Returns the report for logging. */
   def enforce(df: DataFrame, rules: Seq[Rule],
       budgets: Map[String, Double]): DataFrame = {
+    // FAIL CLOSED: a budget key that names no rule is a configuration
+    // bug — silently ignoring it would disable the intended gate
+    val unknown = budgets.keySet -- rules.map(_.name).toSet
+    require(unknown.isEmpty,
+      s"expectations: budgets for unknown rules: ${unknown.mkString(", ")}")
     val rep = report(df, rules)
     val over = rep.filter(
         coalesce(udfFreeRate, lit(0.0)) >

@@ -132,25 +132,43 @@ object SkippingIndex {
    * whose Bloom filter might contain it, projected to the file name
    * only. All filter evaluation happens executor-side; collecting this
    * moves candidate file names, never Bloom bytes (spec-pinned). */
-  def candidateFilesDF(spark: SparkSession, tableDir: String,
-      keyCol: String, values: Seq[Long]): DataFrame = {
-    val side = spark.read.parquet(sidecarDir(tableDir, keyCol))
+  /** The per-sidecar-row "might this file hold a probe" predicate:
+   * range-filter the literal probe array against the row's [mn, mx],
+   * probe the surviving hashes against the row's Bloom filter. Probe
+   * hashing runs Catalyst's XxHash64 (the expression behind
+   * `functions.xxhash64`, same default seed) driver-side over the
+   * bounded probe list, so build and probe hashing are bit-identical. */
+  private def probeHit(values: Seq[Long]): org.apache.spark.sql.Column = {
     val probes = values.distinct
-    if (probes.isEmpty) return side.filter(lit(false)).select(col("file"))
-    // hash each probe through Catalyst's XxHash64 (the expression
-    // behind functions.xxhash64, same default seed) so build and probe
-    // hashing are bit-identical — pure driver-side arithmetic, no job
+    if (probes.isEmpty) return lit(false)
     val probeArr = array(probes.map(v => struct(lit(v).as("v"),
       lit(new XxHash64(Seq(Literal(v))).eval(null).asInstanceOf[Long])
         .as("h"))): _*)
     val inRange = filter(probeArr,
       p => p("v") >= col("mn") && p("v") <= col("mx"))
-    side
-      .filter(size(inRange) > 0)
-      .filter(B.toColumn(BloomContainsAnyExpr(
-        B.toExpression(col("bloom")),
-        B.toExpression(transform(inRange, p => p("h"))))))
+    size(inRange) > 0 && B.toColumn(BloomContainsAnyExpr(
+      B.toExpression(col("bloom")),
+      B.toExpression(transform(inRange, p => p("h")))))
+  }
+
+  def candidateFilesDF(spark: SparkSession, tableDir: String,
+      keyCol: String, values: Seq[Long]): DataFrame =
+    spark.read.parquet(sidecarDir(tableDir, keyCol))
+      .filter(probeHit(values))
       .select(col("file"))
+
+  /** ONE pass over the sidecar serving both questions a lookup asks:
+   * which files are covered at all, and which are candidates. Collects
+   * (file name, flag) rows only — never Bloom bytes. */
+  private def coverageAndCandidates(spark: SparkSession,
+      tableDir: String, keyCol: String, values: Seq[Long])
+      : (Set[String], Seq[String]) = {
+    val rows = spark.read.parquet(sidecarDir(tableDir, keyCol))
+      .select(col("file"), probeHit(values).as("cand"))
+      .collect()
+    (rows.iterator.map(r => norm(r.getString(0))).toSet,
+      rows.iterator.filter(_.getBoolean(1)).map(_.getString(0))
+        .toSeq.sorted)
   }
 
   /** The files a lookup of `values` must scan per the SIDECAR:
@@ -169,13 +187,11 @@ object SkippingIndex {
    * covered files to read). */
   def lookup(spark: SparkSession, tableDir: String, keyCol: String,
       values: Seq[Long]): DataFrame = {
-    val side = spark.read.parquet(sidecarDir(tableDir, keyCol))
-    val coveredNorm = side.select("file").collect()
-      .map(r => norm(r.getString(0))).toSet
+    val (coveredNorm, cands) =
+      coverageAndCandidates(spark, tableDir, keyCol, values)
     val uncovered = liveDataFiles(spark, tableDir)
       .filterNot(f => coveredNorm.contains(norm(f))).toSeq.sorted
-    val files =
-      candidateFiles(spark, tableDir, keyCol, values) ++ uncovered
+    val files = cands ++ uncovered
     if (files.isEmpty)
       spark.read.parquet(tableDir).filter(lit(false))
     else
@@ -198,11 +214,11 @@ object SkippingIndex {
     val live = liveDataFiles(spark, tableDir)
     val liveByNorm = live.iterator.map(f => norm(f) -> f).toMap
     val perCol = preds.map { case (c, vs) =>
-      val coveredNorm = spark.read.parquet(sidecarDir(tableDir, c))
-        .select("file").collect().map(r => norm(r.getString(0))).toSet
-      val cand = candidateFiles(spark, tableDir, c, vs).map(norm).toSet
+      val (coveredNorm, cands) =
+        coverageAndCandidates(spark, tableDir, c, vs)
       // this column cannot rule out files its sidecar never covered
-      cand ++ liveByNorm.keySet.filterNot(coveredNorm.contains)
+      cands.map(norm).toSet ++
+        liveByNorm.keySet.filterNot(coveredNorm.contains)
     }
     val files = perCol.reduce(_ intersect _).toSeq.sorted
       .flatMap(liveByNorm.get)

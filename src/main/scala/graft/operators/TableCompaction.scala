@@ -154,18 +154,33 @@ object TableCompaction {
       val bak = new Path(live.getParent, s".${live.getName}.bak")
       val staged = new Path(stage, live.getName)
       require(fs.exists(staged), s"stage missing ${live.getName}")
-      // key columns whose _skip_* sidecars the swap retires
-      val skipCols =
+      // key columns whose _skip_* sidecars the swap retires, with the
+      // partition's total key rows (the sidecars record per-file rows):
+      // the rebuilt Bloom filters must be sized for rows/targetFiles —
+      // compacted files hold far more keys than the pre-compaction
+      // ones, and the operator's 100k default would silently saturate
+      // (fpp → 1, pruning gone) on multi-million-row output files
+      val skipCols: Seq[(String, Long)] =
         if (!rebuildSkipIndexes) Nil
         else fs.listStatus(live).toSeq
           .filter(d => d.isDirectory &&
             d.getPath.getName.startsWith("_skip_"))
-          .map(_.getPath.getName.stripPrefix("_skip_"))
+          .map { d =>
+            val total = spark.read.parquet(d.getPath.toString)
+              .agg(coalesce(sum(col("rows")), lit(0L)))
+              .head().getLong(0)
+            (d.getPath.getName.stripPrefix("_skip_"), total)
+          }
       fs.delete(bak, true)
       require(fs.rename(live, bak), s"cannot stage out $live")
       require(fs.rename(staged, live), s"cannot install $live")
       fs.delete(bak, true)
-      skipCols.foreach(k => SkippingIndex.build(spark, p.partDir, k))
+      skipCols.foreach { case (k, total) =>
+        val perFile = math.max(1L,
+          (total + p.targetFiles - 1) / p.targetFiles)
+        SkippingIndex.build(spark, p.partDir, k,
+          expectedItemsPerFile = perFile)
+      }
     }
     fs.delete(stage, true)
     Report(touched, plans.size - touched.size)

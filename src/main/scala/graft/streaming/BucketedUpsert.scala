@@ -242,7 +242,8 @@ object BucketedUpsert {
     private def commitManifest(batchId: Long): Unit = {
       commitSeq += 1
       val header = s"batch $batchId seq=$commitSeq hashKey=$hashKey " +
-        s"merge=$mergeKind payload=${payloadCols.mkString(",")}"
+        s"merge=$mergeKind history=$retainHistory " +
+        s"payload=${payloadCols.mkString(",")}"
       val body =
         (header +:
           current.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
@@ -253,9 +254,14 @@ object BucketedUpsert {
       fc.rename(tmp, new Path(rootPath, "_manifest"),
         Options.Rename.OVERWRITE)
       if (retainHistory) {
-        val h = fs.create(new Path(rootPath, s"_manifest.v$commitSeq"),
-          true)
+        // same tmp-write + atomic-rename as the live manifest: a crash
+        // mid-write must never leave a torn numbered manifest that
+        // readAsOf would serve partially or vacuum would under-count
+        val htmp = new Path(rootPath, s"_manifest.v$commitSeq.tmp")
+        val h = fs.create(htmp, true)
         try h.write(body.getBytes(UTF_8)) finally h.close()
+        fc.rename(htmp, new Path(rootPath, s"_manifest.v$commitSeq"),
+          Options.Rename.OVERWRITE)
       }
     }
 
@@ -263,7 +269,7 @@ object BucketedUpsert {
      * oldest first (history-retaining stores only). */
     def history(): Seq[Long] =
       fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("_manifest.v"))
+        .filter(_.matches("_manifest\\.v\\d+")) // excludes .tmp leftovers
         .map(_.stripPrefix("_manifest.v").toLong).sorted
 
     /** Bucket→path pointer map of one committed version. */
@@ -291,7 +297,20 @@ object BucketedUpsert {
      * partially) on a vacuumed or unknown version. */
     def readAsOf(reader: SparkSession, seq: Long): DataFrame = {
       val paths = manifestPaths(seq)
-      require(paths.nonEmpty, s"readAsOf($seq): version is empty")
+      if (paths.isEmpty) {
+        // a committed version can be LEGITIMATELY empty (a delete that
+        // removed every key): serve zero rows with the store schema,
+        // derived from any bucket file still on disk
+        val any = fs.listStatus(rootPath).iterator
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("v"))
+          .flatMap(d => fs.listStatus(d.getPath).iterator)
+          .find(b => b.isDirectory &&
+            b.getPath.getName.startsWith("__bucket="))
+        require(any.isDefined,
+          s"readAsOf($seq): version is empty and no bucket file " +
+            "exists to derive the schema")
+        return reader.read.parquet(any.get.getPath.toString).limit(0)
+      }
       // a version may span a payload widening; missing columns read as
       // typed nulls (a purely pre-widening version keeps its old schema)
       reader.read.option("mergeSchema", "true").parquet(paths: _*)
@@ -343,9 +362,12 @@ object BucketedUpsert {
             .when(col("__new").isNull, lit("delete"))
             .when(!(col("__old") <=> col("__new")), lit("update")))
         .filter(col("op").isNotNull)
+        // SIDE-wise payload selection, not per-column coalesce: an
+        // update whose new payload legitimately carries a null field
+        // must emit that null, never resurrect the old field's value
         .select(col("op") +: col("__k").as(keyCol) +:
-          pay.map(c => coalesce(col(s"__new.$c"), col(s"__old.$c"))
-            .as(c)): _*)
+          pay.map(c => when(col("__new").isNotNull, col(s"__new.$c"))
+            .otherwise(col(s"__old.$c")).as(c)): _*)
     }
 
     /** RETENTION VACUUM: keep the newest `retainPrior + 1` committed
@@ -415,6 +437,18 @@ object BucketedUpsert {
       require(mfMerge == mergeKind,
         s"recover: manifest merge kind '$mfMerge' but State was built " +
           s"with '$mergeKind' — pass the same combine to recover()")
+      // a history-retaining store recovered WITHOUT retainHistory would
+      // silently start eager-retiring bucket versions the numbered
+      // manifests still reference — destroying the retained history on
+      // the next merge. The manifest pins the mode like hashKey/merge.
+      val mfHistory = header.collectFirst {
+        case s if s.startsWith("history=") =>
+          s.stripPrefix("history=").toBoolean
+      }.getOrElse(history().nonEmpty)
+      require(mfHistory == retainHistory,
+        s"recover: manifest retainHistory=$mfHistory but State was " +
+          s"built with retainHistory=$retainHistory — the next merge " +
+          "would delete (or wrongly retain) versioned state")
       // SCHEMA EVOLUTION contract: recovering with MORE payload columns
       // is allowed iff the committed payload is a PREFIX of the new one
       // (widening appends — the struct-ordering semantics of every

@@ -86,6 +86,27 @@ class ExpectationsSpec extends SparkSpec {
       s"referential join is not broadcast:\n$planStr")
   }
 
+  test("rule names are data, not identifiers: quotes/spaces/dots work") {
+    val weird = Seq(
+      Rule("value > 0, really?", col("value") > 0),
+      Rule("cat. can't be 'zz'", col("cat") =!= "zz"))
+    val rep = Expectations.report(facts, weird)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rep.toMap == Map("value > 0, really?" -> 2L,
+      "cat. can't be 'zz'" -> 1L))
+    val audited = Expectations.audit(facts, weird)
+      .filter(col("id") === 4L).select(col("violations")).head()
+      .getSeq[String](0)
+    assert(audited == Seq("cat. can't be 'zz'"))
+  }
+
+  test("enforce fails closed on a budget naming no rule") {
+    intercept[IllegalArgumentException] {
+      Expectations.enforce(facts, rules,
+        Map("value_positive" -> 0.0)) // typo'd rule name
+    }
+  }
+
   test("enforce raises on a blown budget, passes within budget") {
     intercept[IllegalArgumentException] {
       Expectations.enforce(facts, rules,

@@ -337,6 +337,40 @@ class UpsertStreamSpec extends SparkSpec {
     assert(ch == (0L to 4L).map(k => ("update", k)).toSet, s"$ch")
   }
 
+  test("change feed emits a legitimately-null updated field as null; " +
+      "emptied version reads as zero rows; history mode pinned on " +
+      "recovery") {
+    import graft.streaming.BucketedUpsert
+    import spark.implicits._
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, retainHistory = true)
+    st.merge(Seq((1L, 1L, Option(10L))).toDF("k", "ver", "x"), 0L)
+    // v2: the payload field GOES NULL — the feed must emit null, not
+    // resurrect v1's value via a per-column fallback
+    st.merge(Seq((1L, 2L, Option.empty[Long])).toDF("k", "ver", "x"), 1L)
+    val upd = st.changesBetween(spark, 1L, 2L).collect()
+    assert(upd.length == 1 && upd.head.getString(0) == "update")
+    assert(upd.head.isNullAt(upd.head.fieldIndex("x")),
+      s"nulled field resurrected old value: ${upd.head}")
+
+    // delete the only key: version 3 is legitimately EMPTY and must
+    // read as zero rows with the store schema, not crash
+    st.delete(Seq(1L).toDF("k"), 2L)
+    val empty = st.readAsOf(spark, 3L)
+    assert(empty.count() == 0 &&
+      empty.columns.toSeq == Seq("k", "ver", "x"))
+    // and the feed shows the delete with the last payload
+    val del = st.changesBetween(spark, 2L, 3L).collect()
+    assert(del.length == 1 && del.head.getString(0) == "delete")
+
+    // recovering a history store WITHOUT retainHistory would start
+    // eager-retiring versioned state — must fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      BucketedUpsert.recover(spark, "k", Seq("ver", "x"), 4, st.rootDir)
+    }
+    assert(ex.getMessage.contains("retainHistory"), ex.getMessage)
+  }
+
   test("recovered history store resumes version numbering; prior " +
       "versions stay readable") {
     import graft.streaming.BucketedUpsert
