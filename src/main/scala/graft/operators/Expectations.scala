@@ -47,8 +47,12 @@ object Expectations {
     // internal columns are INDEX-named — rule names are data (lit),
     // never identifiers, so any human-written name ("value > 0, eh?")
     // is legal
+    // coalesce to 0: sum over ZERO rows is null, and an empty frame must
+    // report 0 violations of every rule, not null (callers read the
+    // count with getLong)
     val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map {
-      case (r, i) => sum(violates(r).cast("long")).as(s"__v_$i") }
+      case (r, i) =>
+        coalesce(sum(violates(r).cast("long")), lit(0L)).as(s"__v_$i") }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     // one-row wide → long: explode over a literal struct array is a
     // plain projection of the single aggregate row, no second pass
@@ -84,12 +88,18 @@ object Expectations {
    * `dimKey` column. Returns the joined frame plus the rule to pass to
    * [[report]]/[[audit]] — the join is a broadcast of the dimension's
    * DISTINCT keys, so the fact side stays a single unshuffled scan. */
+  private val refMarker = new java.util.concurrent.atomic.AtomicLong(0)
+
   def refRule(fact: DataFrame, factKey: String, dim: DataFrame,
       dimKey: String, name: String): (DataFrame, Rule) = {
     // the marker column is referenced through the DataFrame (an
     // attribute, not a re-parsed name), so `name` may contain any
-    // characters — it's only ever emitted as data
-    val keys = dim.select(col(dimKey).as(s"__ref_${dim.hashCode.abs}"))
+    // characters — it's only ever emitted as data. The marker is
+    // PER-CALL unique (a counter, not dim.hashCode): two rules against
+    // the same dimension frame (user_id AND referrer_id vs customer)
+    // must not collide into one ambiguous column name.
+    val keys = dim
+      .select(col(dimKey).as(s"__ref_${refMarker.incrementAndGet()}"))
       .distinct()
     val refCol = keys(keys.columns.head)
     val joined = fact.join(broadcast(keys),
@@ -119,8 +129,11 @@ object Expectations {
     rep
   }
 
+  // zero rows = zero violations = a clean 0.0 rate (ANSI mode makes
+  // the bare division throw DIVIDE_BY_ZERO on an empty frame)
   private def udfFreeRate: Column =
-    col("violations").cast("double") / col("n_rows")
+    when(col("n_rows") === 0, lit(0.0))
+      .otherwise(col("violations").cast("double") / col("n_rows"))
 
   private def budgetCol(budgets: Map[String, Double]): Column =
     budgets.foldLeft(lit(null).cast("double")) { case (acc, (n, b)) =>

@@ -1013,9 +1013,12 @@ object Advanced {
     // pipeline runs before committing a corpus version (Delta Live
     // Tables expectations / dbt tests as an engine operator). Four
     // rules over events — a JSON-field range, a categorical domain, a
-    // numeric bound, and a REFERENTIAL check against the customer dim
-    // (broadcast of its distinct keys; the fact side stays one scan) —
-    // all counted in ONE pass: each rule is a conditional-sum aggregate
+    // numeric bound, and TWO REFERENTIAL checks against the SAME
+    // customer dim on different fact keys (user_id, and a derived
+    // referrer key — the two-rules-one-dimension shape that exercises
+    // the per-call join-marker uniqueness; each is a broadcast of the
+    // dim's distinct keys and the fact side stays one scan) — all
+    // counted in ONE pass: each rule is a conditional-sum aggregate
     // over the same map-side partial, so 50 rules on 100 TB still cost
     // one read. Not-true = violation (null never passes). The oracle
     // restates every count; ExpectationsSpec pins the one-scan plan and
@@ -1025,19 +1028,25 @@ object Advanced {
         import graft.operators.Expectations
         import graft.operators.Expectations.Rule
         val ev = Tables.load(s, dir, "events")
+          .withColumn("referrer_id", col("user_id") * 7 + 1)
         val cust = Tables.load(s, dir, "customer")
-        val (joined, refR) = Expectations.refRule(ev, "user_id", cust,
+        val (j1, refUser) = Expectations.refRule(ev, "user_id", cust,
           "c_custkey", "user_in_dim")
+        val (joined, refReferrer) = Expectations.refRule(j1,
+          "referrer_id", cust, "c_custkey", "referrer_in_dim")
         Expectations.report(joined, Seq(
           Rule("props_k_lt90",
             get_json_object(col("props"), "$.k").cast("long") < 90),
           Rule("type_known", col("event_type")
             .isin("click", "view", "purchase", "signup")),
           Rule("value_pos", col("value") > 0),
-          refR))
+          refUser, refReferrer))
       },
-      Some("""WITH t AS (SELECT e.*, c.c_custkey AS ref FROM events e
-             |    LEFT JOIN customer c ON e.user_id = c.c_custkey),
+      Some("""WITH t AS (SELECT e.*, c.c_custkey AS ref,
+             |      c2.c_custkey AS ref2 FROM events e
+             |    LEFT JOIN customer c ON e.user_id = c.c_custkey
+             |    LEFT JOIN customer c2
+             |      ON e.user_id * 7 + 1 = c2.c_custkey),
              |v AS (
              |  SELECT 'props_k_lt90' AS rule,
              |    SUM(CASE WHEN NOT COALESCE(
@@ -1053,6 +1062,9 @@ object Advanced {
              |      THEN 1 ELSE 0 END), COUNT(*) FROM t
              |  UNION ALL SELECT 'user_in_dim',
              |    SUM(CASE WHEN ref IS NULL THEN 1 ELSE 0 END),
+             |    COUNT(*) FROM t
+             |  UNION ALL SELECT 'referrer_in_dim',
+             |    SUM(CASE WHEN ref2 IS NULL THEN 1 ELSE 0 END),
              |    COUNT(*) FROM t)
              |SELECT rule, CAST(violations AS BIGINT) AS violations,
              |  CAST(n_rows AS BIGINT) AS n_rows

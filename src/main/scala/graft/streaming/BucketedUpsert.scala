@@ -243,26 +243,32 @@ object BucketedUpsert {
       commitSeq += 1
       val header = s"batch $batchId seq=$commitSeq hashKey=$hashKey " +
         s"merge=$mergeKind history=$retainHistory " +
+        s"nBuckets=$nBuckets key=$keyCol " +
         s"payload=${payloadCols.mkString(",")}"
       val body =
         (header +:
           current.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
           .mkString("\n")
-      val tmp = new Path(rootPath, "_manifest.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(body.getBytes(UTF_8)) finally out.close()
-      fc.rename(tmp, new Path(rootPath, "_manifest"),
-        Options.Rename.OVERWRITE)
       if (retainHistory) {
-        // same tmp-write + atomic-rename as the live manifest: a crash
-        // mid-write must never leave a torn numbered manifest that
-        // readAsOf would serve partially or vacuum would under-count
+        // the NUMBERED manifest commits FIRST (tmp-write + atomic
+        // rename, same as the live swap — a crash mid-write must never
+        // leave a torn numbered manifest that readAsOf would serve
+        // partially or vacuum would under-count). Ordering contract: if
+        // the live _manifest says seq N, version N is always readable
+        // via readAsOf. The inverse crash (numbered N exists, live
+        // still says N−1) is handled by recovery's
+        // max(header seq, history last).
         val htmp = new Path(rootPath, s"_manifest.v$commitSeq.tmp")
         val h = fs.create(htmp, true)
         try h.write(body.getBytes(UTF_8)) finally h.close()
         fc.rename(htmp, new Path(rootPath, s"_manifest.v$commitSeq"),
           Options.Rename.OVERWRITE)
       }
+      val tmp = new Path(rootPath, "_manifest.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(UTF_8)) finally out.close()
+      fc.rename(tmp, new Path(rootPath, "_manifest"),
+        Options.Rename.OVERWRITE)
     }
 
     /** Committed version numbers still readable via [[readAsOf]],
@@ -388,11 +394,13 @@ object BucketedUpsert {
         math.max(0, seqs.length - (retainPrior + 1)))
       drop.foreach(v =>
         fs.delete(new Path(rootPath, s"_manifest.v$v"), true))
-      // normalized (scheme-free) referenced set, built ONCE — manifest
-      // strings may carry file:/ prefixes the fs listing does not
+      // referenced set, built ONCE and FULLY QUALIFIED through the same
+      // fs both sides — manifest strings may be relative or carry
+      // file:/ prefixes the listing does not; qualifying only one side
+      // would empty the intersection and delete LIVE buckets
       val referenced =
         (keep.flatMap(manifestPaths) ++ current.values)
-          .map(r => new Path(r).toUri.getPath).toSet
+          .map(r => fs.makeQualified(new Path(r)).toString).toSet
       var deleted = 0; var kept = 0
       fs.listStatus(rootPath).iterator
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("v"))
@@ -401,13 +409,46 @@ object BucketedUpsert {
             .filter(b => b.isDirectory &&
               b.getPath.getName.startsWith("__bucket="))
             .foreach { b =>
-              val asListed =
-                s"${shell.getPath.toUri.getPath}/${b.getPath.getName}"
+              val asListed = fs.makeQualified(b.getPath).toString
               if (referenced.contains(asListed)) kept += 1
               else { fs.delete(b.getPath, true); deleted += 1 }
             }
         }
       VacuumReport(drop.length, deleted, kept)
+    }
+
+    /** ORPHAN GC: delete bucket versions NO committed manifest
+     * references — the leftovers of attempts that crashed between the
+     * bucket write and the manifest commit. History stores eventually
+     * reclaim those through [[vacuum]]'s referenced-set sweep; eager-
+     * retirement stores had no sweep at all, so crashed-attempt data
+     * accumulated until the scratch root died. The referenced set spans
+     * every retained numbered manifest plus the live pointer map, so gc
+     * can never delete a readable version; it is idempotent,
+     * metadata-only, and runs automatically on [[BucketedUpsert.recover]]
+     * (recovery is exactly when a crashed attempt may have left one).
+     * Empty `v*` attempt shells are kept — attempt numbering counts
+     * them to stay collision-free. */
+    def gc(): Int = {
+      val referenced =
+        ((if (retainHistory) history().flatMap(manifestPaths)
+          else Seq.empty[String]) ++ current.values)
+          .map(r => fs.makeQualified(new Path(r)).toString).toSet
+      var deleted = 0
+      fs.listStatus(rootPath).iterator
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("v"))
+        .foreach { shell =>
+          fs.listStatus(shell.getPath).iterator
+            .filter(b => b.isDirectory &&
+              b.getPath.getName.startsWith("__bucket="))
+            .foreach { b =>
+              if (!referenced.contains(
+                  fs.makeQualified(b.getPath).toString)) {
+                fs.delete(b.getPath, true); deleted += 1
+              }
+            }
+        }
+      deleted
     }
 
     private[streaming] def loadManifest(): Unit = {
@@ -449,6 +490,31 @@ object BucketedUpsert {
         s"recover: manifest retainHistory=$mfHistory but State was " +
           s"built with retainHistory=$retainHistory — the next merge " +
           "would delete (or wrongly retain) versioned state")
+      // nBuckets and keyCol are the last two free parameters of the
+      // bucketing function: recovering a 64-bucket store as 32 buckets
+      // (or on a different key column) changes pmod(key, n) — new rows
+      // for a committed key land in a DIFFERENT bucket than its
+      // committed rows, the touched-bucket merge never sees the old
+      // version, and view() silently serves duplicate keys. Manifests
+      // written before this pin existed (no nBuckets=/key= tokens)
+      // accept the caller's values, matching the other pins' defaults.
+      header.collectFirst {
+        case s if s.startsWith("nBuckets=") =>
+          s.stripPrefix("nBuckets=").toInt
+      }.foreach { mfN =>
+        require(mfN == nBuckets,
+          s"recover: manifest nBuckets=$mfN but State was built with " +
+            s"nBuckets=$nBuckets — keys would route to wrong buckets " +
+            "and the view would serve duplicate rows")
+      }
+      header.collectFirst {
+        case s if s.startsWith("key=") => s.stripPrefix("key=")
+      }.foreach { mfKey =>
+        require(mfKey == keyCol,
+          s"recover: manifest key column '$mfKey' but State was built " +
+            s"with '$keyCol' — rows would bucket and merge on the " +
+            "wrong key")
+      }
       // SCHEMA EVOLUTION contract: recovering with MORE payload columns
       // is allowed iff the committed payload is a PREFIX of the new one
       // (widening appends — the struct-ordering semantics of every
@@ -515,6 +581,9 @@ object BucketedUpsert {
     val st = new State(ss, keyCol, payloadCols, nBuckets, collectMetrics,
       Some(stateRoot), combine, hashKey, retainHistory)
     st.loadManifest()
+    // reclaim crashed-attempt orphans the moment we reattach — the
+    // committed manifests define what is live, so this is always safe
+    st.gc()
     st
   }
 }

@@ -100,6 +100,30 @@ class ExpectationsSpec extends SparkSpec {
     assert(audited == Seq("cat. can't be 'zz'"))
   }
 
+  test("two referential rules against the SAME dimension compose") {
+    import spark.implicits._
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    // both rules join the identical dimension frame — the per-call
+    // marker must keep their join columns distinct
+    val (j1, r1) = Expectations.refRule(facts, "id", dim, "k",
+      "id_in_dim")
+    val (j2, r2) = Expectations.refRule(j1, "id", dim, "k",
+      "id_in_dim_again")
+    val rep = Expectations.report(j2, Seq(r1, r2))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == Map("id_in_dim" -> 1L, "id_in_dim_again" -> 1L))
+  }
+
+  test("report on an EMPTY frame is 0 violations per rule, never null") {
+    val rep = Expectations.report(facts.limit(0), rules)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rep.toSeq == Seq(("cat_known", 0L, 0L), ("value_pos", 0L, 0L)))
+    // and enforce's error path must not NPE on the empty report
+    val r = Expectations.enforce(facts.limit(0), rules,
+      Map("value_pos" -> 0.0))
+    assert(r.count() == 2)
+  }
+
   test("enforce fails closed on a budget naming no rule") {
     intercept[IllegalArgumentException] {
       Expectations.enforce(facts, rules,

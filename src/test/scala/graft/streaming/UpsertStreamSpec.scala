@@ -394,4 +394,114 @@ class UpsertStreamSpec extends SparkSpec {
     assert(v1.except(want1).isEmpty && want1.except(v1).isEmpty,
       "version 1 changed across recovery")
   }
+
+  test("recovery pins nBuckets and keyCol: a mismatch fails loudly, " +
+      "the matching config recovers exactly") {
+    import graft.streaming.BucketedUpsert
+    def batch(ver: Long) = spark.range(64).select(
+      col("id").as("k"), lit(ver).as("ver"), (col("id") * ver).as("x"))
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 8)
+    st.merge(batch(1L), 0L)
+    val root = st.rootDir
+    // a different bucket count changes pmod(key, n): new rows for a
+    // committed key would land in a different bucket and the view
+    // would serve duplicate keys — must fail loudly instead
+    val exN = intercept[IllegalArgumentException] {
+      BucketedUpsert.recover(spark, "k", Seq("ver", "x"), 4, root)
+    }
+    assert(exN.getMessage.contains("nBuckets"), exN.getMessage)
+    // a different key column mis-buckets AND mis-merges
+    val exK = intercept[IllegalArgumentException] {
+      BucketedUpsert.recover(spark, "ver", Seq("k", "x"), 8, root)
+    }
+    assert(exK.getMessage.contains("key"), exK.getMessage)
+    // the matching config still recovers and merges exactly
+    val rec = BucketedUpsert.recover(spark, "k", Seq("ver", "x"), 8, root)
+    rec.merge(batch(2L), 1L)
+    assert(rec.view(spark).count() == 64)
+    assert(rec.view(spark).filter(col("ver") === 2L).count() == 64)
+  }
+
+  test("orphan gc: recover reclaims crashed-attempt bucket dirs no " +
+      "manifest references; the recovered view is unchanged") {
+    import graft.streaming.BucketedUpsert
+    def batch(ver: Long) = spark.range(16).select(
+      col("id").as("k"), lit(ver).as("ver"), (col("id") * ver).as("x"))
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4)
+    st.merge(batch(1L), 0L); st.merge(batch(2L), 1L)
+    val root = st.rootDir
+    // simulate an attempt that died between the bucket write and the
+    // manifest commit: a full v*_a* directory nothing references
+    val orphan = s"$root/v9_a9"
+    batch(3L).withColumn("__bucket",
+        pmod(col("k"), lit(4)).cast("int"))
+      .write.partitionBy("__bucket").parquet(orphan)
+    def orphanBuckets = {
+      val d = new java.io.File(orphan)
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.isDirectory &&
+        f.getName.startsWith("__bucket="))
+    }
+    assert(orphanBuckets == 4, "orphan setup failed")
+    val rec = BucketedUpsert.recover(spark, "k", Seq("ver", "x"), 4, root)
+    assert(orphanBuckets == 0,
+      "recover did not reclaim the crashed attempt's bucket dirs")
+    // the recovered view never saw the orphan's rows
+    val got = rec.view(spark).select(col("k"), col("ver"), col("x"))
+    assert(got.count() == 16 &&
+      got.filter(col("ver") === 3L).count() == 0,
+      "orphan rows leaked into the recovered view")
+    // and the store still merges normally afterwards
+    rec.merge(batch(3L), 2L)
+    assert(rec.view(spark).filter(col("ver") === 3L).count() == 16)
+  }
+
+  test("vacuum on a RELATIVE state root keeps every referenced bucket " +
+      "(path qualification must match the fs listing)") {
+    import graft.streaming.BucketedUpsert
+    def batch(ver: Long) = spark.range(10).select(
+      col("id").as("k"), lit(ver).as("ver"), (col("id") * ver).as("x"))
+    // a store rooted at a RELATIVE path: manifest strings and the
+    // listStatus output qualify differently unless vacuum normalizes
+    // both sides through the same fs — the failure mode is vacuum
+    // deleting LIVE buckets (data loss), so the pin is view-after-vacuum
+    val rel = s"target/upsert_rel_${System.nanoTime()}"
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, root = Some(rel), retainHistory = true)
+    (1L to 3L).foreach(v => st.merge(batch(v), v))
+    val r = st.vacuum(retainPrior = 0)
+    assert(r.keptDirs > 0, s"vacuum kept nothing: $r")
+    val live = st.view(spark)
+    assert(live.count() == 10 &&
+      live.filter(col("ver") === 3L).count() == 10,
+      "vacuum on a relative root deleted live buckets")
+    assert(st.readAsOf(spark, 3L).count() == 10)
+    graft.sources.Scratch.deleteNow(rel)
+  }
+
+  test("every committed live seq has a readable numbered manifest " +
+      "(numbered-first commit ordering)") {
+    import graft.streaming.BucketedUpsert
+    def batch(ver: Long) = spark.range(10).select(
+      col("id").as("k"), lit(ver).as("ver"), (col("id") * ver).as("x"))
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, retainHistory = true)
+    (1L to 3L).foreach { v =>
+      st.merge(batch(v), v)
+      // the contract the numbered-first ordering guarantees: if the
+      // live manifest says seq N, _manifest.v<N> is already committed
+      // and readable (a crash between the two writes can never leave a
+      // live pointer to an unreadable version)
+      val live = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(st.rootDir, "_manifest")))
+      val seq = live.linesIterator.next().split(" ")
+        .collectFirst { case s if s.startsWith("seq=") =>
+          s.stripPrefix("seq=").toLong }.get
+      assert(st.history().contains(seq),
+        s"live manifest seq=$seq has no numbered manifest")
+      assert(st.readAsOf(spark, seq).count() == 10)
+    }
+  }
 }
