@@ -102,20 +102,26 @@ object GcdIncremental {
       carryRowsRead: Long, wallMs: Long)
 
   /**
-   * The persisted, bucket-partitioned snapshot store. One generation
+   * The persisted, bucket-partitioned snapshot store. One attempt-unique
    * directory per write; within it, one `__bucket=<b>` leaf dir (one
    * file — the write is repartitioned on the bucket key) per key bucket.
-   * Per-bucket current-version pointers live on the driver (bounded:
-   * nBuckets strings — the same driver-side-scalar shape as
-   * [[graft.streaming.BucketedUpsert]]; a production deployment commits
-   * them to a transaction log, which Delta/Iceberg formalize). Superseded
-   * bucket versions are retired as soon as the replacing write commits,
-   * so a previously-returned lazy [[view]] must be consumed before the
-   * next maintain.
+   * The per-bucket pointer map is COMMITTED to a durable manifest after
+   * every init/maintain through the shared [[graft.streaming.TxLog]]
+   * (the same transaction log the streaming upsert store uses): a
+   * driver loss no longer loses the store — [[GcdIncremental.recover]]
+   * reattaches from the last committed manifest, and with
+   * `retainHistory` every committed generation stays readable via
+   * [[SnapshotStore.snapshotAsOf]] under STABLE version numbers
+   * (1 = init, 2 = after the first dump, … — numbers survive pruning
+   * and recovery). Superseded bucket versions retire only AFTER the
+   * replacing commit (non-history stores), so any crash point leaves
+   * the last committed manifest fully readable.
    *
    * @param collectMetrics when true (soak), each maintain also counts
    *   the carry rows it read — an extra pass over the TOUCHED buckets
    *   only, left off in gated runs.
+   * @param root an existing store root to attach to (recovery); default
+   *   a fresh scratch dir.
    *
    * On the g03/g04 gates' two-generation wall cost: a gate run pays
    * init (full bucketed write of yesterday's base) + maintain. Neither
@@ -128,28 +134,32 @@ object GcdIncremental {
    * wall ratio to prove the per-dump side pays for itself.
    */
   final class SnapshotStore(ss: SparkSession, nBuckets: Int = 64,
-      collectMetrics: Boolean = false, retainHistory: Boolean = false) {
+      collectMetrics: Boolean = false, retainHistory: Boolean = false,
+      root: Option[String] = None) {
 
-    private val root = Scratch.dir("gcd_snap_store")
-    private val current = mutable.Map.empty[Int, String]
-    private var gen = 0
+    private val storeRoot = root.getOrElse(Scratch.dir("gcd_snap_store"))
     private var columns: Array[String] = Array.empty
+    private val feedPaths = mutable.ArrayBuffer.empty[String]
+    // the shared transaction-log core (commit mechanics, recovery,
+    // retention vacuum, orphan gc — see TxLog). The feed-path list
+    // rides in the manifest header, so the change log is crash-
+    // consistent with the pointer map it describes.
+    private val tx = new graft.streaming.TxLog(ss, storeRoot,
+      retainHistory, () => Seq(
+        "nBuckets" -> nBuckets.toString, "key" -> "issue_id",
+        "history" -> retainHistory.toString,
+        "columns" -> columns.mkString(","),
+        "feeds" -> feedPaths.mkString(";")))
+    private def current = tx.current
     val metrics: mutable.ArrayBuffer[MaintainMetrics] =
       mutable.ArrayBuffer()
-    // with retainHistory: the pointer map as of each committed
-    // init/maintain, oldest first — bucket versions referenced by any
-    // retained entry are never retired, so [[snapshotAsOf]] reproduces
-    // the snapshot exactly as dump N left it (the durable-manifest form
-    // of this log is [[graft.streaming.BucketedUpsert]]; here the
-    // monthly-dump semantics are what g05 gates)
-    private val history = mutable.ArrayBuffer.empty[Map[Int, String]]
 
     private def bucketOf = pmod(col("issue_id"), lit(nBuckets)).cast("int")
 
-    /** One file per bucket per generation: repartition on the bucket key
+    /** One file per bucket per write: repartition on the bucket key
      * so each bucket's rows land in a single task's single leaf file. */
     private def writeBuckets(df: DataFrame): Map[Int, String] = {
-      val out = s"$root/g$gen"; gen += 1
+      val out = tx.attemptDir(tx.seq + 1)
       df.withColumn("__bucket", bucketOf)
         .repartition(nBuckets, col("__bucket"))
         .write.partitionBy("__bucket").parquet(out)
@@ -163,11 +173,36 @@ object GcdIncremental {
     /** Full (re)build of the store from a complete snapshot. */
     def init(snapshot: DataFrame): Unit = {
       columns = snapshot.columns
-      if (!retainHistory)
-        current.foreach { case (_, p) => Scratch.deleteNow(p) }
+      val superseded = current.values.toSeq
+      val written = writeBuckets(snapshot)
       current.clear()
-      current ++= writeBuckets(snapshot)
-      if (retainHistory) history += current.toMap
+      current ++= written
+      tx.commit("init")
+      if (!retainHistory) tx.retire(superseded)
+    }
+
+    private[etl] def loadManifest(): Unit = {
+      val tokens = tx.load()
+      // same pin semantics as the upsert store: the bucketing function's
+      // free parameters and the retention mode must match the committed
+      // store or keys silently mis-route / history gets destroyed
+      tokens.get("nBuckets").map(_.toInt).foreach { mfN =>
+        require(mfN == nBuckets,
+          s"recover: manifest nBuckets=$mfN but store was built with " +
+            s"nBuckets=$nBuckets — issues would route to wrong buckets")
+      }
+      val mfHistory = tokens.get("history").map(_.toBoolean)
+        .getOrElse(tx.history().nonEmpty)
+      require(mfHistory == retainHistory,
+        s"recover: manifest retainHistory=$mfHistory but store was " +
+          s"built with retainHistory=$retainHistory")
+      columns = tokens.getOrElse("columns", "").split(",")
+        .filter(_.nonEmpty)
+      require(columns.nonEmpty,
+        s"recover: manifest at $storeRoot carries no column list")
+      feedPaths.clear()
+      feedPaths ++= tokens.getOrElse("feeds", "").split(";")
+        .filter(_.nonEmpty)
     }
 
     /** Apply one dump: rebuild touched issues, anti-join-carry ONLY the
@@ -237,33 +272,39 @@ object GcdIncremental {
             .filter(col("__mn") === col("__mx"))
             .select(when(col("__mx") === -1, lit("D"))
               .otherwise(lit("I")).as("op") +: columns.map(col): _*)
-          val out = s"$root/changes/g${gen - 1}"
+          // the feed generation is WRITTEN before the commit and its
+          // path rides in the manifest header ("feeds"), so the change
+          // log is atomic with the pointer map: a crash before the
+          // commit leaves an unreferenced dir (orphan, never served), a
+          // crash after serves both the new pointers and the new feed
+          val out = s"$storeRoot/changes/f${feedPaths.length}_v${tx.seq + 1}"
           feed.write.parquet(out)
           feedPaths += out
         }
         // every written bucket is a touched bucket (rebuilt rows belong
         // to touched issues; carried rows came from touched buckets)
         tb.foreach { b =>
-          // retire the superseded bucket version now that the replacing
-          // write committed — disk stays one live generation per bucket
-          // (a history-retaining store keeps it for snapshotAsOf)
-          if (!retainHistory) current.get(b).foreach(Scratch.deleteNow)
           written.get(b) match {
             case Some(p) => current(b) = p
             case None    => current.remove(b) // bucket fully deleted
           }
         }
-        if (retainHistory) history += current.toMap
+        // commit the pointer map, THEN retire the superseded bucket
+        // versions (non-history stores) — any crash point leaves the
+        // last committed manifest referencing only live files. A
+        // history-retaining store retires nothing: prior generations
+        // stay readable via snapshotAsOf until pruneHistory.
+        tx.commit("maintain")
+        if (!retainHistory) tx.retire(prevPaths)
         metrics += MaintainMetrics(tb.length, nBuckets, carryRows,
           (System.nanoTime() - t0) / 1000000)
       }
     }
 
-    private val feedPaths = mutable.ArrayBuffer.empty[String]
-
     /** The persisted change log: every feed generation emitted so far
      * (op 'D'/'I' + the 88 snapshot columns), the append-only artifact
-     * downstream consumers tail. */
+     * downstream consumers tail. Survives recovery — the path list is
+     * committed in the manifest header. */
     def changeFeed: DataFrame = {
       require(feedPaths.nonEmpty, "no change-feed generations emitted")
       ss.read.parquet(feedPaths.toSeq: _*)
@@ -278,47 +319,68 @@ object GcdIncremental {
       ss.read.parquet(paths: _*)
     }
 
-    /** Committed generations still readable via [[snapshotAsOf]]
-     * (history-retaining stores; 1 = the init build, 2 = after the
-     * first dump, …). */
-    def generations: Int = history.size
+    /** The store root (pass to [[GcdIncremental.recover]] after a
+     * simulated or real driver loss). */
+    def rootDir: String = storeRoot
+
+    /** Number of committed generations still readable via
+     * [[snapshotAsOf]] (history-retaining stores). */
+    def generations: Int = tx.history().size
+
+    /** Committed generation numbers still readable, oldest first
+     * (1 = the init build, 2 = after the first dump, …). STABLE: a
+     * generation keeps its number across [[pruneHistory]] and
+     * recovery. */
+    def retainedGenerations: Seq[Long] = tx.history()
 
     /** TIME TRAVEL over the dump history: the snapshot exactly as
-     * generation `g` left it — what the reference recomputes from
-     * scratch per monthly dump, served here from retained bucket
-     * versions (only buckets the later dumps touched exist twice).
-     * `g` indexes the RETAINED history, oldest first (after a
-     * [[pruneHistory]] the surviving generations renumber from 1 —
-     * the durable, stable-numbered form of this log is
-     * [[graft.streaming.BucketedUpsert]]). */
-    def snapshotAsOf(g: Int): DataFrame = {
+     * committed generation `g` left it — what the reference recomputes
+     * from scratch per monthly dump (Main.java:380-513), served here
+     * from retained bucket versions (only buckets the later dumps
+     * touched exist twice). Durable: the numbered manifests live at the
+     * store root, so generations survive a driver loss and re-serve
+     * after [[GcdIncremental.recover]]. Fails loudly on a pruned or
+     * unknown generation. */
+    def snapshotAsOf(g: Long): DataFrame = {
       require(retainHistory, "snapshotAsOf: store built without " +
         "retainHistory")
-      require(g >= 1 && g <= history.size,
-        s"snapshotAsOf($g): retained generations are 1..${history.size}" +
-          " (older ones may have been pruned)")
-      ss.read.parquet(history(g - 1).values.toSeq: _*)
+      val paths = tx.manifestPaths(g)
+      require(paths.nonEmpty,
+        s"snapshotAsOf($g): generation has no buckets")
+      ss.read.parquet(paths: _*)
     }
 
     /** Retention for the dump history: keep the newest `keep`
-     * generations (and the live pointer map), delete every bucket
-     * version nothing retained references. Mirrors
-     * [[graft.streaming.BucketedUpsert.State.vacuum]]'s ordering:
-     * history entries drop first, so a surviving entry never references
-     * a deleted file; metadata-only. */
+     * generations (and the live pointer map), drop older numbered
+     * manifests FIRST, then delete every bucket version nothing
+     * retained references (the shared [[graft.streaming.TxLog]]
+     * vacuum) — a surviving generation never references a deleted
+     * file; metadata-only. Returns the number of bucket versions
+     * deleted. */
     def pruneHistory(keep: Int): Int = {
-      require(retainHistory, "pruneHistory: store built without " +
-        "retainHistory")
-      val nDrop = math.max(0, history.size - keep)
-      val dropped = history.take(nDrop).toSeq
-      history.remove(0, nDrop)
-      val referenced =
-        (history.flatMap(_.values) ++ current.values).toSet
-      var deleted = 0
-      dropped.flatMap(_.values).distinct
-        .filterNot(referenced.contains)
-        .foreach { p => Scratch.deleteNow(p); deleted += 1 }
+      val (_, deleted, _) = tx.vacuum(retainPrior = keep - 1)
       deleted
     }
+
+    /** Orphan GC (see [[graft.streaming.TxLog.gc]]); runs automatically
+     * on [[GcdIncremental.recover]]. */
+    def gc(): Int = tx.gc()
+  }
+
+  /** Reattach a [[SnapshotStore]] to its root from the last committed
+   * manifest — the recovery half of the flagship's transaction log
+   * (column list, feed paths, and with `retainHistory` every retained
+   * generation all come back; crashed-attempt orphans are reclaimed).
+   * The bucketing/retention config must match the committed store —
+   * mismatches fail loudly, same contract as
+   * [[graft.streaming.BucketedUpsert.recover]]. */
+  def recover(ss: SparkSession, storeRoot: String, nBuckets: Int = 64,
+      collectMetrics: Boolean = false,
+      retainHistory: Boolean = false): SnapshotStore = {
+    val st = new SnapshotStore(ss, nBuckets, collectMetrics,
+      retainHistory, Some(storeRoot))
+    st.loadManifest()
+    st.gc()
+    st
   }
 }

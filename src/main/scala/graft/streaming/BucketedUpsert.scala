@@ -1,10 +1,7 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets.UTF_8
-
 import scala.collection.mutable
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -120,17 +117,18 @@ object BucketedUpsert {
       hashKey: Boolean = false, retainHistory: Boolean = false) {
 
     private val stateRoot = root.getOrElse(Scratch.dir("upsert_state"))
-    private val rootPath = new Path(stateRoot)
-    private val fs = rootPath.getFileSystem(
-      ss.sessionState.newHadoopConf())
-    private val fc = FileContext.getFileContext(rootPath.toUri,
-      ss.sessionState.newHadoopConf())
-    private val current = mutable.Map.empty[Int, String]
-    private var attempt = 0L
-    private var commitSeq = 0L
-    val metrics: mutable.ArrayBuffer[BatchMetrics] = mutable.ArrayBuffer()
-
     private def mergeKind = if (combine.isDefined) "custom" else "latest"
+    // the commit/recover/vacuum/gc mechanics live in the shared TxLog
+    // (one implementation for this store and the flagship
+    // SnapshotStore); this class owns only the upsert SEMANTICS —
+    // bucketing function, merge reduce, config-pin validation
+    private val tx = new TxLog(ss, stateRoot, retainHistory, () => Seq(
+      "hashKey" -> hashKey.toString, "merge" -> mergeKind,
+      "history" -> retainHistory.toString,
+      "nBuckets" -> nBuckets.toString, "key" -> keyCol,
+      "payload" -> payloadCols.mkString(",")))
+    private def current = tx.current
+    val metrics: mutable.ArrayBuffer[BatchMetrics] = mutable.ArrayBuffer()
 
     private def bucketOf = {
       val k = if (hashKey) xxhash64(col(keyCol)) else col(keyCol)
@@ -170,7 +168,7 @@ object BucketedUpsert {
         }
         // attempt-unique dir: a retried batch id never collides with a
         // previous half-written attempt
-        val out = s"$stateRoot/v${id}_a$attempt"; attempt += 1
+        val out = tx.attemptDir(id)
         merged.withColumn("__bucket", bucketOf)
           .write.partitionBy("__bucket").parquet(out)
         val superseded = touched.toSeq.flatMap(current.get)
@@ -179,9 +177,8 @@ object BucketedUpsert {
         // any crash leaves the last committed manifest fully readable.
         // A history-retaining store retires nothing here — prior
         // versions stay readable via readAsOf until vacuum.
-        commitManifest(id)
-        if (!retainHistory)
-          superseded.foreach(p => fs.delete(new Path(p), true))
+        tx.commit(s"batch $id")
+        if (!retainHistory) tx.retire(superseded)
         metrics += BatchMetrics(id, touched.length, stateRows,
           (System.nanoTime() - t0) / 1000000)
       }
@@ -219,103 +216,40 @@ object BucketedUpsert {
         val remaining = ss.read.option("mergeSchema", "true")
           .parquet(prevPaths: _*)
           .join(ks, Seq(keyCol), "left_anti")
-        val out = s"$stateRoot/v${opId}_a$attempt"; attempt += 1
+        val out = tx.attemptDir(opId)
         remaining.withColumn("__bucket", bucketOf)
           .write.partitionBy("__bucket").parquet(out)
         present.foreach { b =>
           val p = s"$out/__bucket=$b"
-          if (fs.exists(new Path(p))) current(b) = p
+          if (tx.exists(p)) current(b) = p
           else current.remove(b)
         }
-        commitManifest(opId)
-        if (!retainHistory)
-          prevPaths.foreach(p => fs.delete(new Path(p), true))
+        tx.commit(s"batch $opId")
+        if (!retainHistory) tx.retire(prevPaths)
         metrics += BatchMetrics(opId, present.length, stateRows,
           (System.nanoTime() - t0) / 1000000)
       }
     }
 
-    /** One tiny write per batch: bucket→path map plus the store's
-     * semantic config, tmp + atomic rename-with-overwrite. A
-     * history-retaining store also writes the same body to an immutable
-     * `_manifest.v<seq>` — the numbered snapshot [[readAsOf]] serves. */
-    private def commitManifest(batchId: Long): Unit = {
-      commitSeq += 1
-      val header = s"batch $batchId seq=$commitSeq hashKey=$hashKey " +
-        s"merge=$mergeKind history=$retainHistory " +
-        s"nBuckets=$nBuckets key=$keyCol " +
-        s"payload=${payloadCols.mkString(",")}"
-      val body =
-        (header +:
-          current.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
-          .mkString("\n")
-      if (retainHistory) {
-        // the NUMBERED manifest commits FIRST (tmp-write + atomic
-        // rename, same as the live swap — a crash mid-write must never
-        // leave a torn numbered manifest that readAsOf would serve
-        // partially or vacuum would under-count). Ordering contract: if
-        // the live _manifest says seq N, version N is always readable
-        // via readAsOf. The inverse crash (numbered N exists, live
-        // still says N−1) is handled by recovery's
-        // max(header seq, history last).
-        val htmp = new Path(rootPath, s"_manifest.v$commitSeq.tmp")
-        val h = fs.create(htmp, true)
-        try h.write(body.getBytes(UTF_8)) finally h.close()
-        fc.rename(htmp, new Path(rootPath, s"_manifest.v$commitSeq"),
-          Options.Rename.OVERWRITE)
-      }
-      val tmp = new Path(rootPath, "_manifest.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(body.getBytes(UTF_8)) finally out.close()
-      fc.rename(tmp, new Path(rootPath, "_manifest"),
-        Options.Rename.OVERWRITE)
-    }
-
     /** Committed version numbers still readable via [[readAsOf]],
      * oldest first (history-retaining stores only). */
-    def history(): Seq[Long] =
-      fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
-        .filter(_.matches("_manifest\\.v\\d+")) // excludes .tmp leftovers
-        .map(_.stripPrefix("_manifest.v").toLong).sorted
-
-    /** Bucket→path pointer map of one committed version. */
-    private def manifestMap(seq: Long): Map[Int, String] = {
-      val mf = new Path(rootPath, s"_manifest.v$seq")
-      require(fs.exists(mf),
-        s"readAsOf($seq): no such committed version at $stateRoot — " +
-          "never committed, vacuumed past retention, or the store was " +
-          "built without retainHistory")
-      val in = fs.open(mf)
-      val body =
-        try new String(in.readAllBytes(), UTF_8)
-        finally in.close()
-      body.linesIterator.drop(1).filter(_.nonEmpty).map { l =>
-        val Array(b, p) = l.split("\t", 2); b.toInt -> p
-      }.toMap
-    }
-
-    private def manifestPaths(seq: Long): Seq[String] =
-      manifestMap(seq).values.toSeq
+    def history(): Seq[Long] = tx.history()
 
     /** TIME TRAVEL: the view exactly as of committed version `seq` —
      * the corpus a run that consumed version `seq` saw, reproducible
      * until [[vacuum]] drops the version. Fails loudly (never
      * partially) on a vacuumed or unknown version. */
     def readAsOf(reader: SparkSession, seq: Long): DataFrame = {
-      val paths = manifestPaths(seq)
+      val paths = tx.manifestPaths(seq)
       if (paths.isEmpty) {
         // a committed version can be LEGITIMATELY empty (a delete that
         // removed every key): serve zero rows with the store schema,
         // derived from any bucket file still on disk
-        val any = fs.listStatus(rootPath).iterator
-          .filter(d => d.isDirectory && d.getPath.getName.startsWith("v"))
-          .flatMap(d => fs.listStatus(d.getPath).iterator)
-          .find(b => b.isDirectory &&
-            b.getPath.getName.startsWith("__bucket="))
+        val any = tx.anyBucketDir()
         require(any.isDefined,
           s"readAsOf($seq): version is empty and no bucket file " +
             "exists to derive the schema")
-        return reader.read.parquet(any.get.getPath.toString).limit(0)
+        return reader.read.parquet(any.get).limit(0)
       }
       // a version may span a payload widening; missing columns read as
       // typed nulls (a purely pre-widening version keeps its old schema)
@@ -336,8 +270,8 @@ object BucketedUpsert {
         toSeq: Long): DataFrame = {
       require(fromSeq < toSeq,
         s"changesBetween: fromSeq $fromSeq must precede toSeq $toSeq")
-      val before = manifestMap(fromSeq)
-      val after = manifestMap(toSeq)
+      val before = tx.manifestMap(fromSeq)
+      val after = tx.manifestMap(toSeq)
       val diffBuckets = (before.keySet ++ after.keySet)
         .filter(b => before.get(b) != after.get(b))
       val schemaSrc = (before.values ++ after.values).toSeq
@@ -386,91 +320,24 @@ object BucketedUpsert {
      * reads no data. Empty `v*` attempt shells are kept — recovery's
      * attempt numbering counts them to stay collision-free. */
     def vacuum(retainPrior: Int = 0): VacuumReport = {
-      require(retainHistory,
-        "vacuum: store was built without retainHistory (eager " +
-          "retirement already reclaims superseded files)")
-      val seqs = history()
-      val (drop, keep) = seqs.splitAt(
-        math.max(0, seqs.length - (retainPrior + 1)))
-      drop.foreach(v =>
-        fs.delete(new Path(rootPath, s"_manifest.v$v"), true))
-      // referenced set, built ONCE and FULLY QUALIFIED through the same
-      // fs both sides — manifest strings may be relative or carry
-      // file:/ prefixes the listing does not; qualifying only one side
-      // would empty the intersection and delete LIVE buckets
-      val referenced =
-        (keep.flatMap(manifestPaths) ++ current.values)
-          .map(r => fs.makeQualified(new Path(r)).toString).toSet
-      var deleted = 0; var kept = 0
-      fs.listStatus(rootPath).iterator
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith("v"))
-        .foreach { shell =>
-          fs.listStatus(shell.getPath).iterator
-            .filter(b => b.isDirectory &&
-              b.getPath.getName.startsWith("__bucket="))
-            .foreach { b =>
-              val asListed = fs.makeQualified(b.getPath).toString
-              if (referenced.contains(asListed)) kept += 1
-              else { fs.delete(b.getPath, true); deleted += 1 }
-            }
-        }
-      VacuumReport(drop.length, deleted, kept)
+      val (dropped, deleted, kept) = tx.vacuum(retainPrior)
+      VacuumReport(dropped, deleted, kept)
     }
 
     /** ORPHAN GC: delete bucket versions NO committed manifest
      * references — the leftovers of attempts that crashed between the
-     * bucket write and the manifest commit. History stores eventually
-     * reclaim those through [[vacuum]]'s referenced-set sweep; eager-
-     * retirement stores had no sweep at all, so crashed-attempt data
-     * accumulated until the scratch root died. The referenced set spans
-     * every retained numbered manifest plus the live pointer map, so gc
-     * can never delete a readable version; it is idempotent,
-     * metadata-only, and runs automatically on [[BucketedUpsert.recover]]
-     * (recovery is exactly when a crashed attempt may have left one).
-     * Empty `v*` attempt shells are kept — attempt numbering counts
-     * them to stay collision-free. */
-    def gc(): Int = {
-      val referenced =
-        ((if (retainHistory) history().flatMap(manifestPaths)
-          else Seq.empty[String]) ++ current.values)
-          .map(r => fs.makeQualified(new Path(r)).toString).toSet
-      var deleted = 0
-      fs.listStatus(rootPath).iterator
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith("v"))
-        .foreach { shell =>
-          fs.listStatus(shell.getPath).iterator
-            .filter(b => b.isDirectory &&
-              b.getPath.getName.startsWith("__bucket="))
-            .foreach { b =>
-              if (!referenced.contains(
-                  fs.makeQualified(b.getPath).toString)) {
-                fs.delete(b.getPath, true); deleted += 1
-              }
-            }
-        }
-      deleted
-    }
+     * bucket write and the manifest commit (the shared [[TxLog]]
+     * referenced-set sweep). Idempotent, metadata-only, runs
+     * automatically on [[BucketedUpsert.recover]]. */
+    def gc(): Int = tx.gc()
 
     private[streaming] def loadManifest(): Unit = {
-      val mf = new Path(rootPath, "_manifest")
-      require(fs.exists(mf),
-        s"recover: no committed manifest at $stateRoot")
-      val in = fs.open(mf)
-      val body =
-        try new String(in.readAllBytes(), UTF_8)
-        finally in.close()
-      val lines = body.linesIterator.toSeq
+      val tokens = tx.load()
       // the manifest pins the store's semantic config: recovering with
       // a different bucketing function or merge kind would silently
       // route keys to wrong buckets / merge with wrong semantics
-      val header = lines.head.split(" ")
-      val mfHashKey = header.collectFirst {
-        case s if s.startsWith("hashKey=") =>
-          s.stripPrefix("hashKey=").toBoolean
-      }.getOrElse(false)
-      val mfMerge = header.collectFirst {
-        case s if s.startsWith("merge=") => s.stripPrefix("merge=")
-      }.getOrElse("latest")
+      val mfHashKey = tokens.get("hashKey").exists(_.toBoolean)
+      val mfMerge = tokens.getOrElse("merge", "latest")
       require(mfHashKey == hashKey,
         s"recover: manifest bucketing hashKey=$mfHashKey but State " +
           s"was built with hashKey=$hashKey — keys would route to " +
@@ -482,10 +349,8 @@ object BucketedUpsert {
       // silently start eager-retiring bucket versions the numbered
       // manifests still reference — destroying the retained history on
       // the next merge. The manifest pins the mode like hashKey/merge.
-      val mfHistory = header.collectFirst {
-        case s if s.startsWith("history=") =>
-          s.stripPrefix("history=").toBoolean
-      }.getOrElse(history().nonEmpty)
+      val mfHistory = tokens.get("history").map(_.toBoolean)
+        .getOrElse(history().nonEmpty)
       require(mfHistory == retainHistory,
         s"recover: manifest retainHistory=$mfHistory but State was " +
           s"built with retainHistory=$retainHistory — the next merge " +
@@ -495,21 +360,14 @@ object BucketedUpsert {
       // (or on a different key column) changes pmod(key, n) — new rows
       // for a committed key land in a DIFFERENT bucket than its
       // committed rows, the touched-bucket merge never sees the old
-      // version, and view() silently serves duplicate keys. Manifests
-      // written before this pin existed (no nBuckets=/key= tokens)
-      // accept the caller's values, matching the other pins' defaults.
-      header.collectFirst {
-        case s if s.startsWith("nBuckets=") =>
-          s.stripPrefix("nBuckets=").toInt
-      }.foreach { mfN =>
+      // version, and view() silently serves duplicate keys.
+      tokens.get("nBuckets").map(_.toInt).foreach { mfN =>
         require(mfN == nBuckets,
           s"recover: manifest nBuckets=$mfN but State was built with " +
             s"nBuckets=$nBuckets — keys would route to wrong buckets " +
             "and the view would serve duplicate rows")
       }
-      header.collectFirst {
-        case s if s.startsWith("key=") => s.stripPrefix("key=")
-      }.foreach { mfKey =>
+      tokens.get("key").foreach { mfKey =>
         require(mfKey == keyCol,
           s"recover: manifest key column '$mfKey' but State was built " +
             s"with '$keyCol' — rows would bucket and merge on the " +
@@ -522,31 +380,12 @@ object BucketedUpsert {
       // with the new columns as typed nulls). Anything else — dropped,
       // reordered, or renamed columns — would silently change merge
       // semantics or lose data, so it fails loudly.
-      header.collectFirst {
-        case s if s.startsWith("payload=") =>
-          s.stripPrefix("payload=").split(",").toSeq
-      }.foreach { mfPayload =>
+      tokens.get("payload").map(_.split(",").toSeq).foreach { mfPayload =>
         require(payloadCols.take(mfPayload.length) == mfPayload,
           s"recover: committed payload [${mfPayload.mkString(",")}] is " +
             s"not a prefix of [${payloadCols.mkString(",")}] — only " +
             "appending new payload columns is a safe evolution")
       }
-      // resume version numbering past the last commit (and past any
-      // newer numbered manifest a crash may have left behind)
-      commitSeq = math.max(
-        header.collectFirst {
-          case s if s.startsWith("seq=") => s.stripPrefix("seq=").toLong
-        }.getOrElse(0L),
-        history().lastOption.getOrElse(0L))
-      current.clear()
-      lines.drop(1).filter(_.nonEmpty).foreach { l =>
-        val Array(b, p) = l.split("\t", 2); current(b.toInt) = p
-      }
-      // resume attempt numbering past every existing write dir (retired
-      // bucket dirs leave their v* shells behind, so the count covers
-      // all prior attempts — committed or crashed)
-      attempt = fs.listStatus(rootPath)
-        .count(_.getPath.getName.startsWith("v")).toLong
     }
 
     /** The state root (pass to [[BucketedUpsert.recover]] after a

@@ -1,0 +1,226 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * The shared bucket-pointer TRANSACTION LOG both keyed stores wrap —
+ * [[BucketedUpsert.State]] (streaming upsert state) and
+ * [[graft.etl.GcdIncremental.SnapshotStore]] (the flagship snapshot) —
+ * so the commit/recover/vacuum contract is implemented ONCE:
+ *
+ *   - a live `_manifest` at the store root holds the bucket→path
+ *     pointer map plus the store's semantic config tokens, committed by
+ *     tmp-write + FileContext rename-with-OVERWRITE (readers see the
+ *     old complete manifest or the new one, never a torn write);
+ *   - with `retainHistory`, every commit ALSO writes an immutable
+ *     numbered `_manifest.v<seq>` — and writes it FIRST, so a live
+ *     manifest can never claim a seq whose numbered snapshot is
+ *     unreadable (the inverse crash — numbered N exists, live still
+ *     says N−1 — is healed by [[load]]'s max(header, history) resume);
+ *   - bucket data lands in ATTEMPT-UNIQUE directories ([[attemptDir]]):
+ *     a retried operation id never collides with a crashed attempt's
+ *     half-written files;
+ *   - [[vacuum]] drops old numbered manifests FIRST, then deletes every
+ *     bucket version no surviving manifest (or the live map)
+ *     references — at any crash point every surviving manifest
+ *     references only live files; [[gc]] is the same referenced-set
+ *     sweep without dropping anything, reclaiming crashed-attempt
+ *     orphans on recovery;
+ *   - all path comparison is fully QUALIFIED through the root's
+ *     FileSystem on both sides, so relative roots / scheme-prefixed
+ *     manifest strings can never make the sweep delete live buckets.
+ *
+ * Config SEMANTICS stay with the callers: the log records each store's
+ * `config` tokens verbatim in the header and [[load]] hands the parsed
+ * tokens back; the store decides which mismatches are fatal (bucketing
+ * pins, merge kind, payload-prefix widening, …). Cost model: every
+ * operation here is metadata-only — manifests are file-count-sized, no
+ * data is ever read or moved — so the log holds unchanged at 100 TB of
+ * bucketed state. (Delta's _delta_log / Iceberg's snapshot metadata
+ * formalize exactly this shape; the reference has no incremental story
+ * at all — it recomputes the world per dump, Main.java:380-513.)
+ */
+final class TxLog(ss: SparkSession, val root: String,
+    retainHistory: Boolean, config: () => Seq[(String, String)]) {
+
+  private val rootPath = new Path(root)
+  private val fs = rootPath.getFileSystem(ss.sessionState.newHadoopConf())
+  private val fc = FileContext.getFileContext(rootPath.toUri,
+    ss.sessionState.newHadoopConf())
+
+  /** Live bucket→path pointer map. Mutated by the owning store between
+   * commits; [[commit]] persists it, [[load]] restores it. */
+  val current: mutable.Map[Int, String] = mutable.Map.empty
+
+  private var commitSeq = 0L
+  private var attempt = 0L
+
+  /** Last committed version number (0 before any commit). */
+  def seq: Long = commitSeq
+
+  /** A fresh attempt-unique data directory for operation `opId` —
+   * `v<opId>_a<k>` with a monotonically increasing k, so a RETRY of the
+   * same operation id (foreachBatch replay after a crash) never
+   * collides with the previous attempt's half-written files. */
+  def attemptDir(opId: Long): String = {
+    val d = s"$root/v${opId}_a$attempt"; attempt += 1; d
+  }
+
+  /** Commit the live pointer map as version seq+1. With retainHistory
+   * the immutable numbered manifest commits FIRST (see class doc).
+   * Returns the committed seq. One tiny write (or two) per commit. */
+  def commit(opLabel: String): Long = {
+    commitSeq += 1
+    val header = (s"$opLabel seq=$commitSeq" +:
+      config().map { case (k, v) => s"$k=$v" }).mkString(" ")
+    val body =
+      (header +:
+        current.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
+        .mkString("\n")
+    if (retainHistory)
+      writeAtomic(s"_manifest.v$commitSeq", body)
+    writeAtomic("_manifest", body)
+    commitSeq
+  }
+
+  private def writeAtomic(name: String, body: String): Unit = {
+    val tmp = new Path(rootPath, s"$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    fc.rename(tmp, new Path(rootPath, name), Options.Rename.OVERWRITE)
+  }
+
+  /** Committed version numbers still readable via their numbered
+   * manifests, oldest first (history-retaining logs only). */
+  def history(): Seq[Long] =
+    fs.listStatus(rootPath).toSeq.map(_.getPath.getName)
+      .filter(_.matches("_manifest\\.v\\d+")) // excludes .tmp leftovers
+      .map(_.stripPrefix("_manifest.v").toLong).sorted
+
+  private def readManifest(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    val body =
+      try new String(in.readAllBytes(), UTF_8)
+      finally in.close()
+    body.linesIterator.toSeq
+  }
+
+  private def parseMap(lines: Seq[String]): Map[Int, String] =
+    lines.drop(1).filter(_.nonEmpty).map { l =>
+      val Array(b, p) = l.split("\t", 2); b.toInt -> p
+    }.toMap
+
+  /** Bucket→path pointer map of one committed version. Fails loudly on
+   * a never-committed or vacuumed version — never reads partially. */
+  def manifestMap(seq: Long): Map[Int, String] = {
+    val mf = new Path(rootPath, s"_manifest.v$seq")
+    require(fs.exists(mf),
+      s"version $seq: no such committed version at $root — never " +
+        "committed, vacuumed past retention, or the store was built " +
+        "without retainHistory")
+    parseMap(readManifest(mf))
+  }
+
+  def manifestPaths(seq: Long): Seq[String] = manifestMap(seq).values.toSeq
+
+  /** Restore the log from the live manifest: pointer map, seq (resumed
+   * past any newer numbered manifest a crash left behind), attempt
+   * numbering (past every existing `v*` dir, committed or crashed).
+   * Returns the header's `k=v` tokens for the OWNING STORE to validate
+   * against its own config — which mismatches are fatal is store
+   * semantics, not log mechanics. */
+  def load(): Map[String, String] = {
+    val mf = new Path(rootPath, "_manifest")
+    require(fs.exists(mf), s"recover: no committed manifest at $root")
+    val lines = readManifest(mf)
+    val tokens = lines.head.split(" ").toSeq
+      .filter(_.contains("=")).map { t =>
+        val Array(k, v) = t.split("=", 2); k -> v
+      }.toMap
+    commitSeq = math.max(
+      tokens.get("seq").map(_.toLong).getOrElse(0L),
+      history().lastOption.getOrElse(0L))
+    current.clear()
+    current ++= parseMap(lines)
+    attempt = fs.listStatus(rootPath)
+      .count(_.getPath.getName.startsWith("v")).toLong
+    tokens
+  }
+
+  /** Eagerly delete superseded bucket versions (non-history stores,
+   * AFTER the replacing commit). */
+  def retire(paths: Seq[String]): Unit =
+    paths.foreach(p => fs.delete(new Path(p), true))
+
+  def exists(path: String): Boolean = fs.exists(new Path(path))
+
+  /** Any bucket leaf dir still on disk — schema source for reading a
+   * legitimately-empty committed version. */
+  def anyBucketDir(): Option[String] =
+    fs.listStatus(rootPath).iterator
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("v"))
+      .flatMap(d => fs.listStatus(d.getPath).iterator)
+      .find(b => b.isDirectory &&
+        b.getPath.getName.startsWith("__bucket="))
+      .map(_.getPath.toString)
+
+  /** Referenced-set sweep shared by [[vacuum]] and [[gc]]: delete every
+   * bucket dir under a `v*` shell that `referenced` does not name. Both
+   * sides fully qualified through the same fs (see class doc). Empty
+   * `v*` attempt shells are kept — attempt numbering counts them to
+   * stay collision-free. Returns (deleted, kept). */
+  private def sweep(referenced: Set[String]): (Int, Int) = {
+    var deleted = 0; var kept = 0
+    fs.listStatus(rootPath).iterator
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("v"))
+      .foreach { shell =>
+        fs.listStatus(shell.getPath).iterator
+          .filter(b => b.isDirectory &&
+            b.getPath.getName.startsWith("__bucket="))
+          .foreach { b =>
+            if (referenced.contains(fs.makeQualified(b.getPath).toString))
+              kept += 1
+            else { fs.delete(b.getPath, true); deleted += 1 }
+          }
+      }
+    (deleted, kept)
+  }
+
+  private def qualify(rs: Seq[String]): Set[String] =
+    rs.map(r => fs.makeQualified(new Path(r)).toString).toSet
+
+  /** RETENTION VACUUM: keep the newest `retainPrior + 1` committed
+   * versions, drop older numbered manifests FIRST, then sweep every
+   * bucket version no survivor (or the live map) references. Returns
+   * (droppedManifests, deletedDirs, keptDirs). Metadata-only. */
+  def vacuum(retainPrior: Int): (Int, Int, Int) = {
+    require(retainHistory,
+      "vacuum: store was built without retainHistory (eager " +
+        "retirement already reclaims superseded files)")
+    val seqs = history()
+    val (drop, keep) = seqs.splitAt(
+      math.max(0, seqs.length - (retainPrior + 1)))
+    drop.foreach(v =>
+      fs.delete(new Path(rootPath, s"_manifest.v$v"), true))
+    val (deleted, kept) = sweep(
+      qualify(keep.flatMap(manifestPaths) ++ current.values))
+    (drop.length, deleted, kept)
+  }
+
+  /** ORPHAN GC: delete bucket versions NO committed manifest
+   * references — leftovers of attempts that crashed between the bucket
+   * write and the manifest commit. The referenced set spans every
+   * retained numbered manifest plus the live map, so gc can never
+   * delete a readable version; idempotent; runs on recovery. */
+  def gc(): Int = {
+    val referenced = qualify(
+      (if (retainHistory) history().flatMap(manifestPaths)
+       else Seq.empty[String]) ++ current.values)
+    sweep(referenced)._1
+  }
+}

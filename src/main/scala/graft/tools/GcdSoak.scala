@@ -240,32 +240,55 @@ object GcdSoak {
         (r.getLong(0), r.getLong(1))
       }
       val fpInit = fp(store.view)
-      (1 to dumps).foreach { i =>
+      (1 to dumps / 2).foreach { i =>
         // same source tables → rebuilt rows equal the originals: the
         // view's CONTENT is invariant while bucket versions turn over
         val touched = spark.range(touchedN)
           .select((col("id") * (nIssues / touchedN) + i).as("issue_id"))
         store.maintain(tables, touched, "2026-8-12")
       }
-      assert(store.generations == dumps + 1,
-        s"expected ${dumps + 1} generations, got ${store.generations}")
-      val maxTouched = store.metrics.map(_.touchedBuckets).max
-      println(s"== history: ${store.generations} retained generations, " +
-        s"per-dump touched buckets <= $maxTouched/$nBuckets")
+      // DRIVER LOSS mid-history: only the store root (bucket files +
+      // committed manifests) survives; recovery must reattach the live
+      // view, the column list, AND every retained generation — the
+      // durable-manifest contract the driver-memory history lacked
+      val rec = graft.etl.GcdIncremental.recover(spark, store.rootDir,
+        nBuckets, collectMetrics = true, retainHistory = true)
+      println(s"== history: killed after ${store.generations} " +
+        s"generations, recovered ${rec.generations} from the manifest")
+      assert(fp(rec.view) == fpInit, "recovered live view drifted")
+      (dumps / 2 + 1 to dumps).foreach { i =>
+        val touched = spark.range(touchedN)
+          .select((col("id") * (nIssues / touchedN) + i).as("issue_id"))
+        rec.maintain(tables, touched, "2026-8-12")
+      }
+      assert(rec.generations == dumps + 1,
+        s"expected ${dumps + 1} generations, got ${rec.generations}")
+      assert(rec.retainedGenerations == (1L to (dumps + 1)),
+        s"generation numbering not stable across recovery: " +
+          s"${rec.retainedGenerations}")
+      val maxTouched = (store.metrics ++ rec.metrics)
+        .map(_.touchedBuckets).max
+      println(s"== history: ${rec.generations} retained generations " +
+        s"(recovery mid-stream), per-dump touched buckets <= " +
+        s"$maxTouched/$nBuckets")
       val tAsof = System.nanoTime()
-      val fpAsof1 = fp(store.snapshotAsOf(1))
+      val fpAsof1 = fp(rec.snapshotAsOf(1))
       println(f"== history: asof(1) read+fingerprint " +
         f"${(System.nanoTime() - tAsof) / 1e9}%.1fs")
       assert(fpAsof1 == fpInit, s"asof(1) $fpAsof1 != init $fpInit")
-      assert(fp(store.view) == fpInit,
+      assert(fp(rec.view) == fpInit,
         "view content drifted across identity dumps")
       val tPrune = System.nanoTime()
-      val deleted = store.pruneHistory(keep = 2)
+      val deleted = rec.pruneHistory(keep = 2)
       println(f"== history: prune to newest 2 deleted $deleted bucket " +
         f"versions in ${(System.nanoTime() - tPrune) / 1e9}%.2fs " +
         "(metadata + deletes only)")
-      assert(deleted > 0 && store.generations == 2)
-      assert(fp(store.snapshotAsOf(2)) == fpInit,
+      assert(deleted > 0 && rec.generations == 2)
+      // STABLE numbering: the survivors keep their original numbers
+      val survivors = rec.retainedGenerations
+      assert(survivors == Seq(dumps.toLong, dumps + 1L),
+        s"prune renumbered generations: $survivors")
+      assert(fp(rec.snapshotAsOf(survivors.last)) == fpInit,
         "surviving newest generation corrupted by prune")
       spark.stop(); return
     }

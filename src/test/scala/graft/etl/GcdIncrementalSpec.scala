@@ -178,9 +178,48 @@ class GcdIncrementalSpec extends SparkSpec {
     val deleted = store.pruneHistory(keep = 1)
     assert(deleted > 0, "modification dump must leave prunable versions")
     assert(store.generations == 1)
-    intercept[IllegalArgumentException](store.snapshotAsOf(0))
-    // the surviving generation and the live view are intact
-    assertSame(store.snapshotAsOf(1), store.view)
+    // STABLE numbering: the survivor keeps its number (2); the pruned
+    // generation fails loudly instead of the survivor renumbering to 1
+    assert(store.retainedGenerations == Seq(2L))
+    intercept[IllegalArgumentException](store.snapshotAsOf(1))
+    assertSame(store.snapshotAsOf(2), store.view)
     assertSame(store.view, GcdSnapshot.build(spark, tables, date))
+  }
+
+  test("store recovery: a driver loss keeps the live view, the feed, " +
+      "and every retained generation; config mismatches fail loudly") {
+    val issue = tables("gcd_issue")
+    val isM = col("id") % 5 === 1
+    val touched = issue.filter(isM)
+      .select(col("id").cast("long").as("issue_id"))
+    val yTables = tables + ("gcd_issue" -> issue.withColumn("price",
+      when(isM, lit("old")).otherwise(col("price"))))
+    val base = GcdSnapshot.build(spark, yTables, date)
+    val store = new GcdIncremental.SnapshotStore(spark, nBuckets = 16,
+      retainHistory = true)
+    store.init(base)
+    store.maintain(tables, touched, date, GcdFlags(), emitFeed = true)
+    val root = store.rootDir
+    val feedCount = store.changeFeed.count()
+
+    // driver loss: only the root survives. Mismatched config rejected.
+    intercept[IllegalArgumentException](
+      GcdIncremental.recover(spark, root, nBuckets = 8,
+        retainHistory = true))
+    intercept[IllegalArgumentException](
+      GcdIncremental.recover(spark, root, nBuckets = 16))
+
+    val rec = GcdIncremental.recover(spark, root, nBuckets = 16,
+      retainHistory = true)
+    assert(rec.generations == 2)
+    assertSame(rec.view, GcdSnapshot.build(spark, tables, date))
+    assertSame(rec.snapshotAsOf(1), base)
+    assert(rec.changeFeed.count() == feedCount,
+      "change-feed paths lost across recovery")
+    // and the recovered store keeps maintaining: an identity dump
+    // commits generation 3 with unchanged content
+    rec.maintain(tables, touched, date, GcdFlags())
+    assert(rec.retainedGenerations == Seq(1L, 2L, 3L))
+    assertSame(rec.snapshotAsOf(3), rec.view)
   }
 }
