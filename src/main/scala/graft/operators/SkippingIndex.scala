@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, GraftExpressionBridge => B, SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 
 import graft.functions.BloomContainsAnyExpr
 
@@ -128,18 +129,39 @@ object SkippingIndex {
     require(fs.rename(new Path(stage), livePath), "sidecar swap failed")
   }
 
-  /** The pruning PLAN: sidecar rows whose range covers a probe and
-   * whose Bloom filter might contain it, projected to the file name
-   * only. All filter evaluation happens executor-side; collecting this
-   * moves candidate file names, never Bloom bytes (spec-pinned). */
+  /** Normalize the probe list against the sidecar's committed key type
+   * (the type of its `mn`/`mx` stats). A probe whose RUNTIME type does
+   * not match the indexed column would hash differently than the build
+   * side (xxhash64 of a long hashes 8 bytes, of a string its UTF-8
+   * bytes) — a silent-false-negative class — so mismatches fail loudly;
+   * the one safe widening (Int probe on a long column) is applied. */
+  private def normProbes(values: Seq[Any], keyType: DataType): Seq[Any] =
+    values.distinct.map { v =>
+      (keyType, v) match {
+        case (LongType, x: Long)      => x
+        case (LongType, x: Int)       => x.toLong
+        case (IntegerType, x: Int)    => x
+        case (StringType, x: String)  => x
+        case _ => throw new IllegalArgumentException(
+          s"skipping-index probe $v (${v.getClass.getSimpleName}) does " +
+            s"not match the indexed key type $keyType — it would hash " +
+            "differently than the build side and silently miss rows")
+      }
+    }
+
   /** The per-sidecar-row "might this file hold a probe" predicate:
    * range-filter the literal probe array against the row's [mn, mx],
    * probe the surviving hashes against the row's Bloom filter. Probe
    * hashing runs Catalyst's XxHash64 (the expression behind
    * `functions.xxhash64`, same default seed) driver-side over the
-   * bounded probe list, so build and probe hashing are bit-identical. */
-  private def probeHit(values: Seq[Long]): org.apache.spark.sql.Column = {
-    val probes = values.distinct
+   * bounded probe list, so build and probe hashing are bit-identical —
+   * for LONG keys (id lookups) and STRING keys (doc fingerprints, the
+   * q91 dedup-ledger key shape) alike. All filter evaluation happens
+   * executor-side; collecting the plan moves candidate file names,
+   * never Bloom bytes (spec-pinned). */
+  private def probeHit(values: Seq[Any],
+      keyType: DataType): org.apache.spark.sql.Column = {
+    val probes = normProbes(values, keyType)
     if (probes.isEmpty) return lit(false)
     val probeArr = array(probes.map(v => struct(lit(v).as("v"),
       lit(new XxHash64(Seq(Literal(v))).eval(null).asInstanceOf[Long])
@@ -152,30 +174,35 @@ object SkippingIndex {
   }
 
   def candidateFilesDF(spark: SparkSession, tableDir: String,
-      keyCol: String, values: Seq[Long]): DataFrame =
-    spark.read.parquet(sidecarDir(tableDir, keyCol))
-      .filter(probeHit(values))
+      keyCol: String, values: Seq[Any]): DataFrame = {
+    val side = spark.read.parquet(sidecarDir(tableDir, keyCol))
+    side.filter(probeHit(values, side.schema("mn").dataType))
       .select(col("file"))
+  }
 
   /** ONE pass over the sidecar serving both questions a lookup asks:
    * which files are covered at all, and which are candidates. Collects
-   * (file name, flag) rows only — never Bloom bytes. */
+   * (file name, flag) rows only — never Bloom bytes. Also returns the
+   * sidecar's key type for the residual predicate. */
   private def coverageAndCandidates(spark: SparkSession,
-      tableDir: String, keyCol: String, values: Seq[Long])
-      : (Set[String], Seq[String]) = {
-    val rows = spark.read.parquet(sidecarDir(tableDir, keyCol))
-      .select(col("file"), probeHit(values).as("cand"))
+      tableDir: String, keyCol: String, values: Seq[Any])
+      : (Set[String], Seq[String], DataType) = {
+    val side = spark.read.parquet(sidecarDir(tableDir, keyCol))
+    val keyType = side.schema("mn").dataType
+    val rows = side
+      .select(col("file"), probeHit(values, keyType).as("cand"))
       .collect()
     (rows.iterator.map(r => norm(r.getString(0))).toSet,
       rows.iterator.filter(_.getBoolean(1)).map(_.getString(0))
-        .toSeq.sorted)
+        .toSeq.sorted,
+      keyType)
   }
 
   /** The files a lookup of `values` must scan per the SIDECAR:
    * range-covered AND Bloom-positive. Exposed so specs/soaks can
    * assert the actual pruning, not a plan string. */
   def candidateFiles(spark: SparkSession, tableDir: String,
-      keyCol: String, values: Seq[Long]): Seq[String] =
+      keyCol: String, values: Seq[Any]): Seq[String] =
     candidateFilesDF(spark, tableDir, keyCol, values)
       .collect().map(_.getString(0)).toSeq.sorted
 
@@ -186,8 +213,8 @@ object SkippingIndex {
    * positives — results are exact, the sidecar only decides WHICH
    * covered files to read). */
   def lookup(spark: SparkSession, tableDir: String, keyCol: String,
-      values: Seq[Long]): DataFrame = {
-    val (coveredNorm, cands) =
+      values: Seq[Any]): DataFrame = {
+    val (coveredNorm, cands, keyType) =
       coverageAndCandidates(spark, tableDir, keyCol, values)
     val uncovered = liveDataFiles(spark, tableDir)
       .filterNot(f => coveredNorm.contains(norm(f))).toSeq.sorted
@@ -196,7 +223,7 @@ object SkippingIndex {
       spark.read.parquet(tableDir).filter(lit(false))
     else
       spark.read.parquet(files: _*)
-        .filter(col(keyCol).isin(values.map(Long.box): _*))
+        .filter(col(keyCol).isin(normProbes(values, keyType): _*))
   }
 
   /** CONJUNCTIVE multi-column lookup: predicates on several indexed
@@ -209,21 +236,23 @@ object SkippingIndex {
    * scan set is the INTERSECTION. Exact residual predicate as in
    * [[lookup]]. */
   def lookupAll(spark: SparkSession, tableDir: String,
-      preds: Seq[(String, Seq[Long])]): DataFrame = {
+      preds: Seq[(String, Seq[Any])]): DataFrame = {
     require(preds.nonEmpty, "lookupAll: no predicates")
     val live = liveDataFiles(spark, tableDir)
     val liveByNorm = live.iterator.map(f => norm(f) -> f).toMap
+    val residuals = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Column]
     val perCol = preds.map { case (c, vs) =>
-      val (coveredNorm, cands) =
+      val (coveredNorm, cands, keyType) =
         coverageAndCandidates(spark, tableDir, c, vs)
+      residuals += col(c).isin(normProbes(vs, keyType): _*)
       // this column cannot rule out files its sidecar never covered
       cands.map(norm).toSet ++
         liveByNorm.keySet.filterNot(coveredNorm.contains)
     }
     val files = perCol.reduce(_ intersect _).toSeq.sorted
       .flatMap(liveByNorm.get)
-    val residual = preds.map { case (c, vs) =>
-      col(c).isin(vs.map(Long.box): _*) }.reduce(_ && _)
+    val residual = residuals.reduce(_ && _)
     if (files.isEmpty)
       spark.read.parquet(tableDir).filter(lit(false))
     else spark.read.parquet(files: _*).filter(residual)

@@ -1107,6 +1107,40 @@ object Advanced {
              |ORDER BY event_id""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q101 — STRING-KEY data skipping: the q94 sidecar over a document
+    // FINGERPRINT column (the engine's own dedup/fingerprint stores key
+    // on string hashes — q91's ledger, d01's exact-dup signature — so
+    // the first real lookup against a persisted corpus is "which files
+    // hold these fingerprints"). Both sides of the Bloom hash go
+    // through the same typed xxhash64 path (build hashes the string
+    // column, probe hashes string literals); the string min/max range
+    // stats ride along but the scattered fingerprints make BLOOM the
+    // effective pruner here — the complement of q94's range-clustered
+    // case. Probes are acquired by doc id first (a bounded driver-side
+    // scalar list, the lookup-key shape); the oracle restates that
+    // acquisition as a self-join IN. Actual file pruning + the
+    // wrong-probe-type loud failure are pinned in SkippingIndexSpec.
+    Q("q101_string_key_skipping",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("fp"),
+            col("lang"), col("source"), col("n_chars"))
+        val root = graft.sources.Scratch.dir("skip_str") + "/docs"
+        d.repartition(8, col("doc_id")).write.parquet(root)
+        graft.operators.SkippingIndex.build(s, root, "fp",
+          expectedItemsPerFile = 10000L)
+        val probes = d.filter(col("doc_id").isin(3L, 111L, 222L))
+          .select(col("fp")).collect().map(_.getString(0)).toSeq
+        graft.operators.SkippingIndex.lookup(s, root, "fp", probes)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, md5(text) AS fp, lang, source,
+             |    n_chars FROM documents)
+             |SELECT doc_id, fp, lang, source, n_chars FROM d
+             |WHERE fp IN (SELECT fp FROM d WHERE doc_id IN (3, 111, 222))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q65 — SCD type-2 dimension build from a change log: each user's
     // event stream becomes versioned attribute history — a new version
     // opens only when the attribute CHANGES (lag-compare), versions get

@@ -226,4 +226,39 @@ class SkippingIndexSpec extends SparkSpec {
     assert(got2.map(_.getLong(0)) == Seq(200000L),
       s"appended uncovered row missing from conjunctive lookup: $got2")
   }
+
+  test("STRING keys: fingerprint lookup prunes files and stays exact; " +
+      "a probe of the wrong type fails loudly") {
+    import spark.implicits._
+    val root = graft.sources.Scratch.dir("skip_spec_str") + "/t"
+    // doc-fingerprint shape (the q91 dedup-ledger key): string keys
+    // scattered across files — range stats are weak, Bloom prunes
+    (0L until 8000L).map(i => (i, s"fp${i}x", i % 97))
+      .toDF("doc_id", "fp", "grp")
+      .repartition(8, col("grp")) // fp scattered across all 8 files
+      .write.parquet(root)
+    SkippingIndex.build(spark, root, "fp", 2000L)
+    val total = new java.io.File(root).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val probes = Seq("fp42x", "fp7777x")
+    val cand = SkippingIndex.candidateFiles(spark, root, "fp", probes)
+    assert(cand.nonEmpty && cand.size < total,
+      s"no string-key pruning: ${cand.size} of $total files")
+    val got = SkippingIndex.lookup(spark, root, "fp", probes)
+      .orderBy("doc_id").collect().toSeq
+    val want = spark.read.parquet(root)
+      .filter(col("fp").isin(probes: _*))
+      .orderBy("doc_id").collect().toSeq
+    assert(got == want && got.size == 2)
+    // absent fingerprint: Bloom prunes to (almost always) zero files,
+    // and the lookup is exactly empty regardless
+    assert(SkippingIndex.lookup(spark, root, "fp",
+      Seq("no_such_fp")).count() == 0)
+    // a LONG probe against the string sidecar would hash differently
+    // than the build side (silent false negatives) — must fail loudly
+    val ex = intercept[IllegalArgumentException] {
+      SkippingIndex.lookup(spark, root, "fp", Seq(42L))
+    }
+    assert(ex.getMessage.contains("does not match"), ex.getMessage)
+  }
 }
