@@ -107,26 +107,43 @@ object Expectations {
     (joined, Rule(name, refCol.isNotNull))
   }
 
-  /** Enforcement: raise (fail the pipeline) when any rule's violation
-   * RATE exceeds its budget. `budgets` maps rule name → max allowed
-   * fraction (0.0 = zero tolerance). Returns the report for logging. */
-  def enforce(df: DataFrame, rules: Seq[Rule],
-      budgets: Map[String, Double]): DataFrame = {
+  /** The rules whose violation rate exceeds their budget, as
+   * "name violations/n_rows" strings (empty = all within budget). */
+  private def blownBudgets(df: DataFrame, rules: Seq[Rule],
+      budgets: Map[String, Double]): Seq[String] = {
     // FAIL CLOSED: a budget key that names no rule is a configuration
     // bug — silently ignoring it would disable the intended gate
     val unknown = budgets.keySet -- rules.map(_.name).toSet
     require(unknown.isEmpty,
       s"expectations: budgets for unknown rules: ${unknown.mkString(", ")}")
-    val rep = report(df, rules)
-    val over = rep.filter(
+    report(df, rules).filter(
         coalesce(udfFreeRate, lit(0.0)) >
           coalesce(budgetCol(budgets), lit(Double.MaxValue)))
       .collect()
-    require(over.isEmpty,
-      "expectations exceeded budget: " + over.map(r =>
-        s"${r.getString(0)} ${r.getLong(1)}/${r.getLong(2)}")
-        .mkString(", "))
-    rep
+      .map(r => s"${r.getString(0)} ${r.getLong(1)}/${r.getLong(2)}")
+      .toSeq
+  }
+
+  /** Non-throwing budget check — the PRE-COMMIT gate shape for a
+   * streamed ingest (q102): evaluate every rule in one scan, return
+   * None when all are within budget, else Some(message) naming the
+   * blown rules so the caller can quarantine the batch instead of
+   * merging it. */
+  def check(df: DataFrame, rules: Seq[Rule],
+      budgets: Map[String, Double]): Option[String] = {
+    val over = blownBudgets(df, rules, budgets)
+    if (over.isEmpty) None
+    else Some("expectations exceeded budget: " + over.mkString(", "))
+  }
+
+  /** Enforcement: raise (fail the pipeline) when any rule's violation
+   * RATE exceeds its budget. `budgets` maps rule name → max allowed
+   * fraction (0.0 = zero tolerance). Returns the report for logging. */
+  def enforce(df: DataFrame, rules: Seq[Rule],
+      budgets: Map[String, Double]): DataFrame = {
+    check(df, rules, budgets).foreach(msg =>
+      throw new IllegalArgumentException(s"requirement failed: $msg"))
+    report(df, rules)
   }
 
   // zero rows = zero violations = a clean 0.0 rate (ANSI mode makes

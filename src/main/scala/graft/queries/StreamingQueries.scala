@@ -405,6 +405,92 @@ object StreamingQueries {
     upsertViewCols(state, s)
   }
 
+  /** q102: PRE-COMMIT EXPECTATIONS on a streamed ingest — q97's
+   * declarative rules composed with the q56 foreachBatch commit (the
+   * Delta-Live-Tables expectations-on-ingest shape): every micro-batch
+   * is budget-checked in ONE extra scan BEFORE it merges into the
+   * bucketed store; a batch that blows a budget is QUARANTINED (written
+   * aside with its per-row violation audit, never merged), so a
+   * poisoned extract can't corrupt the serving view and nothing is
+   * silently dropped — the quarantine dir holds the evidence for
+   * reprocessing. The source is the events stream split one file per
+   * `event_id % 8` slice (1 file per trigger → 8 real batches); slice 3
+   * carries synthesized poison rows (null type, sentinel value,
+   * max-epoch timestamps that WOULD win the argmax if merged). The
+   * oracle is the per-user argmax over the 7 clean slices — the hash
+   * proves the gate rejected exactly the poisoned batch (whole-batch
+   * quarantine semantics: slice 3's clean rows are held out with it)
+   * and the poison never reached the view. A clean run ≡ the unguarded
+   * pipeline is pinned in ExpectationsSpec. */
+  private def runStreamExpectations(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Rule
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val src = graft.sources.Scratch.dir("expgate_src")
+    val ev = graft.sources.Tables.load(ss, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    // poison: valid-looking keys with corrupt payloads that would WIN
+    // the per-user argmax (us = far future) if the gate let them through
+    val poison = ss.range(40).select(
+      (col("id") % 40).as("user_id"),
+      (col("id") + 900000000L).as("event_id"),
+      lit(null).cast("string").as("event_type"),
+      (col("id") + 4102444800000000L).as("us"), // far-future micros
+      lit(-9999.0).as("value"))
+    (0 until 8).foreach { i =>
+      val slice = ev.filter(col("event_id") % 8 === i)
+      (if (i == 3) slice.unionByName(poison) else slice)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val rules = Seq(
+      Rule("type_known", col("event_type").isNotNull),
+      Rule("value_not_sentinel", col("value") =!= -9999.0))
+    val budgets = Map("type_known" -> 0.0, "value_not_sentinel" -> 0.0)
+    val state = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "user_id",
+      payloadCols = Seq("us", "event_id", "event_type", "value"),
+      nBuckets = 16)
+    val qdir = graft.sources.Scratch.dir("expgate_quarantine")
+    val quarantined = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = ss.readStream.schema(ss.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.sources.Scratch.dir("expgate_cp"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Expectations.check(b, rules, budgets) match {
+          case None => state.merge(b, id)
+          case Some(_) =>
+            // whole-batch quarantine WITH the per-row audit: the
+            // rejected extract is preserved for reprocessing, the
+            // store never sees it
+            Expectations.audit(b, rules)
+              .write.mode("append").parquet(qdir)
+            quarantined.incrementAndGet(); ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+    require(quarantined.get() == 1,
+      s"expected exactly the poisoned batch quarantined, " +
+        s"got ${quarantined.get()}")
+    upsertViewCols(state, s)
+  }
+
+  private def streamExpectationsOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS us FROM events
+      |    WHERE event_id % 8 <> 3),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  us AS last_us, value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** q95: TIME TRAVEL on the upsert store — with `retainHistory` every
    * commit leaves an immutable numbered manifest, and `readAsOf` serves
    * the view exactly as a past commit left it (how a pipeline
@@ -930,6 +1016,8 @@ object StreamingQueries {
     Q("q99_upsert_change_feed", runChangeFeed, Some(changeFeedOracle)),
     Q("q100_upsert_schema_evolution", runSchemaEvolution,
       Some(schemaEvolutionOracle)),
+    Q("q102_stream_expectations_gate", runStreamExpectations,
+      Some(streamExpectationsOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),

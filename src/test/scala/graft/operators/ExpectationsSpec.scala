@@ -124,6 +124,40 @@ class ExpectationsSpec extends SparkSpec {
     assert(r.count() == 2)
   }
 
+  test("check is the non-throwing gate: None within budget, a message " +
+      "naming the blown rule otherwise") {
+    assert(Expectations.check(facts, rules,
+      Map("value_pos" -> 0.5, "cat_known" -> 0.25)).isEmpty)
+    val msg = Expectations.check(facts, rules, Map("value_pos" -> 0.0))
+    assert(msg.exists(_.contains("value_pos")), s"$msg")
+  }
+
+  test("pre-commit gate on CLEAN batches is the unguarded pipeline: " +
+      "gated and unguarded stores converge identically") {
+    import graft.streaming.BucketedUpsert
+    import graft.operators.Expectations.Rule
+    val payload = Seq("ver", "x")
+    def batch(ver: Long) = spark.range(20).select(
+      col("id").as("k"), lit(ver).as("ver"), (col("id") * ver).as("x"))
+    val gateRules = Seq(Rule("x_nonneg", col("x") >= 0))
+    val budgets = Map("x_nonneg" -> 0.0)
+    val gated = new BucketedUpsert.State(spark, "k", payload, 4)
+    val plain = new BucketedUpsert.State(spark, "k", payload, 4)
+    (1L to 3L).foreach { v =>
+      val b = batch(v)
+      // the gate adds one scan and must not change WHAT merges
+      Expectations.check(b, gateRules, budgets) match {
+        case None      => gated.merge(b, v)
+        case Some(msg) => fail(s"clean batch rejected: $msg")
+      }
+      plain.merge(b, v)
+    }
+    val g = gated.view(spark).select(col("k"), col("ver"), col("x"))
+    val p = plain.view(spark).select(col("k"), col("ver"), col("x"))
+    assert(g.except(p).isEmpty && p.except(g).isEmpty,
+      "gated clean run diverged from the unguarded pipeline")
+  }
+
   test("enforce fails closed on a budget naming no rule") {
     intercept[IllegalArgumentException] {
       Expectations.enforce(facts, rules,
