@@ -997,6 +997,53 @@ object StreamingQueries {
        |  min(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_docs
        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
 
+  /** q103: BUCKET-PRUNED POINT LOOKUP on the persisted keyed store —
+   * the serving-path complement of the merge side's write pruning.
+   * q91's dedup-fingerprint ledger is built (two deterministic monoid
+   * merges), then "the ledger rows of THESE fingerprints" is served by
+   * [[graft.streaming.BucketedUpsert.State.lookupKeys]]: probe buckets
+   * are computed driver-side with the build path's own hash (Catalyst
+   * XxHash64 literal eval — bit-identical routing, no false negatives)
+   * and only those bucket files are read — O(state·k/n) instead of the
+   * O(state) a view().filter pays, which at 100 TB is a point read vs
+   * a table scan. Probes are acquired by doc id (bounded driver-side
+   * list, the q101 lookup-key shape); the oracle restates acquisition
+   * + lookup over the whole-corpus ledger. Actual bucket pruning is
+   * pinned in UpsertStreamSpec via lookupPaths. */
+  private def runStoreLookup(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val docs = graft.sources.Tables.load(ss, dir, "documents")
+      .select(
+        graft.functions.TextFunctions.fingerprint(col("text"))
+          .as("fingerprint"),
+        col("doc_id").as("keeper_id"), lit(1L).as("n_docs"))
+    val state = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "fingerprint",
+      payloadCols = Seq("keeper_id", "n_docs"), nBuckets = 16,
+      combine = Some(df => df.groupBy(col("fingerprint"))
+        .agg(min(col("keeper_id")).as("keeper_id"),
+          sum(col("n_docs")).as("n_docs"))),
+      hashKey = true)
+    state.merge(docs.filter(col("keeper_id") % 2 === 0), 0L)
+    state.merge(docs.filter(col("keeper_id") % 2 === 1), 1L)
+    val probes = docs.filter(col("keeper_id").isin(3L, 111L, 222L))
+      .select(col("fingerprint")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    state.lookupKeys(s, probes).orderBy(col("fingerprint"))
+  }
+
+  private def storeLookupOracle: String =
+    s"""WITH f AS (SELECT md5(${DedupQueries.normT}) AS fingerprint,
+       |    min(doc_id) AS keeper_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |p AS (SELECT md5(${DedupQueries.normT}) AS fp FROM documents
+       |  WHERE doc_id IN (3, 111, 222))
+       |SELECT fingerprint, keeper_id, n_docs FROM f
+       |WHERE fingerprint IN (SELECT fp FROM p)
+       |ORDER BY fingerprint""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q92_stream_hopping", runHopping, Some(hoppingOracle)),
     Q("q91_stream_dedup_store", runDedupStore, Some(dedupStoreOracle)),
@@ -1018,6 +1065,8 @@ object StreamingQueries {
       Some(schemaEvolutionOracle)),
     Q("q102_stream_expectations_gate", runStreamExpectations,
       Some(streamExpectationsOracle)),
+    Q("q103_store_point_lookup", runStoreLookup,
+      Some(storeLookupOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),

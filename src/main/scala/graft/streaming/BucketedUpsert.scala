@@ -392,6 +392,52 @@ object BucketedUpsert {
      * simulated or real driver loss). */
     def rootDir: String = stateRoot
 
+    /** BUCKET-PRUNED POINT LOOKUP on the maintained view: serve "the
+     * current rows of THESE keys" by reading only the buckets those
+     * keys can live in. The bucket of each probe is computed DRIVER-
+     * side with the same function the merge path uses — Catalyst's
+     * XxHash64 literal eval for hashed (string) keys, pmod for raw
+     * numeric keys — so probe routing is bit-identical to build
+     * routing and false negatives cannot happen; an exact residual
+     * filter runs over the selected buckets. Cost is O(state · k/n)
+     * for k probe buckets of n, never O(state): the serving-path
+     * complement of [[merge]]'s write-side pruning (a view().filter
+     * reads every bucket — at 100 TB that is the difference between a
+     * point lookup and a table scan). No Spark job runs for the
+     * routing itself. */
+    private def probeBuckets(keys: Seq[Any]): Seq[Int] = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      val n = nBuckets.toLong
+      keys.distinct.map { k =>
+        val h: Long =
+          if (hashKey)
+            new XxHash64(Seq(Literal(k))).eval(null).asInstanceOf[Long]
+          else k match {
+            case x: Long => x
+            case x: Int  => x.toLong
+            case _ => throw new IllegalArgumentException(
+              s"lookupKeys: probe $k (${k.getClass.getSimpleName}) on " +
+                "a raw-numeric-keyed store — build with hashKey=true " +
+                "for non-numeric keys")
+          }
+        (((h % n) + n) % n).toInt
+      }.distinct
+    }
+
+    def lookupKeys(reader: SparkSession, keys: Seq[Any]): DataFrame = {
+      require(keys.nonEmpty, "lookupKeys: no keys")
+      val paths = probeBuckets(keys).flatMap(current.get)
+      if (paths.isEmpty)
+        return view(reader).limit(0) // schema-stable empty result
+      reader.read.option("mergeSchema", "true").parquet(paths: _*)
+        .filter(col(keyCol).isin(keys.distinct: _*))
+    }
+
+    /** The bucket dirs [[lookupKeys]] would read for `keys` — exposed
+     * so specs can assert the actual pruning, not a plan string. */
+    def lookupPaths(keys: Seq[Any]): Seq[String] =
+      probeBuckets(keys).flatMap(current.get).sorted
+
     /** The maintained view: the union of every bucket's current version
      * (bucket dirs are leaf paths, so the partition column is absent and
      * the schema is exactly key + payload). */

@@ -481,6 +481,47 @@ class UpsertStreamSpec extends SparkSpec {
     graft.sources.Scratch.deleteNow(rel)
   }
 
+  test("lookupKeys reads only the probes' buckets and equals the " +
+      "filtered view, for hashed-string and raw-numeric keys") {
+    import graft.streaming.BucketedUpsert
+    // hashed string keys (the dedup-ledger shape)
+    val docs = spark.range(400).select(
+      concat(lit("fp"), col("id") % 100).as("fp"),
+      col("id").as("keeper_id"), lit(1L).as("n_docs"))
+    def combine(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("fp"))
+        .agg(min(col("keeper_id")).as("keeper_id"),
+          sum(col("n_docs")).as("n_docs"))
+    val st = new BucketedUpsert.State(spark, "fp",
+      Seq("keeper_id", "n_docs"), nBuckets = 16,
+      combine = Some(combine), hashKey = true)
+    st.merge(docs, 0L)
+    val probes = Seq("fp3", "fp42")
+    val paths = st.lookupPaths(probes)
+    assert(paths.nonEmpty && paths.size <= 2 && paths.size < 16,
+      s"point lookup read ${paths.size} buckets")
+    val got = st.lookupKeys(spark, probes)
+      .select(col("fp"), col("keeper_id"), col("n_docs"))
+    val want = st.view(spark).filter(col("fp").isin(probes: _*))
+      .select(col("fp"), col("keeper_id"), col("n_docs"))
+    assert(got.except(want).isEmpty && want.except(got).isEmpty &&
+      got.count() == 2)
+    // absent key: empty with the store schema, never an error
+    val none = st.lookupKeys(spark, Seq("no_such_fp"))
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("fp", "keeper_id", "n_docs"))
+
+    // raw numeric keys route by pmod; a string probe must fail loudly
+    // (it cannot route without the hash the store wasn't built with)
+    val num = new BucketedUpsert.State(spark, "k", Seq("ver"),
+      nBuckets = 8)
+    num.merge(spark.range(64).select(col("id").as("k"),
+      lit(1L).as("ver")), 0L)
+    assert(num.lookupPaths(Seq(5L, 13L)).size <= 2)
+    assert(num.lookupKeys(spark, Seq(5L, 13L)).count() == 2)
+    intercept[IllegalArgumentException](num.lookupKeys(spark, Seq("x")))
+  }
+
   test("every committed live seq has a readable numbered manifest " +
       "(numbered-first commit ordering)") {
     import graft.streaming.BucketedUpsert
