@@ -140,6 +140,12 @@ object GcdIncremental {
     private val storeRoot = root.getOrElse(Scratch.dir("gcd_snap_store"))
     private var columns: Array[String] = Array.empty
     private val feedPaths = mutable.ArrayBuffer.empty[String]
+    // attempt-unique feed-dir numbering (the tx.attemptDir idea for the
+    // change log): incremented BEFORE each feed write, restored past
+    // every existing changes/ entry on recovery — a maintain retried
+    // after a crash mid-feed-write can never collide with the crashed
+    // attempt's half-written directory
+    private var feedAttempt = 0L
     // the shared transaction-log core (commit mechanics, recovery,
     // retention vacuum, orphan gc — see TxLog). The feed-path list
     // rides in the manifest header, so the change log is crash-
@@ -203,6 +209,12 @@ object GcdIncremental {
       feedPaths.clear()
       feedPaths ++= tokens.getOrElse("feeds", "").split(";")
         .filter(_.nonEmpty)
+      // resume feed numbering past every existing changes/ entry —
+      // committed or crashed — so retries never collide
+      feedAttempt = graft.sources.StoreIO
+        .list(ss, s"$storeRoot/changes")
+        .flatMap(p => p.getName.stripPrefix("f").toLongOption)
+        .maxOption.map(_ + 1).getOrElse(0L)
     }
 
     /** Apply one dump: rebuild touched issues, anti-join-carry ONLY the
@@ -275,9 +287,11 @@ object GcdIncremental {
           // the feed generation is WRITTEN before the commit and its
           // path rides in the manifest header ("feeds"), so the change
           // log is atomic with the pointer map: a crash before the
-          // commit leaves an unreferenced dir (orphan, never served), a
-          // crash after serves both the new pointers and the new feed
-          val out = s"$storeRoot/changes/f${feedPaths.length}_v${tx.seq + 1}"
+          // commit leaves an unreferenced dir (orphan, reclaimed by
+          // [[gc]] on recovery, never served), a crash after serves
+          // both the new pointers and the new feed
+          val out = s"$storeRoot/changes/f$feedAttempt"
+          feedAttempt += 1
           feed.write.parquet(out)
           feedPaths += out
         }
@@ -345,8 +359,16 @@ object GcdIncremental {
       require(retainHistory, "snapshotAsOf: store built without " +
         "retainHistory")
       val paths = tx.manifestPaths(g)
-      require(paths.nonEmpty,
-        s"snapshotAsOf($g): generation has no buckets")
+      if (paths.isEmpty) {
+        // a retained generation can be LEGITIMATELY empty (a dump that
+        // deleted every issue): serve zero rows with the snapshot
+        // schema, mirroring BucketedUpsert.readAsOf
+        val any = tx.anyBucketDir()
+        require(any.isDefined,
+          s"snapshotAsOf($g): generation is empty and no bucket file " +
+            "exists to derive the schema")
+        return ss.read.parquet(any.get).limit(0)
+      }
       ss.read.parquet(paths: _*)
     }
 
@@ -362,9 +384,21 @@ object GcdIncremental {
       deleted
     }
 
-    /** Orphan GC (see [[graft.streaming.TxLog.gc]]); runs automatically
-     * on [[GcdIncremental.recover]]. */
-    def gc(): Int = tx.gc()
+    /** Orphan GC: the shared bucket sweep ([[graft.streaming.TxLog.gc]])
+     * PLUS the change log's — a crash between a feed write and its
+     * commit leaves a `changes/f<n>` dir no manifest references, which
+     * the bucket sweep cannot see. Runs automatically on
+     * [[GcdIncremental.recover]]. */
+    def gc(): Int = {
+      val committed = feedPaths.map(p =>
+        new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+      val orphanFeeds = graft.sources.StoreIO
+        .list(ss, s"$storeRoot/changes")
+        .filterNot(p => committed.contains(p.toUri.getPath))
+      orphanFeeds.foreach(p =>
+        graft.sources.StoreIO.delete(ss, p.toString))
+      tx.gc() + orphanFeeds.size
+    }
   }
 
   /** Reattach a [[SnapshotStore]] to its root from the last committed

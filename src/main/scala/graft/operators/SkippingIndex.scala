@@ -240,19 +240,19 @@ object SkippingIndex {
     require(preds.nonEmpty, "lookupAll: no predicates")
     val live = liveDataFiles(spark, tableDir)
     val liveByNorm = live.iterator.map(f => norm(f) -> f).toMap
-    val residuals = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.Column]
     val perCol = preds.map { case (c, vs) =>
       val (coveredNorm, cands, keyType) =
         coverageAndCandidates(spark, tableDir, c, vs)
-      residuals += col(c).isin(normProbes(vs, keyType): _*)
-      // this column cannot rule out files its sidecar never covered
-      cands.map(norm).toSet ++
-        liveByNorm.keySet.filterNot(coveredNorm.contains)
+      // scan set: candidates plus the files this column's sidecar
+      // never covered (it cannot rule those out); residual: the exact
+      // typed conjunct
+      (cands.map(norm).toSet ++
+        liveByNorm.keySet.filterNot(coveredNorm.contains),
+        col(c).isin(normProbes(vs, keyType): _*))
     }
-    val files = perCol.reduce(_ intersect _).toSeq.sorted
+    val files = perCol.map(_._1).reduce(_ intersect _).toSeq.sorted
       .flatMap(liveByNorm.get)
-    val residual = residuals.reduce(_ && _)
+    val residual = perCol.map(_._2).reduce(_ && _)
     if (files.isEmpty)
       spark.read.parquet(tableDir).filter(lit(false))
     else spark.read.parquet(files: _*).filter(residual)

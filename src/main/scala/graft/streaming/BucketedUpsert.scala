@@ -405,38 +405,60 @@ object BucketedUpsert {
      * reads every bucket — at 100 TB that is the difference between a
      * point lookup and a table scan). No Spark job runs for the
      * routing itself. */
-    private def probeBuckets(keys: Seq[Any]): Seq[Int] = {
+    /** Normalize probes against the COMMITTED key type (read from a
+     * bucket file's footer — one metadata read): a probe whose runtime
+     * type differs from the key column would hash differently than the
+     * build side (XxHash64 of an Int literal hashes 4 bytes, of the
+     * stored Long column 8) and silently probe the wrong bucket — the
+     * same silent-false-negative class SkippingIndex.normProbes guards.
+     * Int widens safely to a long key; any other mismatch fails
+     * loudly. */
+    private def normProbes(keys: Seq[Any]): Seq[Any] = {
+      import org.apache.spark.sql.types.{IntegerType, LongType,
+        StringType}
+      val kt = ss.read.parquet(current.values.head)
+        .schema(keyCol).dataType
+      keys.distinct.map { k =>
+        (kt, k) match {
+          case (LongType, x: Long)     => x
+          case (LongType, x: Int)      => x.toLong
+          case (IntegerType, x: Int)   => x
+          case (StringType, x: String) => x
+          case _ => throw new IllegalArgumentException(
+            s"lookupKeys: probe $k (${k.getClass.getSimpleName}) does " +
+              s"not match the store's key type $kt — it would hash to " +
+              "the wrong bucket and silently miss the key")
+        }
+      }
+    }
+
+    private def probeBuckets(probes: Seq[Any]): Seq[Int] = {
       import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
       val n = nBuckets.toLong
-      keys.distinct.map { k =>
+      probes.map { k =>
         val h: Long =
           if (hashKey)
             new XxHash64(Seq(Literal(k))).eval(null).asInstanceOf[Long]
-          else k match {
-            case x: Long => x
-            case x: Int  => x.toLong
-            case _ => throw new IllegalArgumentException(
-              s"lookupKeys: probe $k (${k.getClass.getSimpleName}) on " +
-                "a raw-numeric-keyed store — build with hashKey=true " +
-                "for non-numeric keys")
-          }
+          else k.asInstanceOf[Number].longValue()
         (((h % n) + n) % n).toInt
       }.distinct
     }
 
     def lookupKeys(reader: SparkSession, keys: Seq[Any]): DataFrame = {
       require(keys.nonEmpty, "lookupKeys: no keys")
-      val paths = probeBuckets(keys).flatMap(current.get)
+      require(current.nonEmpty, "lookupKeys before any batch merged")
+      val probes = normProbes(keys)
+      val paths = probeBuckets(probes).flatMap(current.get)
       if (paths.isEmpty)
         return view(reader).limit(0) // schema-stable empty result
       reader.read.option("mergeSchema", "true").parquet(paths: _*)
-        .filter(col(keyCol).isin(keys.distinct: _*))
+        .filter(col(keyCol).isin(probes: _*))
     }
 
     /** The bucket dirs [[lookupKeys]] would read for `keys` — exposed
      * so specs can assert the actual pruning, not a plan string. */
     def lookupPaths(keys: Seq[Any]): Seq[String] =
-      probeBuckets(keys).flatMap(current.get).sorted
+      probeBuckets(normProbes(keys)).flatMap(current.get).sorted
 
     /** The maintained view: the union of every bucket's current version
      * (bucket dirs are leaf paths, so the partition column is absent and

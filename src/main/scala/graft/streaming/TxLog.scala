@@ -21,7 +21,8 @@ import org.apache.spark.sql.SparkSession
  *     numbered `_manifest.v<seq>` — and writes it FIRST, so a live
  *     manifest can never claim a seq whose numbered snapshot is
  *     unreadable (the inverse crash — numbered N exists, live still
- *     says N−1 — is healed by [[load]]'s max(header, history) resume);
+ *     says N−1 — leaves a PHANTOM version that was never acknowledged;
+ *     [[load]] deletes it, keeping generation numbering exact);
  *   - bucket data lands in ATTEMPT-UNIQUE directories ([[attemptDir]]):
  *     a retried operation id never collides with a crashed attempt's
  *     half-written files;
@@ -76,8 +77,18 @@ final class TxLog(ss: SparkSession, val root: String,
    * Returns the committed seq. One tiny write (or two) per commit. */
   def commit(opLabel: String): Long = {
     commitSeq += 1
+    val tokens = config()
+    // the header is space-tokenized on load — a config value carrying
+    // whitespace (e.g. a feed path under a root with a space in it)
+    // would silently truncate on recovery, so it fails loudly here at
+    // commit time instead
+    tokens.foreach { case (k, v) =>
+      require(!k.exists(_.isWhitespace) && !v.exists(_.isWhitespace),
+        s"manifest config token '$k=$v' contains whitespace — it would " +
+          "mis-parse on recovery (store roots/paths must be space-free)")
+    }
     val header = (s"$opLabel seq=$commitSeq" +:
-      config().map { case (k, v) => s"$k=$v" }).mkString(" ")
+      tokens.map { case (k, v) => s"$k=$v" }).mkString(" ")
     val body =
       (header +:
         current.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
@@ -128,12 +139,22 @@ final class TxLog(ss: SparkSession, val root: String,
 
   def manifestPaths(seq: Long): Seq[String] = manifestMap(seq).values.toSeq
 
-  /** Restore the log from the live manifest: pointer map, seq (resumed
-   * past any newer numbered manifest a crash left behind), attempt
+  /** Restore the log from the live manifest: pointer map, seq, attempt
    * numbering (past every existing `v*` dir, committed or crashed).
    * Returns the header's `k=v` tokens for the OWNING STORE to validate
    * against its own config — which mismatches are fatal is store
-   * semantics, not log mechanics. */
+   * semantics, not log mechanics.
+   *
+   * The LIVE manifest is the commit point: a numbered manifest with a
+   * seq the live header does not (yet) acknowledge is the leftover of
+   * a crash between the numbered-first write and the live swap — a
+   * PHANTOM version whose content was never served. It is deleted
+   * here, not resumed past: keeping it would make history() list a
+   * version the store never acknowledged, shift the stable generation
+   * numbering by one, and serve never-committed data via readAsOf.
+   * The retried operation then re-commits the same seq (the numbered
+   * write overwrites atomically), keeping '1 = init, 2 = first dump'
+   * numbering exact across any crash point. */
   def load(): Map[String, String] = {
     val mf = new Path(rootPath, "_manifest")
     require(fs.exists(mf), s"recover: no committed manifest at $root")
@@ -142,9 +163,10 @@ final class TxLog(ss: SparkSession, val root: String,
       .filter(_.contains("=")).map { t =>
         val Array(k, v) = t.split("=", 2); k -> v
       }.toMap
-    commitSeq = math.max(
-      tokens.get("seq").map(_.toLong).getOrElse(0L),
-      history().lastOption.getOrElse(0L))
+    commitSeq = tokens.get("seq").map(_.toLong).getOrElse(0L)
+    history().filter(_ > commitSeq).foreach { phantom =>
+      fs.delete(new Path(rootPath, s"_manifest.v$phantom"), true)
+    }
     current.clear()
     current ++= parseMap(lines)
     attempt = fs.listStatus(rootPath)

@@ -520,6 +520,48 @@ class UpsertStreamSpec extends SparkSpec {
     assert(num.lookupPaths(Seq(5L, 13L)).size <= 2)
     assert(num.lookupKeys(spark, Seq(5L, 13L)).count() == 2)
     intercept[IllegalArgumentException](num.lookupKeys(spark, Seq("x")))
+    // Int probes on a long-keyed store widen before hashing/routing —
+    // without normalization a hashed Int literal would probe the wrong
+    // bucket (4-byte vs 8-byte hash input) and silently miss
+    assert(num.lookupKeys(spark, Seq(5, 13)).count() == 2)
+    val hashedNum = new BucketedUpsert.State(spark, "k", Seq("ver"),
+      nBuckets = 8, hashKey = true)
+    hashedNum.merge(spark.range(64).select(col("id").as("k"),
+      lit(1L).as("ver")), 0L)
+    assert(hashedNum.lookupKeys(spark, Seq(5)).count() == 1,
+      "Int probe on a hashed long-keyed store missed its key")
+    intercept[IllegalArgumentException](
+      hashedNum.lookupKeys(spark, Seq(5.0)))
+  }
+
+  test("a phantom numbered manifest (crash between numbered write and " +
+      "live swap) is dropped on recovery; numbering stays exact") {
+    import graft.streaming.BucketedUpsert
+    def batch(ver: Long) = spark.range(10).select(
+      col("id").as("k"), lit(ver).as("ver"), (col("id") * ver).as("x"))
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, retainHistory = true)
+    st.merge(batch(1L), 0L); st.merge(batch(2L), 1L)
+    val root = st.rootDir
+    // simulate the crash: the numbered manifest for seq 3 was written
+    // but the live _manifest still says seq 2 — version 3 was never
+    // acknowledged and must not surface as a committed generation
+    val v2 = java.nio.file.Paths.get(root, "_manifest.v2")
+    val phantom = new String(java.nio.file.Files.readAllBytes(v2))
+      .replaceFirst("seq=2", "seq=3")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_manifest.v3"),
+      phantom.getBytes("UTF-8"))
+
+    val rec = BucketedUpsert.recover(spark, "k", Seq("ver", "x"), 4,
+      root, retainHistory = true)
+    assert(rec.history() == Seq(1L, 2L),
+      s"phantom generation surfaced: ${rec.history()}")
+    // the retried operation re-commits AS seq 3 — numbering exact
+    rec.merge(batch(3L), 2L)
+    assert(rec.history() == Seq(1L, 2L, 3L))
+    assert(rec.readAsOf(spark, 3L).filter(col("ver") === 3L)
+      .count() == 10)
   }
 
   test("every committed live seq has a readable numbered manifest " +
