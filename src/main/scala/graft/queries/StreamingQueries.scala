@@ -414,7 +414,7 @@ object StreamingQueries {
    * poisoned extract can't corrupt the serving view and nothing is
    * silently dropped — the quarantine dir holds the evidence for
    * reprocessing. The source is the events stream split one file per
-   * `event_id % 8` slice (1 file per trigger → 8 real batches); slice 3
+   * `event_id % 4` slice (1 file per trigger → 4 real batches); slice 3
    * carries synthesized poison rows (null type, sentinel value,
    * max-epoch timestamps that WOULD win the argmax if merged). The
    * oracle is the per-user argmax over the 7 clean slices — the hash
@@ -440,8 +440,8 @@ object StreamingQueries {
       lit(null).cast("string").as("event_type"),
       (col("id") + 4102444800000000L).as("us"), // far-future micros
       lit(-9999.0).as("value"))
-    (0 until 8).foreach { i =>
-      val slice = ev.filter(col("event_id") % 8 === i)
+    (0 until 4).foreach { i =>
+      val slice = ev.filter(col("event_id") % 4 === i)
       (if (i == 3) slice.unionByName(poison) else slice)
         .coalesce(1).write.mode("append").parquet(src)
     }
@@ -484,7 +484,7 @@ object StreamingQueries {
   private def streamExpectationsOracle: String =
     """WITH e AS (SELECT user_id, event_id, event_type, value,
       |    epoch_ns(ts) // 1000 AS us FROM events
-      |    WHERE event_id % 8 <> 3),
+      |    WHERE event_id % 4 <> 3),
       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
       |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
       |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
