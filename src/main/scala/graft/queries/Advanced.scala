@@ -1141,6 +1141,82 @@ object Advanced {
              |ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q104 — SEQUENCE PACKING (operators/Packing): GPT-style
+    // concat-and-chunk — the corpus token stream cut into fixed-256-
+    // token training sequences, each document learning its sequence
+    // span and offset. The engine side is the two-phase EXACT
+    // distributed prefix sum (range-shard → per-shard totals as a
+    // bounded driver list → broadcast offsets + within-shard window),
+    // never a single-partition window — the oracle restates the whole
+    // operator WITH the naive global window, which is exactly the
+    // proof the sharded plan loses nothing. Token counts are the
+    // t02-proven whitespace tokenization; all downstream arithmetic is
+    // integral (div/pmod), so the gate is hash-exact. PackingSpec pins
+    // equality-to-naive at 10k rows, straddle/zero-token edges, and
+    // gap-free sequence coverage.
+    Q("q104_sequence_packing",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .as("n_tokens"))
+        graft.operators.Packing.pack(d, "n_tokens", budget = 256L,
+            orderCols = Seq(col("doc_id")), nShards = 16)
+          .select(col("doc_id"), col("n_tokens"), col("cum"),
+            col("start_seq"), col("start_off"), col("end_seq"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split_regex(${DedupQueries.normT},
+             |      ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum FROM d)
+             |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
+             |  CAST((cum - n_tokens) // 256 AS BIGINT) AS start_seq,
+             |  CAST((cum - n_tokens) % 256 AS BIGINT) AS start_off,
+             |  CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256
+             |    ELSE (cum - 1) // 256 END AS BIGINT) AS end_seq
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // q105 — TOKEN-BUDGET SELECTION (operators/Packing): "take
+    // documents longest-first until the 20k-token budget is spent" —
+    // the deterministic corpus-curation cut a training run makes when
+    // the budget, not the corpus, is the constraint. Same two-phase
+    // prefix sum as q104 over the (n_tokens DESC, doc_id) priority
+    // order; a document is kept iff its STARTING offset is inside the
+    // budget (the first overflowing document is kept for training-time
+    // truncation — stated, deterministic, restated by the oracle). The
+    // `cum` column rides as selection evidence.
+    Q("q105_token_budget_select",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .as("n_tokens"))
+        graft.operators.Packing.selectToBudget(d, "n_tokens",
+            budget = 20000L,
+            orderCols = Seq(col("n_tokens").desc, col("doc_id")),
+            nShards = 16)
+          .select(col("doc_id"), col("n_tokens"), col("cum"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split_regex(${DedupQueries.normT},
+             |      ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum FROM d)
+             |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum
+             |FROM c WHERE cum - n_tokens < 20000
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q65 — SCD type-2 dimension build from a change log: each user's
     // event stream becomes versioned attribute history — a new version
     // opens only when the attribute CHANGES (lag-compare), versions get

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins what the q104/q105 hash gates can't see: the two-phase prefix
+ * sum equals the naive single-partition window EXACTLY while actually
+ * running sharded, and the packing/selection arithmetic handles the
+ * boundary cases (straddling documents, zero-token documents, the
+ * first overflowing document). */
+class PackingSpec extends SparkSpec {
+
+  private def docs = spark.range(10000).select(
+    col("id").as("doc_id"),
+    // token counts 0..49, including real zeros
+    (col("id") % 50).as("n_tokens"))
+
+  test("two-phase cumulative equals the single-partition window and " +
+      "really runs sharded") {
+    val got = Packing.withCumulative(docs, "n_tokens",
+      Seq(col("doc_id")), nShards = 8)
+    // the ranged relation must actually span several shards — pid is
+    // dropped from the output, so count distinct range partitions
+    val shards = docs.repartitionByRange(8, col("doc_id"))
+      .select(spark_partition_id()).distinct().count()
+    assert(shards > 1, "prefix sum degenerated to one shard")
+    val naive = docs.withColumn("cum",
+      sum(col("n_tokens")).over(Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.select(col("doc_id"), col("cum"))
+      .except(naive.select(col("doc_id"), col("cum"))).isEmpty &&
+      got.count() == 10000,
+      "two-phase prefix sum differs from the naive window")
+  }
+
+  test("pack: straddling docs span sequences, zero-token docs pin " +
+      "end_seq, offsets stay inside the budget") {
+    val p = Packing.pack(docs, "n_tokens", budget = 64L,
+      Seq(col("doc_id")), nShards = 8).cache()
+    try {
+      // arithmetic invariants over every row
+      assert(p.filter(col("start_off") < 0 ||
+        col("start_off") >= 64).count() == 0)
+      assert(p.filter(col("end_seq") < col("start_seq")).count() == 0)
+      // a doc straddles iff its tokens cross a boundary
+      assert(p.filter(col("n_tokens") > 0 &&
+        col("start_off") + col("n_tokens") > 64 &&
+        col("end_seq") === col("start_seq")).count() == 0,
+        "straddling doc not marked as spanning")
+      assert(p.filter(col("end_seq") > col("start_seq")).count() > 0,
+        "budget 64 with docs up to 49 tokens must produce straddles")
+      // zero-token docs exist in the fixture and must not span
+      assert(p.filter(col("n_tokens") === 0 &&
+        col("end_seq") =!= col("start_seq")).count() == 0)
+      // sequences are gap-free: every sequence index up to the last is
+      // some doc's start_seq or interior
+      val lastSeq = p.agg(max(col("end_seq"))).head().getLong(0)
+      val covered = p.select(explode(sequence(col("start_seq"),
+        col("end_seq"))).as("s")).distinct().count()
+      assert(covered == lastSeq + 1, s"coverage $covered vs ${lastSeq + 1}")
+    } finally p.unpersist()
+  }
+
+  test("selectToBudget keeps exactly the docs starting inside the " +
+      "budget, in priority order") {
+    val sel = Packing.selectToBudget(docs, "n_tokens", budget = 1000L,
+      Seq(col("n_tokens").desc, col("doc_id")), nShards = 8)
+    val rows = sel.orderBy(col("n_tokens").desc, col("doc_id"))
+      .collect()
+    // the selection is the longest-first prefix; its last kept doc
+    // STARTS inside the budget (cum - value < budget), the next would
+    // not — recompute naively and compare the kept id set
+    val naive = docs.withColumn("cum", sum(col("n_tokens")).over(
+        Window.orderBy(col("n_tokens").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") - col("n_tokens") < 1000)
+    assert(sel.select("doc_id").except(naive.select("doc_id")).isEmpty &&
+      naive.select("doc_id").except(sel.select("doc_id")).isEmpty)
+    assert(rows.nonEmpty && rows.length < 10000)
+    // evidence column rides along
+    assert(sel.columns.contains("cum"))
+  }
+}
