@@ -35,6 +35,22 @@ class PackingSpec extends SparkSpec {
       "two-phase prefix sum differs from the naive window")
   }
 
+  test("no single-partition window anywhere in the two-phase plan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = Packing.withCumulative(docs, "n_tokens",
+      Seq(col("doc_id")), nShards = 8).queryExecution.executedPlan
+    def globalWindows(p: SparkPlan): Int =
+      (p match {
+        case a: AdaptiveSparkPlanExec => globalWindows(a.executedPlan)
+        case w: WindowExec if w.partitionSpec.isEmpty => 1
+        case _ => 0
+      }) + p.children.map(globalWindows).sum
+    assert(globalWindows(plan) == 0,
+      s"found an unpartitioned (single-partition) window:\n$plan")
+  }
+
   test("pack: straddling docs span sequences, zero-token docs pin " +
       "end_seq, offsets stay inside the budget") {
     val p = Packing.pack(docs, "n_tokens", budget = 64L,
