@@ -1217,6 +1217,71 @@ object Advanced {
              |ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // p04 — the WHOLE training-data pipeline as one gate: the
+    // composition a real corpus build runs end-to-end, each stage an
+    // operator this engine already gates individually —
+    //   1. QUALITY filter (≥10 whitespace tokens — t02's counting),
+    //   2. exact DEDUP keeping the smallest doc_id per fingerprint
+    //      (d01's signature + keeper rule),
+    //   3. DECONTAMINATION against a held-out eval slice
+    //      (doc_id % 97 = 0): any training doc sharing a fingerprint
+    //      with a held-out doc is dropped, and the held-out docs
+    //      themselves never train (t15/q-contamination's exact-leak
+    //      form as a broadcast-able anti-join),
+    //   4. sequence PACKING of the survivors into 256-token training
+    //      sequences in doc_id order (q104's two-phase prefix sum).
+    // Plan shape: three scan-stage projections + one aggregate + one
+    // anti-join + the sharded prefix sum — nothing quadratic, nothing
+    // single-partition, every shuffle keyed. The oracle restates all
+    // four stages as one WITH-chain; the hash gate proves the
+    // composition, not just the parts.
+    Q("p04_training_pipeline",
+      (s, dir) => {
+        import graft.functions.{TextFunctions => TF}
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            TF.fingerprint(col("text")).as("fp"),
+            TF.tokenCount(col("text")).as("n_tokens"))
+        val quality = docs.filter(col("n_tokens") >= 10)
+        val deduped = quality
+          .groupBy(col("fp"))
+          .agg(min(struct(col("doc_id"), col("n_tokens"))).as("__m"))
+          .select(col("__m.doc_id").as("doc_id"), col("fp"),
+            col("__m.n_tokens").as("n_tokens"))
+        val heldOutFps = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("fp")).distinct()
+        val train = deduped
+          .filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(heldOutFps), Seq("fp"), "left_anti")
+        graft.operators.Packing.pack(train, "n_tokens", budget = 256L,
+            orderCols = Seq(col("doc_id")), nShards = 16)
+          .select(col("doc_id"), col("n_tokens"), col("cum"),
+            col("start_seq"), col("start_off"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+             |    md5(${DedupQueries.normT}) AS fp,
+             |    CAST(len(string_split_regex(${DedupQueries.normT},
+             |      ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |q AS (SELECT * FROM d WHERE n_tokens >= 10),
+             |dd AS (SELECT fp, min(doc_id) AS doc_id,
+             |    min_by(n_tokens, doc_id) AS n_tokens
+             |  FROM q GROUP BY fp),
+             |held AS (SELECT DISTINCT fp FROM d WHERE doc_id % 97 = 0),
+             |train AS (SELECT dd.* FROM dd
+             |  WHERE dd.doc_id % 97 <> 0
+             |    AND dd.fp NOT IN (SELECT fp FROM held)),
+             |c AS (SELECT doc_id, n_tokens,
+             |    SUM(n_tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum FROM train)
+             |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
+             |  CAST((cum - n_tokens) // 256 AS BIGINT) AS start_seq,
+             |  CAST((cum - n_tokens) % 256 AS BIGINT) AS start_off
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // q65 — SCD type-2 dimension build from a change log: each user's
     // event stream becomes versioned attribute history — a new version
     // opens only when the attribute CHANGES (lag-compare), versions get
