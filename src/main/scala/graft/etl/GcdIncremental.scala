@@ -333,6 +333,33 @@ object GcdIncremental {
       ss.read.parquet(paths: _*)
     }
 
+    /** BUCKET-PRUNED POINT LOOKUP: the rows of THESE issues, reading
+     * only the buckets they can live in — `pmod(issue_id, nBuckets)`
+     * computed driver-side (bit-identical to the maintain path's
+     * bucketing, no Spark job for routing) plus the exact residual.
+     * O(store · k/n) instead of the O(store) a view.filter pays: the
+     * flagship's serving path, the answer to "show me issue X's rows
+     * in today's snapshot" without a table scan (the
+     * [[graft.streaming.BucketedUpsert.State.lookupKeys]] contract on
+     * the GCD store). */
+    def lookupIssues(ids: Seq[Long]): DataFrame = {
+      require(ids.nonEmpty, "lookupIssues: no ids")
+      require(current.nonEmpty, "snapshot store read before init")
+      val n = nBuckets.toLong
+      val paths = ids.distinct.map(i => (((i % n) + n) % n).toInt)
+        .distinct.flatMap(current.get)
+      if (paths.isEmpty) return view.limit(0)
+      ss.read.parquet(paths: _*)
+        .filter(col("issue_id").isin(ids.distinct.map(Long.box): _*))
+    }
+
+    /** The bucket dirs [[lookupIssues]] would read — spec evidence. */
+    def lookupIssuePaths(ids: Seq[Long]): Seq[String] = {
+      val n = nBuckets.toLong
+      ids.distinct.map(i => (((i % n) + n) % n).toInt)
+        .distinct.flatMap(current.get).sorted
+    }
+
     /** The store root (pass to [[GcdIncremental.recover]] after a
      * simulated or real driver loss). */
     def rootDir: String = storeRoot

@@ -489,6 +489,32 @@ $credJoin
   private def snapshotAsOfOracle: String =
     oracle(GcdFlags(), scenarioDeps(scenarioYIssue))
 
+  // ----------------------------------------------------------- g06 lookup
+  /** g06: POINT LOOKUP on the flagship store — "issue X's snapshot
+   * rows" served by reading ONLY the pmod buckets the probe ids live
+   * in plus an exact residual (driver-side routing, no Spark job, the
+   * q103 serving-path contract on the GCD store). At the reference's
+   * 2.5M-issue scale a view.filter scans the whole snapshot per
+   * lookup; this reads ≤ k of n buckets. The store is built once per
+   * invocation from the cached full snapshot (the g03-g05 pattern);
+   * the oracle is the full g01 statement filtered to the probe ids —
+   * the hash proves bucket routing loses no row. */
+  private val g06Probes = Seq(3L, 500L, 1200L, 9000001L)
+
+  private def runPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val tables = GcdSnapshot.sourceTables.map(t =>
+      t -> s.read.parquet(s"$fixturesDir/$t.parquet")).toMap
+    val store = new graft.etl.GcdIncremental.SnapshotStore(s)
+    store.init(cachedYesterday(s, "today_full")(
+      GcdSnapshot.build(s, tables, snapshotDate, GcdFlags())))
+    jsonArrays(store.lookupIssues(g06Probes))
+  }
+
+  private def pointLookupOracle: String =
+    s"""WITH s AS (${oracle(GcdFlags())})
+       |SELECT * FROM s
+       |WHERE issue_id IN (${g06Probes.mkString(", ")})""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("g01_gcd_snapshot", run(GcdFlags()), Some(oracle(GcdFlags()))),
     Q("g02_gcd_snapshot_legacy", run(legacyFlags),
@@ -496,5 +522,7 @@ $credJoin
     Q("g03_gcd_incremental", runIncremental, Some(oracle(GcdFlags()))),
     Q("g04_gcd_change_feed", runChangeFeed, Some(changeFeedOracle)),
     Q("g05_gcd_snapshot_asof", runSnapshotAsOf,
-      Some(snapshotAsOfOracle)))
+      Some(snapshotAsOfOracle)),
+    Q("g06_gcd_point_lookup", runPointLookup,
+      Some(pointLookupOracle)))
 }

@@ -186,6 +186,24 @@ class GcdIncrementalSpec extends SparkSpec {
     assertSame(store.view, GcdSnapshot.build(spark, tables, date))
   }
 
+  test("point lookup reads only the probe ids' buckets and equals the " +
+      "filtered view") {
+    val base = GcdSnapshot.build(spark, tables, date)
+    val store = new GcdIncremental.SnapshotStore(spark, nBuckets = 16)
+    store.init(base)
+    val probes = Seq(3L, 500L)
+    val paths = store.lookupIssuePaths(probes)
+    assert(paths.nonEmpty && paths.size <= 2,
+      s"point lookup read ${paths.size} buckets for 2 ids")
+    val got = store.lookupIssues(probes)
+    val want = store.view
+      .filter(col("issue_id").isin(probes.map(Long.box): _*))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty &&
+      got.count() > 0)
+    // absent id: schema-stable empty, never an error
+    assert(store.lookupIssues(Seq(424242L)).count() == 0)
+  }
+
   test("store recovery: a driver loss keeps the live view, the feed, " +
       "and every retained generation; config mismatches fail loudly") {
     val issue = tables("gcd_issue")
