@@ -93,9 +93,16 @@ object Packing {
   def pack(df: DataFrame, valueCol: String, budget: Long,
       orderCols: Seq[Column], nShards: Int = 32): DataFrame = {
     require(budget > 0, "pack: budget must be positive")
-    // `div` (integral division), never `/`: the double division would
-    // lose exactness past 2^53 total tokens — a realistic corpus size
-    withCumulative(df, valueCol, orderCols, nShards)
+    chunk(withCumulative(df, valueCol, orderCols, nShards),
+      valueCol, budget)
+  }
+
+  /** The chunk arithmetic over a `cum`-carrying frame. `div` (integral
+   * division), never `/`: the double division would lose exactness
+   * past 2^53 total tokens — a realistic corpus size. */
+  private def chunk(cumDf: DataFrame, valueCol: String,
+      budget: Long): DataFrame =
+    cumDf
       .withColumn("start_seq",
         expr(s"(cum - `$valueCol`) div ${budget}L"))
       .withColumn("start_off",
@@ -103,7 +110,6 @@ object Packing {
       .withColumn("end_seq",
         when(col(valueCol) === 0, col("start_seq"))
           .otherwise(expr(s"(cum - 1L) div ${budget}L")))
-  }
 
   /** Priority-ordered selection under a global token budget: keeps
    * every document whose starting offset (`cum - value`) is inside
@@ -113,5 +119,35 @@ object Packing {
     require(budget > 0, "selectToBudget: budget must be positive")
     withCumulative(df, valueCol, orderCols, nShards)
       .filter(col("cum") - col(valueCol) < budget)
+  }
+
+  /** INCREMENTAL packing state: the token stream's running total. An
+   * arriving batch of documents extends the packed sequence stream
+   * WITHOUT re-packing history — its prefix sum starts at the carried
+   * total, so each append costs O(batch), never O(corpus): the
+   * maintain-side economics every persisted artifact here carries,
+   * applied to training-sequence assignment. The state is ONE long —
+   * trivially durable (callers persist it next to their corpus
+   * manifest; p03's as-of view + this total reproduce any epoch's
+   * packing exactly). */
+  final case class PackState(tokensSoFar: Long) {
+    /** Pack one arriving batch as the continuation of the stream:
+     * returns (packed batch, advanced state). Batch rows are ordered
+     * by `orderCols` within the batch; sequence numbers continue from
+     * the carried total, so the concatenation of all batches' outputs
+     * equals [[Packing.pack]] over the concatenated corpus in arrival
+     * order (spec-pinned). */
+    def append(batch: DataFrame, valueCol: String, budget: Long,
+        orderCols: Seq[Column], nShards: Int = 32)
+        : (DataFrame, PackState) = {
+      require(budget > 0, "append: budget must be positive")
+      val packed = chunk(
+        withCumulative(batch, valueCol, orderCols, nShards)
+          .withColumn("cum", col("cum") + tokensSoFar),
+        valueCol, budget)
+      val total = batch.agg(
+        coalesce(sum(col(valueCol)), lit(0L))).head().getLong(0)
+      (packed, PackState(tokensSoFar + total))
+    }
   }
 }

@@ -1217,6 +1217,49 @@ object Advanced {
              |ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // q106 — INCREMENTAL packing: an arriving dump of documents
+    // extends the packed sequence stream WITHOUT re-packing history —
+    // its prefix sum starts at the carried running total (one durable
+    // long), so each append costs O(batch), never O(corpus): the
+    // maintain-side economics of every persisted artifact here applied
+    // to training-sequence assignment. Two deterministic arrivals
+    // (even doc_ids, then odd); the oracle is the ONE-SHOT q104 window
+    // over the arrival order — the hash proves the incremental
+    // assignment equals re-packing from scratch (PackingSpec pins the
+    // same equality over 3 batches at 10k rows).
+    Q("q106_incremental_packing",
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.tokenCount(col("text"))
+              .as("n_tokens"))
+        val (p1, st1) = graft.operators.Packing.PackState(0L)
+          .append(d.filter(col("doc_id") % 2 === 0), "n_tokens",
+            budget = 256L, Seq(col("doc_id")), nShards = 16)
+        val (p2, _) = st1
+          .append(d.filter(col("doc_id") % 2 === 1), "n_tokens",
+            budget = 256L, Seq(col("doc_id")), nShards = 16)
+        p1.unionByName(p2)
+          .select(col("doc_id"), col("n_tokens"), col("cum"),
+            col("start_seq"), col("start_off"), col("end_seq"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split_regex(${DedupQueries.normT},
+             |      ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |    SUM(n_tokens) OVER (ORDER BY doc_id % 2, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS cum FROM d)
+             |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
+             |  CAST((cum - n_tokens) // 256 AS BIGINT) AS start_seq,
+             |  CAST((cum - n_tokens) % 256 AS BIGINT) AS start_off,
+             |  CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256
+             |    ELSE (cum - 1) // 256 END AS BIGINT) AS end_seq
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // p04 — the WHOLE training-data pipeline as one gate: the
     // composition a real corpus build runs end-to-end, each stage an
     // operator this engine already gates individually —

@@ -79,6 +79,29 @@ class PackingSpec extends SparkSpec {
     } finally p.unpersist()
   }
 
+  test("incremental append over arriving batches equals the one-shot " +
+      "pack of the concatenated corpus") {
+    var st = Packing.PackState(0L)
+    val outs = (0 to 2).map { b =>
+      val (p, next) = st.append(docs.filter(col("doc_id") % 3 === b),
+        "n_tokens", budget = 64L, Seq(col("doc_id")), nShards = 8)
+      st = next
+      p
+    }
+    assert(st.tokensSoFar ==
+      docs.agg(sum("n_tokens")).head().getLong(0))
+    val inc = outs.reduce(_ unionByName _)
+    val whole = Packing.pack(
+      docs.withColumn("__b", col("doc_id") % 3),
+      "n_tokens", budget = 64L,
+      Seq(col("__b"), col("doc_id")), nShards = 8).drop("__b")
+    val cols = Seq("doc_id", "cum", "start_seq", "start_off", "end_seq")
+      .map(col)
+    assert(inc.select(cols: _*).except(whole.select(cols: _*)).isEmpty &&
+      whole.select(cols: _*).except(inc.select(cols: _*)).isEmpty,
+      "batch-incremental packing diverged from the one-shot pack")
+  }
+
   test("selectToBudget keeps exactly the docs starting inside the " +
       "budget, in priority order") {
     val sel = Packing.selectToBudget(docs, "n_tokens", budget = 1000L,
