@@ -342,23 +342,27 @@ object GcdIncremental {
      * in today's snapshot" without a table scan (the
      * [[graft.streaming.BucketedUpsert.State.lookupKeys]] contract on
      * the GCD store). */
-    def lookupIssues(ids: Seq[Long]): DataFrame = {
-      require(ids.nonEmpty, "lookupIssues: no ids")
+    // the ONE routing expression both lookup entry points share —
+    // bit-identical to bucketOf's pmod, and a future routing change
+    // lands once (the BucketedUpsert probeBuckets idiom)
+    private def probeBucketPaths(ids: Seq[Long]): Seq[String] = {
       require(current.nonEmpty, "snapshot store read before init")
       val n = nBuckets.toLong
-      val paths = ids.distinct.map(i => (((i % n) + n) % n).toInt)
+      ids.distinct.map(i => (((i % n) + n) % n).toInt)
         .distinct.flatMap(current.get)
+    }
+
+    def lookupIssues(ids: Seq[Long]): DataFrame = {
+      require(ids.nonEmpty, "lookupIssues: no ids")
+      val paths = probeBucketPaths(ids)
       if (paths.isEmpty) return view.limit(0)
       ss.read.parquet(paths: _*)
         .filter(col("issue_id").isin(ids.distinct.map(Long.box): _*))
     }
 
     /** The bucket dirs [[lookupIssues]] would read — spec evidence. */
-    def lookupIssuePaths(ids: Seq[Long]): Seq[String] = {
-      val n = nBuckets.toLong
-      ids.distinct.map(i => (((i % n) + n) % n).toInt)
-        .distinct.flatMap(current.get).sorted
-    }
+    def lookupIssuePaths(ids: Seq[Long]): Seq[String] =
+      probeBucketPaths(ids).sorted
 
     /** The store root (pass to [[GcdIncremental.recover]] after a
      * simulated or real driver loss). */

@@ -56,7 +56,14 @@ object Packing {
    * (the row's starting offset is `cum - value`). See class doc for
    * the two-phase plan. `valueCol` must be non-negative. */
   def withCumulative(df: DataFrame, valueCol: String,
-      orderCols: Seq[Column], nShards: Int = 32): DataFrame = {
+      orderCols: Seq[Column], nShards: Int = 32): DataFrame =
+    withCumulativeAndTotal(df, valueCol, orderCols, nShards)._1
+
+  /** [[withCumulative]] plus the grand total — already known from the
+   * per-shard partials, so incremental callers ([[PackState.append]])
+   * never pay (or risk the inconsistency of) a second source scan. */
+  private def withCumulativeAndTotal(df: DataFrame, valueCol: String,
+      orderCols: Seq[Column], nShards: Int): (DataFrame, Long) = {
     // MATERIALIZED once (localCheckpoint): range boundaries come from
     // the partitioner's SAMPLE, whose seed differs per job — without
     // pinning the physical shards, the totals job and the cumsum job
@@ -66,10 +73,21 @@ object Packing {
     val ranged = df.repartitionByRange(nShards, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    // bounded driver list: one (shard, total) row per shard
-    val partials = ranged.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // bounded driver list: one (shard, total, null-count) row per shard
+    val partRows = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__t"),
+        sum(when(col(valueCol).isNull, 1L).otherwise(0L)).as("__n"))
+      .collect()
+    // FAIL LOUD on NULL values: sum() would silently skip them (a NULL
+    // row's cum then goes NULL and every chunk column with it), and an
+    // all-NULL shard would NPE the offset arithmetic below
+    partRows.foreach { r =>
+      require(r.getLong(2) == 0,
+        s"withCumulative: $valueCol contains NULLs (shard " +
+          s"${r.getInt(0)}: ${r.getLong(2)} rows) — coalesce or filter " +
+          "them before packing")
+    }
+    val partials = partRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until nShards)
       .scanLeft(0L)((acc, p) => acc + partials.getOrElse(p, 0L))
     import df.sparkSession.implicits._
@@ -77,11 +95,12 @@ object Packing {
       .toDF("__pid", "__off")
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
+    val cumDf = ranged
       .withColumn("__local", sum(col(valueCol)).over(w))
       .join(broadcast(offDf), Seq("__pid"))
       .withColumn("cum", col("__local") + col("__off"))
       .drop("__pid", "__local", "__off")
+    (cumDf, offsets.last)
   }
 
   /** Concat-and-chunk packing: adds `start_seq` (the fixed-`budget`
@@ -141,12 +160,15 @@ object Packing {
         orderCols: Seq[Column], nShards: Int = 32)
         : (DataFrame, PackState) = {
       require(budget > 0, "append: budget must be positive")
+      // the batch total comes from the SAME checkpointed partials the
+      // packed rows were computed from — a second scan of the source
+      // could see different data (a file landing mid-ingest) and
+      // silently desynchronize the carried total from the emitted rows
+      val (cumDf, total) = Packing.withCumulativeAndTotal(
+        batch, valueCol, orderCols, nShards)
       val packed = chunk(
-        withCumulative(batch, valueCol, orderCols, nShards)
-          .withColumn("cum", col("cum") + tokensSoFar),
+        cumDf.withColumn("cum", col("cum") + tokensSoFar),
         valueCol, budget)
-      val total = batch.agg(
-        coalesce(sum(col(valueCol)), lit(0L))).head().getLong(0)
       (packed, PackState(tokensSoFar + total))
     }
   }

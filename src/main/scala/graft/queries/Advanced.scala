@@ -1167,8 +1167,10 @@ object Advanced {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH d AS (SELECT doc_id,
-             |    CAST(len(string_split_regex(${DedupQueries.normT},
-             |      ' ')) AS BIGINT) AS n_tokens
+             |    CASE WHEN ${DedupQueries.normT} = ''
+             |      THEN CAST(0 AS BIGINT)
+             |      ELSE CAST(len(string_split_regex(${DedupQueries.normT},
+             |        ' ')) AS BIGINT) END AS n_tokens
              |  FROM documents),
              |c AS (SELECT doc_id, n_tokens,
              |    SUM(n_tokens) OVER (ORDER BY doc_id
@@ -1205,8 +1207,10 @@ object Advanced {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH d AS (SELECT doc_id,
-             |    CAST(len(string_split_regex(${DedupQueries.normT},
-             |      ' ')) AS BIGINT) AS n_tokens
+             |    CASE WHEN ${DedupQueries.normT} = ''
+             |      THEN CAST(0 AS BIGINT)
+             |      ELSE CAST(len(string_split_regex(${DedupQueries.normT},
+             |        ' ')) AS BIGINT) END AS n_tokens
              |  FROM documents),
              |c AS (SELECT doc_id, n_tokens,
              |    SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
@@ -1245,8 +1249,10 @@ object Advanced {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH d AS (SELECT doc_id,
-             |    CAST(len(string_split_regex(${DedupQueries.normT},
-             |      ' ')) AS BIGINT) AS n_tokens
+             |    CASE WHEN ${DedupQueries.normT} = ''
+             |      THEN CAST(0 AS BIGINT)
+             |      ELSE CAST(len(string_split_regex(${DedupQueries.normT},
+             |        ' ')) AS BIGINT) END AS n_tokens
              |  FROM documents),
              |c AS (SELECT doc_id, n_tokens,
              |    SUM(n_tokens) OVER (ORDER BY doc_id % 2, doc_id
@@ -1304,8 +1310,10 @@ object Advanced {
       },
       Some(s"""WITH d AS (SELECT doc_id,
              |    md5(${DedupQueries.normT}) AS fp,
-             |    CAST(len(string_split_regex(${DedupQueries.normT},
-             |      ' ')) AS BIGINT) AS n_tokens
+             |    CASE WHEN ${DedupQueries.normT} = ''
+             |      THEN CAST(0 AS BIGINT)
+             |      ELSE CAST(len(string_split_regex(${DedupQueries.normT},
+             |        ' ')) AS BIGINT) END AS n_tokens
              |  FROM documents),
              |q AS (SELECT * FROM d WHERE n_tokens >= 10),
              |dd AS (SELECT fp, min(doc_id) AS doc_id,
@@ -1314,7 +1322,8 @@ object Advanced {
              |held AS (SELECT DISTINCT fp FROM d WHERE doc_id % 97 = 0),
              |train AS (SELECT dd.* FROM dd
              |  WHERE dd.doc_id % 97 <> 0
-             |    AND dd.fp NOT IN (SELECT fp FROM held)),
+             |    AND NOT EXISTS (SELECT 1 FROM held h
+             |      WHERE h.fp = dd.fp)),
              |c AS (SELECT doc_id, n_tokens,
              |    SUM(n_tokens) OVER (ORDER BY doc_id
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -417,7 +417,7 @@ object StreamingQueries {
    * `event_id % 4` slice (1 file per trigger → 4 real batches); slice 3
    * carries synthesized poison rows (null type, sentinel value,
    * max-epoch timestamps that WOULD win the argmax if merged). The
-   * oracle is the per-user argmax over the 7 clean slices — the hash
+   * oracle is the per-user argmax over the 3 clean slices — the hash
    * proves the gate rejected exactly the poisoned batch (whole-batch
    * quarantine semantics: slice 3's clean rows are held out with it)
    * and the poison never reached the view. A clean run ≡ the unguarded
