@@ -422,12 +422,14 @@ object StreamingQueries {
    * quarantine semantics: slice 3's clean rows are held out with it)
    * and the poison never reached the view. A clean run ≡ the unguarded
    * pipeline is pinned in ExpectationsSpec. */
-  private def runStreamExpectations(s: SparkSession,
-      dir: String): DataFrame = {
+  /** The q102/q107 shared gated-ingest loop: stream the 4-slice source
+   * (slice 3 poisoned) through the pre-commit expectations gate into a
+   * fresh store; returns (store, quarantine dir). Exactly one batch —
+   * the poisoned one — must quarantine. */
+  private def expectationsGatedIngest(ss: SparkSession, dir: String)
+      : (graft.streaming.BucketedUpsert.State, String) = {
     import graft.operators.Expectations
     import graft.operators.Expectations.Rule
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
     val src = graft.sources.Scratch.dir("expgate_src")
     val ev = graft.sources.Tables.load(ss, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -478,6 +480,38 @@ object StreamingQueries {
     require(quarantined.get() == 1,
       s"expected exactly the poisoned batch quarantined, " +
         s"got ${quarantined.get()}")
+    (state, qdir)
+  }
+
+  private def runStreamExpectations(s: SparkSession,
+      dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val (state, _) = expectationsGatedIngest(ss, dir)
+    upsertViewCols(state, s)
+  }
+
+  /** q107: QUARANTINE REPLAY — the repair half of the q102 lifecycle
+   * (expectations → quarantine → repair → replay, the DLT loop closed).
+   * The quarantined batch is read back WITH its per-row violation
+   * audit, the violating rows are dropped (the audit column is the
+   * repair's routing evidence — no re-evaluation of the rules), and
+   * the salvaged clean rows merge into the store under a fresh batch
+   * id. Dropping exactly the violating rows restores exactly the
+   * original corpus rows of that slice, so the repaired view must
+   * equal the PLAIN q56 argmax over the whole events table — the
+   * oracle is shared verbatim, which is precisely the proof the
+   * quarantine-repair roundtrip loses nothing and the poison never
+   * lands. */
+  private def runQuarantineReplay(s: SparkSession,
+      dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val (state, qdir) = expectationsGatedIngest(ss, dir)
+    val salvaged = ss.read.parquet(qdir)
+      .filter(size(col("violations")) === 0)
+      .drop("violations")
+    state.merge(salvaged, 1000L)
     upsertViewCols(state, s)
   }
 
@@ -1067,6 +1101,8 @@ object StreamingQueries {
       Some(streamExpectationsOracle)),
     Q("q103_store_point_lookup", runStoreLookup,
       Some(storeLookupOracle)),
+    Q("q107_quarantine_replay", runQuarantineReplay,
+      Some(upsertOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
