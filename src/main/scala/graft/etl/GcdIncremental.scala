@@ -392,13 +392,18 @@ object GcdIncremental {
       val paths = tx.manifestPaths(g)
       if (paths.isEmpty) {
         // a retained generation can be LEGITIMATELY empty (a dump that
-        // deleted every issue): serve zero rows with the snapshot
-        // schema, mirroring BucketedUpsert.readAsOf
-        val any = tx.anyBucketDir()
-        require(any.isDefined,
+        // deleted every issue): serve zero rows with the column list
+        // THAT generation's own manifest header committed — schema is
+        // deterministic, not a function of filesystem listing order
+        // (mirrors BucketedUpsert.emptyVersion)
+        val committed = tx.manifestTokens(g).getOrElse("columns",
+          columns.mkString(",")).split(",").toSeq
+        val dirs = tx.allBucketDirs()
+        require(dirs.nonEmpty,
           s"snapshotAsOf($g): generation is empty and no bucket file " +
             "exists to derive the schema")
-        return ss.read.parquet(any.get).limit(0)
+        return ss.read.option("mergeSchema", "true").parquet(dirs: _*)
+          .limit(0).select(committed.map(col): _*)
       }
       ss.read.parquet(paths: _*)
     }
@@ -421,11 +426,16 @@ object GcdIncremental {
      * the bucket sweep cannot see. Runs automatically on
      * [[GcdIncremental.recover]]. */
     def gc(): Int = {
+      // qualify BOTH sides through the root's FileSystem, mirroring
+      // TxLog.qualify/sweep — a relative storeRoot (recover() runs gc()
+      // automatically) must not make committed feed paths look like
+      // orphans and silently delete the durable change log
+      val fs = graft.sources.StoreIO.fs(ss, storeRoot)
       val committed = feedPaths.map(p =>
-        new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+        fs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString).toSet
       val orphanFeeds = graft.sources.StoreIO
         .list(ss, s"$storeRoot/changes")
-        .filterNot(p => committed.contains(p.toUri.getPath))
+        .filterNot(p => committed.contains(fs.makeQualified(p).toString))
       orphanFeeds.foreach(p =>
         graft.sources.StoreIO.delete(ss, p.toString))
       tx.gc() + orphanFeeds.size

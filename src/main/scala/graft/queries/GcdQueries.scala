@@ -31,6 +31,15 @@ object GcdQueries {
   /** Snapshot date: pinned so unix_time is a stable cross-round constant. */
   val snapshotDate = "2026-8-12"
 
+  /** Warm the fixture dump's file index + footers (tiny tables, one
+   * count each) — [[graft.Bench]] calls this once so g01/g02's first
+   * rep doesn't pay the cold fixture scan the sfDir warm-up loop never
+   * touches. */
+  def warmFixtures(s: SparkSession): Unit =
+    GcdSnapshot.sourceTables.foreach { t =>
+      s.read.parquet(s"$fixturesDir/$t.parquet").count()
+    }
+
   // ---------------------------------------------------------------- Spark
   // The snapshot's multi-value fields (price, credits, genre, …) are
   // arrays; the driver's comparator sorts rows with pandas, which cannot
@@ -68,15 +77,24 @@ object GcdQueries {
   // The store-init bucketed WRITE — part of the operator under test —
   // is still paid by every gate run.
   private val yesterdayCache =
-    scala.collection.mutable.Map.empty[String, String]
+    scala.collection.mutable.Map.empty[(String, String, String, Long), String]
   private def cachedYesterday(s: SparkSession, key: String)(
       build: => DataFrame): DataFrame = {
+    // the cache key carries the scenario label AND the fixture
+    // provenance (dir, snapshot date, newest fixture mtime): a JVM
+    // that runs gates against a different — or regenerated — fixture
+    // set must rebuild, not silently re-serve the first run's
+    // materialized yesterday snapshot as a hash-gate mismatch
+    val fixturesStamp = graft.sources.StoreIO.fs(s, fixturesDir)
+      .listStatus(new org.apache.hadoop.fs.Path(fixturesDir))
+      .map(_.getModificationTime).foldLeft(0L)(math.max)
     val path = yesterdayCache.synchronized {
-      yesterdayCache.getOrElseUpdate(key, {
-        val p = graft.sources.Scratch.dir(s"gcd_yesterday_$key")
-        build.write.mode("overwrite").parquet(p)
-        p
-      })
+      yesterdayCache.getOrElseUpdate(
+        (key, fixturesDir, snapshotDate, fixturesStamp), {
+          val p = graft.sources.Scratch.dir(s"gcd_yesterday_$key")
+          build.write.mode("overwrite").parquet(p)
+          p
+        })
     }
     s.read.parquet(path)
   }

@@ -65,6 +65,16 @@ object StoreIO {
     else f.listStatus(p).toSeq.map(_.getPath)
   }
 
+  /** Recursive copy of `src` into `dst` (deep-clone primitive for the
+   * keyed stores). Goes through FileUtil so it works on any FileSystem
+   * pair the two URIs name. */
+  def copyDir(spark: SparkSession, src: String, dst: String): Unit = {
+    val c = conf(spark)
+    require(org.apache.hadoop.fs.FileUtil.copy(
+      fs(spark, src), new Path(src), fs(spark, dst), new Path(dst),
+      false, c), s"copy $src -> $dst failed")
+  }
+
   /** Rename `src` onto `dst` (no overwrite), failing loudly. */
   def rename(spark: SparkSession, src: String, dst: String): Unit = {
     require(fs(spark, src).rename(new Path(src), new Path(dst)),

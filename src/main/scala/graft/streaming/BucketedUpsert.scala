@@ -241,19 +241,30 @@ object BucketedUpsert {
      * partially) on a vacuumed or unknown version. */
     def readAsOf(reader: SparkSession, seq: Long): DataFrame = {
       val paths = tx.manifestPaths(seq)
-      if (paths.isEmpty) {
-        // a committed version can be LEGITIMATELY empty (a delete that
-        // removed every key): serve zero rows with the store schema,
-        // derived from any bucket file still on disk
-        val any = tx.anyBucketDir()
-        require(any.isDefined,
-          s"readAsOf($seq): version is empty and no bucket file " +
-            "exists to derive the schema")
-        return reader.read.parquet(any.get).limit(0)
-      }
+      if (paths.isEmpty) return emptyVersion(reader, seq)
       // a version may span a payload widening; missing columns read as
       // typed nulls (a purely pre-widening version keeps its old schema)
       reader.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+
+    /** Zero rows with the schema THAT version committed — a committed
+     * version can be LEGITIMATELY empty (a delete that removed every
+     * key). Its own numbered-manifest header records the payload
+     * column list as of the commit, so whether an empty pre-widening
+     * version surfaces the old or the widened schema is DETERMINISTIC,
+     * not a function of which bucket file a directory listing happens
+     * to return first; types come from a footer-merge over every file
+     * still on disk (metadata-only, and only on this edge read). */
+    private def emptyVersion(reader: SparkSession, seq: Long): DataFrame = {
+      val committed = keyCol +: tx.manifestTokens(seq)
+        .getOrElse("payload", payloadCols.mkString(","))
+        .split(",").toSeq
+      val dirs = tx.allBucketDirs()
+      require(dirs.nonEmpty,
+        s"readAsOf($seq): version is empty and no bucket file " +
+          "exists to derive the schema")
+      reader.read.option("mergeSchema", "true").parquet(dirs: _*)
+        .limit(0).select(committed.map(col): _*)
     }
 
     /** VERSION-TO-VERSION CHANGE FEED (the Delta CDF shape served from
@@ -274,8 +285,15 @@ object BucketedUpsert {
       val after = tx.manifestMap(toSeq)
       val diffBuckets = (before.keySet ++ after.keySet)
         .filter(b => before.get(b) != after.get(b))
+      // BOTH versions can be legitimately empty (diffing across a
+      // delete-all): no buckets differ and no pointer exists to derive
+      // a schema from — the feed is the later version's empty schema,
+      // not a .head throw
       val schemaSrc = (before.values ++ after.values).toSeq
-      val emptySide = reader.read.parquet(schemaSrc.head).limit(0)
+      val emptySide =
+        if (schemaSrc.nonEmpty)
+          reader.read.parquet(schemaSrc.head).limit(0)
+        else emptyVersion(reader, toSeq)
       def side(m: Map[Int, String]): DataFrame = {
         val ps = diffBuckets.toSeq.sorted.flatMap(m.get)
         if (ps.isEmpty) emptySide
@@ -392,6 +410,32 @@ object BucketedUpsert {
      * simulated or real driver loss). */
     def rootDir: String = stateRoot
 
+    /** DEEP CLONE of the LIVE view into `newRoot`: copy every bucket
+     * version the live pointer map references and commit a fresh
+     * manifest over the copies (Delta's deep CLONE over its log). The
+     * clone is a fully independent store with the same key/payload/
+     * bucketing semantics — mutating it (a what-if replay, a repair
+     * experiment, a branched backfill) can never retire or rewrite a
+     * byte of the source store, which is what makes speculative
+     * pipelines against a shared committed store safe. History is NOT
+     * carried over: the clone starts its own version 1 at the live
+     * view (retained source versions remain readable on the source).
+     * Cost: one file copy per live bucket + one manifest write —
+     * O(state), no shuffle, no Spark job. */
+    def cloneTo(newRoot: String): State = {
+      require(current.nonEmpty, "cloneTo before any batch merged")
+      val st = new State(ss, keyCol, payloadCols, nBuckets,
+        collectMetrics = false, Some(newRoot), combine, hashKey,
+        retainHistory = false)
+      val out = st.tx.attemptDir(0L)
+      current.toSeq.sortBy(_._1).foreach { case (b, p) =>
+        graft.sources.StoreIO.copyDir(ss, p, s"$out/__bucket=$b")
+        st.tx.current(b) = s"$out/__bucket=$b"
+      }
+      st.tx.commit("clone")
+      st
+    }
+
     /** BUCKET-PRUNED POINT LOOKUP on the maintained view: serve "the
      * current rows of THESE keys" by reading only the buckets those
      * keys can live in. The bucket of each probe is computed DRIVER-
@@ -416,8 +460,17 @@ object BucketedUpsert {
     private def normProbes(keys: Seq[Any]): Seq[Any] = {
       import org.apache.spark.sql.types.{IntegerType, LongType,
         StringType}
+      require(current.nonEmpty, "lookup before any batch merged")
       val kt = ss.read.parquet(current.values.head)
         .schema(keyCol).dataType
+      // a non-hashed store routes via pmod(key, n) directly — only a
+      // numeric key can take that path, so a string-keyed probe must
+      // fail with the designed type-mismatch message, not a raw
+      // ClassCastException downstream in probeBuckets
+      require(hashKey || kt == LongType || kt == IntegerType,
+        s"lookupKeys: store key type $kt is bucketed without hashKey — " +
+          "only numeric keys route via pmod; rebuild the store with " +
+          "hashKey=true for string keys")
       keys.distinct.map { k =>
         (kt, k) match {
           case (LongType, x: Long)     => x

@@ -128,13 +128,25 @@ final class TxLog(ss: SparkSession, val root: String,
 
   /** Bucket→path pointer map of one committed version. Fails loudly on
    * a never-committed or vacuumed version — never reads partially. */
-  def manifestMap(seq: Long): Map[Int, String] = {
+  def manifestMap(seq: Long): Map[Int, String] = parseMap(numbered(seq))
+
+  /** The `k=v` config tokens one committed version's header recorded —
+   * the store's semantic config AS OF that commit (payload/column list,
+   * bucketing pins). This is what makes an EMPTY version's schema
+   * deterministic: the columns that version committed are in its own
+   * header, independent of which bucket file a directory listing
+   * happens to surface first. */
+  def manifestTokens(seq: Long): Map[String, String] =
+    numbered(seq).head.split(" ").toSeq.filter(_.contains("="))
+      .map { t => val Array(k, v) = t.split("=", 2); k -> v }.toMap
+
+  private def numbered(seq: Long): Seq[String] = {
     val mf = new Path(rootPath, s"_manifest.v$seq")
     require(fs.exists(mf),
       s"version $seq: no such committed version at $root — never " +
         "committed, vacuumed past retention, or the store was built " +
         "without retainHistory")
-    parseMap(readManifest(mf))
+    readManifest(mf)
   }
 
   def manifestPaths(seq: Long): Seq[String] = manifestMap(seq).values.toSeq
@@ -183,13 +195,21 @@ final class TxLog(ss: SparkSession, val root: String,
 
   /** Any bucket leaf dir still on disk — schema source for reading a
    * legitimately-empty committed version. */
-  def anyBucketDir(): Option[String] =
+  def anyBucketDir(): Option[String] = allBucketDirs().headOption
+
+  /** EVERY bucket leaf dir still on disk — the union schema source for
+   * an empty committed version that must surface a column only SOME
+   * files carry (a post-widening empty version with only pre-widening
+   * files in its listing prefix). Footer-merge over these is
+   * file-count-sized metadata work, and this path only runs on the
+   * zero-row edge read. */
+  def allBucketDirs(): Seq[String] =
     fs.listStatus(rootPath).iterator
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("v"))
       .flatMap(d => fs.listStatus(d.getPath).iterator)
-      .find(b => b.isDirectory &&
+      .filter(b => b.isDirectory &&
         b.getPath.getName.startsWith("__bucket="))
-      .map(_.getPath.toString)
+      .map(_.getPath.toString).toSeq.sorted
 
   /** Referenced-set sweep shared by [[vacuum]] and [[gc]]: delete every
    * bucket dir under a `v*` shell that `referenced` does not name. Both

@@ -240,4 +240,34 @@ class GcdIncrementalSpec extends SparkSpec {
     assert(rec.retainedGenerations == Seq(1L, 2L, 3L))
     assertSame(rec.snapshotAsOf(3), rec.view)
   }
+
+  test("recovery on a RELATIVE store root keeps the committed change " +
+      "feed (gc qualifies both sides, never orphans committed feeds)") {
+    val issue = tables("gcd_issue")
+    val isM = col("id") % 5 === 1
+    val touched = issue.filter(isM)
+      .select(col("id").cast("long").as("issue_id"))
+    val yTables = tables + ("gcd_issue" -> issue.withColumn("price",
+      when(isM, lit("old")).otherwise(col("price"))))
+    val base = GcdSnapshot.build(spark, yTables, date)
+    // a RELATIVE root: committed feed paths qualify to absolute URIs in
+    // the manifest, while a naive listing-vs-committed comparison on
+    // recovery sees unqualified strings — the exact mismatch that made
+    // gc() treat every committed feed generation as an orphan
+    val rel = s"target/relstore_${System.nanoTime()}"
+    try {
+      val store = new GcdIncremental.SnapshotStore(spark, nBuckets = 16,
+        root = Some(rel))
+      store.init(base)
+      store.maintain(tables, touched, date, GcdFlags(), emitFeed = true)
+      val feedCount = store.changeFeed.count()
+      assert(feedCount > 0)
+      val rec = GcdIncremental.recover(spark, rel, nBuckets = 16)
+      assert(rec.changeFeed.count() == feedCount,
+        "recover() on a relative root deleted committed change feeds")
+      assertSame(rec.view, GcdSnapshot.build(spark, tables, date))
+    } finally {
+      graft.sources.Scratch.deleteNow(rel)
+    }
+  }
 }

@@ -587,4 +587,90 @@ class UpsertStreamSpec extends SparkSpec {
       assert(st.readAsOf(spark, seq).count() == 10)
     }
   }
+
+  test("changesBetween two legitimately-empty versions is an empty " +
+      "feed, not a throw") {
+    import graft.streaming.BucketedUpsert
+    import spark.implicits._
+    def batch(ver: Long) = (0L to 3L).map(k => (k, ver, k))
+      .toDF("k", "ver", "x")
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, retainHistory = true)
+    st.merge(batch(1L), 0L)                       // v1
+    st.delete((0L to 3L).toDF("k"), 1L)           // v2: empty
+    st.merge(batch(2L), 2L)                       // v3
+    st.delete((0L to 3L).toDF("k"), 3L)           // v4: empty
+    val feed = st.changesBetween(spark, 2L, 4L)
+    assert(feed.count() == 0,
+      "diff of two empty versions must be an empty feed")
+    assert(feed.columns.toSeq == Seq("op", "k", "ver", "x"),
+      s"empty feed schema wrong: ${feed.columns.toSeq}")
+  }
+
+  test("empty version's schema is DETERMINISTIC: a pre-widening empty " +
+      "version keeps its own committed (old) schema after widening") {
+    import graft.streaming.BucketedUpsert
+    import spark.implicits._
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, retainHistory = true)
+    st.merge((0L to 3L).map(k => (k, 1L, k)).toDF("k", "ver", "x"), 0L)
+    st.delete((0L to 3L).toDF("k"), 1L)           // v2: empty, OLD schema
+    // widen and write post-widening files — an anyBucketDir-style
+    // listing could now surface a widened file first; the committed
+    // header, not listing order, must decide v2's schema
+    val wide = BucketedUpsert.recover(spark, "k",
+      Seq("ver", "x", "extra"), 4, st.rootDir, retainHistory = true)
+    wide.merge((0L to 3L).map(k => (k, 2L, k, s"e$k"))
+      .toDF("k", "ver", "x", "extra"), 2L)
+    val empty = wide.readAsOf(spark, 2L)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("k", "ver", "x"),
+      s"pre-widening empty version widened nondeterministically: " +
+        s"${empty.columns.toSeq}")
+    // and a POST-widening empty version carries the widened schema
+    wide.delete((0L to 3L).toDF("k"), 3L)         // v4: empty, NEW schema
+    val emptyWide = wide.readAsOf(spark, 4L)
+    assert(emptyWide.columns.toSeq == Seq("k", "ver", "x", "extra"),
+      s"post-widening empty version lost the widened column: " +
+        s"${emptyWide.columns.toSeq}")
+  }
+
+  test("cloneTo: the clone serves the live view; mutating it never " +
+      "disturbs the source store") {
+    import graft.streaming.BucketedUpsert
+    import spark.implicits._
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4)
+    st.merge((0L to 9L).map(k => (k, 1L, k)).toDF("k", "ver", "x"), 0L)
+    val cl = st.cloneTo(Scratch.dir("clone_spec"))
+    val cols = Seq("k", "ver", "x").map(col)
+    assert(cl.view(spark).select(cols: _*)
+      .except(st.view(spark).select(cols: _*)).isEmpty,
+      "clone must equal the source live view")
+    // mutate the clone: upsert every key; its eager retirement must
+    // retire only COPIED files, the source store stays byte-identical
+    cl.merge((0L to 9L).map(k => (k, 2L, k * 2)).toDF("k", "ver", "x"),
+      1L)
+    assert(cl.view(spark).filter(col("ver") === 2L).count() == 10)
+    assert(st.view(spark).filter(col("ver") === 1L).count() == 10 &&
+      st.view(spark).count() == 10,
+      "mutating the clone disturbed the source store")
+    // lookups route identically on the clone (same bucketing config)
+    assert(cl.lookupKeys(spark, Seq(3L)).count() == 1)
+    // cloning an un-merged store fails loudly
+    val fresh = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4)
+    intercept[IllegalArgumentException](
+      fresh.cloneTo(Scratch.dir("clone_spec_fresh")))
+  }
+
+  test("lookupPaths before any merge fails with the descriptive " +
+      "error, not a bare NoSuchElementException") {
+    import graft.streaming.BucketedUpsert
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4)
+    val ex = intercept[IllegalArgumentException](st.lookupPaths(Seq(1L)))
+    assert(ex.getMessage.contains("before any batch merged"),
+      ex.getMessage)
+  }
 }
