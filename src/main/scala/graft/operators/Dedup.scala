@@ -309,7 +309,12 @@ object Dedup {
       .withColumn("n_bucket", count(lit(1)).over(w))
   }
 
-  private def simHashSigs(df: DataFrame, idCol: String, textCol: String,
+  /** (`idCol`, `simhash`) signatures — the shared projection behind
+   * [[simHashBuckets]]/[[simHashPairs]] and the arrival-time signature
+   * computation of [[graft.streaming.NearDupLedger]]. The token-hash
+   * array is projected to an attribute first so the codegen'd simHash
+   * expression scans it once (TextFunctions' re-evaluation caveat). */
+  def simHashSigs(df: DataFrame, idCol: String, textCol: String,
       bits: Int): DataFrame =
     df.select(col(idCol), TF.tokens(col(textCol)).as("__tok"))
       .select(col(idCol),

@@ -84,6 +84,39 @@ object Expectations {
       a.filter(size(col("violations")) > 0))
   }
 
+  /** REPAIR-AND-READMIT — the patch half of the quarantine lifecycle
+   * (gate → quarantine → repair → replay): apply per-rule PATCHES to
+   * an audited quarantine frame (rows carrying the [[audit]]
+   * `violations` column). A patch maps a violated rule's name to the
+   * column assignments that fix it; assignments apply ONLY to rows the
+   * audit convicted of that rule (the audit column is the routing
+   * evidence — rules are not re-evaluated to decide who gets patched),
+   * and a patch expression may reference the row's other columns (so
+   * a dimension backfill is "join, then patch from the joined
+   * column"). The patched rows are then RE-AUDITED against the full
+   * rule set — nothing re-admits on trust: returns (readmitted,
+   * unrepairable), the second still carrying its fresh violation list.
+   * All of it is scan-stage projection + one re-audit pass — no
+   * shuffle, no join beyond what the caller's patch expressions add. */
+  def repair(quarantined: DataFrame, rules: Seq[Rule],
+      patches: Map[String, Map[String, Column]])
+      : (DataFrame, DataFrame) = {
+    require(quarantined.columns.contains("violations"),
+      "repair: input must carry the audit's `violations` column")
+    val unknown = patches.keySet -- rules.map(_.name).toSet
+    require(unknown.isEmpty,
+      s"repair: patches for unknown rules: ${unknown.mkString(", ")}")
+    val patched = patches.foldLeft(quarantined) {
+      case (df, (rule, assigns)) =>
+        assigns.foldLeft(df) { case (d, (c, v)) =>
+          d.withColumn(c,
+            when(array_contains(col("violations"), rule), v)
+              .otherwise(col(c)))
+        }
+    }
+    quarantine(patched.drop("violations"), rules)
+  }
+
   /** Referential expectation: `factKey` must exist in `dim`'s
    * `dimKey` column. Returns the joined frame plus the rule to pass to
    * [[report]]/[[audit]] — the join is a broadcast of the dimension's

@@ -20,6 +20,31 @@ object DedupQueries {
   private[queries] val normT =
     raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
+  /** The d06 60-bit/hamming≤3 simhash pair SQL — shared by d06 and by
+   * q108's streamed-accumulation restatement (the final pair set is
+   * batch-composition independent, so one oracle serves both). */
+  private[queries] lazy val simhash60PairsSql: String =
+    s"""WITH d AS (SELECT doc_id, $normT AS t FROM documents),
+       |tok AS (SELECT doc_id, u.tk FROM
+       |       (SELECT doc_id, string_split_regex(t, ' ') AS w FROM d), unnest(w) AS u(tk)),
+       |h AS (SELECT doc_id, ${h60("tk")} AS hv FROM tok),
+       |bitcnt AS (SELECT doc_id, b,
+       |       SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+       |       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+       |       GROUP BY doc_id, b),
+       |sig AS (SELECT doc_id,
+       |       CAST(SUM(CASE WHEN cnt >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+       |       FROM bitcnt GROUP BY doc_id),
+       |buckets AS (SELECT doc_id, simhash,
+       |       bb || '|' || CAST((simhash >> (bb * 15)) & 32767 AS VARCHAR) AS bkey
+       |       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb) bands)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       |FROM buckets x JOIN buckets y
+       |  ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+       |ORDER BY a, b""".stripMargin
+
   /** The d02 MinHash/LSH pair SQL (no final ORDER BY) — shared by d02
    * and, as a CTE body, by d07's cluster recursion. */
   private lazy val minhashPairsSql: String = {
@@ -122,26 +147,7 @@ object DedupQueries {
         Dedup.simHashPairs(docs, "doc_id", "text", bits = 60, maxHamming = 3)
           .orderBy(col("a"), col("b"))
       },
-      Some(s"""WITH d AS (SELECT doc_id, $normT AS t FROM documents),
-              |tok AS (SELECT doc_id, u.tk FROM
-              |       (SELECT doc_id, string_split_regex(t, ' ') AS w FROM d), unnest(w) AS u(tk)),
-              |h AS (SELECT doc_id, ${h60("tk")} AS hv FROM tok),
-              |bitcnt AS (SELECT doc_id, b,
-              |       SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
-              |       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
-              |       GROUP BY doc_id, b),
-              |sig AS (SELECT doc_id,
-              |       CAST(SUM(CASE WHEN cnt >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
-              |       FROM bitcnt GROUP BY doc_id),
-              |buckets AS (SELECT doc_id, simhash,
-              |       bb || '|' || CAST((simhash >> (bb * 15)) & 32767 AS VARCHAR) AS bkey
-              |       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb) bands)
-              |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-              |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-              |FROM buckets x JOIN buckets y
-              |  ON x.bkey = y.bkey AND x.doc_id < y.doc_id
-              |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
-              |ORDER BY a, b""".stripMargin)),
+      Some(simhash60PairsSql)),
 
     // ----------------------------------------------------------------
     // d07 — near-dup CLUSTERS: connected components over the d02 pair

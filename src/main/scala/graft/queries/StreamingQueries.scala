@@ -426,10 +426,17 @@ object StreamingQueries {
    * (slice 3 poisoned) through the pre-commit expectations gate into a
    * fresh store; returns (store, quarantine dir). Exactly one batch —
    * the poisoned one — must quarantine. */
+  // the q102/q107/q109 shared rule set (q109's repair patches name
+  // these rules — one definition keeps gate and repair in lockstep)
+  private val expgateRules = Seq(
+    graft.operators.Expectations.Rule("type_known",
+      col("event_type").isNotNull),
+    graft.operators.Expectations.Rule("value_not_sentinel",
+      col("value") =!= -9999.0))
+
   private def expectationsGatedIngest(ss: SparkSession, dir: String)
       : (graft.streaming.BucketedUpsert.State, String) = {
     import graft.operators.Expectations
-    import graft.operators.Expectations.Rule
     val src = graft.sources.Scratch.dir("expgate_src")
     val ev = graft.sources.Tables.load(ss, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -447,9 +454,7 @@ object StreamingQueries {
       (if (i == 3) slice.unionByName(poison) else slice)
         .coalesce(1).write.mode("append").parquet(src)
     }
-    val rules = Seq(
-      Rule("type_known", col("event_type").isNotNull),
-      Rule("value_not_sentinel", col("value") =!= -9999.0))
+    val rules = expgateRules
     val budgets = Map("type_known" -> 0.0, "value_not_sentinel" -> 0.0)
     val state = new graft.streaming.BucketedUpsert.State(ss,
       keyCol = "user_id",
@@ -544,6 +549,52 @@ object StreamingQueries {
     state.merge(salvaged, 1000L)
     upsertViewCols(state, s)
   }
+
+  /** q109: QUARANTINE REPAIR-REPLAY — the PATCH half q107 doesn't
+   * cover: real pipelines don't only salvage the clean rows of a
+   * quarantined batch, they repair the violating rows and re-admit
+   * them ([[graft.operators.Expectations.repair]]). The per-row audit
+   * routes each patch (a row is patched for exactly the rules it was
+   * convicted of — no re-evaluation), the patched batch is RE-AUDITED
+   * so nothing re-admits on trust, and the whole repaired batch —
+   * salvaged clean rows AND patched violators — merges under a fresh
+   * batch id. The patched poison rows carry far-future timestamps, so
+   * they legitimately WIN the per-user argmax for users 0–39: the
+   * oracle restates the patch by reconstructing the poison rows with
+   * their repaired columns and running the same argmax — the hash
+   * proves the patch landed exactly as declared and nowhere else. */
+  private def runRepairReplay(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.operators.Expectations
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val (root, qdir) = gatedIngestArtifacts(ss, dir)
+    val state = expgateRecover(ss, root)
+      .cloneTo(graft.sources.Scratch.dir("expgate_repairclone"))
+    val (readmitted, unrepairable) = Expectations.repair(
+      ss.read.parquet(qdir), expgateRules, Map(
+        "type_known" -> Map("event_type" -> lit("repaired")),
+        "value_not_sentinel" -> Map("value" -> lit(0.0))))
+    require(unrepairable.isEmpty,
+      "repair left still-violating rows — patches incomplete")
+    state.merge(readmitted, 1001L)
+    upsertViewCols(state, s)
+  }
+
+  private def repairReplayOracle: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, value,
+      |    epoch_ns(ts) // 1000 AS us FROM events),
+      |p AS (SELECT CAST(i AS BIGINT) AS user_id,
+      |    CAST(i + 900000000 AS BIGINT) AS event_id,
+      |    'repaired' AS event_type, 0.0 AS value,
+      |    CAST(i + 4102444800000000 AS BIGINT) AS us
+      |  FROM generate_series(0, 39) t(i)),
+      |u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM u)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  us AS last_us, value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   private def streamExpectationsOracle: String =
     """WITH e AS (SELECT user_id, event_id, event_type, value,
@@ -1061,6 +1112,50 @@ object StreamingQueries {
        |  min(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_docs
        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
 
+  /** q108: streaming NEAR-dup dedup — the arrival-time form of d06.
+   * The exact ledgers (q91/m06) answer "seen exactly this?"; near-dup
+   * needs "seen anything within Hamming distance 3?", which no key
+   * probe can serve — [[graft.streaming.NearDupLedger]] turns it back
+   * into key equality with the pigeonhole bands (d06's machinery) over
+   * a PERSISTED band→posting store: each micro-batch's signatures
+   * probe only the state buckets their band keys route to
+   * (O(batch + state·k/n), never batch × ledger), emit their new pairs
+   * — cross-batch AND within-batch — and fold in as postings under
+   * the array-concatenation monoid. The accumulated pair stream over
+   * the 4-slice ingest must equal the batch d06 recompute exactly
+   * (each pair surfaces once, when its later member arrives) — the
+   * oracle is d06's SQL verbatim; batch-order independence and
+   * mid-stream recovery are pinned in NearDupLedgerSpec. */
+  private def runStreamNearDup(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val src = graft.sources.Scratch.dir("neardup_src")
+    val sigs = graft.operators.Dedup.simHashSigs(
+      graft.sources.Tables.load(ss, dir, "documents"),
+      "doc_id", "text", bits = 60)
+      .select(col("doc_id").as("id"), col("simhash").as("sig"))
+    (0 until 4).foreach { i =>
+      sigs.filter(col("id") % 4 === i)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val led = new graft.streaming.NearDupLedger(ss, bits = 60,
+      maxHamming = 3, nBuckets = 16)
+    val pairsDir = graft.sources.Scratch.dir("neardup_pairs")
+    val q = ss.readStream.schema(ss.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.sources.Scratch.dir("neardup_cp"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        led.observe(b, id).write.mode("append").parquet(pairsDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(pairsDir).orderBy(col("a"), col("b"))
+  }
+
   /** q103: BUCKET-PRUNED POINT LOOKUP on the persisted keyed store —
    * the serving-path complement of the merge side's write pruning.
    * q91's dedup-fingerprint ledger is built (two deterministic monoid
@@ -1133,6 +1228,10 @@ object StreamingQueries {
       Some(storeLookupOracle)),
     Q("q107_quarantine_replay", runQuarantineReplay,
       Some(upsertOracle)),
+    Q("q108_stream_neardup_pairs", runStreamNearDup,
+      Some(DedupQueries.simhash60PairsSql)),
+    Q("q109_quarantine_repair_replay", runRepairReplay,
+      Some(repairReplayOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),

@@ -126,7 +126,24 @@ object BucketedUpsert {
       "hashKey" -> hashKey.toString, "merge" -> mergeKind,
       "history" -> retainHistory.toString,
       "nBuckets" -> nBuckets.toString, "key" -> keyCol,
-      "payload" -> payloadCols.mkString(",")))
+      "payload" -> payloadCols.mkString(",")) ++
+      extras.toSeq.sortBy(_._1))
+
+    // Caller-attached DURABLE tokens: committed with every manifest
+    // commit and restored by recover — the channel for small stream
+    // state that must move atomically with the batch that produced it
+    // (e.g. Packing.PackState's running token total: set the token,
+    // then merge — the same commit that lands the packed batch lands
+    // the carried total, so a crash can never desynchronize them).
+    private val extras = mutable.Map.empty[String, String]
+    private val reservedTokens = Set("hashKey", "merge", "history",
+      "nBuckets", "key", "payload", "seq", "attempt")
+    def setToken(k: String, v: String): Unit = {
+      require(!reservedTokens.contains(k),
+        s"setToken: '$k' is a reserved store token")
+      extras(k) = v
+    }
+    def token(k: String): Option[String] = extras.get(k)
     private def current = tx.current
     val metrics: mutable.ArrayBuffer[BatchMetrics] = mutable.ArrayBuffer()
 
@@ -335,8 +352,9 @@ object BucketedUpsert {
      * every surviving manifest fully readable, and the worst leftover
      * is orphaned bucket dirs the next vacuum (an idempotent re-run)
      * removes. Metadata-only: parses file-count-sized manifests,
-     * reads no data. Empty `v*` attempt shells are kept — recovery's
-     * attempt numbering counts them to stay collision-free. */
+     * reads no data. Attempt shells emptied by the sweep are reclaimed
+     * with it — numbering stays collision-free via the manifest's
+     * attempt high-water mark, not a directory count. */
     def vacuum(retainPrior: Int = 0): VacuumReport = {
       val (dropped, deleted, kept) = tx.vacuum(retainPrior)
       VacuumReport(dropped, deleted, kept)
@@ -404,11 +422,21 @@ object BucketedUpsert {
             s"not a prefix of [${payloadCols.mkString(",")}] — only " +
             "appending new payload columns is a safe evolution")
       }
+      // everything the header carries beyond the store's own pins is a
+      // caller token — restore it for token()/the next commit
+      extras.clear()
+      extras ++= tokens.view.filterKeys(!reservedTokens.contains(_))
     }
 
     /** The state root (pass to [[BucketedUpsert.recover]] after a
      * simulated or real driver loss). */
     def rootDir: String = stateRoot
+
+    /** Whether any batch has merged yet (false on a fresh store; true
+     * after recovery of a committed one) — the guard callers need
+     * before probing ([[lookupKeys]]/[[lookupJoin]] fail loudly on an
+     * un-merged store). */
+    def hasState: Boolean = current.nonEmpty
 
     /** DEEP CLONE of the LIVE view into `newRoot`: copy every bucket
      * version the live pointer map references and commit a fresh
@@ -512,6 +540,28 @@ object BucketedUpsert {
      * so specs can assert the actual pruning, not a plan string. */
     def lookupPaths(keys: Seq[Any]): Seq[String] =
       probeBuckets(normProbes(keys)).flatMap(current.get).sorted
+
+    /** Bucket-pruned SET lookup — [[lookupKeys]] for probe RELATIONS
+     * too large to collect to the driver: the current rows of every
+     * key present in `keys` (a DataFrame carrying the key column),
+     * served by reading only the buckets those keys route to. The
+     * touched-bucket set is the only thing collected (≤ nBuckets ints,
+     * computed with the SAME bucketing expression the merge path
+     * uses); the exact membership check is a distributed semi-join.
+     * Cost: O(probe) + O(state · k/n) for k touched buckets — the
+     * arrival-time "which of these million fingerprints have we seen"
+     * probe a streaming dedup ledger answers per batch. */
+    def lookupJoin(reader: SparkSession, keys: DataFrame): DataFrame = {
+      require(current.nonEmpty, "lookup before any batch merged")
+      val touched = keys.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val paths = touched.toSeq.flatMap(current.get)
+      if (paths.isEmpty)
+        return view(reader).limit(0) // schema-stable empty result
+      reader.read.option("mergeSchema", "true").parquet(paths: _*)
+        .join(keys.select(col(keyCol)).distinct(), Seq(keyCol),
+          "left_semi")
+    }
 
     /** The maintained view: the union of every bucket's current version
      * (bucket dirs are leaf paths, so the partition column is absent and

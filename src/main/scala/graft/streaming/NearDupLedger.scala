@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * STREAMING NEAR-DUPLICATE dedup — the arrival-time form of the batch
+ * SimHash/pHash pair mining (d06/m05): as document batches stream in,
+ * each batch's near-duplicate pairs against EVERYTHING SEEN SO FAR are
+ * emitted immediately, without ever re-scanning the accumulated corpus.
+ *
+ * The exact-dedup ledgers (q91 fingerprints, m06 pHashes) answer "seen
+ * EXACTLY this before?" with a keyed point probe. Near-dup needs "seen
+ * anything within Hamming distance d?" — a ball query no key equality
+ * can serve. The pigeonhole band trick ([[graft.operators.Dedup
+ * .hammingPairs]]) turns it back into key equality: split the `bits`-
+ * bit signature into `d + 1` bands; any pair within distance d agrees
+ * exactly on ≥ 1 band. So the ledger is a PERSISTED POSTING-LIST STORE
+ * keyed by band value — a [[BucketedUpsert.State]] whose key is the
+ * band key, whose payload is the posting array of (id, signature)
+ * pairs, and whose merge is the array-concatenation monoid (commutative
+ * up to posting order; postings are a SET semantically, so the merged
+ * ledger is batch-order independent — spec-pinned).
+ *
+ * Per arriving batch of m docs ([[observe]]):
+ *   1. m·(d+1) band keys are computed scan-side;
+ *   2. candidate postings come from [[BucketedUpsert.State.lookupJoin]]
+ *      — only the ≤ nBuckets state buckets those band keys route to
+ *      are read, so the probe costs O(batch + state·k/n), NEVER
+ *      batch × ledger and never O(ledger);
+ *   3. candidates sharing a band key popcount-check exactly
+ *      (`bit_count(xor)` ≤ d) → cross-batch pairs; within-batch pairs
+ *      come from the same band machinery over the batch alone;
+ *   4. the batch's postings fold into the store (bucket-pruned merge,
+ *      one manifest commit — the crash contract is [[TxLog]]'s).
+ *
+ * Scale knobs, inherited from the batch machinery: `bits` must grow
+ * with log2(corpus) or unrelated hamming balls overlap (d06's sizing
+ * note); a HOT band value (fixed-width perceptual hashes at large n)
+ * grows its posting unboundedly — `maxPosting` caps each stored
+ * posting at the first-seen `maxPosting` entries (deterministic:
+ * lowest ids win), the streaming mirror of `hammingPairs(maxBucket=)`:
+ * bounded work, recall degrades gracefully on saturated bands only,
+ * and a pair loses nothing unless ALL d+1 of its bands are saturated.
+ *
+ * The reference has no streaming story at all (it recomputes the world
+ * per monthly dump — Main.java:380-513); this is the shape Flink/Delta
+ * users build by hand around a keyed state store.
+ */
+object NearDupLedger {
+  /** Reattach a ledger to its committed store root (the recovery half
+   * — [[BucketedUpsert.recover]]'s contract: config pins validate,
+   * crashed-attempt orphans reclaim). */
+  def recover(ss: SparkSession, bits: Int, maxHamming: Int,
+      nBuckets: Int, root: String, maxPosting: Int = 0): NearDupLedger = {
+    val l = new NearDupLedger(ss, bits, maxHamming, nBuckets,
+      maxPosting, Some(root))
+    l.store.loadManifest()
+    l.store.gc()
+    l
+  }
+}
+
+final class NearDupLedger(ss: SparkSession, bits: Int, maxHamming: Int,
+    nBuckets: Int, maxPosting: Int = 0, root: Option[String] = None) {
+
+  private val nBands = maxHamming + 1
+  private val bandBits = bits / nBands
+  require(bandBits > 0, "bits must exceed maxHamming")
+
+  // posting concatenation is the combine monoid; the optional cap keeps
+  // lowest ids deterministically (sort before slice), so a saturated
+  // band converges to the same survivors under any batch order
+  private def combinePostings(df: DataFrame): DataFrame = {
+    val merged = df.groupBy(col("bkey"))
+      .agg(flatten(collect_list(col("posting"))).as("posting"))
+    if (maxPosting <= 0) merged
+    else merged.withColumn("posting",
+      slice(sort_array(col("posting")), 1, maxPosting))
+  }
+
+  /** The persisted band→posting store (exposed for recovery/vacuum —
+   * the full [[BucketedUpsert.State]] surface applies). */
+  val store = new BucketedUpsert.State(ss, keyCol = "bkey",
+    payloadCols = Seq("posting"), nBuckets = nBuckets,
+    root = root, combine = Some(combinePostings _), hashKey = true)
+
+  private def bandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("sig"),
+      explode(array((0 until nBands).map { b =>
+        concat(lit(s"$b|"),
+          shiftright(col("sig"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).cast("string"))
+      }: _*)).as("bkey"))
+
+  /** Ingest one batch of signatures (`id`, `sig` columns — any
+   * signature source: text simhash, media pHash) and return its NEW
+   * near-dup pairs (`a` < `b`, `hamming`): batch × accumulated-ledger
+   * pairs plus within-batch pairs. The union of every batch's result
+   * is exactly the batch recompute's pair set — each pair surfaces
+   * once, when its later member arrives. The returned frame is
+   * MATERIALIZED (the ledger's bucket files are superseded by the
+   * fold; a lazy result would read retired state). */
+  def observe(sigs: DataFrame, opId: Long): DataFrame = {
+    val batch = bandKeys(sigs).localCheckpoint()
+    // cross pairs BEFORE the fold: the ledger must not contain the
+    // batch while the batch probes it (within-batch pairs are counted
+    // once, below)
+    val cross =
+      if (!store.hasState) batch.limit(0)
+        .select(col("id").as("a"), col("id").as("b"),
+          lit(0).as("hamming"))
+      else {
+        val postings = store.lookupJoin(ss, batch.select(col("bkey")))
+        batch.join(postings, Seq("bkey"))
+          .select(col("id"), col("sig"),
+            explode(col("posting")).as("p"))
+          .select(
+            least(col("id"), col("p.id")).as("a"),
+            greatest(col("id"), col("p.id")).as("b"),
+            bit_count(col("sig").bitwiseXOR(col("p.sig")))
+              .cast("int").as("hamming"))
+          .filter(col("hamming") <= maxHamming &&
+            col("a") =!= col("b"))
+          .distinct()
+      }
+    val within = graft.operators.Dedup.hammingPairs(
+      sigs.select(col("id"), col("sig")), bits, maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("int"))
+    val pairs = cross.unionByName(within).localCheckpoint()
+    // fold the batch's postings in: one bucket-pruned merge + commit
+    store.merge(
+      batch.groupBy(col("bkey"))
+        .agg(collect_list(struct(col("id"), col("sig")))
+          .as("posting")),
+      opId)
+    pairs
+  }
+}

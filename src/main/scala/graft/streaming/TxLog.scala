@@ -87,7 +87,11 @@ final class TxLog(ss: SparkSession, val root: String,
         s"manifest config token '$k=$v' contains whitespace — it would " +
           "mis-parse on recovery (store roots/paths must be space-free)")
     }
-    val header = (s"$opLabel seq=$commitSeq" +:
+    // `attempt` is the log's OWN token (callers never set it): the
+    // high-water mark of attempt numbering, so recovery stays
+    // collision-free even after empty attempt shells are reclaimed —
+    // numbering no longer depends on counting surviving directories
+    val header = (s"$opLabel seq=$commitSeq attempt=$attempt" +:
       tokens.map { case (k, v) => s"$k=$v" }).mkString(" ")
     val body =
       (header +:
@@ -181,15 +185,36 @@ final class TxLog(ss: SparkSession, val root: String,
     }
     current.clear()
     current ++= parseMap(lines)
-    attempt = fs.listStatus(rootPath)
-      .count(_.getPath.getName.startsWith("v")).toLong
+    // attempt numbering resumes past BOTH the committed high-water
+    // mark and any surviving dir's own `_a<k>` suffix (a crash after
+    // attemptDir() but before the recording commit leaves a dir the
+    // mark doesn't cover) — either source alone could collide
+    val dirMax = fs.listStatus(rootPath).toSeq
+      .map(_.getPath.getName)
+      .flatMap { n =>
+        val m = "^v.*_a(\\d+)$".r.findFirstMatchIn(n)
+        m.map(_.group(1).toLong + 1)
+      }
+    attempt = (tokens.get("attempt").map(_.toLong).toSeq ++ dirMax ++
+      Seq(fs.listStatus(rootPath)
+        .count(_.getPath.getName.startsWith("v")).toLong)).max
     tokens
   }
 
   /** Eagerly delete superseded bucket versions (non-history stores,
-   * AFTER the replacing commit). */
+   * AFTER the replacing commit). A shell whose last bucket dir retires
+   * is reclaimed with it (see [[sweep]] — numbering survives via the
+   * manifest's attempt high-water mark). */
   def retire(paths: Seq[String]): Unit =
-    paths.foreach(p => fs.delete(new Path(p), true))
+    paths.foreach { p =>
+      val bp = new Path(p)
+      fs.delete(bp, true)
+      val shell = bp.getParent
+      if (shell != null && shell.getName.startsWith("v") &&
+          fs.exists(shell) &&
+          !fs.listStatus(shell).exists(_.isDirectory))
+        fs.delete(shell, true)
+    }
 
   def exists(path: String): Boolean = fs.exists(new Path(path))
 
@@ -213,9 +238,12 @@ final class TxLog(ss: SparkSession, val root: String,
 
   /** Referenced-set sweep shared by [[vacuum]] and [[gc]]: delete every
    * bucket dir under a `v*` shell that `referenced` does not name. Both
-   * sides fully qualified through the same fs (see class doc). Empty
-   * `v*` attempt shells are kept — attempt numbering counts them to
-   * stay collision-free. Returns (deleted, kept). */
+   * sides fully qualified through the same fs (see class doc). A shell
+   * left with NO children is reclaimed too — a long-lived store no
+   * longer accumulates one empty directory per superseded batch
+   * forever; numbering stays collision-free because the manifest
+   * header records the attempt high-water mark ([[commit]]/[[load]]),
+   * not a directory count. Returns (deleted, kept) bucket dirs. */
   private def sweep(referenced: Set[String]): (Int, Int) = {
     var deleted = 0; var kept = 0
     fs.listStatus(rootPath).iterator
@@ -229,6 +257,10 @@ final class TxLog(ss: SparkSession, val root: String,
               kept += 1
             else { fs.delete(b.getPath, true); deleted += 1 }
           }
+        // "no child dirs" not "no children": partitionBy leaves a
+        // _SUCCESS marker file; only bucket DIRS are ever referenced
+        if (!fs.listStatus(shell.getPath).exists(_.isDirectory))
+          fs.delete(shell.getPath, true)
       }
     (deleted, kept)
   }

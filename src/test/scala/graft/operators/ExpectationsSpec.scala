@@ -158,6 +158,37 @@ class ExpectationsSpec extends SparkSpec {
       "gated clean run diverged from the unguarded pipeline")
   }
 
+  test("repair patches exactly the convicted rows, re-audits before " +
+      "readmitting, and reports the unrepairable remainder") {
+    val (_, quarantined) = Expectations.quarantine(facts, rules)
+    // patch value violations to 1.0; leave cat violations unpatched —
+    // rows 2 (bad value) and 3 (null value) repair fully and readmit;
+    // row 4 (cat only) must NOT receive the value patch and stays
+    // unrepairable with a FRESH violation list
+    val (readmitted, unrepairable) = Expectations.repair(
+      quarantined, rules,
+      Map("value_pos" -> Map("value" -> lit(1.0))))
+    val ok = readmitted.orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(ok.toSeq == Seq((2L, 1.0, "a"), (3L, 1.0, "b")),
+      s"readmitted set wrong: ${ok.toSeq}")
+    val bad = unrepairable.orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[String](r.fieldIndex("violations"))))
+    assert(bad.toSeq == Seq((4L, 2.0, Seq("cat_known"))),
+      s"unrepairable set wrong (the value patch must not touch a row " +
+        s"convicted only of cat_known): ${bad.toSeq}")
+    // a patch for a rule no one defined fails closed
+    intercept[IllegalArgumentException] {
+      Expectations.repair(quarantined, rules,
+        Map("value_positive" -> Map("value" -> lit(1.0))))
+    }
+    // input without the audit column fails loudly
+    intercept[IllegalArgumentException] {
+      Expectations.repair(facts, rules, Map.empty)
+    }
+  }
+
   test("enforce fails closed on a budget naming no rule") {
     intercept[IllegalArgumentException] {
       Expectations.enforce(facts, rules,

@@ -102,6 +102,50 @@ class PackingSpec extends SparkSpec {
       "batch-incremental packing diverged from the one-shot pack")
   }
 
+  test("PackState rides the upsert-store manifest: a driver loss " +
+      "mid-ingest recovers the packing stream exactly") {
+    import graft.streaming.BucketedUpsert
+    // a durable packed-ingest loop: pack each arriving batch, set the
+    // carried total as a store token, THEN merge — one commit lands
+    // both, so the state can never desynchronize from the landed rows
+    val payload = Seq("n_tokens", "cum", "start_seq", "start_off",
+      "end_seq")
+    def ingest(st: BucketedUpsert.State, ps: Packing.PackState,
+        b: Long): Packing.PackState = {
+      val (packed, next) = ps.append(
+        docs.filter(col("doc_id") % 3 === b), "n_tokens", budget = 64L,
+        Seq(col("doc_id")), nShards = 8)
+      st.setToken("packTokens", next.tokensSoFar.toString)
+      st.merge(packed.select((col("doc_id") +: payload.map(col)): _*), b)
+      next
+    }
+    val store = new BucketedUpsert.State(spark, "doc_id", payload,
+      nBuckets = 8)
+    var ps = Packing.PackState(0L)
+    ps = ingest(store, ps, 0L)
+    ps = ingest(store, ps, 1L)
+    // DRIVER LOSS: all in-JVM state gone; only the root survives.
+    val rec = BucketedUpsert.recover(spark, "doc_id", payload, 8,
+      store.rootDir)
+    val recovered = Packing.PackState(
+      rec.token("packTokens").get.toLong)
+    assert(recovered.tokensSoFar == ps.tokensSoFar,
+      "recovered packing total differs from the committed one")
+    ingest(rec, recovered, 2L)
+    // the recovered continuation must equal the one-shot pack of the
+    // concatenated corpus in arrival order
+    val whole = Packing.pack(
+      docs.withColumn("__b", col("doc_id") % 3),
+      "n_tokens", budget = 64L,
+      Seq(col("__b"), col("doc_id")), nShards = 8).drop("__b")
+    val cols = Seq("doc_id", "cum", "start_seq", "start_off", "end_seq")
+      .map(col)
+    val got = rec.view(spark).select(cols: _*)
+    assert(got.except(whole.select(cols: _*)).isEmpty &&
+      whole.select(cols: _*).except(got).isEmpty,
+      "crash-recovered packed ingest diverged from the one-shot pack")
+  }
+
   test("selectToBudget keeps exactly the docs starting inside the " +
       "budget, in priority order") {
     val sel = Packing.selectToBudget(docs, "n_tokens", budget = 1000L,

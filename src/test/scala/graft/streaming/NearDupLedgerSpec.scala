@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import graft.sources.{Scratch, Tables}
+
+/** The q108 contract in-JVM: the union of every batch's observe()
+ * pairs equals the batch simHashPairs recompute over the concatenated
+ * corpus — each pair surfaces exactly once, when its later member
+ * arrives — independent of batch order; the ledger recovers from its
+ * committed root mid-stream; and the hot-band posting cap bounds
+ * stored postings deterministically. */
+class NearDupLedgerSpec extends SparkSpec {
+
+  private def sigs: DataFrame =
+    Dedup.simHashSigs(Tables.load(spark, sf(), "documents"),
+      "doc_id", "text", bits = 60)
+      .select(col("doc_id").as("id"), col("simhash").as("sig"))
+
+  private def wantPairs: DataFrame =
+    Dedup.simHashPairs(Tables.load(spark, sf(), "documents"),
+      "doc_id", "text", bits = 60, maxHamming = 3)
+      .select(col("a"), col("b"), col("hamming").cast("int"))
+
+  private def assertSamePairs(got: DataFrame, label: String): Unit = {
+    val want = wantPairs
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      s"$label: streamed pair set differs from the batch recompute")
+    assert(want.count() > 0, "trivial corpus: no near-dup pairs at all")
+  }
+
+  test("stream-accumulated near-dup pairs equal the batch recompute, " +
+      "under any batch order") {
+    val s = sigs.localCheckpoint()
+    def run(order: Seq[Int]): DataFrame = {
+      val led = new NearDupLedger(spark, bits = 60, maxHamming = 3,
+        nBuckets = 16)
+      order.map(b =>
+        led.observe(s.filter(col("id") % 3 === b), b.toLong))
+        .reduce(_ unionByName _)
+    }
+    assertSamePairs(run(Seq(0, 1, 2)), "order 012")
+    assertSamePairs(run(Seq(2, 0, 1)), "order 201")
+  }
+
+  test("ledger recovers from its committed root mid-stream and the " +
+      "continuation completes the exact pair set") {
+    val s = sigs.localCheckpoint()
+    val led = new NearDupLedger(spark, bits = 60, maxHamming = 3,
+      nBuckets = 16)
+    val p01 = Seq(0, 1).map(b =>
+      led.observe(s.filter(col("id") % 3 === b), b.toLong))
+      .reduce(_ unionByName _).localCheckpoint()
+    // driver loss: only the store root survives
+    val rec = NearDupLedger.recover(spark, bits = 60, maxHamming = 3,
+      nBuckets = 16, root = led.store.rootDir)
+    val p2 = rec.observe(s.filter(col("id") % 3 === 2), 2L)
+    assertSamePairs(p01.unionByName(p2), "recovered continuation")
+  }
+
+  test("maxPosting caps saturated bands deterministically: postings " +
+      "stay bounded, lowest ids survive") {
+    import spark.implicits._
+    // 20 docs with the IDENTICAL signature: every band saturates
+    val same = (0L until 20L).map(i => (i, 0x0F0F0F0FL)).toDF("id", "sig")
+    val led = new NearDupLedger(spark, bits = 60, maxHamming = 3,
+      nBuckets = 4, maxPosting = 5)
+    led.observe(same, 0L)
+    led.observe(same.select((col("id") + 100L).as("id"), col("sig")), 1L)
+    val post = led.store.view(spark)
+      .select(col("bkey"), size(col("posting")).as("n"),
+        col("posting")(0).getField("id").as("first"))
+      .collect()
+    assert(post.forall(_.getInt(1) <= 5),
+      s"posting cap violated: ${post.mkString(", ")}")
+    // deterministic survivors: the lowest ids of the first batch
+    assert(post.forall(_.getLong(2) == 0L),
+      s"cap did not keep lowest ids: ${post.mkString(", ")}")
+  }
+}

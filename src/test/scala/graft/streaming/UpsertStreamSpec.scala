@@ -664,6 +664,43 @@ class UpsertStreamSpec extends SparkSpec {
       fresh.cloneTo(Scratch.dir("clone_spec_fresh")))
   }
 
+  test("emptied attempt shells are reclaimed by vacuum and eager " +
+      "retirement; attempt numbering stays collision-free after " +
+      "recovery") {
+    import graft.streaming.BucketedUpsert
+    def batch(ver: Long) = spark.range(10).select(
+      col("id").as("k"), lit(ver).as("ver"), (col("id") * ver).as("x"))
+    def shells(root: String): Seq[String] =
+      new java.io.File(root).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .map(_.getName).sorted
+    // history store: vacuum(0) empties the first two shells entirely —
+    // they must disappear, not linger as empty dirs forever
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, retainHistory = true)
+    (1L to 3L).foreach(v => st.merge(batch(v), v))
+    assert(shells(st.rootDir).size == 3)
+    st.vacuum(retainPrior = 0)
+    assert(shells(st.rootDir).size == 1,
+      s"vacuum left empty attempt shells: ${shells(st.rootDir)}")
+    // recovery after the reclaim must resume attempt numbering PAST
+    // the reclaimed shells (manifest high-water mark): a retried old
+    // batch id can never collide with a surviving dir
+    val rec = BucketedUpsert.recover(spark, "k", Seq("ver", "x"), 4,
+      st.rootDir, retainHistory = true)
+    rec.merge(batch(4L), 1L) // retry of batch id 1
+    assert(rec.view(spark).filter(col("ver") === 4L).count() == 10)
+    assert(rec.history() == Seq(3L, 4L))
+
+    // eager store: each merge supersedes the previous shell entirely —
+    // the retired shell goes with its last bucket dir
+    val eager = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4)
+    (1L to 3L).foreach(v => eager.merge(batch(v), v))
+    assert(shells(eager.rootDir).size == 1,
+      s"eager retirement left empty shells: ${shells(eager.rootDir)}")
+  }
+
   test("lookupPaths before any merge fails with the descriptive " +
       "error, not a bare NoSuchElementException") {
     import graft.streaming.BucketedUpsert
