@@ -20,11 +20,11 @@ object DedupQueries {
   private[queries] val normT =
     raw"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 
-  /** The d06 60-bit/hamming≤3 simhash pair SQL — shared by d06 and by
-   * q108's streamed-accumulation restatement (the final pair set is
-   * batch-composition independent, so one oracle serves both). */
-  private[queries] lazy val simhash60PairsSql: String =
-    s"""WITH d AS (SELECT doc_id, $normT AS t FROM documents),
+  /** The d06 60-bit/hamming≤3 simhash pair CTE list + final select —
+   * composable so d06/q108 share the pair statement verbatim and q110
+   * can wrap it in the d07-style reachability recursion. */
+  private[queries] lazy val simhash60PairsCtes: String =
+    s"""d AS (SELECT doc_id, $normT AS t FROM documents),
        |tok AS (SELECT doc_id, u.tk FROM
        |       (SELECT doc_id, string_split_regex(t, ' ') AS w FROM d), unnest(w) AS u(tk)),
        |h AS (SELECT doc_id, ${h60("tk")} AS hv FROM tok),
@@ -37,13 +37,20 @@ object DedupQueries {
        |       FROM bitcnt GROUP BY doc_id),
        |buckets AS (SELECT doc_id, simhash,
        |       bb || '|' || CAST((simhash >> (bb * 15)) & 32767 AS VARCHAR) AS bkey
-       |       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb) bands)
-       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-       |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
-       |FROM buckets x JOIN buckets y
-       |  ON x.bkey = y.bkey AND x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
-       |ORDER BY a, b""".stripMargin
+       |       FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bb) bands)""".stripMargin
+
+  private[queries] lazy val simhash60PairsSelect: String =
+    """SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+      |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+      |FROM buckets x JOIN buckets y
+      |  ON x.bkey = y.bkey AND x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+
+  /** The d06 pair SQL — shared by d06 and by q108's streamed-
+   * accumulation restatement (the final pair set is batch-composition
+   * independent, so one oracle serves both). */
+  private[queries] lazy val simhash60PairsSql: String =
+    s"WITH $simhash60PairsCtes\n$simhash60PairsSelect\nORDER BY a, b"
 
   /** The d02 MinHash/LSH pair SQL (no final ORDER BY) — shared by d02
    * and, as a CTE body, by d07's cluster recursion. */

@@ -34,6 +34,23 @@ object MultimodalQueries {
       |      THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS sig
       |  FROM sums JOIN tot ON tot.id = sums.id GROUP BY sums.id)""".stripMargin
 
+  /** The m05 banded pair SQL — shared by m05 and m07 (the streamed
+   * accumulation's final pair set is batch-composition independent;
+   * the 2000 band cap is not binding at any test SF, so capped-batch
+   * and exact-streamed restatements coincide). */
+  private lazy val phashPairsSql: String =
+    s"""WITH $sigCte,
+       |buckets AS (SELECT id, sig,
+       |    bb || '|' || CAST((sig >> (bb * 5)) & 31 AS VARCHAR) AS bkey
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS bb) bands
+       |  QUALIFY COUNT(*) OVER (PARTITION BY bkey) <= 2000)
+       |SELECT DISTINCT x.id AS a, y.id AS b,
+       |    CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+       |FROM buckets x JOIN buckets y
+       |  ON x.bkey = y.bkey AND x.id < y.id
+       |WHERE bit_count(xor(x.sig, y.sig)) <= 11
+       |ORDER BY a, b""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -188,17 +205,54 @@ object MultimodalQueries {
             maxBucket = 2000L)
           .orderBy(col("a"), col("b"))
       },
-      Some(s"""WITH $sigCte,
-             |buckets AS (SELECT id, sig,
-             |    bb || '|' || CAST((sig >> (bb * 5)) & 31 AS VARCHAR) AS bkey
-             |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS bb) bands
-             |  QUALIFY COUNT(*) OVER (PARTITION BY bkey) <= 2000)
-             |SELECT DISTINCT x.id AS a, y.id AS b,
-             |    CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
-             |FROM buckets x JOIN buckets y
-             |  ON x.bkey = y.bkey AND x.id < y.id
-             |WHERE bit_count(xor(x.sig, y.sig)) <= 11
-             |ORDER BY a, b""".stripMargin)),
+      Some(phashPairsSql)),
+
+    // ----------------------------------------------------------------
+    // m07 — STREAMING perceptual-hash NEAR-dup pairs: q108's
+    // NearDupLedger fed pHash signatures instead of text simhashes
+    // (the ledger is signature-source agnostic by design — any
+    // (id, sig) stream rides the same band→posting store). Media
+    // shards arrive in 4 micro-batches, each hashed IN its batch
+    // (scan-stage aHash, payloads never re-read), probed against only
+    // the state buckets its 12 band keys route to, and folded in; the
+    // accumulated pair stream must equal m05's batch recompute — the
+    // oracle is m05's SQL verbatim. A pHash is FIXED-width, so at
+    // LAION scale the ledger's maxPosting cap (bounded work, graceful
+    // recall loss on saturated bands only) replaces bits-growth as the
+    // guard — not binding at any test SF, mirroring m05's 2000 cap,
+    // and spec-pinned on a synthetic saturated band.
+    Q("m07_stream_phash_neardup",
+      (s, dir) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val src = graft.sources.Scratch.dir("phash_neardup_src")
+        val sigs = Multimodal.aHash(
+            Multimodal.fromDocuments(Tables.load(ss, dir, "documents")),
+            n = 60)
+          .select(col("media_id").as("id"), col("ahash").as("sig"))
+        (0 until 4).foreach { i =>
+          sigs.filter(col("id") % 4 === i)
+            .coalesce(1).write.mode("append").parquet(src)
+        }
+        val led = new graft.streaming.NearDupLedger(ss, bits = 60,
+          maxHamming = 11, nBuckets = 16)
+        val pairsDir = graft.sources.Scratch.dir("phash_neardup_pairs")
+        val q = ss.readStream.schema(ss.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.sources.Scratch.dir("phash_neardup_cp"))
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            led.observe(b, id).write.mode("append").parquet(pairsDir)
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        s.read.parquet(pairsDir).orderBy(col("a"), col("b"))
+      },
+      Some(phashPairsSql)),
 
     // ----------------------------------------------------------------
     // m06 — STREAMING perceptual-hash LEDGER: the q91 dedup-store shape

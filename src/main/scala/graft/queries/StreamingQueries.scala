@@ -1156,6 +1156,72 @@ object StreamingQueries {
     s.read.parquet(pairsDir).orderBy(col("a"), col("b"))
   }
 
+  /** q110: streaming NEAR-dup CLUSTERS — d07's transitive-closure
+   * semantics maintained at arrival time, by composing two maintain
+   * operators this engine already gates separately: each micro-batch's
+   * new near-dup pairs (the q108 [[graft.streaming.NearDupLedger]] —
+   * band-bucket probes against persisted state, never batch × ledger)
+   * feed [[graft.operators.IncrementalCC.maintain]] as a delta edge
+   * batch (contracted against the carried labeling — CC iterates the
+   * batch's contracted delta only, never the accumulated pair set,
+   * q89's economics). A~B in batch 1 and B~C in batch 3 must converge
+   * to ONE cluster {A,B,C} even though A~C was never scored — exactly
+   * what pairwise dedup alone cannot do, now without ever re-mining
+   * history. The oracle is the d07-style reachability recursion over
+   * the d06 pair statement: the hash proves the streamed composition
+   * ≡ the from-scratch transitive closure of the batch recompute. */
+  private def runStreamNearDupClusters(s: SparkSession,
+      dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val src = graft.sources.Scratch.dir("neardup_cc_src")
+    val sigs = graft.operators.Dedup.simHashSigs(
+      graft.sources.Tables.load(ss, dir, "documents"),
+      "doc_id", "text", bits = 60)
+      .select(col("doc_id").as("id"), col("simhash").as("sig"))
+    (0 until 4).foreach { i =>
+      sigs.filter(col("id") % 4 === i)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val led = new graft.streaming.NearDupLedger(ss, bits = 60,
+      maxHamming = 3, nBuckets = 16)
+    var labels: DataFrame = ss.range(0)
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint(true)
+    val q = ss.readStream.schema(ss.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.sources.Scratch.dir("neardup_cc_cp"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val pairs = led.observe(b, id)
+        labels = graft.operators.IncrementalCC.maintain(labels,
+            pairs.select(col("a").as("src"), col("b").as("dst")),
+            maxIter = 100)
+          .localCheckpoint(true)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val out = graft.sources.Scratch.dir("neardup_cc_out")
+    labels.write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy(col("id"))
+  }
+
+  private def streamNearDupClustersOracle: String =
+    s"""WITH RECURSIVE ${DedupQueries.simhash60PairsCtes},
+       |pairs AS (${DedupQueries.simhash60PairsSelect}),
+       |sym AS (SELECT a, b FROM pairs
+       |        UNION ALL SELECT b, a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM sym),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id)
+       |SELECT id, MIN(r) AS cluster FROM reach
+       |GROUP BY id ORDER BY id""".stripMargin
+
   /** q103: BUCKET-PRUNED POINT LOOKUP on the persisted keyed store —
    * the serving-path complement of the merge side's write pruning.
    * q91's dedup-fingerprint ledger is built (two deterministic monoid
@@ -1232,6 +1298,8 @@ object StreamingQueries {
       Some(DedupQueries.simhash60PairsSql)),
     Q("q109_quarantine_repair_replay", runRepairReplay,
       Some(repairReplayOracle)),
+    Q("q110_stream_neardup_clusters", runStreamNearDupClusters,
+      Some(streamNearDupClustersOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),

@@ -248,6 +248,50 @@ object BucketedUpsert {
       }
     }
 
+    /** REPLACE the full state of a key set in ONE commit: after the
+     * call, every key of `keys` holds exactly its rows in `rows` (a
+     * key of `keys` with no row in `rows` is removed). [[merge]] can
+     * only fold THROUGH the combine monoid — it cannot subtract from
+     * an accumulated value — so this is the honest primitive for
+     * read-modify-write maintenance of monoid state (a posting list
+     * losing a forgotten member, a counter being corrected). Same
+     * partition-pruned economics and crash contract as merge/delete:
+     * only the buckets `keys` route to are read and rewritten, rows
+     * for OTHER keys in those buckets carry unchanged, untouched
+     * buckets carry by pointer, the manifest commits before superseded
+     * files retire, and a replay of the same (rows, keys) is a natural
+     * no-op. Rows for keys outside `keys` are rejected loudly — they
+     * would land in bucket files whose pointers this commit does not
+     * take over. */
+    def replaceKeys(rows: DataFrame, keys: DataFrame, opId: Long): Unit = {
+      val ks = keys.select(col(keyCol)).distinct()
+      val touched = ks.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
+      val strays = rows.join(ks, Seq(keyCol), "left_anti")
+      require(strays.isEmpty,
+        s"replaceKeys: rows carry keys outside the replaced key set " +
+          s"(e.g. ${strays.select(col(keyCol)).head()})")
+      val prevPaths = touched.toSeq.flatMap(current.get)
+      val kept = prevPaths.headOption.map(_ =>
+        ss.read.option("mergeSchema", "true").parquet(prevPaths: _*)
+          .join(ks, Seq(keyCol), "left_anti"))
+      val merged = kept match {
+        case Some(k) => rows.unionByName(k, allowMissingColumns = true)
+        case None    => rows
+      }
+      val out = tx.attemptDir(opId)
+      merged.withColumn("__bucket", bucketOf)
+        .write.partitionBy("__bucket").parquet(out)
+      touched.foreach { b =>
+        val p = s"$out/__bucket=$b"
+        if (tx.exists(p)) current(b) = p
+        else current.remove(b)
+      }
+      tx.commit(s"batch $opId")
+      if (!retainHistory) tx.retire(prevPaths)
+    }
+
     /** Committed version numbers still readable via [[readAsOf]],
      * oldest first (history-retaining stores only). */
     def history(): Seq[Long] = tx.history()

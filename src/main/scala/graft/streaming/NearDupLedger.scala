@@ -136,4 +136,33 @@ final class NearDupLedger(ss: SparkSession, bits: Int, maxHamming: Int,
       opId)
     pairs
   }
+
+  /** COMPLIANCE FORGET — remove documents from the ledger (the
+   * right-to-be-forgotten path the exact stores serve with
+   * [[BucketedUpsert.State.delete]]). A forgotten id's postings live
+   * in exactly the `d + 1` band keys its SIGNATURE derives, so the
+   * rewrite is bounded by the forget batch — the touched band keys'
+   * postings are read back (bucket-pruned [[BucketedUpsert.State
+   * .lookupJoin]]), the victims filtered out, and the survivors
+   * REPLACE the old postings in one commit ([[BucketedUpsert.State
+   * .replaceKeys]] — the concat monoid cannot subtract, so replace is
+   * the honest primitive; a band emptied by the forget drops its key
+   * entirely). After the call the forgotten ids can never pair again:
+   * no posting names them. Takes (`id`, `sig`) rows — the caller
+   * recomputes the signature from the content it is forgetting, the
+   * same way it computed it on ingest. */
+  def forget(sigs: DataFrame, opId: Long): Unit = {
+    val bands = bandKeys(sigs).localCheckpoint()
+    val touched = store.lookupJoin(ss, bands.select(col("bkey")))
+    val victims = bands
+      .select(col("bkey").as("__vbk"), col("id").as("__vid"))
+    val survivors = touched
+      .select(col("bkey"), explode(col("posting")).as("p"))
+      .join(victims,
+        col("bkey") === col("__vbk") && col("p.id") === col("__vid"),
+        "left_anti")
+      .groupBy(col("bkey"))
+      .agg(collect_list(col("p")).as("posting"))
+    store.replaceKeys(survivors, touched.select(col("bkey")), opId)
+  }
 }

@@ -61,6 +61,38 @@ class NearDupLedgerSpec extends SparkSpec {
     assertSamePairs(p01.unionByName(p2), "recovered continuation")
   }
 
+  test("forget removes exactly the victims' postings: forgotten ids " +
+      "never pair again, innocents still do, emptied bands drop") {
+    import spark.implicits._
+    val S = 0x0F0F0F0FL
+    val T = 0x70F0F0F0F0F0F0FL // far from S (hamming >> 3)
+    val led = new NearDupLedger(spark, bits = 60, maxHamming = 3,
+      nBuckets = 8)
+    // ingest docs 1 (sig S) and 3 (sig T)
+    led.observe(Seq((1L, S), (3L, T)).toDF("id", "sig"), 0L)
+    led.forget(Seq((1L, S)).toDF("id", "sig"), 100L)
+    // no posting anywhere names the victim
+    val remaining = led.store.view(spark)
+      .select(explode(col("posting")).as("p"))
+      .select(col("p.id")).collect().map(_.getLong(0)).toSet
+    assert(!remaining.contains(1L),
+      s"forgotten id still posted: $remaining")
+    assert(remaining.contains(3L), "innocent posting lost by forget")
+    // a doc identical to the victim arrives: NO pair (it is forgotten)
+    val p2 = led.observe(Seq((2L, S)).toDF("id", "sig"), 1L)
+    assert(p2.count() == 0,
+      s"forgotten id paired after forget: ${p2.collect().toSeq}")
+    // a doc identical to the innocent arrives: pair still found
+    val p4 = led.observe(Seq((4L, T)).toDF("id", "sig"), 2L)
+    assert(p4.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 4L)), "innocent stopped pairing after forget")
+    // forget is bucket-pruned replace, not a rebuild: the ledger still
+    // serves doc 2's fresh postings (merged after the forget)
+    assert(led.store.view(spark)
+      .select(explode(col("posting")).as("p"))
+      .filter(col("p.id") === 2L).count() === 4L)
+  }
+
   test("maxPosting caps saturated bands deterministically: postings " +
       "stay bounded, lowest ids survive") {
     import spark.implicits._

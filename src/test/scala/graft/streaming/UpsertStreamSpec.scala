@@ -701,6 +701,35 @@ class UpsertStreamSpec extends SparkSpec {
       s"eager retirement left empty shells: ${shells(eager.rootDir)}")
   }
 
+  test("replaceKeys swaps exactly the named keys in one commit: " +
+      "other keys in touched buckets carry, emptied keys drop, " +
+      "strays fail loudly") {
+    import graft.streaming.BucketedUpsert
+    import spark.implicits._
+    // monoid store (sum) — merge cannot subtract, replace can
+    val st = new BucketedUpsert.State(spark, "k", Seq("n"),
+      nBuckets = 2, combine = Some(df =>
+        df.groupBy(col("k")).agg(sum(col("n")).as("n"))))
+    st.merge((0L to 5L).map(k => (k, 10L)).toDF("k", "n"), 0L)
+    // replace keys {0 -> 7, 2 -> removed}; key 4 shares bucket 0 with
+    // them and must carry untouched
+    st.replaceKeys(Seq((0L, 7L)).toDF("k", "n"),
+      Seq(0L, 2L).toDF("k"), 1L)
+    val got = st.view(spark).orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 7L), (1L, 10L), (3L, 10L), (4L, 10L),
+      (5L, 10L)), s"replaceKeys result wrong: $got")
+    // a row whose key is NOT in the replaced set is rejected
+    intercept[IllegalArgumentException] {
+      st.replaceKeys(Seq((1L, 99L)).toDF("k", "n"),
+        Seq(0L).toDF("k"), 2L)
+    }
+    // replay of the same replace is a no-op
+    st.replaceKeys(Seq((0L, 7L)).toDF("k", "n"),
+      Seq(0L, 2L).toDF("k"), 1L)
+    assert(st.view(spark).count() == 5)
+  }
+
   test("lookupPaths before any merge fails with the descriptive " +
       "error, not a bare NoSuchElementException") {
     import graft.streaming.BucketedUpsert
