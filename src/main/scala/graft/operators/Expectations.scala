@@ -106,14 +106,18 @@ object Expectations {
     val unknown = patches.keySet -- rules.map(_.name).toSet
     require(unknown.isEmpty,
       s"repair: patches for unknown rules: ${unknown.mkString(", ")}")
-    val patched = patches.foldLeft(quarantined) {
-      case (df, (rule, assigns)) =>
-        assigns.foldLeft(df) { case (d, (c, v)) =>
+    // patches apply in RULE-LIST order (never Map iteration order): a
+    // row convicted of two rules patching the same column repairs
+    // DETERMINISTICALLY — the later rule's patch sees (and overrides)
+    // the earlier one's output, same JVM to JVM
+    val patched = rules.flatMap(r => patches.get(r.name).map(r.name -> _))
+      .foldLeft(quarantined) { case (df, (rule, assigns)) =>
+        assigns.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, v)) =>
           d.withColumn(c,
             when(array_contains(col("violations"), rule), v)
               .otherwise(col(c)))
         }
-    }
+      }
     quarantine(patched.drop("violations"), rules)
   }
 

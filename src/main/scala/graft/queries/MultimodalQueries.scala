@@ -223,34 +223,21 @@ object MultimodalQueries {
     // and spec-pinned on a synthetic saturated band.
     Q("m07_stream_phash_neardup",
       (s, dir) => {
-        import org.apache.spark.sql.streaming.Trigger
         val ss = s.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", "8")
-        val src = graft.sources.Scratch.dir("phash_neardup_src")
         val sigs = Multimodal.aHash(
             Multimodal.fromDocuments(Tables.load(ss, dir, "documents")),
             n = 60)
           .select(col("media_id").as("id"), col("ahash").as("sig"))
-        (0 until 4).foreach { i =>
-          sigs.filter(col("id") % 4 === i)
-            .coalesce(1).write.mode("append").parquet(src)
-        }
         val led = new graft.streaming.NearDupLedger(ss, bits = 60,
           maxHamming = 11, nBuckets = 16)
         val pairsDir = graft.sources.Scratch.dir("phash_neardup_pairs")
-        val q = ss.readStream.schema(ss.read.parquet(src).schema)
-          .option("maxFilesPerTrigger", "1").parquet(src)
-          .writeStream
-          .trigger(Trigger.AvailableNow())
-          .option("checkpointLocation",
-            graft.sources.Scratch.dir("phash_neardup_cp"))
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-            led.observe(b, id).write.mode("append").parquet(pairsDir)
-            ()
-          }
-          .start()
-        q.awaitTermination()
-        s.read.parquet(pairsDir).orderBy(col("a"), col("b"))
+        StreamingQueries.streamSliced(ss, sigs, "id", "phash_neardup") {
+          (b, id) =>
+            led.observe(b, id).write.mode("overwrite")
+              .parquet(s"$pairsDir/b$id")
+        }
+        s.read.parquet(s"$pairsDir/*").orderBy(col("a"), col("b"))
       },
       Some(phashPairsSql)),
 

@@ -1126,34 +1126,49 @@ object StreamingQueries {
    * (each pair surfaces once, when its later member arrives) — the
    * oracle is d06's SQL verbatim; batch-order independence and
    * mid-stream recovery are pinned in NearDupLedgerSpec. */
-  private def runStreamNearDup(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val src = graft.sources.Scratch.dir("neardup_src")
-    val sigs = graft.operators.Dedup.simHashSigs(
-      graft.sources.Tables.load(ss, dir, "documents"),
-      "doc_id", "text", bits = 60)
-      .select(col("doc_id").as("id"), col("simhash").as("sig"))
-    (0 until 4).foreach { i =>
-      sigs.filter(col("id") % 4 === i)
+  /** Shared harness for the arrival-time ledger gates (q108/q110/m07):
+   * stage `rows` as `nSlices` modulo-sliced files (ONE materialization
+   * — the slice writes must not recompute the signature projection per
+   * slice) and stream them through a real engine run, one file per
+   * trigger, invoking `body` per micro-batch. */
+  private[queries] def streamSliced(ss: SparkSession, rows: DataFrame,
+      idCol: String, tag: String, nSlices: Int = 4)(
+      body: (DataFrame, Long) => Unit): Unit = {
+    val src = graft.sources.Scratch.dir(s"${tag}_src")
+    val staged = rows.localCheckpoint()
+    (0 until nSlices).foreach { i =>
+      staged.filter(col(idCol) % nSlices === i)
         .coalesce(1).write.mode("append").parquet(src)
     }
-    val led = new graft.streaming.NearDupLedger(ss, bits = 60,
-      maxHamming = 3, nBuckets = 16)
-    val pairsDir = graft.sources.Scratch.dir("neardup_pairs")
     val q = ss.readStream.schema(ss.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation",
-        graft.sources.Scratch.dir("neardup_cp"))
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        led.observe(b, id).write.mode("append").parquet(pairsDir)
-        ()
-      }
+        graft.sources.Scratch.dir(s"${tag}_cp"))
+      .foreachBatch { (b: DataFrame, id: Long) => body(b, id) }
       .start()
     q.awaitTermination()
-    s.read.parquet(pairsDir).orderBy(col("a"), col("b"))
+  }
+
+  private def runStreamNearDup(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val sigs = graft.operators.Dedup.simHashSigs(
+      graft.sources.Tables.load(ss, dir, "documents"),
+      "doc_id", "text", bits = 60)
+      .select(col("doc_id").as("id"), col("simhash").as("sig"))
+    val led = new graft.streaming.NearDupLedger(ss, bits = 60,
+      maxHamming = 3, nBuckets = 16)
+    val pairsDir = graft.sources.Scratch.dir("neardup_pairs")
+    streamSliced(ss, sigs, "id", "neardup") { (b, id) =>
+      // per-opId overwrite: a foreachBatch replay rewrites its own
+      // directory instead of appending duplicates (observe itself is
+      // replay-idempotent via the store's lastOp token)
+      led.observe(b, id).write.mode("overwrite")
+        .parquet(s"$pairsDir/b$id")
+    }
+    s.read.parquet(s"$pairsDir/*").orderBy(col("a"), col("b"))
   }
 
   /** q110: streaming NEAR-dup CLUSTERS — d07's transitive-closure
@@ -1174,36 +1189,22 @@ object StreamingQueries {
       dir: String): DataFrame = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val src = graft.sources.Scratch.dir("neardup_cc_src")
     val sigs = graft.operators.Dedup.simHashSigs(
       graft.sources.Tables.load(ss, dir, "documents"),
       "doc_id", "text", bits = 60)
       .select(col("doc_id").as("id"), col("simhash").as("sig"))
-    (0 until 4).foreach { i =>
-      sigs.filter(col("id") % 4 === i)
-        .coalesce(1).write.mode("append").parquet(src)
-    }
     val led = new graft.streaming.NearDupLedger(ss, bits = 60,
       maxHamming = 3, nBuckets = 16)
     var labels: DataFrame = ss.range(0)
       .select(col("id"), col("id").as("cluster"))
       .localCheckpoint(true)
-    val q = ss.readStream.schema(ss.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        graft.sources.Scratch.dir("neardup_cc_cp"))
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        val pairs = led.observe(b, id)
-        labels = graft.operators.IncrementalCC.maintain(labels,
-            pairs.select(col("a").as("src"), col("b").as("dst")),
-            maxIter = 100)
-          .localCheckpoint(true)
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    streamSliced(ss, sigs, "id", "neardup_cc") { (b, id) =>
+      val pairs = led.observe(b, id)
+      labels = graft.operators.IncrementalCC.maintain(labels,
+          pairs.select(col("a").as("src"), col("b").as("dst")),
+          maxIter = 100)
+        .localCheckpoint(true)
+    }
     val out = graft.sources.Scratch.dir("neardup_cc_out")
     labels.write.mode("overwrite").parquet(out)
     s.read.parquet(out).orderBy(col("id"))

@@ -265,13 +265,15 @@ object BucketedUpsert {
      * take over. */
     def replaceKeys(rows: DataFrame, keys: DataFrame, opId: Long): Unit = {
       val ks = keys.select(col(keyCol)).distinct()
-      val touched = ks.select(bucketOf.as("__b")).distinct()
-        .collect().map(_.getInt(0)).sorted
-      if (touched.isEmpty) return
+      // stray check FIRST: an (accidentally) empty key set with
+      // non-empty rows must fail loudly, not silently drop the rows
       val strays = rows.join(ks, Seq(keyCol), "left_anti")
       require(strays.isEmpty,
         s"replaceKeys: rows carry keys outside the replaced key set " +
           s"(e.g. ${strays.select(col(keyCol)).head()})")
+      val touched = ks.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return
       val prevPaths = touched.toSeq.flatMap(current.get)
       val kept = prevPaths.headOption.map(_ =>
         ss.read.option("mergeSchema", "true").parquet(prevPaths: _*)
@@ -504,6 +506,10 @@ object BucketedUpsert {
         graft.sources.StoreIO.copyDir(ss, p, s"$out/__bucket=$b")
         st.tx.current(b) = s"$out/__bucket=$b"
       }
+      // caller-attached durable tokens are store semantics too (a
+      // packed-ingest clone must carry its running total): they ride
+      // the clone's first commit like every other pin
+      st.extras ++= extras
       st.tx.commit("clone")
       st
     }

@@ -93,6 +93,24 @@ final class NearDupLedger(ss: SparkSession, bits: Int, maxHamming: Int,
             .bitwiseAND(lit((1L << bandBits) - 1)).cast("string"))
       }: _*)).as("bkey"))
 
+  /** The batch's pairs against the rows the CURRENT ledger holds:
+   * band-key probe → exact popcount check, a < b, deduped (a pair
+   * agreeing on several bands surfaces once). */
+  private def probePairs(batch: DataFrame): DataFrame = {
+    val postings = store.lookupJoin(ss, batch.select(col("bkey")))
+    batch.join(postings, Seq("bkey"))
+      .select(col("id"), col("sig"),
+        explode(col("posting")).as("p"))
+      .select(
+        least(col("id"), col("p.id")).as("a"),
+        greatest(col("id"), col("p.id")).as("b"),
+        bit_count(col("sig").bitwiseXOR(col("p.sig")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming &&
+        col("a") =!= col("b"))
+      .distinct()
+  }
+
   /** Ingest one batch of signatures (`id`, `sig` columns — any
    * signature source: text simhash, media pHash) and return its NEW
    * near-dup pairs (`a` < `b`, `hamming`): batch × accumulated-ledger
@@ -100,35 +118,41 @@ final class NearDupLedger(ss: SparkSession, bits: Int, maxHamming: Int,
    * is exactly the batch recompute's pair set — each pair surfaces
    * once, when its later member arrives. The returned frame is
    * MATERIALIZED (the ledger's bucket files are superseded by the
-   * fold; a lazy result would read retired state). */
+   * fold; a lazy result would read retired state).
+   *
+   * REPLAY-IDEMPOTENT under foreachBatch's at-least-once contract:
+   * the concat monoid cannot make a double fold a no-op (unlike the
+   * exact ledgers' min/sum), so the last folded opId rides the store
+   * manifest as a durable token — a retried opId skips the fold and
+   * recomputes the SAME pair set from the already-folded state (the
+   * batch now being IN the ledger, one self-excluding probe yields
+   * cross ∪ within in one shape). Callers make the pair SINK
+   * idempotent by writing per-opId (overwrite), as the gates do.
+   * Under a binding maxPosting cap a replayed batch's saturated-band
+   * postings may already be evicted — the documented graceful recall
+   * trade, unchanged by replay. */
   def observe(sigs: DataFrame, opId: Long): DataFrame = {
     val batch = bandKeys(sigs).localCheckpoint()
+    if (store.token("lastOp").contains(opId.toString)) {
+      // replay of an already-folded batch: the ledger contains it, so
+      // the self-excluding probe IS cross ∪ within
+      return probePairs(batch).localCheckpoint()
+    }
     // cross pairs BEFORE the fold: the ledger must not contain the
     // batch while the batch probes it (within-batch pairs are counted
     // once, below)
     val cross =
       if (!store.hasState) batch.limit(0)
         .select(col("id").as("a"), col("id").as("b"),
-          lit(0).as("hamming"))
-      else {
-        val postings = store.lookupJoin(ss, batch.select(col("bkey")))
-        batch.join(postings, Seq("bkey"))
-          .select(col("id"), col("sig"),
-            explode(col("posting")).as("p"))
-          .select(
-            least(col("id"), col("p.id")).as("a"),
-            greatest(col("id"), col("p.id")).as("b"),
-            bit_count(col("sig").bitwiseXOR(col("p.sig")))
-              .cast("int").as("hamming"))
-          .filter(col("hamming") <= maxHamming &&
-            col("a") =!= col("b"))
-          .distinct()
-      }
+          lit(0).cast("int").as("hamming"))
+      else probePairs(batch)
     val within = graft.operators.Dedup.hammingPairs(
       sigs.select(col("id"), col("sig")), bits, maxHamming)
       .select(col("a"), col("b"), col("hamming").cast("int"))
     val pairs = cross.unionByName(within).localCheckpoint()
-    // fold the batch's postings in: one bucket-pruned merge + commit
+    // fold the batch's postings in: one bucket-pruned merge + commit,
+    // with the opId marker riding the SAME commit (atomically)
+    store.setToken("lastOp", opId.toString)
     store.merge(
       batch.groupBy(col("bkey"))
         .agg(collect_list(struct(col("id"), col("sig")))
@@ -152,6 +176,10 @@ final class NearDupLedger(ss: SparkSession, bits: Int, maxHamming: Int,
    * recomputes the signature from the content it is forgetting, the
    * same way it computed it on ingest. */
   def forget(sigs: DataFrame, opId: Long): Unit = {
+    // forgetting from an empty ledger (content never ingested, or a
+    // forget racing the first batch) is a legitimate no-op, not a
+    // misdirecting lookup error
+    if (!store.hasState) return
     val bands = bandKeys(sigs).localCheckpoint()
     val touched = store.lookupJoin(ss, bands.select(col("bkey")))
     val victims = bands

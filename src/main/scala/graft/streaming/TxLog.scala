@@ -218,10 +218,6 @@ final class TxLog(ss: SparkSession, val root: String,
 
   def exists(path: String): Boolean = fs.exists(new Path(path))
 
-  /** Any bucket leaf dir still on disk — schema source for reading a
-   * legitimately-empty committed version. */
-  def anyBucketDir(): Option[String] = allBucketDirs().headOption
-
   /** EVERY bucket leaf dir still on disk — the union schema source for
    * an empty committed version that must surface a column only SOME
    * files carry (a post-widening empty version with only pre-widening

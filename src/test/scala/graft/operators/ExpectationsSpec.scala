@@ -178,6 +178,20 @@ class ExpectationsSpec extends SparkSpec {
     assert(bad.toSeq == Seq((4L, 2.0, Seq("cat_known"))),
       s"unrepairable set wrong (the value patch must not touch a row " +
         s"convicted only of cat_known): ${bad.toSeq}")
+    // two rules patching the SAME column repair deterministically in
+    // rule-list order: the later rule's patch overrides the earlier's
+    // for a row convicted of both (never Map iteration order)
+    val bothRules = Seq(
+      Rule("neg", col("value") > 0),
+      Rule("null_val", col("value").isNotNull))
+    val (_, q2) = Expectations.quarantine(facts, bothRules)
+    val (fixed, _) = Expectations.repair(q2, bothRules, Map(
+      "null_val" -> Map("value" -> lit(2.0)),
+      "neg" -> Map("value" -> lit(1.0))))
+    // row 3 (null value) violates BOTH rules; null_val is LATER in
+    // the rule list, so its patch wins
+    val r3 = fixed.filter(col("id") === 3L).head().getDouble(1)
+    assert(r3 == 2.0, s"patch order nondeterministic: row 3 -> $r3")
     // a patch for a rule no one defined fails closed
     intercept[IllegalArgumentException] {
       Expectations.repair(quarantined, rules,

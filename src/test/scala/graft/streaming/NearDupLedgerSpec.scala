@@ -61,6 +61,34 @@ class NearDupLedgerSpec extends SparkSpec {
     assertSamePairs(p01.unionByName(p2), "recovered continuation")
   }
 
+  test("observe is replay-idempotent: a retried opId neither " +
+      "double-folds postings nor changes the emitted pair set") {
+    import spark.implicits._
+    val led = new NearDupLedger(spark, bits = 60, maxHamming = 3,
+      nBuckets = 8)
+    val S = 0x0F0F0F0FL
+    led.observe(Seq((1L, S)).toDF("id", "sig"), 0L)
+    val b1 = Seq((2L, S), (3L, S)).toDF("id", "sig")
+    val first = led.observe(b1, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(first == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"$first")
+    // foreachBatch retry of the SAME batch id (crash after the store
+    // commit): the fold must not repeat, the pairs must be identical
+    val replay = led.observe(b1, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay == first,
+      s"replayed pair set differs: $replay vs $first")
+    val postings = led.store.view(spark)
+      .select(explode(col("posting")).as("p"))
+      .groupBy(col("p.id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(postings.values.forall(_ == 4L),
+      s"replay double-folded postings: $postings")
+    // forgetting from a FRESH ledger is a no-op, not a lookup error
+    new NearDupLedger(spark, bits = 60, maxHamming = 3, nBuckets = 8)
+      .forget(Seq((9L, S)).toDF("id", "sig"), 5L)
+  }
+
   test("forget removes exactly the victims' postings: forgotten ids " +
       "never pair again, innocents still do, emptied bands drop") {
     import spark.implicits._

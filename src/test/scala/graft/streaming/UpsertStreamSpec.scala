@@ -657,6 +657,17 @@ class UpsertStreamSpec extends SparkSpec {
       "mutating the clone disturbed the source store")
     // lookups route identically on the clone (same bucketing config)
     assert(cl.lookupKeys(spark, Seq(3L)).count() == 1)
+    // caller-attached durable tokens survive the clone (a packed
+    // ingest's running total must not silently reset in a what-if
+    // replay) — and survive the clone's RECOVERY too
+    st.setToken("packTokens", "12345")
+    val cl2 = st.cloneTo(Scratch.dir("clone_spec_tok"))
+    assert(cl2.token("packTokens").contains("12345"),
+      "clone dropped the caller's durable token")
+    val cl2rec = BucketedUpsert.recover(spark, "k", Seq("ver", "x"), 4,
+      cl2.rootDir)
+    assert(cl2rec.token("packTokens").contains("12345"),
+      "recovered clone lost the caller's durable token")
     // cloning an un-merged store fails loudly
     val fresh = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
       nBuckets = 4)
@@ -723,6 +734,12 @@ class UpsertStreamSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       st.replaceKeys(Seq((1L, 99L)).toDF("k", "n"),
         Seq(0L).toDF("k"), 2L)
+    }
+    // ... including when the key set is accidentally EMPTY — rows
+    // must never be silently dropped
+    intercept[IllegalArgumentException] {
+      st.replaceKeys(Seq((1L, 99L)).toDF("k", "n"),
+        Seq.empty[Long].toDF("k"), 3L)
     }
     // replay of the same replace is a no-op
     st.replaceKeys(Seq((0L, 7L)).toDF("k", "n"),
