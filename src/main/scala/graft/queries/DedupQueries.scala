@@ -24,7 +24,13 @@ object DedupQueries {
    * composable so d06/q108 share the pair statement verbatim and q110
    * can wrap it in the d07-style reachability recursion. */
   private[queries] lazy val simhash60PairsCtes: String =
-    s"""d AS (SELECT doc_id, $normT AS t FROM documents),
+    simhash60PairsCtesOver("documents")
+
+  /** The same CTE list over a restricted document set — q111 restates
+   * "pairs minable after forgetting X" as the pair statement over
+   * `documents` minus X. */
+  private[queries] def simhash60PairsCtesOver(docSrc: String): String =
+    s"""d AS (SELECT doc_id, $normT AS t FROM $docSrc),
        |tok AS (SELECT doc_id, u.tk FROM
        |       (SELECT doc_id, string_split_regex(t, ' ') AS w FROM d), unnest(w) AS u(tk)),
        |h AS (SELECT doc_id, ${h60("tk")} AS hv FROM tok),

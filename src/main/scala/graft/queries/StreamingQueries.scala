@@ -1210,6 +1210,43 @@ object StreamingQueries {
     s.read.parquet(out).orderBy(col("id"))
   }
 
+  /** q111: LEDGER FORGET + OFFLINE MINING — the compliance and batch
+   * halves of the near-dup artifact in one gate. The full corpus
+   * streams into the ledger (q108's ingest), then docs `% 17 == 0`
+   * are FORGOTTEN ([[graft.streaming.NearDupLedger.forget]] — the
+   * victims' postings live in exactly their band keys' buckets, so
+   * the rewrite is bounded by the forget batch and lands in ONE
+   * replaceKeys commit), then [[graft.streaming.NearDupLedger
+   * .minePairs]] mines every pair the REMAINING postings can derive —
+   * the m06-doc'd "near-dup mining runs over ledger postings, not raw
+   * media" pass. The oracle is the d06 pair statement over documents
+   * minus the forgotten set: the hash proves (a) no forgotten id
+   * survives in any posting, and (b) mining the pruned ledger loses
+   * no surviving pair — forget is surgical, not lossy. */
+  private def runNearDupForget(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val sigs = graft.operators.Dedup.simHashSigs(
+      graft.sources.Tables.load(ss, dir, "documents"),
+      "doc_id", "text", bits = 60)
+      .select(col("doc_id").as("id"), col("simhash").as("sig"))
+    val led = new graft.streaming.NearDupLedger(ss, bits = 60,
+      maxHamming = 3, nBuckets = 16)
+    streamSliced(ss, sigs, "id", "neardup_forget") { (b, id) =>
+      led.observe(b, id); ()
+    }
+    led.forget(sigs.filter(col("id") % 17 === 0), 100L)
+    val out = graft.sources.Scratch.dir("neardup_forget_out")
+    led.minePairs().write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy(col("a"), col("b"))
+  }
+
+  private def nearDupForgetOracle: String =
+    s"""WITH kept AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+       |${DedupQueries.simhash60PairsCtesOver("kept")},
+       |p AS (${DedupQueries.simhash60PairsSelect})
+       |SELECT a, b, hamming FROM p ORDER BY a, b""".stripMargin
+
   private def streamNearDupClustersOracle: String =
     s"""WITH RECURSIVE ${DedupQueries.simhash60PairsCtes},
        |pairs AS (${DedupQueries.simhash60PairsSelect}),
@@ -1301,6 +1338,8 @@ object StreamingQueries {
       Some(repairReplayOracle)),
     Q("q110_stream_neardup_clusters", runStreamNearDupClusters,
       Some(streamNearDupClustersOracle)),
+    Q("q111_neardup_forget_mine", runNearDupForget,
+      Some(nearDupForgetOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),

@@ -161,6 +161,32 @@ final class NearDupLedger(ss: SparkSession, bits: Int, maxHamming: Int,
     pairs
   }
 
+  /** OFFLINE PAIR MINING over the accumulated ledger — the "near-dup
+   * mining runs over ledger postings, not raw media" half of the
+   * artifact's value: every near-dup pair derivable from the CURRENT
+   * postings, without touching (or re-hashing) the corpus. Candidates
+   * are per-band posting self-pairs (the pigeonhole guarantee: any
+   * pair within distance d shares ≥ 1 band, so its two members sit in
+   * at least one common posting), checked exactly by popcount. This
+   * is the deliberate O(state) batch pass — [[observe]] is the
+   * bounded per-arrival path; together they are the streaming/batch
+   * halves d06/m05 gate separately. The shuffle_hash hints force both
+   * sides through one exchange (ReusedExchange — the posting explode
+   * runs once), the same plan pin as `hammingPairs`. */
+  def minePairs(): DataFrame = {
+    val posts = store.view(ss)
+      .select(col("bkey"), explode(col("posting")).as("p"))
+    val x = posts.hint("shuffle_hash").as("x")
+    val y = posts.hint("shuffle_hash").as("y")
+    x.join(y, col("x.bkey") === col("y.bkey") &&
+        col("x.p.id") < col("y.p.id"))
+      .select(col("x.p.id").as("a"), col("y.p.id").as("b"),
+        bit_count(col("x.p.sig").bitwiseXOR(col("y.p.sig")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** COMPLIANCE FORGET — remove documents from the ledger (the
    * right-to-be-forgotten path the exact stores serve with
    * [[BucketedUpsert.State.delete]]). A forgotten id's postings live

@@ -61,6 +61,17 @@ class NearDupLedgerSpec extends SparkSpec {
     assertSamePairs(p01.unionByName(p2), "recovered continuation")
   }
 
+  test("minePairs over the accumulated postings equals the batch " +
+      "recompute — the offline mining half of the artifact") {
+    val led = new NearDupLedger(spark, bits = 60, maxHamming = 3,
+      nBuckets = 16)
+    led.observe(sigs, 0L)
+    val got = led.minePairs()
+    val want = wantPairs
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "ledger-mined pair set differs from the batch recompute")
+  }
+
   test("observe is replay-idempotent: a retried opId neither " +
       "double-folds postings nor changes the emitted pair set") {
     import spark.implicits._
