@@ -237,7 +237,7 @@ object MultimodalQueries {
             led.observe(b, id).write.mode("overwrite")
               .parquet(s"$pairsDir/b$id")
         }
-        s.read.parquet(s"$pairsDir/*").orderBy(col("a"), col("b"))
+        StreamingQueries.readPairDirs(s, pairsDir)
       },
       Some(phashPairsSql)),
 

@@ -161,6 +161,15 @@ final class NearDupLedger(ss: SparkSession, bits: Int, maxHamming: Int,
     pairs
   }
 
+  /** DEEP CLONE of the ledger (the store's [[BucketedUpsert.State
+   * .cloneTo]] + reattach): a what-if forget, a speculative compaction
+   * — mutations on the clone can never touch the source's files. */
+  def cloneTo(newRoot: String): NearDupLedger = {
+    store.cloneTo(newRoot)
+    NearDupLedger.recover(ss, bits, maxHamming, nBuckets, newRoot,
+      maxPosting)
+  }
+
   /** OFFLINE PAIR MINING over the accumulated ledger — the "near-dup
    * mining runs over ledger postings, not raw media" half of the
    * artifact's value: every near-dup pair derivable from the CURRENT
