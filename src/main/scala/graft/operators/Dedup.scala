@@ -81,6 +81,33 @@ object Dedup {
   def minHashSig(text: Column, k: Int, shingleWords: Int = 3): Column =
     minHashSigFromHashes(shingleHashes(text, shingleWords), k)
 
+  /** (`id`, `sig`) MinHash signatures over a document frame — the
+   * shared projection behind [[minHashPairs]] and the arrival-time
+   * signature computation of [[graft.streaming.MinHashLedger]].
+   *
+   * Staged projections: tokens → shingles → 30-bit hashes → signature.
+   * Each stage materializes its array so no interpreted-HOF lambda ever
+   * re-evaluates an upstream expression per element (see
+   * TextFunctions.wordShinglesFromTokens). Docs with no shingles
+   * (<3 tokens) are dropped HERE: their all-NULL signature collapses to
+   * the same band keys (array_join skips nulls), so a corpus with many
+   * short docs would self-join quadratically inside those few buckets —
+   * the est_sim filter drops the pairs afterwards, but only after the
+   * O(n²) join has run. Guarded on the TOKEN count, not size(__sh): a
+   * predicate on the computed shingle array would be pushed below its
+   * projection and re-materialize the whole transform per row (the
+   * explode_outer lesson). */
+  def minHashDocSigs(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__tok"))
+      .filter(size(col("__tok")) >= 3)
+      .select(col("id"),
+        TF.wordShinglesFromTokens(col("__tok"), 3).as("__sh"))
+      .select(col("id"),
+        transform(col("__sh"),
+          s => TF.hash60(s).bitwiseAND(lit(MhMask))).as("__hs"))
+      .select(col("id"), minHashSigFromHashes(col("__hs"), k).as("sig"))
+
   /** LSH band key: the signature slice for one band, joined to a string. */
   def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
     array_join(
@@ -102,28 +129,7 @@ object Dedup {
       k: Int = 16, bands: Int = 4, minSim: Double = 0.5): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    // Staged projections: tokens → shingles → 30-bit hashes → signature.
-    // Each stage materializes its array so no interpreted-HOF lambda ever
-    // re-evaluates an upstream expression per element (see
-    // TextFunctions.wordShinglesFromTokens).
-    val sigs = df
-      .select(col(idCol).as("id"), TF.tokens(col(textCol)).as("__tok"))
-      // docs with no shingles (<3 tokens) must never enter a bucket: their
-      // all-NULL signature collapses to the same band keys (array_join
-      // skips nulls), so a corpus with many short docs would self-join
-      // quadratically inside those few buckets — the est_sim filter drops
-      // the pairs afterwards, but only after the O(n²) join has run.
-      // Guarded on the TOKEN count, not size(__sh): a predicate on the
-      // computed shingle array would be pushed below its projection and
-      // re-materialize the whole transform per row (the explode_outer
-      // lesson — pushdown inlining this costs only one extra split)
-      .filter(size(col("__tok")) >= 3)
-      .select(col("id"),
-        TF.wordShinglesFromTokens(col("__tok"), 3).as("__sh"))
-      .select(col("id"),
-        transform(col("__sh"),
-          s => TF.hash60(s).bitwiseAND(lit(MhMask))).as("__hs"))
-      .select(col("id"), minHashSigFromHashes(col("__hs"), k).as("sig"))
+    val sigs = minHashDocSigs(df, idCol, textCol, k)
     // Carry the signature into the bucket rows: the self-join then shuffles
     // two IDENTICAL plans on bkey, which Catalyst collapses into one
     // computed-once ReusedExchange — the signature scan runs a single time.

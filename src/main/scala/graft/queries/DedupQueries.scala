@@ -60,7 +60,7 @@ object DedupQueries {
 
   /** The d02 MinHash/LSH pair SQL (no final ORDER BY) — shared by d02
    * and, as a CTE body, by d07's cluster recursion. */
-  private lazy val minhashPairsSql: String = {
+  private[queries] lazy val minhashPairsSql: String = {
     val seedRows = (0 until 16).map(i =>
       s"($i, ${graft.operators.Dedup.mhCoeffA(i)}, " +
         s"${graft.operators.Dedup.mhCoeffB(i)})").mkString(", ")

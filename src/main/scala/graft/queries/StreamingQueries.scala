@@ -1246,6 +1246,34 @@ object StreamingQueries {
     s.read.parquet(out).orderBy(col("id"))
   }
 
+  /** q112: STREAMING MinHash/LSH near-dup — d02's banded Jaccard
+   * estimation at arrival time ([[graft.streaming.MinHashLedger]]),
+   * completing the streamed dedup family: exact (q91), SimHash
+   * hamming (q108), pHash (m07), and now shingle-SET similarity —
+   * the semantics MinHash measures that bit-vector hamming only
+   * approximates. Merge-then-probe per batch: the fold is guarded by
+   * the lastOp token (replay-idempotent), then ONE self-excluding
+   * band probe against the store — which now contains the batch —
+   * yields cross ∪ within in a single shape, at
+   * O(batch + state·k/n). The accumulated pair stream over the
+   * 4-slice ingest must equal the d02 batch recompute exactly; the
+   * oracle is d02's SQL verbatim. */
+  private def runStreamMinHash(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val sigs = graft.operators.Dedup.minHashDocSigs(
+      graft.sources.Tables.load(ss, dir, "documents"),
+      "doc_id", "text", k = 16)
+    val led = new graft.streaming.MinHashLedger(ss, k = 16, bands = 4,
+      minSim = 0.5, nBuckets = 16)
+    val pairsDir = graft.sources.Scratch.dir("minhash_stream_pairs")
+    streamSliced(ss, sigs, "id", "minhash_stream") { (b, id) =>
+      led.observe(b, id).write.mode("overwrite")
+        .parquet(s"$pairsDir/b$id")
+    }
+    readPairDirs(s, pairsDir)
+  }
+
   /** q111: LEDGER FORGET + OFFLINE MINING — the compliance and batch
    * halves of the near-dup artifact in one gate. The full corpus
    * streams into the ledger (q108's ingest), then docs `% 17 == 0`
@@ -1375,6 +1403,8 @@ object StreamingQueries {
       Some(streamNearDupClustersOracle)),
     Q("q111_neardup_forget_mine", runNearDupForget,
       Some(nearDupForgetOracle)),
+    Q("q112_stream_minhash_lsh", runStreamMinHash,
+      Some(s"${DedupQueries.minhashPairsSql}\nORDER BY a, b")),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
