@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Volume soak for the streaming near-dup ledger ([[graft.streaming
+ * .PostingLedger]] via NearDupLedger): measures the PER-BATCH cost
+ * curve as accumulated state grows — the claim under test is the
+ * O(batch + state·k/n) probe bound, i.e. per-batch wall must grow
+ * with the TOUCHED fraction of state, never with batch × ledger, and
+ * planted duplicate groups must not blow up candidate generation.
+ *
+ * Corpus: `n` synthetic 60-bit signatures in groups of 10 — 9 members
+ * share the group signature, the 10th flips one bit (hamming 1) — so
+ * expected pair volume is known exactly: each complete group yields
+ * C(9,2)=36 exact + 9 near pairs = 45. Signatures stream in `nBatches`
+ * modulo-slices via direct observe() calls (batch composition
+ * independence is spec-pinned; the soak measures cost, not the
+ * engine's trigger loop).
+ *
+ * Stages: ingest (per-batch walls printed first/middle/last), a
+ * 1000-doc FORGET (bounded rewrite), and offline minePairs with the
+ * exact expected count asserted.
+ *
+ * Usage: runMain graft.tools.LedgerSoak [nDocs] [nBatches] [nBuckets]
+ */
+object LedgerSoak {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 500000L
+    val nBatches = if (args.length > 1) args(1).toInt else 25
+    val nBuckets = if (args.length > 2) args(2).toInt else 256
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nGroups = n / 10
+    // group signature: 60-bit hash of the group id; member id%10==9
+    // flips bit (group % 60) -> hamming 1 from its 9 exact siblings
+    val gsig = abs(xxhash64(concat(lit("g:"), col("id") % nGroups)))
+      .bitwiseAND(lit((1L << 60) - 1))
+    val sigs = spark.range(n).select(
+      col("id"),
+      when(col("id") % 10 === 9,
+        gsig.bitwiseXOR(
+          expr(s"shiftleft(1L, cast((id % $nGroups) % 60 as int))")))
+        .otherwise(gsig).as("sig"))
+      .localCheckpoint()
+
+    val led = new graft.streaming.NearDupLedger(spark, bits = 60,
+      maxHamming = 3, nBuckets = nBuckets)
+
+    var totalPairs = 0L
+    val walls = (0 until nBatches).map { b =>
+      val t0 = System.nanoTime()
+      val pairs = led.observe(sigs.filter(col("id") % nBatches === b),
+        b.toLong)
+      totalPairs += pairs.count()
+      val w = (System.nanoTime() - t0) / 1e9
+      if (b < 3 || b == nBatches / 2 || b >= nBatches - 3)
+        println(f"== ledger: batch $b%3d wall $w%.2fs " +
+          f"(accumulated ~${(b + 1) * n / nBatches} sigs)")
+      w
+    }
+    // the flatness claim: the LAST batch (full ledger behind it) must
+    // not cost an order of magnitude more than an early batch — probe
+    // work is bounded by touched-bucket state + matching band keys,
+    // never batch × ledger. (Some growth is honest: k/n of a larger
+    // state is more bytes; the guard is against super-linear blowup.)
+    val early = walls.slice(1, 4).min
+    val late = walls.takeRight(3).max
+    println(f"== ledger: early-batch wall $early%.2fs, late-batch " +
+      f"$late%.2fs, ratio ${late / early}%.2f (fail bar: 6x)")
+    assert(late / early < 6.0,
+      f"per-batch cost grew ${late / early}%.1fx across the ingest — " +
+        "probe is no longer bounded by touched state")
+
+    // every group fully ingested: 36 exact + 9 near pairs, surfacing
+    // exactly once each across the stream regardless of batching
+    val expected = nGroups * 45
+    println(s"== ledger: $totalPairs pairs accumulated " +
+      s"(expect $expected)")
+    assert(totalPairs == expected,
+      s"pair accumulation wrong: $totalPairs != $expected")
+
+    // compliance forget of 1000 docs: bounded rewrite, victims gone
+    val victims = sigs.filter(col("id") < 1000)
+    val t0 = System.nanoTime()
+    led.forget(victims, 9999L)
+    println(f"== ledger: forget(1000 docs) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val leaked = led.store.view(spark)
+      .select(explode(col("posting")).as("p"))
+      .filter(col("p.id") < 1000).count()
+    assert(leaked == 0, s"forget leaked $leaked postings")
+
+    // offline mining over the pruned ledger: groups 0..99 lost their
+    // ids < 1000 members (ids k*nGroups + g < 1000 ... exactly the
+    // first 1000 ids = members 0 of groups 0..999 when n/nGroups=10?
+    // member layout is id mod nGroups = group, id / nGroups = member —
+    // ids < 1000 are member 0 of groups 0..999, so those groups drop
+    // to 9 members (8 exact siblings + 1 near): C(8,2)+8 = 36 pairs
+    val t1 = System.nanoTime()
+    val mined = led.minePairs().count()
+    println(f"== ledger: minePairs ${(System.nanoTime() - t1) / 1e9}%.2fs, " +
+      s"$mined pairs")
+    val expectedMined = (nGroups - 1000) * 45 + 1000 * 36
+    assert(mined == expectedMined,
+      s"mined $mined != $expectedMined after forget")
+
+    println(s"== ledger soak OK: n=$n batches=$nBatches buckets=$nBuckets")
+    spark.stop()
+  }
+}
