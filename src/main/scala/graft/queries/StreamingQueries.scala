@@ -1136,10 +1136,17 @@ object StreamingQueries {
       body: (DataFrame, Long) => Unit): Unit = {
     val src = graft.sources.Scratch.dir(s"${tag}_src")
     val staged = rows.localCheckpoint()
+    // pmod, not %: Spark's % preserves sign, so a negative id would
+    // match NO slice and the row would silently never stream. (A null
+    // id still matches nothing — ids are keys here; fail the count.)
     (0 until nSlices).foreach { i =>
-      staged.filter(col(idCol) % nSlices === i)
+      staged.filter(pmod(col(idCol), lit(nSlices)) === i)
         .coalesce(1).write.mode("append").parquet(src)
     }
+    val nulls = staged.filter(col(idCol).isNull).count()
+    require(nulls == 0,
+      s"streamSliced($tag): $nulls null-$idCol rows would never " +
+        "stream — slice on a non-null key")
     val q = ss.readStream.schema(ss.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .writeStream
@@ -1219,10 +1226,7 @@ object StreamingQueries {
       dir: String): DataFrame = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val sigs = graft.operators.Dedup.simHashSigs(
-      graft.sources.Tables.load(ss, dir, "documents"),
-      "doc_id", "text", bits = 60)
-      .select(col("doc_id").as("id"), col("simhash").as("sig"))
+    val sigs = docSimhashSigs(ss, dir)
     val led = new graft.streaming.NearDupLedger(ss, bits = 60,
       maxHamming = 3, nBuckets = 16)
     var labels: DataFrame = ss.range(0)

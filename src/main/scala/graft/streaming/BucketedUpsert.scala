@@ -143,6 +143,10 @@ object BucketedUpsert {
         s"setToken: '$k' is a reserved store token")
       extras(k) = v
     }
+    /** Remove a caller token from the NEXT commit (and the in-memory
+     * view) — the rollback half callers need when the commit they
+     * staged a token for fails (see PostingLedger.observe). */
+    def clearToken(k: String): Unit = { extras.remove(k); () }
     def token(k: String): Option[String] = extras.get(k)
     private def current = tx.current
     val metrics: mutable.ArrayBuffer[BatchMetrics] = mutable.ArrayBuffer()

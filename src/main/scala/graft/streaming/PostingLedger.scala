@@ -102,8 +102,11 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
         least(col("id"), col("p.id")).as("a"),
         greatest(col("id"), col("p.id")).as("b"),
         score(col("sig"), col("p.sig")).as(scoreName))
-      .distinct()
+      // filter BEFORE distinct: on a hot band most collision
+      // candidates fail the score bar, and the dedup exchange must
+      // carry only real pairs, not O(candidates)
       .filter(keep(col(scoreName)))
+      .distinct()
 
   /** Ingest one batch of signatures (`id`, `sig` columns — whatever
    * signature family the subclass bands) and return its NEW near-dup
@@ -116,13 +119,25 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
   def observe(sigs: DataFrame, opId: Long): DataFrame = {
     val batch = bandKeys(sigs).localCheckpoint()
     if (!store.token("lastOp").contains(opId.toString)) {
-      // the opId marker rides the SAME commit as the fold (atomic)
+      // the opId marker rides the SAME commit as the fold (atomic on
+      // the success path); a FAILED merge must roll the in-memory
+      // token back, or a same-process retry of this opId would see
+      // the marker, skip the fold, and silently lose the batch
+      val prev = store.token("lastOp")
       store.setToken("lastOp", opId.toString)
-      store.merge(
+      try store.merge(
         batch.groupBy(col("bkey"))
           .agg(collect_list(struct(col("id"), col("sig")))
             .as("posting")),
         opId)
+      catch {
+        case t: Throwable =>
+          prev match {
+            case Some(v) => store.setToken("lastOp", v)
+            case None    => store.clearToken("lastOp")
+          }
+          throw t
+      }
     }
     // an empty batch on an empty store has nothing to probe (the
     // merge committed nothing): schema-stable empty result
@@ -150,8 +165,8 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
         col("x.p.id") < col("y.p.id"))
       .select(col("x.p.id").as("a"), col("y.p.id").as("b"),
         score(col("x.p.sig"), col("y.p.sig")).as(scoreName))
-      .distinct()
       .filter(keep(col(scoreName)))
+      .distinct()
   }
 
   /** COMPLIANCE FORGET — remove documents from the ledger (the

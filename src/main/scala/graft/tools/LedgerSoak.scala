@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
  * with the TOUCHED fraction of state, never with batch × ledger, and
  * planted duplicate groups must not blow up candidate generation.
  *
- * Corpus: `n` synthetic 60-bit signatures in groups of 10 — 9 members
- * share the group signature, the 10th flips one bit (hamming 1) — so
+ * Corpus: `n` synthetic 60-bit signatures in groups of 10 — member
+ * layout is id = g + m·nGroups (member index m = id / nGroups), the
+ * m = 9 member flips one bit (hamming 1), the other 9 are exact — so
  * expected pair volume is known exactly: each complete group yields
- * C(9,2)=36 exact + 9 near pairs = 45. Signatures stream in `nBatches`
- * modulo-slices via direct observe() calls (batch composition
- * independence is spec-pinned; the soak measures cost, not the
- * engine's trigger loop).
+ * C(9,2)=36 exact + 9 near pairs = 45, and the hamming-scored path is
+ * genuinely exercised. Signatures stream in `nBatches` CONTIGUOUS id
+ * ranges via direct observe() calls — a group's members sit nGroups
+ * apart, so they land in DIFFERENT batches and almost every pair is
+ * discovered by a cross-batch probe against the accumulated ledger
+ * (the streaming claim under test; batch-composition independence is
+ * spec-pinned, the soak measures cost).
  *
  * Stages: ingest (per-batch walls printed first/middle/last), a
  * 1000-doc FORGET (bounded rewrite), and offline minePairs with the
@@ -41,13 +45,15 @@ object LedgerSoak {
     spark.sparkContext.setLogLevel("WARN")
 
     val nGroups = n / 10
-    // group signature: 60-bit hash of the group id; member id%10==9
-    // flips bit (group % 60) -> hamming 1 from its 9 exact siblings
+    // group signature: 60-bit hash of the group id; MEMBER INDEX 9
+    // (id / nGroups == 9, NOT id % 10 — that would be constant within
+    // a group whenever 10 | nGroups and select whole groups) flips
+    // bit (group % 60) -> hamming 1 from its 9 exact siblings
     val gsig = abs(xxhash64(concat(lit("g:"), col("id") % nGroups)))
       .bitwiseAND(lit((1L << 60) - 1))
     val sigs = spark.range(n).select(
       col("id"),
-      when(col("id") % 10 === 9,
+      when(col("id") >= nGroups * 9,
         gsig.bitwiseXOR(
           expr(s"shiftleft(1L, cast((id % $nGroups) % 60 as int))")))
         .otherwise(gsig).as("sig"))
@@ -56,12 +62,23 @@ object LedgerSoak {
     val led = new graft.streaming.NearDupLedger(spark, bits = 60,
       maxHamming = 3, nBuckets = nBuckets)
 
+    // CONTIGUOUS id ranges per batch: a group's members sit nGroups
+    // apart, so a modulo slice with nBatches | nGroups would confine
+    // every group to ONE batch and the cross-batch probe path — the
+    // point of the soak — would never run
+    val per = n / nBatches
     var totalPairs = 0L
+    var crossPairs = 0L
     val walls = (0 until nBatches).map { b =>
       val t0 = System.nanoTime()
-      val pairs = led.observe(sigs.filter(col("id") % nBatches === b),
-        b.toLong)
+      val lo = b * per
+      val hi = if (b == nBatches - 1) n else (b + 1) * per
+      val pairs = led.observe(
+        sigs.filter(col("id") >= lo && col("id") < hi), b.toLong)
       totalPairs += pairs.count()
+      // pairs whose smaller member arrived in an EARLIER batch were
+      // found by the cross-batch ledger probe
+      crossPairs += pairs.filter(col("a") < lo).count()
       val w = (System.nanoTime() - t0) / 1e9
       if (b < 3 || b == nBatches / 2 || b >= nBatches - 3)
         println(f"== ledger: batch $b%3d wall $w%.2fs " +
@@ -82,12 +99,18 @@ object LedgerSoak {
         "probe is no longer bounded by touched state")
 
     // every group fully ingested: 36 exact + 9 near pairs, surfacing
-    // exactly once each across the stream regardless of batching
+    // exactly once each across the stream regardless of batching —
+    // and with range-sliced batches, the overwhelming majority must
+    // have been found by the CROSS-batch probe (members sit nGroups
+    // apart: only same-member-range pairs are within-batch)
     val expected = nGroups * 45
     println(s"== ledger: $totalPairs pairs accumulated " +
-      s"(expect $expected)")
+      s"(expect $expected), $crossPairs found cross-batch")
     assert(totalPairs == expected,
       s"pair accumulation wrong: $totalPairs != $expected")
+    assert(crossPairs > expected / 2,
+      s"only $crossPairs/$expected pairs crossed batches — the soak " +
+        "is not exercising the ledger probe")
 
     // compliance forget of 1000 docs: bounded rewrite, victims gone
     val victims = sigs.filter(col("id") < 1000)
