@@ -712,6 +712,27 @@ class UpsertStreamSpec extends SparkSpec {
       s"eager retirement left empty shells: ${shells(eager.rootDir)}")
   }
 
+  test("durable caller tokens: committed with the next merge, " +
+      "restored on recover, cleared tokens stay gone, reserved " +
+      "names rejected") {
+    import graft.streaming.BucketedUpsert
+    import spark.implicits._
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver"),
+      nBuckets = 2)
+    intercept[IllegalArgumentException](st.setToken("nBuckets", "9"))
+    st.setToken("cursor", "42")
+    st.merge(Seq((1L, 1L)).toDF("k", "ver"), 0L)
+    val rec = BucketedUpsert.recover(spark, "k", Seq("ver"), 2,
+      st.rootDir)
+    assert(rec.token("cursor").contains("42"))
+    rec.clearToken("cursor")
+    rec.merge(Seq((2L, 1L)).toDF("k", "ver"), 1L)
+    val rec2 = BucketedUpsert.recover(spark, "k", Seq("ver"), 2,
+      st.rootDir)
+    assert(rec2.token("cursor").isEmpty,
+      "cleared token resurrected across recovery")
+  }
+
   test("replaceKeys swaps exactly the named keys in one commit: " +
       "other keys in touched buckets carry, emptied keys drop, " +
       "strays fail loudly") {
