@@ -402,8 +402,15 @@ object GcdIncremental {
         require(dirs.nonEmpty,
           s"snapshotAsOf($g): generation is empty and no bucket file " +
             "exists to derive the schema")
-        return ss.read.option("mergeSchema", "true").parquet(dirs: _*)
-          .limit(0).select(committed.map(col): _*)
+        val base = ss.read.option("mergeSchema", "true")
+          .parquet(dirs: _*).limit(0)
+        // a committed column may exist in NO surviving file (a widened
+        // store whose post-widening buckets were all deleted): pad it
+        // as a null column instead of a raw AnalysisException (mirrors
+        // BucketedUpsert.emptyVersion; type is unrecoverable from data)
+        return committed.filterNot(base.columns.contains)
+          .foldLeft(base)((d, c) => d.withColumn(c, lit(null)))
+          .select(committed.map(col): _*)
       }
       ss.read.parquet(paths: _*)
     }

@@ -237,6 +237,16 @@ object MultimodalQueries {
             led.observe(b, id).write.mode("overwrite")
               .parquet(s"$pairsDir/b$id")
         }
+        // the oracle is m05's SQL, which caps bands at 2000 postings
+        // (QUALIFY); this ledger runs UNCAPPED (maxPosting=0), so the
+        // shared oracle is only valid while the cap never binds —
+        // CHECK that, don't assume it, or a fixture-scale bump would
+        // fail the gate for a reason unrelated to the ledger
+        val hottest = led.store.view(ss)
+          .agg(max(size(col("posting")))).head().getInt(0)
+        require(hottest <= 2000,
+          s"m07: hottest band holds $hottest postings > the oracle's " +
+            "2000 cap — give m07 its own uncapped oracle")
         StreamingQueries.readPairDirs(s, pairsDir)
       },
       Some(phashPairsSql)),

@@ -148,6 +148,15 @@ object BucketedUpsert {
      * staged a token for fails (see PostingLedger.observe). */
     def clearToken(k: String): Unit = { extras.remove(k); () }
     def token(k: String): Option[String] = extras.get(k)
+    /** The value of caller token `k` as of the last COMMITTED manifest
+     * (None before any commit, or if that commit carried no such
+     * token). This is the rollback source of truth after a FAILED
+     * operation that had staged a token: the in-memory token cannot
+     * distinguish "commit landed, post-commit step threw" from "commit
+     * never happened" — the durable manifest can (see
+     * PostingLedger.observe). */
+    def committedToken(k: String): Option[String] =
+      tx.liveTokens().flatMap(_.get(k))
     private def current = tx.current
     val metrics: mutable.ArrayBuffer[BatchMetrics] = mutable.ArrayBuffer()
 
@@ -330,8 +339,18 @@ object BucketedUpsert {
       require(dirs.nonEmpty,
         s"readAsOf($seq): version is empty and no bucket file " +
           "exists to derive the schema")
-      reader.read.option("mergeSchema", "true").parquet(dirs: _*)
-        .limit(0).select(committed.map(col): _*)
+      val base = reader.read.option("mergeSchema", "true")
+        .parquet(dirs: _*).limit(0)
+      // a committed widened column may exist in NO surviving file
+      // (delete-all right after recovering with widened payloadCols,
+      // before any widened row merged): pad it as a null column rather
+      // than letting the select throw a raw AnalysisException. Its
+      // TYPE is unrecoverable from data (the manifest records names
+      // only) — zero rows, and unionByName on the widened side
+      // reconciles the type.
+      committed.filterNot(base.columns.contains)
+        .foldLeft(base)((d, c) => d.withColumn(c, lit(null)))
+        .select(committed.map(col): _*)
     }
 
     /** VERSION-TO-VERSION CHANGE FEED (the Delta CDF shape served from

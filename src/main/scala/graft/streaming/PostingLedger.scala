@@ -116,23 +116,31 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
    * is MATERIALIZED (a lazy frame would read retired state after a
    * later fold). See the class doc for the merge-then-probe replay
    * contract. */
+  /** The fold commit itself — a seam so specs can inject a
+   * post-commit failure and pin the rollback contract below. */
+  protected def foldCommit(posting: DataFrame, opId: Long): Unit =
+    store.merge(posting, opId)
+
   def observe(sigs: DataFrame, opId: Long): DataFrame = {
     val batch = bandKeys(sigs).localCheckpoint()
     if (!store.token("lastOp").contains(opId.toString)) {
       // the opId marker rides the SAME commit as the fold (atomic on
-      // the success path); a FAILED merge must roll the in-memory
-      // token back, or a same-process retry of this opId would see
-      // the marker, skip the fold, and silently lose the batch
-      val prev = store.token("lastOp")
+      // the success path); a FAILED merge must resynchronize the
+      // in-memory token — but from the COMMITTED manifest, not the
+      // pre-call value: "commit landed, post-commit step threw" and
+      // "commit never happened" are indistinguishable in memory, and
+      // restoring the stale value in the former case would make a
+      // same-process retry re-fold a landed batch (the concat monoid
+      // duplicates postings). The manifest is the truth either way.
       store.setToken("lastOp", opId.toString)
-      try store.merge(
+      try foldCommit(
         batch.groupBy(col("bkey"))
           .agg(collect_list(struct(col("id"), col("sig")))
             .as("posting")),
         opId)
       catch {
         case t: Throwable =>
-          prev match {
+          store.committedToken("lastOp") match {
             case Some(v) => store.setToken("lastOp", v)
             case None    => store.clearToken("lastOp")
           }

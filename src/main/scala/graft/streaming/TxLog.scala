@@ -155,6 +155,20 @@ final class TxLog(ss: SparkSession, val root: String,
 
   def manifestPaths(seq: Long): Seq[String] = manifestMap(seq).values.toSeq
 
+  /** Header tokens of the LIVE manifest as committed on disk, WITHOUT
+   * restoring the log's in-memory state (None before any commit) — the
+   * source of truth for a caller that must distinguish "the commit
+   * landed and then something post-commit threw" from "the commit never
+   * happened" after a failed operation (see PostingLedger.observe's
+   * token rollback). */
+  def liveTokens(): Option[Map[String, String]] = {
+    val mf = new Path(rootPath, "_manifest")
+    if (!fs.exists(mf)) None
+    else Some(readManifest(mf).head.split(" ").toSeq
+      .filter(_.contains("="))
+      .map { t => val Array(k, v) = t.split("=", 2); k -> v }.toMap)
+  }
+
   /** Restore the log from the live manifest: pointer map, seq, attempt
    * numbering (past every existing `v*` dir, committed or crashed).
    * Returns the header's `k=v` tokens for the OWNING STORE to validate

@@ -35,6 +35,14 @@ object LedgerSoak {
     val n = if (args.nonEmpty) args(0).toLong else 500000L
     val nBatches = if (args.length > 1) args(1).toInt else 25
     val nBuckets = if (args.length > 2) args(2).toInt else 256
+    // the expected-pair arithmetic below assumes complete groups of 10
+    // and at least 1000 groups (the forget stage removes ids < 1000 =
+    // member 0 of groups 0..999): fail a custom invocation loudly
+    // instead of with a spurious count assert
+    require(n % 10 == 0 && n / 10 >= 1000,
+      s"LedgerSoak: nDocs=$n must be a multiple of 10 with >= 1000 " +
+        "groups (n/10) — the expected-pair math assumes complete " +
+        "groups and a forgettable first 1000 ids")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -123,12 +131,10 @@ object LedgerSoak {
       .filter(col("p.id") < 1000).count()
     assert(leaked == 0, s"forget leaked $leaked postings")
 
-    // offline mining over the pruned ledger: groups 0..99 lost their
-    // ids < 1000 members (ids k*nGroups + g < 1000 ... exactly the
-    // first 1000 ids = members 0 of groups 0..999 when n/nGroups=10?
-    // member layout is id mod nGroups = group, id / nGroups = member —
-    // ids < 1000 are member 0 of groups 0..999, so those groups drop
-    // to 9 members (8 exact siblings + 1 near): C(8,2)+8 = 36 pairs
+    // offline mining over the pruned ledger: member layout is
+    // id mod nGroups = group, id / nGroups = member — ids < 1000 are
+    // member 0 of groups 0..999, so those groups drop to 9 members
+    // (8 exact siblings + 1 near): C(8,2)+8 = 36 pairs
     val t1 = System.nanoTime()
     val mined = led.minePairs().count()
     println(f"== ledger: minePairs ${(System.nanoTime() - t1) / 1e9}%.2fs, " +

@@ -132,6 +132,71 @@ class NearDupLedgerSpec extends SparkSpec {
       .filter(col("p.id") === 2L).count() === 4L)
   }
 
+  test("a failed observe resynchronizes the lastOp token from the " +
+      "COMMITTED manifest: a post-commit throw does not make the " +
+      "retry re-fold the landed batch, and a pre-commit throw does " +
+      "not make it skip the lost one") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Column, DataFrame}
+    // minimal PostingLedger with failure-injection around the fold
+    // commit — the two crash points the in-memory token cannot tell
+    // apart ('commit landed, post-commit retire threw' vs 'commit
+    // never happened')
+    class Throwing extends PostingLedger(spark, nBuckets = 4,
+        maxPosting = 0, root = None) {
+      @volatile var throwAfter = false
+      @volatile var throwBefore = false
+      protected def bandExprs: Seq[Column] = Seq(pmod(col("sig"), lit(4)))
+      protected def score(sig: Column, psig: Column): Column =
+        abs(sig - psig).cast("long")
+      protected def scoreName: String = "d"
+      protected def keep(s: Column): Column = s <= 2L
+      protected def zeroScore: Column = lit(0L)
+      override protected def foldCommit(p: DataFrame, op: Long): Unit = {
+        if (throwBefore) { throwBefore = false
+          throw new RuntimeException("pre-commit boom") }
+        super.foldCommit(p, op)
+        if (throwAfter) { throwAfter = false
+          throw new RuntimeException("post-commit boom") }
+      }
+    }
+    def postingCounts(l: PostingLedger): Map[Long, Long] =
+      l.store.view(spark).select(explode(col("posting")).as("p"))
+        .groupBy(col("p.id")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val led = new Throwing
+    led.observe(Seq((1L, 10L)).toDF("id", "sig"), 0L)
+    // CASE 1: the fold COMMITS, then a post-commit step throws. The
+    // manifest already records lastOp=1; restoring the stale in-memory
+    // value would make the retry re-fold and duplicate postings.
+    led.throwAfter = true
+    val b1 = Seq((2L, 10L)).toDF("id", "sig")
+    intercept[RuntimeException](led.observe(b1, 1L))
+    assert(led.store.token("lastOp").contains("1"),
+      s"token not restored from the committed manifest: " +
+        s"${led.store.token("lastOp")}")
+    val retry1 = led.observe(b1, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(retry1 == Set((1L, 2L)), s"retry pairs wrong: $retry1")
+    assert(postingCounts(led) == Map(1L -> 1L, 2L -> 1L),
+      s"post-commit-throw retry duplicated postings: " +
+        s"${postingCounts(led)}")
+    // CASE 2: the fold throws BEFORE committing. The manifest still
+    // says lastOp=1; the retry must NOT skip the fold.
+    led.throwBefore = true
+    val b2 = Seq((3L, 10L)).toDF("id", "sig")
+    intercept[RuntimeException](led.observe(b2, 2L))
+    assert(led.store.token("lastOp").contains("1"),
+      s"token after pre-commit throw: ${led.store.token("lastOp")}")
+    val retry2 = led.observe(b2, 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(retry2 == Set((1L, 3L), (2L, 3L)),
+      s"pre-commit-throw retry lost the batch: $retry2")
+    assert(postingCounts(led) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"postings after pre-commit retry: ${postingCounts(led)}")
+  }
+
   test("maxPosting caps saturated bands deterministically: postings " +
       "stay bounded, lowest ids survive") {
     import spark.implicits._

@@ -607,6 +607,27 @@ class UpsertStreamSpec extends SparkSpec {
       s"empty feed schema wrong: ${feed.columns.toSeq}")
   }
 
+  test("empty version whose committed widened column exists in NO " +
+      "surviving file pads it as a null column instead of throwing") {
+    import graft.streaming.BucketedUpsert
+    import spark.implicits._
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 4, retainHistory = true)
+    st.merge((0L to 3L).map(k => (k, 1L, k)).toDF("k", "ver", "x"), 0L)
+    // recover with a widened payload and delete EVERYTHING before any
+    // widened row merges: the empty version's own header commits
+    // `extra`, but no file on disk carries the column — the footer
+    // merge cannot type it, and a raw select would throw
+    val wide = BucketedUpsert.recover(spark, "k",
+      Seq("ver", "x", "extra"), 4, st.rootDir, retainHistory = true)
+    wide.delete((0L to 3L).toDF("k"), 1L)
+    val empty = wide.readAsOf(spark, 2L)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("k", "ver", "x", "extra"),
+      s"empty delete-all version lost the committed widened column: " +
+        s"${empty.columns.toSeq}")
+  }
+
   test("empty version's schema is DETERMINISTIC: a pre-widening empty " +
       "version keeps its own committed (old) schema after widening") {
     import graft.streaming.BucketedUpsert
