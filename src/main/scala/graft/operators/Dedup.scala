@@ -251,8 +251,12 @@ object Dedup {
     val sym = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // init = iteration 1 fused: min(id, min(neighbor)) is exactly what
+    // the first propagation round would compute from label=id, at the
+    // cost of the same one aggregate the plain distinct-init pays —
+    // every caller saves one full join+checkpoint round
+    var labels = sym.groupBy(col("a").as("id"))
+      .agg(least(col("id"), min(col("b"))).as("label"))
       .localCheckpoint(true)
     var converged = false
     var i = 0

@@ -46,7 +46,18 @@ object IncrementalCC {
    * @return `(id, cluster)` for every vertex of the grown graph
    */
   def maintain(prevLabels: DataFrame, newEdgesRaw: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    maintainWithDelta(prevLabels, newEdgesRaw, maxIter)._1
+
+  /** [[maintain]] plus the CHANGED-ROW DELTA — `(full labeling, rows
+   * whose (id, cluster) differs from prevLabels)`. The delta is derived
+   * from the (typically tiny, broadcast-able) merge table — relabels of
+   * merged components plus the batch's fresh vertices — NOT from an
+   * O(state) diff join against the previous labeling, so a durable
+   * labeling store ([[graft.streaming.ClusterLedger]]) can commit
+   * exactly what each batch changed at delta cost. */
+  def maintainWithDelta(prevLabels: DataFrame, newEdgesRaw: DataFrame,
+      maxIter: Int = 20): (DataFrame, DataFrame) = {
     val newEdges = GraphEdges.canonical(newEdgesRaw)
     val la = prevLabels.select(col("id").as("a"), col("cluster").as("__ca"))
     val lb = prevLabels.select(col("id").as("b"), col("cluster").as("__cb"))
@@ -57,6 +68,9 @@ object IncrementalCC {
       .filter(col("a") =!= col("b"))
     // merge table over the contracted DELTA graph only; identity rows
     // dropped — what remains is exactly the components this batch merged
+    // (its lineage is connectedComponents' own checkpointed labels, so
+    // the three consumers below re-read materialized rows, not the
+    // iteration)
     val merges = Dedup.connectedComponents(contracted, maxIter)
       .filter(col("cluster") =!= col("id"))
       .select(col("id").as("__old"), col("cluster").as("__new"))
@@ -69,6 +83,10 @@ object IncrementalCC {
       .join(prevLabels.select(col("id")), Seq("id"), "left_anti")
       .join(merges, col("id") === merges("__old"), "left")
       .select(col("id"), coalesce(col("__new"), col("id")).as("cluster"))
-    relabeled.unionByName(fresh)
+    // a prevLabels row changes iff its cluster is in the merge table
+    val changed = prevLabels
+      .join(merges, prevLabels("cluster") === merges("__old"))
+      .select(prevLabels("id"), col("__new").as("cluster"))
+    (relabeled.unionByName(fresh), changed.unionByName(fresh))
   }
 }
