@@ -1285,6 +1285,71 @@ object StreamingQueries {
     readPairDirs(s, pairsDir)
   }
 
+  /** q113: STREAMING EMBEDDING near-dup — the LAST absent member of
+   * the streamed signature-family matrix (exact q91, SimHash q108,
+   * pHash m07, MinHash q112): dense-vector cosine at arrival time,
+   * [[graft.streaming.EmbeddingLedger]] on the shared PostingLedger
+   * core. Bands are the 2 nearest-centroid ids against a FROZEN
+   * coarse quantizer (d10's deterministic stride-seeded centroids,
+   * collected once driver-side — ≤32 rows, the bounded-broadcast
+   * analog — BEFORE the stream starts: a stream never retrains its
+   * quantizer mid-flight or band keys stop meaning the same thing
+   * across batches, s22's frozen-quantizer rule). Each batch probes
+   * only the state buckets its probe-centroid keys route to and the
+   * exact 6dp cosine checks candidates — SemDeDup's Σ|cluster|²
+   * economics at arrival time, never batch × ledger. The oracle
+   * restates the identical multi-probe assignment and pair scan, so
+   * the accumulated pair stream ≡ the batch recompute exactly;
+   * batch-order independence, recovery, forget and minePairs are
+   * pinned in EmbeddingLedgerSpec. */
+  private def runStreamEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val emb = graft.sources.Tables.load(ss, dir, "embeddings")
+    val cent = graft.operators.Similarity.strideCentroids(emb,
+        "vec_id", "embedding", centroidStride = 50, maxCentroids = 32)
+      .select(col("cid"), col("cv").cast("array<double>").as("cv"),
+        col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2)))
+      .toSeq
+    val led = new graft.streaming.EmbeddingLedger(ss, cent, nProbe = 2,
+      minCos = 0.4, nBuckets = 16)
+    val pairsDir = graft.sources.Scratch.dir("emb_stream_pairs")
+    streamSliced(ss, emb.select(col("vec_id").as("id"),
+        col("embedding").as("sig")), "id", "emb_stream") { (b, id) =>
+      led.observe(b, id).write.mode("overwrite")
+        .parquet(s"$pairsDir/b$id")
+    }
+    readPairDirs(s, pairsDir)
+  }
+
+  private def streamEmbeddingOracle: String =
+    """WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
+      |assign AS (SELECT vid, cid FROM (
+      |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+      |  FROM (SELECT vid, cid,
+      |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+      |    FROM (SELECT vid, cid,
+      |      list_sum(list_transform(generate_series(1, len(vv)), i -> vv[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+      |      sqrt(list_sum(list_transform(generate_series(1, len(vv)), i -> vv[i]::DOUBLE * vv[i]::DOUBLE))) AS na,
+      |      sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb
+      |      FROM v CROSS JOIN cent))) WHERE r <= 2),
+      |cand AS (SELECT DISTINCT x.vid AS a, y.vid AS b
+      |  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vid < y.vid),
+      |p AS (SELECT a, b,
+      |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos
+      |  FROM (SELECT c.a, c.b,
+      |      list_sum(list_transform(generate_series(1, len(x.embedding)), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) AS dot,
+      |      sqrt(list_sum(list_transform(generate_series(1, len(x.embedding)), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))) AS na,
+      |      sqrt(list_sum(list_transform(generate_series(1, len(y.embedding)), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))) AS nb
+      |    FROM cand c JOIN embeddings x ON x.vec_id = c.a
+      |    JOIN embeddings y ON y.vec_id = c.b))
+      |SELECT a, b, cos FROM p WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
+
   /** q111: LEDGER FORGET + OFFLINE MINING — the compliance and batch
    * halves of the near-dup artifact in one gate. The full corpus
    * streams into the ledger (q108's ingest), then docs `% 17 == 0`
@@ -1416,6 +1481,8 @@ object StreamingQueries {
       Some(nearDupForgetOracle)),
     Q("q112_stream_minhash_lsh", runStreamMinHash,
       Some(s"${DedupQueries.minhashPairsSql}\nORDER BY a, b")),
+    Q("q113_stream_embedding_neardup", runStreamEmbedding,
+      Some(streamEmbeddingOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),

@@ -54,6 +54,12 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
   /** One band-key expression per band, over `col("sig")`. */
   protected def bandExprs: Seq[Column]
 
+  /** The band-key ARRAY the scan stage computes — defaults to packing
+   * [[bandExprs]]; override when the keys share an expensive common
+   * subexpression (e.g. [[EmbeddingLedger]]'s sorted centroid ranking,
+   * which per-key expressions would recompute `nProbe` times). */
+  protected def bandArray: Column = array(bandExprs: _*)
+
   /** The pair score for (probe signature, posting signature) —
    * hamming distance, estimated Jaccard, … Names the output column. */
   protected def score(sig: Column, psig: Column): Column
@@ -88,7 +94,7 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
       // outer: the band array is never empty (fixed element count),
       // and the non-outer form's implicit size>0 filter would rebuild
       // the array (d02's explode lesson)
-      explode_outer(array(bandExprs: _*)).as("bkey"))
+      explode_outer(bandArray).as("bkey"))
 
   /** The batch's pairs against the rows the CURRENT ledger holds:
    * band-key probe → exact score check, a < b, deduped (a pair
