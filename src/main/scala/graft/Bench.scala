@@ -77,6 +77,23 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // BOX-SPEED CANARY: a fixed CONSTANT-PLAN query (pure codegen'd
+    // CPU, no I/O, no data dependence) timed like any other query.
+    // Round-over-round the dominant cross-round noise is machine
+    // drift (the r12 three-run bracket: 250.7→291.9 s on plan-identical
+    // code, uniform p50 1.13× including trivial queries); the canary
+    // turns that argument into arithmetic — total_normalized =
+    // total · (CanaryRef / canary_run) in the detail artifact, with
+    // CanaryRef the r13 reference box's median.
+    val CanaryRef = 1.65 // r13 reference box, median of warm reps
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(8000000000L)
+        .agg(expr("bit_xor(xxhash64(id))")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // codegen warmup — the first rep is ~3× the rest
+    val canary = median((1 to reps).map(_ => canaryOnce()))
     // 1-minute loadavg sampled at each query's start: a rep outlier on
     // an UNCHANGED plan with loadavg far above the core count is box
     // contention (something else running on the machine), not a plan
@@ -144,6 +161,8 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         s"""{"metric":"queries","reps":$reps,"sf":"$sfName",""" +
           s""""total":${f3(total)},"n":${results.size},""" +
+          s""""canary":{"ref":${f3(CanaryRef)},"run":${f3(canary)},""" +
+          s""""total_normalized":${f3(total * CanaryRef / canary)}},""" +
           s""""failed":$failedJson,"stages":${StageTimer.json},""" +
           s""""reps_detail":$repsDetail,"load":$loads,""" +
           s""""queries":$qs}""" + "\n")
@@ -158,6 +177,7 @@ object Bench {
     println(s"""{"metric":"queries","reps":$reps,"queries":$qs,"sf":"$sfName"}""")
     if (outliers.nonEmpty)
       println(s"""{"metric":"outliers","queries":$outliersJson}""")
+    println(s"""{"metric":"canary","ref":${f3(CanaryRef)},"run":${f3(canary)},"total_normalized":${f3(total * CanaryRef / canary)}}""")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"reps":$reps,"sf":"$sfName"}""")
   }
 }

@@ -434,15 +434,16 @@ object StreamingQueries {
     graft.operators.Expectations.Rule("value_not_sentinel",
       col("value") =!= -9999.0))
 
-  private def expectationsGatedIngest(ss: SparkSession, dir: String)
-      : (graft.streaming.BucketedUpsert.State, String) = {
-    import graft.operators.Expectations
-    val src = graft.sources.Scratch.dir("expgate_src")
+  /** Stage the 4-slice events source with slice 3 poisoned (shared by
+   * the q102/q107/q109 gated ingest and q114's in-loop repair): poison
+   * rows are valid-looking keys with corrupt payloads that would WIN
+   * the per-user argmax (us = far future) if a gate let them through. */
+  private def expgateSource(ss: SparkSession, dir: String,
+      tag: String): String = {
+    val src = graft.sources.Scratch.dir(tag)
     val ev = graft.sources.Tables.load(ss, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"), col("value"))
-    // poison: valid-looking keys with corrupt payloads that would WIN
-    // the per-user argmax (us = far future) if the gate let them through
     val poison = ss.range(40).select(
       (col("id") % 40).as("user_id"),
       (col("id") + 900000000L).as("event_id"),
@@ -454,6 +455,13 @@ object StreamingQueries {
       (if (i == 3) slice.unionByName(poison) else slice)
         .coalesce(1).write.mode("append").parquet(src)
     }
+    src
+  }
+
+  private def expectationsGatedIngest(ss: SparkSession, dir: String)
+      : (graft.streaming.BucketedUpsert.State, String) = {
+    import graft.operators.Expectations
+    val src = expgateSource(ss, dir, "expgate_src")
     val rules = expgateRules
     val budgets = Map("type_known" -> 0.0, "value_not_sentinel" -> 0.0)
     val state = new graft.streaming.BucketedUpsert.State(ss,
@@ -578,6 +586,67 @@ object StreamingQueries {
     require(unrepairable.isEmpty,
       "repair left still-violating rows — patches incomplete")
     state.merge(readmitted, 1001L)
+    upsertViewCols(state, s)
+  }
+
+  /** q114: IN-LOOP STREAM REPAIR — the q109 patch lifecycle moved
+   * INSIDE the arrival loop: q102 quarantines a poisoned batch for
+   * offline handling and q109 repairs it in a later session, but a
+   * production pipeline repairs in-line — gate → audit → patch →
+   * re-audit → merge in the SAME foreachBatch, so the batch's
+   * repairable rows land in the committed store in their ARRIVAL
+   * batch and nothing waits for an operator. The audit evidence is
+   * still written aside (the quarantine dir is the paper trail even
+   * when repair succeeds), patches apply only to audit-convicted rows
+   * in rule-list order, and the patched batch re-audits before it
+   * merges — nothing re-admits on trust ([[graft.operators
+   * .Expectations.repair]]'s contract). The oracle is q109's
+   * restatement verbatim: full events + the declared patch, per-user
+   * argmax — the hash proves the in-loop repair lands exactly the
+   * offline repair's end state, with no extra session. */
+  private def runInloopRepair(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Expectations
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val src = expgateSource(ss, dir, "inloop_src")
+    val budgets = Map("type_known" -> 0.0, "value_not_sentinel" -> 0.0)
+    val patches = Map(
+      "type_known" -> Map("event_type" -> lit("repaired")),
+      "value_not_sentinel" -> Map("value" -> lit(0.0)))
+    val state = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "user_id",
+      payloadCols = Seq("us", "event_id", "event_type", "value"),
+      nBuckets = 16)
+    val qdir = graft.sources.Scratch.dir("inloop_quarantine")
+    val repaired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = ss.readStream.schema(ss.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        graft.sources.Scratch.dir("inloop_cp"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Expectations.check(b, expgateRules, budgets) match {
+          case None => state.merge(b, id)
+          case Some(_) =>
+            val audited = Expectations.audit(b, expgateRules)
+              .localCheckpoint()
+            // evidence first: the audited batch is preserved even
+            // though the repair readmits it in-line
+            audited.write.mode("append").parquet(qdir)
+            val (readmitted, unrepairable) =
+              Expectations.repair(audited, expgateRules, patches)
+            require(unrepairable.isEmpty,
+              "in-loop repair left still-violating rows")
+            state.merge(readmitted, id)
+            repaired.incrementAndGet(); ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+    require(repaired.get() == 1,
+      s"expected exactly the poisoned batch repaired in-loop, " +
+        s"got ${repaired.get()}")
     upsertViewCols(state, s)
   }
 
@@ -1483,6 +1552,8 @@ object StreamingQueries {
       Some(s"${DedupQueries.minhashPairsSql}\nORDER BY a, b")),
     Q("q113_stream_embedding_neardup", runStreamEmbedding,
       Some(streamEmbeddingOracle)),
+    Q("q114_stream_inloop_repair", runInloopRepair,
+      Some(repairReplayOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),

@@ -307,6 +307,52 @@ object BucketedUpsert {
       if (!retainHistory) tx.retire(prevPaths)
     }
 
+    /** FILE COMPACTION of the live view: rewrite every bucket whose
+     * current version holds more than `maxFiles` data files into ONE
+     * key-sorted file each, in one commit. Merges write one part file
+     * per shuffle partition carrying the bucket's rows, so a long-
+     * lived store accumulates many small fragments per touched bucket
+     * — the read-amplification problem every LSM/table format answers
+     * with compaction (Delta OPTIMIZE / Iceberg rewrite_data_files;
+     * the k03 inverted-index and s21/q87 tiered compactions are this
+     * engine's other instances). CONTENT is untouched: rows pass
+     * through unreduced, so compaction commutes with any combine
+     * monoid and a compacted view is bit-equal to the fragmented one
+     * (spec-pinned). Same crash contract as merge: pointer map commits
+     * before superseded files retire; a history store's prior versions
+     * keep reading until vacuum. Candidate selection is metadata-only;
+     * only fragmented buckets are read and rewritten, each routed to
+     * one writer partition (one file per bucket). Returns
+     * (compacted buckets, files before, files after). */
+    def compact(opId: Long, maxFiles: Int = 1): (Int, Int, Int) = {
+      require(current.nonEmpty, "compact before any batch merged")
+      val frag = current.toSeq.sortBy(_._1)
+        .map { case (b, p) => (b, p, tx.dataFileCount(p)) }
+        .filter(_._3 > maxFiles)
+      if (frag.isEmpty) return (0, 0, 0)
+      val before = frag.map(_._3).sum
+      val paths = frag.map(_._2)
+      val out = tx.attemptDir(opId)
+      ss.read.option("mergeSchema", "true").parquet(paths: _*)
+        .withColumn("__bucket", bucketOf)
+        .repartition(frag.size, col("__bucket"))
+        .sortWithinPartitions(keyCol)
+        .write.partitionBy("__bucket").parquet(out)
+      frag.foreach { case (b, _, _) =>
+        val p = s"$out/__bucket=$b"
+        // pass-through rewrite: every selected bucket has rows, so its
+        // output dir must exist — a miss means rows were LOST, and
+        // repointing (or retiring the old version) would corrupt the view
+        require(tx.exists(p), s"compact: rewritten bucket $b missing at $p")
+        current(b) = p
+      }
+      tx.commit(s"compact $opId")
+      if (!retainHistory) tx.retire(paths)
+      val after = frag.map { case (b, _, _) =>
+        tx.dataFileCount(s"$out/__bucket=$b") }.sum
+      (frag.size, before, after)
+    }
+
     /** Committed version numbers still readable via [[readAsOf]],
      * oldest first (history-retaining stores only). */
     def history(): Seq[Long] = tx.history()

@@ -48,8 +48,25 @@ import org.apache.spark.sql.functions._
  * world per monthly dump — Main.java:380-513); this is the shape
  * Flink/Delta users build by hand around a keyed state store.
  */
+object PostingLedger {
+  /** Per-batch saturation evidence: how many of the batch's bands sit
+   * at the `maxPosting` cap after the fold — the observability an
+   * operator needs to see WHEN the deliberate recall/cost trade is
+   * biting (zero on a healthy corpus; a climbing count says raise the
+   * cap or re-shard the hot signature). */
+  final case class LedgerMetrics(opId: Long, saturatedBands: Long)
+}
+
 abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
     maxPosting: Int, root: Option[String]) {
+
+  /** Soak/ops switch: when true (and a cap is set), [[observe]] also
+   * counts the batch's saturated bands — one extra pass over the
+   * TOUCHED buckets only, the [[BucketedUpsert.BatchMetrics]] idiom;
+   * left off in gated runs. */
+  var collectSaturationMetrics: Boolean = false
+  val metrics: scala.collection.mutable.ArrayBuffer[PostingLedger.LedgerMetrics] =
+    scala.collection.mutable.ArrayBuffer()
 
   /** One band-key expression per band, over `col("sig")`. */
   protected def bandExprs: Seq[Column]
@@ -158,6 +175,10 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
     if (!store.hasState)
       return batch.limit(0).select(col("id").as("a"),
         col("id").as("b"), zeroScore.as(scoreName))
+    if (collectSaturationMetrics && maxPosting > 0)
+      metrics += PostingLedger.LedgerMetrics(opId,
+        store.lookupJoin(ss, batch.select(col("bkey")))
+          .filter(size(col("posting")) >= maxPosting).count())
     probePairs(batch).localCheckpoint()
   }
 

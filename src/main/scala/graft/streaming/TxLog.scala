@@ -232,6 +232,13 @@ final class TxLog(ss: SparkSession, val root: String,
 
   def exists(path: String): Boolean = fs.exists(new Path(path))
 
+  /** Number of data files under a bucket dir (metadata-only) — the
+   * fragmentation measure [[BucketedUpsert.State.compact]] selects
+   * rewrite candidates by. */
+  def dataFileCount(path: String): Int =
+    fs.listStatus(new Path(path))
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+
   /** EVERY bucket leaf dir still on disk — the union schema source for
    * an empty committed version that must surface a column only SOME
    * files carry (a post-widening empty version with only pre-widening

@@ -149,8 +149,29 @@ object GcdSoak {
       "gcd_story_type" -> dictN(30, "st", "name"))
   }
 
+  /** Stages are COMPOSABLE in one invocation: name any subset
+   * (`build incremental history explain`) after the optional numeric
+   * nIssues arg, or `full` for the whole lifecycle chain
+   * build → incremental → history (the history stage itself covers
+   * kill → recover → prune) — one JVM, one synthetic dump, every
+   * stage green or the run fails. No args = `build` (the original
+   * default). */
   def main(args: Array[String]): Unit = {
-    val nIssues = if (args.nonEmpty) args(0).toLong else 200000L
+    val nIssues = args.headOption.filter(_.forall(_.isDigit))
+      .map(_.toLong).getOrElse(200000L)
+    val known = Set("build", "incremental", "history", "explain", "full")
+    val unknown = args.drop(if (args.headOption.exists(_.forall(_.isDigit))) 1 else 0)
+      .filterNot(known.contains)
+    require(unknown.isEmpty,
+      s"GcdSoak: unknown stage(s) ${unknown.mkString(", ")} — " +
+        s"expected [nIssues] then any of ${known.mkString("/")}")
+    val stages: Seq[String] =
+      if (args.contains("full")) Seq("build", "incremental", "history")
+      else {
+        val named = args.filter(Set("build", "incremental", "history",
+          "explain").contains)
+        if (named.nonEmpty) named.toSeq else Seq("build")
+      }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -161,15 +182,25 @@ object GcdSoak {
     spark.sparkContext.setLogLevel("WARN")
 
     val tables = synthTables(spark, nIssues)
-    val out = java.nio.file.Files.createTempDirectory("gcd_soak").toString
-
-    if (args.contains("explain")) {
-      graft.etl.GcdSnapshot.build(spark, tables, "2026-8-12")
-        .explain("formatted")
-      spark.stop(); return
+    stages.foreach { st =>
+      println(s"== stage: $st")
+      st match {
+        case "explain"     => stageExplain(spark, tables)
+        case "incremental" => stageIncremental(spark, tables, nIssues)
+        case "history"     => stageHistory(spark, tables, nIssues)
+        case "build"       => stageBuild(spark, tables, nIssues)
+      }
     }
+    spark.stop()
+  }
 
-    if (args.contains("incremental")) {
+  private def stageExplain(spark: SparkSession,
+      tables: Map[String, DataFrame]): Unit =
+    graft.etl.GcdSnapshot.build(spark, tables, "2026-8-12")
+      .explain("formatted")
+
+  private def stageIncremental(spark: SparkSession,
+      tables: Map[String, DataFrame], nIssues: Long): Unit = {
       // Evidence stage for the SnapshotStore's at-scale cost model: a
       // small dump against a large bucketed base must read (and rewrite)
       // only the buckets it touches — carry I/O bounded by
@@ -211,10 +242,10 @@ object GcdSoak {
       // the carry must be partition-pruned: ≲ k/n of base, never ~base
       assert(m.carryRowsRead <= baseRows * (m.touchedBuckets + 1) / nBuckets * 2,
         s"carry read ${m.carryRowsRead} of $baseRows rows — not bucket-pruned")
-      spark.stop(); return
-    }
+  }
 
-    if (args.contains("history")) {
+  private def stageHistory(spark: SparkSession,
+      tables: Map[String, DataFrame], nIssues: Long): Unit = {
       // Evidence stage for g05's at-scale cost model: retained dump
       // history must cost O(touched buckets × dumps) extra storage —
       // never a copy of the base per generation — while every retained
@@ -290,9 +321,11 @@ object GcdSoak {
         s"prune renumbered generations: $survivors")
       assert(fp(rec.snapshotAsOf(survivors.last)) == fpInit,
         "surviving newest generation corrupted by prune")
-      spark.stop(); return
-    }
+  }
 
+  private def stageBuild(spark: SparkSession,
+      tables: Map[String, DataFrame], nIssues: Long): Unit = {
+    val out = java.nio.file.Files.createTempDirectory("gcd_soak").toString
     val t0 = System.nanoTime()
     val snap = graft.etl.GcdSnapshot.build(spark, tables, "2026-8-12")
     graft.etl.GcdSink.writeSnapshot(snap, "2026-8-12", out)
@@ -316,6 +349,5 @@ object GcdSoak {
     assert(issueCount == nIssues)
     val nullStories = back.filter(col("story_id").isNull).count()
     println(s"== story-less rows: $nullStories (expect ${nIssues / 10})")
-    spark.stop()
   }
 }

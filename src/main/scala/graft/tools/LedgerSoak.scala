@@ -47,6 +47,13 @@ object LedgerSoak {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // small AQE advisory target so merge writes keep a REALISTIC
+      // multi-partition width (at 100 TB, shuffle partitions ≫ buckets
+      // and every touched bucket collects one part file per partition
+      // per rewrite) — full-width no-coalesce would bloat the ingest
+      // 32×, but soak-scale default coalescing collapses to one file
+      // per bucket and the compaction stage would measure nothing
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -67,8 +74,13 @@ object LedgerSoak {
         .otherwise(gsig).as("sig"))
       .localCheckpoint()
 
+    // a generous cap + the saturation metric: the corpus's hottest
+    // band holds ~group-size postings (≪ 64), so the cap must never
+    // bind — the metric PROVES that instead of assuming it, and the
+    // exact pair asserts below would catch any recall loss
     val led = new graft.streaming.NearDupLedger(spark, bits = 60,
-      maxHamming = 3, nBuckets = nBuckets)
+      maxHamming = 3, nBuckets = nBuckets, maxPosting = 64)
+    led.collectSaturationMetrics = true
 
     // CONTIGUOUS id ranges per batch: a group's members sit nGroups
     // apart, so a modulo slice with nBatches | nGroups would confine
@@ -119,6 +131,28 @@ object LedgerSoak {
     assert(crossPairs > expected / 2,
       s"only $crossPairs/$expected pairs crossed batches — the soak " +
         "is not exercising the ledger probe")
+
+    // saturation observability: per-batch saturated-band counts were
+    // collected during the ingest (touched buckets only) — zero on
+    // this corpus, i.e. the cap is provably not biting
+    val saturated = led.metrics.map(_.saturatedBands).sum
+    println(s"== ledger: saturated bands across ingest = $saturated " +
+      s"(cap 64; expect 0)")
+    assert(saturated == 0,
+      s"$saturated bands saturated — the cap is biting and recall " +
+        "asserts below are no longer exact")
+
+    // BAND COMPACTION: every touched bucket accumulates one part file
+    // per writer partition per merge — rewrite fragmented buckets to
+    // one sorted file each (content untouched; the pair asserts below
+    // run over the compacted store)
+    val tc = System.nanoTime()
+    val (cBuckets, fBefore, fAfter) = led.store.compact(opId = 9000L)
+    println(f"== ledger: compact rewrote $cBuckets buckets, " +
+      f"$fBefore -> $fAfter files in ${(System.nanoTime() - tc) / 1e9}%.2fs")
+    assert(fAfter < fBefore && fAfter <= cBuckets,
+      s"compaction did not consolidate: $fBefore -> $fAfter files " +
+        s"for $cBuckets buckets")
 
     // compliance forget of 1000 docs: bounded rewrite, victims gone
     val victims = sigs.filter(col("id") < 1000)

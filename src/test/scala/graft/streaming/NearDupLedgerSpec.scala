@@ -61,6 +61,33 @@ class NearDupLedgerSpec extends SparkSpec {
     assertSamePairs(p01.unionByName(p2), "recovered continuation")
   }
 
+  test("compact mid-stream commutes with live probing: " +
+      "observe, compact, observe equals the uninterrupted pair set") {
+    val s = sigs.localCheckpoint()
+    val led = new NearDupLedger(spark, bits = 60, maxHamming = 3,
+      nBuckets = 16)
+    // fragment the store: AQE coalescing off so each fold keeps its
+    // shuffle width and every touched bucket collects several part
+    // files — the shape a long-lived 100 TB ledger is compacted for
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey, "true")
+    val p01 =
+      try {
+        spark.conf.set(coalesceKey, "false")
+        Seq(0, 1).map(b =>
+          led.observe(s.filter(col("id") % 3 === b), b.toLong))
+          .reduce(_ unionByName _).localCheckpoint()
+      } finally spark.conf.set(coalesceKey, prevCoalesce)
+    val (buckets, fBefore, fAfter) = led.store.compact(opId = 500L)
+    assert(buckets > 0 && fAfter < fBefore,
+      s"compact measured nothing: $buckets buckets, " +
+        s"$fBefore -> $fAfter files")
+    // the live stream continues over the compacted store: probes and
+    // folds behave as if compaction never happened
+    val p2 = led.observe(s.filter(col("id") % 3 === 2), 2L)
+    assertSamePairs(p01.unionByName(p2), "compacted continuation")
+  }
+
   test("minePairs over the accumulated postings equals the batch " +
       "recompute — the offline mining half of the artifact") {
     val led = new NearDupLedger(spark, bits = 60, maxHamming = 3,
@@ -204,8 +231,13 @@ class NearDupLedgerSpec extends SparkSpec {
     val same = (0L until 20L).map(i => (i, 0x0F0F0F0FL)).toDF("id", "sig")
     val led = new NearDupLedger(spark, bits = 60, maxHamming = 3,
       nBuckets = 4, maxPosting = 5)
+    led.collectSaturationMetrics = true
     led.observe(same, 0L)
     led.observe(same.select((col("id") + 100L).as("id"), col("sig")), 1L)
+    // the cap is biting by construction — the metric must SAY so
+    // (batch 1's four band keys all sit at the cap after its fold)
+    assert(led.metrics.map(_.saturatedBands).sum > 0,
+      s"saturation metric silent on a saturated ledger: ${led.metrics}")
     val post = led.store.view(spark)
       .select(col("bkey"), size(col("posting")).as("n"),
         col("posting")(0).getField("id").as("first"))

@@ -607,6 +607,42 @@ class UpsertStreamSpec extends SparkSpec {
       s"empty feed schema wrong: ${feed.columns.toSeq}")
   }
 
+  test("compact consolidates fragmented buckets to one sorted file " +
+      "each without changing content; history versions keep reading") {
+    import graft.streaming.BucketedUpsert
+    import spark.implicits._
+    val st = new BucketedUpsert.State(spark, "k", Seq("ver", "x"),
+      nBuckets = 2, retainHistory = true)
+    // several merges with AQE coalescing OFF so the writes keep their
+    // shuffle width — the many-writer-partition shape a 100 TB merge
+    // has, where each touched bucket collects one part file per
+    // partition per rewrite
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey, "true")
+    try {
+      spark.conf.set(coalesceKey, "false")
+      (1L to 4L).foreach { v =>
+        st.merge((0L to 63L).map(k => (k, v, k * v))
+          .toDF("k", "ver", "x").repartition(8), v)
+      }
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+    val before = st.view(spark).orderBy(col("k")).collect().toSeq
+    val (buckets, fBefore, fAfter) = st.compact(opId = 100L)
+    assert(buckets == 2 && fAfter < fBefore && fAfter <= 2,
+      s"compact: $buckets buckets, $fBefore -> $fAfter files")
+    assert(st.view(spark).orderBy(col("k")).collect().toSeq == before,
+      "compaction changed the view's content")
+    // serving path still routes after the pointer swap
+    assert(st.lookupKeys(spark, Seq(7L)).head().getLong(1) == 4L)
+    // a second compact is a no-op (nothing fragmented)
+    assert(st.compact(opId = 101L) == ((0, 0, 0)))
+    // prior retained versions still read (compaction committed a new
+    // version; it retired nothing on a history store)
+    val asOf = st.readAsOf(spark, 2L)
+    assert(asOf.filter(col("k") === 7L).head().getLong(1) == 2L,
+      "pre-compaction version unreadable after compact")
+  }
+
   test("empty version whose committed widened column exists in NO " +
       "surviving file pads it as a null column instead of throwing") {
     import graft.streaming.BucketedUpsert
