@@ -1468,6 +1468,177 @@ object StreamingQueries {
        |SELECT id, MIN(r) AS cluster FROM reach
        |GROUP BY id ORDER BY id""".stripMargin
 
+  /** q115: STREAMED END-TO-END CURATION — the composition flagship of
+   * the LLM-pipeline operators: quality gate → near-dup ledger →
+   * incremental clustering → RETRO-CORRECTING curated store, one
+   * arrival loop. Per micro-batch: (1) the t02 quality score filters
+   * the batch (only curation-grade docs enter dedup — a pipeline never
+   * pays near-dup machinery for rows it already rejected); (2) the
+   * survivors' SimHash signatures fold into a q108
+   * [[graft.streaming.NearDupLedger]] and the batch's new pairs come
+   * back from the bucket-pruned probe; (3) the pairs feed a q110
+   * [[graft.streaming.ClusterLedger]], whose changed-row delta is the
+   * retro-correction evidence: a cluster representative is the
+   * component's MIN id, so a kept doc is demoted exactly when its
+   * delta row's new cluster is a smaller id — the curated store
+   * DELETES it in the same cycle that ADMITS the batch's new
+   * representatives. Min-monoid labels only decrease, so demotion is
+   * permanent (no flip-flop) and the curated corpus is MAINTAINED,
+   * not append-only: whatever the arrival order, the end state is
+   * exactly "every quality doc that is its near-dup cluster's min id,
+   * plus unpaired quality docs", which the oracle restates from
+   * scratch (quality filter → pair scan → reachability closure → min
+   * label). Every stage is bounded by batch + delta, never by
+   * accumulated state — the 100 TB shape of a training-data intake
+   * that keeps a canonical curated corpus current as crawls arrive. */
+  private def runStreamCuration(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val docs = graft.sources.Tables.load(ss, dir, "documents")
+    // ONE staged projection — normalize/tokenize once, derive the
+    // signature and every quality signal from the shared arrays (the
+    // scan-stage shape; at real scale this is the crawl's map pass)
+    val staged = docs
+      .select(col("doc_id").as("id"),
+        TF.normalizeText(col("text")).as("__t"))
+      .select(col("id"), col("__t"),
+        TF.tokensFromNorm(col("__t")).as("__tok"))
+      .select(col("id"),
+        graft.operators.Dedup.simHashFromHashes(
+          transform(col("__tok"), t => TF.hash60(t)), 60).as("sig"),
+        TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
+        TF.qualityScoreFromParts(
+          size(col("__tok")).cast("long"),
+          TF.stopwordRatioFromTokens(col("__tok")),
+          TF.punctRatioFromNorm(col("__t"))).as("quality"))
+    val near = new graft.streaming.NearDupLedger(ss, bits = 60,
+      maxHamming = 3, nBuckets = 16)
+    val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
+    val curated = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
+      nBuckets = 16)
+    streamSliced(ss, staged, "id", "curation") { (b, id) =>
+      val qb = b.filter(col("quality") >= 0.6).localCheckpoint()
+      val pairs = near.observe(qb.select(col("id"), col("sig")), id)
+      val delta = clusters.observe(pairs, id)
+      // admissions: batch quality docs that are their own cluster's
+      // representative (no delta row = unpaired so far; delta row
+      // with cluster == id = fresh representative)
+      val admitted = qb
+        .join(delta.withColumnRenamed("cluster", "__c"), Seq("id"),
+          "left")
+        .filter(col("__c").isNull || col("__c") === col("id"))
+        .select(col("id"), col("n_bpe"), col("quality"))
+      curated.merge(admitted, id)
+      // retro-correction: a label that DROPPED below its id is a lost
+      // representative status — delete it. Deleting an id that was
+      // never admitted (non-quality members never enter the ledger;
+      // non-representatives were never merged) is a natural no-op, so
+      // the demotion set needs no admission bookkeeping. Distinct
+      // opId spaces: merge commits ride the batch id, deletes its
+      // retro half.
+      val demoted = delta.filter(col("cluster") < col("id"))
+        .select(col("id"))
+      curated.delete(demoted, 1000L + id)
+    }
+    curated.view(s).orderBy(col("id"))
+  }
+
+  private def streamCurationOracle: String = {
+    val enList =
+      s"[${graft.functions.TextFunctions.stopwords("en")
+        .map(w => s"'$w'").mkString(", ")}]"
+    s"""WITH RECURSIVE qbase AS (
+       |  SELECT doc_id, ${DedupQueries.normT} AS t FROM documents),
+       |qfeat AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+       |    CASE WHEN len(t) > 0
+       |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
+       |      ELSE 0.0 END AS punct,
+       |    CASE WHEN len(string_split_regex(t, ' ')) > 0
+       |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
+       |           / len(string_split_regex(t, ' '))
+       |      ELSE 0.0 END AS swr
+       |  FROM qbase),
+       |q AS (SELECT doc_id, n_bpe, quality FROM (
+       |    SELECT doc_id, n_bpe, round(greatest(0.0,
+       |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |      least(swr * 5.0, 1.0) * 0.4 +
+       |      (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality
+       |    FROM qfeat) WHERE quality >= 0.6),
+       |qd AS (SELECT d2.doc_id, d2.text FROM documents d2
+       |       JOIN q ON q.doc_id = d2.doc_id),
+       |${DedupQueries.simhash60PairsCtesOver("qd")},
+       |p AS (${DedupQueries.simhash60PairsSelect}),
+       |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)
+       |  UNION
+       |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id),
+       |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+       |SELECT q.doc_id AS id, q.n_bpe, q.quality
+       |FROM q LEFT JOIN lab ON lab.id = q.doc_id
+       |WHERE lab.id IS NULL OR lab.cluster = q.doc_id
+       |ORDER BY id""".stripMargin
+  }
+
+  /** q116: AS-OF CLUSTER LABELING — time travel composed onto the
+   * streamed clustering artifact: "the near-dup clusters exactly as
+   * the pipeline saw them when batch 2 committed" (the lineage
+   * question behind every which-corpus-trained-this-checkpoint
+   * audit). Batches are explicit and deterministic here (the q95
+   * idiom): the d06 pair set is sliced by ARRIVAL — a pair surfaces
+   * when its LATER member arrives, i.e. at the max of the members'
+   * pmod-4 slices, exactly what the streamed ledger emits — and
+   * folded into a history-retaining
+   * [[graft.streaming.ClusterLedger]]. `readAsOf` at the version
+   * committed by batch 2 serves the labeling closure over pairs
+   * whose both members had arrived — which is NOT the restriction of
+   * the final clustering (a later bridge doc merges clusters that
+   * were separate at the as-of point), so the oracle restates the
+   * closure over the restricted pair set from scratch. */
+  private def runClusterAsOf(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    // pair-delta-sized frames (the q110 sizing note)
+    ss.conf.set("spark.sql.shuffle.partitions", "1")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    val pairs = graft.operators.Dedup.hammingPairs(
+      docSimhashSigs(ss, dir), bits = 60, maxHamming = 3)
+      .select(col("a"), col("b"),
+        greatest(pmod(col("a"), lit(4)), pmod(col("b"), lit(4)))
+          .as("__arr"))
+      .localCheckpoint()
+    val led = new graft.streaming.ClusterLedger(ss, nBuckets = 4,
+      retainHistory = true)
+    var asOf = -1L
+    (0 until 4).foreach { k =>
+      led.observe(
+        pairs.filter(col("__arr") === k).select(col("a"), col("b")),
+        k.toLong)
+      // the version the batch-2 cycle left live (an all-intra-component
+      // batch commits nothing, so this is the LAST commit ≤ batch 2,
+      // not necessarily the third)
+      if (k == 2) asOf = led.store.history().last
+    }
+    require(asOf >= 0, "q116: no commit by batch 2 — corpus too sparse")
+    led.store.readAsOf(s, asOf).orderBy(col("id"))
+  }
+
+  private def clusterAsOfOracle: String =
+    s"""WITH RECURSIVE arrived AS (
+       |  SELECT * FROM documents WHERE doc_id % 4 <= 2),
+       |${DedupQueries.simhash60PairsCtesOver("arrived")},
+       |p AS (${DedupQueries.simhash60PairsSelect}),
+       |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)
+       |  UNION
+       |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id)
+       |SELECT id, MIN(r) AS cluster FROM reach
+       |GROUP BY id ORDER BY id""".stripMargin
+
   /** q103: BUCKET-PRUNED POINT LOOKUP on the persisted keyed store —
    * the serving-path complement of the merge side's write pruning.
    * q91's dedup-fingerprint ledger is built (two deterministic monoid
@@ -1554,6 +1725,9 @@ object StreamingQueries {
       Some(streamEmbeddingOracle)),
     Q("q114_stream_inloop_repair", runInloopRepair,
       Some(repairReplayOracle)),
+    Q("q115_stream_curation", runStreamCuration,
+      Some(streamCurationOracle)),
+    Q("q116_cluster_asof", runClusterAsOf, Some(clusterAsOfOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),

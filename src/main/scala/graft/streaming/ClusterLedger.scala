@@ -50,7 +50,7 @@ object ClusterLedger {
 }
 
 final class ClusterLedger(ss: SparkSession, nBuckets: Int,
-    root: Option[String] = None) {
+    root: Option[String] = None, retainHistory: Boolean = false) {
 
   private def combineMin(df: DataFrame): DataFrame =
     df.groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
@@ -59,7 +59,7 @@ final class ClusterLedger(ss: SparkSession, nBuckets: Int,
    * [[BucketedUpsert.State]] surface: recovery, vacuum, lookups). */
   val store = new BucketedUpsert.State(ss, keyCol = "id",
     payloadCols = Seq("cluster"), nBuckets = nBuckets, root = root,
-    combine = Some(combineMin _))
+    combine = Some(combineMin _), retainHistory = retainHistory)
 
   // the companion's recover() reseeds this from the committed view
   private var labels: DataFrame = ss.range(0)
@@ -72,22 +72,31 @@ final class ClusterLedger(ss: SparkSession, nBuckets: Int,
 
   /** Fold one batch of near-dup pairs (`a`, `b` columns) into the
    * labeling and commit the CHANGED rows. Replay-idempotent (min
-   * monoid); an all-intra-component batch commits nothing. */
-  def observe(pairs: DataFrame, opId: Long): Unit = {
+   * monoid); an all-intra-component batch commits nothing. Returns
+   * the committed changed-row delta — `(id, cluster)` for the batch's
+   * fresh vertices plus every relabeled member of a merged component
+   * (a row with `cluster < id` whose label WAS `id` is a demoted
+   * cluster representative — the retro-correction evidence a curated
+   * downstream store needs, see q115). The delta derives from the
+   * cached labeling + the batch, never from the store, so consuming
+   * it after the merge is safe. */
+  def observe(pairs: DataFrame, opId: Long): DataFrame = {
     // only what the batch changed reaches the store: fresh vertices +
     // relabeled members of merged components, derived from the tiny
     // merge table (never an O(state) diff) — merge rewrites only the
     // buckets those ids route to
-    val (next, delta) = graft.StageTimer.time("clusterledger", "plan") {
+    val (next, delta0) = graft.StageTimer.time("clusterledger", "plan") {
       graft.operators.IncrementalCC.maintainWithDelta(
         labels, pairs.select(col("a").as("src"), col("b").as("dst")),
         maxIter = 100)
     }
+    val delta = delta0.localCheckpoint()
     graft.StageTimer.time("clusterledger", "merge") {
       store.merge(delta, opId)
     }
     labels = graft.StageTimer.time("clusterledger", "cp") {
       next.localCheckpoint(true)
     }
+    delta
   }
 }

@@ -65,6 +65,47 @@ class ClusterLedgerSpec extends SparkSpec {
         s"!= uninterrupted closure $want")
   }
 
+  test("observe returns exactly the changed-row delta: fresh vertices " +
+      "plus relabels, and a demoted representative surfaces as " +
+      "cluster < id") {
+    val led = new ClusterLedger(spark, nBuckets = 4)
+    var prev = Map.empty[Long, Long]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val delta = labelsOf(led.observe(b, i.toLong))
+      val now = labelsOf(led.store.view(spark))
+      val changed = now.filter { case (id, c) => prev.get(id) != Some(c) }
+      assert(delta == changed,
+        s"batch $i delta $delta != store changed-row diff $changed")
+      prev = now
+    }
+    // batch 3's (7,8) merges {8,9} (rep 8) into {7,8,9} (rep 7): the
+    // old representative 8 must surface in that batch's delta with its
+    // NEW, smaller label — the q115 demotion evidence
+    val led2 = new ClusterLedger(spark, nBuckets = 4)
+    led2.observe(batches(2), 0L) // (8,9) → rep 8
+    val d = labelsOf(led2.observe(batches(3), 1L))
+    assert(d.get(8L) == Some(7L) && d.get(9L) == Some(7L),
+      s"demoted rep 8 / relabeled member 9 missing from delta $d")
+  }
+
+  test("retainHistory + readAsOf serves the labeling exactly as each " +
+      "batch committed it") {
+    val led = new ClusterLedger(spark, nBuckets = 4,
+      retainHistory = true)
+    val wantAt = batches.indices.map { k =>
+      labelsOf(Dedup.connectedComponents(
+        batches.take(k + 1).reduce(_ unionByName _)))
+    }
+    val versions = batches.zipWithIndex.map { case (b, i) =>
+      led.observe(b, i.toLong)
+      led.store.history().last
+    }
+    versions.zipWithIndex.foreach { case (v, k) =>
+      assert(labelsOf(led.store.readAsOf(spark, v)) == wantAt(k),
+        s"readAsOf($v) != closure over batches 0..$k")
+    }
+  }
+
   test("a replayed pair batch is a natural no-op (min-cluster monoid " +
       "absorbs the double fold — no token needed)") {
     val led = new ClusterLedger(spark, nBuckets = 4)
