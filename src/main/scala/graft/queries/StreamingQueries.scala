@@ -1304,6 +1304,11 @@ object StreamingQueries {
   private def runStreamNearDupClusters(s: SparkSession,
       dir: String): DataFrame = {
     val ss = s.newSession()
+    // a cold cache builds the full 4-batch streamed ledger ingest
+    // here — that corpus-sized work must run at normal width, not
+    // at the maintain loop's
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val (_, pairsDir) = neardupArtifacts(ss, dir)
     // the maintain loop's frames are PAIR-DELTA-sized (KB at gate SF,
     // delta-bounded at any SF — contracted CC never shuffles state):
     // size the shuffle to the delta, not the corpus, or the ~15 tiny
@@ -1311,7 +1316,6 @@ object StreamingQueries {
     // per-stage re-planning is likewise pure overhead at this width)
     ss.conf.set("spark.sql.shuffle.partitions", "1")
     ss.conf.set("spark.sql.adaptive.enabled", "false")
-    val (_, pairsDir) = neardupArtifacts(ss, dir)
     val led = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
     graft.sources.StoreIO.list(ss, pairsDir).map(_.toString)
       .sortBy(p => p.split('/').last.stripPrefix("b").toLong)
@@ -1519,30 +1523,50 @@ object StreamingQueries {
       keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
       nBuckets = 16)
     streamSliced(ss, staged, "id", "curation") { (b, id) =>
-      val qb = b.filter(col("quality") >= 0.6).localCheckpoint()
-      val pairs = near.observe(qb.select(col("id"), col("sig")), id)
-      val delta = clusters.observe(pairs, id)
-      // admissions: batch quality docs that are their own cluster's
-      // representative (no delta row = unpaired so far; delta row
-      // with cluster == id = fresh representative)
-      val admitted = qb
-        .join(delta.withColumnRenamed("cluster", "__c"), Seq("id"),
-          "left")
-        .filter(col("__c").isNull || col("__c") === col("id"))
-        .select(col("id"), col("n_bpe"), col("quality"))
-      curated.merge(admitted, id)
-      // retro-correction: a label that DROPPED below its id is a lost
-      // representative status — delete it. Deleting an id that was
-      // never admitted (non-quality members never enter the ledger;
-      // non-representatives were never merged) is a natural no-op, so
-      // the demotion set needs no admission bookkeeping. Distinct
-      // opId spaces: merge commits ride the batch id, deletes its
-      // retro half.
-      val demoted = delta.filter(col("cluster") < col("id"))
-        .select(col("id"))
-      curated.delete(demoted, 1000L + id)
+      curationCycle(ss, near, clusters, curated,
+        b.filter(col("quality") >= 0.6).localCheckpoint(), id)
     }
     curated.view(s).orderBy(col("id"))
+  }
+
+  /** One arrival cycle of the q115 curated-corpus maintenance —
+   * extracted so the replay contract is spec-pinned
+   * (CurationCycleSpec): `qb` carries the batch's QUALITY rows
+   * (`id`, `sig`, `n_bpe`, `quality`). Replay-safe end to end: the
+   * near ledger's fold is token-guarded, the cluster fold is a min
+   * monoid, and admission reads the committed LABELS, not the batch
+   * delta — a retried micro-batch's delta is EMPTY (the monoid
+   * absorbs the re-fold), which would re-admit every quality doc as
+   * "unpaired", non-representatives included; the committed labels
+   * answer correctly whether the cycle is fresh, replayed, or
+   * resumed after a mid-cycle crash. */
+  private[queries] def curationCycle(ss: SparkSession,
+      near: graft.streaming.NearDupLedger,
+      clusters: graft.streaming.ClusterLedger,
+      curated: graft.streaming.BucketedUpsert.State,
+      qb: DataFrame, id: Long): Unit = {
+    val pairs = near.observe(qb.select(col("id"), col("sig")), id)
+    val delta = clusters.observe(pairs, id)
+    // admissions: batch quality docs that are their own cluster's
+    // representative (no labeling row = unpaired so far; row with
+    // cluster == id = representative), via a bucket-pruned point
+    // lookup of the batch's ids — O(batch + state·k/n)
+    val admitted = (if (clusters.store.hasState)
+      qb.join(clusters.store.lookupJoin(ss, qb.select(col("id")))
+          .withColumnRenamed("cluster", "__c"), Seq("id"), "left")
+        .filter(col("__c").isNull || col("__c") === col("id"))
+      else qb) // a pairless stream so far: every quality doc is a rep
+      .select(col("id"), col("n_bpe"), col("quality"))
+    curated.merge(admitted, id)
+    // retro-correction: a label that DROPPED below its id is a lost
+    // representative status — delete it. Deleting an id that was
+    // never admitted (non-quality members never enter the ledger;
+    // non-representatives were never merged) is a natural no-op, so
+    // the demotion set needs no admission bookkeeping. Distinct opId
+    // spaces: merge commits ride the batch id, deletes its retro half.
+    val demoted = delta.filter(col("cluster") < col("id"))
+      .select(col("id"))
+    curated.delete(demoted, 1000L + id)
   }
 
   private def streamCurationOracle: String = {
@@ -1601,15 +1625,18 @@ object StreamingQueries {
    * closure over the restricted pair set from scratch. */
   private def runClusterAsOf(s: SparkSession, dir: String): DataFrame = {
     val ss = s.newSession()
-    // pair-delta-sized frames (the q110 sizing note)
-    ss.conf.set("spark.sql.shuffle.partitions", "1")
-    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    // the corpus-wide pair scan runs at normal width and materializes…
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
     val pairs = graft.operators.Dedup.hammingPairs(
       docSimhashSigs(ss, dir), bits = 60, maxHamming = 3)
       .select(col("a"), col("b"),
         greatest(pmod(col("a"), lit(4)), pmod(col("b"), lit(4)))
           .as("__arr"))
       .localCheckpoint()
+    // …then the session narrows to pair-delta-sized frames for the
+    // maintain loop (the q110 sizing note)
+    ss.conf.set("spark.sql.shuffle.partitions", "1")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
     val led = new graft.streaming.ClusterLedger(ss, nBuckets = 4,
       retainHistory = true)
     var asOf = -1L
@@ -1619,8 +1646,8 @@ object StreamingQueries {
         k.toLong)
       // the version the batch-2 cycle left live (an all-intra-component
       // batch commits nothing, so this is the LAST commit ≤ batch 2,
-      // not necessarily the third)
-      if (k == 2) asOf = led.store.history().last
+      // not necessarily the third — and possibly none at all)
+      if (k == 2) asOf = led.store.history().lastOption.getOrElse(-1L)
     }
     require(asOf >= 0, "q116: no commit by batch 2 — corpus too sparse")
     led.store.readAsOf(s, asOf).orderBy(col("id"))

@@ -38,10 +38,12 @@ object ClusterLedger {
 
   /** Reattach to a committed labeling root after a driver loss: the
    * live view seeds the in-memory cache and maintenance continues
-   * exactly where the last committed batch left it. */
-  def recover(ss: SparkSession, nBuckets: Int,
-      root: String): ClusterLedger = {
-    val cl = new ClusterLedger(ss, nBuckets, Some(root))
+   * exactly where the last committed batch left it. `retainHistory`
+   * must match the build (the manifest pins it and loadManifest
+   * rejects a mismatch loudly). */
+  def recover(ss: SparkSession, nBuckets: Int, root: String,
+      retainHistory: Boolean = false): ClusterLedger = {
+    val cl = new ClusterLedger(ss, nBuckets, Some(root), retainHistory)
     cl.store.loadManifest()
     cl.store.gc()
     cl.labels = cl.store.view(ss).localCheckpoint()

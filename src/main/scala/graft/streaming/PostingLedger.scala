@@ -146,7 +146,8 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
 
   def observe(sigs: DataFrame, opId: Long): DataFrame = {
     val batch = bandKeys(sigs).localCheckpoint()
-    if (!store.token("lastOp").contains(opId.toString)) {
+    val replayed = store.token("lastOp").contains(opId.toString)
+    if (!replayed) {
       // the opId marker rides the SAME commit as the fold (atomic on
       // the success path); a FAILED merge must resynchronize the
       // in-memory token — but from the COMMITTED manifest, not the
@@ -175,7 +176,10 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
     if (!store.hasState)
       return batch.limit(0).select(col("id").as("a"),
         col("id").as("b"), zeroScore.as(scoreName))
-    if (collectSaturationMetrics && maxPosting > 0)
+    // metric only on the FIRST fold of an opId: a replayed batch's
+    // duplicate row would double-count in any per-batch sum (exactly
+    // what LedgerSoak computes), misreporting saturation
+    if (collectSaturationMetrics && maxPosting > 0 && !replayed)
       metrics += PostingLedger.LedgerMetrics(opId,
         store.lookupJoin(ss, batch.select(col("bkey")))
           .filter(size(col("posting")) >= maxPosting).count())

@@ -165,13 +165,17 @@ object GcdSoak {
     require(unknown.isEmpty,
       s"GcdSoak: unknown stage(s) ${unknown.mkString(", ")} — " +
         s"expected [nIssues] then any of ${known.mkString("/")}")
+    val named = args.filter(Set("build", "incremental", "history",
+      "explain").contains)
+    // `full` is the whole-chain shorthand — a further named stage
+    // would be silently dropped, so reject the combination loudly
+    require(!args.contains("full") || named.isEmpty,
+      s"GcdSoak: 'full' already names build/incremental/history — " +
+        s"drop it or drop ${named.mkString(", ")}")
     val stages: Seq[String] =
       if (args.contains("full")) Seq("build", "incremental", "history")
-      else {
-        val named = args.filter(Set("build", "incremental", "history",
-          "explain").contains)
-        if (named.nonEmpty) named.toSeq else Seq("build")
-      }
+      else if (named.nonEmpty) named.toSeq
+      else Seq("build")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

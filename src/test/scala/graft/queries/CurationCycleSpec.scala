@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.streaming.{BucketedUpsert, ClusterLedger, NearDupLedger}
+
+/** The q115 arrival-cycle contract: the curated store converges to
+ * "cluster representatives + unpaired quality docs" with
+ * retro-correction (an earlier-admitted doc is deleted when a
+ * smaller-id near-dup arrives), and a REPLAYED micro-batch is a
+ * no-op end to end — in particular, admission must read the
+ * committed labels, not the batch delta: a retried batch's delta is
+ * empty (min monoid), and a delta-based admission would re-admit
+ * every quality doc as "unpaired", non-representatives included. */
+class CurationCycleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // sig 0L: one near-dup cluster {5, 10, 20}; 30 is unpaired
+  private val far = 0x0FFFFFFFFFFFFFFFL
+  private def qb(rows: (Long, Long)*): DataFrame =
+    rows.toSeq.toDF("id", "sig")
+      .selectExpr("id", "sig", "id * 10 AS n_bpe",
+        "0.9 AS quality")
+
+  private def curatedIds(c: BucketedUpsert.State): Set[Long] =
+    c.view(spark).select("id").collect().map(_.getLong(0)).toSet
+
+  test("retro-correction: a later smaller-id arrival demotes the " +
+      "earlier representative; a replayed batch changes nothing") {
+    val near = new NearDupLedger(spark, bits = 60, maxHamming = 3,
+      nBuckets = 8)
+    val clusters = new ClusterLedger(spark, nBuckets = 4)
+    val curated = new BucketedUpsert.State(spark, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 8)
+
+    // batch 0: 10 (rep of its 1-doc cluster so far) and unpaired 30
+    StreamingQueries.curationCycle(spark, near, clusters, curated,
+      qb(10L -> 0L, 30L -> far), 0L)
+    assert(curatedIds(curated) == Set(10L, 30L),
+      "batch 0 should admit the provisional rep and the unpaired doc")
+
+    // batch 1: 5 and 20 join the cluster — 5 becomes rep, 10 is
+    // DEMOTED (deleted), 20 never admitted
+    StreamingQueries.curationCycle(spark, near, clusters, curated,
+      qb(5L -> 0L, 20L -> 0L), 1L)
+    assert(curatedIds(curated) == Set(5L, 30L),
+      s"retro-correction failed: ${curatedIds(curated)}")
+
+    // foreachBatch replay of batch 1: the near fold is token-guarded,
+    // the cluster delta is EMPTY, and admission via the committed
+    // labels must still reject the non-representative 20
+    StreamingQueries.curationCycle(spark, near, clusters, curated,
+      qb(5L -> 0L, 20L -> 0L), 1L)
+    assert(curatedIds(curated) == Set(5L, 30L),
+      s"replayed batch mutated the curated store: ${curatedIds(curated)}")
+  }
+}
