@@ -1545,8 +1545,29 @@ object StreamingQueries {
       clusters: graft.streaming.ClusterLedger,
       curated: graft.streaming.BucketedUpsert.State,
       qb: DataFrame, id: Long): Unit = {
-    val pairs = near.observe(qb.select(col("id"), col("sig")), id)
-    val delta = clusters.observe(pairs, id)
+    // stage walls land in the bench detail artifact (last-batch
+    // representative, the StageTimer contract) so the gate's price is
+    // attributable: ledger probe vs CC fold vs the two store commits
+    val pairs = graft.StageTimer.time("q115_stream_curation",
+      "near_observe") {
+      near.observe(qb.select(col("id"), col("sig")), id)
+    }
+    // the CC fold's frames are pair-delta-sized (the q110 sizing
+    // note): narrow the session for exactly that stage — the ledger
+    // probe before it and the store commits after it keep the
+    // corpus-sized width
+    val delta = graft.StageTimer.time("q115_stream_curation",
+      "cc_observe") {
+      val prevP = ss.conf.get("spark.sql.shuffle.partitions")
+      val prevA = ss.conf.get("spark.sql.adaptive.enabled")
+      ss.conf.set("spark.sql.shuffle.partitions", "1")
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
+      try clusters.observe(pairs, id)
+      finally {
+        ss.conf.set("spark.sql.shuffle.partitions", prevP)
+        ss.conf.set("spark.sql.adaptive.enabled", prevA)
+      }
+    }
     // admissions: batch quality docs that are their own cluster's
     // representative (no labeling row = unpaired so far; row with
     // cluster == id = representative), via a bucket-pruned point
@@ -1557,7 +1578,9 @@ object StreamingQueries {
         .filter(col("__c").isNull || col("__c") === col("id"))
       else qb) // a pairless stream so far: every quality doc is a rep
       .select(col("id"), col("n_bpe"), col("quality"))
-    curated.merge(admitted, id)
+    graft.StageTimer.time("q115_stream_curation", "admit_merge") {
+      curated.merge(admitted, id)
+    }
     // retro-correction: a label that DROPPED below its id is a lost
     // representative status — delete it. Deleting an id that was
     // never admitted (non-quality members never enter the ledger;
@@ -1566,7 +1589,9 @@ object StreamingQueries {
     // spaces: merge commits ride the batch id, deletes its retro half.
     val demoted = delta.filter(col("cluster") < col("id"))
       .select(col("id"))
-    curated.delete(demoted, 1000L + id)
+    graft.StageTimer.time("q115_stream_curation", "demote_delete") {
+      curated.delete(demoted, 1000L + id)
+    }
   }
 
   private def streamCurationOracle: String = {
