@@ -56,4 +56,31 @@ class CurationCycleSpec extends SparkSpec {
     assert(curatedIds(curated) == Set(5L, 30L),
       s"replayed batch mutated the curated store: ${curatedIds(curated)}")
   }
+
+  test("kill + recover mid-stream: the whole composition (near ledger, " +
+      "cluster labels, curated store) continues from its committed " +
+      "roots to the uninterrupted end state") {
+    val near = new NearDupLedger(spark, bits = 60, maxHamming = 3,
+      nBuckets = 8)
+    val clusters = new ClusterLedger(spark, nBuckets = 4)
+    val curated = new BucketedUpsert.State(spark, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 8)
+    // batch 0 carries a within-batch pair so every store commits
+    // something to recover from (recovery needs >= 1 committed batch)
+    StreamingQueries.curationCycle(spark, near, clusters, curated,
+      qb(10L -> 0L, 12L -> 0L, 30L -> far), 0L)
+    assert(curatedIds(curated) == Set(10L, 30L))
+    // driver loss: only the three committed roots survive
+    val near2 = NearDupLedger.recover(spark, bits = 60, maxHamming = 3,
+      nBuckets = 8, root = near.store.rootDir)
+    val clusters2 = ClusterLedger.recover(spark, nBuckets = 4,
+      root = clusters.store.rootDir)
+    val curated2 = BucketedUpsert.recover(spark, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 8,
+      stateRoot = curated.rootDir)
+    StreamingQueries.curationCycle(spark, near2, clusters2, curated2,
+      qb(5L -> 0L, 20L -> 0L), 1L)
+    assert(curatedIds(curated2) == Set(5L, 30L),
+      s"recovered continuation diverged: ${curatedIds(curated2)}")
+  }
 }
