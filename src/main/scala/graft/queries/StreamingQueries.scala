@@ -1495,10 +1495,20 @@ object StreamingQueries {
    * label). Every stage is bounded by batch + delta, never by
    * accumulated state — the 100 TB shape of a training-data intake
    * that keeps a canonical curated corpus current as crawls arrive. */
-  private def runStreamCuration(s: SparkSession, dir: String): DataFrame = {
+  // Build-once cache for the curated-corpus pipeline (the
+  // neardupArtifacts pattern): q115's subject is the arrival loop —
+  // paid once per JVM — and p05 packs the END STATE it leaves, so
+  // both gates share one committed curated store, each independently
+  // meaningful (q115 restates the corpus, p05 the packing over it).
+  private val curationCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def curationArtifacts(ss: SparkSession, dir: String): String =
+    curationCache.synchronized {
+      curationCache.getOrElseUpdate(dir, buildCuration(ss, dir))
+    }
+
+  private def buildCuration(ss: SparkSession, dir: String): String = {
     import graft.functions.{TextFunctions => TF}
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
     val docs = graft.sources.Tables.load(ss, dir, "documents")
     // ONE staged projection — normalize/tokenize once, derive the
     // signature and every quality signal from the shared arrays (the
@@ -1526,7 +1536,38 @@ object StreamingQueries {
       curationCycle(ss, near, clusters, curated,
         b.filter(col("quality") >= 0.6).localCheckpoint(), id)
     }
-    curated.view(s).orderBy(col("id"))
+    curated.rootDir
+  }
+
+  private def curatedState(ss: SparkSession,
+      dir: String): graft.streaming.BucketedUpsert.State =
+    graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
+      stateRoot = curationArtifacts(ss, dir))
+
+  private def runStreamCuration(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    curatedState(ss, dir).view(s).orderBy(col("id"))
+  }
+
+  /** p05: PACK THE CURATED CORPUS — the serving composition q115's
+   * end state exists for: the maintained curated corpus (quality ∧
+   * near-dup representatives) concat-and-chunked into fixed-budget
+   * training sequences ([[graft.operators.Packing.pack]] — exact
+   * distributed prefix sum, never single-partition). Rides the same
+   * per-JVM curated store q115 builds; the oracle restates the q115
+   * kept set and the q104 cumulative arithmetic over it. */
+  private def runCuratedPack(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val kept = curatedState(ss, dir).view(ss)
+      .select(col("id"), col("n_bpe"))
+    graft.operators.Packing.pack(kept, "n_bpe", budget = 256L,
+        orderCols = Seq(col("id")), nShards = 16)
+      .select(col("id"), col("n_bpe"), col("cum"),
+        col("start_seq"), col("start_off"), col("end_seq"))
+      .orderBy(col("id"))
   }
 
   /** One arrival cycle of the q115 curated-corpus maintenance —
@@ -1594,11 +1635,14 @@ object StreamingQueries {
     }
   }
 
-  private def streamCurationOracle: String = {
+  /** The q115 end-state CTE chain through `kept` (id, n_bpe, quality)
+   * — shared by q115's restatement and p05's packing over it. Must be
+   * prefixed with WITH RECURSIVE (the reachability closure). */
+  private def curationKeptCtes: String = {
     val enList =
       s"[${graft.functions.TextFunctions.stopwords("en")
         .map(w => s"'$w'").mkString(", ")}]"
-    s"""WITH RECURSIVE qbase AS (
+    s"""qbase AS (
        |  SELECT doc_id, ${DedupQueries.normT} AS t FROM documents),
        |qfeat AS (SELECT doc_id,
        |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
@@ -1626,12 +1670,28 @@ object StreamingQueries {
        |  SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)
        |  UNION
        |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id),
-       |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
-       |SELECT q.doc_id AS id, q.n_bpe, q.quality
-       |FROM q LEFT JOIN lab ON lab.id = q.doc_id
-       |WHERE lab.id IS NULL OR lab.cluster = q.doc_id
-       |ORDER BY id""".stripMargin
+       |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |kept AS (SELECT q.doc_id AS id, q.n_bpe, q.quality
+       |  FROM q LEFT JOIN lab ON lab.id = q.doc_id
+       |  WHERE lab.id IS NULL OR lab.cluster = q.doc_id)""".stripMargin
   }
+
+  private def streamCurationOracle: String =
+    s"""WITH RECURSIVE $curationKeptCtes
+       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
+
+  private def curatedPackOracle: String =
+    s"""WITH RECURSIVE $curationKeptCtes,
+       |c AS (SELECT id, n_bpe,
+       |    SUM(n_bpe) OVER (ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM kept)
+       |SELECT id, n_bpe, CAST(cum AS BIGINT) AS cum,
+       |  CAST((cum - n_bpe) // 256 AS BIGINT) AS start_seq,
+       |  CAST((cum - n_bpe) % 256 AS BIGINT) AS start_off,
+       |  CAST(CASE WHEN n_bpe = 0 THEN (cum - n_bpe) // 256
+       |    ELSE (cum - 1) // 256 END AS BIGINT) AS end_seq
+       |FROM c ORDER BY id""".stripMargin
 
   /** q116: AS-OF CLUSTER LABELING — time travel composed onto the
    * streamed clustering artifact: "the near-dup clusters exactly as
@@ -1779,6 +1839,7 @@ object StreamingQueries {
       Some(repairReplayOracle)),
     Q("q115_stream_curation", runStreamCuration,
       Some(streamCurationOracle)),
+    Q("p05_curated_pack", runCuratedPack, Some(curatedPackOracle)),
     Q("q116_cluster_asof", runClusterAsOf, Some(clusterAsOfOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
