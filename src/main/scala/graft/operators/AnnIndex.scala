@@ -177,6 +177,76 @@ object AnnIndex {
   }
 
   /**
+   * COMPLIANCE FORGET on the index artifact — the right-to-be-forgotten
+   * path the other persisted artifacts already carry (ledger `forget`,
+   * store `delete`), applied to the IVF layout. Victims are `(id, vec)`
+   * rows: the caller supplies the vector (exactly like PostingLedger
+   * .forget takes signatures) because the FROZEN quantizer routes it to
+   * the ONE list the vector lives in — build/maintain/ingest all place
+   * a vector via [[Similarity.assignToCentroids]], so recomputing that
+   * assignment names the only lists that can hold a victim's posting
+   * row, and ONLY those lists are read and rewritten (an id-only forget
+   * would scan every list). Centroids are PARAMETERS of the frozen
+   * quantizer, not corpus rows: forgetting a vector that seeded a
+   * centroid removes its posting row while the centroid keeps serving
+   * (retraining would move every existing assignment — s20's frozen
+   * rule).
+   *
+   * Crash contract: the rewritten lists stage to a sibling dir first
+   * (a crash before any swap leaves the live layout untouched), then
+   * each victim list swaps in via rename; a crash mid-swap leaves some
+   * lists rewritten and some not, and RE-INVOKING the same forget is
+   * idempotent (anti-joining absent keys rewrites a list identically,
+   * and a list emptied by the delete stays deleted). A list whose every
+   * row was a victim's disappears from the layout entirely.
+   */
+  def forget(spark: SparkSession, root: String, victims: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val cent = spark.read.parquet(s"$root/centroids")
+    val assigned = Similarity.assignToCentroids(victims, idCol, vecCol,
+      cent).select(col("vid"), col("cid")).localCheckpoint()
+    // bounded driver-side list (≤ the list count), the search() shape
+    val cids = assigned.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (cids.isEmpty) return
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val live = new Path(s"$root/postings")
+    // victim lists only, pruned through the same literal partition
+    // filter (and the same typed-cid read) the serve path uses
+    val inferred = spark.read.parquet(live.toString).schema
+    val typed = org.apache.spark.sql.types.StructType(inferred.map { f =>
+      if (f.name == "cid") f.copy(dataType =
+        org.apache.spark.sql.types.LongType)
+      else f
+    })
+    val remaining = spark.read.schema(typed).parquet(live.toString)
+      .filter(col("cid").isin(cids: _*))
+      .join(broadcast(assigned.select(col("vid"))), Seq("vid"),
+        "left_anti")
+    val staged = new Path(s"$root/postings.forget")
+    fs.delete(staged, true)
+    remaining.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(staged.toString)
+    cids.foreach { c =>
+      val liveList = new Path(live, s"cid=$c")
+      val stagedList = new Path(staged, s"cid=$c")
+      val bak = new Path(live, s".cid=$c.bak")
+      fs.delete(bak, true)
+      if (fs.exists(liveList))
+        require(fs.rename(liveList, bak), s"cannot stage out $liveList")
+      // a fully-emptied list has no staged dir — it simply disappears
+      if (fs.exists(stagedList))
+        require(fs.rename(stagedList, liveList),
+          s"cannot install forgotten list $liveList")
+      fs.delete(bak, true)
+    }
+    fs.delete(staged, true)
+  }
+
+  /**
    * Serve top-k from the artifact: queries probe the centroid table
    * (small broadcast), and the posting scan is restricted to the
    * probed cid partitions by a LITERAL partition filter built from the

@@ -47,7 +47,8 @@ object IncrementalCC {
    */
   def maintain(prevLabels: DataFrame, newEdgesRaw: DataFrame,
       maxIter: Int = 20): DataFrame =
-    maintainWithDelta(prevLabels, newEdgesRaw, maxIter)._1
+    maintainAnnotated(prevLabels, newEdgesRaw, maxIter)
+      .select(col("id"), col("cluster"))
 
   /** [[maintain]] plus the CHANGED-ROW DELTA — `(full labeling, rows
    * whose (id, cluster) differs from prevLabels)`. The delta is derived
@@ -58,6 +59,21 @@ object IncrementalCC {
    * exactly what each batch changed at delta cost. */
   def maintainWithDelta(prevLabels: DataFrame, newEdgesRaw: DataFrame,
       maxIter: Int = 20): (DataFrame, DataFrame) = {
+    val ann = maintainAnnotated(prevLabels, newEdgesRaw, maxIter)
+    (ann.select(col("id"), col("cluster")),
+      ann.filter(col("__changed")).select(col("id"), col("cluster")))
+  }
+
+  /** The single-frame form both [[maintain]] and [[maintainWithDelta]]
+   * project from: the full grown labeling with a `__changed` flag
+   * marking exactly the delta rows. A per-batch consumer that needs
+   * BOTH the labeling and the delta ([[graft.streaming.ClusterLedger]])
+   * materializes THIS frame once — one localCheckpoint job instead of
+   * two separate ones per micro-batch, which is the dominant cost of a
+   * maintain loop whose frames are delta-sized (tiny-job scheduling,
+   * not data). */
+  def maintainAnnotated(prevLabels: DataFrame, newEdgesRaw: DataFrame,
+      maxIter: Int = 20): DataFrame = {
     val newEdges = GraphEdges.canonical(newEdgesRaw)
     val la = prevLabels.select(col("id").as("a"), col("cluster").as("__ca"))
     val lb = prevLabels.select(col("id").as("b"), col("cluster").as("__cb"))
@@ -74,19 +90,19 @@ object IncrementalCC {
     val merges = Dedup.connectedComponents(contracted, maxIter)
       .filter(col("cluster") =!= col("id"))
       .select(col("id").as("__old"), col("cluster").as("__new"))
+    // a prevLabels row changes iff its cluster is in the merge table —
+    // the left join already computes that, so the flag is free
     val relabeled = prevLabels
       .join(merges, prevLabels("cluster") === merges("__old"), "left")
       .select(prevLabels("id"),
-        coalesce(col("__new"), prevLabels("cluster")).as("cluster"))
+        coalesce(col("__new"), prevLabels("cluster")).as("cluster"),
+        col("__new").isNotNull.as("__changed"))
     val fresh = newEdges.select(col("a").as("id"))
       .union(newEdges.select(col("b").as("id"))).distinct()
       .join(prevLabels.select(col("id")), Seq("id"), "left_anti")
       .join(merges, col("id") === merges("__old"), "left")
-      .select(col("id"), coalesce(col("__new"), col("id")).as("cluster"))
-    // a prevLabels row changes iff its cluster is in the merge table
-    val changed = prevLabels
-      .join(merges, prevLabels("cluster") === merges("__old"))
-      .select(prevLabels("id"), col("__new").as("cluster"))
-    (relabeled.unionByName(fresh), changed.unionByName(fresh))
+      .select(col("id"), coalesce(col("__new"), col("id")).as("cluster"),
+        lit(true).as("__changed"))
+    relabeled.unionByName(fresh)
   }
 }

@@ -186,9 +186,14 @@ object SimilarityQueries {
 
   /** The deterministic-IVF restatement (centroid seed, cosine-argmax
    * assignment, 2-probe search) — shared by s03 (in-memory chain) and
-   * s19 (the same math served from the persisted index artifact). */
-  private lazy val s03Oracle: String =
-    s"""WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
+   * s19 (the same math served from the persisted index artifact).
+   * `vWhere` restricts the POSTING side only (s23 restates a forget
+   * as the chain over the surviving corpus; centroids and queries
+   * stay full — the quantizer is frozen and queries come from the
+   * table, not the index). */
+  private def s03OracleOver(vWhere: String): String =
+    s"""WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings
+       |       WHERE $vWhere),
        |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
        |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
        |assign AS (SELECT vid, vv, cid FROM (
@@ -208,6 +213,8 @@ object SimilarityQueries {
        |  FROM scored)
        |SELECT qid, rank, nid, cos FROM r WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
+
+  private lazy val s03Oracle: String = s03OracleOver("TRUE")
 
   private val s01Oracle: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
@@ -808,6 +815,33 @@ object SimilarityQueries {
           .orderBy(col("qid"), col("rank"))
       },
       Some(s03Oracle)),
+
+    // ----------------------------------------------------------------
+    // s23 — COMPLIANCE FORGET on the index artifact: the right-to-be-
+    // forgotten path every other persisted artifact already carries
+    // (ledger forget q111, store delete q93) applied to the IVF
+    // layout. Victims route through the FROZEN quantizer to the one
+    // list each lives in — only those lists are read and rewritten
+    // (stage-then-swap per list; a fully-emptied list disappears);
+    // centroids are quantizer parameters, not corpus rows, so a victim
+    // that seeded a centroid loses its posting row while the centroid
+    // keeps serving. The oracle restates the s03 chain over the
+    // SURVIVING corpus (full centroid set, full query set) — the hash
+    // proves the post-forget serve ≡ an index that never held the
+    // victims.
+    Q("s23_ann_index_forget",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val root = graft.operators.AnnIndex.build(e, "vec_id",
+          "embedding", centroidStride = 50, maxCentroids = 32)
+        graft.operators.AnnIndex.forget(s, root,
+          e.filter(col("vec_id") % 17 === 0), "vec_id", "embedding")
+        graft.operators.AnnIndex.search(s, root,
+            e.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", nProbe = 2, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s03OracleOver("vec_id % 17 <> 0"))),
 
     // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is

@@ -1751,6 +1751,78 @@ object StreamingQueries {
        |SELECT id, MIN(r) AS cluster FROM reach
        |GROUP BY id ORDER BY id""".stripMargin
 
+  /** q117: STREAMING BENCHMARK DECONTAMINATION — t06's n-gram overlap
+   * scan at arrival time, probe direction flipped to the production
+   * shape: the held-out benchmark suite is FROZEN and SMALL (eval
+   * sets are MBs against a 100 TB crawl), so its deduplicated shingle
+   * set is built ONCE and broadcast — each arriving training batch
+   * probes it map-side, per-batch cost O(batch shingles) with ZERO
+   * shuffle of accumulated state and nothing ever rescanning history
+   * (contrast the near-dup ledgers, whose reference set GROWS and
+   * therefore needs the persisted banded store; a decontamination
+   * reference is static by definition — t06's design note on the
+   * batch form, `/root/reference` has no counterpart). Each batch
+   * emits its docs' (n_shingles, n_hit, overlap) report rows — the
+   * flag an intake pipeline drops leaked training docs by — and the
+   * accumulated union ≡ the batch restatement over the full training
+   * split (the oracle: t06's CTE chain with the roles flipped). */
+  private def runStreamDecontaminate(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val docs = graft.sources.Tables.load(ss, dir, "documents")
+    // one shared scan-stage projection: doc → distinct word 3-grams
+    // (docs shorter than the shingle width have nothing to leak and
+    // are absent, matching t06's contract; 3-grams — vs t06's 5 —
+    // are the deliberately TIGHTER screen an intake gate runs, and
+    // they exercise the hit path densely at gate SF)
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("id"), TF.tokens(col("text")).as("__tok"))
+      .select(col("id"),
+        explode_outer(TF.wordShinglesFromTokens(col("__tok"), 3)).as("s"))
+      .filter(col("s").isNotNull)
+      .distinct()
+    // the frozen benchmark shingle set: deduplicated once, pinned
+    // before the stream starts (the frozen-quantizer rule's text
+    // analog — a reference that drifted mid-stream would score
+    // batches against different suites)
+    val bench = shingles(docs.filter(col("doc_id") % 50 === 0))
+      .select(col("s")).distinct().withColumn("__hit", lit(1))
+      .localCheckpoint()
+    val outDir = graft.sources.Scratch.dir("decon_out")
+    streamSliced(ss, docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("text")), "doc_id", "decon") {
+      (b, id) =>
+        shingles(b).join(broadcast(bench), Seq("s"), "left_outer")
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            count(col("__hit")).as("n_hit"))
+          .select(col("id").as("doc_id"), col("n_shingles"),
+            col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_shingles"), 6)
+              .as("overlap"))
+          .write.mode("overwrite").parquet(s"$outDir/b$id")
+    }
+    val dirs = graft.sources.StoreIO.list(s, outDir).map(_.toString).sorted
+    s.read.parquet(dirs: _*).orderBy(col("doc_id"))
+  }
+
+  private def streamDecontaminateOracle: String =
+    s"""WITH d AS (SELECT doc_id, ${DedupQueries.normT} AS t FROM documents),
+       |toks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM d),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(i)
+       |       WHERE len(w) >= 3),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+       |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+       |SELECT t.doc_id, COUNT(*) AS n_shingles,
+       |  COUNT(b.s) AS n_hit,
+       |  round(CAST(COUNT(b.s) AS DOUBLE) / COUNT(*), 6) AS overlap
+       |FROM train t LEFT JOIN bench b ON t.s = b.s
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   /** q103: BUCKET-PRUNED POINT LOOKUP on the persisted keyed store —
    * the serving-path complement of the merge side's write pruning.
    * q91's dedup-fingerprint ledger is built (two deterministic monoid
@@ -1841,6 +1913,8 @@ object StreamingQueries {
       Some(streamCurationOracle)),
     Q("p05_curated_pack", runCuratedPack, Some(curatedPackOracle)),
     Q("q116_cluster_asof", runClusterAsOf, Some(clusterAsOfOracle)),
+    Q("q117_stream_decontaminate", runStreamDecontaminate,
+      Some(streamDecontaminateOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),

@@ -86,19 +86,22 @@ final class ClusterLedger(ss: SparkSession, nBuckets: Int,
     // only what the batch changed reaches the store: fresh vertices +
     // relabeled members of merged components, derived from the tiny
     // merge table (never an O(state) diff) — merge rewrites only the
-    // buckets those ids route to
-    val (next, delta0) = graft.StageTimer.time("clusterledger", "plan") {
-      graft.operators.IncrementalCC.maintainWithDelta(
+    // buckets those ids route to. The labeling and its delta come off
+    // ONE materialized frame (the `__changed` flag): a maintain loop's
+    // frames are delta-sized, so its cost is tiny-job scheduling, and
+    // a second localCheckpoint per batch was the single largest payer.
+    val combined = graft.StageTimer.time("clusterledger", "fold") {
+      graft.operators.IncrementalCC.maintainAnnotated(
         labels, pairs.select(col("a").as("src"), col("b").as("dst")),
         maxIter = 100)
+        .localCheckpoint(true)
     }
-    val delta = delta0.localCheckpoint()
+    val delta = combined.filter(col("__changed"))
+      .select(col("id"), col("cluster"))
     graft.StageTimer.time("clusterledger", "merge") {
       store.merge(delta, opId)
     }
-    labels = graft.StageTimer.time("clusterledger", "cp") {
-      next.localCheckpoint(true)
-    }
+    labels = combined.select(col("id"), col("cluster"))
     delta
   }
 }

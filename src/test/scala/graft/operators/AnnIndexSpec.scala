@@ -94,6 +94,62 @@ class AnnIndexSpec extends SparkSpec {
     assert(after === before, "compaction changed serve results")
   }
 
+  test("forget: victims vanish from their lists only, untouched lists " +
+      "keep their files, serve == build over survivors, re-invoke is " +
+      "a no-op") {
+    val root = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
+    val victims = emb.filter(col("vec_id") % 17 === 0)
+    // the lists the victims live in = their frozen-quantizer routes
+    val cent = spark.read.parquet(s"$root/centroids")
+    val victimCids = Similarity.assignToCentroids(victims, "vec_id",
+        "embedding", cent)
+      .select(col("cid")).distinct().collect().map(_.getLong(0)).toSet
+    def listFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$root/postings").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+            .toSet).toMap
+    val before = listFiles()
+    AnnIndex.forget(spark, root, victims, "vec_id", "embedding")
+    val after = listFiles()
+    // pruned economics: a list no victim routes to is not rewritten —
+    // its files are bit-identical by NAME (rename would change them)
+    before.foreach { case (d, fs0) =>
+      val cid = d.stripPrefix("cid=").toLong
+      if (!victimCids.contains(cid))
+        assert(after.get(d).contains(fs0),
+          s"untouched list $d was rewritten")
+    }
+    val left = spark.read.parquet(s"$root/postings")
+    assert(left.filter(col("vid") % 17 === 0).count() == 0,
+      "victims survived the forget")
+    val served = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    // reference = the s03 chain over the SURVIVING corpus with the
+    // SAME frozen quantizer (vec_id 0 is both a centroid seed and a
+    // victim, so build(survivors) would pick different centroids —
+    // the quantizer is a parameter of the artifact, not of the corpus)
+    val survAssign = Similarity.assignToCentroids(
+      emb.filter(col("vec_id") % 17 =!= 0), "vec_id", "embedding", cent)
+    val probes = Similarity.probeCentroids(queries, "vec_id",
+      "embedding", cent, nProbe = 2)
+    val scored = survAssign.join(broadcast(probes), Seq("cid"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid").as("nid"),
+        round(graft.functions.VectorFunctions.cosineFromParts(
+          graft.functions.VectorFunctions.dot(col("qv"), col("vv")),
+          col("qn"), col("vn")), 6).as("cos"))
+    val want = Similarity.ranked(scored, 5).collect().toSet
+    assert(served === want,
+      "post-forget serve differs from an index that never held the victims")
+    // compliance replay (the crash-recovery path): idempotent
+    AnnIndex.forget(spark, root, victims, "vec_id", "embedding")
+    val again = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    assert(again === served, "replayed forget changed the index")
+  }
+
   test("ingestBatch: replayed batch id is a no-op; result == one maintain") {
     val evens = emb.filter(col("vec_id") % 2 === 0)
     val odds = emb.filter(col("vec_id") % 2 === 1)
