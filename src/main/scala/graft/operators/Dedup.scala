@@ -247,28 +247,30 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list ONCE — its lineage may be an entire
     // candidate-generation pipeline (e.g. the MinHash pair query), which
-    // every iteration's join would otherwise recompute from scratch
-    val sym = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+    // every iteration's join would otherwise recompute from scratch.
+    // Frames.cp (NOT plain localCheckpoint) everywhere in this loop:
+    // each iteration joins the previous checkpoint back into itself, so
+    // inherited size stats would compound geometrically and the DRIVER
+    // would drown in BigInt stats arithmetic (see graft.Frames).
+    val sym = graft.Frames.cp(pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b"))))
     // init = iteration 1 fused: min(id, min(neighbor)) is exactly what
     // the first propagation round would compute from label=id, at the
     // cost of the same one aggregate the plain distinct-init pays —
     // every caller saves one full join+checkpoint round
-    var labels = sym.groupBy(col("a").as("id"))
-      .agg(least(col("id"), min(col("b"))).as("label"))
-      .localCheckpoint(true)
+    var labels = graft.Frames.cp(sym.groupBy(col("a").as("id"))
+      .agg(least(col("id"), min(col("b"))).as("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neigh = sym.join(labels, sym("b") === labels("id"))
         .groupBy(sym("a").as("nid")).agg(min(col("label")).as("nl"))
-      val updated = labels.join(neigh, labels("id") === neigh("nid"),
+      val updated = graft.Frames.cp(
+        labels.join(neigh, labels("id") === neigh("nid"),
           "left_outer")
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nl"), col("label")))
-            .as("next"))
-        .localCheckpoint(true)
+            .as("next")))
       converged = updated.filter(col("next") < col("label")).isEmpty
       labels = updated.select(col("id"), col("next").as("label"))
       i += 1

@@ -34,10 +34,12 @@ object Hierarchy {
       // and is a fixpoint, so extra rounds are harmless no-ops.
       val jump = cur.select(col("id").as("__jid"), col("anc").as("__janc"),
         col("d").as("__jd"))
-      cur = cur.join(jump, cur("anc") === jump("__jid"))
+      // Frames.cp: the self-join makes inherited size stats DOUBLE
+      // per doubling round — 20 rounds would be a 66M-bit sizeInBytes
+      // and a stalled driver (graft.Frames)
+      cur = graft.Frames.cp(cur.join(jump, cur("anc") === jump("__jid"))
         .select(col("id"), col("__janc").as("anc"),
-          (col("d") + col("__jd")).as("d"))
-        .localCheckpoint(true)
+          (col("d") + col("__jd")).as("d")))
     }
     cur.select(col("id"), col("anc").as("root"), col("d").as("depth"))
   }

@@ -68,11 +68,13 @@ object KCore {
         .select(col("s").as("id"))
       // Keep only edges with BOTH endpoints alive; the symmetric list
       // stays symmetric because `alive` is consulted for s and d alike.
-      sym = sym
+      // Frames.cp: sym re-enters the next round three times (itself
+      // + both alive semi-joins derive from it) — inherited size stats
+      // would triple per round and stall the driver (graft.Frames)
+      sym = graft.Frames.cp(sym
         .join(alive.select(col("id").as("s")), Seq("s"), "left_semi")
         .join(alive.select(col("id").as("d")), Seq("d"), "left_semi")
-        .select(col("s"), col("d"))
-        .localCheckpoint(true)
+        .select(col("s"), col("d")))
     }
 
     sym.groupBy(col("s").as("id")).agg(count(lit(1)).as("core_deg"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -86,7 +88,10 @@ object PageRank {
           (expr(s"(15 * (${Mass}L div n_nodes)) div 100") +
             expr("(85 * coalesce(in_mass, 0L)) div 100")).as("r"),
           col("n_nodes"))
-      }).localCheckpoint(true)
+      // Frames.cp: rank re-enters next iteration's joins in 2-3
+      // branches — inherited size stats would double per iteration
+      // and stall the driver in BigInt stats math (graft.Frames)
+      }).pipe(graft.Frames.cp)
     }
     rank.select(col("id"), col("r").as("rank"))
   }
@@ -148,7 +153,7 @@ object PageRank {
           (expr(s"is_seed * ((15 * (${Mass}L div n_seeds)) div 100)") +
             expr("(85 * (coalesce(in_mass, 0L) +" +
               " is_seed * (d_mass div n_seeds))) div 100")).as("r"))
-        .localCheckpoint(true)
+        .pipe(graft.Frames.cp) // loop-carried: see run()'s note
     }
     rank.select(col("id"), col("r").as("rank"))
   }

@@ -1118,9 +1118,11 @@ object StreamingQueries {
         .option("checkpointLocation",
           graft.sources.Scratch.dir("stream_cc_cp"))
         .foreachBatch { (b: DataFrame, _: Long) =>
-          labels = graft.operators.IncrementalCC.maintain(labels,
-              Analytics.interactionEdges(b), maxIter = 100)
-            .localCheckpoint(true)
+          // Frames.cp: the carried labeling re-enters next batch's
+          // joins — inherited stats would compound (graft.Frames)
+          labels = graft.Frames.cp(
+            graft.operators.IncrementalCC.maintain(labels,
+              Analytics.interactionEdges(b), maxIter = 100))
         }
         .start()
       q.awaitTermination()
@@ -1534,7 +1536,8 @@ object StreamingQueries {
       nBuckets = 16)
     streamSliced(ss, staged, "id", "curation") { (b, id) =>
       curationCycle(ss, near, clusters, curated,
-        b.filter(col("quality") >= 0.6).localCheckpoint(), id)
+        b.filter(col("quality") >= 0.6).localCheckpoint(), id,
+        ccWidth = Some("1"))
     }
     curated.rootDir
   }
@@ -1581,11 +1584,12 @@ object StreamingQueries {
    * "unpaired", non-representatives included; the committed labels
    * answer correctly whether the cycle is fresh, replayed, or
    * resumed after a mid-cycle crash. */
-  private[queries] def curationCycle(ss: SparkSession,
+  private[graft] def curationCycle(ss: SparkSession,
       near: graft.streaming.NearDupLedger,
       clusters: graft.streaming.ClusterLedger,
       curated: graft.streaming.BucketedUpsert.State,
-      qb: DataFrame, id: Long): Unit = {
+      qb: DataFrame, id: Long,
+      ccWidth: Option[String] = None): Unit = {
     // stage walls land in the bench detail artifact (last-batch
     // representative, the StageTimer contract) so the gate's price is
     // attributable: ledger probe vs CC fold vs the two store commits
@@ -1593,20 +1597,27 @@ object StreamingQueries {
       "near_observe") {
       near.observe(qb.select(col("id"), col("sig")), id)
     }
-    // the CC fold's frames are pair-delta-sized (the q110 sizing
-    // note): narrow the session for exactly that stage — the ledger
-    // probe before it and the store commits after it keep the
-    // corpus-sized width
+    // ccWidth: at GATE scale the CC fold's frames are pair-delta-sized
+    // (KBs) and the ~15 tiny iteration jobs per batch pay 8× empty-task
+    // scheduling at session width, so the gate narrows this one stage
+    // to width 1 with AQE off (the q110 sizing note). It is a CALLER
+    // choice, not part of the composition: a real pipeline's deltas can
+    // be arbitrarily large and keep the session width (CurationSoak
+    // runs this cycle at full width over 20k-row deltas).
     val delta = graft.StageTimer.time("q115_stream_curation",
       "cc_observe") {
-      val prevP = ss.conf.get("spark.sql.shuffle.partitions")
-      val prevA = ss.conf.get("spark.sql.adaptive.enabled")
-      ss.conf.set("spark.sql.shuffle.partitions", "1")
-      ss.conf.set("spark.sql.adaptive.enabled", "false")
-      try clusters.observe(pairs, id)
-      finally {
-        ss.conf.set("spark.sql.shuffle.partitions", prevP)
-        ss.conf.set("spark.sql.adaptive.enabled", prevA)
+      ccWidth match {
+        case None => clusters.observe(pairs, id)
+        case Some(w) =>
+          val prevP = ss.conf.get("spark.sql.shuffle.partitions")
+          val prevA = ss.conf.get("spark.sql.adaptive.enabled")
+          ss.conf.set("spark.sql.shuffle.partitions", w)
+          ss.conf.set("spark.sql.adaptive.enabled", "false")
+          try clusters.observe(pairs, id)
+          finally {
+            ss.conf.set("spark.sql.shuffle.partitions", prevP)
+            ss.conf.set("spark.sql.adaptive.enabled", prevA)
+          }
       }
     }
     // admissions: batch quality docs that are their own cluster's

@@ -90,11 +90,15 @@ final class ClusterLedger(ss: SparkSession, nBuckets: Int,
     // ONE materialized frame (the `__changed` flag): a maintain loop's
     // frames are delta-sized, so its cost is tiny-job scheduling, and
     // a second localCheckpoint per batch was the single largest payer.
+    // Frames.cp, NOT plain localCheckpoint: this checkpoint feeds the
+    // NEXT batch's joins in several branches, and inherited size stats
+    // would compound ~5×/batch until the driver drowns in BigInt
+    // stats arithmetic — the ~12-batch cliff CcRepro measured (see
+    // graft.Frames)
     val combined = graft.StageTimer.time("clusterledger", "fold") {
-      graft.operators.IncrementalCC.maintainAnnotated(
+      graft.Frames.cp(graft.operators.IncrementalCC.maintainAnnotated(
         labels, pairs.select(col("a").as("src"), col("b").as("dst")),
-        maxIter = 100)
-        .localCheckpoint(true)
+        maxIter = 100))
     }
     val delta = combined.filter(col("__changed"))
       .select(col("id"), col("cluster"))
