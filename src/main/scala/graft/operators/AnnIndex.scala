@@ -194,16 +194,41 @@ object AnnIndex {
    *
    * Crash contract: the rewritten lists stage to a sibling dir first
    * (a crash before any swap leaves the live layout untouched), then
-   * each victim list swaps in via rename; a crash mid-swap leaves some
-   * lists rewritten and some not, and RE-INVOKING the same forget is
-   * idempotent (anti-joining absent keys rewrites a list identically,
-   * and a list emptied by the delete stays deleted). A list whose every
-   * row was a victim's disappears from the layout entirely.
+   * each victim list swaps in via two renames (live → .bak, staged →
+   * live). A crash ANYWHERE recovers on re-invocation: the preamble
+   * below restores any list caught between its two renames (the .bak
+   * briefly holds the ONLY copy of that list's surviving rows), and
+   * the rewrite itself is idempotent (anti-joining absent keys
+   * rewrites a list identically; a list emptied by the delete stays
+   * deleted). A list whose every row was a victim's disappears from
+   * the layout entirely.
    */
   def forget(spark: SparkSession, root: String, victims: DataFrame,
       idCol: String, vecCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val cent = spark.read.parquet(s"$root/centroids")
+    // recover a crashed prior swap FIRST: a live list missing while its
+    // .bak survives is mid-swap — restore it before anything reads the
+    // layout (without this, the re-invoke would read a hole and the
+    // bak cleanup below would delete the rows' only copy)
+    locally {
+      val fsr = new Path(root).getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val liveDir = new Path(s"$root/postings")
+      if (fsr.exists(liveDir))
+        fsr.listStatus(liveDir)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(".cid=") &&
+            st.getPath.getName.endsWith(".bak"))
+          .foreach { st =>
+            val lv = new Path(liveDir,
+              st.getPath.getName.stripPrefix(".").stripSuffix(".bak"))
+            if (!fsr.exists(lv))
+              require(fsr.rename(st.getPath, lv),
+                s"forget recovery: cannot restore $lv from ${st.getPath}")
+            else fsr.delete(st.getPath, true)
+          }
+    }
     val assigned = Similarity.assignToCentroids(victims, idCol, vecCol,
       cent).select(col("vid"), col("cid")).localCheckpoint()
     // bounded driver-side list (≤ the list count), the search() shape

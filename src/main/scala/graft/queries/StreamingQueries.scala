@@ -1548,6 +1548,126 @@ object StreamingQueries {
       payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
       stateRoot = curationArtifacts(ss, dir))
 
+  /** q118: the FULL INTAKE — q115's curation loop with q117's
+   * benchmark-decontamination screen composed INTO the arrival cycle:
+   * per micro-batch, quality gate ∧ no-benchmark-leak screen (the
+   * frozen 3-gram shingle set broadcast once, probed map-side) decides
+   * which docs enter near-dup curation at all. This is the
+   * FineWeb-style intake spine — filter for quality, drop eval
+   * leakage, keep one canonical representative per near-dup cluster,
+   * retro-correcting as smaller-id duplicates arrive — as ONE
+   * composition over the operators this engine gates separately
+   * (t02/t16 quality, t06/q117 decontamination, q108/q110/q115
+   * dedup curation). The benchmark docs themselves never enter the
+   * intake (they are the eval suite, not training data). The oracle
+   * restates the end state from scratch: train split → quality ∧
+   * clean filter → pair scan → reachability closure → min-id reps. */
+  private def runCurationDecon(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val docs = graft.sources.Tables.load(ss, dir, "documents")
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("id"),
+        TF.normalizeText(col("text")).as("__t"))
+      .select(col("id"), col("__t"),
+        TF.tokensFromNorm(col("__t")).as("__tok"))
+      .select(col("id"), col("__t"), col("__tok"),
+        array_distinct(TF.wordShinglesFromTokens(col("__tok"), 3))
+          .as("shin"))
+    // the frozen benchmark screen, built once before the stream
+    val bench = shingled(docs.filter(col("doc_id") % 50 === 0))
+      .select(explode_outer(col("shin")).as("s"))
+      .filter(col("s").isNotNull).distinct()
+      .localCheckpoint()
+    val staged = shingled(docs.filter(col("doc_id") % 50 =!= 0))
+      .select(col("id"),
+        graft.operators.Dedup.simHashFromHashes(
+          transform(col("__tok"), t => TF.hash60(t)), 60).as("sig"),
+        TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
+        TF.qualityScoreFromParts(
+          size(col("__tok")).cast("long"),
+          TF.stopwordRatioFromTokens(col("__tok")),
+          TF.punctRatioFromNorm(col("__t"))).as("quality"),
+        col("shin"))
+    val near = new graft.streaming.NearDupLedger(ss, bits = 60,
+      maxHamming = 3, nBuckets = 16)
+    val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
+    val curated = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
+      nBuckets = 16)
+    streamSliced(ss, staged, "id", "curation_decon") { (b, id) =>
+      // the batch's leaking docs (ANY benchmark 3-gram): map-side
+      // probe of the broadcast screen, strictest bar — one leaked
+      // shingle disqualifies
+      val dirty = b.select(col("id"), explode_outer(col("shin")).as("s"))
+        .join(broadcast(bench), Seq("s"), "left_semi")
+        .select(col("id")).distinct()
+      val qb = b.filter(col("quality") >= 0.6)
+        .join(dirty, Seq("id"), "left_anti")
+        .select(col("id"), col("sig"), col("n_bpe"), col("quality"))
+        .localCheckpoint()
+      curationCycle(ss, near, clusters, curated, qb, id,
+        ccWidth = Some("1"))
+    }
+    curated.view(s).orderBy(col("id"))
+  }
+
+  private def curationDeconOracle: String = {
+    val enList =
+      s"[${graft.functions.TextFunctions.stopwords("en")
+        .map(w => s"'$w'").mkString(", ")}]"
+    s"""WITH RECURSIVE qbase AS (
+       |  SELECT doc_id, ${DedupQueries.normT} AS t FROM documents
+       |  WHERE doc_id % 50 <> 0),
+       |ttoks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM qbase),
+       |tsh AS (SELECT DISTINCT doc_id,
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM ttoks, unnest(generate_series(1, len(w) - 2)) AS u(i)
+       |       WHERE len(w) >= 3),
+       |bbase AS (SELECT doc_id, ${DedupQueries.normT} AS t FROM documents
+       |  WHERE doc_id % 50 = 0),
+       |btoks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM bbase),
+       |bsh AS (SELECT DISTINCT
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM btoks, unnest(generate_series(1, len(w) - 2)) AS u(i)
+       |       WHERE len(w) >= 3),
+       |dirty AS (SELECT DISTINCT t2.doc_id FROM tsh t2
+       |          JOIN bsh b2 ON t2.s = b2.s),
+       |qfeat AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+       |    CASE WHEN len(t) > 0
+       |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
+       |      ELSE 0.0 END AS punct,
+       |    CASE WHEN len(string_split_regex(t, ' ')) > 0
+       |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
+       |           / len(string_split_regex(t, ' '))
+       |      ELSE 0.0 END AS swr
+       |  FROM qbase),
+       |q AS (SELECT doc_id, n_bpe, quality FROM (
+       |    SELECT doc_id, n_bpe, round(greatest(0.0,
+       |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |      least(swr * 5.0, 1.0) * 0.4 +
+       |      (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality
+       |    FROM qfeat) WHERE quality >= 0.6
+       |    AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |qd AS (SELECT d2.doc_id, d2.text FROM documents d2
+       |       JOIN q ON q.doc_id = d2.doc_id),
+       |${DedupQueries.simhash60PairsCtesOver("qd")},
+       |p AS (${DedupQueries.simhash60PairsSelect}),
+       |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)
+       |  UNION
+       |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id),
+       |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |kept AS (SELECT q.doc_id AS id, q.n_bpe, q.quality
+       |  FROM q LEFT JOIN lab ON lab.id = q.doc_id
+       |  WHERE lab.id IS NULL OR lab.cluster = q.doc_id)
+       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
+  }
+
   private def runStreamCuration(s: SparkSession, dir: String): DataFrame = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1926,6 +2046,8 @@ object StreamingQueries {
     Q("q116_cluster_asof", runClusterAsOf, Some(clusterAsOfOracle)),
     Q("q117_stream_decontaminate", runStreamDecontaminate,
       Some(streamDecontaminateOracle)),
+    Q("q118_curation_decon", runCurationDecon,
+      Some(curationDeconOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),

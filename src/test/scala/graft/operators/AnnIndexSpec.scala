@@ -150,6 +150,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(again === served, "replayed forget changed the index")
   }
 
+  test("forget: a crash between the two swap renames (live list only " +
+      "in .bak) recovers on re-invocation with no rows lost") {
+    val root = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
+    val victims = emb.filter(col("vec_id") % 17 === 0)
+    // collect eagerly: forget retires these files
+    val before = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    AnnIndex.forget(spark, root, victims, "vec_id", "embedding")
+    val want = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    assert(before != want, "fixture vacuous: forget changed nothing")
+    // simulate the mid-swap crash on one list: live renamed to .bak,
+    // staged install never happened — the .bak holds the list's ONLY copy
+    val postings = new java.io.File(s"$root/postings")
+    val someList = postings.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid=")).head
+    val bak = new java.io.File(postings, s".${someList.getName}.bak")
+    assert(someList.renameTo(bak), "test setup: rename failed")
+    // re-invoking the same forget must restore the list, then rewrite
+    AnnIndex.forget(spark, root, victims, "vec_id", "embedding")
+    val got = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    assert(got === want,
+      "mid-swap crash recovery lost rows or diverged")
+    assert(!bak.exists(), "recovery left the .bak behind")
+  }
+
   test("ingestBatch: replayed batch id is a no-op; result == one maintain") {
     val evens = emb.filter(col("vec_id") % 2 === 0)
     val odds = emb.filter(col("vec_id") % 2 === 1)
