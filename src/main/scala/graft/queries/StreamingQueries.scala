@@ -1509,13 +1509,14 @@ object StreamingQueries {
       curationCache.getOrElseUpdate(dir, buildCuration(ss, dir))
     }
 
-  private def buildCuration(ss: SparkSession, dir: String): String = {
+  /** ONE staged projection — normalize/tokenize once, derive the
+   * signature and every quality signal from the shared arrays (the
+   * scan-stage shape; at real scale this is the crawl's map pass).
+   * Shared by the q115/p05 cached streamed build and q119's
+   * deterministic-batch as-of build. */
+  private def curationStaged(ss: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    val docs = graft.sources.Tables.load(ss, dir, "documents")
-    // ONE staged projection — normalize/tokenize once, derive the
-    // signature and every quality signal from the shared arrays (the
-    // scan-stage shape; at real scale this is the crawl's map pass)
-    val staged = docs
+    graft.sources.Tables.load(ss, dir, "documents")
       .select(col("doc_id").as("id"),
         TF.normalizeText(col("text")).as("__t"))
       .select(col("id"), col("__t"),
@@ -1528,6 +1529,10 @@ object StreamingQueries {
           size(col("__tok")).cast("long"),
           TF.stopwordRatioFromTokens(col("__tok")),
           TF.punctRatioFromNorm(col("__t"))).as("quality"))
+  }
+
+  private def buildCuration(ss: SparkSession, dir: String): String = {
+    val staged = curationStaged(ss, dir)
     val near = new graft.streaming.NearDupLedger(ss, bits = 60,
       maxHamming = 3, nBuckets = 16)
     val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
@@ -1562,10 +1567,27 @@ object StreamingQueries {
    * intake (they are the eval suite, not training data). The oracle
    * restates the end state from scratch: train split → quality ∧
    * clean filter → pair scan → reachability closure → min-id reps. */
+  // per-JVM build caches (the curationCache pattern): the gates'
+  // subject is the arrival composition — paid once — and the reps
+  // re-serve the committed artifact
+  private val deconCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private val asofCache =
+    scala.collection.mutable.Map.empty[String, (String, Long)]
+
   private def runCurationDecon(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{TextFunctions => TF}
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = deconCache.synchronized {
+      deconCache.getOrElseUpdate(dir, buildCurationDecon(ss, dir))
+    }
+    graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
+      stateRoot = root).view(s).orderBy(col("id"))
+  }
+
+  private def buildCurationDecon(ss: SparkSession, dir: String): String = {
+    import graft.functions.{TextFunctions => TF}
     val docs = graft.sources.Tables.load(ss, dir, "documents")
     def shingled(df: DataFrame): DataFrame = df
       .select(col("doc_id").as("id"),
@@ -1610,7 +1632,7 @@ object StreamingQueries {
       curationCycle(ss, near, clusters, curated, qb, id,
         ccWidth = Some("1"))
     }
-    curated.view(s).orderBy(col("id"))
+    curated.rootDir
   }
 
   private def curationDeconOracle: String = {
@@ -1766,15 +1788,72 @@ object StreamingQueries {
     }
   }
 
+  /** q119: CURATED-CORPUS TIME TRAVEL — "the training corpus exactly
+   * as the curation pipeline had it when batch 2 committed", the
+   * which-corpus-trained-this-checkpoint audit composed from the
+   * operators this engine already gates (q115's cycle + q95's
+   * retained-version readAsOf). Batches are explicit and
+   * deterministic (the q116 idiom — a file stream's batch order is
+   * engine-controlled, and THIS gate's subject is a specific arrival
+   * point): four direct curationCycle calls over pmod-4 slices, the
+   * curated store retaining history; `readAsOf` at the version batch
+   * 2's cycle left live serves the corpus mid-maintenance — including
+   * representatives that LATER batches demote, which is exactly why
+   * the restatement is the from-scratch curation over slices ≤ 2, NOT
+   * the final corpus restricted to early arrivals. The cycle's
+   * invariant (kept = min-id reps ∪ unpaired, over arrived quality
+   * docs) holds after EVERY batch — CurationCycleSpec/CurationSoak
+   * pin it — so the oracle is exact. */
+  private def runCurationAsOf(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val (root, asOf) = asofCache.synchronized {
+      asofCache.getOrElseUpdate(dir, buildCurationAsOf(ss, dir))
+    }
+    graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
+        payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
+        stateRoot = root, retainHistory = true)
+      .readAsOf(s, asOf).orderBy(col("id"))
+  }
+
+  private def buildCurationAsOf(ss: SparkSession,
+      dir: String): (String, Long) = {
+    val staged = curationStaged(ss, dir).localCheckpoint()
+    val near = new graft.streaming.NearDupLedger(ss, bits = 60,
+      maxHamming = 3, nBuckets = 16)
+    val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
+    val curated = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
+      nBuckets = 16, retainHistory = true)
+    var asOf = -1L
+    (0 until 4).foreach { k =>
+      curationCycle(ss, near, clusters, curated,
+        staged.filter(pmod(col("id"), lit(4)) === k)
+          .filter(col("quality") >= 0.6).localCheckpoint(),
+        k.toLong, ccWidth = None)
+      if (k == 2) asOf = curated.history().lastOption.getOrElse(-1L)
+    }
+    require(asOf >= 0, "q119: nothing committed by batch 2")
+    (curated.rootDir, asOf)
+  }
+
+  private def curationAsOfOracle: String =
+    s"""WITH RECURSIVE ${curationKeptCtesOver("doc_id % 4 <= 2")}
+       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
+
   /** The q115 end-state CTE chain through `kept` (id, n_bpe, quality)
-   * — shared by q115's restatement and p05's packing over it. Must be
-   * prefixed with WITH RECURSIVE (the reachability closure). */
-  private def curationKeptCtes: String = {
+   * — shared by q115's restatement, p05's packing over it, and q119's
+   * arrival-restricted as-of form. Must be prefixed with WITH
+   * RECURSIVE (the reachability closure). */
+  private def curationKeptCtes: String = curationKeptCtesOver("TRUE")
+
+  private def curationKeptCtesOver(docWhere: String): String = {
     val enList =
       s"[${graft.functions.TextFunctions.stopwords("en")
         .map(w => s"'$w'").mkString(", ")}]"
     s"""qbase AS (
-       |  SELECT doc_id, ${DedupQueries.normT} AS t FROM documents),
+       |  SELECT doc_id, ${DedupQueries.normT} AS t FROM documents
+       |  WHERE $docWhere),
        |qfeat AS (SELECT doc_id,
        |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
        |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
@@ -2048,6 +2127,8 @@ object StreamingQueries {
       Some(streamDecontaminateOracle)),
     Q("q118_curation_decon", runCurationDecon,
       Some(curationDeconOracle)),
+    Q("q119_curation_asof", runCurationAsOf,
+      Some(curationAsOfOracle)),
     Q("p03_reproducible_epoch", runReproducibleEpoch,
       Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
