@@ -1922,12 +1922,14 @@ object StreamingQueries {
     val ss = s.newSession()
     // the corpus-wide pair scan runs at normal width and materializes…
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val pairs = graft.operators.Dedup.hammingPairs(
-      docSimhashSigs(ss, dir), bits = 60, maxHamming = 3)
-      .select(col("a"), col("b"),
-        greatest(pmod(col("a"), lit(4)), pmod(col("b"), lit(4)))
-          .as("__arr"))
-      .localCheckpoint()
+    val pairs = graft.StageTimer.time("q116_cluster_asof", "pair_scan") {
+      graft.operators.Dedup.hammingPairs(
+        docSimhashSigs(ss, dir), bits = 60, maxHamming = 3)
+        .select(col("a"), col("b"),
+          greatest(pmod(col("a"), lit(4)), pmod(col("b"), lit(4)))
+            .as("__arr"))
+        .localCheckpoint()
+    }
     // …then the session narrows to pair-delta-sized frames for the
     // maintain loop (the q110 sizing note)
     ss.conf.set("spark.sql.shuffle.partitions", "1")
@@ -1936,9 +1938,11 @@ object StreamingQueries {
       retainHistory = true)
     var asOf = -1L
     (0 until 4).foreach { k =>
-      led.observe(
-        pairs.filter(col("__arr") === k).select(col("a"), col("b")),
-        k.toLong)
+      graft.StageTimer.time("q116_cluster_asof", s"fold_b$k") {
+        led.observe(
+          pairs.filter(col("__arr") === k).select(col("a"), col("b")),
+          k.toLong)
+      }
       // the version the batch-2 cycle left live (an all-intra-component
       // batch commits nothing, so this is the LAST commit ≤ batch 2,
       // not necessarily the third — and possibly none at all)
