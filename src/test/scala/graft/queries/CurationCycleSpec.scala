@@ -57,6 +57,40 @@ class CurationCycleSpec extends SparkSpec {
       s"replayed batch mutated the curated store: ${curatedIds(curated)}")
   }
 
+  test("MID-CYCLE crash: the near fold committed but the cluster fold " +
+      "and store commits were lost — recover and re-run the batch, " +
+      "end state exact") {
+    val near = new NearDupLedger(spark, bits = 60, maxHamming = 3,
+      nBuckets = 8)
+    val clusters = new ClusterLedger(spark, nBuckets = 4)
+    val curated = new BucketedUpsert.State(spark, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 8)
+    StreamingQueries.curationCycle(spark, near, clusters, curated,
+      qb(10L -> 0L, 12L -> 0L, 30L -> far), 0L)
+    assert(curatedIds(curated) == Set(10L, 30L))
+    // batch 1 starts: ONLY the near ledger's fold lands (observe
+    // commits its postings + lastOp token), then the driver dies
+    // before the cluster fold or either store commit
+    near.observe(qb(5L -> 0L, 20L -> 0L)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("sig")), 1L)
+    val near2 = NearDupLedger.recover(spark, bits = 60, maxHamming = 3,
+      nBuckets = 8, root = near.store.rootDir)
+    val clusters2 = ClusterLedger.recover(spark, nBuckets = 4,
+      root = clusters.store.rootDir)
+    val curated2 = BucketedUpsert.recover(spark, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 8,
+      stateRoot = curated.rootDir)
+    // the engine retries batch 1 end-to-end: the near fold is skipped
+    // (lastOp), the MERGE-THEN-PROBE contract re-returns the identical
+    // pairs against state that already includes the batch, the min
+    // monoid folds them, and admission reads the committed labels
+    StreamingQueries.curationCycle(spark, near2, clusters2, curated2,
+      qb(5L -> 0L, 20L -> 0L), 1L)
+    assert(curatedIds(curated2) == Set(5L, 30L),
+      s"mid-cycle crash recovery diverged: ${curatedIds(curated2)}")
+  }
+
   test("kill + recover mid-stream: the whole composition (near ledger, " +
       "cluster labels, curated store) continues from its committed " +
       "roots to the uninterrupted end state") {
