@@ -22,17 +22,20 @@ import org.apache.spark.sql.DataFrame
  *
  * The fix: rebuild the frame from the checkpointed RDD, so its stats
  * RESET to the scan default instead of inheriting the product. The
- * price is an external-row conversion on downstream reads (cheap for
- * the delta/label-sized frames iterative operators carry) and the
- * loss of the inherited size for STATIC broadcast planning — moot
- * here: the inherited products are astronomically above any broadcast
- * threshold anyway (so nothing broadcast-planned before either), and
- * AQE re-plans joins from RUNTIME shuffle sizes.
+ * rebuild rides the INTERNAL row RDD (a per-partition unsafe
+ * projection over the checkpoint cache — see
+ * [[org.apache.spark.sql.graft.InternalFrames]]), not `c.rdd`, whose
+ * external-row conversion would tax every downstream read (round-13
+ * advice: the CC loop re-reads its checkpoint in 2 joins per
+ * iteration). The remaining price is the loss of the inherited size
+ * for STATIC broadcast planning — moot here: the inherited products
+ * are astronomically above any broadcast threshold anyway (so nothing
+ * broadcast-planned before either), and AQE re-plans joins from
+ * RUNTIME shuffle sizes.
  */
 object Frames {
   /** Eager lineage truncation + stats reset (see object doc). */
-  def cp(df: DataFrame): DataFrame = {
-    val c = df.localCheckpoint() // eager
-    c.sparkSession.createDataFrame(c.rdd, c.schema)
-  }
+  def cp(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.InternalFrames.statsResetCopy(
+      df.localCheckpoint()) // eager
 }

@@ -63,6 +63,81 @@ object AnnIndex {
     root
   }
 
+  /** Hadoop FS for an artifact root. */
+  private def hfs(spark: SparkSession,
+      root: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+
+  /**
+   * CRASH-RECOVERY PREAMBLE shared by EVERY artifact operation. Two
+   * mid-swap layouts are repairable only while their transient copies
+   * survive, so recovery must run before ANY operation reads or
+   * rewrites the layout — not just a re-invoke of the op that crashed
+   * (a crashed [[forget]] followed by [[maintain]] used to recreate
+   * the live list dir via parquet append, after which forget's own
+   * preamble saw "live exists" and deleted the `.bak` holding the only
+   * copy of the pre-crash survivors):
+   *
+   *  1. a [[requantize]] whose intent marker committed — the staged
+   *     quantizer+postings are complete; resume the swap (idempotent);
+   *  2. a per-list [[forget]] swap caught between its two renames —
+   *     the `.cid=N.bak` dir briefly holds the ONLY copy of that
+   *     list's surviving rows; restore any list whose live dir is
+   *     missing, drop the stale `.bak` otherwise.
+   */
+  private[operators] def recoverLayout(spark: SparkSession,
+      root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = hfs(spark, root)
+    if (graft.sources.StoreIO.exists(spark, s"$root/_requant.intent"))
+      applyRequant(spark, root)
+    val liveDir = new Path(s"$root/postings")
+    if (fs.exists(liveDir))
+      fs.listStatus(liveDir)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(".cid=") &&
+          st.getPath.getName.endsWith(".bak"))
+        .foreach { st =>
+          val lv = new Path(liveDir,
+            st.getPath.getName.stripPrefix(".").stripSuffix(".bak"))
+          if (!fs.exists(lv))
+            require(fs.rename(st.getPath, lv),
+              s"recovery: cannot restore $lv from ${st.getPath}")
+          else fs.delete(st.getPath, true)
+        }
+  }
+
+  /** Does the live postings layout hold any data file? An index whose
+   * every list was forgotten (or a re-invoked forget on one) has an
+   * empty dir that schema inference cannot read — callers branch to
+   * their empty-layout contract instead of throwing 'Unable to infer
+   * schema'. */
+  private def hasPostings(spark: SparkSession, root: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val fs = hfs(spark, root)
+    val live = new Path(s"$root/postings")
+    fs.exists(live) && fs.listStatus(live).exists { d =>
+      d.isDirectory && d.getPath.getName.startsWith("cid=") &&
+        fs.listStatus(d.getPath).exists(f => f.isFile &&
+          f.getPath.getName.endsWith(".parquet"))
+    }
+  }
+
+  /** The posting scan with the partition column read at the probe
+   * key's type (directory inference yields INT for small values; the
+   * mismatch would put a cast over the partition column and defeat
+   * pruning). */
+  private def typedPostings(spark: SparkSession, root: String): DataFrame = {
+    val inferred = spark.read.parquet(s"$root/postings").schema
+    val typed = org.apache.spark.sql.types.StructType(inferred.map { f =>
+      if (f.name == "cid") f.copy(dataType =
+        org.apache.spark.sql.types.LongType)
+      else f
+    })
+    spark.read.schema(typed).parquet(s"$root/postings")
+  }
+
   /**
    * Incremental maintenance: assign ONLY the new batch against the
    * artifact's existing centroids and append its posting rows into the
@@ -76,6 +151,7 @@ object AnnIndex {
    */
   def maintain(spark: SparkSession, root: String, newVectors: DataFrame,
       idCol: String, vecCol: String): Unit = {
+    recoverLayout(spark, root)
     val cent = spark.read.parquet(s"$root/centroids")
     Similarity.assignToCentroids(newVectors, idCol, vecCol, cent)
       .repartition(col("cid"))
@@ -100,6 +176,7 @@ object AnnIndex {
   def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long, idCol: String, vecCol: String): Unit = {
     import graft.sources.StoreIO
+    recoverLayout(spark, root)
     val applied = s"$root/_ingest_$batchId.applied"
     if (StoreIO.exists(spark, applied)) return
     val intent = s"$root/_ingest_$batchId.intent"
@@ -161,6 +238,8 @@ object AnnIndex {
    */
   def compact(spark: SparkSession, root: String): Unit = {
     import org.apache.hadoop.fs.Path
+    recoverLayout(spark, root)
+    if (!hasPostings(spark, root)) return // nothing to compact
     val fs = new Path(root).getFileSystem(
       spark.sessionState.newHadoopConf())
     val live = new Path(s"$root/postings")
@@ -206,29 +285,15 @@ object AnnIndex {
   def forget(spark: SparkSession, root: String, victims: DataFrame,
       idCol: String, vecCol: String): Unit = {
     import org.apache.hadoop.fs.Path
+    // recover any crashed prior swap FIRST: a live list missing while
+    // its .bak survives is mid-swap — restore it before anything reads
+    // the layout (without this, the re-invoke would read a hole and
+    // the bak cleanup below would delete the rows' only copy)
+    recoverLayout(spark, root)
+    // a layout already emptied (every list forgotten) has nothing to
+    // forget — and no data file to infer a schema from
+    if (!hasPostings(spark, root)) return
     val cent = spark.read.parquet(s"$root/centroids")
-    // recover a crashed prior swap FIRST: a live list missing while its
-    // .bak survives is mid-swap — restore it before anything reads the
-    // layout (without this, the re-invoke would read a hole and the
-    // bak cleanup below would delete the rows' only copy)
-    locally {
-      val fsr = new Path(root).getFileSystem(
-        spark.sessionState.newHadoopConf())
-      val liveDir = new Path(s"$root/postings")
-      if (fsr.exists(liveDir))
-        fsr.listStatus(liveDir)
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith(".cid=") &&
-            st.getPath.getName.endsWith(".bak"))
-          .foreach { st =>
-            val lv = new Path(liveDir,
-              st.getPath.getName.stripPrefix(".").stripSuffix(".bak"))
-            if (!fsr.exists(lv))
-              require(fsr.rename(st.getPath, lv),
-                s"forget recovery: cannot restore $lv from ${st.getPath}")
-            else fsr.delete(st.getPath, true)
-          }
-    }
     val assigned = Similarity.assignToCentroids(victims, idCol, vecCol,
       cent).select(col("vid"), col("cid")).localCheckpoint()
     // bounded driver-side list (≤ the list count), the search() shape
@@ -240,13 +305,7 @@ object AnnIndex {
     val live = new Path(s"$root/postings")
     // victim lists only, pruned through the same literal partition
     // filter (and the same typed-cid read) the serve path uses
-    val inferred = spark.read.parquet(live.toString).schema
-    val typed = org.apache.spark.sql.types.StructType(inferred.map { f =>
-      if (f.name == "cid") f.copy(dataType =
-        org.apache.spark.sql.types.LongType)
-      else f
-    })
-    val remaining = spark.read.schema(typed).parquet(live.toString)
+    val remaining = typedPostings(spark, root)
       .filter(col("cid").isin(cids: _*))
       .join(broadcast(assigned.select(col("vid"))), Seq("vid"),
         "left_anti")
@@ -291,21 +350,19 @@ object AnnIndex {
    */
   def search(spark: SparkSession, root: String, queries: DataFrame,
       idCol: String, vecCol: String, nProbe: Int, k: Int): DataFrame = {
+    recoverLayout(spark, root)
+    // an index whose every posting was forgotten serves EMPTY results
+    // (the [[ranked]] output shape), not a schema-inference crash
+    if (!hasPostings(spark, root))
+      return queries.limit(0).select(col(idCol).as("qid"),
+        lit(1).cast("int").as("rank"), col(idCol).as("nid"),
+        lit(0.0).as("cos"))
     val cent = spark.read.parquet(s"$root/centroids")
     val probes = Similarity.probeCentroids(queries, idCol, vecCol,
       cent, nProbe)
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    // read the partition column at the probe key's type (directory
-    // inference yields INT for small values; the mismatch would put a
-    // cast over the partition column and defeat pruning)
-    val inferred = spark.read.parquet(s"$root/postings").schema
-    val typed = org.apache.spark.sql.types.StructType(inferred.map { f =>
-      if (f.name == "cid") f.copy(dataType =
-        org.apache.spark.sql.types.LongType)
-      else f
-    })
-    val postings = spark.read.schema(typed).parquet(s"$root/postings")
+    val postings = typedPostings(spark, root)
       .filter(col("cid").isin(probedCids: _*))
     val scored = postings.join(broadcast(probes), Seq("cid"))
       .filter(col("vid") =!= col("qid"))
@@ -313,5 +370,86 @@ object AnnIndex {
         round(VF.cosineFromParts(VF.dot(col("qv"), col("vv")),
           col("qn"), col("vn")), 6).as("cos"))
     Similarity.ranked(scored, k)
+  }
+
+  /**
+   * RE-QUANTIZATION — the one lifecycle operation the frozen-quantizer
+   * rule forbids in-flight and production IVF indexes therefore run
+   * OFFLINE: on a drifting corpus the original centroids stop covering
+   * the data (a coarse quantizer trained on last year's embedding
+   * distribution routes this year's vectors into a few overfull,
+   * badly-separated lists) and recall at fixed nProbe decays until the
+   * quantizer is REFIT. This retrains the coarse quantizer on the
+   * ACCUMULATED corpus — the same deterministic stride seeding
+   * [[build]] uses, now over every ingested id, so the refit index is
+   * bit-identical to an index built from scratch on today's corpus
+   * (the s24 gate hash-proves exactly that; the recall-floor spec
+   * shows refit ≥ frozen on a drifted synthetic corpus) — reassigns
+   * every posting row, and installs centroids + postings TOGETHER.
+   *
+   * Crash contract (the two pieces must swap atomically — serving new
+   * centroids over old postings would route probes into lists built by
+   * a different quantizer): both stage under `.requant/` first (a
+   * crash before the intent marker leaves the live layout untouched
+   * and the stale stage is deleted on the next attempt), then an
+   * intent marker commits the swap; [[recoverLayout]] — which every
+   * operation runs first — resumes a committed swap idempotently, so
+   * any crash point recovers on the next artifact operation of ANY
+   * kind.
+   */
+  def requantize(spark: SparkSession, root: String, centroidStride: Int,
+      maxCentroids: Int): Unit = {
+    recoverLayout(spark, root)
+    stageRequant(spark, root, centroidStride, maxCentroids)
+    applyRequant(spark, root)
+  }
+
+  /** First half of [[requantize]]: retrain + reassign into the stage
+   * dir, then atomically commit the intent marker. Split out so the
+   * spec can pin crash-between-intent-and-apply recovery (any
+   * subsequent artifact operation resumes the swap). */
+  private[operators] def stageRequant(spark: SparkSession, root: String,
+      centroidStride: Int, maxCentroids: Int): Unit = {
+    require(hasPostings(spark, root),
+      s"requantize: $root holds no postings — nothing to retrain on")
+    val stage = s"$root/.requant"
+    graft.sources.StoreIO.delete(spark, stage) // un-committed leftovers
+    val corpus = typedPostings(spark, root)
+      .select(col("vid"), col("vv"))
+    val cent = Similarity.strideCentroids(corpus, "vid", "vv",
+      centroidStride, maxCentroids).localCheckpoint()
+    cent.write.mode("overwrite").parquet(s"$stage/centroids")
+    Similarity.assignToCentroids(corpus, "vid", "vv", cent)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$stage/postings")
+    graft.sources.StoreIO.writeAtomic(spark, s"$root/_requant.intent",
+      stage)
+  }
+
+  /** The committed half of [[requantize]]'s swap — idempotent, so
+   * [[recoverLayout]] can resume it from any crash point: per piece,
+   * a staged dir present means "not yet installed" (rename live out,
+   * staged in); absent means that piece already swapped. The intent
+   * marker retires LAST, after both pieces and the stage dir are
+   * gone. */
+  private def applyRequant(spark: SparkSession, root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = hfs(spark, root)
+    Seq("centroids", "postings").foreach { part =>
+      val staged = new Path(s"$root/.requant/$part")
+      val live = new Path(s"$root/$part")
+      val old = new Path(s"$root/.$part.old")
+      if (fs.exists(staged)) {
+        fs.delete(old, true)
+        if (fs.exists(live))
+          require(fs.rename(live, old), s"requantize: cannot stage out $live")
+        require(fs.rename(staged, live),
+          s"requantize: cannot install $live")
+      }
+      fs.delete(old, true)
+    }
+    fs.delete(new Path(s"$root/.requant"), true)
+    fs.delete(new Path(s"$root/_requant.intent"), false)
   }
 }

@@ -844,6 +844,41 @@ object SimilarityQueries {
       Some(s03OracleOver("vec_id % 17 <> 0"))),
 
     // ----------------------------------------------------------------
+    // s24 — index RE-QUANTIZATION: the lifecycle op the frozen-quantizer
+    // rule (s20/s22) deliberately forbids in-flight and production IVF
+    // therefore runs OFFLINE. The index is born with a COARSE quantizer
+    // trained on the early half of the corpus (stride 100 → 16 lists),
+    // the other half arrives through the frozen append — the drift
+    // shape: later vectors are routed by centroids that never saw
+    // them — and AnnIndex.requantize then retrains the quantizer on
+    // the ACCUMULATED corpus (stride 50 → 32 lists, the exact seeding
+    // a from-scratch build(all) would use), reassigns every posting,
+    // and installs centroids + postings behind one intent-marked swap.
+    // The oracle is s03's full-corpus restatement verbatim: the hash
+    // proves requantize(maintain(build(coarse-half))) ≡ build(all) on
+    // the refit quantizer — serving after a refit is indistinguishable
+    // from never having drifted. (The recall half — refit ≥ frozen on
+    // a drifted corpus — is pinned in AnnIndexSpec, where recall can
+    // actually move; here the refit target is the gate-standard
+    // quantizer so the equivalence is exact.)
+    Q("s24_ann_index_requantize",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+        val root = graft.operators.AnnIndex.build(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          centroidStride = 100, maxCentroids = 16)
+        graft.operators.AnnIndex.maintain(s, root,
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        graft.operators.AnnIndex.requantize(s, root,
+          centroidStride = 50, maxCentroids = 32)
+        graft.operators.AnnIndex.search(s, root,
+            e.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", nProbe = 2, k = 5)
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s03Oracle)),
+
+    // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is
     // written in the PLAIN-SPARK HOF dot-product form
     // (aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v))

@@ -210,6 +210,159 @@ class AnnIndexSpec extends SparkSpec {
     assert(got === want, "recovered ingest differs from build(all)")
   }
 
+  test("a mid-swap crash recovers on ANY next operation, not only a " +
+      "re-invoked forget (maintain used to recreate the live dir and " +
+      "the stale-bak cleanup then destroyed the only copy)") {
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    val victims = evens.filter(col("vec_id") % 16 === 0)
+    // expected end state: forget completed, THEN the odd half appended
+    val rWant = AnnIndex.build(evens, "vec_id", "embedding", 50, 32)
+    AnnIndex.forget(spark, rWant, victims, "vec_id", "embedding")
+    AnnIndex.maintain(spark, rWant, odds, "vec_id", "embedding")
+    val want = AnnIndex.search(spark, rWant, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    // crash run: forget completes, then one list is put back into the
+    // mid-swap state (live renamed to .bak, install "lost")
+    val root = AnnIndex.build(evens, "vec_id", "embedding", 50, 32)
+    AnnIndex.forget(spark, root, victims, "vec_id", "embedding")
+    val postings = new java.io.File(s"$root/postings")
+    val someList = postings.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cid=")).head
+    val bak = new java.io.File(postings, s".${someList.getName}.bak")
+    assert(someList.renameTo(bak), "test setup: rename failed")
+    // the NEXT operation is a maintain (parquet append would recreate
+    // the live list dir) — its preamble must restore the .bak FIRST
+    AnnIndex.maintain(spark, root, odds, "vec_id", "embedding")
+    assert(!bak.exists(), "recovery left the .bak behind")
+    val got = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    assert(got === want,
+      "mid-swap crash + maintain lost the .bak'd list's rows")
+  }
+
+  test("an index emptied by forget serves empty results and further " +
+      "ops are no-ops, not schema-inference crashes") {
+    val tiny = emb.filter(col("vec_id") < 64)
+    val root = AnnIndex.build(tiny, "vec_id", "embedding", 8, 8)
+    AnnIndex.forget(spark, root, tiny, "vec_id", "embedding")
+    val served = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5)
+    assert(served.count() == 0, "emptied index served rows")
+    assert(served.columns.toSeq ===
+      Seq("qid", "rank", "nid", "cos"), "empty serve lost the shape")
+    // a re-invoked forget (the crash-retry path) and a compact must
+    // both be graceful no-ops on the empty layout
+    AnnIndex.forget(spark, root, tiny, "vec_id", "embedding")
+    AnnIndex.compact(spark, root)
+    assert(AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).count() == 0)
+  }
+
+  test("requantize == build-from-scratch on the refit quantizer; a " +
+      "crash after the intent commits resumes on the next search") {
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 === 1)
+    // from-scratch reference on the refit quantizer
+    val rRef = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
+    val want = AnnIndex.search(spark, rRef, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    // drifted index: coarse quantizer from the early half, frozen append
+    val root = AnnIndex.build(evens, "vec_id", "embedding", 100, 16)
+    AnnIndex.maintain(spark, root, odds, "vec_id", "embedding")
+    AnnIndex.requantize(spark, root, centroidStride = 50,
+      maxCentroids = 32)
+    val got = AnnIndex.search(spark, root, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    assert(got === want, "requantized index differs from build(all)")
+    // crash sim: stage + intent committed, apply never ran — the next
+    // artifact operation (a search) must resume the swap
+    val root2 = AnnIndex.build(evens, "vec_id", "embedding", 100, 16)
+    AnnIndex.maintain(spark, root2, odds, "vec_id", "embedding")
+    AnnIndex.stageRequant(spark, root2, 50, 32)
+    val got2 = AnnIndex.search(spark, root2, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    assert(got2 === want, "intent-committed requantize did not resume")
+    assert(!new java.io.File(s"$root2/_requant.intent").exists(),
+      "resumed swap left the intent marker behind")
+    assert(!new java.io.File(s"$root2/.requant").exists(),
+      "resumed swap left the stage dir behind")
+  }
+
+  test("requantize recall floor: refit recall >= frozen recall on a " +
+      "drifted corpus (and the drift genuinely hurt the frozen index)") {
+    // synthetic drift: region A (ids 0..199) clusters around axis 0;
+    // region B (ids 200..399) arrives LATER around axes 2/3 — but each
+    // B vector carries a tiny parity-keyed A-axis component, so under
+    // the A-only frozen quantizer the B corpus SPLITS BY PARITY across
+    // two A lists while true neighborhoods (same B axis, both
+    // parities) span both — exactly how drift degrades IVF recall at
+    // fixed nProbe. The refit quantizer (stride over the accumulated
+    // corpus) gains B centroids on both axes, reuniting each
+    // neighborhood into one probed list.
+    import scala.jdk.CollectionConverters._
+    val dim = 8
+    def mk(id: Long): Array[Float] = {
+      val a = Array.fill(dim)(0.0f)
+      if (id < 200) {
+        a(0) = 1.0f; a(1) = 0.05f * (id % 7)
+      } else {
+        // routing components: magnitude 0.004 — decisive for the
+        // centroid argmax (margins ~2e-4 ≫ the 6dp rounding) while the
+        // same-parity pair bonus (0.004² = 1.6e-5) is DOMINATED by one
+        // jitter step (~1e-3), so routing never reorders true
+        // neighborhoods
+        a(0) = 0.004f * (id % 2)       // odd B → A-list of cid 0
+        a(1) = 0.004f * ((id + 1) % 2) // even B → A-list of cid 150
+        // axis and jitters keyed by id/2: ids 2k and 2k+1 are
+        // opposite-parity TWINS (identical but for the routing dims),
+        // so every vector's nearest drifted neighbor sits in the OTHER
+        // frozen list — the recall loss is structural, not accidental
+        a((2 + (id / 2) % 2).toInt) = 1.0f
+        a(6) = 0.05f * ((id / 2) % 5)
+        a(7) = 0.03f * ((id / 2) % 7)
+      }
+      a
+    }
+    val rows = (0L until 400L).map(i =>
+      org.apache.spark.sql.Row(i, mk(i).toSeq)).asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val vecs = spark.createDataFrame(rows, schema).localCheckpoint()
+    val qs = vecs.filter(col("vec_id") >= 200 && col("vec_id") % 5 === 0)
+    val truth = Similarity.cosineTopK(vecs, qs, "vec_id", "embedding",
+        k = 5).select(col("qid"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(served: Set[(Long, Long)]): Double =
+      (served & truth).size.toDouble / truth.size
+    // frozen: quantizer trained on region A only, B appended frozen
+    val root = AnnIndex.build(vecs.filter(col("vec_id") < 200),
+      "vec_id", "embedding", centroidStride = 50, maxCentroids = 4)
+    AnnIndex.maintain(spark, root,
+      vecs.filter(col("vec_id") >= 200), "vec_id", "embedding")
+    def servedSet(): Set[(Long, Long)] =
+      AnnIndex.search(spark, root, qs, "vec_id", "embedding",
+          nProbe = 1, k = 5)
+        .select(col("qid"), col("nid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val frozen = recall(servedSet())
+    AnnIndex.requantize(spark, root, centroidStride = 50,
+      maxCentroids = 8)
+    val refit = recall(servedSet())
+    assert(frozen < 0.9,
+      f"fixture vacuous: drift did not hurt the frozen index " +
+        f"(frozen recall $frozen%.2f)")
+    assert(refit >= frozen,
+      f"refit recall $refit%.2f fell below frozen $frozen%.2f")
+    assert(refit > 0.9,
+      f"refit recall $refit%.2f — the retrained quantizer should " +
+        "reunite each drifted neighborhood into one probed list")
+  }
+
   test("rebuild keeps the PREVIOUS generation alive, retires older ones") {
     val r1 = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
     val r2 = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
