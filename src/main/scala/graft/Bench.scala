@@ -109,6 +109,23 @@ object Bench {
       // misleadingly fast number for an intermittently-failing query. A
       // query with zero successful reps gets the -1.0 sentinel, which no
       // real timing can produce, and is listed in the `failed` field.
+      //
+      // Gates serving from a per-JVM cached artifact trigger the build
+      // HERE, before their timed reps: the build cost is recorded once
+      // per cache by SetupTimer (at the cache site, attributed to
+      // whichever gate got there first) and reported in the explicit
+      // setup metric — so reps measure the SERVE path only, nothing is
+      // dropped by the median, and nothing is paid per-rep. A setup
+      // failure is the gate's failure: let the reps report it.
+      q.setup.foreach { f =>
+        try {
+          val ss = spark.newSession()
+          ss.conf.set("spark.sql.shuffle.partitions", "8")
+          f(ss, sfDir)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} setup failed: ${e.getMessage}")
+        }
+      }
       val load = loadavg()
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -160,9 +177,11 @@ object Bench {
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         s"""{"metric":"queries","reps":$reps,"sf":"$sfName",""" +
-          s""""total":${f3(total)},"n":${results.size},""" +
+          s""""total":${f3(total + SetupTimer.total)},""" +
+          s""""serve":${f3(total)},"setup":${f3(SetupTimer.total)},""" +
+          s""""setup_builds":${SetupTimer.json},"n":${results.size},""" +
           s""""canary":{"ref":${f3(CanaryRef)},"run":${f3(canary)},""" +
-          s""""total_normalized":${f3(total * CanaryRef / canary)}},""" +
+          s""""total_normalized":${f3((total + SetupTimer.total) * CanaryRef / canary)}},""" +
           s""""failed":$failedJson,"stages":${StageTimer.json},""" +
           s""""reps_detail":$repsDetail,"load":$loads,""" +
           s""""queries":$qs}""" + "\n")
@@ -177,7 +196,10 @@ object Bench {
     println(s"""{"metric":"queries","reps":$reps,"queries":$qs,"sf":"$sfName"}""")
     if (outliers.nonEmpty)
       println(s"""{"metric":"outliers","queries":$outliersJson}""")
-    println(s"""{"metric":"canary","ref":${f3(CanaryRef)},"run":${f3(canary)},"total_normalized":${f3(total * CanaryRef / canary)}}""")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"reps":$reps,"sf":"$sfName"}""")
+    // one-time cached-artifact builds, attributed per cache — `value` in
+    // the total line below is serve + this, so the headline drops nothing
+    println(s"""{"metric":"setup","total":${f3(SetupTimer.total)},"builds":${SetupTimer.json}}""")
+    println(s"""{"metric":"canary","ref":${f3(CanaryRef)},"run":${f3(canary)},"total_normalized":${f3((total + SetupTimer.total) * CanaryRef / canary)}}""")
+    println(s"""{"metric":"total","value":${f3(total + SetupTimer.total)},"serve":${f3(total)},"setup":${f3(SetupTimer.total)},"unit":"sec","n":${results.size},"failed":$nFailed,"reps":$reps,"sf":"$sfName"}""")
   }
 }

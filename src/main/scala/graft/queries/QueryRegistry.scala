@@ -11,10 +11,20 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
  * aliased identically on both sides and every query has a deterministic
  * total order.
  */
+/**
+ * @param setup optional one-time artifact build this query serves from
+ *   (a per-JVM cache accessor). [[graft.Bench]] invokes it BEFORE the
+ *   timed reps so no rep carries a first-rep build artifact — the
+ *   build's cost is recorded once by [[graft.SetupTimer]] at the cache
+ *   site and surfaces in the bench's explicit setup metric instead.
+ *   [[graft.Verify]] ignores it (the run function hits the same cache
+ *   on demand).
+ */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    setup: Option[(SparkSession, String) => Unit] = None)
 
 /**
  * Cross-engine exact arithmetic: double aggregation is order-dependent

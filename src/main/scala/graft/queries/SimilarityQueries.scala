@@ -216,6 +216,54 @@ object SimilarityQueries {
 
   private lazy val s03Oracle: String = s03OracleOver("TRUE")
 
+  /** s25 restatement: the drifted corpus (even originals ∪ odd
+   * arrivals pushed onto the ones-direction), the PRE-refit occupancy
+   * census under the build-time stride-100 quantizer for the
+   * imbalance statistic, and the s03 serve chain under the REFIT
+   * stride-50 quantizer for the search rows — one hash over
+   * measure + trigger + post-refit serve. */
+  private lazy val s25Oracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS vid,
+       |    list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE) AS vv
+       |  FROM embeddings WHERE vec_id % 2 = 0
+       |  UNION ALL
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * 0.05 + 1.0)
+       |  FROM embeddings WHERE vec_id % 2 = 1),
+       |cent0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |          WHERE vec_id % 100 = 0 AND vec_id < 1600),
+       |assign0 AS (SELECT vid, cid FROM (
+       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+       |  FROM (SELECT vid, cid, ${cosSelect("vv", "cv").replace("AS cos", "AS ccos")}
+       |        FROM v CROSS JOIN cent0)) WHERE r = 1),
+       |imb AS (SELECT
+       |    round(max(n)::DOUBLE / sum(n) * (SELECT count(*) FROM cent0), 4) AS imbalance,
+       |    TRUE AS refit
+       |  FROM (SELECT cid, count(*) AS n FROM assign0 GROUP BY cid)),
+       |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+       |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
+       |assign AS (SELECT vid, vv, cid FROM (
+       |  SELECT vid, vv, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+       |  FROM (SELECT vid, vv, cid, ${cosSelect("vv", "cv").replace("AS cos", "AS ccos")}
+       |        FROM v CROSS JOIN cent)) WHERE r = 1),
+       |q AS (SELECT vec_id AS qid,
+       |    list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE) AS qv
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |probes AS (SELECT qid, qv, cid FROM (
+       |  SELECT qid, qv, cid, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS r
+       |  FROM (SELECT qid, qv, cid, ${cosSelect("qv", "cv").replace("AS cos", "AS ccos")}
+       |        FROM q CROSS JOIN cent)) WHERE r <= 2),
+       |scored AS (SELECT qid, vid AS nid,
+       |    ${cosSelect("qv", "vv")}
+       |  FROM probes JOIN assign USING (cid) WHERE vid <> qid),
+       |r AS (SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, nid, cos, imbalance, refit FROM r CROSS JOIN imb
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   private val s01Oracle: String =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
        |scored AS (SELECT qid, v.vec_id AS nid,
@@ -877,6 +925,53 @@ object SimilarityQueries {
           .orderBy(col("qid"), col("rank"))
       },
       Some(s03Oracle)),
+
+    // ----------------------------------------------------------------
+    // s25 — DRIFT-TRIGGERED re-quantization: s24 proves the refit is
+    // exact; this gate proves the DECISION — the list-occupancy
+    // imbalance statistic (max list share · nLists, the signal
+    // production IVF monitors because it needs no ground truth) read
+    // off the artifact, crossing the threshold on a genuinely drifted
+    // arrival stream, and firing the refit. The arrivals are the drift
+    // shape the statistic exists for: every new vector rides one
+    // direction (v·0.05 + 1⃗) the original quantizer never carved, so
+    // the whole stream collapses into the single list nearest the
+    // ones-vector and imbalance jumps from ~1.2 to ≥ nLists/2. The
+    // returned frame carries the search rows AND the (imbalance,
+    // refit) decision as constant columns — the oracle restates the
+    // pre-refit assignment census for the statistic and the
+    // from-scratch refit index for the serve rows, so one hash proves
+    // measure + trigger + post-refit serving together. (The negative
+    // half — an undrifted corpus does NOT fire and the layout is
+    // untouched — is pinned in AnnIndexSpec, where a no-op is
+    // observable.)
+    Q("s25_ann_drift_requantize",
+      (s, dir) => {
+        val e = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+        val root = graft.operators.AnnIndex.build(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          centroidStride = 100, maxCentroids = 16)
+        val arrivals = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), transform(col("embedding"),
+            x => x * lit(0.05) + lit(1.0)).as("embedding"))
+        graft.operators.AnnIndex.maintain(s, root, arrivals,
+          "vec_id", "embedding")
+        val im = graft.operators.AnnIndex.imbalance(s, root)
+        val fired = graft.operators.AnnIndex.requantizeIfDrifted(s,
+          root, maxImbalance = 2.0, centroidStride = 50,
+          maxCentroids = 32)
+        require(fired, f"s25: imbalance $im%.4f did not cross 2.0 — " +
+          "the drift construction stopped drifting")
+        graft.operators.AnnIndex.search(s, root,
+            e.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", nProbe = 2, k = 5)
+          .withColumn("imbalance", round(lit(im), 4))
+          .withColumn("refit", lit(fired))
+          .orderBy(col("qid"), col("rank"))
+      },
+      Some(s25Oracle)),
 
     // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -323,602 +322,6 @@ object StreamingQueries {
        |WHERE epoch_ms(h) + 3600000 <= epoch_ms(m) - 3600000
        |ORDER BY hour_epoch, c_mktsegment""".stripMargin
 
-  /** q56: incrementally-maintained materialized view via foreachBatch —
-   * the streaming upsert pattern parquet sinks can't express natively
-   * (no in-place update): each micro-batch reduces to its per-user
-   * latest event and MERGEs into [[graft.streaming.BucketedUpsert]]'s
-   * key-bucketed state — touched buckets are read/rewritten, untouched
-   * buckets carry over by pointer with ZERO I/O, so per-batch cost is
-   * O(batch + touched state), never O(full state). The source is split
-   * into multiple files with maxFilesPerTrigger so the merge loop
-   * genuinely runs several times; StreamSoak's upsert stage is the
-   * at-volume proof that per-batch reads stay bounded by the touched
-   * key set while total state grows. The oracle is the batch argmax per
-   * user — the hash gate proves the incremental view equals the
-   * from-scratch recompute. */
-  /** The q56/q93 shared merge loop: stream the events upsert source in
-   * several micro-batches into a fresh BucketedUpsert state (runs on a
-   * cloned session so state sizing never mutates the caller's
-   * session-global shuffle partitions) and return the state handle. */
-  private def upsertViewState(ss: SparkSession, dir: String,
-      retainHistory: Boolean = false)
-      : graft.streaming.BucketedUpsert.State = {
-    val src = graft.sources.Scratch.dir("upsert_src")
-    val ev = graft.sources.Tables.load(ss, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("value"))
-    ev.repartition(8).write.mode("overwrite").parquet(src)
-    val schema = ss.read.parquet(src).schema
-    val stream = ss.readStream.schema(schema)
-      .option("maxFilesPerTrigger", StreamingQueries.GateFilesPerTrigger).parquet(src)
-
-    // per-user latest event: max of (us, event_id, ...) — the struct
-    // comparison is lexicographic, so event_id breaks timestamp ties
-    val state = new graft.streaming.BucketedUpsert.State(ss,
-      keyCol = "user_id",
-      payloadCols = Seq("us", "event_id", "event_type", "value"),
-      nBuckets = 16, retainHistory = retainHistory)
-
-    val q = stream.writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", graft.sources.Scratch.dir("upsert_cp"))
-      .foreachBatch { (b: DataFrame, id: Long) => state.merge(b, id) }
-      .start()
-    q.awaitTermination()
-    state
-  }
-
-  private def upsertViewCols(state: graft.streaming.BucketedUpsert.State,
-      reader: SparkSession): DataFrame =
-    // the returned view is planned on the CALLER's session (and its
-    // shuffle-partition setting) — only the merge loop ran on the clone
-    state.view(reader)
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        col("event_type").as("last_type"), col("us").as("last_us"),
-        col("value").as("last_value"))
-      .orderBy(col("user_id"))
-
-  private def runUpsert(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    upsertViewCols(upsertViewState(ss, dir), s)
-  }
-
-  /** q93: targeted KEY DELETION on the streamed upsert view — the
-   * compliance (right-to-be-forgotten) operation a persisted keyed
-   * store must serve: after the q56 merge loop builds the view, every
-   * user with `user_id % 10 = 3` is deleted via
-   * [[graft.streaming.BucketedUpsert.State.delete]] — only the buckets
-   * holding a requested key are read, anti-joined and rewritten
-   * (manifest-committed before the superseded files retire); untouched
-   * buckets carry by pointer. The oracle is q56's batch argmax with
-   * the deleted users filtered out: the hash gate proves the delete
-   * removed exactly the requested keys and disturbed nothing else. */
-  private def runUpsertDelete(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val state = upsertViewState(ss, dir)
-    state.delete(
-      graft.sources.Tables.load(ss, dir, "events")
-        .filter(col("user_id") % 10 === 3).select(col("user_id")),
-      opId = 1000L)
-    upsertViewCols(state, s)
-  }
-
-  /** q102: PRE-COMMIT EXPECTATIONS on a streamed ingest — q97's
-   * declarative rules composed with the q56 foreachBatch commit (the
-   * Delta-Live-Tables expectations-on-ingest shape): every micro-batch
-   * is budget-checked in ONE extra scan BEFORE it merges into the
-   * bucketed store; a batch that blows a budget is QUARANTINED (written
-   * aside with its per-row violation audit, never merged), so a
-   * poisoned extract can't corrupt the serving view and nothing is
-   * silently dropped — the quarantine dir holds the evidence for
-   * reprocessing. The source is the events stream split one file per
-   * `event_id % 4` slice (1 file per trigger → 4 real batches); slice 3
-   * carries synthesized poison rows (null type, sentinel value,
-   * max-epoch timestamps that WOULD win the argmax if merged). The
-   * oracle is the per-user argmax over the 3 clean slices — the hash
-   * proves the gate rejected exactly the poisoned batch (whole-batch
-   * quarantine semantics: slice 3's clean rows are held out with it)
-   * and the poison never reached the view. A clean run ≡ the unguarded
-   * pipeline is pinned in ExpectationsSpec. */
-  /** The q102/q107 shared gated-ingest loop: stream the 4-slice source
-   * (slice 3 poisoned) through the pre-commit expectations gate into a
-   * fresh store; returns (store, quarantine dir). Exactly one batch —
-   * the poisoned one — must quarantine. */
-  // the q102/q107/q109 shared rule set (q109's repair patches name
-  // these rules — one definition keeps gate and repair in lockstep)
-  private val expgateRules = Seq(
-    graft.operators.Expectations.Rule("type_known",
-      col("event_type").isNotNull),
-    graft.operators.Expectations.Rule("value_not_sentinel",
-      col("value") =!= -9999.0))
-
-  /** Stage the 4-slice events source with slice 3 poisoned (shared by
-   * the q102/q107/q109 gated ingest and q114's in-loop repair): poison
-   * rows are valid-looking keys with corrupt payloads that would WIN
-   * the per-user argmax (us = far future) if a gate let them through. */
-  private def expgateSource(ss: SparkSession, dir: String,
-      tag: String): String = {
-    val src = graft.sources.Scratch.dir(tag)
-    val ev = graft.sources.Tables.load(ss, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("value"))
-    val poison = ss.range(40).select(
-      (col("id") % 40).as("user_id"),
-      (col("id") + 900000000L).as("event_id"),
-      lit(null).cast("string").as("event_type"),
-      (col("id") + 4102444800000000L).as("us"), // far-future micros
-      lit(-9999.0).as("value"))
-    (0 until 4).foreach { i =>
-      val slice = ev.filter(col("event_id") % 4 === i)
-      (if (i == 3) slice.unionByName(poison) else slice)
-        .coalesce(1).write.mode("append").parquet(src)
-    }
-    src
-  }
-
-  private def expectationsGatedIngest(ss: SparkSession, dir: String)
-      : (graft.streaming.BucketedUpsert.State, String) = {
-    import graft.operators.Expectations
-    val src = expgateSource(ss, dir, "expgate_src")
-    val rules = expgateRules
-    val budgets = Map("type_known" -> 0.0, "value_not_sentinel" -> 0.0)
-    val state = new graft.streaming.BucketedUpsert.State(ss,
-      keyCol = "user_id",
-      payloadCols = Seq("us", "event_id", "event_type", "value"),
-      nBuckets = 16)
-    val qdir = graft.sources.Scratch.dir("expgate_quarantine")
-    val quarantined = new java.util.concurrent.atomic.AtomicInteger(0)
-    val q = ss.readStream.schema(ss.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        graft.sources.Scratch.dir("expgate_cp"))
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        Expectations.check(b, rules, budgets) match {
-          case None => state.merge(b, id)
-          case Some(_) =>
-            // whole-batch quarantine WITH the per-row audit: the
-            // rejected extract is preserved for reprocessing, the
-            // store never sees it
-            Expectations.audit(b, rules)
-              .write.mode("append").parquet(qdir)
-            quarantined.incrementAndGet(); ()
-        }
-      }
-      .start()
-    q.awaitTermination()
-    require(quarantined.get() == 1,
-      s"expected exactly the poisoned batch quarantined, " +
-        s"got ${quarantined.get()}")
-    (state, qdir)
-  }
-
-  // Build-once cache for the q102/q107 shared gated ingest: both gates
-  // exercise the IDENTICAL 4-batch streamed ingest (slice 3 poisoned,
-  // one batch quarantined) — q102's subject is the gate itself, q107's
-  // is the REPLAY of the quarantine. Paying the micro-batch engine's
-  // overhead twice per bench run measures nothing extra, so the first
-  // caller materializes (store root, quarantine dir) and both serve
-  // from it; q107 replays into a cloneTo copy, so no execution order
-  // can mutate the shared store. Same trade as GcdQueries'
-  // yesterdayCache (the quarantined==1 require still runs on build).
-  private val expgateCache =
-    scala.collection.mutable.Map.empty[String, (String, String)]
-  private def gatedIngestArtifacts(ss: SparkSession,
-      dir: String): (String, String) =
-    expgateCache.synchronized {
-      expgateCache.getOrElseUpdate(dir, {
-        val (state, qdir) = expectationsGatedIngest(ss, dir)
-        (state.rootDir, qdir)
-      })
-    }
-  private def expgateRecover(ss: SparkSession,
-      root: String): graft.streaming.BucketedUpsert.State =
-    graft.streaming.BucketedUpsert.recover(ss, keyCol = "user_id",
-      payloadCols = Seq("us", "event_id", "event_type", "value"),
-      nBuckets = 16, stateRoot = root)
-
-  private def runStreamExpectations(s: SparkSession,
-      dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val (root, _) = gatedIngestArtifacts(ss, dir)
-    upsertViewCols(expgateRecover(ss, root), s)
-  }
-
-  /** q107: QUARANTINE REPLAY — the repair half of the q102 lifecycle
-   * (expectations → quarantine → repair → replay, the DLT loop closed).
-   * The quarantined batch is read back WITH its per-row violation
-   * audit, the violating rows are dropped (the audit column is the
-   * repair's routing evidence — no re-evaluation of the rules), and
-   * the salvaged clean rows merge into the store under a fresh batch
-   * id. Dropping exactly the violating rows restores exactly the
-   * original corpus rows of that slice, so the repaired view must
-   * equal the PLAIN q56 argmax over the whole events table — the
-   * oracle is shared verbatim, which is precisely the proof the
-   * quarantine-repair roundtrip loses nothing and the poison never
-   * lands. */
-  private def runQuarantineReplay(s: SparkSession,
-      dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val (root, qdir) = gatedIngestArtifacts(ss, dir)
-    // replay into a DEEP CLONE: the repair is a mutation, and the
-    // shared gated store must stay pristine for q102 whatever order
-    // the gates run in
-    val state = expgateRecover(ss, root)
-      .cloneTo(graft.sources.Scratch.dir("expgate_replay"))
-    val salvaged = ss.read.parquet(qdir)
-      .filter(size(col("violations")) === 0)
-      .drop("violations")
-    state.merge(salvaged, 1000L)
-    upsertViewCols(state, s)
-  }
-
-  /** q109: QUARANTINE REPAIR-REPLAY — the PATCH half q107 doesn't
-   * cover: real pipelines don't only salvage the clean rows of a
-   * quarantined batch, they repair the violating rows and re-admit
-   * them ([[graft.operators.Expectations.repair]]). The per-row audit
-   * routes each patch (a row is patched for exactly the rules it was
-   * convicted of — no re-evaluation), the patched batch is RE-AUDITED
-   * so nothing re-admits on trust, and the whole repaired batch —
-   * salvaged clean rows AND patched violators — merges under a fresh
-   * batch id. The patched poison rows carry far-future timestamps, so
-   * they legitimately WIN the per-user argmax for users 0–39: the
-   * oracle restates the patch by reconstructing the poison rows with
-   * their repaired columns and running the same argmax — the hash
-   * proves the patch landed exactly as declared and nowhere else. */
-  private def runRepairReplay(s: SparkSession,
-      dir: String): DataFrame = {
-    import graft.operators.Expectations
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val (root, qdir) = gatedIngestArtifacts(ss, dir)
-    val state = expgateRecover(ss, root)
-      .cloneTo(graft.sources.Scratch.dir("expgate_repairclone"))
-    val (readmitted, unrepairable) = Expectations.repair(
-      ss.read.parquet(qdir), expgateRules, Map(
-        "type_known" -> Map("event_type" -> lit("repaired")),
-        "value_not_sentinel" -> Map("value" -> lit(0.0))))
-    require(unrepairable.isEmpty,
-      "repair left still-violating rows — patches incomplete")
-    state.merge(readmitted, 1001L)
-    upsertViewCols(state, s)
-  }
-
-  /** q114: IN-LOOP STREAM REPAIR — the q109 patch lifecycle moved
-   * INSIDE the arrival loop: q102 quarantines a poisoned batch for
-   * offline handling and q109 repairs it in a later session, but a
-   * production pipeline repairs in-line — gate → audit → patch →
-   * re-audit → merge in the SAME foreachBatch, so the batch's
-   * repairable rows land in the committed store in their ARRIVAL
-   * batch and nothing waits for an operator. The audit evidence is
-   * still written aside (the quarantine dir is the paper trail even
-   * when repair succeeds), patches apply only to audit-convicted rows
-   * in rule-list order, and the patched batch re-audits before it
-   * merges — nothing re-admits on trust ([[graft.operators
-   * .Expectations.repair]]'s contract). The oracle is q109's
-   * restatement verbatim: full events + the declared patch, per-user
-   * argmax — the hash proves the in-loop repair lands exactly the
-   * offline repair's end state, with no extra session. */
-  private def runInloopRepair(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Expectations
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val src = expgateSource(ss, dir, "inloop_src")
-    val budgets = Map("type_known" -> 0.0, "value_not_sentinel" -> 0.0)
-    val patches = Map(
-      "type_known" -> Map("event_type" -> lit("repaired")),
-      "value_not_sentinel" -> Map("value" -> lit(0.0)))
-    val state = new graft.streaming.BucketedUpsert.State(ss,
-      keyCol = "user_id",
-      payloadCols = Seq("us", "event_id", "event_type", "value"),
-      nBuckets = 16)
-    val qdir = graft.sources.Scratch.dir("inloop_quarantine")
-    val repaired = new java.util.concurrent.atomic.AtomicInteger(0)
-    val q = ss.readStream.schema(ss.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        graft.sources.Scratch.dir("inloop_cp"))
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        Expectations.check(b, expgateRules, budgets) match {
-          case None => state.merge(b, id)
-          case Some(_) =>
-            val audited = Expectations.audit(b, expgateRules)
-              .localCheckpoint()
-            // evidence first: the audited batch is preserved even
-            // though the repair readmits it in-line
-            audited.write.mode("append").parquet(qdir)
-            val (readmitted, unrepairable) =
-              Expectations.repair(audited, expgateRules, patches)
-            require(unrepairable.isEmpty,
-              "in-loop repair left still-violating rows")
-            state.merge(readmitted, id)
-            repaired.incrementAndGet(); ()
-        }
-      }
-      .start()
-    q.awaitTermination()
-    require(repaired.get() == 1,
-      s"expected exactly the poisoned batch repaired in-loop, " +
-        s"got ${repaired.get()}")
-    upsertViewCols(state, s)
-  }
-
-  private def repairReplayOracle: String =
-    """WITH e AS (SELECT user_id, event_id, event_type, value,
-      |    epoch_ns(ts) // 1000 AS us FROM events),
-      |p AS (SELECT CAST(i AS BIGINT) AS user_id,
-      |    CAST(i + 900000000 AS BIGINT) AS event_id,
-      |    'repaired' AS event_type, 0.0 AS value,
-      |    CAST(i + 4102444800000000 AS BIGINT) AS us
-      |  FROM generate_series(0, 39) t(i)),
-      |u AS (SELECT * FROM e UNION ALL SELECT * FROM p),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-      |    ORDER BY us DESC, event_id DESC) AS rn FROM u)
-      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-      |  us AS last_us, value AS last_value
-      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
-
-  private def streamExpectationsOracle: String =
-    """WITH e AS (SELECT user_id, event_id, event_type, value,
-      |    epoch_ns(ts) // 1000 AS us FROM events
-      |    WHERE event_id % 4 <> 3),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-      |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
-      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-      |  us AS last_us, value AS last_value
-      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
-
-  /** q95: TIME TRAVEL on the upsert store — with `retainHistory` every
-   * commit leaves an immutable numbered manifest, and `readAsOf` serves
-   * the view exactly as a past commit left it (how a pipeline
-   * reproduces "the corpus as the run that trained checkpoint N saw
-   * it"; Delta/Iceberg snapshot reads over their logs). Batches are
-   * explicit and DETERMINISTIC here (even event_ids then odd) so the
-   * as-of-first-commit view is batch-composition-independent and the
-   * DuckDB oracle can restate it exactly: the per-user argmax over
-   * even-id events only. Real-streaming coverage of the same store is
-   * q56/q93/q96 — this gate isolates the versioned-read contract. */
-  private def runTimeTravel(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val ev = graft.sources.Tables.load(ss, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("value"))
-    val state = new graft.streaming.BucketedUpsert.State(ss,
-      keyCol = "user_id",
-      payloadCols = Seq("us", "event_id", "event_type", "value"),
-      nBuckets = 16, retainHistory = true)
-    state.merge(ev.filter(col("event_id") % 2 === 0), 0L)
-    state.merge(ev.filter(col("event_id") % 2 === 1), 1L)
-    val firstCommit = state.history().head
-    state.readAsOf(s, firstCommit)
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        col("event_type").as("last_type"), col("us").as("last_us"),
-        col("value").as("last_value"))
-      .orderBy(col("user_id"))
-  }
-
-  /** q99: version-to-version CHANGE FEED from the upsert store's
-   * manifest history — Delta CDF as an engine operator. The q95 store
-   * commits two deterministic versions (even event_ids, then odd);
-   * `changesBetween(1, 2)` emits every row whose state changed, tagged
-   * insert/update (no deletes here — delete-op rows are spec-pinned via
-   * the targeted-delete path), reading ONLY the buckets whose manifest
-   * pointers differ between the versions — identical pointers mean
-   * identical bytes. The oracle restates the diff of the two argmax
-   * recomputes with IS DISTINCT FROM over the full payload. */
-  private def runChangeFeed(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val ev = graft.sources.Tables.load(ss, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("value"))
-    val state = new graft.streaming.BucketedUpsert.State(ss,
-      keyCol = "user_id",
-      payloadCols = Seq("us", "event_id", "event_type", "value"),
-      nBuckets = 16, retainHistory = true)
-    state.merge(ev.filter(col("event_id") % 2 === 0), 0L)
-    state.merge(ev.filter(col("event_id") % 2 === 1), 1L)
-    state.changesBetween(s, 1L, 2L)
-      .select(col("op"), col("user_id"),
-        col("event_id").as("last_event_id"),
-        col("event_type").as("last_type"), col("us").as("last_us"),
-        col("value").as("last_value"))
-      .orderBy(col("user_id"))
-  }
-
-  private def changeFeedOracle: String =
-    """WITH e AS (SELECT user_id, event_id, event_type, value,
-      |    epoch_ns(ts) // 1000 AS us FROM events),
-      |r1 AS (SELECT user_id, event_id, event_type, value, us FROM
-      |  (SELECT *, row_number() OVER (PARTITION BY user_id
-      |     ORDER BY us DESC, event_id DESC) AS rn FROM e
-      |   WHERE event_id % 2 = 0) WHERE rn = 1),
-      |r2 AS (SELECT user_id, event_id, event_type, value, us FROM
-      |  (SELECT *, row_number() OVER (PARTITION BY user_id
-      |     ORDER BY us DESC, event_id DESC) AS rn FROM e) WHERE rn = 1)
-      |SELECT CASE WHEN r1.user_id IS NULL THEN 'insert'
-      |    ELSE 'update' END AS op,
-      |  r2.user_id, r2.event_id AS last_event_id,
-      |  r2.event_type AS last_type, r2.us AS last_us,
-      |  r2.value AS last_value
-      |FROM r2 LEFT JOIN r1 ON r2.user_id = r1.user_id
-      |WHERE r1.user_id IS NULL OR
-      |  (r1.event_id, r1.event_type, r1.value, r1.us) IS DISTINCT FROM
-      |  (r2.event_id, r2.event_type, r2.value, r2.us)
-      |ORDER BY r2.user_id""".stripMargin
-
-  /** q100: SCHEMA EVOLUTION on the upsert store — the payload widens
-   * across a recovery (old code wrote 3 payload columns; new code
-   * recovers the same state root with a 4th appended and keeps
-   * merging), the Delta/Iceberg add-column analog on keyed state. The
-   * manifest records the committed payload and recovery enforces
-   * prefix-widening only (drop/reorder fails loudly); buckets written
-   * before the widening read into the view with the new column as
-   * typed nulls. Deterministic batches (even ids under the old schema,
-   * odd under the new) make the view oracle-able: a user's
-   * `last_value` is real iff their latest event arrived post-widening
-   * (odd id), else null. */
-  private def runSchemaEvolution(s: SparkSession, dir: String)
-      : DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val ev = graft.sources.Tables.load(ss, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("value"))
-    val old = new graft.streaming.BucketedUpsert.State(ss,
-      keyCol = "user_id",
-      payloadCols = Seq("us", "event_id", "event_type"),
-      nBuckets = 16, retainHistory = true)
-    old.merge(ev.filter(col("event_id") % 2 === 0)
-      .select(col("user_id"), col("us"), col("event_id"),
-        col("event_type")), 0L)
-    // "deploy the new code": same root, payload widened by `value`
-    val widened = graft.streaming.BucketedUpsert.recover(ss,
-      keyCol = "user_id",
-      payloadCols = Seq("us", "event_id", "event_type", "value"),
-      nBuckets = 16, stateRoot = old.rootDir, retainHistory = true)
-    widened.merge(ev.filter(col("event_id") % 2 === 1), 1L)
-    widened.view(s)
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        col("event_type").as("last_type"), col("us").as("last_us"),
-        col("value").as("last_value"))
-      .orderBy(col("user_id"))
-  }
-
-  private def schemaEvolutionOracle: String =
-    """WITH e AS (SELECT user_id, event_id, event_type, value,
-      |    epoch_ns(ts) // 1000 AS us FROM events),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-      |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
-      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-      |  us AS last_us,
-      |  CASE WHEN event_id % 2 = 1 THEN value END AS last_value
-      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
-
-  /** p03: REPRODUCIBLE TRAINING EPOCH from a corpus version — the
-   * reason the store retains history: (corpus version, seed) must
-   * deterministically yield the exact shard assignment and within-shard
-   * order a past run consumed, long after the live corpus moved on.
-   * The epoch plan is pure hash arithmetic over the as-of view: a
-   * seeded 60-bit hash orders rows, `pmod` assigns shards, row_number
-   * places within the shard — no RNG state, so any worker can recompute
-   * any shard independently (at 100 TB the plan is one scan + one
-   * shard-partitioned sort, no driver involvement). Oracle: the argmax
-   * restatement of version 1 run through the same md5 arithmetic. */
-  private def runReproducibleEpoch(s: SparkSession, dir: String)
-      : DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val ev = graft.sources.Tables.load(ss, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"), col("value"))
-    val state = new graft.streaming.BucketedUpsert.State(ss,
-      keyCol = "user_id",
-      payloadCols = Seq("us", "event_id", "event_type", "value"),
-      nBuckets = 16, retainHistory = true)
-    state.merge(ev.filter(col("event_id") % 2 === 0), 0L)
-    state.merge(ev.filter(col("event_id") % 2 === 1), 1L)
-    val corpus = state.readAsOf(s, 1L) // the version the run trained on
-    val ord = graft.functions.TextFunctions.hash60(
-      concat(lit("ep1:"), col("user_id").cast("string")))
-    import org.apache.spark.sql.expressions.Window
-    corpus
-      .withColumn("ord", ord)
-      .withColumn("shard", pmod(col("ord"), lit(4)).cast("int"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("shard"))
-          .orderBy(col("ord"), col("user_id"))))
-      .select(col("shard"), col("pos"), col("user_id"),
-        col("event_id").as("last_event_id"))
-      .orderBy(col("shard"), col("pos"))
-  }
-
-  private def reproducibleEpochOracle: String =
-    """WITH e AS (SELECT user_id, event_id,
-      |    epoch_ns(ts) // 1000 AS us FROM events WHERE event_id % 2 = 0),
-      |r AS (SELECT user_id, event_id FROM
-      |  (SELECT *, row_number() OVER (PARTITION BY user_id
-      |     ORDER BY us DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
-      |h AS (SELECT user_id, event_id,
-      |    CAST(('0x' || substr(md5('ep1:' || CAST(user_id AS VARCHAR)),
-      |      1, 15)) AS BIGINT) AS ord FROM r)
-      |SELECT CAST(ord % 4 AS INT) AS shard,
-      |  CAST(row_number() OVER (PARTITION BY ord % 4
-      |    ORDER BY ord, user_id) AS INT) AS pos,
-      |  user_id, event_id AS last_event_id
-      |FROM h ORDER BY shard, pos""".stripMargin
-
-  private def timeTravelOracle: String =
-    """WITH e AS (SELECT user_id, event_id, event_type, value,
-      |    epoch_ns(ts) // 1000 AS us FROM events
-      |  WHERE event_id % 2 = 0),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-      |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
-      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-      |  us AS last_us, value AS last_value
-      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
-
-  /** q96: RETENTION VACUUM on the history-retaining streamed store —
-   * the storage-reclamation half of the time-travel contract (Delta
-   * VACUUM / Iceberg expire_snapshots). The q56 merge loop runs through
-   * the REAL streaming engine with history on, so superseded bucket
-   * versions accumulate instead of retiring; `vacuum(retainPrior = 0)`
-   * then drops all but the newest committed manifest and deletes every
-   * unreferenced bucket version — metadata-only work (manifests parsed,
-   * no data read). The in-query requires pin that the vacuum actually
-   * reclaimed something and that a dropped version fails loudly; the
-   * hash gate proves the surviving view is untouched: it still equals
-   * the batch argmax recompute. */
-  private def runUpsertVacuum(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val state = upsertViewState(ss, dir, retainHistory = true)
-    val versions = state.history()
-    require(versions.length >= 2,
-      s"vacuum gate expects >=2 committed versions, got $versions")
-    val report = state.vacuum(retainPrior = 0)
-    require(report.droppedManifests == versions.length - 1,
-      s"vacuum dropped ${report.droppedManifests} manifests, " +
-        s"expected ${versions.length - 1}")
-    require(report.deletedDirs > 0,
-      "vacuum reclaimed no superseded bucket versions — the merge " +
-        "loop should have left some")
-    // a vacuumed version must fail loudly, never read partially
-    val vanished =
-      try { state.readAsOf(ss, versions.head); false }
-      catch { case _: IllegalArgumentException => true }
-    require(vanished, s"readAsOf(${versions.head}) still readable " +
-      "after vacuum past retention")
-    upsertViewCols(state, s)
-  }
-
-  private def upsertDeleteOracle: String =
-    """WITH e AS (SELECT user_id, event_id, event_type, value,
-      |    epoch_ns(ts) // 1000 AS us FROM events
-      |  WHERE user_id % 10 <> 3),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-      |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
-      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-      |  us AS last_us, value AS last_value
-      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
-
-  private def upsertOracle: String =
-    """WITH e AS (SELECT user_id, event_id, event_type, value,
-      |    epoch_ns(ts) // 1000 AS us FROM events),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
-      |    ORDER BY us DESC, event_id DESC) AS rn FROM e)
-      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-      |  us AS last_us, value AS last_value
-      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
-
   /** q74: per-window distinct users through the REAL streaming engine
    * with HLL++ sketch state (exact count_distinct is not streamable —
    * its state is the value set; the sketch is fixed-size per (window,
@@ -1183,20 +586,6 @@ object StreamingQueries {
        |  min(doc_id) AS keeper_id, CAST(COUNT(*) AS BIGINT) AS n_docs
        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
 
-  /** q108: streaming NEAR-dup dedup — the arrival-time form of d06.
-   * The exact ledgers (q91/m06) answer "seen exactly this?"; near-dup
-   * needs "seen anything within Hamming distance 3?", which no key
-   * probe can serve — [[graft.streaming.NearDupLedger]] turns it back
-   * into key equality with the pigeonhole bands (d06's machinery) over
-   * a PERSISTED band→posting store: each micro-batch's signatures
-   * probe only the state buckets their band keys route to
-   * (O(batch + state·k/n), never batch × ledger), emit their new pairs
-   * — cross-batch AND within-batch — and fold in as postings under
-   * the array-concatenation monoid. The accumulated pair stream over
-   * the 4-slice ingest must equal the batch d06 recompute exactly
-   * (each pair surfaces once, when its later member arrives) — the
-   * oracle is d06's SQL verbatim; batch-order independence and
-   * mid-stream recovery are pinned in NearDupLedgerSpec. */
   /** Shared harness for the arrival-time ledger gates (q108/q110/m07):
    * stage `rows` as `nSlices` modulo-sliced files (ONE materialization
    * — the slice writes must not recompute the signature projection per
@@ -1229,46 +618,6 @@ object StreamingQueries {
     q.awaitTermination()
   }
 
-  private def docSimhashSigs(ss: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.simHashSigs(
-      graft.sources.Tables.load(ss, dir, "documents"),
-      "doc_id", "text", bits = 60)
-      .select(col("doc_id").as("id"), col("simhash").as("sig"))
-
-  // Build-once cache for the q108/q111 shared streamed ledger ingest
-  // (the expgateCache pattern): both gates run the IDENTICAL 4-batch
-  // ingest — q108's subject is the accumulation itself (paid once per
-  // JVM, the pair artifact re-served after), q111's is the
-  // forget + mine delta, replayed against a cloneTo copy so no order
-  // can mutate the shared ledger.
-  private val neardupCache =
-    scala.collection.mutable.Map.empty[String, (String, String)]
-  private def neardupArtifacts(ss: SparkSession,
-      dir: String): (String, String) =
-    neardupCache.synchronized {
-      neardupCache.getOrElseUpdate(dir, {
-        val led = new graft.streaming.NearDupLedger(ss, bits = 60,
-          maxHamming = 3, nBuckets = 16)
-        val pairsDir = graft.sources.Scratch.dir("neardup_pairs")
-        streamSliced(ss, docSimhashSigs(ss, dir), "id", "neardup") {
-          (b, id) =>
-            // per-opId overwrite: a foreachBatch replay rewrites its
-            // own directory instead of appending duplicates (observe
-            // itself is replay-idempotent via the lastOp token)
-            led.observe(b, id).write.mode("overwrite")
-              .parquet(s"$pairsDir/b$id")
-        }
-        (led.store.rootDir, pairsDir)
-      })
-    }
-
-  private def runStreamNearDup(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val (_, pairsDir) = neardupArtifacts(ss, dir)
-    readPairDirs(s, pairsDir)
-  }
-
   /** Read the per-opId pair directories (explicit child list, not a
    * glob — a glob makes Spark probe the parent for streaming-sink
    * metadata and log a spurious WARN stack). */
@@ -1279,811 +628,10 @@ object StreamingQueries {
     s.read.parquet(dirs: _*).orderBy(col("a"), col("b"))
   }
 
-  /** q110: streaming NEAR-dup CLUSTERS — d07's transitive-closure
-   * semantics maintained at arrival time, by composing two maintain
-   * operators this engine already gates separately: each micro-batch's
-   * new near-dup pairs (the q108 [[graft.streaming.NearDupLedger]] —
-   * band-bucket probes against persisted state, never batch × ledger)
-   * feed [[graft.operators.IncrementalCC.maintain]] as a delta edge
-   * batch (contracted against the carried labeling — CC iterates the
-   * batch's contracted delta only, never the accumulated pair set,
-   * q89's economics). A~B in batch 1 and B~C in batch 3 must converge
-   * to ONE cluster {A,B,C} even though A~C was never scored — exactly
-   * what pairwise dedup alone cannot do, now without ever re-mining
-   * history.
-   *
-   * The pair DISCOVERY is q108's shared cached ingest — this gate
-   * consumes the per-opId pair artifacts in arrival order rather than
-   * paying a second identical 4-batch engine run whose only extra
-   * measurement would be micro-batch overhead; the composition under
-   * test starts at the pair stream. The labeling is DURABLE: each
-   * batch's changed rows commit to a [[graft.streaming.ClusterLedger]]
-   * store (min-cluster monoid), so a crash mid-stream recovers and
-   * continues instead of re-mining history — kill+recover is pinned in
-   * ClusterLedgerSpec. The oracle is the d07-style reachability
-   * recursion over the d06 pair statement: the hash proves the
-   * streamed composition ≡ the from-scratch transitive closure. */
-  private def runStreamNearDupClusters(s: SparkSession,
-      dir: String): DataFrame = {
-    val ss = s.newSession()
-    // a cold cache builds the full 4-batch streamed ledger ingest
-    // here — that corpus-sized work must run at normal width, not
-    // at the maintain loop's
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val (_, pairsDir) = neardupArtifacts(ss, dir)
-    // the maintain loop's frames are PAIR-DELTA-sized (KB at gate SF,
-    // delta-bounded at any SF — contracted CC never shuffles state):
-    // size the shuffle to the delta, not the corpus, or the ~15 tiny
-    // iteration jobs per batch pay 8× empty-task scheduling (AQE's
-    // per-stage re-planning is likewise pure overhead at this width)
-    ss.conf.set("spark.sql.shuffle.partitions", "1")
-    ss.conf.set("spark.sql.adaptive.enabled", "false")
-    val led = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
-    graft.sources.StoreIO.list(ss, pairsDir).map(_.toString)
-      .sortBy(p => p.split('/').last.stripPrefix("b").toLong)
-      .zipWithIndex.foreach { case (p, i) =>
-        graft.StageTimer.time("q110_stream_neardup_clusters",
-          s"cc_maintain_b$i") {
-          led.observe(ss.read.parquet(p), i.toLong)
-        }
-      }
-    graft.StageTimer.time("q110_stream_neardup_clusters", "view") {
-      led.store.view(s).orderBy(col("id"))
-    }
-  }
-
-  /** q112: STREAMING MinHash/LSH near-dup — d02's banded Jaccard
-   * estimation at arrival time ([[graft.streaming.MinHashLedger]]),
-   * completing the streamed dedup family: exact (q91), SimHash
-   * hamming (q108), pHash (m07), and now shingle-SET similarity —
-   * the semantics MinHash measures that bit-vector hamming only
-   * approximates. Merge-then-probe per batch: the fold is guarded by
-   * the lastOp token (replay-idempotent), then ONE self-excluding
-   * band probe against the store — which now contains the batch —
-   * yields cross ∪ within in a single shape, at
-   * O(batch + state·k/n). The accumulated pair stream over the
-   * 4-slice ingest must equal the d02 batch recompute exactly; the
-   * oracle is d02's SQL verbatim. */
-  private def runStreamMinHash(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val sigs = graft.operators.Dedup.minHashDocSigs(
-      graft.sources.Tables.load(ss, dir, "documents"),
-      "doc_id", "text", k = 16)
-    val led = new graft.streaming.MinHashLedger(ss, k = 16, bands = 4,
-      minSim = 0.5, nBuckets = 16)
-    val pairsDir = graft.sources.Scratch.dir("minhash_stream_pairs")
-    streamSliced(ss, sigs, "id", "minhash_stream") { (b, id) =>
-      led.observe(b, id).write.mode("overwrite")
-        .parquet(s"$pairsDir/b$id")
-    }
-    readPairDirs(s, pairsDir)
-  }
-
-  /** q113: STREAMING EMBEDDING near-dup — the LAST absent member of
-   * the streamed signature-family matrix (exact q91, SimHash q108,
-   * pHash m07, MinHash q112): dense-vector cosine at arrival time,
-   * [[graft.streaming.EmbeddingLedger]] on the shared PostingLedger
-   * core. Bands are the 2 nearest-centroid ids against a FROZEN
-   * coarse quantizer (d10's deterministic stride-seeded centroids,
-   * collected once driver-side — ≤32 rows, the bounded-broadcast
-   * analog — BEFORE the stream starts: a stream never retrains its
-   * quantizer mid-flight or band keys stop meaning the same thing
-   * across batches, s22's frozen-quantizer rule). Each batch probes
-   * only the state buckets its probe-centroid keys route to and the
-   * exact 6dp cosine checks candidates — SemDeDup's Σ|cluster|²
-   * economics at arrival time, never batch × ledger. The oracle
-   * restates the identical multi-probe assignment and pair scan, so
-   * the accumulated pair stream ≡ the batch recompute exactly;
-   * batch-order independence, recovery, forget and minePairs are
-   * pinned in EmbeddingLedgerSpec. */
-  private def runStreamEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val emb = graft.sources.Tables.load(ss, dir, "embeddings")
-    val cent = graft.operators.Similarity.strideCentroids(emb,
-        "vec_id", "embedding", centroidStride = 50, maxCentroids = 32)
-      .select(col("cid"), col("cv").cast("array<double>").as("cv"),
-        col("cn"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
-        r.getDouble(2)))
-      .toSeq
-    val led = new graft.streaming.EmbeddingLedger(ss, cent, nProbe = 2,
-      minCos = 0.4, nBuckets = 16)
-    val pairsDir = graft.sources.Scratch.dir("emb_stream_pairs")
-    streamSliced(ss, emb.select(col("vec_id").as("id"),
-        col("embedding").as("sig")), "id", "emb_stream") { (b, id) =>
-      led.observe(b, id).write.mode("overwrite")
-        .parquet(s"$pairsDir/b$id")
-    }
-    readPairDirs(s, pairsDir)
-  }
-
-  private def streamEmbeddingOracle: String =
-    """WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
-      |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-      |         WHERE vec_id % 50 = 0 AND vec_id < 1600),
-      |assign AS (SELECT vid, cid FROM (
-      |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
-      |  FROM (SELECT vid, cid,
-      |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
-      |    FROM (SELECT vid, cid,
-      |      list_sum(list_transform(generate_series(1, len(vv)), i -> vv[i]::DOUBLE * cv[i]::DOUBLE)) AS dot,
-      |      sqrt(list_sum(list_transform(generate_series(1, len(vv)), i -> vv[i]::DOUBLE * vv[i]::DOUBLE))) AS na,
-      |      sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))) AS nb
-      |      FROM v CROSS JOIN cent))) WHERE r <= 2),
-      |cand AS (SELECT DISTINCT x.vid AS a, y.vid AS b
-      |  FROM assign x JOIN assign y ON x.cid = y.cid AND x.vid < y.vid),
-      |p AS (SELECT a, b,
-      |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos
-      |  FROM (SELECT c.a, c.b,
-      |      list_sum(list_transform(generate_series(1, len(x.embedding)), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) AS dot,
-      |      sqrt(list_sum(list_transform(generate_series(1, len(x.embedding)), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))) AS na,
-      |      sqrt(list_sum(list_transform(generate_series(1, len(y.embedding)), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))) AS nb
-      |    FROM cand c JOIN embeddings x ON x.vec_id = c.a
-      |    JOIN embeddings y ON y.vec_id = c.b))
-      |SELECT a, b, cos FROM p WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
-
-  /** q111: LEDGER FORGET + OFFLINE MINING — the compliance and batch
-   * halves of the near-dup artifact in one gate. The full corpus
-   * streams into the ledger (q108's ingest), then docs `% 17 == 0`
-   * are FORGOTTEN ([[graft.streaming.NearDupLedger.forget]] — the
-   * victims' postings live in exactly their band keys' buckets, so
-   * the rewrite is bounded by the forget batch and lands in ONE
-   * replaceKeys commit), then [[graft.streaming.NearDupLedger
-   * .minePairs]] mines every pair the REMAINING postings can derive —
-   * the m06-doc'd "near-dup mining runs over ledger postings, not raw
-   * media" pass. The oracle is the d06 pair statement over documents
-   * minus the forgotten set: the hash proves (a) no forgotten id
-   * survives in any posting, and (b) mining the pruned ledger loses
-   * no surviving pair — forget is surgical, not lossy. */
-  private def runNearDupForget(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val (root, _) = neardupArtifacts(ss, dir)
-    // forget is a mutation: replay it against a deep clone, so the
-    // shared streamed ledger stays pristine for q108 whatever order
-    // the gates run in (the q107 cloneTo pattern)
-    val led = graft.streaming.NearDupLedger.recover(ss, bits = 60,
-        maxHamming = 3, nBuckets = 16, root = root)
-      .cloneTo(graft.sources.Scratch.dir("neardup_forget_clone"))
-    led.forget(docSimhashSigs(ss, dir).filter(col("id") % 17 === 0),
-      100L)
-    val out = graft.sources.Scratch.dir("neardup_forget_out")
-    led.minePairs().write.mode("overwrite").parquet(out)
-    s.read.parquet(out).orderBy(col("a"), col("b"))
-  }
-
-  private def nearDupForgetOracle: String =
-    s"""WITH kept AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
-       |${DedupQueries.simhash60PairsCtesOver("kept")},
-       |p AS (${DedupQueries.simhash60PairsSelect})
-       |SELECT a, b, hamming FROM p ORDER BY a, b""".stripMargin
-
-  private def streamNearDupClustersOracle: String =
-    s"""WITH RECURSIVE ${DedupQueries.simhash60PairsCtes},
-       |pairs AS (${DedupQueries.simhash60PairsSelect}),
-       |sym AS (SELECT a, b FROM pairs
-       |        UNION ALL SELECT b, a FROM pairs),
-       |nodes AS (SELECT DISTINCT a AS id FROM sym),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id)
-       |SELECT id, MIN(r) AS cluster FROM reach
-       |GROUP BY id ORDER BY id""".stripMargin
-
-  /** q115: STREAMED END-TO-END CURATION — the composition flagship of
-   * the LLM-pipeline operators: quality gate → near-dup ledger →
-   * incremental clustering → RETRO-CORRECTING curated store, one
-   * arrival loop. Per micro-batch: (1) the t02 quality score filters
-   * the batch (only curation-grade docs enter dedup — a pipeline never
-   * pays near-dup machinery for rows it already rejected); (2) the
-   * survivors' SimHash signatures fold into a q108
-   * [[graft.streaming.NearDupLedger]] and the batch's new pairs come
-   * back from the bucket-pruned probe; (3) the pairs feed a q110
-   * [[graft.streaming.ClusterLedger]], whose changed-row delta is the
-   * retro-correction evidence: a cluster representative is the
-   * component's MIN id, so a kept doc is demoted exactly when its
-   * delta row's new cluster is a smaller id — the curated store
-   * DELETES it in the same cycle that ADMITS the batch's new
-   * representatives. Min-monoid labels only decrease, so demotion is
-   * permanent (no flip-flop) and the curated corpus is MAINTAINED,
-   * not append-only: whatever the arrival order, the end state is
-   * exactly "every quality doc that is its near-dup cluster's min id,
-   * plus unpaired quality docs", which the oracle restates from
-   * scratch (quality filter → pair scan → reachability closure → min
-   * label). Every stage is bounded by batch + delta, never by
-   * accumulated state — the 100 TB shape of a training-data intake
-   * that keeps a canonical curated corpus current as crawls arrive. */
-  // Build-once cache for the curated-corpus pipeline (the
-  // neardupArtifacts pattern): q115's subject is the arrival loop —
-  // paid once per JVM — and p05 packs the END STATE it leaves, so
-  // both gates share one committed curated store, each independently
-  // meaningful (q115 restates the corpus, p05 the packing over it).
-  private val curationCache =
-    scala.collection.mutable.Map.empty[String, String]
-  private def curationArtifacts(ss: SparkSession, dir: String): String =
-    curationCache.synchronized {
-      curationCache.getOrElseUpdate(dir, buildCuration(ss, dir))
-    }
-
-  /** ONE staged projection — normalize/tokenize once, derive the
-   * signature and every quality signal from the shared arrays (the
-   * scan-stage shape; at real scale this is the crawl's map pass).
-   * Shared by the q115/p05 cached streamed build and q119's
-   * deterministic-batch as-of build. */
-  private def curationStaged(ss: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{TextFunctions => TF}
-    graft.sources.Tables.load(ss, dir, "documents")
-      .select(col("doc_id").as("id"),
-        TF.normalizeText(col("text")).as("__t"))
-      .select(col("id"), col("__t"),
-        TF.tokensFromNorm(col("__t")).as("__tok"))
-      .select(col("id"),
-        graft.operators.Dedup.simHashFromHashes(
-          transform(col("__tok"), t => TF.hash60(t)), 60).as("sig"),
-        TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
-        TF.qualityScoreFromParts(
-          size(col("__tok")).cast("long"),
-          TF.stopwordRatioFromTokens(col("__tok")),
-          TF.punctRatioFromNorm(col("__t"))).as("quality"))
-  }
-
-  private def buildCuration(ss: SparkSession, dir: String): String = {
-    val staged = curationStaged(ss, dir)
-    val near = new graft.streaming.NearDupLedger(ss, bits = 60,
-      maxHamming = 3, nBuckets = 16)
-    val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
-    val curated = new graft.streaming.BucketedUpsert.State(ss,
-      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
-      nBuckets = 16)
-    streamSliced(ss, staged, "id", "curation") { (b, id) =>
-      curationCycle(ss, near, clusters, curated,
-        b.filter(col("quality") >= 0.6).localCheckpoint(), id,
-        ccWidth = Some("1"))
-    }
-    curated.rootDir
-  }
-
-  private def curatedState(ss: SparkSession,
-      dir: String): graft.streaming.BucketedUpsert.State =
-    graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
-      payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
-      stateRoot = curationArtifacts(ss, dir))
-
-  /** q118: the FULL INTAKE — q115's curation loop with q117's
-   * benchmark-decontamination screen composed INTO the arrival cycle:
-   * per micro-batch, quality gate ∧ no-benchmark-leak screen (the
-   * frozen 3-gram shingle set broadcast once, probed map-side) decides
-   * which docs enter near-dup curation at all. This is the
-   * FineWeb-style intake spine — filter for quality, drop eval
-   * leakage, keep one canonical representative per near-dup cluster,
-   * retro-correcting as smaller-id duplicates arrive — as ONE
-   * composition over the operators this engine gates separately
-   * (t02/t16 quality, t06/q117 decontamination, q108/q110/q115
-   * dedup curation). The benchmark docs themselves never enter the
-   * intake (they are the eval suite, not training data). The oracle
-   * restates the end state from scratch: train split → quality ∧
-   * clean filter → pair scan → reachability closure → min-id reps. */
-  // per-JVM build caches (the curationCache pattern): the gates'
-  // subject is the arrival composition — paid once — and the reps
-  // re-serve the committed artifact
-  private val deconCache =
-    scala.collection.mutable.Map.empty[String, String]
-  private val asofCache =
-    scala.collection.mutable.Map.empty[String, (String, Long)]
-
-  private def runCurationDecon(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val root = deconCache.synchronized {
-      deconCache.getOrElseUpdate(dir, buildCurationDecon(ss, dir))
-    }
-    graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
-      payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
-      stateRoot = root).view(s).orderBy(col("id"))
-  }
-
-  private def buildCurationDecon(ss: SparkSession, dir: String): String = {
-    import graft.functions.{TextFunctions => TF}
-    val docs = graft.sources.Tables.load(ss, dir, "documents")
-    def shingled(df: DataFrame): DataFrame = df
-      .select(col("doc_id").as("id"),
-        TF.normalizeText(col("text")).as("__t"))
-      .select(col("id"), col("__t"),
-        TF.tokensFromNorm(col("__t")).as("__tok"))
-      .select(col("id"), col("__t"), col("__tok"),
-        array_distinct(TF.wordShinglesFromTokens(col("__tok"), 3))
-          .as("shin"))
-    // the frozen benchmark screen, built once before the stream
-    val bench = shingled(docs.filter(col("doc_id") % 50 === 0))
-      .select(explode_outer(col("shin")).as("s"))
-      .filter(col("s").isNotNull).distinct()
-      .localCheckpoint()
-    val staged = shingled(docs.filter(col("doc_id") % 50 =!= 0))
-      .select(col("id"),
-        graft.operators.Dedup.simHashFromHashes(
-          transform(col("__tok"), t => TF.hash60(t)), 60).as("sig"),
-        TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
-        TF.qualityScoreFromParts(
-          size(col("__tok")).cast("long"),
-          TF.stopwordRatioFromTokens(col("__tok")),
-          TF.punctRatioFromNorm(col("__t"))).as("quality"),
-        col("shin"))
-    val near = new graft.streaming.NearDupLedger(ss, bits = 60,
-      maxHamming = 3, nBuckets = 16)
-    val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
-    val curated = new graft.streaming.BucketedUpsert.State(ss,
-      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
-      nBuckets = 16)
-    streamSliced(ss, staged, "id", "curation_decon") { (b, id) =>
-      // the batch's leaking docs (ANY benchmark 3-gram): map-side
-      // probe of the broadcast screen, strictest bar — one leaked
-      // shingle disqualifies
-      val dirty = b.select(col("id"), explode_outer(col("shin")).as("s"))
-        .join(broadcast(bench), Seq("s"), "left_semi")
-        .select(col("id")).distinct()
-      val qb = b.filter(col("quality") >= 0.6)
-        .join(dirty, Seq("id"), "left_anti")
-        .select(col("id"), col("sig"), col("n_bpe"), col("quality"))
-        .localCheckpoint()
-      curationCycle(ss, near, clusters, curated, qb, id,
-        ccWidth = Some("1"))
-    }
-    curated.rootDir
-  }
-
-  private def curationDeconOracle: String = {
-    val enList =
-      s"[${graft.functions.TextFunctions.stopwords("en")
-        .map(w => s"'$w'").mkString(", ")}]"
-    s"""WITH RECURSIVE qbase AS (
-       |  SELECT doc_id, ${DedupQueries.normT} AS t FROM documents
-       |  WHERE doc_id % 50 <> 0),
-       |ttoks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM qbase),
-       |tsh AS (SELECT DISTINCT doc_id,
-       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-       |       FROM ttoks, unnest(generate_series(1, len(w) - 2)) AS u(i)
-       |       WHERE len(w) >= 3),
-       |bbase AS (SELECT doc_id, ${DedupQueries.normT} AS t FROM documents
-       |  WHERE doc_id % 50 = 0),
-       |btoks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM bbase),
-       |bsh AS (SELECT DISTINCT
-       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-       |       FROM btoks, unnest(generate_series(1, len(w) - 2)) AS u(i)
-       |       WHERE len(w) >= 3),
-       |dirty AS (SELECT DISTINCT t2.doc_id FROM tsh t2
-       |          JOIN bsh b2 ON t2.s = b2.s),
-       |qfeat AS (SELECT doc_id,
-       |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
-       |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
-       |    CASE WHEN len(t) > 0
-       |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
-       |      ELSE 0.0 END AS punct,
-       |    CASE WHEN len(string_split_regex(t, ' ')) > 0
-       |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
-       |           / len(string_split_regex(t, ' '))
-       |      ELSE 0.0 END AS swr
-       |  FROM qbase),
-       |q AS (SELECT doc_id, n_bpe, quality FROM (
-       |    SELECT doc_id, n_bpe, round(greatest(0.0,
-       |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
-       |      least(swr * 5.0, 1.0) * 0.4 +
-       |      (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality
-       |    FROM qfeat) WHERE quality >= 0.6
-       |    AND doc_id NOT IN (SELECT doc_id FROM dirty)),
-       |qd AS (SELECT d2.doc_id, d2.text FROM documents d2
-       |       JOIN q ON q.doc_id = d2.doc_id),
-       |${DedupQueries.simhash60PairsCtesOver("qd")},
-       |p AS (${DedupQueries.simhash60PairsSelect}),
-       |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)
-       |  UNION
-       |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id),
-       |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-       |kept AS (SELECT q.doc_id AS id, q.n_bpe, q.quality
-       |  FROM q LEFT JOIN lab ON lab.id = q.doc_id
-       |  WHERE lab.id IS NULL OR lab.cluster = q.doc_id)
-       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
-  }
-
-  private def runStreamCuration(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    curatedState(ss, dir).view(s).orderBy(col("id"))
-  }
-
-  /** p05: PACK THE CURATED CORPUS — the serving composition q115's
-   * end state exists for: the maintained curated corpus (quality ∧
-   * near-dup representatives) concat-and-chunked into fixed-budget
-   * training sequences ([[graft.operators.Packing.pack]] — exact
-   * distributed prefix sum, never single-partition). Rides the same
-   * per-JVM curated store q115 builds; the oracle restates the q115
-   * kept set and the q104 cumulative arithmetic over it. */
-  private def runCuratedPack(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val kept = curatedState(ss, dir).view(ss)
-      .select(col("id"), col("n_bpe"))
-    graft.operators.Packing.pack(kept, "n_bpe", budget = 256L,
-        orderCols = Seq(col("id")), nShards = 16)
-      .select(col("id"), col("n_bpe"), col("cum"),
-        col("start_seq"), col("start_off"), col("end_seq"))
-      .orderBy(col("id"))
-  }
-
-  /** One arrival cycle of the q115 curated-corpus maintenance —
-   * extracted so the replay contract is spec-pinned
-   * (CurationCycleSpec): `qb` carries the batch's QUALITY rows
-   * (`id`, `sig`, `n_bpe`, `quality`). Replay-safe end to end: the
-   * near ledger's fold is token-guarded, the cluster fold is a min
-   * monoid, and admission reads the committed LABELS, not the batch
-   * delta — a retried micro-batch's delta is EMPTY (the monoid
-   * absorbs the re-fold), which would re-admit every quality doc as
-   * "unpaired", non-representatives included; the committed labels
-   * answer correctly whether the cycle is fresh, replayed, or
-   * resumed after a mid-cycle crash. */
-  private[graft] def curationCycle(ss: SparkSession,
-      near: graft.streaming.NearDupLedger,
-      clusters: graft.streaming.ClusterLedger,
-      curated: graft.streaming.BucketedUpsert.State,
-      qb: DataFrame, id: Long,
-      ccWidth: Option[String] = None): Unit = {
-    // stage walls land in the bench detail artifact (last-batch
-    // representative, the StageTimer contract) so the gate's price is
-    // attributable: ledger probe vs CC fold vs the two store commits
-    val pairs = graft.StageTimer.time("q115_stream_curation",
-      "near_observe") {
-      near.observe(qb.select(col("id"), col("sig")), id)
-    }
-    // ccWidth: at GATE scale the CC fold's frames are pair-delta-sized
-    // (KBs) and the ~15 tiny iteration jobs per batch pay 8× empty-task
-    // scheduling at session width, so the gate narrows this one stage
-    // to width 1 with AQE off (the q110 sizing note). It is a CALLER
-    // choice, not part of the composition: a real pipeline's deltas can
-    // be arbitrarily large and keep the session width (CurationSoak
-    // runs this cycle at full width over 20k-row deltas).
-    val delta = graft.StageTimer.time("q115_stream_curation",
-      "cc_observe") {
-      ccWidth match {
-        case None => clusters.observe(pairs, id)
-        case Some(w) =>
-          val prevP = ss.conf.get("spark.sql.shuffle.partitions")
-          val prevA = ss.conf.get("spark.sql.adaptive.enabled")
-          ss.conf.set("spark.sql.shuffle.partitions", w)
-          ss.conf.set("spark.sql.adaptive.enabled", "false")
-          try clusters.observe(pairs, id)
-          finally {
-            ss.conf.set("spark.sql.shuffle.partitions", prevP)
-            ss.conf.set("spark.sql.adaptive.enabled", prevA)
-          }
-      }
-    }
-    // admissions: batch quality docs that are their own cluster's
-    // representative (no labeling row = unpaired so far; row with
-    // cluster == id = representative), via a bucket-pruned point
-    // lookup of the batch's ids — O(batch + state·k/n)
-    val admitted = (if (clusters.store.hasState)
-      qb.join(clusters.store.lookupJoin(ss, qb.select(col("id")))
-          .withColumnRenamed("cluster", "__c"), Seq("id"), "left")
-        .filter(col("__c").isNull || col("__c") === col("id"))
-      else qb) // a pairless stream so far: every quality doc is a rep
-      .select(col("id"), col("n_bpe"), col("quality"))
-    graft.StageTimer.time("q115_stream_curation", "admit_merge") {
-      curated.merge(admitted, id)
-    }
-    // retro-correction: a label that DROPPED below its id is a lost
-    // representative status — delete it. Deleting an id that was
-    // never admitted (non-quality members never enter the ledger;
-    // non-representatives were never merged) is a natural no-op, so
-    // the demotion set needs no admission bookkeeping. Distinct opId
-    // spaces: merge commits ride the batch id, deletes its retro half.
-    val demoted = delta.filter(col("cluster") < col("id"))
-      .select(col("id"))
-    graft.StageTimer.time("q115_stream_curation", "demote_delete") {
-      curated.delete(demoted, 1000L + id)
-    }
-  }
-
-  /** q119: CURATED-CORPUS TIME TRAVEL — "the training corpus exactly
-   * as the curation pipeline had it when batch 2 committed", the
-   * which-corpus-trained-this-checkpoint audit composed from the
-   * operators this engine already gates (q115's cycle + q95's
-   * retained-version readAsOf). Batches are explicit and
-   * deterministic (the q116 idiom — a file stream's batch order is
-   * engine-controlled, and THIS gate's subject is a specific arrival
-   * point): four direct curationCycle calls over pmod-4 slices, the
-   * curated store retaining history; `readAsOf` at the version batch
-   * 2's cycle left live serves the corpus mid-maintenance — including
-   * representatives that LATER batches demote, which is exactly why
-   * the restatement is the from-scratch curation over slices ≤ 2, NOT
-   * the final corpus restricted to early arrivals. The cycle's
-   * invariant (kept = min-id reps ∪ unpaired, over arrived quality
-   * docs) holds after EVERY batch — CurationCycleSpec/CurationSoak
-   * pin it — so the oracle is exact. */
-  private def runCurationAsOf(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val (root, asOf) = asofCache.synchronized {
-      asofCache.getOrElseUpdate(dir, buildCurationAsOf(ss, dir))
-    }
-    graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
-        payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
-        stateRoot = root, retainHistory = true)
-      .readAsOf(s, asOf).orderBy(col("id"))
-  }
-
-  private def buildCurationAsOf(ss: SparkSession,
-      dir: String): (String, Long) = {
-    val staged = curationStaged(ss, dir).localCheckpoint()
-    val near = new graft.streaming.NearDupLedger(ss, bits = 60,
-      maxHamming = 3, nBuckets = 16)
-    val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
-    val curated = new graft.streaming.BucketedUpsert.State(ss,
-      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
-      nBuckets = 16, retainHistory = true)
-    var asOf = -1L
-    (0 until 4).foreach { k =>
-      curationCycle(ss, near, clusters, curated,
-        staged.filter(pmod(col("id"), lit(4)) === k)
-          .filter(col("quality") >= 0.6).localCheckpoint(),
-        k.toLong, ccWidth = None)
-      if (k == 2) asOf = curated.history().lastOption.getOrElse(-1L)
-    }
-    require(asOf >= 0, "q119: nothing committed by batch 2")
-    (curated.rootDir, asOf)
-  }
-
-  private def curationAsOfOracle: String =
-    s"""WITH RECURSIVE ${curationKeptCtesOver("doc_id % 4 <= 2")}
-       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
-
-  /** The q115 end-state CTE chain through `kept` (id, n_bpe, quality)
-   * — shared by q115's restatement, p05's packing over it, and q119's
-   * arrival-restricted as-of form. Must be prefixed with WITH
-   * RECURSIVE (the reachability closure). */
-  private def curationKeptCtes: String = curationKeptCtesOver("TRUE")
-
-  private def curationKeptCtesOver(docWhere: String): String = {
-    val enList =
-      s"[${graft.functions.TextFunctions.stopwords("en")
-        .map(w => s"'$w'").mkString(", ")}]"
-    s"""qbase AS (
-       |  SELECT doc_id, ${DedupQueries.normT} AS t FROM documents
-       |  WHERE $docWhere),
-       |qfeat AS (SELECT doc_id,
-       |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
-       |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
-       |    CASE WHEN len(t) > 0
-       |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
-       |      ELSE 0.0 END AS punct,
-       |    CASE WHEN len(string_split_regex(t, ' ')) > 0
-       |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
-       |           / len(string_split_regex(t, ' '))
-       |      ELSE 0.0 END AS swr
-       |  FROM qbase),
-       |q AS (SELECT doc_id, n_bpe, quality FROM (
-       |    SELECT doc_id, n_bpe, round(greatest(0.0,
-       |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
-       |      least(swr * 5.0, 1.0) * 0.4 +
-       |      (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality
-       |    FROM qfeat) WHERE quality >= 0.6),
-       |qd AS (SELECT d2.doc_id, d2.text FROM documents d2
-       |       JOIN q ON q.doc_id = d2.doc_id),
-       |${DedupQueries.simhash60PairsCtesOver("qd")},
-       |p AS (${DedupQueries.simhash60PairsSelect}),
-       |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)
-       |  UNION
-       |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id),
-       |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
-       |kept AS (SELECT q.doc_id AS id, q.n_bpe, q.quality
-       |  FROM q LEFT JOIN lab ON lab.id = q.doc_id
-       |  WHERE lab.id IS NULL OR lab.cluster = q.doc_id)""".stripMargin
-  }
-
-  private def streamCurationOracle: String =
-    s"""WITH RECURSIVE $curationKeptCtes
-       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
-
-  private def curatedPackOracle: String =
-    s"""WITH RECURSIVE $curationKeptCtes,
-       |c AS (SELECT id, n_bpe,
-       |    SUM(n_bpe) OVER (ORDER BY id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM kept)
-       |SELECT id, n_bpe, CAST(cum AS BIGINT) AS cum,
-       |  CAST((cum - n_bpe) // 256 AS BIGINT) AS start_seq,
-       |  CAST((cum - n_bpe) % 256 AS BIGINT) AS start_off,
-       |  CAST(CASE WHEN n_bpe = 0 THEN (cum - n_bpe) // 256
-       |    ELSE (cum - 1) // 256 END AS BIGINT) AS end_seq
-       |FROM c ORDER BY id""".stripMargin
-
-  /** q116: AS-OF CLUSTER LABELING — time travel composed onto the
-   * streamed clustering artifact: "the near-dup clusters exactly as
-   * the pipeline saw them when batch 2 committed" (the lineage
-   * question behind every which-corpus-trained-this-checkpoint
-   * audit). Batches are explicit and deterministic here (the q95
-   * idiom): the d06 pair set is sliced by ARRIVAL — a pair surfaces
-   * when its LATER member arrives, i.e. at the max of the members'
-   * pmod-4 slices, exactly what the streamed ledger emits — and
-   * folded into a history-retaining
-   * [[graft.streaming.ClusterLedger]]. `readAsOf` at the version
-   * committed by batch 2 serves the labeling closure over pairs
-   * whose both members had arrived — which is NOT the restriction of
-   * the final clustering (a later bridge doc merges clusters that
-   * were separate at the as-of point), so the oracle restates the
-   * closure over the restricted pair set from scratch. */
-  private def runClusterAsOf(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    // the corpus-wide pair scan runs at normal width and materializes…
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val pairs = graft.StageTimer.time("q116_cluster_asof", "pair_scan") {
-      graft.operators.Dedup.hammingPairs(
-        docSimhashSigs(ss, dir), bits = 60, maxHamming = 3)
-        .select(col("a"), col("b"),
-          greatest(pmod(col("a"), lit(4)), pmod(col("b"), lit(4)))
-            .as("__arr"))
-        .localCheckpoint()
-    }
-    // …then the session narrows to pair-delta-sized frames for the
-    // maintain loop (the q110 sizing note)
-    ss.conf.set("spark.sql.shuffle.partitions", "1")
-    ss.conf.set("spark.sql.adaptive.enabled", "false")
-    val led = new graft.streaming.ClusterLedger(ss, nBuckets = 4,
-      retainHistory = true)
-    var asOf = -1L
-    (0 until 4).foreach { k =>
-      graft.StageTimer.time("q116_cluster_asof", s"fold_b$k") {
-        led.observe(
-          pairs.filter(col("__arr") === k).select(col("a"), col("b")),
-          k.toLong)
-      }
-      // the version the batch-2 cycle left live (an all-intra-component
-      // batch commits nothing, so this is the LAST commit ≤ batch 2,
-      // not necessarily the third — and possibly none at all)
-      if (k == 2) asOf = led.store.history().lastOption.getOrElse(-1L)
-    }
-    require(asOf >= 0, "q116: no commit by batch 2 — corpus too sparse")
-    led.store.readAsOf(s, asOf).orderBy(col("id"))
-  }
-
-  private def clusterAsOfOracle: String =
-    s"""WITH RECURSIVE arrived AS (
-       |  SELECT * FROM documents WHERE doc_id % 4 <= 2),
-       |${DedupQueries.simhash60PairsCtesOver("arrived")},
-       |p AS (${DedupQueries.simhash60PairsSelect}),
-       |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)
-       |  UNION
-       |  SELECT s2.b, r.r FROM reach r JOIN sym s2 ON s2.a = r.id)
-       |SELECT id, MIN(r) AS cluster FROM reach
-       |GROUP BY id ORDER BY id""".stripMargin
-
-  /** q117: STREAMING BENCHMARK DECONTAMINATION — t06's n-gram overlap
-   * scan at arrival time, probe direction flipped to the production
-   * shape: the held-out benchmark suite is FROZEN and SMALL (eval
-   * sets are MBs against a 100 TB crawl), so its deduplicated shingle
-   * set is built ONCE and broadcast — each arriving training batch
-   * probes it map-side, per-batch cost O(batch shingles) with ZERO
-   * shuffle of accumulated state and nothing ever rescanning history
-   * (contrast the near-dup ledgers, whose reference set GROWS and
-   * therefore needs the persisted banded store; a decontamination
-   * reference is static by definition — t06's design note on the
-   * batch form, `/root/reference` has no counterpart). Each batch
-   * emits its docs' (n_shingles, n_hit, overlap) report rows — the
-   * flag an intake pipeline drops leaked training docs by — and the
-   * accumulated union ≡ the batch restatement over the full training
-   * split (the oracle: t06's CTE chain with the roles flipped). */
-  private def runStreamDecontaminate(s: SparkSession,
-      dir: String): DataFrame = {
-    import graft.functions.{TextFunctions => TF}
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val docs = graft.sources.Tables.load(ss, dir, "documents")
-    // one shared scan-stage projection: doc → distinct word 3-grams
-    // (docs shorter than the shingle width have nothing to leak and
-    // are absent, matching t06's contract; 3-grams — vs t06's 5 —
-    // are the deliberately TIGHTER screen an intake gate runs, and
-    // they exercise the hit path densely at gate SF)
-    def shingles(df: DataFrame): DataFrame = df
-      .select(col("doc_id").as("id"), TF.tokens(col("text")).as("__tok"))
-      .select(col("id"),
-        explode_outer(TF.wordShinglesFromTokens(col("__tok"), 3)).as("s"))
-      .filter(col("s").isNotNull)
-      .distinct()
-    // the frozen benchmark shingle set: deduplicated once, pinned
-    // before the stream starts (the frozen-quantizer rule's text
-    // analog — a reference that drifted mid-stream would score
-    // batches against different suites)
-    val bench = shingles(docs.filter(col("doc_id") % 50 === 0))
-      .select(col("s")).distinct().withColumn("__hit", lit(1))
-      .localCheckpoint()
-    val outDir = graft.sources.Scratch.dir("decon_out")
-    streamSliced(ss, docs.filter(col("doc_id") % 50 =!= 0)
-        .select(col("doc_id"), col("text")), "doc_id", "decon") {
-      (b, id) =>
-        shingles(b).join(broadcast(bench), Seq("s"), "left_outer")
-          .groupBy(col("id"))
-          .agg(count(lit(1)).as("n_shingles"),
-            count(col("__hit")).as("n_hit"))
-          .select(col("id").as("doc_id"), col("n_shingles"),
-            col("n_hit"),
-            round(col("n_hit").cast("double") / col("n_shingles"), 6)
-              .as("overlap"))
-          .write.mode("overwrite").parquet(s"$outDir/b$id")
-    }
-    val dirs = graft.sources.StoreIO.list(s, outDir).map(_.toString).sorted
-    s.read.parquet(dirs: _*).orderBy(col("doc_id"))
-  }
-
-  private def streamDecontaminateOracle: String =
-    s"""WITH d AS (SELECT doc_id, ${DedupQueries.normT} AS t FROM documents),
-       |toks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM d),
-       |sh AS (SELECT DISTINCT doc_id,
-       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-       |       FROM toks, unnest(generate_series(1, len(w) - 2)) AS u(i)
-       |       WHERE len(w) >= 3),
-       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
-       |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
-       |SELECT t.doc_id, COUNT(*) AS n_shingles,
-       |  COUNT(b.s) AS n_hit,
-       |  round(CAST(COUNT(b.s) AS DOUBLE) / COUNT(*), 6) AS overlap
-       |FROM train t LEFT JOIN bench b ON t.s = b.s
-       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
-
-  /** q103: BUCKET-PRUNED POINT LOOKUP on the persisted keyed store —
-   * the serving-path complement of the merge side's write pruning.
-   * q91's dedup-fingerprint ledger is built (two deterministic monoid
-   * merges), then "the ledger rows of THESE fingerprints" is served by
-   * [[graft.streaming.BucketedUpsert.State.lookupKeys]]: probe buckets
-   * are computed driver-side with the build path's own hash (Catalyst
-   * XxHash64 literal eval — bit-identical routing, no false negatives)
-   * and only those bucket files are read — O(state·k/n) instead of the
-   * O(state) a view().filter pays, which at 100 TB is a point read vs
-   * a table scan. Probes are acquired by doc id (bounded driver-side
-   * list, the q101 lookup-key shape); the oracle restates acquisition
-   * + lookup over the whole-corpus ledger. Actual bucket pruning is
-   * pinned in UpsertStreamSpec via lookupPaths. */
-  private def runStoreLookup(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val docs = graft.sources.Tables.load(ss, dir, "documents")
-      .select(
-        graft.functions.TextFunctions.fingerprint(col("text"))
-          .as("fingerprint"),
-        col("doc_id").as("keeper_id"), lit(1L).as("n_docs"))
-    val state = new graft.streaming.BucketedUpsert.State(ss,
-      keyCol = "fingerprint",
-      payloadCols = Seq("keeper_id", "n_docs"), nBuckets = 16,
-      combine = Some(df => df.groupBy(col("fingerprint"))
-        .agg(min(col("keeper_id")).as("keeper_id"),
-          sum(col("n_docs")).as("n_docs"))),
-      hashKey = true)
-    state.merge(docs.filter(col("keeper_id") % 2 === 0), 0L)
-    state.merge(docs.filter(col("keeper_id") % 2 === 1), 1L)
-    val probes = docs.filter(col("keeper_id").isin(3L, 111L, 222L))
-      .select(col("fingerprint")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    state.lookupKeys(s, probes).orderBy(col("fingerprint"))
-  }
-
-  private def storeLookupOracle: String =
-    s"""WITH f AS (SELECT md5(${DedupQueries.normT}) AS fingerprint,
-       |    min(doc_id) AS keeper_id,
-       |    CAST(COUNT(*) AS BIGINT) AS n_docs
-       |  FROM documents GROUP BY 1),
-       |p AS (SELECT md5(${DedupQueries.normT}) AS fp FROM documents
-       |  WHERE doc_id IN (3, 111, 222))
-       |SELECT fingerprint, keeper_id, n_docs FROM f
-       |WHERE fingerprint IN (SELECT fp FROM p)
-       |ORDER BY fingerprint""".stripMargin
-
+  /** Every driver-gated streaming query: this object's event-stream
+   * gates plus the persisted-store, expectations/repair, near-dup
+   * ledger, and curation families (split by family in round 14 with
+   * ZERO behavior change — same gate names, same plans). */
   val all: Seq[Q] = Seq(
     Q("q92_stream_hopping", runHopping, Some(hoppingOracle)),
     Q("q91_stream_dedup_store", runDedupStore, Some(dedupStoreOracle)),
@@ -2095,46 +643,6 @@ object StreamingQueries {
       Some(hourlyQuantilesOracle)),
     Q("q36_stream_sessions", runSessions, Some(sessionsOracle)),
     Q("q53_stream_static_join", runEnriched, Some(enrichedOracle)),
-    Q("q56_stream_upsert_view", runUpsert, Some(upsertOracle)),
-    Q("q93_upsert_targeted_delete", runUpsertDelete,
-      Some(upsertDeleteOracle)),
-    Q("q95_upsert_time_travel", runTimeTravel, Some(timeTravelOracle)),
-    Q("q96_upsert_vacuum", runUpsertVacuum, Some(upsertOracle)),
-    Q("q99_upsert_change_feed", runChangeFeed, Some(changeFeedOracle)),
-    Q("q100_upsert_schema_evolution", runSchemaEvolution,
-      Some(schemaEvolutionOracle)),
-    Q("q102_stream_expectations_gate", runStreamExpectations,
-      Some(streamExpectationsOracle)),
-    Q("q103_store_point_lookup", runStoreLookup,
-      Some(storeLookupOracle)),
-    Q("q107_quarantine_replay", runQuarantineReplay,
-      Some(upsertOracle)),
-    Q("q108_stream_neardup_pairs", runStreamNearDup,
-      Some(DedupQueries.simhash60PairsSql)),
-    Q("q109_quarantine_repair_replay", runRepairReplay,
-      Some(repairReplayOracle)),
-    Q("q110_stream_neardup_clusters", runStreamNearDupClusters,
-      Some(streamNearDupClustersOracle)),
-    Q("q111_neardup_forget_mine", runNearDupForget,
-      Some(nearDupForgetOracle)),
-    Q("q112_stream_minhash_lsh", runStreamMinHash,
-      Some(s"${DedupQueries.minhashPairsSql}\nORDER BY a, b")),
-    Q("q113_stream_embedding_neardup", runStreamEmbedding,
-      Some(streamEmbeddingOracle)),
-    Q("q114_stream_inloop_repair", runInloopRepair,
-      Some(repairReplayOracle)),
-    Q("q115_stream_curation", runStreamCuration,
-      Some(streamCurationOracle)),
-    Q("p05_curated_pack", runCuratedPack, Some(curatedPackOracle)),
-    Q("q116_cluster_asof", runClusterAsOf, Some(clusterAsOfOracle)),
-    Q("q117_stream_decontaminate", runStreamDecontaminate,
-      Some(streamDecontaminateOracle)),
-    Q("q118_curation_decon", runCurationDecon,
-      Some(curationDeconOracle)),
-    Q("q119_curation_asof", runCurationAsOf,
-      Some(curationAsOfOracle)),
-    Q("p03_reproducible_epoch", runReproducibleEpoch,
-      Some(reproducibleEpochOracle)),
     Q("q43_stream_dedup", runDedup, Some(dedupOracle)),
     Q("q38_stream_attribution", runAttribution, Some(attributionOracle)),
     Q("q67_stream_outer_attribution", runAttributionOuter,
@@ -2151,5 +659,7 @@ object StreamingQueries {
               |  sum_value
               |FROM agg, mx
               |WHERE epoch_ms(h) + 3600000 <= epoch_ms(m) - 3600000
-              |ORDER BY hour_epoch, event_type""".stripMargin)))
+              |ORDER BY hour_epoch, event_type""".stripMargin))) ++
+    StoreStreamQueries.all ++ ExpectationStreamQueries.all ++
+    LedgerStreamQueries.all ++ CurationStreamQueries.all
 }

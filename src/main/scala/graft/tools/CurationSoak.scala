@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /**
  * Volume soak for the q115 streamed-curation COMPOSITION
- * ([[graft.queries.StreamingQueries.curationCycle]]): quality gate →
+ * ([[graft.queries.CurationStreamQueries.curationCycle]]): quality gate →
  * near-dup ledger → incremental clustering → retro-correcting curated
  * store, driven batch-by-batch over a corpus large enough that any
  * O(state) leak in ANY stage shows up in the per-batch wall curve.
@@ -93,7 +93,7 @@ object CurationSoak {
         .localCheckpoint()
       val nq = qb.count()
       val t0 = System.nanoTime()
-      graft.queries.StreamingQueries.curationCycle(spark, near,
+      graft.queries.CurationStreamQueries.curationCycle(spark, near,
         clusters, curated, qb, k.toLong)
       val w = (System.nanoTime() - t0) / 1e9
       admitted += nq // every arrival is its group's smallest-yet id

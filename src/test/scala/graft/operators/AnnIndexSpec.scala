@@ -363,6 +363,57 @@ class AnnIndexSpec extends SparkSpec {
         "reunite each drifted neighborhood into one probed list")
   }
 
+  test("imbalance trigger: a balanced append reads ~1 and refit is a " +
+      "NO-OP; collapsed arrivals cross the threshold, fire, and serve " +
+      "== build-from-scratch on the drifted corpus") {
+    // negative control: the odd half is the same distribution the
+    // quantizer was fit on — the statistic must sit near 1 and the
+    // conditional refit must leave the layout untouched
+    val r0 = AnnIndex.build(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", 100, 16)
+    AnnIndex.maintain(spark, r0, emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding")
+    val im0 = AnnIndex.imbalance(spark, r0)
+    assert(im0 >= 1.0 && im0 < 2.0,
+      f"undrifted imbalance $im0%.3f outside the balanced regime")
+    val quantBefore = spark.read.parquet(s"$r0/centroids")
+      .orderBy("cid").collect().toSeq
+    assert(!AnnIndex.requantizeIfDrifted(spark, r0,
+      maxImbalance = 2.0, centroidStride = 50, maxCentroids = 32),
+      "undrifted corpus fired a refit")
+    assert(spark.read.parquet(s"$r0/centroids")
+        .orderBy("cid").collect().toSeq == quantBefore,
+      "a non-firing trigger mutated the quantizer")
+
+    // drift: every arrival rides the ones-direction the original
+    // quantizer never carved — the whole stream lands in one list
+    val embD = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val arrivals = embD.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x * lit(0.05) + lit(1.0)).as("embedding"))
+    val r1 = AnnIndex.build(embD.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", 100, 16)
+    AnnIndex.maintain(spark, r1, arrivals, "vec_id", "embedding")
+    val im1 = AnnIndex.imbalance(spark, r1)
+    assert(im1 > 2.0, f"collapsed arrivals read imbalance $im1%.3f")
+    assert(AnnIndex.requantizeIfDrifted(spark, r1,
+      maxImbalance = 2.0, centroidStride = 50, maxCentroids = 32),
+      "drifted corpus did not fire")
+    // the fired refit serves exactly what a from-scratch build on the
+    // drifted corpus serves (r1 stays live: build retires only roots
+    // two generations back)
+    val rRef = AnnIndex.build(
+      embD.filter(col("vec_id") % 2 === 0).unionByName(arrivals),
+      "vec_id", "embedding", 50, 32)
+    val want = AnnIndex.search(spark, rRef, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    val got = AnnIndex.search(spark, r1, queries, "vec_id",
+      "embedding", nProbe = 2, k = 5).collect().toSet
+    assert(got === want,
+      "drift-triggered refit differs from build-from-scratch")
+  }
+
   test("rebuild keeps the PREVIOUS generation alive, retires older ones") {
     val r1 = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)
     val r2 = AnnIndex.build(emb, "vec_id", "embedding", 50, 32)

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 
 import graft.SparkSpec
-import graft.streaming.{BucketedUpsert, ClusterLedger, NearDupLedger}
+import graft.streaming.{BucketedUpsert, ClusterLedger, EmbeddingLedger,
+  NearDupLedger}
 
 /** The q115 arrival-cycle contract: the curated store converges to
  * "cluster representatives + unpaired quality docs" with
@@ -36,14 +37,14 @@ class CurationCycleSpec extends SparkSpec {
       payloadCols = Seq("n_bpe", "quality"), nBuckets = 8)
 
     // batch 0: 10 (rep of its 1-doc cluster so far) and unpaired 30
-    StreamingQueries.curationCycle(spark, near, clusters, curated,
+    CurationStreamQueries.curationCycle(spark, near, clusters, curated,
       qb(10L -> 0L, 30L -> far), 0L)
     assert(curatedIds(curated) == Set(10L, 30L),
       "batch 0 should admit the provisional rep and the unpaired doc")
 
     // batch 1: 5 and 20 join the cluster — 5 becomes rep, 10 is
     // DEMOTED (deleted), 20 never admitted
-    StreamingQueries.curationCycle(spark, near, clusters, curated,
+    CurationStreamQueries.curationCycle(spark, near, clusters, curated,
       qb(5L -> 0L, 20L -> 0L), 1L)
     assert(curatedIds(curated) == Set(5L, 30L),
       s"retro-correction failed: ${curatedIds(curated)}")
@@ -51,7 +52,7 @@ class CurationCycleSpec extends SparkSpec {
     // foreachBatch replay of batch 1: the near fold is token-guarded,
     // the cluster delta is EMPTY, and admission via the committed
     // labels must still reject the non-representative 20
-    StreamingQueries.curationCycle(spark, near, clusters, curated,
+    CurationStreamQueries.curationCycle(spark, near, clusters, curated,
       qb(5L -> 0L, 20L -> 0L), 1L)
     assert(curatedIds(curated) == Set(5L, 30L),
       s"replayed batch mutated the curated store: ${curatedIds(curated)}")
@@ -65,7 +66,7 @@ class CurationCycleSpec extends SparkSpec {
     val clusters = new ClusterLedger(spark, nBuckets = 4)
     val curated = new BucketedUpsert.State(spark, keyCol = "id",
       payloadCols = Seq("n_bpe", "quality"), nBuckets = 8)
-    StreamingQueries.curationCycle(spark, near, clusters, curated,
+    CurationStreamQueries.curationCycle(spark, near, clusters, curated,
       qb(10L -> 0L, 12L -> 0L, 30L -> far), 0L)
     assert(curatedIds(curated) == Set(10L, 30L))
     // batch 1 starts: ONLY the near ledger's fold lands (observe
@@ -85,10 +86,54 @@ class CurationCycleSpec extends SparkSpec {
     // (lastOp), the MERGE-THEN-PROBE contract re-returns the identical
     // pairs against state that already includes the batch, the min
     // monoid folds them, and admission reads the committed labels
-    StreamingQueries.curationCycle(spark, near2, clusters2, curated2,
+    CurationStreamQueries.curationCycle(spark, near2, clusters2, curated2,
       qb(5L -> 0L, 20L -> 0L), 1L)
     assert(curatedIds(curated2) == Set(5L, 30L),
       s"mid-cycle crash recovery diverged: ${curatedIds(curated2)}")
+  }
+
+  test("the cycle is signature-agnostic: the EmbeddingLedger (q120's " +
+      "semantic intake) rides the same contract — retro-correction, " +
+      "mid-cycle crash recovery, and replay") {
+    // frozen 2-cell quantizer: cell 0 = e0, cell 1 = e1
+    val cent = Seq((0L, Array(1.0, 0.0, 0.0, 0.0), 1.0),
+      (1L, Array(0.0, 1.0, 0.0, 0.0), 1.0))
+    val vDup = Array(1.0, 0.0, 0.0, 0.0)  // the semantic-dup cluster
+    val vDup2 = Array(0.9, 0.1, 0.0, 0.0) // cos vs vDup ~0.994 >= 0.4
+    val vLone = Array(0.0, 1.0, 0.0, 0.0) // unpaired, other cell
+    def qbe(rows: (Long, Array[Double])*): DataFrame =
+      rows.toSeq.toDF("id", "sig")
+        .selectExpr("id", "sig", "id * 10 AS n_bpe", "0.9 AS quality")
+    val near = new EmbeddingLedger(spark, cent, nProbe = 1,
+      minCos = 0.4, nBuckets = 8)
+    val clusters = new ClusterLedger(spark, nBuckets = 4)
+    val curated = new BucketedUpsert.State(spark, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 8)
+    CurationStreamQueries.curationCycle(spark, near, clusters, curated,
+      qbe(10L -> vDup, 12L -> vDup, 30L -> vLone), 0L)
+    assert(curatedIds(curated) == Set(10L, 30L),
+      s"embedding batch 0 diverged: ${curatedIds(curated)}")
+    // mid-cycle crash: only the embedding ledger's fold lands, then
+    // the driver dies; everything recovers from the committed roots
+    near.observe(qbe(5L -> vDup2, 20L -> vDup)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("sig")), 1L)
+    val near2 = EmbeddingLedger.recover(spark, cent, nProbe = 1,
+      minCos = 0.4, nBuckets = 8, root = near.store.rootDir)
+    val clusters2 = ClusterLedger.recover(spark, nBuckets = 4,
+      root = clusters.store.rootDir)
+    val curated2 = BucketedUpsert.recover(spark, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 8,
+      stateRoot = curated.rootDir)
+    CurationStreamQueries.curationCycle(spark, near2, clusters2, curated2,
+      qbe(5L -> vDup2, 20L -> vDup), 1L)
+    assert(curatedIds(curated2) == Set(5L, 30L),
+      s"embedding mid-cycle crash recovery diverged: ${curatedIds(curated2)}")
+    // foreachBatch replay of the recovered batch: end-to-end no-op
+    CurationStreamQueries.curationCycle(spark, near2, clusters2, curated2,
+      qbe(5L -> vDup2, 20L -> vDup), 1L)
+    assert(curatedIds(curated2) == Set(5L, 30L),
+      s"embedding replay mutated the store: ${curatedIds(curated2)}")
   }
 
   test("kill + recover mid-stream: the whole composition (near ledger, " +
@@ -101,7 +146,7 @@ class CurationCycleSpec extends SparkSpec {
       payloadCols = Seq("n_bpe", "quality"), nBuckets = 8)
     // batch 0 carries a within-batch pair so every store commits
     // something to recover from (recovery needs >= 1 committed batch)
-    StreamingQueries.curationCycle(spark, near, clusters, curated,
+    CurationStreamQueries.curationCycle(spark, near, clusters, curated,
       qb(10L -> 0L, 12L -> 0L, 30L -> far), 0L)
     assert(curatedIds(curated) == Set(10L, 30L))
     // driver loss: only the three committed roots survive
@@ -112,7 +157,7 @@ class CurationCycleSpec extends SparkSpec {
     val curated2 = BucketedUpsert.recover(spark, keyCol = "id",
       payloadCols = Seq("n_bpe", "quality"), nBuckets = 8,
       stateRoot = curated.rootDir)
-    StreamingQueries.curationCycle(spark, near2, clusters2, curated2,
+    CurationStreamQueries.curationCycle(spark, near2, clusters2, curated2,
       qb(5L -> 0L, 20L -> 0L), 1L)
     assert(curatedIds(curated2) == Set(5L, 30L),
       s"recovered continuation diverged: ${curatedIds(curated2)}")
