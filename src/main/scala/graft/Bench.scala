@@ -103,7 +103,12 @@ object Bench {
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    val results = SparkEntry.registry.map { q =>
+    // dev-only subset filter (comma-separated names, mirrors Verify's);
+    // the driver leaves it unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.registry
+      .filter(q => only.forall(_.contains(q.name))).map { q =>
       // A rep in which the query THROWS is excluded from the median —
       // folding its (typically short) failure latency in would report a
       // misleadingly fast number for an intermittently-failing query. A

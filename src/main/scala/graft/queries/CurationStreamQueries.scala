@@ -44,9 +44,16 @@ object CurationStreamQueries {
   // paid once per JVM — and p05 packs the END STATE it leaves, so
   // both gates share one committed curated store, each independently
   // meaningful (q115 restates the corpus, p05 the packing over it).
+  // ONE streamed build serves four gates: q115/p05 read the final
+  // curated view, q119 time-travels to the batch-2 boundary, q121
+  // audits admission against ALL the boundary versions — so the store
+  // retains history and the build captures each micro-batch's boundary
+  // version as it commits. (curated root, cluster-ledger root,
+  // per-batch boundary versions.)
   private val curationCache =
-    scala.collection.mutable.Map.empty[String, String]
-  private def curationArtifacts(ss: SparkSession, dir: String): String =
+    scala.collection.mutable.Map.empty[String, (String, String, Vector[Long])]
+  private def curationArtifacts(ss: SparkSession,
+      dir: String): (String, String, Vector[Long]) =
     curationCache.synchronized {
       curationCache.getOrElseUpdate(dir,
         graft.SetupTimer.time("curation_store") {
@@ -57,8 +64,8 @@ object CurationStreamQueries {
   /** ONE staged projection — normalize/tokenize once, derive the
    * signature and every quality signal from the shared arrays (the
    * scan-stage shape; at real scale this is the crawl's map pass).
-   * Shared by the q115/p05 cached streamed build and q119's
-   * deterministic-batch as-of build. */
+   * Feeds the shared streamed build behind q115/p05/q119/q121 and the
+   * q121 audit's quality column. */
   private def curationStaged(ss: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextFunctions => TF}
     graft.sources.Tables.load(ss, dir, "documents")
@@ -76,27 +83,33 @@ object CurationStreamQueries {
           TF.punctRatioFromNorm(col("__t"))).as("quality"))
   }
 
-  private def buildCuration(ss: SparkSession, dir: String): String = {
+  private def buildCuration(ss: SparkSession,
+      dir: String): (String, String, Vector[Long]) = {
     val staged = curationStaged(ss, dir)
     val near = new graft.streaming.NearDupLedger(ss, bits = 60,
       maxHamming = 3, nBuckets = 16)
     val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
     val curated = new graft.streaming.BucketedUpsert.State(ss,
       keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
-      nBuckets = 16)
+      nBuckets = 16, retainHistory = true)
+    // end-of-batch boundary version per micro-batch (the LAST commit
+    // ≤ that batch — a batch that commits nothing repeats the prior
+    // boundary, which reads as "no batch-b doc admitted": exact)
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
     streamSliced(ss, staged, "id", "curation") { (b, id) =>
       curationCycle(ss, near, clusters, curated,
         b.filter(col("quality") >= 0.6).localCheckpoint(), id,
         ccWidth = Some("1"))
+      bounds += curated.history().lastOption.getOrElse(-1L)
     }
-    curated.rootDir
+    (curated.rootDir, clusters.store.rootDir, bounds.toVector)
   }
 
   private def curatedState(ss: SparkSession,
       dir: String): graft.streaming.BucketedUpsert.State =
     graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
       payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
-      stateRoot = curationArtifacts(ss, dir))
+      stateRoot = curationArtifacts(ss, dir)._1, retainHistory = true)
 
   /** q118: the FULL INTAKE — q115's curation loop with q117's
    * benchmark-decontamination screen composed INTO the arrival cycle:
@@ -117,10 +130,6 @@ object CurationStreamQueries {
   // re-serve the committed artifact
   private val deconCache =
     scala.collection.mutable.Map.empty[String, String]
-  // (curated root, cluster-ledger root, per-batch boundary versions):
-  // q119 serves the batch-2 boundary; q121 audits all four
-  private val asofCache =
-    scala.collection.mutable.Map.empty[String, (String, String, Vector[Long])]
 
   private def deconArtifacts(ss: SparkSession, dir: String): String =
     deconCache.synchronized {
@@ -348,57 +357,27 @@ object CurationStreamQueries {
    * as the curation pipeline had it when batch 2 committed", the
    * which-corpus-trained-this-checkpoint audit composed from the
    * operators this engine already gates (q115's cycle + q95's
-   * retained-version readAsOf). Batches are explicit and
-   * deterministic (the q116 idiom — a file stream's batch order is
-   * engine-controlled, and THIS gate's subject is a specific arrival
-   * point): four direct curationCycle calls over pmod-4 slices, the
-   * curated store retaining history; `readAsOf` at the version batch
-   * 2's cycle left live serves the corpus mid-maintenance — including
-   * representatives that LATER batches demote, which is exactly why
-   * the restatement is the from-scratch curation over slices ≤ 2, NOT
-   * the final corpus restricted to early arrivals. The cycle's
-   * invariant (kept = min-id reps ∪ unpaired, over arrived quality
-   * docs) holds after EVERY batch — CurationCycleSpec/CurationSoak
-   * pin it — so the oracle is exact. */
-  private def curationAsofArtifacts(ss: SparkSession,
-      dir: String): (String, String, Vector[Long]) =
-    asofCache.synchronized {
-      asofCache.getOrElseUpdate(dir,
-        graft.SetupTimer.time("curation_asof_store") {
-          buildCurationAsOf(ss, dir)
-        })
-    }
-
+   * retained-version readAsOf). The store is q115's own streamed
+   * build (ONE setup serves q115/p05/q119/q121): streamSliced's
+   * micro-batches arrive in pmod-4 slice order — the arrival rule
+   * every cached streamed ingest already relies on — and the build
+   * captures each batch's boundary version as it commits. `readAsOf`
+   * at the version batch 2's cycle left live serves the corpus
+   * mid-maintenance — including representatives that LATER batches
+   * demote, which is exactly why the restatement is the from-scratch
+   * curation over slices ≤ 2, NOT the final corpus restricted to
+   * early arrivals. The cycle's invariant (kept = min-id reps ∪
+   * unpaired, over arrived quality docs) holds after EVERY batch —
+   * CurationCycleSpec/CurationSoak pin it — so the oracle is exact. */
   private def runCurationAsOf(s: SparkSession, dir: String): DataFrame = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val (root, _, bounds) = curationAsofArtifacts(ss, dir)
+    val (root, _, bounds) = curationArtifacts(ss, dir)
+    require(bounds(2) >= 0, "q119: nothing committed by batch 2")
     graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
         payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
         stateRoot = root, retainHistory = true)
       .readAsOf(s, bounds(2)).orderBy(col("id"))
-  }
-
-  private def buildCurationAsOf(ss: SparkSession,
-      dir: String): (String, String, Vector[Long]) = {
-    val staged = curationStaged(ss, dir).localCheckpoint()
-    val near = new graft.streaming.NearDupLedger(ss, bits = 60,
-      maxHamming = 3, nBuckets = 16)
-    val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
-    val curated = new graft.streaming.BucketedUpsert.State(ss,
-      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
-      nBuckets = 16, retainHistory = true)
-    val bounds = (0 until 4).map { k =>
-      curationCycle(ss, near, clusters, curated,
-        staged.filter(pmod(col("id"), lit(4)) === k)
-          .filter(col("quality") >= 0.6).localCheckpoint(),
-        k.toLong, ccWidth = None)
-      // the end-of-batch-k boundary version (q119 time-travels to
-      // batch 2's; q121 audits admission against all four)
-      curated.history().lastOption.getOrElse(-1L)
-    }.toVector
-    require(bounds(2) >= 0, "q119: nothing committed by batch 2")
-    (curated.rootDir, clusters.store.rootDir, bounds)
   }
 
   private def curationAsOfOracle: String =
@@ -436,24 +415,42 @@ object CurationStreamQueries {
       dir: String): DataFrame = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val (root, clRoot, bounds) = curationAsofArtifacts(ss, dir)
-    require(bounds.forall(_ >= 0L),
-      s"q121: a batch committed nothing — boundaries $bounds")
+    val (root, clRoot, bounds) = curationArtifacts(ss, dir)
     val store = graft.streaming.BucketedUpsert.recover(ss,
       keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
       nBuckets = 16, stateRoot = root, retainHistory = true)
-    // admitted-at-arrival: the doc's id is in the curated snapshot at
-    // ITS OWN batch's boundary version (4 pruned snapshot reads, each
-    // filtered to that batch's pmod slice)
-    val admitted = (0 until 4).map { b =>
-        store.readAsOf(s, bounds(b)).select(col("id"))
-          .filter(pmod(col("id"), lit(4)) === b)
-      }.reduce(_ unionByName _).withColumn("__adm", lit(1))
-    val kept = store.view(s).select(col("id"), lit(1).as("__kept"))
     val labels = graft.streaming.ClusterLedger.recover(ss,
       nBuckets = 4, root = clRoot).store.view(s)
       .select(col("id"), col("cluster"))
-    curationStaged(s, dir).select(col("id"), col("quality"))
+    provenanceStatuses(s, store, bounds, labels,
+      curationStaged(s, dir).select(col("id"), col("quality")),
+      id => pmod(id, lit(4)))
+  }
+
+  /** The q121 disposition computation, shared with CurationCycleSpec's
+   * hand-corpus pin: every staged doc joined against the committed
+   * artifacts — the final curated view (`kept_*`), its per-arrival-
+   * batch boundary snapshots (`demoted` = admitted at the doc's own
+   * arrival boundary but gone from the final view), and the cluster
+   * ledger's final labeling. `batchOf` maps a doc id to its arrival
+   * batch index (the gate's pmod-4 slicing; the spec's hand mapping).
+   * Pure metadata-scale joins — nothing recomputes the curation. */
+  private[queries] def provenanceStatuses(reader: SparkSession,
+      store: graft.streaming.BucketedUpsert.State, bounds: Seq[Long],
+      labels: DataFrame, staged: DataFrame,
+      batchOf: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column): DataFrame = {
+    require(bounds.nonEmpty && bounds.forall(_ >= 0L),
+      s"provenance: a batch committed nothing — boundaries $bounds")
+    // admitted-at-arrival: the doc's id is in the curated snapshot at
+    // ITS OWN batch's boundary version (one pruned snapshot read per
+    // batch, each filtered to that batch's slice)
+    val admitted = bounds.indices.map { b =>
+        store.readAsOf(reader, bounds(b)).select(col("id"))
+          .filter(batchOf(col("id")) === b)
+      }.reduce(_ unionByName _).withColumn("__adm", lit(1))
+    val kept = store.view(reader).select(col("id"), lit(1).as("__kept"))
+    staged.select(col("id"), col("quality"))
       .join(labels, Seq("id"), "left_outer")
       .join(kept, Seq("id"), "left_outer")
       .join(admitted, Seq("id"), "left_outer")
@@ -759,10 +756,10 @@ object CurationStreamQueries {
       setup = Some((ss, dir) => { deconArtifacts(ss, dir); () })),
     Q("q119_curation_asof", runCurationAsOf,
       Some(curationAsOfOracle),
-      setup = Some((ss, dir) => { curationAsofArtifacts(ss, dir); () })),
+      setup = Some((ss, dir) => { curationArtifacts(ss, dir); () })),
     Q("q121_curation_provenance", runCurationProvenance,
       Some(curationProvenanceOracle),
-      setup = Some((ss, dir) => { curationAsofArtifacts(ss, dir); () })),
+      setup = Some((ss, dir) => { curationArtifacts(ss, dir); () })),
     Q("q120_semantic_curation", runSemCuration,
       Some(semCurationOracle),
       setup = Some((ss, dir) => { semArtifacts(ss, dir); () })))

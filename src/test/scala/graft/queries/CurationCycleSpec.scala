@@ -162,4 +162,52 @@ class CurationCycleSpec extends SparkSpec {
     assert(curatedIds(curated2) == Set(5L, 30L),
       s"recovered continuation diverged: ${curatedIds(curated2)}")
   }
+
+  test("provenance (q121): the committed artifacts answer WHY per " +
+      "doc — and demoted-vs-suppressed is an arrival-order fact the " +
+      "boundary snapshots alone can recover") {
+    import org.apache.spark.sql.functions.{lit, when}
+    val near = new NearDupLedger(spark, bits = 60, maxHamming = 3,
+      nBuckets = 8)
+    val clusters = new ClusterLedger(spark, nBuckets = 4)
+    val curated = new BucketedUpsert.State(spark, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 8,
+      retainHistory = true)
+    // batch 0: near-dups {10, 12} (10 admitted as provisional rep,
+    // 12 suppressed at arrival) + unpaired 30
+    CurationStreamQueries.curationCycle(spark, near, clusters, curated,
+      qb(10L -> 0L, 12L -> 0L, 30L -> far), 0L)
+    val b0 = curated.history().last
+    // batch 1: 5 takes over the cluster (10 DEMOTED), 20 suppressed
+    CurationStreamQueries.curationCycle(spark, near, clusters, curated,
+      qb(5L -> 0L, 20L -> 0L), 1L)
+    val b1 = curated.history().last
+    // the staged corpus the intake saw, plus a low-quality doc (99)
+    // the gate screened out before any ledger observed it
+    val staged = Seq((5L, 0.9), (10L, 0.9), (12L, 0.9), (20L, 0.9),
+      (30L, 0.9), (99L, 0.1)).toDF("id", "quality")
+    val got = CurationStreamQueries.provenanceStatuses(spark, curated,
+      Seq(b0, b1), clusters.store.view(spark).select("id", "cluster"),
+      staged, id => when(id.isin(5L, 20L), lit(1)).otherwise(lit(0)))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got === Map(
+      5L -> (("kept_rep", Some(5L))),
+      10L -> (("demoted", Some(5L))),
+      12L -> (("suppressed", Some(5L))),
+      20L -> (("suppressed", Some(5L))),
+      30L -> (("kept_unpaired", None)),
+      99L -> (("low_quality", None))))
+    // 10's demotion evidence and 12's suppression differ ONLY through
+    // the batch-0 boundary snapshot: collapse both batches to one
+    // boundary (treat everything as batch-1 arrivals against the
+    // FINAL snapshot) and the distinction must vanish
+    val flat = CurationStreamQueries.provenanceStatuses(spark, curated,
+      Seq(b1), clusters.store.view(spark).select("id", "cluster"),
+      staged, _ => lit(0))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(flat(10L) == "suppressed" && flat(12L) == "suppressed",
+      "without the arrival boundary, demoted is indistinguishable " +
+        "from suppressed — the history snapshots carry the audit")
+  }
 }
