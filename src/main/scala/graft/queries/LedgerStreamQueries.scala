@@ -389,7 +389,8 @@ object LedgerStreamQueries {
     Q("q108_stream_neardup_pairs", runStreamNearDup,
       Some(DedupQueries.simhash60PairsSql), setup = neardupSetup),
     Q("q110_stream_neardup_clusters", runStreamNearDupClusters,
-      Some(streamNearDupClustersOracle), setup = neardupSetup),
+      Some(streamNearDupClustersOracle),
+      setup = Some((ss, dir) => { clusterLedgerArtifacts(ss, dir); () })),
     Q("q111_neardup_forget_mine", runNearDupForget,
       Some(nearDupForgetOracle), setup = neardupSetup),
     Q("q112_stream_minhash_lsh", runStreamMinHash,
