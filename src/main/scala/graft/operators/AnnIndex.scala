@@ -491,11 +491,20 @@ object AnnIndex {
    * when [[imbalance]] crosses `maxImbalance` — the maintenance policy
    * a scheduled index-hygiene job runs, so a stable corpus never pays
    * the full reassign rewrite and a drifted one is refit before recall
-   * decays further. Undrifted corpora sit near 1 (measured 1.05–1.3×
-   * uniform across the gate SFs); a corpus whose arrivals collapsed
-   * into one hot list reads ≥ nLists/2 — `maxImbalance = 2.0` cleanly
-   * separates the regimes at any list count. Returns whether the refit
-   * ran; crash safety is [[requantize]]'s staged two-phase swap.
+   * decays further.
+   *
+   * `maxImbalance` is CALIBRATED TO THE FIT-TIME BASELINE, not
+   * universal: read [[imbalance]] right after [[build]] and set the
+   * threshold as a multiple of it. A distribution's natural occupancy
+   * skew under nearest-centroid assignment varies widely — the
+   * zero-centered gate embeddings sit at 1.05–1.3× uniform (so the
+   * gate's 2.0 separates regimes), while AnnSoak's positive-orthant
+   * uniform corpus sits at ~6× on 256 lists (every vector leans
+   * toward the mean direction) and the soak therefore triggers at
+   * 3× ITS OWN baseline. What drift changes is the statistic
+   * RELATIVE to fit time; an absolute bar chosen without a baseline
+   * read would misfire either way. Returns whether the refit ran;
+   * crash safety is [[requantize]]'s staged two-phase swap.
    */
   def requantizeIfDrifted(spark: SparkSession, root: String,
       maxImbalance: Double, centroidStride: Int,

@@ -94,6 +94,58 @@ object AnnSoak {
         root, vecs(spark.range(n, n + n / 100).toDF()), "vec_id", "embedding")
     }
     println(s"== post-maintain rows: ${serve("serve after maintain")}")
+
+    // DRIFT LIFECYCLE at volume (s24/s25): the undrifted index must
+    // NOT fire; a 10% arrival wave concentrated on the ones-direction
+    // (a region the original quantizer never carved) must collapse
+    // into one hot list, cross the imbalance threshold, trigger the
+    // refit, and come back to the fit-time regime — serve intact.
+    //
+    // The threshold is calibrated to THIS corpus's fit-time baseline
+    // (requantizeIfDrifted's contract): positive-orthant uniform
+    // vectors all lean toward the mean direction, so their natural
+    // occupancy skew under nearest-centroid assignment is ~6× uniform
+    // on 256 lists — an absolute bar tuned on the zero-centered gate
+    // embeddings (baseline ~1.2) would misfire here. This soak run is
+    // what surfaced that the statistic is only meaningful RELATIVE to
+    // its fit-time read.
+    val im0 = graft.operators.AnnIndex.imbalance(spark, root)
+    val bar = im0 * 3
+    require(!graft.operators.AnnIndex.requantizeIfDrifted(spark, root,
+        maxImbalance = bar, centroidStride = stride,
+        maxCentroids = 256),
+      f"undrifted index (imbalance $im0%.2f) fired a refit")
+    println(f"== undrifted imbalance: $im0%.2f, bar ${bar}%.2f " +
+      "(no refit — correct)")
+    val driftBase = n + n / 100
+    def driftVecs(ids: org.apache.spark.sql.DataFrame) = ids.select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(1, 64), i ->
+              |  float(0.05 * (pmod(xxhash64(id, i), 1000L) / 1000.0)
+              |        + 1.0))""".stripMargin).as("embedding"))
+    timed("maintain +10% DRIFTED wave") {
+      graft.operators.AnnIndex.maintain(spark, root,
+        driftVecs(spark.range(driftBase, driftBase + n / 10).toDF()),
+        "vec_id", "embedding")
+    }
+    val im1 = graft.operators.AnnIndex.imbalance(spark, root)
+    require(im1 > bar,
+      f"drifted wave read imbalance $im1%.2f <= bar $bar%.2f — " +
+        "construction broke")
+    val total = driftBase + n / 10
+    val stride2 = (total / 256).toInt
+    val fired = timed(f"requantize (triggered at imbalance $im1%.2f)") {
+      graft.operators.AnnIndex.requantizeIfDrifted(spark, root,
+        maxImbalance = bar, centroidStride = stride2,
+        maxCentroids = 256)
+    }
+    require(fired, "drifted index did not fire")
+    val im2 = graft.operators.AnnIndex.imbalance(spark, root)
+    require(im2 < im1 / 2 && im2 < bar,
+      f"refit left imbalance $im2%.2f (was $im1%.2f, bar $bar%.2f) — " +
+        "quantizer did not re-cover the drifted region")
+    println(f"== refit imbalance: $im1%.2f -> $im2%.2f")
+    println(s"== post-requantize rows: ${serve("serve after requantize")}")
     spark.stop()
   }
 }
