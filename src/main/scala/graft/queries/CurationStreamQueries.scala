@@ -196,11 +196,18 @@ object CurationStreamQueries {
     curated.rootDir
   }
 
-  private def curationDeconOracle: String = {
+  private def curationDeconOracle: String =
+    s"""WITH RECURSIVE $curationDeconCtes
+       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
+
+  /** The q118 end-state CTE chain through `kept` (intake screened
+   * against the suite-1 benchmark) — shared by q118's restatement and
+   * q122's retro-screened form. Prefix with WITH RECURSIVE. */
+  private def curationDeconCtes: String = {
     val enList =
       s"[${graft.functions.TextFunctions.stopwords("en")
         .map(w => s"'$w'").mkString(", ")}]"
-    s"""WITH RECURSIVE qbase AS (
+    s"""qbase AS (
        |  SELECT doc_id, ${DedupQueries.normT} AS t FROM documents
        |  WHERE doc_id % 50 <> 0),
        |ttoks AS (SELECT doc_id, string_split_regex(t, ' ') AS w FROM qbase),
@@ -247,9 +254,92 @@ object CurationStreamQueries {
        |lab AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
        |kept AS (SELECT q.doc_id AS id, q.n_bpe, q.quality
        |  FROM q LEFT JOIN lab ON lab.id = q.doc_id
-       |  WHERE lab.id IS NULL OR lab.cluster = q.doc_id)
-       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
+       |  WHERE lab.id IS NULL OR lab.cluster = q.doc_id)""".stripMargin
   }
+
+  /** q122: RETRO-DECONTAMINATION — the lifecycle hole q117/q118 leave
+   * open: those screen at INTAKE against the benchmark suites known at
+   * the time, but eval suites keep shipping, and when a new one lands
+   * the ALREADY-CURATED corpus must be rescreened — without recurating
+   * anything. The new suite's frozen shingle set is built once and
+   * broadcast (q117's economics); victims are the suite's own member
+   * docs (they are eval data now, not training data) plus any intake
+   * doc sharing one of its 3-grams; the store's targeted-delete path
+   * (q93's machinery) tombstones exactly those keys — cost bounded by
+   * the hit set, touched buckets only, evidence written aside first.
+   * Deletion is a TOMBSTONE, not a recuration: a demoted cluster
+   * representative's runner-up is NOT promoted (a pipeline that wants
+   * re-promotion re-runs the cycle; the oracle restates exactly the
+   * tombstone semantics — q118's kept set minus the suite-2 hits).
+   * Run against a CLONE of the shared q118 store (the q107/q111
+   * idiom) so the mutation can't leak into q118 whatever the order. */
+  private val retroCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def retroArtifacts(ss: SparkSession, dir: String): String =
+    retroCache.synchronized {
+      retroCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("retro_decon_store") {
+          buildRetroDecon(ss, dir)
+        })
+    }
+
+  private def buildRetroDecon(ss: SparkSession, dir: String): String = {
+    import graft.functions.{TextFunctions => TF}
+    val cloned = graft.streaming.BucketedUpsert.recover(ss,
+        keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
+        nBuckets = 16, stateRoot = deconArtifacts(ss, dir))
+      .cloneTo(graft.sources.Scratch.dir("retro_decon_clone"))
+    val docs = graft.sources.Tables.load(ss, dir, "documents")
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("id"),
+        TF.normalizeText(col("text")).as("__t"))
+      .select(col("id"), TF.tokensFromNorm(col("__t")).as("__tok"))
+      .select(col("id"), explode_outer(
+        TF.wordShinglesFromTokens(col("__tok"), 3)).as("s"))
+      .filter(col("s").isNotNull).distinct()
+    // suite 2: a NEW (small) benchmark carved out of what was
+    // training data — %200 so the strict any-shared-3-gram screen
+    // leaves a non-degenerate corpus at every gate SF
+    val bench2 = shingles(docs.filter(col("doc_id") % 200 === 25))
+      .select(col("s")).distinct().localCheckpoint()
+    val hits = shingles(docs.filter(col("doc_id") % 50 =!= 0))
+      .join(broadcast(bench2), Seq("s"), "left_semi")
+      .select(col("id")).distinct()
+    val members = docs.filter(col("doc_id") % 200 === 25)
+      .select(col("doc_id").as("id"))
+    // deleting an id the intake never admitted is a natural no-op, so
+    // the victim set needs no membership bookkeeping
+    val victims = hits.unionByName(members).distinct().localCheckpoint()
+    // evidence first — the audit trail of WHAT the new suite removed
+    victims.write.mode("overwrite")
+      .parquet(graft.sources.Scratch.dir("retro_decon_evidence"))
+    cloned.delete(victims, 1L)
+    cloned.rootDir
+  }
+
+  private def runRetroDecon(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
+      stateRoot = retroArtifacts(ss, dir)).view(s).orderBy(col("id"))
+  }
+
+  private def retroDeconOracle: String =
+    s"""WITH RECURSIVE $curationDeconCtes,
+       |b2base AS (SELECT doc_id, ${DedupQueries.normT} AS t
+       |  FROM documents WHERE doc_id % 200 = 25),
+       |b2toks AS (SELECT doc_id, string_split_regex(t, ' ') AS w
+       |  FROM b2base),
+       |b2sh AS (SELECT DISTINCT
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |       FROM b2toks, unnest(generate_series(1, len(w) - 2)) AS u(i)
+       |       WHERE len(w) >= 3),
+       |dirty2 AS (SELECT DISTINCT t2.doc_id FROM tsh t2
+       |           JOIN b2sh b2 ON t2.s = b2.s)
+       |SELECT id, n_bpe, quality FROM kept
+       |WHERE id % 200 <> 25 AND id NOT IN (SELECT doc_id FROM dirty2)
+       |ORDER BY id""".stripMargin
 
   private def runStreamCuration(s: SparkSession, dir: String): DataFrame = {
     val ss = s.newSession()
@@ -778,6 +868,9 @@ object CurationStreamQueries {
     Q("q119_curation_asof", runCurationAsOf,
       Some(curationAsOfOracle),
       setup = Some((ss, dir) => { curationArtifacts(ss, dir); () })),
+    Q("q122_retro_decontaminate", runRetroDecon,
+      Some(retroDeconOracle),
+      setup = Some((ss, dir) => { retroArtifacts(ss, dir); () })),
     Q("q121_curation_provenance", runCurationProvenance,
       Some(curationProvenanceOracle),
       setup = Some((ss, dir) => { curationArtifacts(ss, dir); () })),
