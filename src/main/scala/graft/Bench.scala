@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 object Bench {
 
   /** One query's bench evidence: median, failed-rep count, every
-   * successful rep's wall, and the 1-min loadavg when its reps began. */
+   * successful rep's wall, the 1-min loadavg when its reps began, and
+   * whether its cached-artifact setup thunk failed. */
   private final case class BenchRow(name: String, med: Double,
-      failedReps: Int, times: Seq[Double], load: Double)
+      failedReps: Int, times: Seq[Double], load: Double,
+      setupFailed: Boolean = false)
 
   /** Execute df end-to-end with all output columns materialized.
    * The row hashes combine via bit_xor, NOT sum: under ANSI mode the
@@ -121,18 +123,25 @@ object Bench {
       // whichever gate got there first) and reported in the explicit
       // setup metric — so reps measure the SERVE path only, nothing is
       // dropped by the median, and nothing is paid per-rep. A setup
-      // failure is the gate's failure: let the reps report it.
-      q.setup.foreach { f =>
+      // FAILURE marks the gate failed and SKIPS its reps (ADVICE r14):
+      // letting rep 1 retrigger the build via getOrElseUpdate would put
+      // the (retried) build cost back inside the rep — the exact
+      // accounting hole this split exists to close — while SetupTimer
+      // still recorded the failed attempt, double-counting it.
+      val setupFailed = q.setup.exists { f =>
         try {
           val ss = spark.newSession()
           ss.conf.set("spark.sql.shuffle.partitions", "8")
           f(ss, sfDir)
+          false
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} setup failed: ${e.getMessage}")
+          true
         }
       }
       val load = loadavg()
-      val times = (1 to reps).flatMap { _ =>
+      val times = if (setupFailed) Seq.empty[Double]
+      else (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { force(q.run(spark, sfDir)); true } catch {
           case e: Throwable =>
@@ -142,11 +151,17 @@ object Bench {
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       BenchRow(q.name, if (times.nonEmpty) median(times) else -1.0,
-        reps - times.size, times, load)
+        reps - times.size, times, load, setupFailed)
     }
     val failed = results.filter(_.failedReps > 0)
     if (failed.nonEmpty) System.err.println(
       s"[bench] reps failed: ${failed.map(r => s"${r.name}×${r.failedReps}").mkString(", ")}")
+    // gates whose cached-artifact build threw: their reps were skipped
+    // (med -1.0 → counted in `failed`), and this list attributes the
+    // failure to the SETUP phase so a build-vs-serve skew is readable
+    // from the artifact alone
+    val setupFailedJson = results.filter(_.setupFailed)
+      .map("\"" + _.name + "\"").mkString("[", ",", "]")
     def f3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map(r => s"\"" + r.name + "\":" + f3(r.med))
@@ -187,7 +202,8 @@ object Bench {
           s""""setup_builds":${SetupTimer.json},"n":${results.size},""" +
           s""""canary":{"ref":${f3(CanaryRef)},"run":${f3(canary)},""" +
           s""""total_normalized":${f3((total + SetupTimer.total) * CanaryRef / canary)}},""" +
-          s""""failed":$failedJson,"stages":${StageTimer.json},""" +
+          s""""failed":$failedJson,"setup_failed":$setupFailedJson,""" +
+          s""""stages":${StageTimer.json},""" +
           s""""reps_detail":$repsDetail,"load":$loads,""" +
           s""""queries":$qs}""" + "\n")
     }
@@ -203,7 +219,7 @@ object Bench {
       println(s"""{"metric":"outliers","queries":$outliersJson}""")
     // one-time cached-artifact builds, attributed per cache — `value` in
     // the total line below is serve + this, so the headline drops nothing
-    println(s"""{"metric":"setup","total":${f3(SetupTimer.total)},"builds":${SetupTimer.json}}""")
+    println(s"""{"metric":"setup","total":${f3(SetupTimer.total)},"builds":${SetupTimer.json},"setup_failed":$setupFailedJson}""")
     println(s"""{"metric":"canary","ref":${f3(CanaryRef)},"run":${f3(canary)},"total_normalized":${f3((total + SetupTimer.total) * CanaryRef / canary)}}""")
     println(s"""{"metric":"total","value":${f3(total + SetupTimer.total)},"serve":${f3(total)},"setup":${f3(SetupTimer.total)},"unit":"sec","n":${results.size},"failed":$nFailed,"reps":$reps,"sf":"$sfName"}""")
   }

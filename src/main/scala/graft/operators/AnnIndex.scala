@@ -37,6 +37,25 @@ object AnnIndex {
    * building concurrently, remains out of contract. */
   private val deadRoots = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** Per-JVM VERIFIED-LAYOUT cache (ADVICE r14): [[recoverLayout]] +
+   * [[hasPostings]] walk the artifact's FS metadata — an exists probe
+   * plus per-list listStatus — at the head of EVERY operation,
+   * including every search() and imbalance(); negligible on local FS,
+   * a per-query metadata storm on object-store roots. A root verified
+   * once stays verified (key present; value caches the hasPostings
+   * answer once a read path computed it) until a MUTATING op
+   * invalidates it — at entry, so a crash mid-mutation leaves the root
+   * unverified and the next operation re-walks. */
+  private val verifiedLayouts =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Boolean]]()
+
+  /** Also the specs' "JVM died here" hook: a real crash clears this
+   * per-JVM map with the process, so a test that simulates the crash
+   * by mutating the layout out-of-band must clear the marker too. */
+  private[operators] def invalidateLayout(root: String): Unit = {
+    verifiedLayouts.remove(root); ()
+  }
+
   /**
    * Build the index artifact under a fresh scratch root: `centroids`
    * (cid, cv, cn) and `postings` (vid, vv, vn) partitioned by cid.
@@ -44,8 +63,11 @@ object AnnIndex {
    */
   def build(vectors: DataFrame, idCol: String, vecCol: String,
       centroidStride: Int, maxCentroids: Int): String = {
-    while (deadRoots.size() > 1)
-      graft.sources.Scratch.deleteNow(deadRoots.poll())
+    while (deadRoots.size() > 1) {
+      val dead = deadRoots.poll()
+      invalidateLayout(dead)
+      graft.sources.Scratch.deleteNow(dead)
+    }
     val root = graft.sources.Scratch.dir("ann_index")
     deadRoots.add(root)
     val cent = Similarity.strideCentroids(vectors, idCol, vecCol,
@@ -89,6 +111,7 @@ object AnnIndex {
   private[operators] def recoverLayout(spark: SparkSession,
       root: String): Unit = {
     import org.apache.hadoop.fs.Path
+    if (verifiedLayouts.containsKey(root)) return
     val fs = hfs(spark, root)
     if (graft.sources.StoreIO.exists(spark, s"$root/_requant.intent"))
       applyRequant(spark, root)
@@ -106,6 +129,7 @@ object AnnIndex {
               s"recovery: cannot restore $lv from ${st.getPath}")
           else fs.delete(st.getPath, true)
         }
+    verifiedLayouts.put(root, None); ()
   }
 
   /** Does the live postings layout hold any data file? An index whose
@@ -115,13 +139,20 @@ object AnnIndex {
    * schema'. */
   private def hasPostings(spark: SparkSession, root: String): Boolean = {
     import org.apache.hadoop.fs.Path
+    val cached = verifiedLayouts.get(root)
+    if (cached != null && cached.isDefined) return cached.get
     val fs = hfs(spark, root)
     val live = new Path(s"$root/postings")
-    fs.exists(live) && fs.listStatus(live).exists { d =>
+    val has = fs.exists(live) && fs.listStatus(live).exists { d =>
       d.isDirectory && d.getPath.getName.startsWith("cid=") &&
         fs.listStatus(d.getPath).exists(f => f.isFile &&
           f.getPath.getName.endsWith(".parquet"))
     }
+    // cache only under a verified (recovered) layout — the map key is
+    // the verification marker, so a root no read path recovered yet
+    // must not get one as a side effect
+    if (cached != null) verifiedLayouts.put(root, Some(has))
+    has
   }
 
   /** The posting scan with the partition column read at the probe
@@ -152,6 +183,7 @@ object AnnIndex {
   def maintain(spark: SparkSession, root: String, newVectors: DataFrame,
       idCol: String, vecCol: String): Unit = {
     recoverLayout(spark, root)
+    invalidateLayout(root)
     val cent = spark.read.parquet(s"$root/centroids")
     Similarity.assignToCentroids(newVectors, idCol, vecCol, cent)
       .repartition(col("cid"))
@@ -179,6 +211,7 @@ object AnnIndex {
     recoverLayout(spark, root)
     val applied = s"$root/_ingest_$batchId.applied"
     if (StoreIO.exists(spark, applied)) return
+    invalidateLayout(root)
     val intent = s"$root/_ingest_$batchId.intent"
     val stage: String =
       if (StoreIO.exists(spark, intent))
@@ -240,6 +273,7 @@ object AnnIndex {
     import org.apache.hadoop.fs.Path
     recoverLayout(spark, root)
     if (!hasPostings(spark, root)) return // nothing to compact
+    invalidateLayout(root)
     val fs = new Path(root).getFileSystem(
       spark.sessionState.newHadoopConf())
     val live = new Path(s"$root/postings")
@@ -293,6 +327,7 @@ object AnnIndex {
     // a layout already emptied (every list forgotten) has nothing to
     // forget — and no data file to infer a schema from
     if (!hasPostings(spark, root)) return
+    invalidateLayout(root)
     val cent = spark.read.parquet(s"$root/centroids")
     val assigned = Similarity.assignToCentroids(victims, idCol, vecCol,
       cent).select(col("vid"), col("cid")).localCheckpoint()
@@ -400,6 +435,7 @@ object AnnIndex {
   def requantize(spark: SparkSession, root: String, centroidStride: Int,
       maxCentroids: Int): Unit = {
     recoverLayout(spark, root)
+    invalidateLayout(root)
     stageRequant(spark, root, centroidStride, maxCentroids)
     applyRequant(spark, root)
   }
@@ -503,14 +539,20 @@ object AnnIndex {
    * toward the mean direction) and the soak therefore triggers at
    * 3× ITS OWN baseline. What drift changes is the statistic
    * RELATIVE to fit time; an absolute bar chosen without a baseline
-   * read would misfire either way. Returns whether the refit ran;
-   * crash safety is [[requantize]]'s staged two-phase swap.
+   * read would misfire either way. Returns the measured statistic
+   * ALONGSIDE whether the refit ran (ADVICE r14: callers were reading
+   * [[imbalance]] immediately before calling this, paying the
+   * posting-metadata scan 2-3× per decision); crash safety is
+   * [[requantize]]'s staged two-phase swap.
    */
+  final case class DriftDecision(imbalance: Double, fired: Boolean)
+
   def requantizeIfDrifted(spark: SparkSession, root: String,
       maxImbalance: Double, centroidStride: Int,
-      maxCentroids: Int): Boolean = {
-    val drifted = imbalance(spark, root) > maxImbalance
+      maxCentroids: Int): DriftDecision = {
+    val im = imbalance(spark, root)
+    val drifted = im > maxImbalance
     if (drifted) requantize(spark, root, centroidStride, maxCentroids)
-    drifted
+    DriftDecision(im, drifted)
   }
 }

@@ -958,17 +958,18 @@ object SimilarityQueries {
             x => x * lit(0.05) + lit(1.0)).as("embedding"))
         graft.operators.AnnIndex.maintain(s, root, arrivals,
           "vec_id", "embedding")
-        val im = graft.operators.AnnIndex.imbalance(s, root)
-        val fired = graft.operators.AnnIndex.requantizeIfDrifted(s,
+        // one posting-metadata scan per decision: the trigger returns
+        // the statistic it measured (ADVICE r14)
+        val d = graft.operators.AnnIndex.requantizeIfDrifted(s,
           root, maxImbalance = 2.0, centroidStride = 50,
           maxCentroids = 32)
-        require(fired, f"s25: imbalance $im%.4f did not cross 2.0 — " +
-          "the drift construction stopped drifting")
+        require(d.fired, f"s25: imbalance ${d.imbalance}%.4f did not " +
+          "cross 2.0 — the drift construction stopped drifting")
         graft.operators.AnnIndex.search(s, root,
             e.filter(col("vec_id") % 50 === 0),
             "vec_id", "embedding", nProbe = 2, k = 5)
-          .withColumn("imbalance", round(lit(im), 4))
-          .withColumn("refit", lit(fired))
+          .withColumn("imbalance", round(lit(d.imbalance), 4))
+          .withColumn("refit", lit(d.fired))
           .orderBy(col("qid"), col("rank"))
       },
       Some(s25Oracle)),

@@ -109,13 +109,16 @@ object AnnSoak {
     // embeddings (baseline ~1.2) would misfire here. This soak run is
     // what surfaced that the statistic is only meaningful RELATIVE to
     // its fit-time read.
+    // one imbalance read per decision: requantizeIfDrifted returns
+    // the statistic it measured (ADVICE r14 — the separate pre-read
+    // paid the posting-metadata scan twice)
     val im0 = graft.operators.AnnIndex.imbalance(spark, root)
     val bar = im0 * 3
-    require(!graft.operators.AnnIndex.requantizeIfDrifted(spark, root,
-        maxImbalance = bar, centroidStride = stride,
-        maxCentroids = 256),
-      f"undrifted index (imbalance $im0%.2f) fired a refit")
-    println(f"== undrifted imbalance: $im0%.2f, bar ${bar}%.2f " +
+    val d0 = graft.operators.AnnIndex.requantizeIfDrifted(spark, root,
+      maxImbalance = bar, centroidStride = stride, maxCentroids = 256)
+    require(!d0.fired,
+      f"undrifted index (imbalance ${d0.imbalance}%.2f) fired a refit")
+    println(f"== undrifted imbalance: ${d0.imbalance}%.2f, bar $bar%.2f " +
       "(no refit — correct)")
     val driftBase = n + n / 100
     def driftVecs(ids: org.apache.spark.sql.DataFrame) = ids.select(
@@ -128,18 +131,18 @@ object AnnSoak {
         driftVecs(spark.range(driftBase, driftBase + n / 10).toDF()),
         "vec_id", "embedding")
     }
-    val im1 = graft.operators.AnnIndex.imbalance(spark, root)
-    require(im1 > bar,
-      f"drifted wave read imbalance $im1%.2f <= bar $bar%.2f — " +
-        "construction broke")
     val total = driftBase + n / 10
     val stride2 = (total / 256).toInt
-    val fired = timed(f"requantize (triggered at imbalance $im1%.2f)") {
+    val d1 = timed("requantize (drift-triggered)") {
       graft.operators.AnnIndex.requantizeIfDrifted(spark, root,
         maxImbalance = bar, centroidStride = stride2,
         maxCentroids = 256)
     }
-    require(fired, "drifted index did not fire")
+    val im1 = d1.imbalance
+    require(im1 > bar,
+      f"drifted wave read imbalance $im1%.2f <= bar $bar%.2f — " +
+        "construction broke")
+    require(d1.fired, "drifted index did not fire")
     val im2 = graft.operators.AnnIndex.imbalance(spark, root)
     require(im2 < im1 / 2 && im2 < bar,
       f"refit left imbalance $im2%.2f (was $im1%.2f, bar $bar%.2f) — " +

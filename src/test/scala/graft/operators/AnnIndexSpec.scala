@@ -168,6 +168,10 @@ class AnnIndexSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("cid=")).head
     val bak = new java.io.File(postings, s".${someList.getName}.bak")
     assert(someList.renameTo(bak), "test setup: rename failed")
+    // the simulated crash killed the JVM: the per-JVM verified-layout
+    // marker died with it (the rename above is out-of-band mutation no
+    // live process would see)
+    AnnIndex.invalidateLayout(root)
     // re-invoking the same forget must restore the list, then rewrite
     AnnIndex.forget(spark, root, victims, "vec_id", "embedding")
     val got = AnnIndex.search(spark, root, queries, "vec_id",
@@ -231,6 +235,8 @@ class AnnIndexSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("cid=")).head
     val bak = new java.io.File(postings, s".${someList.getName}.bak")
     assert(someList.renameTo(bak), "test setup: rename failed")
+    // the crash killed the JVM: clear the per-JVM verified marker
+    AnnIndex.invalidateLayout(root)
     // the NEXT operation is a maintain (parquet append would recreate
     // the live list dir) — its preamble must restore the .bak FIRST
     AnnIndex.maintain(spark, root, odds, "vec_id", "embedding")
@@ -280,6 +286,7 @@ class AnnIndexSpec extends SparkSpec {
     val root2 = AnnIndex.build(evens, "vec_id", "embedding", 100, 16)
     AnnIndex.maintain(spark, root2, odds, "vec_id", "embedding")
     AnnIndex.stageRequant(spark, root2, 50, 32)
+    AnnIndex.invalidateLayout(root2) // the crash killed the JVM
     val got2 = AnnIndex.search(spark, root2, queries, "vec_id",
       "embedding", nProbe = 2, k = 5).collect().toSet
     assert(got2 === want, "intent-committed requantize did not resume")
@@ -373,14 +380,13 @@ class AnnIndexSpec extends SparkSpec {
       "vec_id", "embedding", 100, 16)
     AnnIndex.maintain(spark, r0, emb.filter(col("vec_id") % 2 === 1),
       "vec_id", "embedding")
-    val im0 = AnnIndex.imbalance(spark, r0)
-    assert(im0 >= 1.0 && im0 < 2.0,
-      f"undrifted imbalance $im0%.3f outside the balanced regime")
     val quantBefore = spark.read.parquet(s"$r0/centroids")
       .orderBy("cid").collect().toSeq
-    assert(!AnnIndex.requantizeIfDrifted(spark, r0,
-      maxImbalance = 2.0, centroidStride = 50, maxCentroids = 32),
-      "undrifted corpus fired a refit")
+    val d0 = AnnIndex.requantizeIfDrifted(spark, r0,
+      maxImbalance = 2.0, centroidStride = 50, maxCentroids = 32)
+    assert(d0.imbalance >= 1.0 && d0.imbalance < 2.0,
+      f"undrifted imbalance ${d0.imbalance}%.3f outside the balanced regime")
+    assert(!d0.fired, "undrifted corpus fired a refit")
     assert(spark.read.parquet(s"$r0/centroids")
         .orderBy("cid").collect().toSeq == quantBefore,
       "a non-firing trigger mutated the quantizer")
@@ -395,11 +401,11 @@ class AnnIndexSpec extends SparkSpec {
     val r1 = AnnIndex.build(embD.filter(col("vec_id") % 2 === 0),
       "vec_id", "embedding", 100, 16)
     AnnIndex.maintain(spark, r1, arrivals, "vec_id", "embedding")
-    val im1 = AnnIndex.imbalance(spark, r1)
-    assert(im1 > 2.0, f"collapsed arrivals read imbalance $im1%.3f")
-    assert(AnnIndex.requantizeIfDrifted(spark, r1,
-      maxImbalance = 2.0, centroidStride = 50, maxCentroids = 32),
-      "drifted corpus did not fire")
+    val d1 = AnnIndex.requantizeIfDrifted(spark, r1,
+      maxImbalance = 2.0, centroidStride = 50, maxCentroids = 32)
+    assert(d1.imbalance > 2.0,
+      f"collapsed arrivals read imbalance ${d1.imbalance}%.3f")
+    assert(d1.fired, "drifted corpus did not fire")
     // the fired refit serves exactly what a from-scratch build on the
     // drifted corpus serves (r1 stays live: build retires only roots
     // two generations back)
