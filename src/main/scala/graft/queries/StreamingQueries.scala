@@ -674,5 +674,6 @@ object StreamingQueries {
               |WHERE epoch_ms(h) + 3600000 <= epoch_ms(m) - 3600000
               |ORDER BY hour_epoch, event_type""".stripMargin))) ++
     StoreStreamQueries.all ++ ExpectationStreamQueries.all ++
-    LedgerStreamQueries.all ++ CurationStreamQueries.all
+    LedgerStreamQueries.all ++ CurationStreamQueries.all ++
+    CurationAuditQueries.all
 }

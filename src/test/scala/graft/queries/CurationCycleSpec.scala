@@ -186,7 +186,7 @@ class CurationCycleSpec extends SparkSpec {
     // the gate screened out before any ledger observed it
     val staged = Seq((5L, 0.9), (10L, 0.9), (12L, 0.9), (20L, 0.9),
       (30L, 0.9), (99L, 0.1)).toDF("id", "quality")
-    val got = CurationStreamQueries.provenanceStatuses(spark, curated,
+    val got = CurationAuditQueries.provenanceStatuses(spark, curated,
       Seq(b0, b1), clusters.store.view(spark).select("id", "cluster"),
       staged, id => when(id.isin(5L, 20L), lit(1)).otherwise(lit(0)))
       .collect().map(r => r.getLong(0) -> ((r.getString(1),
@@ -202,7 +202,7 @@ class CurationCycleSpec extends SparkSpec {
     // the batch-0 boundary snapshot: collapse both batches to one
     // boundary (treat everything as batch-1 arrivals against the
     // FINAL snapshot) and the distinction must vanish
-    val flat = CurationStreamQueries.provenanceStatuses(spark, curated,
+    val flat = CurationAuditQueries.provenanceStatuses(spark, curated,
       Seq(b1), clusters.store.view(spark).select("id", "cluster"),
       staged, _ => lit(0))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
