@@ -214,6 +214,154 @@ object LedgerStreamQueries {
     readPairDirs(s, embArtifacts(ss, dir))
   }
 
+  /** q123: EMBEDDING-LEDGER DRIFT LIFECYCLE — the s24/s25 pattern on
+   * the STREAMED semantic-dedup store, closing the round-14 verdict's
+   * top hole: the q113/q120 ledgers froze their quantizer forever and
+   * could not see centroid drift (band keys concentrate, probe cost
+   * grows with the hot band, capped stores silently lose pairs). One
+   * gate proves the whole policy on a genuinely drifted intake:
+   *
+   *   1. MEASURE — [[graft.streaming.EmbeddingLedger.imbalance]] read
+   *      off the band postings alone, at fit time (the calibration
+   *      baseline) and after a drifted arrival wave (every drifted
+   *      vector rides the ones-direction the fit-time quantizer never
+   *      carved — s25's construction — so the wave collapses into the
+   *      bands nearest 1⃗);
+   *   2. TRIGGER — the bar is 2× the fit-time baseline (the
+   *      calibrated-RELATIVE policy the statistic's contract demands;
+   *      an absolute bar tuned on one corpus misfires on another —
+   *      the AnnSoak lesson);
+   *   3. REFIT + REBAND — the quantizer retrains on the corpus the
+   *      ledger itself accumulated (deterministic stride seeding) and
+   *      every band key rewrites under it in ONE replaceKeys commit,
+   *      the refit quantizer riding the same commit as a durable
+   *      token;
+   *   4. SERVE — offline mining over the rebanded store.
+   *
+   * The oracle restates all four from scratch: both occupancy censuses
+   * (fit-time and drifted — each an exploded top-nProbe assignment
+   * count), the fire comparison, and the pair scan under the REFIT
+   * quantizer over the accumulated corpus — so one hash proves the
+   * rebanded ledger is indistinguishable from one built from scratch
+   * on the refit quantizer (measure + trigger + post-refit mining
+   * together). Store-level equivalence, the no-fire negative control,
+   * crash/replay, and stale-quantizer recovery are pinned in
+   * EmbeddingLedgerSpec. */
+  // per-JVM build cache (the minhashCache pattern): the ingest + refit
+  // lifecycle runs once (priced in the setup metric); reps serve
+  // mining over the committed rebanded store — recovered through
+  // recoverPersisted, i.e. the refit quantizer comes from the store's
+  // own committed token, which is the recovery path the reband exists
+  // to make possible. (root, fit-time baseline, drifted statistic.)
+  private val embDriftCache =
+    scala.collection.mutable.Map.empty[String, (String, Double, Double)]
+  private def embDriftArtifacts(ss: SparkSession,
+      dir: String): (String, Double, Double) =
+    embDriftCache.synchronized {
+      embDriftCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("embdrift_reband") {
+          buildEmbLedgerDrift(ss, dir)
+        })
+    }
+
+  private def buildEmbLedgerDrift(ss: SparkSession,
+      dir: String): (String, Double, Double) = {
+    val embD = graft.sources.Tables.load(ss, dir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val evens = embD.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("sig"))
+    val drifted = embD.filter(col("vec_id") % 4 === 1)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x * lit(0.05) + lit(1.0))
+          .as("sig"))
+    // fit-time quantizer: stride-20 seeding over the evens — the
+    // distribution the stream was born on
+    val quantA = graft.operators.Similarity.strideCentroids(evens,
+        "id", "sig", centroidStride = 20, maxCentroids = 32)
+      .select(col("cid"), col("cv"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2)))
+      .toSeq
+    val led = new graft.streaming.EmbeddingLedger(ss, quantA,
+      nProbe = 2, minCos = 0.4, nBuckets = 16)
+    led.observe(evens, 0L)
+    val im0 = led.imbalance // the calibration baseline (fit time)
+    led.observe(drifted, 1L)
+    val d = led.rebandIfDrifted(maxImbalance = 2.0 * im0,
+      centroidStride = 50, maxCentroids = 32, opId = 100L)
+    require(d.fired, f"q123: drifted imbalance ${d.imbalance}%.4f did " +
+      f"not cross 2x baseline ${im0}%.4f — the drift construction " +
+      "stopped drifting")
+    (d.ledger.store.rootDir, im0, d.imbalance)
+  }
+
+  private def runEmbLedgerDrift(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val (root, im0, im1) = embDriftArtifacts(ss, dir)
+    graft.streaming.EmbeddingLedger
+      .recoverPersisted(s, minCos = 0.4, nBuckets = 16, root = root)
+      .minePairs()
+      .withColumn("imbalance0", round(lit(im0), 4))
+      .withColumn("imbalance", round(lit(im1), 4))
+      .withColumn("refit", lit(true))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private def embLedgerDriftOracle: String = {
+    // exact top-2 multi-probe assignment of X against centroid set C
+    // (the q113 pattern: 6dp cosine desc, ties to lower cid)
+    def assign(x: String, c: String) =
+      s"""SELECT vid, cid FROM (
+         |  SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS r
+         |  FROM (SELECT vid, cid,
+         |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS ccos
+         |    FROM (SELECT vid, cid,
+         |      list_sum(list_transform(generate_series(1, len(vv)), i -> vv[i] * cv[i])) AS dot,
+         |      sqrt(list_sum(list_transform(generate_series(1, len(vv)), i -> vv[i] * vv[i]))) AS na,
+         |      sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))) AS nb
+         |      FROM $x CROSS JOIN $c))) WHERE r <= 2""".stripMargin
+    // occupancy census of an assignment against a centroid set:
+    // max(per-cid count) / total * nLists, the Scala op order —
+    // UNROUNDED (the fire comparison uses the raw statistic exactly
+    // as the Scala trigger does; output columns round at the end)
+    def census(a: String, c: String) =
+      s"""CAST((SELECT max(n) FROM (SELECT count(*) AS n FROM $a GROUP BY cid)) AS DOUBLE)
+         |  / CAST((SELECT count(*) FROM $a) AS DOUBLE)
+         |  * CAST((SELECT count(*) FROM $c) AS DOUBLE)""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS vid,
+       |    list_transform(embedding, x -> x::DOUBLE) AS vv
+       |  FROM embeddings WHERE vec_id % 2 = 0),
+       |d AS (SELECT vec_id AS vid,
+       |    list_transform(embedding, x -> x::DOUBLE * 0.05 + 1.0) AS vv
+       |  FROM embeddings WHERE vec_id % 4 = 1),
+       |v AS (SELECT * FROM e UNION ALL SELECT * FROM d),
+       |centA AS (SELECT vid AS cid, vv AS cv FROM e
+       |          WHERE vid % 20 = 0 AND vid < 640),
+       |centB AS (SELECT vid AS cid, vv AS cv FROM v
+       |          WHERE vid % 50 = 0 AND vid < 1600),
+       |assignA0 AS (${assign("e", "centA")}),
+       |assignA1 AS (${assign("v", "centA")}),
+       |im AS (SELECT ${census("assignA0", "centA")} AS im0,
+       |              ${census("assignA1", "centA")} AS im1),
+       |assignB AS (${assign("v", "centB")}),
+       |cand AS (SELECT DISTINCT x.vid AS a, y.vid AS b
+       |  FROM assignB x JOIN assignB y ON x.cid = y.cid AND x.vid < y.vid),
+       |p AS (SELECT a, b,
+       |    round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END, 6) AS cos
+       |  FROM (SELECT c.a, c.b,
+       |      list_sum(list_transform(generate_series(1, len(x.vv)), i -> x.vv[i] * y.vv[i])) AS dot,
+       |      sqrt(list_sum(list_transform(generate_series(1, len(x.vv)), i -> x.vv[i] * x.vv[i]))) AS na,
+       |      sqrt(list_sum(list_transform(generate_series(1, len(y.vv)), i -> y.vv[i] * y.vv[i]))) AS nb
+       |    FROM cand c JOIN v x ON x.vid = c.a
+       |    JOIN v y ON y.vid = c.b))
+       |SELECT a, b, cos, round(im0, 4) AS imbalance0,
+       |  round(im1, 4) AS imbalance, im1 > 2.0 * im0 AS refit
+       |FROM p, im WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
+  }
+
   private def streamEmbeddingOracle: String =
     """WITH v AS (SELECT vec_id AS vid, embedding AS vv FROM embeddings),
       |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
@@ -399,6 +547,9 @@ object LedgerStreamQueries {
     Q("q113_stream_embedding_neardup", runStreamEmbedding,
       Some(streamEmbeddingOracle),
       setup = Some((ss, dir) => { embArtifacts(ss, dir); () })),
+    Q("q123_embledger_drift_reband", runEmbLedgerDrift,
+      Some(embLedgerDriftOracle),
+      setup = Some((ss, dir) => { embDriftArtifacts(ss, dir); () })),
     Q("q116_cluster_asof", runClusterAsOf, Some(clusterAsOfOracle),
       setup = Some((ss, dir) => { clusterLedgerArtifacts(ss, dir); () })))
 }

@@ -135,7 +135,88 @@ object EmbSoak {
     assert(after == want,
       s"post-forget mining found $after pairs, expect $want")
     println(s"== post-forget minePairs: $after pairs (exact)")
-    println(s"== emb soak OK: n=$n batches=$nBatches")
+
+    // DRIFT STAGE (round 15 — the AnnSoak drift stage on the streamed
+    // store): the undrifted ledger must NOT fire at 3× its own
+    // baseline (the calibrated-relative rule — this corpus's perfect
+    // cell balance reads ~1.0, unlike the gate embeddings' 1.05-1.3 or
+    // AnnSoak's positive-orthant ~6); a 10% arrival wave riding ONE
+    // fixed direction (e_0 + e_1 — a region the basis quantizer gives
+    // exactly two bands, so every wave member probes the SAME two
+    // bands; the ones-vector trick AnnSoak uses is a no-op against a
+    // one-hot basis, where 1⃗ is equidistant from every centroid)
+    // collapses into those bands, crosses the bar, fires the refit,
+    // and the REBANDED store must be indistinguishable from one built
+    // from scratch on the refit quantizer — postings and mined pairs
+    // both.
+    val im0d = led.imbalance
+    val bar = im0d * 3
+    val dNeg = led.rebandIfDrifted(bar, centroidStride = 64,
+      maxCentroids = nCells, opId = 2000L)
+    require(!dNeg.fired,
+      f"undrifted ledger (imbalance ${dNeg.imbalance}%.2f) fired")
+    println(f"== undrifted imbalance ${dNeg.imbalance}%.2f, bar $bar%.2f " +
+      "(no refit — correct)")
+    // contiguous ids right after the cells, so the refit's stride
+    // seeding (corpus ids % stride == 0) lands ~waveN/stride seeds
+    // INSIDE the drifted region — the refit can only carve what the
+    // deterministic seeding reaches
+    val waveN = n / 10
+    val wave = spark.range(n, n + waveN).select(
+      col("id"),
+      // jitter scale ±0.05, ZERO-CENTERED: big enough that
+      // wave-vs-wave-seed cosines differ within the 6dp rounding the
+      // band ranking uses (at 0.001 they all tie and the refit cannot
+      // split the wave), small enough that every wave member's top-2
+      // against the BASIS quantizer stays exactly {e_0, e_1} — and
+      // centered, because positive-biased jitter makes the seed with
+      // the largest jitter mass every member's best correlate (one
+      // band swallows the wave again, measured: refit only reached
+      // 2.8 from 3.83)
+      expr(s"""transform(sequence(0, ${dim - 1}), i ->
+              |  double(CASE WHEN i < 2 THEN 1.0D
+              |    ELSE 0.1D * (pmod(xxhash64(id, i), 1000L) / 1000.0D
+              |                 - 0.5D)
+              |  END))""".stripMargin).as("sig"))
+      .localCheckpoint()
+    var t1 = System.nanoTime()
+    led.observe(wave, 3000L)
+    println(f"== drift wave ($waveN vectors) observed in " +
+      f"${(System.nanoTime() - t1) / 1e9}%.2fs")
+    val stride2 = ((n + waveN) / nCells).toInt
+    t1 = System.nanoTime()
+    val d = led.rebandIfDrifted(bar, centroidStride = stride2,
+      maxCentroids = nCells, opId = 3001L)
+    require(d.fired, f"drifted ledger read ${d.imbalance}%.2f <= $bar%.2f")
+    val im2 = d.ledger.imbalance
+    println(f"== reband fired at ${d.imbalance}%.2f in " +
+      f"${(System.nanoTime() - t1) / 1e9}%.2fs; post-refit " +
+      f"imbalance $im2%.2f")
+    // the policy's success criterion: the statistic returns BELOW the
+    // trigger bar (the next scheduled check must not re-fire on an
+    // already-refit store). It does NOT return to the 1.0 fit-time
+    // floor here: stride seeding picks ~59 of 64 cells, and members
+    // of seedless cells re-route by their shared RESIDUE component —
+    // a structural skew of THIS synthetic corpus under member-seeded
+    // centroids (measured 2.79), not a drift leftover.
+    require(im2 < bar && im2 < d.imbalance,
+      f"refit left imbalance $im2%.2f (was ${d.imbalance}%.2f, " +
+        f"bar $bar%.2f) — the refit did not re-cover the wave")
+    // rebanded == from-scratch on the refit quantizer, at volume
+    val quantB = d.ledger.refitQuantizer(stride2, nCells)
+    val scratch = new graft.streaming.EmbeddingLedger(spark, quantB,
+      nProbe = 2, minCos = 0.9, nBuckets = 64)
+    scratch.observe(d.ledger.corpus, 0L)
+    val mined = d.ledger.minePairs().localCheckpoint()
+    val wantM = scratch.minePairs().localCheckpoint()
+    val miss = wantM.except(mined).count()
+    val extra = mined.except(wantM).count()
+    assert(miss == 0 && extra == 0,
+      s"rebanded mining differs from from-scratch: $miss missing, " +
+        s"$extra extra")
+    println(s"== post-reband minePairs ${mined.count()} pairs == " +
+      "from-scratch ledger (exact)")
+    println(s"== emb soak OK: n=$n batches=$nBatches wave=$waveN")
     spark.stop()
   }
 }
