@@ -534,4 +534,89 @@ object Dedup {
           col("x.nrm"), col("y.nrm")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
+
+  // ------------------------------------------------------------------
+  // Exact-substring dedup (ExactSubstr)
+
+  /**
+   * EXACT-SUBSTRING dedup at ARBITRARY token offsets — the operator
+   * fixed-grid passage dedup (t15's 50-token chunks) provably cannot
+   * express: a span copied between documents at an offset not aligned
+   * to the chunk grid never produces an identical chunk, so chunk
+   * hashing misses it entirely (ExactSubstrSpec pins the miss). This
+   * is the ExactSubstr step of RefinedWeb-class pipelines — "remove
+   * any duplicated token span of at least `minLen` tokens, wherever it
+   * starts" — whose reference implementations build a corpus-wide
+   * suffix array. A suffix array cannot shard (its construction is a
+   * global sort coupling every document), so the Spark-native form
+   * trades it for OVERLAPPING window fingerprints at stride 1:
+   *
+   *   1. every `minLen`-token window of every document (stride 1 —
+   *      O(tokens) windows total, computed in the scan stage);
+   *   2. one shuffle on the window fingerprint; within each
+   *      fingerprint group the FIRST occurrence (by (doc, pos) — the
+   *      canonical order t15 also uses) survives, every later
+   *      occurrence marks its window DUPLICATED — a single
+   *      row_number window, never a pair join (a span duplicated a
+   *      million times costs one group, not 10¹² pairs);
+   *   3. per document, the duplicated windows' covered token
+   *      intervals merge into MAXIMAL spans (gaps-and-islands over a
+   *      running max-end — two windows merge when their coverage is
+   *      contiguous), which is exactly the "duplicated region" a
+   *      pipeline cuts out.
+   *
+   * Any duplicated span of length ≥ minLen contains a duplicated
+   * window at EVERY offset inside it, so the merged spans reproduce
+   * the maximal duplicated regions exactly — no recall heuristic.
+   * Fingerprints are two independently-seeded 64-bit hashes of the
+   * window text (grouping on the 128-bit pair, not the strings: at
+   * 100 TB the shuffle carries 16 bytes + coordinates per window
+   * instead of the window text; collision odds ~n²/2¹²⁹ are the same
+   * trade the suffix-array pipelines' hashed variants make). Returns
+   * one row per maximal duplicated span: (idCol, span_start,
+   * span_end, span_tokens), token positions 1-based inclusive.
+   */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"exactSubstrSpans: minLen $minLen too small")
+    val wins = docs
+      .select(col(idCol).as("doc"), TF.tokens(col(textCol)).as("__tok"))
+      .select(col("doc"), posexplode(
+        TF.wordShinglesPositional(col("__tok"), minLen)))
+      // posexplode is 0-based; +1 = the window's 1-based token offset
+      .select(col("doc"), (col("pos") + 1).as("pos"),
+        // two INDEPENDENT fingerprints: the salt goes FIRST —
+        // xxhash64(g, salt) would fold the salt into g's hash (h2
+        // a function of h1, no independence); xxhash64(salt, g)
+        // re-hashes g under a different running seed
+        xxhash64(col("col")).as("h1"),
+        xxhash64(lit("xs2"), col("col")).as("h2"))
+    val first = Window.partitionBy(col("h1"), col("h2"))
+      .orderBy(col("doc"), col("pos"))
+    val victims = wins
+      .withColumn("rn", row_number().over(first))
+      .filter(col("rn") > 1)
+      .select(col("doc"), col("pos"),
+        (col("pos") + lit(minLen - 1)).as("end"))
+    // gaps-and-islands: a window starts a NEW span iff its coverage
+    // does not touch the running max end of earlier windows
+    val prev = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    victims
+      .withColumn("__pe", max(col("end")).over(prev))
+      .withColumn("__ns",
+        when(col("__pe").isNull || col("pos") > col("__pe") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__span", sum(col("__ns")).over(run))
+      .groupBy(col("doc"), col("__span"))
+      .agg(min(col("pos")).as("span_start"),
+        max(col("end")).as("span_end"))
+      .select(col("doc").as(idCol),
+        col("span_start").cast(LongType).as("span_start"),
+        col("span_end").cast(LongType).as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast(LongType)
+          .as("span_tokens"))
+  }
 }

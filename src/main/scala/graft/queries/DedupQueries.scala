@@ -491,6 +491,80 @@ object DedupQueries {
               |  FROM inter JOIN sizes sa ON sa.doc_id = a
               |  JOIN sizes sb ON sb.doc_id = b)
               |WHERE containment >= 0.9
-              |ORDER BY contained_id, container_id""".stripMargin))
+              |ORDER BY contained_id, container_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // d12 — EXACT-SUBSTRING dedup at ARBITRARY token offsets (the
+    // ExactSubstr step of RefinedWeb-class pipelines — r14 verdict
+    // Next #2): t15's fixed 50-token chunk grid provably misses a span
+    // copied at an offset that is not chunk-aligned in both documents
+    // (no identical chunk ever forms — ExactSubstrSpec pins the miss
+    // on exactly this corpus); Dedup.exactSubstrSpans finds it with
+    // stride-1 window fingerprints + first-occurrence-wins + interval
+    // merge, one shuffle on the 128-bit fingerprint, never a suffix
+    // array in driver memory. The gate corpus PLANTS the unaligned
+    // case deterministically: for every source doc S (doc_id % 5 = 2,
+    // ≥ 24 tokens) whose successor N has ≥ 7 tokens, a derived doc
+    // carries N's tokens 1-7 followed by S's tokens 5-24 — the copied
+    // 20-token span starts at offset 5 in S and offset 8 in the
+    // derived doc, aligned to neither grid. The oracle restates the
+    // corpus derivation AND the full window/first-occurrence/island
+    // semantics from scratch; natural duplicated spans inside the base
+    // corpus surface identically on both sides.
+    Q("d12_exactsubstr_spans",
+      (s, dir) => {
+        import graft.functions.{TextFunctions => TF}
+        val docs = Tables.load(s, dir, "documents")
+        // derive from the NORMALIZED token stream so the planted text
+        // round-trips the operator's own tokenizer exactly
+        val toks = docs.select(col("doc_id"),
+          TF.tokens(col("text")).as("w"))
+        val nxt = toks.select((col("doc_id") - 1).as("doc_id"),
+          col("w").as("nw"))
+        val planted = toks.join(nxt, Seq("doc_id"))
+          .filter(col("doc_id") % 5 === 2 &&
+            size(col("w")) >= 24 && size(col("nw")) >= 7)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            array_join(concat(slice(col("nw"), 1, 7),
+              slice(col("w"), 5, 20)), " ").as("text"))
+        val corpus = docs.select(col("doc_id"), col("text"))
+          .unionByName(planted)
+        graft.operators.Dedup.exactSubstrSpans(corpus, "doc_id", "text",
+            minLen = 12)
+          .orderBy(col("doc_id"), col("span_start"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
+              |tk AS (SELECT doc_id, string_split_regex(t, ' ') AS w
+              |  FROM base),
+              |planted AS (SELECT s.doc_id + 1000000 AS doc_id,
+              |    array_to_string(list_concat(n.w[1:7], s.w[5:24]), ' ') AS t
+              |  FROM tk s JOIN tk n ON n.doc_id = s.doc_id + 1
+              |  WHERE s.doc_id % 5 = 2 AND len(s.w) >= 24
+              |    AND len(n.w) >= 7),
+              |corpus AS (SELECT doc_id, t FROM base
+              |  UNION ALL SELECT doc_id, t FROM planted),
+              |toks AS (SELECT doc_id, string_split_regex(t, ' ') AS w
+              |  FROM corpus WHERE t <> ''),
+              |wins AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+              |    array_to_string(w[i : i + 11], ' ') AS g
+              |  FROM toks, unnest(generate_series(1, len(w) - 11)) AS u(i)
+              |  WHERE len(w) >= 12),
+              |r AS (SELECT doc_id, pos, row_number()
+              |    OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+              |  FROM wins),
+              |v AS (SELECT doc_id, pos, pos + 11 AS e FROM r WHERE rn > 1),
+              |m AS (SELECT doc_id, pos, e,
+              |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+              |  FROM v),
+              |sp AS (SELECT doc_id, pos, e,
+              |    SUM(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY doc_id ORDER BY pos) AS span
+              |  FROM m)
+              |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+              |  CAST(MAX(e) AS BIGINT) AS span_end,
+              |  CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS span_tokens
+              |FROM sp GROUP BY doc_id, span
+              |ORDER BY doc_id, span_start""".stripMargin))
   )
 }
