@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.queries.StreamingQueries.streamSliced
+
+/**
+ * TRAINED quality classification (r14 verdict Next #4): t02/t16 gate on
+ * HAND-WEIGHTED heuristics; FineWeb-Edu-class pipelines instead train a
+ * cheap classifier on a labeled seed and gate the crawl with it. The
+ * deterministic, oracle-matchable form here is multinomial Naive Bayes
+ * over token counts, distilled from the t02 heuristic: the seed split
+ * (doc_id % 3 = 0 — held out of the intake, exactly like an eval suite)
+ * is labeled by the heuristic (the stand-in for FineWeb-Edu's
+ * LLM-labeled seed), the classifier learns token log-likelihood-ratio
+ * weights from integer counts, and the REST of the corpus is scored by
+ * the trained weights alone — the heuristic never touches an intake
+ * document.
+ *
+ * Exactness (the q54 discipline): every count is an exact integer; each
+ * weight is ONE ln over a single division of two exactly-representable
+ * integer products ((n_c+1)·(N_other+V) ≤ ~10¹⁰ ≪ 2⁵³), rounded to 6dp
+ * and fixed as DECIMAL(18,6); a document's score is the exact DECIMAL
+ * sum of its token-occurrence weights plus the prior — so the score and
+ * the decision (score > 0, compared in DECIMAL) are order-independent
+ * and engine-portable. The only cross-engine float op is the single
+ * correctly-rounded-class ln per vocabulary word (31 words on this
+ * corpus), whose 6dp rounding is boundary-stable.
+ */
+object ClassifierQueries {
+
+  import graft.functions.{TextFunctions => TF}
+
+  /** (doc_id, __tok, n_bpe, quality) over every document — ONE staged
+   * projection; the heuristic labels the seed, NB scores the rest. */
+  private def staged(ss: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.load(ss, dir, "documents")
+      .select(col("doc_id"), TF.normalizeText(col("text")).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        TF.tokensFromNorm(col("__t")).as("__tok"))
+      .select(col("doc_id"), col("__tok"),
+        TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
+        TF.qualityScoreFromParts(
+          size(col("__tok")).cast("long"),
+          TF.stopwordRatioFromTokens(col("__tok")),
+          TF.punctRatioFromNorm(col("__t"))).as("quality"))
+
+  /** TRAIN: multinomial NB with Laplace smoothing on the heuristic-
+   * labeled seed. Returns the 6dp prior log-ratio and the per-token
+   * weight table (t, w DECIMAL(18,6)) — bounded by the vocabulary, the
+   * broadcast side of every scoring join. */
+  private def nbModel(ss: SparkSession,
+      dir: String): (Double, DataFrame) = {
+    val seed = staged(ss, dir).filter(col("doc_id") % 3 === 0)
+      .select(col("__tok"), (col("quality") >= 0.6).as("pos"))
+      .localCheckpoint()
+    val counts = seed
+      .select(col("pos"), explode(col("__tok")).as("t"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+      .localCheckpoint()
+    // bounded driver scalars: class token totals + vocab size (3 longs)
+    // and the class document counts (2 longs)
+    val t = counts.agg(sum(col("np")), sum(col("nn")), count(lit(1)))
+      .head()
+    val (np, nn, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val d = seed.agg(sum(when(col("pos"), 1L).otherwise(0L)),
+      sum(when(!col("pos"), 1L).otherwise(0L))).head()
+    val (dp, dn) = (d.getLong(0), d.getLong(1))
+    require(dp > 0 && dn > 0,
+      s"nbModel: degenerate seed labeling ($dp pos / $dn neg)")
+    val w0 = BigDecimal(math.log(dp.toDouble / dn.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // w(t) = ln(P(t|pos) / P(t|neg)) with the two smoothed likelihoods
+    // folded into ONE division of exact integer products (two ln's
+    // subtracted would be a multi-op double chain — the round-5 q54
+    // lesson)
+    val weights = counts.select(col("t"),
+      round(log(((col("np") + 1L) * lit(nn + v)).cast(DoubleType) /
+        ((col("nn") + 1L) * lit(np + v)).cast(DoubleType)), 6)
+        .cast(DecimalType(18, 6)).as("w"))
+    (w0, weights)
+  }
+
+  /** SCORE the intake (non-seed) corpus: exact DECIMAL sum of token
+   * weights + prior. (doc_id, __tok→dropped, n_bpe, ts DECIMAL). */
+  private def nbScored(ss: SparkSession, dir: String): DataFrame = {
+    val (w0, weights) = nbModel(ss, dir)
+    val rest = staged(ss, dir).filter(col("doc_id") % 3 =!= 0)
+    val ts = rest
+      .select(col("doc_id"), explode_outer(col("__tok")).as("t"))
+      .join(broadcast(weights), Seq("t"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("__ts"))
+    rest.select(col("doc_id"), col("n_bpe"))
+      .join(ts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_bpe"),
+        (coalesce(col("__ts"), lit(0).cast(DecimalType(18, 6))) +
+          lit(w0).cast(DecimalType(18, 6))).as("__score"))
+  }
+
+  /** q124: NB TRAIN + SCORE — the full train→score chain as one gated
+   * query: the hash proves the learned weight table AND every scored
+   * document against a from-scratch DuckDB restatement (same counts,
+   * same single-division LLRs, same exact decimal sum), i.e. the
+   * trained model is reproducible arithmetic, not a fitted black box. */
+  private def runNbScore(s: SparkSession, dir: String): DataFrame =
+    nbScored(s, dir)
+      .select(col("doc_id"), col("__score").cast(DoubleType).as("score"),
+        (col("__score") > 0).as("pred"))
+      .orderBy(col("doc_id"))
+
+  /** The NB chain as DuckDB CTEs ending at sc(doc_id, n_bpe, ts) +
+   * w0(w0) — shared by q124's restatement and q125's composition. */
+  private def nbCtes: String = {
+    val enList =
+      s"[${TF.stopwords("en").map(w => s"'$w'").mkString(", ")}]"
+    s"""base AS (SELECT doc_id, ${DedupQueries.normT} AS t FROM documents),
+       |tk AS (SELECT doc_id, string_split_regex(t, ' ') AS w,
+       |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+       |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(t) > 0
+       |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
+       |      ELSE 0.0 END AS punct,
+       |    CASE WHEN len(string_split_regex(t, ' ')) > 0
+       |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
+       |           / len(string_split_regex(t, ' '))
+       |      ELSE 0.0 END AS swr
+       |  FROM base WHERE t <> ''),
+       |seed AS (SELECT doc_id, w,
+       |    round(greatest(0.0,
+       |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+       |      least(swr * 5.0, 1.0) * 0.4 +
+       |      (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) >= 0.6 AS pos
+       |  FROM tk WHERE doc_id % 3 = 0),
+       |tokr AS (SELECT pos, u.tk AS t FROM seed, unnest(w) AS u(tk)),
+       |counts AS (SELECT t,
+       |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+       |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nn
+       |  FROM tokr GROUP BY t),
+       |tot AS (SELECT SUM(np) AS tnp, SUM(nn) AS tnn, COUNT(*) AS v
+       |  FROM counts),
+       |dc AS (SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS dp,
+       |    SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS dn FROM seed),
+       |w0 AS (SELECT CAST(round(ln(CAST(dp AS DOUBLE) / CAST(dn AS DOUBLE)), 6)
+       |    AS DECIMAL(18,6)) AS w0 FROM dc),
+       |wts AS (SELECT t, CAST(round(ln(
+       |      CAST((np + 1) * (tnn + v) AS DOUBLE) /
+       |      CAST((nn + 1) * (tnp + v) AS DOUBLE)), 6)
+       |    AS DECIMAL(18,6)) AS w
+       |  FROM counts, tot),
+       |rest AS (SELECT doc_id, w, n_bpe FROM tk WHERE doc_id % 3 <> 0),
+       |rt AS (SELECT doc_id, u.tk AS t FROM rest, unnest(w) AS u(tk)),
+       |sc AS (SELECT r.doc_id, r.n_bpe,
+       |    COALESCE(SUM(wt.w), 0) + (SELECT w0 FROM w0) AS ts
+       |  FROM rest r LEFT JOIN rt ON rt.doc_id = r.doc_id
+       |  LEFT JOIN wts wt ON wt.t = rt.t
+       |  GROUP BY r.doc_id, r.n_bpe)""".stripMargin
+  }
+
+  private def nbScoreOracle: String =
+    s"""WITH $nbCtes
+       |SELECT doc_id, CAST(ts AS DOUBLE) AS score, ts > 0 AS pred
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** q125: the TRAINED gate composed INTO the streamed curation cycle
+   * — the FineWeb-Edu shape end to end: the frozen classifier (trained
+   * once on the seed BEFORE the stream, the frozen-screen rule every
+   * streamed reference here follows) decides which intake docs enter
+   * near-dup curation at all, replacing q115's hand-weighted heuristic
+   * with the learned score > 0 decision. The cycle itself is the
+   * signature-agnostic [[CurationStreamQueries.curationCycle]] (SimHash
+   * near-dup ledger → incremental clustering → retro-correcting
+   * curated store), so this gate's proof is the SWAP: the curated end
+   * state ≡ from-scratch NB-train → score → gate → pair closure →
+   * min-id representatives, the oracle restating all five. The seed
+   * docs are the labeled training set, not training data — they never
+   * enter the intake (exactly q118's benchmark-exclusion argument). */
+  private val nbCurationCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def nbCurationArtifacts(ss: SparkSession, dir: String): String =
+    nbCurationCache.synchronized {
+      nbCurationCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("nbcuration_store") {
+          buildNbCuration(ss, dir)
+        })
+    }
+
+  private def buildNbCuration(ss: SparkSession, dir: String): String = {
+    // ONE staged projection: the simhash signature from the shared
+    // token arrays, the NB score (exact decimal) as the gate column
+    val sigs = staged(ss, dir).filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id").as("id"),
+        graft.operators.Dedup.simHashFromHashes(
+          transform(col("__tok"), t => TF.hash60(t)), 60).as("sig"))
+    val intake = nbScored(ss, dir)
+      .select(col("doc_id").as("id"), col("n_bpe"),
+        col("__score").cast(DoubleType).as("quality"),
+        (col("__score") > 0).as("__adm"))
+      .join(sigs, Seq("id"))
+    val near = new graft.streaming.NearDupLedger(ss, bits = 60,
+      maxHamming = 3, nBuckets = 16)
+    val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
+    val curated = new graft.streaming.BucketedUpsert.State(ss,
+      keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
+      nBuckets = 16)
+    streamSliced(ss, intake, "id", "nbcuration") { (b, id) =>
+      // the TRAINED gate: score > 0 decides entry (decided in exact
+      // DECIMAL upstream; the double column is the stored payload)
+      CurationStreamQueries.curationCycle(ss, near, clusters, curated,
+        b.filter(col("__adm"))
+          .select(col("id"), col("sig"), col("n_bpe"), col("quality"))
+          .localCheckpoint(), id,
+        ccWidth = Some("1"))
+    }
+    curated.rootDir
+  }
+
+  private def runNbCuration(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    graft.streaming.BucketedUpsert.recover(ss, keyCol = "id",
+      payloadCols = Seq("n_bpe", "quality"), nBuckets = 16,
+      stateRoot = nbCurationArtifacts(ss, dir)).view(s).orderBy(col("id"))
+  }
+
+  private def nbCurationOracle: String =
+    s"""WITH RECURSIVE $nbCtes,
+       |q AS (SELECT doc_id, n_bpe, CAST(ts AS DOUBLE) AS quality
+       |  FROM sc WHERE ts > 0),
+       |qd AS (SELECT d2.doc_id, d2.text FROM documents d2
+       |       JOIN q ON q.doc_id = d2.doc_id),
+       |${DedupQueries.simhash60PairsCtesOver("qd")},
+       |p AS (${DedupQueries.simhash60PairsSelect}),
+       |pairs AS (SELECT a, b FROM p),
+       |${CurationStreamQueries.curationKeptTail}
+       |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q124_nb_quality_score", runNbScore, Some(nbScoreOracle)),
+    Q("q125_nb_curation", runNbCuration, Some(nbCurationOracle),
+      setup = Some((ss, dir) => { nbCurationArtifacts(ss, dir); () })))
+}

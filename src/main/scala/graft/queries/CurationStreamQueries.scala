@@ -534,7 +534,7 @@ object CurationStreamQueries {
   /** The closure + representative-selection tail shared by every
    * curation restatement: `pairs(a, b)` → reachability → min label →
    * `kept(id, n_bpe, quality)`. Prefix must be WITH RECURSIVE. */
-  private def curationKeptTail: String =
+  private[queries] def curationKeptTail: String =
     """sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
       |reach(id, r) AS (
       |  SELECT id, id FROM (SELECT DISTINCT a AS id FROM sym)

@@ -675,5 +675,5 @@ object StreamingQueries {
               |ORDER BY hour_epoch, event_type""".stripMargin))) ++
     StoreStreamQueries.all ++ ExpectationStreamQueries.all ++
     LedgerStreamQueries.all ++ CurationStreamQueries.all ++
-    CurationAuditQueries.all
+    CurationAuditQueries.all ++ ClassifierQueries.all
 }
