@@ -28,6 +28,32 @@ class SketchStoreSpec extends SparkSpec {
       to_timestamp(from_unixtime(lit(1700000000L) +
         (col("id") % 7) * 86400 + col("id") % 3600)).as("ts"))
 
+  test("a q86-shaped subset loop is self-retiring: repeated " +
+      "build+ingest cycles hold <= 2 generations, the previous one " +
+      "stays readable, the newest serves") {
+    // the q86/s22 gates are deliberately uncached (their artifacts ride
+    // this two-generation queue, which a cached root would break), so a
+    // SPARK_GRAFT_ONLY subset containing only them must be bounded by
+    // the queue's OWN retirement — no other gate's build runs to retire
+    // for them (r14 verdict #5: pin the subset-run behavior)
+    def cycle(): String = {
+      val root = SketchStore.build(events(3000))
+      SketchStore.ingestBatch(spark, root,
+        events(4000).filter(col("user_id") % 7 === 0), batchId = 1L)
+      root
+    }
+    val r1 = cycle()
+    val r2 = cycle()
+    // two live generations: a holder of r1's lazy serve plan still reads
+    assert(Files.exists(Path.of(r1)) && Files.exists(Path.of(r2)))
+    assert(SketchStore.serve(spark, r1).count() > 0)
+    val r3 = cycle()
+    assert(!Files.exists(Path.of(r1)),
+      "two-generations-old (mutated) root not retired by the queue")
+    assert(Files.exists(Path.of(r2)) && Files.exists(Path.of(r3)))
+    assert(SketchStore.serve(spark, r3).count() > 0)
+  }
+
   test("serve plan scans only the sketch artifact") {
     val root = SketchStore.build(events(5000))
     val p = SketchStore.serve(spark, root).queryExecution
