@@ -96,6 +96,15 @@ object Bench {
     }
     canaryOnce() // codegen warmup — the first rep is ~3× the rest
     val canary = median((1 to reps).map(_ => canaryOnce()))
+    // END-of-run canary (r14 verdict #3): the start-of-run sample can
+    // only attribute BETWEEN-run machine drift; a slowdown that
+    // accumulates WITHIN the run (GC/FS-listing pressure from the
+    // cached artifact trees the gates build as they go) is invisible
+    // to it. The same constant plan re-timed after the last query
+    // turns "the run got slower as it went" into arithmetic:
+    // canary_end/canary_run >> 1 says within-run environment, ≈1 says
+    // any per-query delta is the query's own plan.
+    var canaryEnd = -1.0
     // 1-minute loadavg sampled at each query's start: a rep outlier on
     // an UNCHANGED plan with loadavg far above the core count is box
     // contention (something else running on the machine), not a plan
@@ -153,6 +162,7 @@ object Bench {
       BenchRow(q.name, if (times.nonEmpty) median(times) else -1.0,
         reps - times.size, times, load, setupFailed)
     }
+    canaryEnd = median((1 to reps).map(_ => canaryOnce()))
     val failed = results.filter(_.failedReps > 0)
     if (failed.nonEmpty) System.err.println(
       s"[bench] reps failed: ${failed.map(r => s"${r.name}×${r.failedReps}").mkString(", ")}")
@@ -200,7 +210,7 @@ object Bench {
           s""""total":${f3(total + SetupTimer.total)},""" +
           s""""serve":${f3(total)},"setup":${f3(SetupTimer.total)},""" +
           s""""setup_builds":${SetupTimer.json},"n":${results.size},""" +
-          s""""canary":{"ref":${f3(CanaryRef)},"run":${f3(canary)},""" +
+          s""""canary":{"ref":${f3(CanaryRef)},"run":${f3(canary)},"end":${f3(canaryEnd)},""" +
           s""""total_normalized":${f3((total + SetupTimer.total) * CanaryRef / canary)}},""" +
           s""""failed":$failedJson,"setup_failed":$setupFailedJson,""" +
           s""""stages":${StageTimer.json},""" +
@@ -220,7 +230,7 @@ object Bench {
     // one-time cached-artifact builds, attributed per cache — `value` in
     // the total line below is serve + this, so the headline drops nothing
     println(s"""{"metric":"setup","total":${f3(SetupTimer.total)},"builds":${SetupTimer.json},"setup_failed":$setupFailedJson}""")
-    println(s"""{"metric":"canary","ref":${f3(CanaryRef)},"run":${f3(canary)},"total_normalized":${f3((total + SetupTimer.total) * CanaryRef / canary)}}""")
+    println(s"""{"metric":"canary","ref":${f3(CanaryRef)},"run":${f3(canary)},"end":${f3(canaryEnd)},"total_normalized":${f3((total + SetupTimer.total) * CanaryRef / canary)}}""")
     println(s"""{"metric":"total","value":${f3(total + SetupTimer.total)},"serve":${f3(total)},"setup":${f3(SetupTimer.total)},"unit":"sec","n":${results.size},"failed":$nFailed,"reps":$reps,"sf":"$sfName"}""")
   }
 }
