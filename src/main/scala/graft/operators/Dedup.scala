@@ -598,8 +598,17 @@ object Dedup {
       .filter(col("rn") > 1)
       .select(col("doc"), col("pos"),
         (col("pos") + lit(minLen - 1)).as("end"))
-    // gaps-and-islands: a window starts a NEW span iff its coverage
-    // does not touch the running max end of earlier windows
+    mergeVictimSpans(victims, idCol)
+  }
+
+  /** Interval-merge duplicated windows `(doc, pos, end)` into MAXIMAL
+   * spans — gaps-and-islands over a running max-end: a window starts a
+   * NEW span iff its coverage does not touch the running max end of
+   * earlier windows. Shared by the batch [[exactSubstrSpans]] and the
+   * streamed [[graft.streaming.ExactSubstrLedger]]'s spans view (both
+   * produce the same victim-window shape; the merge is the same math).
+   * Per-doc windows only — the partition key bounds every frame. */
+  def mergeVictimSpans(victims: DataFrame, idCol: String): DataFrame = {
     val prev = Window.partitionBy(col("doc")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val run = Window.partitionBy(col("doc")).orderBy(col("pos"))

@@ -512,28 +512,42 @@ object DedupQueries {
     // semantics from scratch; natural duplicated spans inside the base
     // corpus surface identically on both sides.
     Q("d12_exactsubstr_spans",
-      (s, dir) => {
-        import graft.functions.{TextFunctions => TF}
-        val docs = Tables.load(s, dir, "documents")
-        // derive from the NORMALIZED token stream so the planted text
-        // round-trips the operator's own tokenizer exactly
-        val toks = docs.select(col("doc_id"),
-          TF.tokens(col("text")).as("w"))
-        val nxt = toks.select((col("doc_id") - 1).as("doc_id"),
-          col("w").as("nw"))
-        val planted = toks.join(nxt, Seq("doc_id"))
-          .filter(col("doc_id") % 5 === 2 &&
-            size(col("w")) >= 24 && size(col("nw")) >= 7)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
-            array_join(concat(slice(col("nw"), 1, 7),
-              slice(col("w"), 5, 20)), " ").as("text"))
-        val corpus = docs.select(col("doc_id"), col("text"))
-          .unionByName(planted)
-        graft.operators.Dedup.exactSubstrSpans(corpus, "doc_id", "text",
-            minLen = 12)
-          .orderBy(col("doc_id"), col("span_start"))
-      },
-      Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
+      (s, dir) => graft.operators.Dedup.exactSubstrSpans(
+          exactSubstrCorpus(s, dir), "doc_id", "text", minLen = 12)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some(exactSubstrOracle))
+  )
+
+  /** The d12 gate corpus — the documents table plus a DERIVED doc per
+   * eligible source planting a 20-token span copied at offsets aligned
+   * to NEITHER document's chunk grid (the case t15's fixed-grid
+   * passage dedup provably misses). Shared by d12 and the streamed
+   * q126 so both prove against [[exactSubstrOracle]] verbatim. */
+  private[queries] def exactSubstrCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Tables.load(s, dir, "documents")
+    // derive from the NORMALIZED token stream so the planted text
+    // round-trips the operator's own tokenizer exactly
+    val toks = docs.select(col("doc_id"),
+      TF.tokens(col("text")).as("w"))
+    val nxt = toks.select((col("doc_id") - 1).as("doc_id"),
+      col("w").as("nw"))
+    val planted = toks.join(nxt, Seq("doc_id"))
+      .filter(col("doc_id") % 5 === 2 &&
+        size(col("w")) >= 24 && size(col("nw")) >= 7)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(concat(slice(col("nw"), 1, 7),
+          slice(col("w"), 5, 20)), " ").as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(planted)
+  }
+
+  /** The full window/first-occurrence/island restatement over the
+   * derived corpus — d12's oracle, shared verbatim by q126 (the
+   * streamed end state is defined to equal the batch recompute).
+   * Lazy: `all` above references it during object init. */
+  private[queries] lazy val exactSubstrOracle: String =
+    s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
               |tk AS (SELECT doc_id, string_split_regex(t, ' ') AS w
               |  FROM base),
               |planted AS (SELECT s.doc_id + 1000000 AS doc_id,
@@ -565,6 +579,5 @@ object DedupQueries {
               |  CAST(MAX(e) AS BIGINT) AS span_end,
               |  CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS span_tokens
               |FROM sp GROUP BY doc_id, span
-              |ORDER BY doc_id, span_start""".stripMargin))
-  )
+              |ORDER BY doc_id, span_start""".stripMargin
 }

@@ -533,7 +533,57 @@ object LedgerStreamQueries {
        |GROUP BY id ORDER BY id""".stripMargin
 
 
+  /** q126: STREAMING exact-substring dedup — d12's arbitrary-offset
+   * span detection at arrival time ([[graft.streaming
+   * .ExactSubstrLedger]]), closing the batch→stream matrix's last
+   * open cell: every other dedup family (exact q91, SimHash q108,
+   * MinHash q112, embedding q113, pHash m07) has its streamed ledger;
+   * exact-substring was batch-only. Unlike the symmetric PAIR ledgers,
+   * "first occurrence wins" is a corpus-order fact, not an
+   * arrival-order fact, so the ledger retro-corrects: a late batch
+   * carrying an EARLIER (doc, pos) occurrence displaces the stored
+   * minimum and converts it into a victim (the streamSliced modulo
+   * slices exercise exactly this — doc_ids interleave across batches,
+   * so displacements genuinely fire on the gate corpus). Both folds
+   * ride idempotent monoids (min / keyed-constant), so replay needs no
+   * lastOp token; crash safety comes from commit order (victims before
+   * firsts, the spec-pinned contract). The end-state spans over the
+   * 4-slice ingest must equal the batch d12 recompute exactly — the
+   * oracle is d12's SQL verbatim. */
+  private val xsubstrCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def xsubstrArtifacts(ss: SparkSession, dir: String): String =
+    xsubstrCache.synchronized {
+      xsubstrCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("exactsubstr_ingest") {
+          val corpus = DedupQueries.exactSubstrCorpus(ss, dir)
+            .select(col("doc_id").as("id"), col("text"))
+          val root = graft.sources.Scratch.dir("xsubstr_ledger")
+          val led = new graft.streaming.ExactSubstrLedger(ss,
+            minLen = 12, nBuckets = 16, root = Some(root))
+          streamSliced(ss, corpus, "id", "xsubstr_stream") { (b, id) =>
+            led.ingest(b, id)
+          }
+          root
+        })
+    }
+
+  private def runStreamExactSubstr(s: SparkSession,
+      dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = xsubstrArtifacts(ss, dir)
+    val led = graft.streaming.ExactSubstrLedger.recover(ss, minLen = 12,
+      nBuckets = 16, root = root)
+    led.spans(s).select(col("id").as("doc_id"), col("span_start"),
+        col("span_end"), col("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q126_stream_exactsubstr", runStreamExactSubstr,
+      Some(DedupQueries.exactSubstrOracle),
+      setup = Some((ss, dir) => { xsubstrArtifacts(ss, dir); () })),
     Q("q108_stream_neardup_pairs", runStreamNearDup,
       Some(DedupQueries.simhash60PairsSql), setup = neardupSetup),
     Q("q110_stream_neardup_clusters", runStreamNearDupClusters,
