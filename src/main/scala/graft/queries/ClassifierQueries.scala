@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 
 import graft.queries.StreamingQueries.streamSliced
 
@@ -239,8 +239,151 @@ object ClassifierQueries {
        |${CurationStreamQueries.curationKeptTail}
        |SELECT id, n_bpe, quality FROM kept ORDER BY id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q127: DSIR-style importance resampling
+
+  /** q127: DATA SELECTION VIA IMPORTANCE RESAMPLING — the
+   * distribution-matching selection of DSIR-class pipelines, the
+   * complement of q124's supervised classifier: no labels anywhere;
+   * the signal is the RATIO of two corpus-level feature distributions
+   * (a small in-domain target seed vs a background sample), estimated
+   * over HASHED bigram features (a fixed 256-bucket dimension —
+   * collisions are the method, trading feature fidelity for a
+   * bounded, broadcastable weight table at any corpus size), and the
+   * selection is RESAMPLING, not thresholding: Gumbel-top-k draws k
+   * candidates without replacement with probability ∝ their
+   * importance weight.
+   *
+   * Determinism/exactness (the q124 discipline): bucket counts are
+   * exact integers; each bucket weight is ONE ln over a single
+   * division of two exactly-representable integer products, rounded
+   * 6dp, DECIMAL(18,6); a document's log-importance is the exact
+   * DECIMAL sum of its occurrences' weights. The Gumbel noise is
+   * PSEUDO-random from the md5 stream both engines share —
+   * u = (hash60(doc_id)+1)/2^61 ∈ (0, 0.5] (a power-of-two
+   * denominator: an exactly-representable double, so u is the same
+   * bits in any IEEE engine; 2^60+1 would itself round to 2^60 and
+   * admit u = 1.0 → -ln(0) = ∞), g = −ln(−ln(u)) rounded 6dp and
+   * fixed as DECIMAL before adding to the score — so the resampling
+   * key and the top-k cut (tie-broken by doc_id) are engine-portable.
+   * The integer-product exactness bound (counts·totals ≲ 10¹² ≪ 2⁵³)
+   * holds through the gate SFs; a 100 TB deployment re-derives the
+   * bound or widens to DECIMAL products. */
+  private val DsirBuckets = 256
+  // k below the smallest SF's candidate pool (~356 of the 500-doc
+  // tables) so the resampling CUT — the part a thresholding gate
+  // wouldn't have — genuinely binds at every gate SF
+  private val DsirK = 200
+
+  /** Every candidate with its exact log-importance and resampling key
+   * — the pool [[runDsir]] cuts top-k from; exposed so DsirSpec can
+   * pin the ENRICHMENT property (the selected set's mean importance
+   * beats the pool's) that the oracle hash alone cannot state. */
+  private[queries] def dsirKeyed(s: SparkSession,
+      dir: String): DataFrame = {
+    val toks = graft.sources.Tables.load(s, dir, "documents")
+      .select(col("doc_id"), TF.tokens(col("text")).as("__tok"))
+    // hashed bigram OCCURRENCES (positional shingles keep duplicates
+    // — counts, not presence); docs with <2 tokens contribute none
+    def feats(d: DataFrame): DataFrame = d
+      .select(col("doc_id"),
+        explode_outer(TF.wordShinglesPositional(col("__tok"), 2))
+          .as("__g"))
+      .filter(col("__g").isNotNull)
+      .select(col("doc_id"), pmod(TF.hash60(col("__g")),
+        lit(DsirBuckets.toLong)).as("b"))
+    val tgt = feats(toks.filter(col("doc_id") % 7 === 0))
+    val bg = feats(toks.filter(col("doc_id") % 7 === 1))
+    val cts = tgt.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val cbs = bg.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    // bounded driver scalars: the two corpus totals
+    val tt = tgt.count()
+    val tb = bg.count()
+    require(tt > 0 && tb > 0, s"q127: degenerate seeds ($tt/$tb)")
+    // full 256-bucket spine: an unseen bucket gets the smoothed
+    // default weight, not a silent zero
+    val weights = s.range(DsirBuckets).select(col("id").as("b"))
+      .join(cts, Seq("b"), "left_outer")
+      .join(cbs, Seq("b"), "left_outer")
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1L) *
+            lit(tb + DsirBuckets)).cast(DoubleType) /
+          ((coalesce(col("cb"), lit(0L)) + 1L) *
+            lit(tt + DsirBuckets)).cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)).as("w"))
+    val cand = toks.filter(col("doc_id") % 7 >= 2)
+    val scores = feats(cand)
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("__s"))
+    val zero = lit(0).cast(DecimalType(18, 6))
+    cand.select(col("doc_id"))
+      .join(scores, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("__s"), zero).as("__s"),
+        round(-log(-log((TF.hash60(col("doc_id").cast(StringType)) +
+            lit(1L)).cast(DoubleType) /
+          lit(2305843009213693952.0))), 6)
+          .cast(DecimalType(18, 6)).as("__g"))
+      .select(col("doc_id"), col("__s"), (col("__s") + col("__g"))
+        .as("__k"))
+  }
+
+  private def runDsir(s: SparkSession, dir: String): DataFrame =
+    dsirKeyed(s, dir)
+      .orderBy(col("__k").desc, col("doc_id"))
+      .limit(DsirK)
+      .select(col("doc_id"), col("__s").cast(DoubleType).as("score"),
+        col("__k").cast(DoubleType).as("skey"))
+      .orderBy(col("doc_id"))
+
+  private def dsirOracle: String = {
+    val h60 = "CAST(('0x' || substr(md5(%s), 1, 15)) AS BIGINT)"
+    s"""WITH base AS (SELECT doc_id, ${DedupQueries.normT} AS t
+       |    FROM documents),
+       |tk AS (SELECT doc_id, string_split_regex(t, ' ') AS w
+       |  FROM base WHERE t <> ''),
+       |big AS (SELECT doc_id,
+       |    ${h60.format("array_to_string(w[i : i + 1], ' ')")}
+       |      % $DsirBuckets AS b
+       |  FROM tk, unnest(generate_series(1, len(w) - 1)) AS u(i)
+       |  WHERE len(w) >= 2),
+       |cts AS (SELECT b, COUNT(*) AS ct FROM big
+       |  WHERE doc_id % 7 = 0 GROUP BY b),
+       |cbs AS (SELECT b, COUNT(*) AS cb FROM big
+       |  WHERE doc_id % 7 = 1 GROUP BY b),
+       |tot AS (SELECT
+       |    (SELECT COUNT(*) FROM big WHERE doc_id % 7 = 0) AS tt,
+       |    (SELECT COUNT(*) FROM big WHERE doc_id % 7 = 1) AS tb),
+       |spine AS (SELECT unnest(generate_series(0,
+       |    ${DsirBuckets - 1})) AS b),
+       |wts AS (SELECT spine.b, CAST(round(ln(
+       |      CAST((COALESCE(ct, 0) + 1) * (tb + $DsirBuckets) AS DOUBLE) /
+       |      CAST((COALESCE(cb, 0) + 1) * (tt + $DsirBuckets) AS DOUBLE)), 6)
+       |    AS DECIMAL(18,6)) AS w
+       |  FROM spine CROSS JOIN tot
+       |  LEFT JOIN cts ON cts.b = spine.b
+       |  LEFT JOIN cbs ON cbs.b = spine.b),
+       |cand AS (SELECT doc_id FROM base WHERE doc_id % 7 >= 2),
+       |sc AS (SELECT big.doc_id, SUM(w) AS s FROM big
+       |  JOIN wts ON wts.b = big.b
+       |  WHERE big.doc_id % 7 >= 2 GROUP BY big.doc_id),
+       |keyed AS (SELECT c.doc_id,
+       |    COALESCE(s, CAST(0 AS DECIMAL(18,6))) AS s,
+       |    COALESCE(s, CAST(0 AS DECIMAL(18,6))) + CAST(round(
+       |      -ln(-ln(CAST(${h60.format("CAST(c.doc_id AS VARCHAR)")}
+       |        + 1 AS DOUBLE) / 2305843009213693952.0)), 6)
+       |      AS DECIMAL(18,6)) AS k
+       |  FROM cand c LEFT JOIN sc ON sc.doc_id = c.doc_id),
+       |top AS (SELECT * FROM keyed ORDER BY k DESC, doc_id
+       |  LIMIT $DsirK)
+       |SELECT doc_id, CAST(s AS DOUBLE) AS score,
+       |  CAST(k AS DOUBLE) AS skey
+       |FROM top ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q124_nb_quality_score", runNbScore, Some(nbScoreOracle)),
     Q("q125_nb_curation", runNbCuration, Some(nbCurationOracle),
-      setup = Some((ss, dir) => { nbCurationArtifacts(ss, dir); () })))
+      setup = Some((ss, dir) => { nbCurationArtifacts(ss, dir); () })),
+    Q("q127_dsir_select", runDsir, Some(dsirOracle)))
 }
