@@ -1066,6 +1066,72 @@ object TextQueries {
               |FROM inter
               |JOIN sizes a ON a.source = sa
               |JOIN sizes b ON b.source = sb
-              |ORDER BY sa, sb""".stripMargin))
+              |ORDER BY sa, sb""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t18 — BPE TOKENIZER TRAINING: the Sennrich merge loop fit on the
+    // corpus itself (the artifact every t-family token count is a
+    // regex proxy for). Scale shape: ONE corpus pass collapses the
+    // corpus to the (distinct word, freq) table; the 8 merge rounds
+    // iterate on that 1000×-smaller frame — a pair-count shuffle, a
+    // one-row argmax, and a map-only greedy merge to fixpoint each.
+    // The oracle restates ALL EIGHT ROUNDS — pair counting, the
+    // (count DESC, pair ASC) argmax, and the same literal-replace
+    // fixpoint (engine-identical scan semantics) — as unrolled
+    // MATERIALIZED CTEs with a recursive fixpoint per round. Pure
+    // integer counts and string order: nothing floating-point exists
+    // in the whole loop. BpeSpec pins the operator against a
+    // hand-written canonical BPE on the overlapping-run corpus.
+    Q("t18_bpe_train",
+      (s, dir) => graft.operators.Bpe.trainDf(s,
+          Tables.load(s, dir, "documents"), "text", rounds = 8)
+        .orderBy(col("step")),
+      Some(bpeOracle(8)))
   )
+
+  /** The t18 oracle: `rounds` unrolled merge rounds. Each round i is
+   * three CTEs — pair counts over v{i}, the one-row argmax m{i}, and
+   * a recursive fixpoint fix{i} applying the merge until stable —
+   * with the vocab snapshots MATERIALIZED (without the hint DuckDB
+   * re-executes the upstream chain per recursion step: exponential). */
+  private def bpeOracle(rounds: Int): String = {
+    def rep(i: Int): String =
+      s"replace(' ' || s || ' ', ' ' || (SELECT p FROM m$i) || ' ', " +
+        s"' ' || replace((SELECT p FROM m$i), ' ', '') || ' ')"
+    val roundCtes = (0 until rounds).map { i =>
+      s"""pairs$i AS MATERIALIZED (
+         |  SELECT y[j] || ' ' || y[j+1] AS p, SUM(f) AS n
+         |  FROM (SELECT string_split(s, ' ') AS y, f FROM v$i),
+         |       unnest(generate_series(1, len(y) - 1)) AS u(j)
+         |  GROUP BY p),
+         |m$i AS MATERIALIZED (
+         |  SELECT p, n FROM pairs$i ORDER BY n DESC, p LIMIT 1),
+         |fix$i(s, f) AS (
+         |  SELECT s, f FROM v$i
+         |  UNION ALL
+         |  SELECT trim(${rep(i)}), f FROM fix$i
+         |  WHERE ${rep(i)} <> ' ' || s || ' '),
+         |v${i + 1} AS MATERIALIZED (
+         |  SELECT s, f FROM fix$i
+         |  WHERE ${rep(i)} = ' ' || s || ' ')""".stripMargin
+    }
+    val finalRows = (0 until rounds).map { i =>
+      s"""SELECT CAST(${i + 1} AS BIGINT) AS step,
+         |  string_split((SELECT p FROM m$i), ' ')[1] AS lhs,
+         |  string_split((SELECT p FROM m$i), ' ')[2] AS rhs,
+         |  CAST((SELECT n FROM m$i) AS BIGINT) AS n""".stripMargin
+    }
+    s"""WITH RECURSIVE d AS (SELECT $normT AS t FROM documents),
+       |tok AS (SELECT u.tk AS w FROM
+       |  (SELECT string_split_regex(t, ' ') AS w0 FROM d
+       |   WHERE t <> ''), unnest(w0) AS u(tk)),
+       |vc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok
+       |  GROUP BY w),
+       |v0 AS MATERIALIZED (SELECT array_to_string(
+       |    list_append(regexp_extract_all(w, '.'), '</w>'), ' ') AS s,
+       |  f FROM vc),
+       |${roundCtes.mkString(",\n")}
+       |${finalRows.mkString("\nUNION ALL\n")}
+       |ORDER BY step""".stripMargin
+  }
 }

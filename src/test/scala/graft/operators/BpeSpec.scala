@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** The t18 trainer against a CANONICAL hand-written BPE (explicit
+ * index-walking greedy merge, no string replacement) on the classic
+ * Sennrich corpus plus an overlapping-run word — the case where the
+ * fixpoint-replace implementation could silently diverge from greedy
+ * left-to-right non-overlapping semantics if the scan resumed
+ * anywhere other than after the replacement. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Canonical reference: naive (overlapping) adjacent-pair counts,
+   * (count DESC, pair ASC) argmax, index-walking greedy merge. */
+  private def refBpe(vocab: Map[String, Long],
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    var v = vocab
+    (1 to rounds).map { step =>
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+      for ((s, f) <- v; Array(a, b) <- s.split(" ").sliding(2))
+        cnt(s"$a $b") = cnt.getOrElse(s"$a $b", 0L) + f
+      val bestN = cnt.values.max
+      val pair = cnt.collect { case (p, n) if n == bestN => p }.toSeq.min
+      val Array(a, b) = pair.split(" ", 2)
+      v = v.map { case (s, f) =>
+        val w = s.split(" ")
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < w.length) {
+          if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += w(i); i += 1 }
+        }
+        (out.mkString(" "), f)
+      }
+      (step, a, b, bestN)
+    }
+  }
+
+  test("trained merges equal the canonical greedy BPE, including the " +
+      "overlapping-run round") {
+    // 'aaaaa' makes round 4 merge a self-pair inside a run of 5 —
+    // greedy non-overlap must yield 'aa aa a', not 'aa a a' (one
+    // replace pass) or 'aaaa a' (overlapping)
+    val words = Seq("low" -> 5, "lower" -> 2, "newest" -> 6,
+      "widest" -> 3, "aaaaa" -> 2)
+    val docs = words.flatMap { case (w, f) => Seq.fill(f)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = Bpe.train(docs, "text", rounds = 6)
+      .map(m => (m.step, m.lhs, m.rhs, m.n))
+    val want = refBpe(
+      words.map { case (w, f) =>
+        (w.toCharArray.mkString(" ") + " </w>", f.toLong)
+      }.toMap, 6)
+    assert(got == want, s"got $got\nwant $want")
+    // the overlapping-run case genuinely fired: some round merged a
+    // self-pair (lhs == rhs) — the 'a a' merge
+    assert(want.exists { case (_, a, b, _) => a == b })
+  }
+
+  test("merge counts are frequency-weighted, not word-distinct") {
+    // 'es' appears once per word but in words of freq 6 and 3 -> 9
+    val docs = Seq((1L, "newest"), (2L, "widest")).toDF("doc_id", "text")
+    val m = Bpe.train(
+      Seq("newest" -> 6, "widest" -> 3)
+        .flatMap { case (w, f) => Seq.fill(f)(w) }
+        .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text"),
+      "text", rounds = 1).head
+    assert((m.lhs, m.rhs, m.n) == (("e", "s", 9L)), s"got $m")
+    assert(docs.count() == 2) // corpus builder sanity
+  }
+}
