@@ -1,0 +1,137 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Volume soak for the STREAMING exact-substring ledger
+ * ([[graft.streaming.ExactSubstrLedger]], q126): exact span
+ * accounting at 200k docs with BOTH arrival paths exercised — the
+ * normal path (source before copier) and the retro-correcting
+ * DISPLACEMENT path (copier before source) — plus the per-batch cost
+ * curve and a compaction pass.
+ *
+ * Corpus: `n` docs of `L` globally-unique tokens each. Every doc with
+ * id % 10 == 9 (and an in-range source) has its token positions
+ * 8..8+S−1 replaced by positions 4..4+S−1 of doc (id − per − 1) —
+ * the source sits in the PREVIOUS contiguous batch (cross-batch
+ * probe), and the −1 keeps the source off the victim grid (a victim
+ * source would chain plants through three docs and break the exact
+ * span arithmetic). Batches are ingested PAIR-SWAPPED (1, 0, 3, 2, …)
+ * so odd-batch victims arrive BEFORE their even-batch sources — their
+ * windows first survive as stored minima and must be DISPLACED into
+ * victims when the source lands — while even-batch victims (sources
+ * already present) take the normal losing path. The expected end
+ * state is identical either way: one span (8, 8+S−1, S) per planted
+ * victim, nothing else — asserted exactly.
+ *
+ * Cost-curve honesty: the firsts fold rewrites every TOUCHED bucket,
+ * and uniformly-hashed fingerprints touch all of them, so per-batch
+ * wall grows with accumulated state — the same LSM-free rewrite trade
+ * every BucketedUpsert ledger (q91's fingerprint store, the band
+ * posting stores) carries. The bar is therefore the family's 6×
+ * late/early guard against SUPER-linear blowup, not flatness.
+ *
+ * Usage: runMain graft.tools.XsubstrSoak [nDocs] [nBatches]
+ */
+object XsubstrSoak {
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 200000L
+    val nBatches = if (args.length > 1) args(1).toInt else 20
+    val L = 30
+    val S = 16
+    val minLen = 12
+    require(n % nBatches == 0 && nBatches % 2 == 0,
+      s"XsubstrSoak: nDocs=$n must split evenly into an even " +
+        s"nBatches=$nBatches (the pair-swapped order needs pairs)")
+    val per = n / nBatches
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = spark.range(n).select(col("id"),
+      transform(sequence(lit(0), lit(L - 1)),
+        k => concat(lit("t"), col("id"), lit("x"), k)).as("w"))
+    val srcs = base.select((col("id") + per + 1).as("id"),
+      col("w").as("sw"))
+    val docs = base.join(srcs, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("id") % 10 === 9 && col("sw").isNotNull,
+          concat(slice(col("w"), 1, 7), slice(col("sw"), 4, S),
+            slice(col("w"), 8 + S, L - 7 - S)))
+          .otherwise(col("w")).as("wt"))
+      .select(col("id"), array_join(col("wt"), " ").as("text"))
+      .localCheckpoint()
+
+    val led = new graft.streaming.ExactSubstrLedger(spark,
+      minLen = minLen, nBuckets = 256)
+
+    // pair-swapped order: 1, 0, 3, 2, … — odd batches (copiers of
+    // even-batch sources) land first, firing the displacement path
+    val order = (0 until nBatches).map(b => if (b % 2 == 0) b + 1 else b - 1)
+    val walls = order.zipWithIndex.map { case (b, op) =>
+      val t0 = System.nanoTime()
+      val lo = b * per
+      led.ingest(
+        docs.filter(col("id") >= lo && col("id") < lo + per), op.toLong)
+      val w = (System.nanoTime() - t0) / 1e9
+      if (op < 3 || op == nBatches / 2 || op >= nBatches - 3)
+        println(f"== xsubstr: batch $b%3d (arrival $op%2d) wall $w%.2fs" +
+          f" (accumulated ~${(op + 1) * per} docs)")
+      w
+    }
+    val early = walls.slice(1, 4).min
+    val late = walls.takeRight(3).max
+    println(f"== xsubstr: early wall $early%.2fs, late $late%.2fs, " +
+      f"ratio ${late / early}%.2f (fail bar: 6x — rewrite cost may " +
+      "grow linearly with touched state, never super-linearly)")
+    assert(late / early < 6.0,
+      f"per-batch cost grew ${late / early}%.1fx — super-linear")
+
+    // exact span accounting: one (8, 8+S-1, S) span per planted victim
+    val spans = led.spans(spark).localCheckpoint()
+    val expected = docs.filter(col("id") % 10 === 9 &&
+      col("id") >= per + 1).count()
+    val got = spans.count()
+    val exact = spans.filter(col("span_start") === 8 &&
+      col("span_end") === 7 + S && col("span_tokens") === S &&
+      col("id") % 10 === 9).count()
+    println(s"== xsubstr: $got spans (expect $expected), " +
+      s"$exact with the exact planted shape")
+    assert(got == expected && exact == expected,
+      s"span accounting wrong: $got/$exact != $expected")
+    // displacement evidence: roughly half the victims (the odd-batch
+    // arrivals) landed before their source — count them from the
+    // arrival layout, and their spans are in the SAME exact set above
+    // integer batch index (Column./ is double division — `div` keeps
+    // the modulo-2 test meaningful)
+    val displacedEligible = docs.filter(col("id") % 10 === 9 &&
+      expr(s"id div $per") % 2 === 1 && col("id") >= per + 1).count()
+    println(s"== xsubstr: $displacedEligible victims arrived before " +
+      "their source (displacement path) — spans identical by assert")
+    assert(displacedEligible > expected / 3,
+      s"only $displacedEligible displacement-path victims — the " +
+        "pair-swapped order is not exercising retro-correction")
+
+    // compact both stores; the spans view must be unchanged
+    val t0 = System.nanoTime()
+    val (cb1, f1, f1a) = led.firsts.compact(opId = 9000L)
+    val (cb2, f2, f2a) = led.victims.compact(opId = 9001L)
+    println(f"== xsubstr: compacted firsts $f1->$f1a ($cb1 buckets), " +
+      f"victims $f2->$f2a ($cb2 buckets) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val got2 = led.spans(spark)
+      .filter(col("span_start") === 8 && col("span_end") === 7 + S)
+      .count()
+    assert(got2 == expected, s"post-compact spans drifted: $got2")
+    println("== xsubstr: OK")
+    spark.stop()
+  }
+}
