@@ -601,6 +601,41 @@ object Dedup {
     mergeVictimSpans(victims, idCol)
   }
 
+  /** The REMOVAL half of exact-substring dedup — what a RefinedWeb-
+   * class pipeline does with the spans: cut every duplicated region
+   * out of the document, keeping the first occurrence intact. Spans
+   * ride a broadcast-friendly per-doc array (bounded by the doc's own
+   * duplicated regions) and the cut is a pure scan-stage HOF chain —
+   * no second corpus shuffle beyond [[exactSubstrSpans]]' own.
+   * Returns every document: (idCol, clean_text, n_removed). */
+  def exactSubstrCut(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val spansAgg = exactSubstrSpans(docs, idCol, textCol, minLen)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__sp"))
+    docs
+      .select(col(idCol), TF.tokens(col(textCol)).as("__w"))
+      .join(spansAgg, Seq(idCol), "left_outer")
+      .select(col(idCol), col("__w"),
+        coalesce(col("__sp"),
+          array().cast("array<struct<s:bigint,e:bigint>>")).as("__sp"))
+      .select(col(idCol),
+        // empty-doc guard: sequence(1, 0) DESCENDS in Spark and the
+        // element_at it would drive throws under ANSI
+        when(size(col("__w")) === 0, lit("")).otherwise(
+          array_join(filter(
+            transform(sequence(lit(1), size(col("__w"))),
+              i => when(!exists(col("__sp"),
+                  r => i.cast(LongType) >= r.getField("s") &&
+                    i.cast(LongType) <= r.getField("e")),
+                element_at(col("__w"), i))),
+            t => t.isNotNull), " ")).as("clean_text"),
+        aggregate(col("__sp"),
+          lit(0L), (acc, r) => acc + r.getField("e") -
+            r.getField("s") + 1L).as("n_removed"))
+  }
+
   /** Interval-merge duplicated windows `(doc, pos, end)` into MAXIMAL
    * spans — gaps-and-islands over a running max-end: a window starts a
    * NEW span iff its coverage does not touch the running max end of

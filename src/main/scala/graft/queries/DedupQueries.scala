@@ -515,7 +515,22 @@ object DedupQueries {
       (s, dir) => graft.operators.Dedup.exactSubstrSpans(
           exactSubstrCorpus(s, dir), "doc_id", "text", minLen = 12)
         .orderBy(col("doc_id"), col("span_start")),
-      Some(exactSubstrOracle))
+      Some(exactSubstrOracle)),
+
+    // ----------------------------------------------------------------
+    // d13 — the REMOVAL half of exact-substring dedup: cut every
+    // duplicated span out of the corpus, first occurrence kept intact
+    // (what a RefinedWeb-class pipeline does with d12's spans). The
+    // cut is a scan-stage HOF chain over a per-doc span array (bounded
+    // by the doc's own duplicated regions — broadcast-shaped, never a
+    // positions shuffle); the oracle restates it as explicit position
+    // rows anti-joined against the merged spans. Every corpus doc
+    // returns a row — a fully-duplicated doc cuts to ''.
+    Q("d13_exactsubstr_cut",
+      (s, dir) => graft.operators.Dedup.exactSubstrCut(
+          exactSubstrCorpus(s, dir), "doc_id", "text", minLen = 12)
+        .orderBy(col("doc_id")),
+      Some(exactSubstrCutOracle))
   )
 
   /** The d12 gate corpus — the documents table plus a DERIVED doc per
@@ -547,7 +562,18 @@ object DedupQueries {
    * streamed end state is defined to equal the batch recompute).
    * Lazy: `all` above references it during object init. */
   private[queries] lazy val exactSubstrOracle: String =
-    s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
+    s"""WITH $exactSubstrCtes
+       |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |  CAST(MAX(e) AS BIGINT) AS span_end,
+       |  CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS span_tokens
+       |FROM sp GROUP BY doc_id, span
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** The CTE chain through `sp` (victim windows with island labels)
+   * over the derived corpus — shared by d12/q126's span statement and
+   * d13's cut statement. */
+  private lazy val exactSubstrCtes: String =
+    s"""base AS (SELECT doc_id, $normT AS t FROM documents),
               |tk AS (SELECT doc_id, string_split_regex(t, ' ') AS w
               |  FROM base),
               |planted AS (SELECT s.doc_id + 1000000 AS doc_id,
@@ -574,10 +600,29 @@ object DedupQueries {
               |sp AS (SELECT doc_id, pos, e,
               |    SUM(CASE WHEN pe IS NULL OR pos > pe + 1 THEN 1 ELSE 0 END)
               |      OVER (PARTITION BY doc_id ORDER BY pos) AS span
-              |  FROM m)
-              |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-              |  CAST(MAX(e) AS BIGINT) AS span_end,
-              |  CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS span_tokens
-              |FROM sp GROUP BY doc_id, span
-              |ORDER BY doc_id, span_start""".stripMargin
+              |  FROM m)""".stripMargin
+
+  /** d13's oracle: the cut restated as explicit position rows — every
+   * token position NOT covered by a merged span survives, re-joined in
+   * order; every corpus doc returns a row (empty docs cut to ''). */
+  private[queries] lazy val exactSubstrCutOracle: String =
+    s"""WITH $exactSubstrCtes,
+       |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
+       |  FROM sp GROUP BY doc_id, span),
+       |pos2 AS (SELECT doc_id, i, w[i] AS tk
+       |  FROM toks, unnest(generate_series(1, len(w))) AS u2(i)),
+       |keep AS (SELECT p.doc_id, p.i, p.tk FROM pos2 p
+       |  WHERE NOT EXISTS (SELECT 1 FROM spans q
+       |    WHERE q.doc_id = p.doc_id AND p.i BETWEEN q.s AND q.e)),
+       |cl AS (SELECT doc_id,
+       |    array_to_string(list(tk ORDER BY i), ' ') AS clean_text
+       |  FROM keep GROUP BY doc_id),
+       |rm AS (SELECT doc_id, SUM(e - s + 1) AS n_removed FROM spans
+       |  GROUP BY doc_id)
+       |SELECT c.doc_id, COALESCE(cl.clean_text, '') AS clean_text,
+       |  CAST(COALESCE(rm.n_removed, 0) AS BIGINT) AS n_removed
+       |FROM corpus c
+       |LEFT JOIN cl ON cl.doc_id = c.doc_id
+       |LEFT JOIN rm ON rm.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin
 }

@@ -93,4 +93,19 @@ class ExactSubstrSpec extends SparkSpec {
     assert(got == Seq((5L, 1L, 20L, 20L), (6L, 1L, 20L, 20L)),
       s"doc 4 must survive as the first occurrence: $got")
   }
+
+  test("cut: the copied region is excised from the later doc, the " +
+      "first occurrence untouched, a full duplicate cuts to ''") {
+    // doc 4: an exact copy of doc 1's first 20 tokens — fully covered
+    val df = corpus.unionByName(
+      Seq((4L, aTok.take(20).mkString(" "))).toDF("doc_id", "text"))
+    val got = Dedup.exactSubstrCut(df, "doc_id", "text", minLen = 12)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, aTok.mkString(" "), 0L),             // first occurrence intact
+      (2L, tok("f", 0 until 5).mkString(" "), 20L), // span (6,25) cut
+      (3L, tok("c", 0 until 15).mkString(" "), 15L), // second half cut
+      (4L, "", 20L)),                           // full duplicate -> ''
+      s"unexpected cut set: $got")
+  }
 }
