@@ -26,15 +26,17 @@ import graft.functions.{TextFunctions => TF}
  *    application — no corpus rescans, no driver-side vocabulary.
  *
  * Merge application is greedy left-to-right non-overlapping, computed
- * as literal string replacement over the space-joined symbol string
- * iterated to a FIXPOINT: one `replace` pass merges alternate
- * occurrences inside a run of the same pair (the scan resumes after
- * each replacement), so a run of k collapses in O(log k) passes;
- * both Spark's `replace` and DuckDB's scan left-to-right and resume
- * after the replacement, so the per-pass strings — and therefore the
- * fixpoint — are engine-identical, which is what lets the t18 oracle
- * restate the whole loop (verified against a hand-written canonical
- * BPE on the overlapping-run corpus in BpeSpec).
+ * as ONE literal string replacement over the symbol string with
+ * DOUBLED separators: naive single-space replacement tile-skips on
+ * runs of a self-pair (the scan consumes the trailing boundary space,
+ * so " a a a a " merges pairs 1-2 and 4-5 — NOT canonical greedy's
+ * 1-2 and 3-4); with tokens joined by two spaces a match consumes
+ * exactly ONE space of each flanking separator, the scan resumes at
+ * the next token boundary, and a single pass IS the canonical greedy
+ * tiling (verified on runs of every length in BpeSpec, which pins the
+ * round whose argmax a tile-skip segmentation would change). Both
+ * Spark's `replace` and DuckDB's share the scan-resume semantics, so
+ * the oracle restates the whole loop with plain non-recursive CTEs.
  *
  * Determinism: the argmax tiebreak is (count DESC, pair string ASC)
  * — pure integer counts and string order, nothing floating-point in
@@ -75,22 +77,14 @@ object Bpe {
       val (pair, n) = (best(0).getString(0), best(0).getLong(1))
       val Array(lhs, rhs) = pair.split(" ", 2)
       merges += Merge(step, lhs, rhs, n)
-      // greedy merge to fixpoint: replace " lhs rhs " with " lhsrhs "
-      // over the padded symbol string until a pass changes nothing
-      val pat = lit(s" $pair ")
-      val rep = lit(s" $lhs$rhs ")
-      var cur = vocab
-        .select(concat(lit(" "), col("s"), lit(" ")).as("ps"), col("f"))
-        .localCheckpoint()
-      var remaining = 64 // log-convergence backstop, never binds
-      while (!cur.filter(replace(col("ps"), pat, rep) =!= col("ps"))
-          .isEmpty) {
-        cur = cur.select(replace(col("ps"), pat, rep).as("ps"),
-          col("f")).localCheckpoint()
-        remaining -= 1
-        require(remaining > 0, "Bpe.train: merge fixpoint diverged")
-      }
-      vocab = cur.select(trim(col("ps")).as("s"), col("f"))
+      // canonical greedy in ONE pass (class doc): doubled separators,
+      // replace " lhs  rhs " with " lhsrhs ", collapse back
+      vocab = vocab.select(
+        trim(replace(replace(
+          concat(lit(" "),
+            replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+          lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")),
+          lit("  "), lit(" "))).as("s"), col("f"))
         .localCheckpoint()
     }
     merges.result()

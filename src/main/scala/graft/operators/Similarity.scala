@@ -119,6 +119,20 @@ object Similarity {
       .select(col(idCol).as("cid"), col(vecCol).as("cv"),
         VF.l2Norm(col(vecCol)).as("cn"))
 
+  /** Collect a `(cid, cv, cn)` centroid frame to the bounded
+   * driver-side literal Seq every frozen-quantizer constructor takes
+   * (≤ maxCentroids rows by [[strideCentroids]]' cap). One shared
+   * spelling of the row→tuple conversion — the cast normalizes a
+   * float-vector `cv` to the double array the quantizer math uses. */
+  def collectCentroids(cent: DataFrame): Seq[(Long, Array[Double], Double)] =
+    cent
+      .select(col("cid"), col("cv").cast("array<double>").as("cv"),
+        col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2)))
+      .toSeq
+
   /**
    * Nearest-centroid assignment against any `(cid, cv, cn)` centroid set:
    * exact cosine argmax (6dp-rounded, ties to lower cid — the contract

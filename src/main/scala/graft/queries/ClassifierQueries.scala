@@ -119,17 +119,21 @@ object ClassifierQueries {
     val enList =
       s"[${TF.stopwords("en").map(w => s"'$w'").mkString(", ")}]"
     s"""base AS (SELECT doc_id, ${DedupQueries.normT} AS t FROM documents),
-       |tk AS (SELECT doc_id, string_split_regex(t, ' ') AS w,
+       |tk AS (SELECT doc_id,
+       |    CASE WHEN t = '' THEN CAST([] AS VARCHAR[])
+       |      ELSE string_split_regex(t, ' ') END AS w,
        |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
-       |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
+       |    CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(len(string_split_regex(t, ' ')) AS BIGINT)
+       |      END AS n_tokens,
        |    CASE WHEN len(t) > 0
        |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
        |      ELSE 0.0 END AS punct,
-       |    CASE WHEN len(string_split_regex(t, ' ')) > 0
+       |    CASE WHEN t <> '' AND len(string_split_regex(t, ' ')) > 0
        |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
        |           / len(string_split_regex(t, ' '))
        |      ELSE 0.0 END AS swr
-       |  FROM base WHERE t <> ''),
+       |  FROM base),
        |seed AS (SELECT doc_id, w,
        |    round(greatest(0.0,
        |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +

@@ -177,15 +177,10 @@ object LedgerStreamQueries {
    * stream starts. */
   private[queries] def frozenQuantizer(ss: SparkSession,
       dir: String): Seq[(Long, Array[Double], Double)] =
-    graft.operators.Similarity.strideCentroids(
+    graft.operators.Similarity.collectCentroids(
+      graft.operators.Similarity.strideCentroids(
         graft.sources.Tables.load(ss, dir, "embeddings"),
-        "vec_id", "embedding", centroidStride = 50, maxCentroids = 32)
-      .select(col("cid"), col("cv").cast("array<double>").as("cv"),
-        col("cn"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
-        r.getDouble(2)))
-      .toSeq
+        "vec_id", "embedding", centroidStride = 50, maxCentroids = 32))
 
   // per-JVM ingest cache — see the minhashCache note
   private val embCache =
@@ -277,13 +272,9 @@ object LedgerStreamQueries {
           .as("sig"))
     // fit-time quantizer: stride-20 seeding over the evens — the
     // distribution the stream was born on
-    val quantA = graft.operators.Similarity.strideCentroids(evens,
-        "id", "sig", centroidStride = 20, maxCentroids = 32)
-      .select(col("cid"), col("cv"), col("cn"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
-        r.getDouble(2)))
-      .toSeq
+    val quantA = graft.operators.Similarity.collectCentroids(
+      graft.operators.Similarity.strideCentroids(evens,
+        "id", "sig", centroidStride = 20, maxCentroids = 32))
     val led = new graft.streaming.EmbeddingLedger(ss, quantA,
       nProbe = 2, minCos = 0.4, nBuckets = 16)
     led.observe(evens, 0L)

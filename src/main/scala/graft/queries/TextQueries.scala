@@ -1091,13 +1091,10 @@ object TextQueries {
 
   /** The t18 oracle: `rounds` unrolled merge rounds. Each round i is
    * three CTEs — pair counts over v{i}, the one-row argmax m{i}, and
-   * a recursive fixpoint fix{i} applying the merge until stable —
-   * with the vocab snapshots MATERIALIZED (without the hint DuckDB
-   * re-executes the upstream chain per recursion step: exponential). */
+   * the single-pass doubled-separator canonical merge (see Bpe's
+   * class doc) producing v{i+1} — MATERIALIZED so DuckDB does not
+   * re-execute the upstream chain per reference. */
   private def bpeOracle(rounds: Int): String = {
-    def rep(i: Int): String =
-      s"replace(' ' || s || ' ', ' ' || (SELECT p FROM m$i) || ' ', " +
-        s"' ' || replace((SELECT p FROM m$i), ' ', '') || ' ')"
     val roundCtes = (0 until rounds).map { i =>
       s"""pairs$i AS MATERIALIZED (
          |  SELECT y[j] || ' ' || y[j+1] AS p, SUM(f) AS n
@@ -1106,14 +1103,12 @@ object TextQueries {
          |  GROUP BY p),
          |m$i AS MATERIALIZED (
          |  SELECT p, n FROM pairs$i ORDER BY n DESC, p LIMIT 1),
-         |fix$i(s, f) AS (
-         |  SELECT s, f FROM v$i
-         |  UNION ALL
-         |  SELECT trim(${rep(i)}), f FROM fix$i
-         |  WHERE ${rep(i)} <> ' ' || s || ' '),
          |v${i + 1} AS MATERIALIZED (
-         |  SELECT s, f FROM fix$i
-         |  WHERE ${rep(i)} = ' ' || s || ' ')""".stripMargin
+         |  SELECT trim(replace(replace(
+         |      ' ' || replace(s, ' ', '  ') || ' ',
+         |      ' ' || replace((SELECT p FROM m$i), ' ', '  ') || ' ',
+         |      ' ' || replace((SELECT p FROM m$i), ' ', '') || ' '),
+         |    '  ', ' ')) AS s, f FROM v$i)""".stripMargin
     }
     val finalRows = (0 until rounds).map { i =>
       s"""SELECT CAST(${i + 1} AS BIGINT) AS step,
@@ -1121,7 +1116,7 @@ object TextQueries {
          |  string_split((SELECT p FROM m$i), ' ')[2] AS rhs,
          |  CAST((SELECT n FROM m$i) AS BIGINT) AS n""".stripMargin
     }
-    s"""WITH RECURSIVE d AS (SELECT $normT AS t FROM documents),
+    s"""WITH d AS (SELECT $normT AS t FROM documents),
        |tok AS (SELECT u.tk AS w FROM
        |  (SELECT string_split_regex(t, ' ') AS w0 FROM d
        |   WHERE t <> ''), unnest(w0) AS u(tk)),

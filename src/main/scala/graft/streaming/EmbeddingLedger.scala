@@ -198,14 +198,9 @@ final class EmbeddingLedger(ss: SparkSession,
    * bounded-broadcast shape the constructor takes). */
   def refitQuantizer(centroidStride: Int,
       maxCentroids: Int): Seq[(Long, Array[Double], Double)] =
-    graft.operators.Similarity.strideCentroids(corpus, "id", "sig",
-        centroidStride, maxCentroids)
-      .select(col("cid"), col("cv").cast("array<double>").as("cv"),
-        col("cn"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
-        r.getDouble(2)))
-      .toSeq
+    graft.operators.Similarity.collectCentroids(
+      graft.operators.Similarity.strideCentroids(corpus, "id", "sig",
+        centroidStride, maxCentroids))
 
   /**
    * REBAND under a refit quantizer — the offline lifecycle operation
@@ -225,15 +220,18 @@ final class EmbeddingLedger(ss: SparkSession,
    * expressions and must not be used afterwards).
    */
   def reband(newCentroids: Seq[(Long, Array[Double], Double)],
-      opId: Long): EmbeddingLedger = {
+      opId: Long,
+      corpusFrame: Option[DataFrame] = None): EmbeddingLedger = {
     require(newCentroids.nonEmpty, "reband: no centroids")
     if (store.hasState) {
       val posts = store.view(ss).localCheckpoint()
       val oldKeys = posts.select(col("bkey"))
-      val c = posts
+      // an already-materialized corpus (rebandIfDrifted passes the one
+      // its refit seeded from) skips a second O(state) explode+distinct
+      val c = corpusFrame.getOrElse(posts
         .select(explode(col("posting")).as("p"))
         .select(col("p.id").as("id"), col("p.sig").as("sig"))
-        .distinct()
+        .distinct())
       val newPost = c
         .select(col("id"), col("sig"),
           explode_outer(bandArrayFor(newCentroids)).as("bkey"))
@@ -257,8 +255,16 @@ final class EmbeddingLedger(ss: SparkSession,
           throw t
       }
     }
-    EmbeddingLedger.recover(ss, newCentroids, nProbe, minCos, nBuckets,
-      store.rootDir)
+    // a never-committed ledger has no manifest to recover — rebanding
+    // it is a legitimate no-op (nothing to rewrite), so hand back a
+    // fresh ledger on the new quantizer instead of crashing in
+    // TxLog.load with a misleading no-manifest error
+    if (!store.hasState)
+      new EmbeddingLedger(ss, newCentroids, nProbe, minCos, nBuckets,
+        Some(store.rootDir))
+    else
+      EmbeddingLedger.recover(ss, newCentroids, nProbe, minCos, nBuckets,
+        store.rootDir)
   }
 
   /** Decision + outcome of one drift check: the measured statistic
@@ -278,9 +284,15 @@ final class EmbeddingLedger(ss: SparkSession,
   def rebandIfDrifted(maxImbalance: Double, centroidStride: Int,
       maxCentroids: Int, opId: Long): RebandDecision = {
     val im = imbalance
-    if (im > maxImbalance)
-      RebandDecision(im, fired = true,
-        reband(refitQuantizer(centroidStride, maxCentroids), opId))
-    else RebandDecision(im, fired = false, this)
+    if (im > maxImbalance) {
+      // materialize the accumulated corpus ONCE: the refit seeds from
+      // it and reband rewrites from it — without this the fired path
+      // pays the O(state) explode+distinct twice
+      val c = corpus.localCheckpoint()
+      val refit = graft.operators.Similarity.collectCentroids(
+        graft.operators.Similarity.strideCentroids(c, "id", "sig",
+          centroidStride, maxCentroids))
+      RebandDecision(im, fired = true, reband(refit, opId, Some(c)))
+    } else RebandDecision(im, fired = false, this)
   }
 }

@@ -46,6 +46,13 @@ object XsubstrSoak {
       s"XsubstrSoak: nDocs=$n must split evenly into an even " +
         s"nBatches=$nBatches (the pair-swapped order needs pairs)")
     val per = n / nBatches
+    // the source of victim v is v - per - 1; keeping it OFF the victim
+    // grid ((v - per - 1) % 10 != 9) requires per % 10 != 9 — a victim
+    // source would chain plants through three docs and break the exact
+    // span arithmetic below with a spurious assert failure
+    require(per % 10 != 9,
+      s"XsubstrSoak: nDocs/nBatches=$per ends in 9 — victim sources " +
+        "would themselves be victims; pick a batch size not ≡ 9 mod 10")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

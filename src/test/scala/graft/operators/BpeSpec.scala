@@ -61,6 +61,21 @@ class BpeSpec extends SparkSpec {
     assert(want.exists { case (_, a, b, _) => a == b })
   }
 
+  test("run tiling is CANONICAL greedy, proven by the next round's " +
+      "argmax: 'aaaaa' must segment to 'aa aa a', not 'aa a aa'") {
+    // round 1 merges (a,a); canonical tiling leaves "aa aa a </w>"
+    // whose round-2 tie-broken argmax is 'a </w>' — the tile-skip
+    // segmentation "aa a aa </w>" (what a naive single-space replace
+    // produces: the scan consumes the shared boundary space and skips
+    // the adjacent occurrence) would instead merge 'a aa'. This is
+    // the round the vocab difference is VISIBLE in the merge table.
+    val docs = Seq((1L, "aaaaa")).toDF("doc_id", "text")
+    val got = Bpe.train(docs, "text", rounds = 2)
+      .map(m => (m.step, m.lhs, m.rhs, m.n))
+    assert(got == Seq((1, "a", "a", 4L), (2, "a", "</w>", 1L)),
+      s"non-canonical run tiling: $got")
+  }
+
   test("merge counts are frequency-weighted, not word-distinct") {
     // 'es' appears once per word but in words of freq 6 and 3 -> 9
     val docs = Seq((1L, "newest"), (2L, "widest")).toDF("doc_id", "text")

@@ -21,14 +21,9 @@ class EmbeddingLedgerSpec extends SparkSpec {
   private def emb: DataFrame = Tables.load(spark, sf(), "embeddings")
 
   private def centroids: Seq[(Long, Array[Double], Double)] =
-    Similarity.strideCentroids(emb, "vec_id", "embedding",
-        centroidStride = 50, maxCentroids = 32)
-      .select(col("cid"), col("cv").cast("array<double>").as("cv"),
-        col("cn"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
-        r.getDouble(2)))
-      .toSeq
+    Similarity.collectCentroids(
+      Similarity.strideCentroids(emb, "vec_id", "embedding",
+        centroidStride = 50, maxCentroids = 32))
 
   private def sigs: DataFrame =
     emb.select(col("vec_id").as("id"), col("embedding").as("sig"))
@@ -129,13 +124,9 @@ class EmbeddingLedgerSpec extends SparkSpec {
         .as("sig"))
 
   private def quantA: Seq[(Long, Array[Double], Double)] =
-    Similarity.strideCentroids(evens, "id", "sig",
-        centroidStride = 20, maxCentroids = 32)
-      .select(col("cid"), col("cv"), col("cn"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
-        r.getDouble(2)))
-      .toSeq
+    Similarity.collectCentroids(
+      Similarity.strideCentroids(evens, "id", "sig",
+        centroidStride = 20, maxCentroids = 32))
 
   test("drift lifecycle: an undrifted ledger does NOT fire (store and " +
       "token untouched); a drifted one fires, and the rebanded ledger " +
