@@ -98,4 +98,39 @@ object Bpe {
       .select(col("step").cast(LongType).as("step"), col("lhs"),
         col("rhs"), col("n"))
   }
+
+  /** The symbol string a WORD encodes to under `merges` applied in
+   * rank order — the single-pass canonical replace (class doc)
+   * composed per merge into ONE column expression: encoding is pure
+   * scan-stage work, no loop, no action. */
+  def encodeExpr(word: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): org.apache.spark.sql.Column = {
+    val init = concat(array_join(
+      regexp_extract_all(word, lit("."), lit(0)), " "), lit(" </w>"))
+    merges.foldLeft(init) { (s, m) =>
+      trim(replace(replace(
+        concat(lit(" "), replace(s, lit(" "), lit("  ")), lit(" ")),
+        lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} ")),
+        lit("  "), lit(" ")))
+    }
+  }
+
+  /** ENCODE the corpus with a trained merge table — the tokenizer's
+   * runtime half: per doc, the subword count under the trained vocab.
+   * The merge chain runs once per DISTINCT WORD (the same 1000×
+   * corpus→vocab collapse training rides), and documents join their
+   * words' subword lengths back by word — one shuffle on the word.
+   * Returns (idCol, n_subwords). */
+  def encodeCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(TF.tokens(col(textCol))).as("w"))
+    val enc = words.select(col("w")).distinct()
+      .select(col("w"),
+        size(split(encodeExpr(col("w"), merges), " "))
+          .cast(LongType).as("n"))
+    words.join(enc, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_subwords"))
+  }
 }

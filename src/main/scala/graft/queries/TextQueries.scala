@@ -1086,7 +1086,33 @@ object TextQueries {
       (s, dir) => graft.operators.Bpe.trainDf(s,
           Tables.load(s, dir, "documents"), "text", rounds = 8)
         .orderBy(col("step")),
-      Some(bpeOracle(8)))
+      Some(bpeOracle(8))),
+
+    // ----------------------------------------------------------------
+    // t19 — BPE ENCODE: the tokenizer's runtime half, closing the
+    // train→use lifecycle (t18 ships the merge table; this gate RUNS
+    // it on the corpus). The merge chain is composed into one
+    // scan-stage column expression applied once per DISTINCT WORD
+    // (the same corpus→vocab collapse training rides), and documents
+    // join their words' subword lengths back — one shuffle on the
+    // word. The oracle re-trains the same 8 merges and re-encodes
+    // from scratch (the v-chain carries the word through every
+    // round), so the hash proves train AND encode end-to-end. Docs
+    // with no tokens have no subwords and are absent on both sides.
+    Q("t19_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Bpe.encodeCounts(docs, "doc_id", "text",
+            graft.operators.Bpe.train(docs, "text", rounds = 8))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${bpeCtes(8)},
+              |enc AS (SELECT w,
+              |    CAST(len(string_split(s, ' ')) AS BIGINT) AS n
+              |  FROM v8)
+              |SELECT t.doc_id, SUM(e.n) AS n_subwords
+              |FROM tok t JOIN enc e ON e.w = t.w
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
   )
 
   /** The t18 oracle: `rounds` unrolled merge rounds. Each round i is
@@ -1095,6 +1121,23 @@ object TextQueries {
    * class doc) producing v{i+1} — MATERIALIZED so DuckDB does not
    * re-execute the upstream chain per reference. */
   private def bpeOracle(rounds: Int): String = {
+    val finalRows = (0 until rounds).map { i =>
+      s"""SELECT CAST(${i + 1} AS BIGINT) AS step,
+         |  string_split((SELECT p FROM m$i), ' ')[1] AS lhs,
+         |  string_split((SELECT p FROM m$i), ' ')[2] AS rhs,
+         |  CAST((SELECT n FROM m$i) AS BIGINT) AS n""".stripMargin
+    }
+    s"""WITH ${bpeCtes(rounds)}
+       |${finalRows.mkString("\nUNION ALL\n")}
+       |ORDER BY step""".stripMargin
+  }
+
+  /** The shared t18/t19 CTE chain: corpus → (doc_id, word) `tok` →
+   * word-frequency vocab → `rounds` merge rounds, each three CTEs
+   * (pair counts, one-row argmax m{i}, the single-pass doubled-
+   * separator canonical merge into v{i+1}). The word rides the whole
+   * v-chain so t19 can join encoded lengths back to documents. */
+  private def bpeCtes(rounds: Int): String = {
     val roundCtes = (0 until rounds).map { i =>
       s"""pairs$i AS MATERIALIZED (
          |  SELECT y[j] || ' ' || y[j+1] AS p, SUM(f) AS n
@@ -1104,29 +1147,21 @@ object TextQueries {
          |m$i AS MATERIALIZED (
          |  SELECT p, n FROM pairs$i ORDER BY n DESC, p LIMIT 1),
          |v${i + 1} AS MATERIALIZED (
-         |  SELECT trim(replace(replace(
+         |  SELECT w, trim(replace(replace(
          |      ' ' || replace(s, ' ', '  ') || ' ',
          |      ' ' || replace((SELECT p FROM m$i), ' ', '  ') || ' ',
          |      ' ' || replace((SELECT p FROM m$i), ' ', '') || ' '),
          |    '  ', ' ')) AS s, f FROM v$i)""".stripMargin
     }
-    val finalRows = (0 until rounds).map { i =>
-      s"""SELECT CAST(${i + 1} AS BIGINT) AS step,
-         |  string_split((SELECT p FROM m$i), ' ')[1] AS lhs,
-         |  string_split((SELECT p FROM m$i), ' ')[2] AS rhs,
-         |  CAST((SELECT n FROM m$i) AS BIGINT) AS n""".stripMargin
-    }
-    s"""WITH d AS (SELECT $normT AS t FROM documents),
-       |tok AS (SELECT u.tk AS w FROM
-       |  (SELECT string_split_regex(t, ' ') AS w0 FROM d
+    s"""d AS (SELECT doc_id, $normT AS t FROM documents),
+       |tok AS (SELECT doc_id, u.tk AS w FROM
+       |  (SELECT doc_id, string_split_regex(t, ' ') AS w0 FROM d
        |   WHERE t <> ''), unnest(w0) AS u(tk)),
        |vc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok
        |  GROUP BY w),
-       |v0 AS MATERIALIZED (SELECT array_to_string(
+       |v0 AS MATERIALIZED (SELECT w, array_to_string(
        |    list_append(regexp_extract_all(w, '.'), '</w>'), ' ') AS s,
        |  f FROM vc),
-       |${roundCtes.mkString(",\n")}
-       |${finalRows.mkString("\nUNION ALL\n")}
-       |ORDER BY step""".stripMargin
+       |${roundCtes.mkString(",\n")}""".stripMargin
   }
 }

@@ -76,6 +76,21 @@ class BpeSpec extends SparkSpec {
       s"non-canonical run tiling: $got")
   }
 
+  test("encode applies the trained merges in rank order: subword " +
+      "counts shrink to the merged segmentation") {
+    // train 3 rounds on {newest, widest}: es -> est -> est</w>, so
+    // 'newest' encodes to [n e w est</w>] (4) and 'widest' to
+    // [w i d est</w>] (5... w i d est</w> = 4? chars w,i,d + est</w>)
+    val docs = Seq((1L, "newest"), (2L, "widest")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", rounds = 3)
+    assert(merges.map(m => m.lhs + m.rhs) == Seq("es", "est", "est</w>"),
+      s"unexpected merges: $merges")
+    val got = Bpe.encodeCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L), (2L, 4L)),
+      s"unexpected subword counts: $got")
+  }
+
   test("merge counts are frequency-weighted, not word-distinct") {
     // 'es' appears once per word but in words of freq 6 and 3 -> 9
     val docs = Seq((1L, "newest"), (2L, "widest")).toDF("doc_id", "text")
