@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.functions.{TextFunctions => TF}
 import graft.sources.Tables
 
@@ -1087,6 +1088,110 @@ object TextQueries {
           Tables.load(s, dir, "documents"), "text", rounds = 8)
         .orderBy(col("step")),
       Some(bpeOracle(8))),
+
+    // ----------------------------------------------------------------
+    // t20 — BIGRAM-LM PERPLEXITY FILTER (the CCNet shape): a small
+    // in-domain seed (doc_id % 9 = 0, held out of scoring) trains an
+    // interpolated bigram LM and every other document is scored by
+    // per-token cross-entropy — the filter that separates fluent text
+    // from boilerplate/garbage upstream of dedup. t07's unigram NLL
+    // scores a doc against the WHOLE corpus; this is the trained-seed
+    // shape with CONTEXT (bigrams), the published perplexity-filter
+    // semantics. Exactness (the q54/q124 discipline): the interpolated
+    // probability λ·c12/c1 + (1−λ)·(c2+1)/(T+V) with λ = 0.9 folds
+    // into ONE division of two exactly-representable integer products
+    // ((9·c12·(T+V) + (c2+1)·c1) / (10·c1·(T+V)), ≲10¹² ≪ 2⁵³ at the
+    // gate SFs), one ln, rounded 6dp, fixed as DECIMAL; an unseen
+    // context (c1 = 0) backs off to the smoothed unigram. ce is the
+    // exact decimal sum negated, cast to double, divided by the exact
+    // bigram count — identical IEEE ops in both engines. The seed
+    // count tables grow with the corpus, so the joins are left
+    // unhinted (broadcast at gate scale by AQE; honest shuffles at
+    // 100 TB). Docs with <2 tokens have no bigrams and are absent on
+    // both sides.
+    Q("t20_bigram_perplexity",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          TF.tokens(col("text")).as("__tok"))
+        val uni = toks.filter(col("doc_id") % 9 === 0)
+          .select(explode(col("__tok")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        // bounded driver scalars: seed token total + vocab size
+        val tv = uni.agg(sum(col("c")), count(lit(1))).head()
+        val (tTot, v) = (tv.getLong(0), tv.getLong(1))
+        require(tTot > 0, "t20: empty seed split")
+        val tpv = tTot + v
+        val bi = toks.filter(col("doc_id") % 9 === 0)
+          .select(explode(TF.wordShinglesPositional(col("__tok"), 2))
+            .as("g"))
+          .groupBy(col("g")).agg(count(lit(1)).as("c12"))
+        val pairs = toks.filter(col("doc_id") % 9 =!= 0)
+          .select(col("doc_id"),
+            explode(TF.wordShinglesPositional(col("__tok"), 2)).as("g"))
+          .select(col("doc_id"), col("g"),
+            split(col("g"), " ").getItem(0).as("w1"),
+            split(col("g"), " ").getItem(1).as("w2"))
+        val c1 = coalesce(col("c1"), lit(0L))
+        val c2 = coalesce(col("c2"), lit(0L))
+        val c12 = coalesce(col("c12"), lit(0L))
+        pairs
+          .join(bi, Seq("g"), "left_outer")
+          .join(uni.select(col("w").as("w1"), col("c").as("c1")),
+            Seq("w1"), "left_outer")
+          .join(uni.select(col("w").as("w2"), col("c").as("c2")),
+            Seq("w2"), "left_outer")
+          .select(col("doc_id"),
+            round(log(
+              when(c1 > 0,
+                (lit(9L) * c12 * lit(tpv) + (c2 + 1L) * c1)
+                  .cast(DoubleType) /
+                (lit(10L) * c1 * lit(tpv)).cast(DoubleType))
+                .otherwise((c2 + 1L).cast(DoubleType) /
+                  lit(tpv).cast(DoubleType))), 6)
+              .cast(DecimalType(18, 6)).as("lp"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("lp")).as("__slp"))
+          .select(col("doc_id"), col("n_bigrams"),
+            ((-col("__slp")).cast(DoubleType) / col("n_bigrams"))
+              .as("ce"))
+          .withColumn("kept", col("ce") <= lit(3.56))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
+              |tk AS (SELECT doc_id, string_split_regex(t, ' ') AS w
+              |  FROM base WHERE t <> ''),
+              |su AS (SELECT u.tok AS w1, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM (SELECT w FROM tk WHERE doc_id % 9 = 0),
+              |    unnest(w) AS u(tok) GROUP BY 1),
+              |tv AS (SELECT CAST(SUM(c) AS BIGINT) AS t,
+              |    CAST(COUNT(*) AS BIGINT) AS v FROM su),
+              |sb AS (SELECT w[i] || ' ' || w[i+1] AS g,
+              |    CAST(COUNT(*) AS BIGINT) AS c12
+              |  FROM tk, unnest(generate_series(1, len(w) - 1)) AS u(i)
+              |  WHERE doc_id % 9 = 0 AND len(w) >= 2 GROUP BY 1),
+              |pg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2,
+              |    w[i] || ' ' || w[i+1] AS g
+              |  FROM tk, unnest(generate_series(1, len(w) - 1)) AS u(i)
+              |  WHERE doc_id % 9 <> 0 AND len(w) >= 2),
+              |sc AS (SELECT p.doc_id, CAST(round(
+              |    CASE WHEN COALESCE(u1.c, 0) > 0 THEN
+              |      ln(CAST(9 * COALESCE(b.c12, 0) * (t + v) +
+              |          (COALESCE(u2.c, 0) + 1) * u1.c AS DOUBLE) /
+              |        CAST(10 * u1.c * (t + v) AS DOUBLE))
+              |    ELSE ln(CAST(COALESCE(u2.c, 0) + 1 AS DOUBLE) /
+              |        CAST(t + v AS DOUBLE)) END, 6)
+              |    AS DECIMAL(18,6)) AS lp
+              |  FROM pg p CROSS JOIN tv
+              |  LEFT JOIN sb b ON b.g = p.g
+              |  LEFT JOIN su u1 ON u1.w1 = p.w1
+              |  LEFT JOIN su u2 ON u2.w1 = p.w2)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |  CAST(-SUM(lp) AS DOUBLE) / COUNT(*) AS ce,
+              |  CAST(-SUM(lp) AS DOUBLE) / COUNT(*) <= 3.56 AS kept
+              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------
     // t19 — BPE ENCODE: the tokenizer's runtime half, closing the

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 import graft.operators.Dedup
@@ -104,6 +105,40 @@ class ExactSubstrLedgerSpec extends SparkSpec {
     val rec = ExactSubstrLedger.recover(spark, minLen = 12,
       nBuckets = 4, root = root)
     assert(gotSpans(rec) == expected)
+  }
+
+  test("randomized: ledger end state == batch operator under random " +
+      "corpora and random arrival partitions (seeded)") {
+    // small alphabet + short docs force natural window collisions and
+    // partial overlaps the hand corpus can't enumerate; the random
+    // PARTITION (not doc-ordered) makes displacement fire arbitrarily
+    val rnd = new scala.util.Random(41)
+    (1 to 4).foreach { trial =>
+      val docs = (0 until 24).map { i =>
+        val n = 12 + rnd.nextInt(18)
+        // tokens from a 6-letter alphabet: dense accidental repeats
+        (i.toLong, Seq.fill(n)(('a' + rnd.nextInt(6)).toChar.toString)
+          .mkString(" "))
+      }
+      val df = docs.toDF("id", "text")
+      val want = Dedup.exactSubstrSpans(
+          df.selectExpr("id as doc_id", "text"), "doc_id", "text",
+          minLen = 4)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val led = new ExactSubstrLedger(spark, minLen = 4, nBuckets = 4)
+      // random 3-way partition, batches ingested in shuffled order
+      val part = docs.map(_ => rnd.nextInt(3))
+      rnd.shuffle((0 until 3).toList).zipWithIndex.foreach {
+        case (slice, op) =>
+          val ids = docs.zip(part).collect {
+            case ((id, _), p) if p == slice => id
+          }.toSet
+          led.ingest(df.filter(col("id").isin(ids.toSeq: _*)), op.toLong)
+      }
+      assert(gotSpans(led) == want,
+        s"trial $trial: streamed spans diverge from the batch operator")
+    }
   }
 
   test("a corpus with no duplicated window serves empty spans — " +
