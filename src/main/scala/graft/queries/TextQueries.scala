@@ -1157,7 +1157,22 @@ object TextQueries {
           .select(col("doc_id"), col("n_bigrams"),
             ((-col("__slp")).cast(DoubleType) / col("n_bigrams"))
               .as("ce"))
-          .withColumn("kept", col("ce") <= lit(3.56))
+          .localCheckpoint()
+      }
+      // CORPUS-RELATIVE cut (CCNet filters against the corpus's own
+      // distribution, not an absolute constant): kept = ce ≤ mean(ce),
+      // the mean a BOUNDED DRIVER SCALAR — an exact 6dp-decimal sum
+      // (order-independent) cast correctly-rounded to double over the
+      // exact count, the identical two IEEE ops DuckDB's
+      // CAST(SUM(dec) AS DOUBLE)/COUNT performs — never a
+      // single-partition window over the doc rows
+      .transform { scored =>
+        val r = scored
+          .agg(sum(Exact.dec(col("ce"))), count(lit(1))).head()
+        val mce = r.getDecimal(0).doubleValue() / r.getLong(1)
+        scored
+          .select(col("doc_id"), col("n_bigrams"), col("ce"),
+            (col("ce") <= lit(mce)).as("kept"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
@@ -1187,11 +1202,15 @@ object TextQueries {
               |  FROM pg p CROSS JOIN tv
               |  LEFT JOIN sb b ON b.g = p.g
               |  LEFT JOIN su u1 ON u1.w1 = p.w1
-              |  LEFT JOIN su u2 ON u2.w1 = p.w2)
-              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-              |  CAST(-SUM(lp) AS DOUBLE) / COUNT(*) AS ce,
-              |  CAST(-SUM(lp) AS DOUBLE) / COUNT(*) <= 3.56 AS kept
-              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+              |  LEFT JOIN su u2 ON u2.w1 = p.w2),
+              |fin AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+              |    CAST(-SUM(lp) AS DOUBLE) / COUNT(*) AS ce
+              |  FROM sc GROUP BY doc_id),
+              |mm AS (SELECT CAST(SUM(CAST(ce AS DECIMAL(18,6))) AS DOUBLE)
+              |    / COUNT(*) AS mce FROM fin)
+              |SELECT doc_id, n_bigrams, ce,
+              |  ce <= (SELECT mce FROM mm) AS kept
+              |FROM fin ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------
     // t19 — BPE ENCODE: the tokenizer's runtime half, closing the
