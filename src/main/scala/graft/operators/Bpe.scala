@@ -66,6 +66,9 @@ object Bpe {
     for (step <- 1 to rounds) {
       val best = vocab
         .select(col("f"), split(col("s"), " ").as("y"))
+        // a fully-merged word (one symbol left) has no pairs; without
+        // the guard sequence(0, -1) DESCENDS and element_at throws
+        .filter(size(col("y")) >= 2)
         .select(col("f"), explode(
           transform(sequence(lit(0), size(col("y")) - 2),
             i => concat(element_at(col("y"), i + 1), lit(" "),

@@ -1220,7 +1220,7 @@ object TextQueries {
     // (the same corpus→vocab collapse training rides), and documents
     // join their words' subword lengths back — one shuffle on the
     // word. The oracle re-trains the same 8 merges and re-encodes
-    // from scratch (the v-chain carries the word through every
+    // from scratch (the sym-chain carries the word through every
     // round), so the hash proves train AND encode end-to-end. Docs
     // with no tokens have no subwords and are absent on both sides.
     Q("t19_bpe_encode",
@@ -1231,19 +1231,45 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH ${bpeCtes(8)},
-              |enc AS (SELECT w,
-              |    CAST(len(string_split(s, ' ')) AS BIGINT) AS n
-              |  FROM v8)
+              |enc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM sym8 GROUP BY w)
               |SELECT t.doc_id, SUM(e.n) AS n_subwords
               |FROM tok t JOIN enc e ON e.w = t.w
-              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t21 — BPE ENCODE, PER-WORD: the same trained 8-merge chain, but
+    // the gate emits the encoded symbol STRING per distinct word —
+    // one row per vocab entry, the tokenizer artifact itself. Two
+    // jobs: (a) the hash pins the exact segmentation (t19's per-doc
+    // counts can cancel a +1/−1 pair across words; this can't), and
+    // (b) if a driver-side engine ever disagrees again, the FAILING
+    // WORD CLASS is directly readable from this gate's dumped parquet
+    // vs the oracle — the r15 t19 divergence was unattributable
+    // precisely because only doc-level sums crossed the gate.
+    Q("t21_bpe_encode_words",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val merges = graft.operators.Bpe.train(docs, "text", rounds = 8)
+        docs.select(explode(TF.tokens(col("text"))).as("w"))
+          .distinct()
+          .select(col("w"),
+            graft.operators.Bpe.encodeExpr(col("w"), merges).as("s"))
+          .select(col("w"), col("s"),
+            size(split(col("s"), " "))
+              .cast(org.apache.spark.sql.types.LongType)
+              .as("n_subwords"))
+          .orderBy(col("w"))
+      },
+      Some(s"""WITH ${bpeCtes(8)}
+              |SELECT w, string_agg(s, ' ' ORDER BY j) AS s,
+              |  CAST(COUNT(*) AS BIGINT) AS n_subwords
+              |FROM sym8 GROUP BY w ORDER BY w""".stripMargin))
   )
 
-  /** The t18 oracle: `rounds` unrolled merge rounds. Each round i is
-   * three CTEs — pair counts over v{i}, the one-row argmax m{i}, and
-   * the single-pass doubled-separator canonical merge (see Bpe's
-   * class doc) producing v{i+1} — MATERIALIZED so DuckDB does not
-   * re-execute the upstream chain per reference. */
+  /** The t18 oracle: `rounds` unrolled merge rounds over the
+   * POSITIONAL symbol chain ([[bpeCtes]]); the final select reads the
+   * one-row argmaxes m{i}. */
   private def bpeOracle(rounds: Int): String = {
     val finalRows = (0 until rounds).map { i =>
       s"""SELECT CAST(${i + 1} AS BIGINT) AS step,
@@ -1256,26 +1282,73 @@ object TextQueries {
        |ORDER BY step""".stripMargin
   }
 
-  /** The shared t18/t19 CTE chain: corpus → (doc_id, word) `tok` →
-   * word-frequency vocab → `rounds` merge rounds, each three CTEs
-   * (pair counts, one-row argmax m{i}, the single-pass doubled-
-   * separator canonical merge into v{i+1}). The word rides the whole
-   * v-chain so t19 can join encoded lengths back to documents. */
+  /** The shared t18/t19/t21 CTE chain: corpus → (doc_id, word) `tok`
+   * → word-frequency vocab → `rounds` merge rounds over a POSITIONAL
+   * (w, f, symbol_idx j, symbol s) table — index-walking integer
+   * arithmetic, NO string `replace` anywhere. The r15 driver run
+   * proved the previous replace-based chain version-sensitive: its
+   * doubled-separator tiling leans on `replace`'s scan-resume
+   * semantics, which local DuckDB 1.0.0 and the driver's DuckDB
+   * implement differently (t19 hash-diverged while matching locally).
+   * Window functions, joins, and row_number have one portable
+   * semantics, so this chain states canonical greedy BPE without any
+   * engine-specific string-scan behavior.
+   *
+   * Each round i is four MATERIALIZED CTEs (without the hint DuckDB
+   * re-executes the upstream chain per reference — exponential over
+   * unrolled rounds):
+   *  - pairs{i}: adjacent-pair counts via lead() over (w, j);
+   *  - m{i}: the one-row argmax (count DESC, pair ASC);
+   *  - take{i}: the CANONICAL non-overlapping match set. A match at j
+   *    needs s[j]=lhs ∧ s[j+1]=rhs; two candidates can only be
+   *    adjacent when lhs=rhs (s[j+1] must equal both), so candidates
+   *    form single positions (lhs≠rhs — all taken) or consecutive
+   *    runs (self-pairs — greedy left-tiling takes the EVEN offsets
+   *    within each run): gaps-and-islands (j − row_number) groups the
+   *    runs, parity of (j − island-min) selects canonically. BpeSpec
+   *    pins this against a hand-written index-walking BPE on runs of
+   *    every length;
+   *  - sym{i+1}: taken position j becomes lhs||rhs, position j+1 is
+   *    consumed, everything else carries; row_number renumbers. The
+   *    lead/flags compute in the inner subquery (before the filter),
+   *    the renumbering after it — SQL's WHERE-before-window order in
+   *    the outer select is exactly the contract needed. */
   private def bpeCtes(rounds: Int): String = {
     val roundCtes = (0 until rounds).map { i =>
       s"""pairs$i AS MATERIALIZED (
-         |  SELECT y[j] || ' ' || y[j+1] AS p, SUM(f) AS n
-         |  FROM (SELECT string_split(s, ' ') AS y, f FROM v$i),
-         |       unnest(generate_series(1, len(y) - 1)) AS u(j)
-         |  GROUP BY p),
+         |  SELECT s || ' ' || ns AS p, SUM(f) AS n FROM (
+         |    SELECT w, f, s, lead(s) OVER (PARTITION BY w ORDER BY j) AS ns
+         |    FROM sym$i)
+         |  WHERE ns IS NOT NULL GROUP BY 1),
          |m$i AS MATERIALIZED (
          |  SELECT p, n FROM pairs$i ORDER BY n DESC, p LIMIT 1),
-         |v${i + 1} AS MATERIALIZED (
-         |  SELECT w, trim(replace(replace(
-         |      ' ' || replace(s, ' ', '  ') || ' ',
-         |      ' ' || replace((SELECT p FROM m$i), ' ', '  ') || ' ',
-         |      ' ' || replace((SELECT p FROM m$i), ' ', '') || ' '),
-         |    '  ', ' ')) AS s, f FROM v$i)""".stripMargin
+         |take$i AS MATERIALIZED (
+         |  SELECT w, j FROM (
+         |    SELECT w, j,
+         |      j - min(j) OVER (PARTITION BY w, isl) AS off
+         |    FROM (
+         |      SELECT w, j,
+         |        j - row_number() OVER (PARTITION BY w ORDER BY j) AS isl
+         |      FROM (
+         |        SELECT w, j, s,
+         |          lead(s) OVER (PARTITION BY w ORDER BY j) AS ns
+         |        FROM sym$i)
+         |      WHERE s = string_split((SELECT p FROM m$i), ' ')[1]
+         |        AND ns = string_split((SELECT p FROM m$i), ' ')[2]))
+         |  WHERE off % 2 = 0),
+         |sym${i + 1} AS MATERIALIZED (
+         |  SELECT w, f,
+         |    CAST(row_number() OVER (PARTITION BY w ORDER BY j) AS BIGINT) AS j,
+         |    CASE WHEN tk THEN s || ns ELSE s END AS s
+         |  FROM (
+         |    SELECT b.w, b.f, b.j, b.s,
+         |      lead(b.s) OVER (PARTITION BY b.w ORDER BY b.j) AS ns,
+         |      t.j IS NOT NULL AS tk,
+         |      tp.j IS NOT NULL AS consumed
+         |    FROM sym$i AS b
+         |    LEFT JOIN take$i AS t ON t.w = b.w AND t.j = b.j
+         |    LEFT JOIN take$i AS tp ON tp.w = b.w AND tp.j = b.j - 1)
+         |  WHERE NOT consumed)""".stripMargin
     }
     s"""d AS (SELECT doc_id, $normT AS t FROM documents),
        |tok AS (SELECT doc_id, u.tk AS w FROM
@@ -1283,9 +1356,12 @@ object TextQueries {
        |   WHERE t <> ''), unnest(w0) AS u(tk)),
        |vc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok
        |  GROUP BY w),
-       |v0 AS MATERIALIZED (SELECT w, array_to_string(
-       |    list_append(regexp_extract_all(w, '.'), '</w>'), ' ') AS s,
-       |  f FROM vc),
+       |sym0 AS MATERIALIZED (
+       |  SELECT w, f, CAST(u.j AS BIGINT) AS j, y[j] AS s
+       |  FROM (SELECT w, f,
+       |          list_append(regexp_extract_all(w, '.'), '</w>') AS y
+       |        FROM vc),
+       |       unnest(generate_series(1, len(y))) AS u(j)),
        |${roundCtes.mkString(",\n")}""".stripMargin
   }
 }

@@ -91,6 +91,43 @@ class BpeSpec extends SparkSpec {
       s"unexpected subword counts: $got")
   }
 
+  test("encodeExpr segments adversarial run-heavy words exactly like " +
+      "a hand-written index-walking canonical encoder (t21's pin)") {
+    // canonical single-pass merge application, index-walking — the
+    // same ground truth refBpe uses, applied at ENCODE time
+    def refEncode(word: String,
+        merges: Seq[Bpe.Merge]): String = {
+      var syms = word.toCharArray.map(_.toString).toSeq :+ "</w>"
+      merges.foreach { m =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == m.lhs &&
+              syms(i + 1) == m.rhs) { out += m.lhs + m.rhs; i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms.mkString(" ")
+    }
+    // run lengths 1..7 plus alternation shapes: every self-pair tiling
+    // class, trained on the corpus that makes (a,a) the first merge
+    val words = Seq("a", "aa", "aaa", "aaaa", "aaaaa", "aaaaaa",
+      "aaaaaaa", "abab", "aabb", "baaab")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", rounds = 4)
+    assert(merges.exists(m => m.lhs == m.rhs), "no self-pair trained")
+    val got = docs
+      .select($"text".as("w"),
+        Bpe.encodeExpr($"text", merges).as("s"))
+      .as[(String, String)].collect().toMap
+    words.foreach { w =>
+      assert(got(w) == refEncode(w, merges),
+        s"'$w': got '${got(w)}', want '${refEncode(w, merges)}'")
+    }
+  }
+
   test("merge counts are frequency-weighted, not word-distinct") {
     // 'es' appears once per word but in words of freq 6 and 3 -> 9
     val docs = Seq((1L, "newest"), (2L, "widest")).toDF("doc_id", "text")
