@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 object Bench {
 
   /** One query's bench evidence: median, failed-rep count, every
-   * successful rep's wall, the 1-min loadavg when its reps began, and
-   * whether its cached-artifact setup thunk failed. */
+   * successful rep's wall, each rep's start WALL-CLOCK stamp (epoch
+   * seconds — so a contention window on the box is identifiable
+   * post-hoc from the detail artifact alone), the 1-min loadavg when
+   * its reps began, and whether its cached-artifact setup thunk
+   * failed. */
   private final case class BenchRow(name: String, med: Double,
-      failedReps: Int, times: Seq[Double], load: Double,
-      setupFailed: Boolean = false)
+      failedReps: Int, times: Seq[Double], repTs: Seq[Long],
+      load: Double, setupFailed: Boolean = false)
 
   /** Execute df end-to-end with all output columns materialized.
    * The row hashes combine via bit_xor, NOT sum: under ANSI mode the
@@ -96,6 +99,37 @@ object Bench {
     }
     canaryOnce() // codegen warmup — the first rep is ~3× the rest
     val canary = median((1 to reps).map(_ => canaryOnce()))
+    // I/O CANARY (r15 verdict #3): the CPU canary was healthy at both
+    // endpoints of the r15 driver run while the persisted-store gates
+    // showed 3-12× rep spikes (q103 29.8 s vs local 2.4) — FS/disk
+    // pressure is structurally invisible to a no-I/O plan. This one is
+    // a constant-SHAPE parquet round-trip (same row count, columns,
+    // and compression every round — ~40 MB written then fully read
+    // back), timed at start and end like the CPU canary: a high
+    // io.end/io.run says within-run FS pressure; both high vs other
+    // rounds says a slow-disk day; both normal while store gates spike
+    // says the spike is the gate's own plan.
+    def ioCanaryOnce(): Double = {
+      val dir = graft.sources.Scratch.dir("bench_io_canary")
+      val t0 = System.nanoTime()
+      spark.range(3000000L)
+        .select(col("id"), xxhash64(col("id")).as("h"),
+          expr("repeat(cast(id % 97 as string), 8)").as("pad"))
+        .repartition(8)
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .agg(expr("bit_xor(xxhash64(id, h, pad))")).head()
+      val w = (System.nanoTime() - t0) / 1e9
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(p, true)
+      } catch { case _: Throwable => () }
+      w
+    }
+    ioCanaryOnce() // warmup (committer/codec init)
+    val ioCanary = median((1 to reps).map(_ => ioCanaryOnce()))
+    var ioCanaryEnd = -1.0
     // END-of-run canary (r14 verdict #3): the start-of-run sample can
     // only attribute BETWEEN-run machine drift; a slowdown that
     // accumulates WITHIN the run (GC/FS-listing pressure from the
@@ -149,8 +183,10 @@ object Bench {
         }
       }
       val load = loadavg()
+      val repTs = scala.collection.mutable.ArrayBuffer.empty[Long]
       val times = if (setupFailed) Seq.empty[Double]
       else (1 to reps).flatMap { _ =>
+        repTs += System.currentTimeMillis() / 1000
         val t0 = System.nanoTime()
         val ok = try { force(q.run(spark, sfDir)); true } catch {
           case e: Throwable =>
@@ -160,9 +196,10 @@ object Bench {
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       BenchRow(q.name, if (times.nonEmpty) median(times) else -1.0,
-        reps - times.size, times, load, setupFailed)
+        reps - times.size, times, repTs.toSeq, load, setupFailed)
     }
     canaryEnd = median((1 to reps).map(_ => canaryOnce()))
+    ioCanaryEnd = median((1 to reps).map(_ => ioCanaryOnce()))
     val failed = results.filter(_.failedReps > 0)
     if (failed.nonEmpty) System.err.println(
       s"[bench] reps failed: ${failed.map(r => s"${r.name}×${r.failedReps}").mkString(", ")}")
@@ -203,6 +240,8 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_DETAIL").foreach { p =>
       val repsDetail = results.map(r => "\"" + r.name + "\":" +
         r.times.map(f3).mkString("[", ",", "]")).mkString("{", ",", "}")
+      val repTsJson = results.map(r => "\"" + r.name + "\":" +
+        r.repTs.mkString("[", ",", "]")).mkString("{", ",", "}")
       val loads = results.map(r => "\"" + r.name + "\":" + f3(r.load))
         .mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
@@ -212,9 +251,11 @@ object Bench {
           s""""setup_builds":${SetupTimer.json},"n":${results.size},""" +
           s""""canary":{"ref":${f3(CanaryRef)},"run":${f3(canary)},"end":${f3(canaryEnd)},""" +
           s""""total_normalized":${f3((total + SetupTimer.total) * CanaryRef / canary)}},""" +
+          s""""canary_io":{"run":${f3(ioCanary)},"end":${f3(ioCanaryEnd)}},""" +
           s""""failed":$failedJson,"setup_failed":$setupFailedJson,""" +
           s""""stages":${StageTimer.json},""" +
-          s""""reps_detail":$repsDetail,"load":$loads,""" +
+          s""""reps_detail":$repsDetail,"rep_ts":$repTsJson,""" +
+          s""""load":$loads,""" +
           s""""queries":$qs}""" + "\n")
     }
     // Detail first (may exceed the driver's tail window), then outlier
@@ -230,7 +271,7 @@ object Bench {
     // one-time cached-artifact builds, attributed per cache — `value` in
     // the total line below is serve + this, so the headline drops nothing
     println(s"""{"metric":"setup","total":${f3(SetupTimer.total)},"builds":${SetupTimer.json},"setup_failed":$setupFailedJson}""")
-    println(s"""{"metric":"canary","ref":${f3(CanaryRef)},"run":${f3(canary)},"end":${f3(canaryEnd)},"total_normalized":${f3((total + SetupTimer.total) * CanaryRef / canary)}}""")
+    println(s"""{"metric":"canary","ref":${f3(CanaryRef)},"run":${f3(canary)},"end":${f3(canaryEnd)},"io_run":${f3(ioCanary)},"io_end":${f3(ioCanaryEnd)},"total_normalized":${f3((total + SetupTimer.total) * CanaryRef / canary)}}""")
     println(s"""{"metric":"total","value":${f3(total + SetupTimer.total)},"serve":${f3(total)},"setup":${f3(SetupTimer.total)},"unit":"sec","n":${results.size},"failed":$nFailed,"reps":$reps,"sf":"$sfName"}""")
   }
 }

@@ -49,8 +49,17 @@ object ClassifierQueries {
 
   /** TRAIN: multinomial NB with Laplace smoothing on the heuristic-
    * labeled seed. Returns the 6dp prior log-ratio and the per-token
-   * weight table (t, w DECIMAL(18,6)) — bounded by the vocabulary, the
-   * broadcast side of every scoring join. */
+   * weight table (t, w DECIMAL(18,6)). SCALE NOTE (r15 verdict #5):
+   * this table is bounded by the VOCABULARY, which at gate SFs is
+   * tiny but at a 100 TB natural-language corpus is ~10⁷⁺ rows —
+   * big enough to strain a forced broadcast. The scoring join is
+   * therefore left UNHINTED (the t20 discipline): AQE broadcasts it
+   * at gate scale and falls back to an honest shuffle join beyond
+   * `spark.sql.autoBroadcastJoinThreshold`, with identical results.
+   * When the vocab itself must stay bounded by construction, q127's
+   * hashed feature dimension (a FIXED bucket count; collisions are
+   * the method) is the scale mode — that weight table IS safely
+   * broadcast-hinted. */
   private def nbModel(ss: SparkSession,
       dir: String): (Double, DataFrame) = {
     val seed = staged(ss, dir).filter(col("doc_id") % 3 === 0)
@@ -92,7 +101,9 @@ object ClassifierQueries {
     val rest = staged(ss, dir).filter(col("doc_id") % 3 =!= 0)
     val ts = rest
       .select(col("doc_id"), explode_outer(col("__tok")).as("t"))
-      .join(broadcast(weights), Seq("t"), "left_outer")
+      // unhinted: vocab-bounded table, AQE picks broadcast at gate
+      // scale / shuffle at 100 TB-vocab scale (nbModel scale note)
+      .join(weights, Seq("t"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(sum(col("w")).as("__ts"))
     rest.select(col("doc_id"), col("n_bpe"))

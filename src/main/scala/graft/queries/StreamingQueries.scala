@@ -573,13 +573,20 @@ object StreamingQueries {
           col("doc_id").as("keeper_id"), lit(1L).as("n_docs"))
         .repartition(8).write.mode("overwrite").parquet(src)
       val schema = ss.read.parquet(src).schema
+      // lsm (r16): uniformly-hashed fingerprints touch every bucket,
+      // so the classic mode rewrote the FULL accumulated state per
+      // micro-batch — the linear-arrival trade the r15 verdict flagged
+      // for this store class. Generations append per batch (O(batch)
+      // arrival) and the min/sum monoid collapses them at read; the
+      // end-state view is identical because the combine is
+      // associative+commutative over any grouping of the batches.
       val state = new graft.streaming.BucketedUpsert.State(ss,
         keyCol = "fingerprint",
         payloadCols = Seq("keeper_id", "n_docs"), nBuckets = 16,
         combine = Some(df => df.groupBy(col("fingerprint"))
           .agg(min(col("keeper_id")).as("keeper_id"),
             sum(col("n_docs")).as("n_docs"))),
-        hashKey = true)
+        hashKey = true, lsm = true)
       val q = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", StreamingQueries.GateFilesPerTrigger).parquet(src)
         .writeStream

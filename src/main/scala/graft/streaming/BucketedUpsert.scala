@@ -109,14 +109,39 @@ object BucketedUpsert {
    *   writing numbered manifests and deferring superseded-file
    *   retirement to [[vacuum]]; default false = the legacy eager
    *   retirement (only the newest version ever exists on disk).
+   * @param lsm LSM-GENERATION mode: [[merge]] APPENDS the reduced
+   *   batch as a new per-bucket generation instead of reading and
+   *   rewriting the touched buckets — per-batch arrival cost is
+   *   O(batch), independent of accumulated state (the classic mode
+   *   pays O(state · k/n) per batch, which for uniformly-hashed keys
+   *   touching all buckets is a FULL state rewrite per batch — the
+   *   r15 XsubstrSoak measured exactly that linear growth). The
+   *   reduce runs AT READ instead ([[view]]/[[lookupKeys]]/
+   *   [[lookupJoin]] collapse the generations through the combine
+   *   monoid), and [[compact]] folds a bucket's generations back to
+   *   one — the LSM merge the k03 inverted-index sink and the
+   *   s21/q87 tiered stores already apply, generalized to the keyed
+   *   store. CALLER CONTRACT: the reduce must be IDEMPOTENT over
+   *   re-delivered rows (min/max/latest/keyed-constant are; a concat
+   *   monoid is NOT unless the caller suppresses replays with a
+   *   lastOp token BEFORE calling merge, as PostingLedger.observe
+   *   does) — a crashed-and-replayed foreachBatch batch appends its
+   *   generation twice, and only reduce-idempotence makes that pair
+   *   collapse to the single-delivery state.
    */
   final class State(ss: SparkSession, keyCol: String,
       payloadCols: Seq[String], nBuckets: Int,
       collectMetrics: Boolean = false, root: Option[String] = None,
       combine: Option[DataFrame => DataFrame] = None,
-      hashKey: Boolean = false, retainHistory: Boolean = false) {
+      hashKey: Boolean = false, retainHistory: Boolean = false,
+      lsm: Boolean = false) {
 
     private val stateRoot = root.getOrElse(Scratch.dir("upsert_state"))
+    // lsm pointer values are comma-joined generation lists — a comma
+    // in the root would corrupt the list on recovery
+    require(!lsm || !stateRoot.contains(","),
+      s"lsm state root '$stateRoot' contains a comma — generation " +
+        "lists are comma-joined in the manifest")
     private def mergeKind = if (combine.isDefined) "custom" else "latest"
     // the commit/recover/vacuum/gc mechanics live in the shared TxLog
     // (one implementation for this store and the flagship
@@ -124,7 +149,7 @@ object BucketedUpsert {
     // bucketing function, merge reduce, config-pin validation
     private val tx = new TxLog(ss, stateRoot, retainHistory, () => Seq(
       "hashKey" -> hashKey.toString, "merge" -> mergeKind,
-      "history" -> retainHistory.toString,
+      "history" -> retainHistory.toString, "lsm" -> lsm.toString,
       "nBuckets" -> nBuckets.toString, "key" -> keyCol,
       "payload" -> payloadCols.mkString(",")) ++
       extras.toSeq.sortBy(_._1))
@@ -137,7 +162,7 @@ object BucketedUpsert {
     // the carried total, so a crash can never desynchronize them).
     private val extras = mutable.Map.empty[String, String]
     private val reservedTokens = Set("hashKey", "merge", "history",
-      "nBuckets", "key", "payload", "seq", "attempt")
+      "lsm", "nBuckets", "key", "payload", "seq", "attempt")
     def setToken(k: String, v: String): Unit = {
       require(!reservedTokens.contains(k),
         s"setToken: '$k' is a reserved store token")
@@ -175,6 +200,13 @@ object BucketedUpsert {
     private def reduce(df: DataFrame): DataFrame =
       combine.getOrElse(latest _)(df)
 
+    /** A bucket's REAL directory list: one path (classic) or the
+     * comma-joined generation list (lsm). */
+    private def bucketDirs(b: Int): Seq[String] =
+      current.get(b).toSeq.flatMap(tx.splitPaths)
+
+    private def dirsOf(bs: Seq[Int]): Seq[String] = bs.flatMap(bucketDirs)
+
     /** The foreachBatch body: merge one micro-batch into the view. */
     def merge(batch: DataFrame, id: Long): Unit = {
       val t0 = System.nanoTime()
@@ -182,8 +214,22 @@ object BucketedUpsert {
       // bounded driver-side list (≤ nBuckets ints), not a data collect
       val touched = newest.select(bucketOf.as("__b")).distinct()
         .collect().map(_.getInt(0)).sorted
-      if (touched.nonEmpty) {
-        val prevPaths = touched.toSeq.flatMap(current.get)
+      if (touched.nonEmpty && lsm) {
+        // LSM append: the batch's reduced rows land as a NEW generation
+        // of each touched bucket — zero state read, zero rewrite; the
+        // reduce-at-read collapses the generations (class doc).
+        val out = tx.attemptDir(id)
+        newest.withColumn("__bucket", bucketOf)
+          .write.partitionBy("__bucket").parquet(out)
+        touched.foreach { b =>
+          current(b) = (bucketDirs(b) :+ s"$out/__bucket=$b")
+            .mkString(",")
+        }
+        tx.commit(s"batch $id")
+        metrics += BatchMetrics(id, touched.length, 0L,
+          (System.nanoTime() - t0) / 1000000)
+      } else if (touched.nonEmpty) {
+        val prevPaths = dirsOf(touched.toSeq)
         // mergeSchema + allowMissingColumns: buckets written before a
         // payload widening lack the new columns; they read and merge as
         // typed nulls (the schema-evolution contract in loadManifest)
@@ -201,7 +247,7 @@ object BucketedUpsert {
         val out = tx.attemptDir(id)
         merged.withColumn("__bucket", bucketOf)
           .write.partitionBy("__bucket").parquet(out)
-        val superseded = touched.toSeq.flatMap(current.get)
+        val superseded = dirsOf(touched.toSeq)
         touched.foreach(b => current(b) = s"$out/__bucket=$b")
         // commit the pointer map BEFORE retiring the superseded files:
         // any crash leaves the last committed manifest fully readable.
@@ -239,13 +285,17 @@ object BucketedUpsert {
         .collect().map(_.getInt(0)).sorted
       val present = touched.toSeq.filter(current.contains)
       if (present.nonEmpty) {
-        val prevPaths = present.flatMap(current.get)
+        val prevPaths = dirsOf(present)
         val stateRows =
           if (collectMetrics) ss.read.parquet(prevPaths: _*).count()
           else -1L
-        val remaining = ss.read.option("mergeSchema", "true")
+        // an lsm bucket's generations collapse through the reduce on
+        // this rewrite (the delete doubles as a compaction of the
+        // touched buckets — the pointer list becomes one path again)
+        val remainingRaw = ss.read.option("mergeSchema", "true")
           .parquet(prevPaths: _*)
           .join(ks, Seq(keyCol), "left_anti")
+        val remaining = if (lsm) reduce(remainingRaw) else remainingRaw
         val out = tx.attemptDir(opId)
         remaining.withColumn("__bucket", bucketOf)
           .write.partitionBy("__bucket").parquet(out)
@@ -287,10 +337,15 @@ object BucketedUpsert {
       val touched = ks.select(bucketOf.as("__b")).distinct()
         .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
-      val prevPaths = touched.toSeq.flatMap(current.get)
-      val kept = prevPaths.headOption.map(_ =>
-        ss.read.option("mergeSchema", "true").parquet(prevPaths: _*)
-          .join(ks, Seq(keyCol), "left_anti"))
+      val prevPaths = dirsOf(touched.toSeq)
+      val kept = prevPaths.headOption.map { _ =>
+        val raw = ss.read.option("mergeSchema", "true")
+          .parquet(prevPaths: _*)
+          .join(ks, Seq(keyCol), "left_anti")
+        // lsm: collapse the kept keys' generations on this rewrite —
+        // the touched buckets come out single-generation
+        if (lsm) reduce(raw) else raw
+      }
       val merged = kept match {
         case Some(k) => rows.unionByName(k, allowMissingColumns = true)
         case None    => rows
@@ -327,13 +382,22 @@ object BucketedUpsert {
     def compact(opId: Long, maxFiles: Int = 1): (Int, Int, Int) = {
       require(current.nonEmpty, "compact before any batch merged")
       val frag = current.toSeq.sortBy(_._1)
-        .map { case (b, p) => (b, p, tx.dataFileCount(p)) }
-        .filter(_._3 > maxFiles)
+        .map { case (b, _) =>
+          (b, bucketDirs(b), bucketDirs(b).map(tx.dataFileCount).sum) }
+        .filter { case (_, dirs, files) =>
+          // lsm: a bucket with >1 generation is a merge candidate even
+          // if each generation is a single file — the read path pays
+          // per GENERATION (one reduce input per gen), not per file
+          files > maxFiles || (lsm && dirs.length > 1) }
       if (frag.isEmpty) return (0, 0, 0)
       val before = frag.map(_._3).sum
-      val paths = frag.map(_._2)
+      val paths = frag.flatMap(_._2)
       val out = tx.attemptDir(opId)
-      ss.read.option("mergeSchema", "true").parquet(paths: _*)
+      val raw = ss.read.option("mergeSchema", "true").parquet(paths: _*)
+      // the LSM merge: generations collapse through the reduce monoid
+      // (content-preserving for the classic store, where the state is
+      // already reduced and compaction stays a pass-through rewrite)
+      (if (lsm) reduce(raw) else raw)
         .withColumn("__bucket", bucketOf)
         .repartition(frag.size, col("__bucket"))
         .sortWithinPartitions(keyCol)
@@ -422,14 +486,22 @@ object BucketedUpsert {
       // a schema from — the feed is the later version's empty schema,
       // not a .head throw
       val schemaSrc = (before.values ++ after.values).toSeq
+        .flatMap(tx.splitPaths)
       val emptySide =
         if (schemaSrc.nonEmpty)
           reader.read.parquet(schemaSrc.head).limit(0)
         else emptyVersion(reader, toSeq)
       def side(m: Map[Int, String]): DataFrame = {
         val ps = diffBuckets.toSeq.sorted.flatMap(m.get)
+          .flatMap(tx.splitPaths)
         if (ps.isEmpty) emptySide
-        else reader.read.option("mergeSchema", "true").parquet(ps: _*)
+        else {
+          val raw = reader.read.option("mergeSchema", "true")
+            .parquet(ps: _*)
+          // lsm: a version's per-key state is the reduce over its
+          // generations — diff the collapsed states, not raw rows
+          if (lsm) reduce(raw) else raw
+        }
       }
       // versions may straddle a payload widening: pad each side with
       // the columns only the other side carries (typed nulls), so the
@@ -506,6 +578,16 @@ object BucketedUpsert {
         s"recover: manifest retainHistory=$mfHistory but State was " +
           s"built with retainHistory=$retainHistory — the next merge " +
           "would delete (or wrongly retain) versioned state")
+      // an lsm store recovered as classic would treat a generation
+      // LIST as one unreduced bucket version (duplicate keys served);
+      // a classic store recovered as lsm would re-reduce already-
+      // reduced state (harmless for idempotent combines, wrong for
+      // guarded-concat ones) — pin the mode like hashKey/merge
+      val mfLsm = tokens.get("lsm").exists(_.toBoolean)
+      require(mfLsm == lsm,
+        s"recover: manifest lsm=$mfLsm but State was built with " +
+          s"lsm=$lsm — generation lists and read-side reduction " +
+          "would disagree")
       // nBuckets and keyCol are the last two free parameters of the
       // bucketing function: recovering a 64-bucket store as 32 buckets
       // (or on a different key column) changes pmod(key, n) — new rows
@@ -569,11 +651,18 @@ object BucketedUpsert {
       require(current.nonEmpty, "cloneTo before any batch merged")
       val st = new State(ss, keyCol, payloadCols, nBuckets,
         collectMetrics = false, Some(newRoot), combine, hashKey,
-        retainHistory = false)
+        retainHistory = false, lsm = lsm)
       val out = st.tx.attemptDir(0L)
-      current.toSeq.sortBy(_._1).foreach { case (b, p) =>
-        graft.sources.StoreIO.copyDir(ss, p, s"$out/__bucket=$b")
-        st.tx.current(b) = s"$out/__bucket=$b"
+      current.toSeq.sortBy(_._1).foreach { case (b, _) =>
+        // lsm: every generation copies as its own dir (suffix keeps
+        // the `__bucket=` prefix the referenced-set sweep filters on)
+        val copied = bucketDirs(b).zipWithIndex.map { case (p, gi) =>
+          val dest =
+            if (lsm) s"$out/__bucket=${b}_g$gi" else s"$out/__bucket=$b"
+          graft.sources.StoreIO.copyDir(ss, p, dest)
+          dest
+        }
+        st.tx.current(b) = copied.mkString(",")
       }
       // caller-attached durable tokens are store semantics too (a
       // packed-ingest clone must carry its running total): they ride
@@ -608,7 +697,7 @@ object BucketedUpsert {
       import org.apache.spark.sql.types.{IntegerType, LongType,
         StringType}
       require(current.nonEmpty, "lookup before any batch merged")
-      val kt = ss.read.parquet(current.values.head)
+      val kt = ss.read.parquet(tx.splitPaths(current.values.head).head)
         .schema(keyCol).dataType
       // a non-hashed store routes via pmod(key, n) directly — only a
       // numeric key can take that path, so a string-keyed probe must
@@ -648,17 +737,21 @@ object BucketedUpsert {
       require(keys.nonEmpty, "lookupKeys: no keys")
       require(current.nonEmpty, "lookupKeys before any batch merged")
       val probes = normProbes(keys)
-      val paths = probeBuckets(probes).flatMap(current.get)
+      val paths = dirsOf(probeBuckets(probes))
       if (paths.isEmpty)
         return view(reader).limit(0) // schema-stable empty result
-      reader.read.option("mergeSchema", "true").parquet(paths: _*)
+      val hit = reader.read.option("mergeSchema", "true")
+        .parquet(paths: _*)
         .filter(col(keyCol).isin(probes: _*))
+      // lsm: the probed keys' generations collapse at read; the filter
+      // runs FIRST so the reduce shuffles only the probed rows
+      if (lsm) reduce(hit) else hit
     }
 
     /** The bucket dirs [[lookupKeys]] would read for `keys` — exposed
      * so specs can assert the actual pruning, not a plan string. */
     def lookupPaths(keys: Seq[Any]): Seq[String] =
-      probeBuckets(normProbes(keys)).flatMap(current.get).sorted
+      dirsOf(probeBuckets(normProbes(keys))).sorted
 
     /** Bucket-pruned SET lookup — [[lookupKeys]] for probe RELATIONS
      * too large to collect to the driver: the current rows of every
@@ -674,19 +767,35 @@ object BucketedUpsert {
       require(current.nonEmpty, "lookup before any batch merged")
       val touched = keys.select(bucketOf.as("__b")).distinct()
         .collect().map(_.getInt(0)).sorted
-      val paths = touched.toSeq.flatMap(current.get)
+      val paths = dirsOf(touched.toSeq)
       if (paths.isEmpty)
         return view(reader).limit(0) // schema-stable empty result
-      reader.read.option("mergeSchema", "true").parquet(paths: _*)
+      val hit = reader.read.option("mergeSchema", "true")
+        .parquet(paths: _*)
         .join(keys.select(col(keyCol)).distinct(), Seq(keyCol),
           "left_semi")
+      // lsm: collapse generations after the semi-join pruned the rows
+      if (lsm) reduce(hit) else hit
     }
 
     /** The maintained view: the union of every bucket's current version
      * (bucket dirs are leaf paths, so the partition column is absent and
-     * the schema is exactly key + payload). */
+     * the schema is exactly key + payload). An lsm store reduces the
+     * generations here — the merge-at-read half of the append-at-write
+     * trade. */
     def view(reader: SparkSession): DataFrame = {
-      val paths = current.values.toSeq
+      val raw = rawView(reader)
+      if (lsm) reduce(raw) else raw
+    }
+
+    /** The UN-reduced union of every live generation — each batch's
+     * reduced contribution as appended, before the read-side collapse.
+     * For a classic store this IS the view (state is already reduced).
+     * Callers that need per-batch provenance the reduce would fold
+     * away (e.g. ExactSubstrLedger deriving which batch-minima LOST to
+     * the global minimum) read this; everything else wants [[view]]. */
+    def rawView(reader: SparkSession): DataFrame = {
+      val paths = current.values.toSeq.flatMap(tx.splitPaths)
       require(paths.nonEmpty, "upsert view read before any batch merged")
       // mergeSchema: buckets not rewritten since a payload widening
       // still carry the old schema; their rows surface with the new
@@ -706,9 +815,10 @@ object BucketedUpsert {
       nBuckets: Int, stateRoot: String,
       collectMetrics: Boolean = false,
       combine: Option[DataFrame => DataFrame] = None,
-      hashKey: Boolean = false, retainHistory: Boolean = false): State = {
+      hashKey: Boolean = false, retainHistory: Boolean = false,
+      lsm: Boolean = false): State = {
     val st = new State(ss, keyCol, payloadCols, nBuckets, collectMetrics,
-      Some(stateRoot), combine, hashKey, retainHistory)
+      Some(stateRoot), combine, hashKey, retainHistory, lsm)
     st.loadManifest()
     // reclaim crashed-attempt orphans the moment we reattach — the
     // committed manifests define what is live, so this is always safe

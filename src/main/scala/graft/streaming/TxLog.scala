@@ -55,8 +55,21 @@ final class TxLog(ss: SparkSession, val root: String,
     ss.sessionState.newHadoopConf())
 
   /** Live bucket→path pointer map. Mutated by the owning store between
-   * commits; [[commit]] persists it, [[load]] restores it. */
+   * commits; [[commit]] persists it, [[load]] restores it. An
+   * LSM-generation store ([[BucketedUpsert.State]] `lsm = true`)
+   * stores a COMMA-JOINED generation path list as the value — the log
+   * treats the value opaquely except where it must resolve real
+   * directories ([[splitPaths]] in the sweep/read paths), so classic
+   * single-path stores are byte-identical on disk. */
   val current: mutable.Map[Int, String] = mutable.Map.empty
+
+  /** A pointer value as its real directory list: classic stores hold
+   * one path, LSM stores a comma-joined generation list. Every
+   * consumer that RESOLVES paths (reads, sweeps) must go through
+   * this; paths never contain commas ([[commit]] would reject a
+   * comma-carrying root via the whitespace check's sibling below). */
+  def splitPaths(v: String): Seq[String] =
+    v.split(",").toSeq.filter(_.nonEmpty)
 
   private var commitSeq = 0L
   private var attempt = 0L
@@ -153,7 +166,8 @@ final class TxLog(ss: SparkSession, val root: String,
     readManifest(mf)
   }
 
-  def manifestPaths(seq: Long): Seq[String] = manifestMap(seq).values.toSeq
+  def manifestPaths(seq: Long): Seq[String] =
+    manifestMap(seq).values.toSeq.flatMap(splitPaths)
 
   /** Header tokens of the LIVE manifest as committed on disk, WITHOUT
    * restoring the log's in-memory state (None before any commit) — the
@@ -299,7 +313,8 @@ final class TxLog(ss: SparkSession, val root: String,
     drop.foreach(v =>
       fs.delete(new Path(rootPath, s"_manifest.v$v"), true))
     val (deleted, kept) = sweep(
-      qualify(keep.flatMap(manifestPaths) ++ current.values))
+      qualify(keep.flatMap(manifestPaths) ++
+        current.values.flatMap(splitPaths)))
     (drop.length, deleted, kept)
   }
 
@@ -311,7 +326,7 @@ final class TxLog(ss: SparkSession, val root: String,
   def gc(): Int = {
     val referenced = qualify(
       (if (retainHistory) history().flatMap(manifestPaths)
-       else Seq.empty[String]) ++ current.values)
+       else Seq.empty[String]) ++ current.values.flatMap(splitPaths))
     sweep(referenced)._1
   }
 }

@@ -834,4 +834,87 @@ class UpsertStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("before any batch merged"),
       ex.getMessage)
   }
+  test("lsm mode: merge appends generations without reading state; " +
+      "view/lookup reduce at read and equal the classic store; " +
+      "compact folds to one generation and preserves the view") {
+    import spark.implicits._
+    import graft.streaming.BucketedUpsert
+    val minCombine: DataFrame => DataFrame = df =>
+      df.groupBy(col("k")).agg(min(col("n")).as("n"))
+    def mk(lsm: Boolean) = new BucketedUpsert.State(spark, "k",
+      Seq("n"), nBuckets = 4, combine = Some(minCombine), lsm = lsm)
+    val classic = mk(lsm = false)
+    val lsmSt = mk(lsm = true)
+    // 4 batches over overlapping keys: min must settle identically
+    val batches = Seq(
+      Seq((1L, 9L), (2L, 5L), (3L, 7L)),
+      Seq((1L, 4L), (4L, 8L)),
+      Seq((2L, 6L), (3L, 2L), (5L, 1L)),
+      Seq((1L, 5L), (5L, 3L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      classic.merge(b.toDF("k", "n"), i.toLong)
+      lsmSt.merge(b.toDF("k", "n"), i.toLong)
+    }
+    def snap(df: DataFrame) = df.orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    val want = snap(classic.view(spark))
+    assert(snap(lsmSt.view(spark)) == want, "lsm view != classic view")
+    // the raw generations hold MORE rows than the reduced view (keys
+    // re-merged across batches kept one row per touching batch)
+    val rawRows = lsmSt.rawView(spark).count()
+    assert(rawRows > want.size,
+      s"expected un-reduced generations, got $rawRows rows")
+    // no state was read at merge time
+    assert(lsmSt.metrics.forall(_.stateRowsRead == 0L))
+    // point + set lookups reduce at read
+    assert(snap(lsmSt.lookupKeys(spark, Seq(1L, 5L))) ==
+      want.filter(r => r._1 == 1L || r._1 == 5L))
+    assert(snap(lsmSt.lookupJoin(spark, Seq(1L, 5L).toDF("k"))) ==
+      want.filter(r => r._1 == 1L || r._1 == 5L))
+    // compact folds every multi-generation bucket to one; the view is
+    // unchanged and the raw view is now the reduced state
+    lsmSt.compact(90L)
+    assert(snap(lsmSt.view(spark)) == want, "view drifted on compact")
+    assert(lsmSt.rawView(spark).count() == want.size)
+  }
+
+  test("lsm mode is pinned in the manifest: recovering with the " +
+      "other mode fails loudly; same-mode recovery serves exactly") {
+    import spark.implicits._
+    import graft.streaming.BucketedUpsert
+    val minCombine: DataFrame => DataFrame = df =>
+      df.groupBy(col("k")).agg(min(col("n")).as("n"))
+    val root = Scratch.dir("lsm_pin_spec")
+    val st = new BucketedUpsert.State(spark, "k", Seq("n"),
+      nBuckets = 4, root = Some(root), combine = Some(minCombine),
+      lsm = true)
+    st.merge(Seq((1L, 9L), (2L, 5L)).toDF("k", "n"), 0L)
+    st.merge(Seq((1L, 3L)).toDF("k", "n"), 1L)
+    val rec = BucketedUpsert.recover(spark, "k", Seq("n"), 4, root,
+      combine = Some(minCombine), lsm = true)
+    assert(rec.view(spark).orderBy("k").as[(Long, Long)]
+      .collect().toSeq == Seq((1L, 3L), (2L, 5L)))
+    val ex = intercept[IllegalArgumentException] {
+      BucketedUpsert.recover(spark, "k", Seq("n"), 4, root,
+        combine = Some(minCombine), lsm = false)
+    }
+    assert(ex.getMessage.contains("lsm"), ex.getMessage)
+  }
+
+  test("lsm replay idempotence for an idempotent combine: a " +
+      "re-merged batch id appends a duplicate generation that " +
+      "collapses at read") {
+    import spark.implicits._
+    import graft.streaming.BucketedUpsert
+    val minCombine: DataFrame => DataFrame = df =>
+      df.groupBy(col("k")).agg(min(col("n")).as("n"))
+    val st = new BucketedUpsert.State(spark, "k", Seq("n"),
+      nBuckets = 4, combine = Some(minCombine), lsm = true)
+    st.merge(Seq((1L, 9L), (2L, 5L)).toDF("k", "n"), 0L)
+    val before = st.view(spark).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    st.merge(Seq((1L, 9L), (2L, 5L)).toDF("k", "n"), 0L) // replay
+    assert(st.view(spark).orderBy("k").as[(Long, Long)]
+      .collect().toSeq == before)
+  }
 }
