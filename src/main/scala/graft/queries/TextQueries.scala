@@ -1213,6 +1213,94 @@ object TextQueries {
               |FROM fin ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------
+    // t22 — WITHIN-DOC REPETITION FILTER (the Gopher/MassiveText
+    // repetition class, Rae et al. 2021 §A.1.1): two signals no other
+    // t-gate measures — the duplicate word-3-gram fraction
+    // (n3 − distinct3)/n3 and the most-frequent-2-gram share m2/n2 —
+    // catching boilerplate/looping text whose PER-TOKEN statistics
+    // (t02's length/stopword/punct ratios) look fine. Published
+    // absolute thresholds never bind on this corpus (max dup3 0.043
+    // vs Gopher's high cuts), so the cut is CORPUS-RELATIVE like
+    // t20's: kept = both signals ≤ their corpus means, each mean a
+    // bounded driver scalar computed as exact-6dp-DECIMAL sum cast
+    // correctly-rounded to double over the exact count — the
+    // identical two IEEE ops DuckDB performs, never a
+    // single-partition window. Exactness: each fraction is ONE
+    // division of exact integers (≲10⁴, far inside 2⁵³), rounded 6dp,
+    // fixed as DECIMAL(18,6) — the q54 discipline. Scale shape: one
+    // scan-stage shingle pass, one shuffle on (doc_id[, gram]) for
+    // the two per-doc aggregates; docs with <3 tokens have no 3-gram
+    // and are absent on both sides.
+    Q("t22_repetition_filter",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          TF.tokens(col("text")).as("__tok"))
+        val g3 = toks.select(col("doc_id"), explode(
+          TF.wordShinglesPositional(col("__tok"), 3)).as("g"))
+        val g2 = toks.select(col("doc_id"), explode(
+          TF.wordShinglesPositional(col("__tok"), 2)).as("g"))
+        val a3 = g3.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n3"), countDistinct(col("g")).as("d3"))
+        val a2 = g2.groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n2"), max(col("c")).as("m2"))
+        val scored = a3.join(a2, Seq("doc_id"))
+          .select(col("doc_id"),
+            round((col("n3") - col("d3")).cast(DoubleType) /
+              col("n3").cast(DoubleType), 6)
+              .cast(DecimalType(18, 6)).as("dup3_frac"),
+            round(col("m2").cast(DoubleType) /
+              col("n2").cast(DoubleType), 6)
+              .cast(DecimalType(18, 6)).as("top2_frac"))
+          .localCheckpoint()
+        // bounded driver scalars: the two corpus means (t20 pattern)
+        val r = scored.agg(sum(Exact.dec(col("dup3_frac"))),
+          sum(Exact.dec(col("top2_frac"))), count(lit(1))).head()
+        val md = r.getDecimal(0).doubleValue() / r.getLong(2)
+        val mt = r.getDecimal(1).doubleValue() / r.getLong(2)
+        scored.select(col("doc_id"), col("dup3_frac"), col("top2_frac"),
+            (col("dup3_frac") <= lit(md) &&
+              col("top2_frac") <= lit(mt)).as("kept"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
+              |tk AS (SELECT doc_id, string_split_regex(t, ' ') AS w
+              |  FROM base WHERE t <> ''),
+              |g3 AS (SELECT doc_id,
+              |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              |  FROM tk, unnest(generate_series(1, len(w) - 2)) AS u(i)
+              |  WHERE len(w) >= 3),
+              |g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+              |  FROM tk, unnest(generate_series(1, len(w) - 1)) AS u(i)
+              |  WHERE len(w) >= 2),
+              |a3 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n3,
+              |    CAST(COUNT(DISTINCT g) AS BIGINT) AS d3
+              |  FROM g3 GROUP BY doc_id),
+              |c2 AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM g2 GROUP BY doc_id, g),
+              |a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+              |    CAST(MAX(c) AS BIGINT) AS m2 FROM c2 GROUP BY doc_id),
+              |sc AS (SELECT a3.doc_id,
+              |    CAST(round(CAST(a3.n3 - a3.d3 AS DOUBLE) /
+              |        CAST(a3.n3 AS DOUBLE), 6)
+              |      AS DECIMAL(18,6)) AS dup3_frac,
+              |    CAST(round(CAST(a2.m2 AS DOUBLE) /
+              |        CAST(a2.n2 AS DOUBLE), 6)
+              |      AS DECIMAL(18,6)) AS top2_frac
+              |  FROM a3 JOIN a2 ON a2.doc_id = a3.doc_id),
+              |mm AS (SELECT
+              |    CAST(SUM(CAST(dup3_frac AS DECIMAL(18,6))) AS DOUBLE)
+              |      / COUNT(*) AS md,
+              |    CAST(SUM(CAST(top2_frac AS DECIMAL(18,6))) AS DOUBLE)
+              |      / COUNT(*) AS mt FROM sc)
+              |SELECT doc_id, dup3_frac, top2_frac,
+              |  (dup3_frac <= (SELECT md FROM mm) AND
+              |   top2_frac <= (SELECT mt FROM mm)) AS kept
+              |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
     // t19 — BPE ENCODE: the tokenizer's runtime half, closing the
     // train→use lifecycle (t18 ships the merge table; this gate RUNS
     // it on the corpus). The merge chain is composed into one
