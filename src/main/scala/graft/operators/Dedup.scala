@@ -609,8 +609,18 @@ object Dedup {
    * no second corpus shuffle beyond [[exactSubstrSpans]]' own.
    * Returns every document: (idCol, clean_text, n_removed). */
   def exactSubstrCut(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int): DataFrame = {
-    val spansAgg = exactSubstrSpans(docs, idCol, textCol, minLen)
+      minLen: Int): DataFrame =
+    cutWithSpans(docs, idCol, textCol,
+      exactSubstrSpans(docs, idCol, textCol, minLen))
+
+  /** [[exactSubstrCut]] against PRECOMPUTED spans (idCol, span_start,
+   * span_end[, …]) — the same HOF chain, factored so a streamed
+   * ledger's accumulated spans
+   * ([[graft.streaming.ExactSubstrLedger.spans]], gate q128) cut with
+   * semantics identical to the batch operator's. */
+  def cutWithSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val spansAgg = spans
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("__sp"))

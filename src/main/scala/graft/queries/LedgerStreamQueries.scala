@@ -571,9 +571,35 @@ object LedgerStreamQueries {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** q128: the streamed ledger's REMOVAL half — d13's scan-stage cut
+   * driven by the ACCUMULATED ledger spans instead of a batch
+   * recompute, closing the stream row of the spans→cut matrix (q126
+   * proves detection; this proves the corpus a streamed pipeline
+   * would actually ship). The oracle is d13's cut SQL verbatim: the
+   * ledger end state is defined to equal the batch d12 spans, so the
+   * cut over them must equal the batch cut document-for-document. */
+  private def runStreamExactSubstrCut(s: SparkSession,
+      dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val root = xsubstrArtifacts(ss, dir)
+    val led = graft.streaming.ExactSubstrLedger.recover(ss, minLen = 12,
+      nBuckets = 16, root = root)
+    graft.operators.Dedup.cutWithSpans(
+        DedupQueries.exactSubstrCorpus(s, dir)
+          .select(col("doc_id").as("id"), col("text")),
+        "id", "text", led.spans(s))
+      .select(col("id").as("doc_id"), col("clean_text"),
+        col("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q126_stream_exactsubstr", runStreamExactSubstr,
       Some(DedupQueries.exactSubstrOracle),
+      setup = Some((ss, dir) => { xsubstrArtifacts(ss, dir); () })),
+    Q("q128_stream_exactsubstr_cut", runStreamExactSubstrCut,
+      Some(DedupQueries.exactSubstrCutOracle),
       setup = Some((ss, dir) => { xsubstrArtifacts(ss, dir); () })),
     Q("q108_stream_neardup_pairs", runStreamNearDup,
       Some(DedupQueries.simhash60PairsSql), setup = neardupSetup),
