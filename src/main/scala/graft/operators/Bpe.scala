@@ -41,7 +41,24 @@ import graft.functions.{TextFunctions => TF}
  * Determinism: the argmax tiebreak is (count DESC, pair string ASC)
  * — pure integer counts and string order, nothing floating-point in
  * the entire loop.
- */
+ *
+ * ITERATION BOUND (r15 verdict #3): the loop is O(rounds) SEQUENTIAL
+ * Spark jobs — one vocab-sized shuffle + one one-row argmax collect +
+ * one localCheckpoint per merge. Data scale is a non-issue (the vocab
+ * frame is corpus-independent after the first pass), but a production
+ * 32k-merge vocabulary means 32k driver round-trips at ~100 ms floor
+ * each — roughly an hour of pure scheduling, which is why real BPE
+ * trainers batch merges. The gated surface (8 rounds) is far inside
+ * the bound. The Spark-shaped fix, when a large vocab is needed: per
+ * round take the TOP-K pairs whose symbol sets are mutually disjoint
+ * (greedy scan of the sorted pair list on the driver — K bounded,
+ * still a bounded collect) and apply all K merges in one map pass;
+ * disjointness makes the batched application ORDER-INDEPENDENT and
+ * equal to K sequential rounds except where a later argmax would have
+ * been changed by an earlier merge's new symbol — the standard
+ * approximation every batched trainer (e.g. the HuggingFace tokenizer
+ * bucket variant) documents, so it must land behind an explicit
+ * `batchK` opt-in, never silently replace the exact loop. */
 object Bpe {
 
   /** One trained merge: `step` is 1-based rank order. */

@@ -417,6 +417,70 @@ object BucketedUpsert {
       (frag.size, before, after)
     }
 
+    /** SIZE-TIERED generation merge for an lsm store — the
+     * amortized-LOGARITHMIC alternative to [[compact]]'s full fold
+     * (which reads O(state) per call: honest as a final fold, a
+     * linearly-growing maintenance bill when called periodically —
+     * the XsubstrSoak maintain walls grew 41→80 s across one run).
+     * Any bucket holding more than `maxGens` generations merges its
+     * `fanout` SMALLEST (by data bytes — the classic size-tiered
+     * policy: small young generations merge often and cheaply, big
+     * folded ones rarely) into one through the reduce monoid; the
+     * rest carry untouched. Each row therefore participates in
+     * O(log_fanout(batches)) merges over the store's lifetime, and a
+     * single call reads only the selected generations — never the
+     * whole store. One Spark job covers every selected bucket (the
+     * selected dirs union-read, reduced, rewritten partitionBy
+     * bucket), one commit, same crash contract as [[merge]].
+     *
+     * @param beforeFold hook handed the UN-reduced union of the
+     *   selected generations BEFORE the fold commits — the seam a
+     *   caller whose reduce DISCARDS derivable information uses to
+     *   flush it durably first (ExactSubstrLedger appends the
+     *   subset's losing minima to its victims store here; the hook's
+     *   own commit landing before this one is the crash contract). A
+     *   hook failure aborts the compaction with nothing committed.
+     * Returns (buckets merged, generations before, generations
+     * after) over the selected buckets. */
+    def compactTiered(opId: Long, fanout: Int = 4, maxGens: Int = 8,
+        beforeFold: Option[DataFrame => Unit] = None): (Int, Int, Int) = {
+      require(lsm, "compactTiered: classic stores have no generations")
+      require(fanout >= 2 && maxGens >= fanout,
+        s"compactTiered: fanout $fanout / maxGens $maxGens")
+      require(current.nonEmpty, "compactTiered before any batch merged")
+      val plan = current.toSeq.sortBy(_._1).flatMap { case (b, _) =>
+        val gens = bucketDirs(b)
+        if (gens.length <= maxGens) None
+        else {
+          val merge = gens.map(p => (p, tx.dirBytes(p)))
+            .sortBy(_._2).take(fanout).map(_._1)
+          Some((b, merge, gens.filterNot(merge.contains)))
+        }
+      }
+      if (plan.isEmpty) return (0, 0, 0)
+      val selected = plan.flatMap { case (_, m, _) => m }
+      val before = plan.map { case (_, m, k) => m.length + k.length }.sum
+      val raw = ss.read.option("mergeSchema", "true")
+        .parquet(selected: _*)
+      beforeFold.foreach(f => f(raw))
+      val out = tx.attemptDir(opId)
+      reduce(raw)
+        .withColumn("__bucket", bucketOf)
+        .repartition(plan.size, col("__bucket"))
+        .sortWithinPartitions(keyCol)
+        .write.partitionBy("__bucket").parquet(out)
+      plan.foreach { case (b, _, keep) =>
+        val p = s"$out/__bucket=$b"
+        require(tx.exists(p),
+          s"compactTiered: merged bucket $b missing at $p")
+        current(b) = (keep :+ p).mkString(",")
+      }
+      tx.commit(s"compactTiered $opId")
+      if (!retainHistory) tx.retire(selected)
+      (plan.size, before,
+        plan.map { case (_, _, k) => k.length + 1 }.sum)
+    }
+
     /** Committed version numbers still readable via [[readAsOf]],
      * oldest first (history-retaining stores only). */
     def history(): Seq[Long] = tx.history()

@@ -193,6 +193,35 @@ class ExactSubstrLedger(ss: SparkSession, minLen: Int, nBuckets: Int,
     if (victims.hasState) victims.compact(opId)
   }
 
+  /** The SCALE maintenance cadence: size-tiered generation merges
+   * ([[BucketedUpsert.State.compactTiered]]) instead of [[maintain]]'s
+   * full fold — each call reads only the `fanout` smallest
+   * generations per over-long bucket, so periodic maintenance cost is
+   * bounded by recent-arrival volume, not accumulated state
+   * (amortized O(log batches) rewrites per row; the full maintain's
+   * O(state)-per-call bill grew 41→80 s across one XsubstrSoak run).
+   * Correct for the SAME reason the flush-then-fold order is: a
+   * batch-minimum that loses WITHIN the merged subset loses to an
+   * occurrence that is genuinely earlier, so it is a victim
+   * regardless of anything outside the subset — the `beforeFold` hook
+   * commits exactly those subset losers to the victims store before
+   * the fold discards them, and everything not yet derivable stays in
+   * the surviving generations for [[spans]]/a later call. */
+  def maintainTiered(opId: Long, fanout: Int = 4,
+      maxGens: Int = 8): Unit = {
+    if (!firsts.hasState) return
+    firsts.compactTiered(opId, fanout, maxGens,
+      beforeFold = Some { raw =>
+        val gm = raw.groupBy(col("fp"))
+          .agg(min(struct(col("first_doc"), col("first_pos"))).as("gm"))
+        val lose = raw.join(gm, Seq("fp"))
+          .filter(struct(col("first_doc"), col("first_pos")) > col("gm"))
+          .select(col("first_doc").as("doc"), col("first_pos").as("pos"))
+        victims.merge(asVictims(lose), opId)
+      })
+    if (victims.hasState) victims.compactTiered(opId, fanout, maxGens)
+  }
+
   /** Maximal duplicated spans over everything ingested so far —
    * victim coordinates (stored ∪ derived cross-batch) interval-merged
    * per document, the batch operator's output shape:

@@ -253,6 +253,14 @@ final class TxLog(ss: SparkSession, val root: String,
     fs.listStatus(new Path(path))
       .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
 
+  /** Total data bytes under a bucket/generation dir (metadata-only) —
+   * the size measure [[BucketedUpsert.State.compactTiered]] picks its
+   * merge candidates by (size-tiered: always the smallest). */
+  def dirBytes(path: String): Long =
+    fs.listStatus(new Path(path))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+
   /** EVERY bucket leaf dir still on disk — the union schema source for
    * an empty committed version that must surface a column only SOME
    * files carry (a post-widening empty version with only pre-widening

@@ -101,13 +101,16 @@ object XsubstrSoak {
         println(f"== xsubstr: batch $b%3d (arrival $op%2d) wall $w%.2fs" +
           f" (accumulated ~${(op + 1) * per} docs)")
       // mid-stream maintenance OUTSIDE the timed arrival path, the
-      // cadence a real pipeline schedules: every 5 batches the
-      // generations fold down and derivable victims flush
+      // cadence a real pipeline schedules: SIZE-TIERED — each call
+      // merges only the smallest generations of over-long buckets, so
+      // its wall tracks recent-arrival volume, not accumulated state
+      // (the full-fold maintain measured 41→80 s growth across this
+      // run before r16's compactTiered)
       if ((op + 1) % 5 == 0 && op + 1 < nBatches) {
         val m0 = System.nanoTime()
-        led.maintain(1000L + op)
-        println(f"== xsubstr: maintain after arrival $op%2d took " +
-          f"${(System.nanoTime() - m0) / 1e9}%.2fs")
+        led.maintainTiered(1000L + op, fanout = 4, maxGens = 4)
+        println(f"== xsubstr: tiered maintain after arrival $op%2d " +
+          f"took ${(System.nanoTime() - m0) / 1e9}%.2fs")
       }
       w
     }

@@ -189,7 +189,13 @@ class ExactSubstrLedgerSpec extends SparkSpec {
             case ((id, _), p) if p == slice => id
           }.toSet
           led.ingest(df.filter(col("id").isin(ids.toSeq: _*)), op.toLong)
-          if (op == maintainAfter) led.maintain(80L + op)
+          // alternate the two maintenance shapes across trials: the
+          // full fold and the size-tiered subset fold must both be
+          // invisible to the end state
+          if (op == maintainAfter) {
+            if (trial % 2 == 0) led.maintain(80L + op)
+            else led.maintainTiered(80L + op, fanout = 2, maxGens = 2)
+          }
       }
       assert(gotSpans(led) == want,
         s"trial $trial: streamed spans diverge from the batch operator")

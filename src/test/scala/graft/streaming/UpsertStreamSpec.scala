@@ -917,4 +917,44 @@ class UpsertStreamSpec extends SparkSpec {
     assert(st.view(spark).orderBy("k").as[(Long, Long)]
       .collect().toSeq == before)
   }
+  test("compactTiered merges only the smallest generations of " +
+      "over-long buckets, preserves the view, and aborts with " +
+      "nothing committed when the beforeFold hook throws") {
+    import spark.implicits._
+    import graft.streaming.BucketedUpsert
+    val minCombine: DataFrame => DataFrame = df =>
+      df.groupBy(col("k")).agg(min(col("n")).as("n"))
+    val st = new BucketedUpsert.State(spark, "k", Seq("n"),
+      nBuckets = 2, combine = Some(minCombine), lsm = true)
+    // 6 generations per bucket (every batch touches both buckets)
+    (0 until 6).foreach { i =>
+      st.merge(Seq((0L, 20L - i), (1L, 30L - i), (2L, 40L + i))
+        .toDF("k", "n"), i.toLong)
+    }
+    def snap() = st.view(spark).orderBy("k")
+      .as[(Long, Long)].collect().toSeq
+    val want = snap()
+    // hook failure: nothing committed, generations unchanged
+    val gensBefore = st.lookupPaths(Seq(0L, 1L, 2L)).length
+    intercept[RuntimeException] {
+      st.compactTiered(50L, fanout = 3, maxGens = 4,
+        beforeFold = Some(_ => throw new RuntimeException("boom")))
+    }
+    assert(st.lookupPaths(Seq(0L, 1L, 2L)).length == gensBefore,
+      "a failed hook must leave the generation lists untouched")
+    assert(snap() == want)
+    // real run: hook sees the UN-reduced subset (more rows than keys),
+    // each over-long bucket folds fanout gens into one
+    var hookRows = -1L
+    val (bks, before, after) = st.compactTiered(51L, fanout = 3,
+      maxGens = 4, beforeFold = Some(raw => hookRows = raw.count()))
+    assert(bks == 2 && before == 12 && after == 8,
+      s"tiered plan wrong: ($bks, $before, $after)")
+    assert(hookRows > 6,
+      s"hook must see un-reduced subset rows, saw $hookRows")
+    assert(snap() == want, "view drifted across compactTiered")
+    // idempotent follow-up under the bound: nothing left over maxGens
+    assert(st.compactTiered(52L, fanout = 3, maxGens = 4) ==
+      ((0, 0, 0)))
+  }
 }
