@@ -101,10 +101,26 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
   }
 
   /** The persisted band→posting store (exposed for recovery/vacuum —
-   * the full [[BucketedUpsert.State]] surface applies). */
+   * the full [[BucketedUpsert.State]] surface applies). LSM mode
+   * (r16): uniformly-hashed band keys touch every bucket, so the
+   * classic fold rewrote the FULL accumulated posting state per
+   * micro-batch — the same linear-arrival trade the exact-substring
+   * ledger carried. Generations append per batch and the concat
+   * monoid collapses at read; exactly-once appends come from the
+   * `lastOp` replay guard in [[observe]] (concat is not idempotent —
+   * the guard, not the monoid, is what makes lsm replay-safe here),
+   * and the posting CAP keeps its guarantee under partial folds
+   * because keep-lowest-k is ASSOCIATIVE (dropping an id outside A's
+   * lowest k can never re-enter the lowest k of A ∪ B). Trade: the
+   * per-arrival probe ([[BucketedUpsert.State.lookupJoin]]) now pays
+   * the reduce over the probed rows, and a hot band's STORED postings
+   * exceed the cap until a compaction applies it — bounded-work on
+   * hot bands becomes a maintenance cadence property
+   * (compact/compactTiered), not a per-write invariant. */
   val store = new BucketedUpsert.State(ss, keyCol = "bkey",
     payloadCols = Seq("posting"), nBuckets = nBuckets,
-    root = root, combine = Some(combinePostings _), hashKey = true)
+    root = root, combine = Some(combinePostings _), hashKey = true,
+    lsm = true)
 
   private def bandKeys(sigs: DataFrame): DataFrame =
     sigs.select(col("id"), col("sig"),
