@@ -448,6 +448,27 @@ object BucketedUpsert {
       require(fanout >= 2 && maxGens >= fanout,
         s"compactTiered: fanout $fanout / maxGens $maxGens")
       require(current.nonEmpty, "compactTiered before any batch merged")
+      // ONE merge round per bucket leaves a bucket at maxGens+k above
+      // the bound by k−fanout+1 — iterate rounds (each its own
+      // crash-safe commit) until every bucket is inside it; round
+      // count is bounded by gens/fanout and in steady state is 1.
+      def totalGens: Int =
+        current.keys.toSeq.map(b => bucketDirs(b).length).sum
+      val before = totalGens
+      val (buckets, _, _) = tieredRound(opId, fanout, maxGens, beforeFold)
+      if (buckets == 0) return (0, 0, 0)
+      var round = 1
+      var merged = true
+      while (merged) {
+        merged = tieredRound(opId + round, fanout, maxGens,
+          beforeFold)._1 > 0
+        round += 1
+      }
+      (buckets, before, totalGens)
+    }
+
+    private def tieredRound(opId: Long, fanout: Int, maxGens: Int,
+        beforeFold: Option[DataFrame => Unit]): (Int, Int, Int) = {
       val plan = current.toSeq.sortBy(_._1).flatMap { case (b, _) =>
         val gens = bucketDirs(b)
         if (gens.length <= maxGens) None
@@ -494,7 +515,11 @@ object BucketedUpsert {
       if (paths.isEmpty) return emptyVersion(reader, seq)
       // a version may span a payload widening; missing columns read as
       // typed nulls (a purely pre-widening version keeps its old schema)
-      reader.read.option("mergeSchema", "true").parquet(paths: _*)
+      val raw = reader.read.option("mergeSchema", "true")
+        .parquet(paths: _*)
+      // an lsm version's per-key state is the reduce over the
+      // generations that version references — same contract as view()
+      if (lsm) reduce(raw) else raw
     }
 
     /** Zero rows with the schema THAT version committed — a committed

@@ -58,10 +58,18 @@ final class ClusterLedger(ss: SparkSession, nBuckets: Int,
     df.groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
 
   /** The persisted `(id, cluster)` labeling (full
-   * [[BucketedUpsert.State]] surface: recovery, vacuum, lookups). */
+   * [[BucketedUpsert.State]] surface: recovery, vacuum, lookups).
+   * LSM mode (r16): the merge VOLUME is already delta-bounded
+   * (changed rows only), but uniformly-hashed vertex ids route those
+   * deltas to every bucket, so the classic fold still read and
+   * rewrote the full labeling per batch. Generations append instead;
+   * min(cluster) is an idempotent monoid, so replay safety needs no
+   * token and the read-side reduce (view/readAsOf/lookups) serves the
+   * same labeling. */
   val store = new BucketedUpsert.State(ss, keyCol = "id",
     payloadCols = Seq("cluster"), nBuckets = nBuckets, root = root,
-    combine = Some(combineMin _), retainHistory = retainHistory)
+    combine = Some(combineMin _), retainHistory = retainHistory,
+    lsm = true)
 
   // the companion's recover() reseeds this from the committed view
   private var labels: DataFrame = ss.range(0)
