@@ -183,17 +183,22 @@ object Bench {
         }
       }
       val load = loadavg()
+      // rep_ts pairs 1:1 with `times` (SUCCESSFUL reps only): stamping
+      // attempts would misalign the arrays after any failed rep and
+      // put a wall in the wrong contention window — the exact
+      // misattribution the field exists to prevent
       val repTs = scala.collection.mutable.ArrayBuffer.empty[Long]
       val times = if (setupFailed) Seq.empty[Double]
       else (1 to reps).flatMap { _ =>
-        repTs += System.currentTimeMillis() / 1000
+        val ts = System.currentTimeMillis() / 1000
         val t0 = System.nanoTime()
         val ok = try { force(q.run(spark, sfDir)); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
             false
         }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        if (ok) { repTs += ts; Some((System.nanoTime() - t0) / 1e9) }
+        else None
       }
       BenchRow(q.name, if (times.nonEmpty) median(times) else -1.0,
         reps - times.size, times, repTs.toSeq, load, setupFailed)

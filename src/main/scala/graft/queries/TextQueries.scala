@@ -1227,26 +1227,47 @@ object TextQueries {
     // identical two IEEE ops DuckDB performs, never a
     // single-partition window. Exactness: each fraction is ONE
     // division of exact integers (≲10⁴, far inside 2⁵³), rounded 6dp,
-    // fixed as DECIMAL(18,6) — the q54 discipline. Scale shape: one
-    // scan-stage shingle pass, one shuffle on (doc_id[, gram]) for
-    // the two per-doc aggregates; docs with <3 tokens have no 3-gram
-    // and are absent on both sides.
+    // fixed as DECIMAL(18,6) — the q54 discipline. Scale shape: ONE
+    // corpus scan emitting both gram lengths per position, then
+    // cascading map-side-combinable aggregates over ever-smaller
+    // keys; docs with <3 tokens have no 3-gram and are absent on
+    // both sides.
     Q("t22_repetition_filter",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val toks = docs.select(col("doc_id"),
-          TF.tokens(col("text")).as("__tok"))
-        val g3 = toks.select(col("doc_id"), explode(
-          TF.wordShinglesPositional(col("__tok"), 3)).as("g"))
-        val g2 = toks.select(col("doc_id"), explode(
-          TF.wordShinglesPositional(col("__tok"), 2)).as("g"))
-        val a3 = g3.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n3"), countDistinct(col("g")).as("d3"))
-        val a2 = g2.groupBy(col("doc_id"), col("g"))
+        // ONE corpus scan: each token position i emits its 2-gram and
+        // (when one exists) its 3-gram in the same struct, and the
+        // four per-doc statistics cascade off that single explode —
+        // (doc, g2, g3) counts, then per-(doc, g2) partials, then the
+        // doc row. d3 sums per-g2 distinct-g3 counts exactly because
+        // a 3-gram's first two tokens ARE its g2 (same start index):
+        // every distinct g3 lives under exactly one g2 group. Two
+        // branched explodes here would re-tokenize the corpus twice.
+        val pairs = docs
+          .select(col("doc_id"), TF.tokens(col("text")).as("__tok"))
+          .select(col("doc_id"), explode(when(size(col("__tok")) >= 2,
+            transform(sequence(lit(1), size(col("__tok")) - 1), i =>
+              struct(
+                array_join(slice(col("__tok"), i, lit(2)), " ")
+                  .as("g2"),
+                when(i <= size(col("__tok")) - 2,
+                  array_join(slice(col("__tok"), i, lit(3)), " "))
+                  .as("g3"))))
+            .otherwise(array().cast(
+              "array<struct<g2:string,g3:string>>"))).as("g"))
+        val perGram = pairs
+          .groupBy(col("doc_id"), col("g.g2").as("g2"),
+            col("g.g3").as("g3"))
           .agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n2"), max(col("c")).as("m2"))
-        val scored = a3.join(a2, Seq("doc_id"))
+          .groupBy(col("doc_id"), col("g2"))
+          .agg(sum(col("c")).as("c2"),
+            sum(when(col("g3").isNotNull, col("c")).otherwise(0L))
+              .as("c3"),
+            count(when(col("g3").isNotNull, lit(1))).as("d3p"))
+        val scored = perGram.groupBy(col("doc_id"))
+          .agg(sum(col("c2")).as("n2"), max(col("c2")).as("m2"),
+            sum(col("c3")).as("n3"), sum(col("d3p")).as("d3"))
+          .filter(col("n3") > 0) // <3-token docs: no 3-gram, absent
           .select(col("doc_id"),
             round((col("n3") - col("d3")).cast(DoubleType) /
               col("n3").cast(DoubleType), 6)

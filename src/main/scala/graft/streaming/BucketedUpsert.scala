@@ -137,11 +137,9 @@ object BucketedUpsert {
       lsm: Boolean = false) {
 
     private val stateRoot = root.getOrElse(Scratch.dir("upsert_state"))
-    // lsm pointer values are comma-joined generation lists — a comma
-    // in the root would corrupt the list on recovery
-    require(!lsm || !stateRoot.contains(","),
-      s"lsm state root '$stateRoot' contains a comma — generation " +
-        "lists are comma-joined in the manifest")
+    // comma-free roots are enforced for EVERY store by the TxLog
+    // constructor below (splitPaths runs on all stores' pointer
+    // values in the vacuum/gc referenced set, not just lsm ones)
     private def mergeKind = if (combine.isDefined) "custom" else "latest"
     // the commit/recover/vacuum/gc mechanics live in the shared TxLog
     // (one implementation for this store and the flagship
@@ -440,8 +438,10 @@ object BucketedUpsert {
      *   subset's losing minima to its victims store here; the hook's
      *   own commit landing before this one is the crash contract). A
      *   hook failure aborts the compaction with nothing committed.
-     * Returns (buckets merged, generations before, generations
-     * after) over the selected buckets. */
+     * Returns (buckets selected in the first round, STORE-WIDE total
+     * generations before, store-wide total after) — totals are
+     * pointer-map arithmetic, so the log line reads as the absolute
+     * generation count the next read will touch. */
     def compactTiered(opId: Long, fanout: Int = 4, maxGens: Int = 8,
         beforeFold: Option[DataFrame => Unit] = None): (Int, Int, Int) = {
       require(lsm, "compactTiered: classic stores have no generations")

@@ -167,8 +167,15 @@ class ExactSubstrLedger(ss: SparkSession, minLen: Int, nBuckets: Int,
    * fold away exactly the losers this needs). Empty right after a
    * [[maintain]] (single generation ⇒ every row is its own global
    * minimum). */
-  private def crossBatchVictims(reader: SparkSession): DataFrame = {
-    val raw = firsts.rawView(reader)
+  private def crossBatchVictims(reader: SparkSession): DataFrame =
+    losersWithin(firsts.rawView(reader))
+
+  /** Batch-minima rows of `raw` that lose to the per-fingerprint
+   * minimum WITHIN `raw` — the one victim-derivation rule, shared by
+   * the read path (over all generations), the full-maintain flush,
+   * and the tiered fold's subset flush, so the three can never
+   * drift. */
+  private def losersWithin(raw: DataFrame): DataFrame = {
     val gm = raw.groupBy(col("fp"))
       .agg(min(struct(col("first_doc"), col("first_pos"))).as("gm"))
     raw.join(gm, Seq("fp"))
@@ -188,7 +195,12 @@ class ExactSubstrLedger(ss: SparkSession, minLen: Int, nBuckets: Int,
    * generations while keeping arrival O(batch). */
   def maintain(opId: Long): Unit = {
     if (!firsts.hasState) return
-    victims.merge(asVictims(crossBatchVictims(ss)), opId)
+    // checkpoint the flush ONCE: merge executes its input twice
+    // (touched-bucket collect + write), and this derivation is the
+    // heaviest read in the maintenance path (full rawView + groupBy +
+    // self-join) — the same double-execution guard ingest applies
+    victims.merge(
+      asVictims(crossBatchVictims(ss)).localCheckpoint(), opId)
     compactFirsts(opId)
     if (victims.hasState) victims.compact(opId)
   }
@@ -212,12 +224,8 @@ class ExactSubstrLedger(ss: SparkSession, minLen: Int, nBuckets: Int,
     if (!firsts.hasState) return
     firsts.compactTiered(opId, fanout, maxGens,
       beforeFold = Some { raw =>
-        val gm = raw.groupBy(col("fp"))
-          .agg(min(struct(col("first_doc"), col("first_pos"))).as("gm"))
-        val lose = raw.join(gm, Seq("fp"))
-          .filter(struct(col("first_doc"), col("first_pos")) > col("gm"))
-          .select(col("first_doc").as("doc"), col("first_pos").as("pos"))
-        victims.merge(asVictims(lose), opId)
+        victims.merge(
+          asVictims(losersWithin(raw)).localCheckpoint(), opId)
       })
     if (victims.hasState) victims.compactTiered(opId, fanout, maxGens)
   }

@@ -49,6 +49,16 @@ import org.apache.spark.sql.SparkSession
 final class TxLog(ss: SparkSession, val root: String,
     retainHistory: Boolean, config: () => Seq[(String, String)]) {
 
+  // pointer values may be comma-joined generation lists (lsm stores),
+  // and [[splitPaths]] runs on EVERY store's values in the
+  // vacuum/gc referenced set — a comma in any store's root would
+  // fragment its single-path values there and the sweep would delete
+  // live committed buckets. Rejected for every TxLog store, loudly,
+  // at construction.
+  require(!root.contains(","),
+    s"TxLog root '$root' contains a comma — pointer values are " +
+      "comma-split by the generation-list machinery")
+
   private val rootPath = new Path(root)
   private val fs = rootPath.getFileSystem(ss.sessionState.newHadoopConf())
   private val fc = FileContext.getFileContext(rootPath.toUri,
@@ -66,8 +76,8 @@ final class TxLog(ss: SparkSession, val root: String,
   /** A pointer value as its real directory list: classic stores hold
    * one path, LSM stores a comma-joined generation list. Every
    * consumer that RESOLVES paths (reads, sweeps) must go through
-   * this; paths never contain commas ([[commit]] would reject a
-   * comma-carrying root via the whitespace check's sibling below). */
+   * this; paths never contain commas (the constructor rejects a
+   * comma-carrying root for every store, lsm or not — see above). */
   def splitPaths(v: String): Seq[String] =
     v.split(",").toSeq.filter(_.nonEmpty)
 
