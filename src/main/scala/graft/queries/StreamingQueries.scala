@@ -594,25 +594,12 @@ object StreamingQueries {
         .option("checkpointLocation",
           graft.sources.Scratch.dir("dedup_store_cp"))
         .foreachBatch { (b: DataFrame, id: Long) =>
-          // lastOp replay guard (the PostingLedger.observe pattern):
           // sum(n_docs) is NOT idempotent, so a crashed-and-replayed
           // batch id appending a second lsm generation would
-          // double-count — the guard, not the monoid, carries replay
-          // safety; a failed merge resynchronizes the token from the
-          // COMMITTED manifest (the in-memory value cannot tell
-          // "commit landed, post-commit threw" from "never happened")
-          if (!state.token("lastOp").contains(id.toString)) {
-            state.setToken("lastOp", id.toString)
-            try state.merge(b, id)
-            catch {
-              case t: Throwable =>
-                state.committedToken("lastOp") match {
-                  case Some(v) => state.setToken("lastOp", v)
-                  case None    => state.clearToken("lastOp")
-                }
-                throw t
-            }
-          }
+          // double-count — the shared replayGuarded contract carries
+          // replay safety (the guard, not the monoid)
+          state.replayGuarded("lastOp", id) { state.merge(b, id) }
+          ()
         }
         .start()
       q.awaitTermination()

@@ -170,6 +170,32 @@ object BucketedUpsert {
      * view) — the rollback half callers need when the commit they
      * staged a token for fails (see PostingLedger.observe). */
     def clearToken(k: String): Unit = { extras.remove(k); () }
+
+    /** Run `body` (which must end in ONE commit on this store) at
+     * most once per `opId`, guarded by durable token `tokenKey` — the
+     * replay contract a NON-idempotent combine needs under
+     * foreachBatch's at-least-once delivery (an idempotent monoid
+     * needs no guard; a concat/sum fold double-applies without one).
+     * The opId marker rides the SAME commit as the fold (atomic on
+     * the success path); a FAILED body resynchronizes the in-memory
+     * token from the COMMITTED manifest, because memory cannot tell
+     * "commit landed, post-commit step threw" from "commit never
+     * happened" — restoring the stale pre-call value in the former
+     * case would make a same-process retry re-fold a landed batch.
+     * Returns false when `opId` was already applied (body skipped). */
+    def replayGuarded(tokenKey: String, opId: Long)(body: => Unit): Boolean = {
+      if (token(tokenKey).contains(opId.toString)) return false
+      setToken(tokenKey, opId.toString)
+      try { body; true }
+      catch {
+        case t: Throwable =>
+          committedToken(tokenKey) match {
+            case Some(v) => setToken(tokenKey, v)
+            case None    => clearToken(tokenKey)
+          }
+          throw t
+      }
+    }
     def token(k: String): Option[String] = extras.get(k)
     /** The value of caller token `k` as of the last COMMITTED manifest
      * (None before any commit, or if that commit carried no such

@@ -162,30 +162,15 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
 
   def observe(sigs: DataFrame, opId: Long): DataFrame = {
     val batch = bandKeys(sigs).localCheckpoint()
-    val replayed = store.token("lastOp").contains(opId.toString)
-    if (!replayed) {
-      // the opId marker rides the SAME commit as the fold (atomic on
-      // the success path); a FAILED merge must resynchronize the
-      // in-memory token — but from the COMMITTED manifest, not the
-      // pre-call value: "commit landed, post-commit step threw" and
-      // "commit never happened" are indistinguishable in memory, and
-      // restoring the stale value in the former case would make a
-      // same-process retry re-fold a landed batch (the concat monoid
-      // duplicates postings). The manifest is the truth either way.
-      store.setToken("lastOp", opId.toString)
-      try foldCommit(
+    // concat is not idempotent — the shared replayGuarded contract
+    // (set token, fold in the same commit, resync the token from the
+    // committed manifest on failure) carries replay safety
+    val replayed = !store.replayGuarded("lastOp", opId) {
+      foldCommit(
         batch.groupBy(col("bkey"))
           .agg(collect_list(struct(col("id"), col("sig")))
             .as("posting")),
         opId)
-      catch {
-        case t: Throwable =>
-          store.committedToken("lastOp") match {
-            case Some(v) => store.setToken("lastOp", v)
-            case None    => store.clearToken("lastOp")
-          }
-          throw t
-      }
     }
     // an empty batch on an empty store has nothing to probe (the
     // merge committed nothing): schema-stable empty result
