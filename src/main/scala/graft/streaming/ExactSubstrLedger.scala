@@ -243,10 +243,16 @@ class ExactSubstrLedger(ss: SparkSession, minLen: Int, nBuckets: Int,
       if (victims.hasState)
         victims.view(reader).select(col("doc"), col("pos"))
       else crossBatchVictims(reader).limit(0)
-    val all = stored.unionByName(crossBatchVictims(reader))
-      .distinct() // replayed generations may duplicate a coordinate
-      .select(col("doc"), col("pos"),
-        (col("pos") + lit(minLen - 1)).as("end"))
+    // a single-generation firsts store (freshly maintained) holds one
+    // row per fingerprint, so cross-batch losers are PROVABLY absent —
+    // skip the state-sized derivation and serve from victims alone
+    // (the post-maintenance serving pattern reads at store cost)
+    val all =
+      (if (firsts.singleGeneration) stored
+       else stored.unionByName(crossBatchVictims(reader))
+         .distinct()) // replayed generations may duplicate a coordinate
+        .select(col("doc"), col("pos"),
+          (col("pos") + lit(minLen - 1)).as("end"))
     graft.operators.Dedup.mergeVictimSpans(all, "id")
   }
 }
