@@ -100,10 +100,35 @@ object TextFunctions {
         i => array_join(slice(t, i, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
 
-  /** Punct ratio over an ALREADY-PROJECTED normalized-text column. */
+  /** HALF_UP(a/b · 10⁶) in EXACT integer arithmetic: (2a·10⁶+b) div (2b),
+   * for a ≥ 0, b > 0. Engine-portable where `round(a/b, 6)` is not: ratios
+   * of small integers land exactly on dyadic 6dp halves (1/128·10⁶ =
+   * 7812.5) where engine round-half modes legitimately differ — the class
+   * that cost t22 its first driver outing (round 16). Both Spark's `div`
+   * and DuckDB's `//` are plain integral division on positive operands. */
+  def ratioPpm(a: Column, b: Column): Column =
+    call_function("div",
+      a.cast(LongType) * lit(2000000L) + b.cast(LongType),
+      b.cast(LongType) * lit(2L))
+
+  /** The 6dp ratio as a DOUBLE: exact ppm integer → double (exact ≤ 2⁵³),
+   * one identical IEEE division by 10⁶ in both engines. */
+  def ratio6(a: Column, b: Column): Column =
+    ratioPpm(a, b).cast(DoubleType) / lit(1000000.0)
+
+  /** DuckDB spelling of [[ratio6]] — keep in lockstep. */
+  def ratio6Sql(a: String, b: String): String =
+    s"CAST((2*($a)*1000000 + ($b)) // (2*($b)) AS DOUBLE)/1000000"
+
+  /** Punct COUNT (non-alphanumeric-non-space chars) over an
+   * ALREADY-PROJECTED normalized-text column. */
+  def punctCountFromNorm(t: Column): Column =
+    regexp_count(t, lit("[^a-z0-9 ]")).cast(LongType)
+
+  /** Punct ratio over an ALREADY-PROJECTED normalized-text column —
+   * exact-6dp ([[ratio6]]), not a raw double quotient. */
   def punctRatioFromNorm(t: Column): Column =
-    when(length(t) > 0,
-      regexp_count(t, lit("[^a-z0-9 ]")).cast(DoubleType) / length(t))
+    when(length(t) > 0, ratio6(punctCountFromNorm(t), length(t)))
       .otherwise(lit(0.0))
 
   /** Punctuation/symbol ratio: non-alphanumeric-non-space chars / chars. */
@@ -116,13 +141,17 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "mit", "zu", "den"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "que"))
 
-  /** Stopword ratio over an ALREADY-PROJECTED tokens column. */
-  def stopwordRatioFromTokens(t: Column, lang: String = "en"): Column = {
+  /** Stopword COUNT over an ALREADY-PROJECTED tokens column. */
+  def stopwordCountFromTokens(t: Column, lang: String = "en"): Column = {
     val sw = array(stopwords(lang).map(lit): _*)
-    when(size(t) > 0,
-      size(filter(t, w => array_contains(sw, w))).cast(DoubleType) / size(t))
-      .otherwise(lit(0.0))
+    size(filter(t, w => array_contains(sw, w))).cast(LongType)
   }
+
+  /** Stopword ratio over an ALREADY-PROJECTED tokens column — exact-6dp
+   * ([[ratio6]]), not a raw double quotient. */
+  def stopwordRatioFromTokens(t: Column, lang: String = "en"): Column =
+    when(size(t) > 0, ratio6(stopwordCountFromTokens(t, lang), size(t)))
+      .otherwise(lit(0.0))
 
   /** Fraction of tokens that are (english) stopwords — a standard quality
    * signal. */
@@ -146,18 +175,52 @@ object TextFunctions {
    * the argmax (ties broken by language code order); no hits → "und". */
   def langId(c: Column): Column = langIdFromTokens(tokens(c))
 
-  /** Quality score from already-computed parts (see [[qualityScore]]). */
-  def qualityScoreFromParts(nTokens: Column, swr: Column,
-      punct: Column): Column =
-    round(greatest(lit(0.0),
-      least(nTokens.cast(DoubleType) / 100.0, lit(1.0)) * 0.4 +
-        least(swr * 5.0, lit(1.0)) * 0.4 +
-        (lit(1.0) - least(punct * 5.0, lit(1.0))) * 0.2), 6)
+  /** Quality score from RAW COUNTS, stated entirely in exact integer ppm
+   * (round 17): each term is HALF_UP-rounded to 6dp independently, then the
+   * three ppm integers add —
+   *   term1 = 0.4·min(nTokens/100, 1)        = min(nTokens,100)·4000 ppm
+   *   term2 = 0.4·min(5·nSw/nTokens, 1)      = HALF_UP(min(5nSw,nt)·4·10⁵/nt)
+   *   term3 = 0.2·(1 − min(5·nPunct/nChars,1)) = HALF_UP((ch−min(5np,ch))·2·10⁵/ch)
+   * The former `round(DOUBLE, 6)` blend could land on dyadic 6dp halves
+   * (nTokens = 256 with odd stopword count ⇒ ···.5 ppm) where engine
+   * round-half modes differ — the t22/round-16 class. Integral division is
+   * identical in Spark (`div`) and DuckDB (`//`); [[qualitySql]] is the
+   * lockstep DuckDB spelling. */
+  def qualityScoreFromCounts(nTokens: Column, nSw: Column, nChars: Column,
+      nPunct: Column): Column = {
+    val nt = nTokens.cast(LongType)
+    val ch = nChars.cast(LongType)
+    val ppm1 = least(nt, lit(100L)) * lit(4000L)
+    val ppm2 = when(nt > 0, call_function("div",
+      least(nSw.cast(LongType) * lit(5L), nt) * lit(800000L) + nt,
+      nt * lit(2L))).otherwise(lit(0L))
+    val ppm3 = when(ch > 0, call_function("div",
+      (ch - least(nPunct.cast(LongType) * lit(5L), ch)) * lit(400000L) + ch,
+      ch * lit(2L))).otherwise(lit(200000L))
+    (ppm1 + ppm2 + ppm3).cast(DoubleType) / lit(1000000.0)
+  }
+
+  /** DuckDB spelling of [[qualityScoreFromCounts]] — keep in lockstep.
+   * Operands are SQL expressions for the four raw counts. */
+  def qualitySql(nTokens: String, nSw: String, nChars: String,
+      nPunct: String): String =
+    s"""CAST(least($nTokens, 100)*4000 +
+       |  CASE WHEN ($nTokens) > 0 THEN
+       |    (least(($nSw)*5, $nTokens)*800000 + ($nTokens))
+       |      // (2*($nTokens)) ELSE 0 END +
+       |  CASE WHEN ($nChars) > 0 THEN
+       |    ((($nChars) - least(($nPunct)*5, $nChars))*400000 + ($nChars))
+       |      // (2*($nChars)) ELSE 200000 END
+       |  AS DOUBLE)/1000000""".stripMargin
 
   /** Composite quality score in [0,1]: blends length, stopword presence and
    * low symbol noise — the shape of a standard pretraining-quality filter. */
-  def qualityScore(c: Column): Column =
-    qualityScoreFromParts(tokenCount(c), stopwordRatio(c), punctRatio(c))
+  def qualityScore(c: Column): Column = {
+    val n = normalizeText(c)
+    qualityScoreFromCounts(tokenCount(c),
+      stopwordCountFromTokens(tokensFromNorm(n)), length(n),
+      punctCountFromNorm(n))
+  }
 
   // ------------------------------------------------------------------ PII
   // Detection/redaction patterns for the standard curation stage. RE2-safe

@@ -58,9 +58,17 @@ object Multimodal {
     def decode(row: MediaRow): MediaFeatures = {
       md.reset()
       val digest = md.digest(row.payload).map("%02x".format(_)).mkString
+      // mean byte value at exact-6dp HALF_UP ppm (integer arithmetic):
+      // sum/len is a ratio of integers, which can land on dyadic 6dp
+      // halves where engine round() half-modes differ — the same
+      // portable-rounding rule the SQL gates follow (TextFunctions.ratio6)
       val bright =
         if (row.payload.isEmpty) 0.0
-        else row.payload.map(b => (b & 0xff).toDouble).sum / row.payload.length
+        else {
+          val s = row.payload.map(b => (b & 0xff).toLong).sum
+          ((2L * s * 1000000L + row.payload.length) /
+            (2L * row.payload.length)).toDouble / 1000000.0
+        }
       val feats = digest.grouped(8).take(4)
         .map(h => (java.lang.Long.parseLong(h, 16).toFloat / 0xffffffffL))
         .toArray

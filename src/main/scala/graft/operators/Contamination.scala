@@ -45,7 +45,9 @@ object Contamination {
       .agg(count(lit(1)).as("n_shingles"),
         count(col("__hit")).as("n_hit"))
       .select(col("id"), col("n_shingles"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_shingles"), 6)
-          .as("overlap"))
+        // exact-6dp ratio (TextFunctions.ratio6): n_hit/n_shingles can
+        // land on dyadic 6dp halves where engine round() modes differ
+        graft.functions.TextFunctions.ratio6(col("n_hit"),
+          col("n_shingles")).as("overlap"))
   }
 }

@@ -31,10 +31,10 @@ object Curation {
     val feats = staged
       .withColumn("pred_lang", TF.langIdFromTokens(col("__tok")))
       .withColumn("n_tokens", size(col("__tok")).cast("long"))
-      .withColumn("quality", TF.qualityScoreFromParts(
+      .withColumn("quality", TF.qualityScoreFromCounts(
         col("n_tokens"),
-        TF.stopwordRatioFromTokens(col("__tok")),
-        TF.punctRatioFromNorm(col("__t"))))
+        TF.stopwordCountFromTokens(col("__tok")),
+        length(col("__t")), TF.punctCountFromNorm(col("__t"))))
     feats
       .filter(col("quality") >= minQuality &&
         col("pred_lang").isin(langs.toSeq.map(lit): _*))

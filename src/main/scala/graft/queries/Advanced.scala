@@ -778,11 +778,14 @@ object Advanced {
             .otherwise(expr(
               "__r + (rn - __r * (__q + 1) - 1) div greatest(__q, 1) + 1"))
             .cast("long"))
+          // exact-6dp ratios (TextFunctions.ratio6): (rn−1)/(N−1) and
+          // rn/N land on dyadic 6dp halves when N−1 / N are high
+          // powers of two — the engine round() half-mode class
           .withColumn("pct_rank", when(col("__n") === 1, lit(0.0))
-            .otherwise(round((col("rn") - 1).cast("double") /
-              (col("__n") - 1).cast("double"), 6)))
-          .withColumn("cume", round(col("rn").cast("double") /
-            col("__n").cast("double"), 6))
+            .otherwise(graft.functions.TextFunctions.ratio6(
+              col("rn") - 1, col("__n") - 1)))
+          .withColumn("cume",
+            graft.functions.TextFunctions.ratio6(col("rn"), col("__n")))
           .withColumn("prev_price",
             when(col("__lrn") === 1, col("__prev_last"))
               .otherwise(lag(col("o_totalprice"), 1).over(wLoc)))
@@ -796,12 +799,20 @@ object Advanced {
             col("next_price"))
           .orderBy(col("o_orderkey"))
       },
-      Some("""SELECT * FROM (
+      Some(s"""SELECT o_orderkey, o_orderpriority, o_totalprice, rn,
+             |  quartile,
+             |  CASE WHEN nn = 1 THEN 0.0
+             |    ELSE ${graft.functions.TextFunctions.ratio6Sql(
+                 "rn - 1", "nn - 1")} END AS pct_rank,
+             |  ${graft.functions.TextFunctions.ratio6Sql(
+                 "rn", "nn")} AS cume,
+             |  prev_price, next_price
+             |FROM (
              |  SELECT o_orderkey, o_orderpriority, o_totalprice,
              |    CAST(row_number() OVER w AS BIGINT) AS rn,
              |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-             |    round(percent_rank() OVER w, 6) AS pct_rank,
-             |    round(cume_dist() OVER w, 6) AS cume,
+             |    CAST(count(*) OVER (PARTITION BY o_orderpriority)
+             |      AS BIGINT) AS nn,
              |    lag(o_totalprice) OVER w AS prev_price,
              |    lead(o_totalprice) OVER w AS next_price
              |  FROM orders

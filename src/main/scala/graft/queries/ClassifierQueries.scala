@@ -42,10 +42,11 @@ object ClassifierQueries {
         TF.tokensFromNorm(col("__t")).as("__tok"))
       .select(col("doc_id"), col("__tok"),
         TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
-        TF.qualityScoreFromParts(
+        TF.qualityScoreFromCounts(
           size(col("__tok")).cast("long"),
-          TF.stopwordRatioFromTokens(col("__tok")),
-          TF.punctRatioFromNorm(col("__t"))).as("quality"))
+          TF.stopwordCountFromTokens(col("__tok")),
+          length(col("__t")),
+          TF.punctCountFromNorm(col("__t"))).as("quality"))
 
   /** TRAIN: multinomial NB with Laplace smoothing on the heuristic-
    * labeled seed. Returns the 6dp prior log-ratio and the per-token
@@ -137,19 +138,14 @@ object ClassifierQueries {
        |    CASE WHEN t = '' THEN CAST(0 AS BIGINT)
        |      ELSE CAST(len(string_split_regex(t, ' ')) AS BIGINT)
        |      END AS n_tokens,
-       |    CASE WHEN len(t) > 0
-       |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
-       |      ELSE 0.0 END AS punct,
-       |    CASE WHEN t <> '' AND len(string_split_regex(t, ' ')) > 0
-       |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
-       |           / len(string_split_regex(t, ' '))
-       |      ELSE 0.0 END AS swr
+       |    CAST(len(t) AS BIGINT) AS n_ch,
+       |    CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS BIGINT) AS n_p,
+       |    CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS BIGINT)
+       |      END AS n_sw
        |  FROM base),
        |seed AS (SELECT doc_id, w,
-       |    round(greatest(0.0,
-       |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
-       |      least(swr * 5.0, 1.0) * 0.4 +
-       |      (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) >= 0.6 AS pos
+       |    ${TF.qualitySql("n_tokens", "n_sw", "n_ch", "n_p")} >= 0.6 AS pos
        |  FROM tk WHERE doc_id % 3 = 0),
        |tokr AS (SELECT pos, u.tk AS t FROM seed, unnest(w) AS u(tk)),
        |counts AS (SELECT t,

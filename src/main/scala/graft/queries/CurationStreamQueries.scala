@@ -79,10 +79,11 @@ object CurationStreamQueries {
         graft.operators.Dedup.simHashFromHashes(
           transform(col("__tok"), t => TF.hash60(t)), 60).as("sig"),
         TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
-        TF.qualityScoreFromParts(
+        TF.qualityScoreFromCounts(
           size(col("__tok")).cast("long"),
-          TF.stopwordRatioFromTokens(col("__tok")),
-          TF.punctRatioFromNorm(col("__t"))).as("quality"))
+          TF.stopwordCountFromTokens(col("__tok")),
+          length(col("__t")),
+          TF.punctCountFromNorm(col("__t"))).as("quality"))
   }
 
   private def buildCuration(ss: SparkSession,
@@ -170,10 +171,11 @@ object CurationStreamQueries {
         graft.operators.Dedup.simHashFromHashes(
           transform(col("__tok"), t => TF.hash60(t)), 60).as("sig"),
         TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
-        TF.qualityScoreFromParts(
+        TF.qualityScoreFromCounts(
           size(col("__tok")).cast("long"),
-          TF.stopwordRatioFromTokens(col("__tok")),
-          TF.punctRatioFromNorm(col("__t"))).as("quality"),
+          TF.stopwordCountFromTokens(col("__tok")),
+          length(col("__t")),
+          TF.punctCountFromNorm(col("__t"))).as("quality"),
         col("shin"))
     val near = new graft.streaming.NearDupLedger(ss, bits = 60,
       maxHamming = 3, nBuckets = 16)
@@ -229,19 +231,14 @@ object CurationStreamQueries {
        |qfeat AS (SELECT doc_id,
        |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
        |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
-       |    CASE WHEN len(t) > 0
-       |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
-       |      ELSE 0.0 END AS punct,
-       |    CASE WHEN len(string_split_regex(t, ' ')) > 0
-       |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
-       |           / len(string_split_regex(t, ' '))
-       |      ELSE 0.0 END AS swr
+       |    CAST(len(t) AS BIGINT) AS n_ch,
+       |    CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS BIGINT) AS n_p,
+       |    CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS BIGINT) AS n_sw
        |  FROM qbase),
        |q AS (SELECT doc_id, n_bpe, quality FROM (
-       |    SELECT doc_id, n_bpe, round(greatest(0.0,
-       |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
-       |      least(swr * 5.0, 1.0) * 0.4 +
-       |      (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality
+       |    SELECT doc_id, n_bpe,
+       |      ${graft.functions.TextFunctions.qualitySql(
+           "n_tokens", "n_sw", "n_ch", "n_p")} AS quality
        |    FROM qfeat) WHERE quality >= 0.6
        |    AND doc_id NOT IN (SELECT doc_id FROM dirty)),
        |qd AS (SELECT d2.doc_id, d2.text FROM documents d2
@@ -434,10 +431,11 @@ object CurationStreamQueries {
         TF.tokensFromNorm(col("__t")).as("__tok"))
       .select(col("id"),
         TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
-        TF.qualityScoreFromParts(
+        TF.qualityScoreFromCounts(
           size(col("__tok")).cast("long"),
-          TF.stopwordRatioFromTokens(col("__tok")),
-          TF.punctRatioFromNorm(col("__t"))).as("quality"))
+          TF.stopwordCountFromTokens(col("__tok")),
+          length(col("__t")),
+          TF.punctCountFromNorm(col("__t"))).as("quality"))
       .join(graft.sources.Tables.load(ss, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("sig")),
         Seq("id"))
@@ -515,19 +513,14 @@ object CurationStreamQueries {
        |qfeat AS (SELECT doc_id,
        |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
        |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
-       |    CASE WHEN len(t) > 0
-       |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
-       |      ELSE 0.0 END AS punct,
-       |    CASE WHEN len(string_split_regex(t, ' ')) > 0
-       |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
-       |           / len(string_split_regex(t, ' '))
-       |      ELSE 0.0 END AS swr
+       |    CAST(len(t) AS BIGINT) AS n_ch,
+       |    CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS BIGINT) AS n_p,
+       |    CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS BIGINT) AS n_sw
        |  FROM qbase),
        |q AS (SELECT doc_id, n_bpe, quality FROM (
-       |    SELECT doc_id, n_bpe, round(greatest(0.0,
-       |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
-       |      least(swr * 5.0, 1.0) * 0.4 +
-       |      (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality
+       |    SELECT doc_id, n_bpe,
+       |      ${graft.functions.TextFunctions.qualitySql(
+           "n_tokens", "n_sw", "n_ch", "n_p")} AS quality
        |    FROM qfeat) WHERE quality >= 0.6)""".stripMargin
   }
 
@@ -641,8 +634,7 @@ object CurationStreamQueries {
             count(col("__hit")).as("n_hit"))
           .select(col("id").as("doc_id"), col("n_shingles"),
             col("n_hit"),
-            round(col("n_hit").cast("double") / col("n_shingles"), 6)
-              .as("overlap"))
+            TF.ratio6(col("n_hit"), col("n_shingles")).as("overlap"))
           .write.mode("overwrite").parquet(s"$outDir/b$id")
     }
     outDir
@@ -659,7 +651,8 @@ object CurationStreamQueries {
        |train AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
        |SELECT t.doc_id, COUNT(*) AS n_shingles,
        |  COUNT(b.s) AS n_hit,
-       |  round(CAST(COUNT(b.s) AS DOUBLE) / COUNT(*), 6) AS overlap
+       |  ${graft.functions.TextFunctions.ratio6Sql(
+           "COUNT(b.s)", "COUNT(*)")} AS overlap
        |FROM train t LEFT JOIN bench b ON t.s = b.s
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 

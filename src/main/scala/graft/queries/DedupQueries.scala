@@ -393,11 +393,15 @@ object DedupQueries {
         inter
           .join(sizes.select(col("id").as("a"), col("n").as("na")), "a")
           .join(sizes.select(col("id").as("b"), col("n").as("nb")), "b")
-          .withColumn("jraw", col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")))
+          // exact-6dp jaccard (i/union can land on dyadic 6dp halves);
+          // est_sim = m/16 is exact at 6dp (m·62500 ppm), so err is a
+          // pure integer ppm difference — no engine round() anywhere
+          .withColumn("__jppm", graft.functions.TextFunctions.ratioPpm(
+            col("inter"), col("na") + col("nb") - col("inter")))
           .select(col("a"), col("b"), col("est_sim"),
-            round(col("jraw"), 6).as("jaccard"),
-            round(col("est_sim") - col("jraw"), 6).as("err"))
+            (col("__jppm").cast("double") / 1000000.0).as("jaccard"),
+            (((col("est_sim") * 1000000).cast("long") - col("__jppm"))
+              .cast("double") / 1000000.0).as("err"))
           .orderBy(col("a"), col("b"))
       },
       Some(s"""WITH est AS (
@@ -415,10 +419,14 @@ object DedupQueries {
               |  JOIN sh2 y ON y.doc_id = e.b AND y.h = x.h
               |  GROUP BY e.a, e.b, e.est_sim)
               |SELECT a, b, est_sim,
-              |  round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard,
-              |  round(est_sim - CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS err
-              |FROM inter JOIN sizes na ON na.doc_id = a
-              |JOIN sizes nb ON nb.doc_id = b
+              |  CAST(jppm AS DOUBLE)/1000000 AS jaccard,
+              |  CAST(CAST(est_sim*1000000 AS BIGINT) - jppm AS DOUBLE)
+              |    /1000000 AS err
+              |FROM (SELECT a, b, est_sim,
+              |    (2*i*1000000 + (na.n + nb.n - i))
+              |      // (2*(na.n + nb.n - i)) AS jppm
+              |  FROM inter JOIN sizes na ON na.doc_id = a
+              |  JOIN sizes nb ON nb.doc_id = b)
               |ORDER BY a, b""".stripMargin)),
 
     // ----------------------------------------------------------------

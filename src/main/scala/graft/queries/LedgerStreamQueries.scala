@@ -295,8 +295,12 @@ object LedgerStreamQueries {
     graft.streaming.EmbeddingLedger
       .recoverPersisted(s, minCos = 0.4, nBuckets = 16, root = root)
       .minePairs()
-      .withColumn("imbalance0", round(lit(im0), 4))
-      .withColumn("imbalance", round(lit(im1), 4))
+      // floor(x·10⁴+0.5)/10⁴: engine-portable where round(DOUBLE,4)
+      // is not — the imbalance is a ratio of integers (see s25 note)
+      .withColumn("imbalance0",
+        lit(math.floor(im0 * 10000.0 + 0.5) / 10000.0))
+      .withColumn("imbalance",
+        lit(math.floor(im1 * 10000.0 + 0.5) / 10000.0))
       .withColumn("refit", lit(true))
       .orderBy(col("a"), col("b"))
   }
@@ -348,8 +352,10 @@ object LedgerStreamQueries {
        |      sqrt(list_sum(list_transform(generate_series(1, len(y.vv)), i -> y.vv[i] * y.vv[i]))) AS nb
        |    FROM cand c JOIN v x ON x.vid = c.a
        |    JOIN v y ON y.vid = c.b))
-       |SELECT a, b, cos, round(im0, 4) AS imbalance0,
-       |  round(im1, 4) AS imbalance, im1 > 2.0 * im0 AS refit
+       |SELECT a, b, cos,
+       |  floor(im0 * 10000 + 0.5) / 10000 AS imbalance0,
+       |  floor(im1 * 10000 + 0.5) / 10000 AS imbalance,
+       |  im1 > 2.0 * im0 AS refit
        |FROM p, im WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
   }
 

@@ -167,23 +167,26 @@ object MultimodalQueries {
     // isn't SQL, but its OUTPUT is deterministic byte math the oracle can
     // restate: digest = md5(payload bytes) = DuckDB md5(text) (payload is
     // the utf-8 encoding), brightness = mean byte value = mean ascii code
-    // (the fixture corpus is ASCII, asserted in MultimodalSpec). Sums of
-    // integers ≤ 2^53 are exact doubles, so the 6dp rounding agrees.
+    // (the fixture corpus is ASCII, asserted in MultimodalSpec), stated as
+    // exact-6dp HALF_UP ppm on both sides (sum/len is an integer ratio —
+    // the engine-round()-sensitive class; see TextFunctions.ratio6).
     Q("m02_media_features",
       (s, dir) => {
         val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
         Multimodal.extractFeatures(s, media).toDF()
           .select(col("media_id"), col("kind"), col("n_bytes"), col("digest"),
-            round(col("brightness"), 6).as("brightness"))
+            col("brightness")) // decoder emits exact-6dp HALF_UP ppm
           .orderBy(col("media_id"))
       },
-      Some("""SELECT doc_id AS media_id, 'image' AS kind,
+      Some(s"""SELECT doc_id AS media_id, 'image' AS kind,
              |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
              |  md5(text) AS digest,
-             |  round(CASE WHEN len(text) > 0 THEN
-             |      list_sum(list_transform(generate_series(1, len(text)),
-             |        i -> ascii(substr(text, i, 1))::DOUBLE)) / len(text)
-             |    ELSE 0.0 END, 6) AS brightness
+             |  CASE WHEN len(text) > 0 THEN
+             |    ${graft.functions.TextFunctions.ratio6Sql(
+                 "CAST(list_sum(list_transform(generate_series(1, " +
+                 "len(text)), i -> ascii(substr(text, i, 1)))) AS BIGINT)",
+                 "len(text)")}
+             |    ELSE 0.0 END AS brightness
              |FROM documents ORDER BY media_id""".stripMargin)),
 
     // ----------------------------------------------------------------

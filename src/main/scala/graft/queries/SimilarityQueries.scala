@@ -238,7 +238,8 @@ object SimilarityQueries {
        |  FROM (SELECT vid, cid, ${cosSelect("vv", "cv").replace("AS cos", "AS ccos")}
        |        FROM v CROSS JOIN cent0)) WHERE r = 1),
        |imb AS (SELECT
-       |    round(max(n)::DOUBLE / sum(n) * (SELECT count(*) FROM cent0), 4) AS imbalance,
+       |    floor(max(n)::DOUBLE / sum(n) * (SELECT count(*) FROM cent0)
+       |      * 10000 + 0.5) / 10000 AS imbalance,
        |    TRUE AS refit
        |  FROM (SELECT cid, count(*) AS n FROM assign0 GROUP BY cid)),
        |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
@@ -968,7 +969,12 @@ object SimilarityQueries {
         graft.operators.AnnIndex.search(s, root,
             e.filter(col("vec_id") % 50 === 0),
             "vec_id", "embedding", nProbe = 2, k = 5)
-          .withColumn("imbalance", round(lit(d.imbalance), 4))
+          // floor(x·10⁴+0.5)/10⁴ — three IEEE ops both engines compute
+          // identically, vs round(DOUBLE,4) whose half-mode is
+          // engine-defined (the imbalance is a ratio of integers and
+          // CAN land exactly on a 4dp dyadic half)
+          .withColumn("imbalance",
+            lit(math.floor(d.imbalance * 10000.0 + 0.5) / 10000.0))
           .withColumn("refit", lit(d.fired))
           .orderBy(col("qid"), col("rank"))
       },

@@ -83,35 +83,29 @@ object TextQueries {
           .select(col("doc_id"),
             size(col("__tok")).cast("long").as("n_tokens"),
             TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
-            TF.punctRatioFromNorm(col("__t")).as("__punct"),
-            TF.stopwordRatioFromTokens(col("__tok")).as("__swr"))
-          .select(col("doc_id"), col("n_tokens"), col("n_bpe"),
-            round(col("__punct"), 6).as("punct_ratio"),
-            round(col("__swr"), 6).as("sw_ratio"),
-            TF.qualityScoreFromParts(col("n_tokens"), col("__swr"),
-              col("__punct")).as("quality"))
+            TF.punctRatioFromNorm(col("__t")).as("punct_ratio"),
+            TF.stopwordRatioFromTokens(col("__tok")).as("sw_ratio"),
+            TF.qualityScoreFromCounts(size(col("__tok")),
+              TF.stopwordCountFromTokens(col("__tok")),
+              length(col("__t")),
+              TF.punctCountFromNorm(col("__t"))).as("quality"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
               |feat AS (
-              |  SELECT doc_id, t, string_split_regex(t, ' ') AS w,
+              |  SELECT doc_id, t,
               |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
               |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
-              |    CASE WHEN len(t) > 0
-              |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
-              |      ELSE 0.0 END AS punct,
-              |    CASE WHEN len(string_split_regex(t, ' ')) > 0
-              |      THEN CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS DOUBLE)
-              |           / len(string_split_regex(t, ' '))
-              |      ELSE 0.0 END AS swr
+              |    CAST(len(t) AS BIGINT) AS n_ch,
+              |    CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS BIGINT) AS n_p,
+              |    CAST(len(list_filter(string_split_regex(t, ' '), x -> list_contains($enList, x))) AS BIGINT) AS n_sw
               |  FROM base)
               |SELECT doc_id, n_tokens, n_bpe,
-              |  round(punct, 6) AS punct_ratio,
-              |  round(swr, 6) AS sw_ratio,
-              |  round(greatest(0.0,
-              |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
-              |    least(swr * 5.0, 1.0) * 0.4 +
-              |    (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality
+              |  CASE WHEN n_ch > 0 THEN ${TF.ratio6Sql("n_p", "n_ch")}
+              |    ELSE 0.0 END AS punct_ratio,
+              |  CASE WHEN n_tokens > 0 THEN ${TF.ratio6Sql("n_sw", "n_tokens")}
+              |    ELSE 0.0 END AS sw_ratio,
+              |  ${TF.qualitySql("n_tokens", "n_sw", "n_ch", "n_p")} AS quality
               |FROM feat ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------
@@ -172,18 +166,12 @@ object TextQueries {
               |tok AS (SELECT doc_id, source, t, string_split_regex(t, ' ') AS w FROM base),
               |feats AS (SELECT doc_id, source, t, w,
               |    CAST(len(w) AS BIGINT) AS n_tokens,
-              |    CASE WHEN len(t) > 0
-              |      THEN CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS DOUBLE) / len(t)
-              |      ELSE 0.0 END AS punct,
-              |    CASE WHEN len(w) > 0
-              |      THEN CAST(len(list_filter(w, x -> list_contains($enList, x))) AS DOUBLE) / len(w)
-              |      ELSE 0.0 END AS swr
+              |    CAST(len(t) AS BIGINT) AS n_ch,
+              |    CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS BIGINT) AS n_p,
+              |    CAST(len(list_filter(w, x -> list_contains($enList, x))) AS BIGINT) AS n_sw
               |  FROM tok),
               |q AS (SELECT doc_id, source, t, n_tokens,
-              |    round(greatest(0.0,
-              |      least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
-              |      least(swr * 5.0, 1.0) * 0.4 +
-              |      (1.0 - least(punct * 5.0, 1.0)) * 0.2), 6) AS quality
+              |    ${TF.qualitySql("n_tokens", "n_sw", "n_ch", "n_p")} AS quality
               |  FROM feats),
               |hits AS (SELECT b.doc_id, l.code,
               |    len(list_filter(string_split_regex(b.t, ' '), x -> list_contains(l.sw, x))) AS h
@@ -493,7 +481,7 @@ object TextQueries {
               |held AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 = 0)
               |SELECT h.doc_id, COUNT(*) AS n_shingles,
               |  COUNT(c.s) AS n_hit,
-              |  round(CAST(COUNT(c.s) AS DOUBLE) / COUNT(*), 6) AS overlap
+              |  ${TF.ratio6Sql("COUNT(c.s)", "COUNT(*)")} AS overlap
               |FROM held h LEFT JOIN corpus c ON h.s = c.s
               |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin)),
 
@@ -1221,14 +1209,21 @@ object TextQueries {
     // (t02's length/stopword/punct ratios) look fine. Published
     // absolute thresholds never bind on this corpus (max dup3 0.043
     // vs Gopher's high cuts), so the cut is CORPUS-RELATIVE like
-    // t20's: kept = both signals ≤ their corpus means, each mean a
-    // bounded driver scalar computed as exact-6dp-DECIMAL sum cast
-    // correctly-rounded to double over the exact count — the
-    // identical two IEEE ops DuckDB performs, never a
-    // single-partition window. Exactness: each fraction is ONE
-    // division of exact integers (≲10⁴, far inside 2⁵³), rounded 6dp,
-    // fixed as DECIMAL(18,6) — the q54 discipline. Scale shape: ONE
-    // corpus scan emitting both gram lengths per position, then
+    // t20's: kept = both signals ≤ their corpus means. NOTHING in
+    // this gate touches floating point (the r16 driver lesson: its
+    // first outing computed the fractions via round(DOUBLE, 6), and
+    // ratios of small integers land on dyadic 6dp halves — 1/128 =
+    // 0.0078125 — where engine round-half modes legitimately differ;
+    // the q54 class all over again). Each fraction is stated as
+    // HALF_UP parts-per-million in EXACT integer arithmetic —
+    // HALF_UP(a/b · 10⁶) = (2a·10⁶ + b) div (2b), identical integral
+    // division in both engines — and the mean cut as integer
+    // cross-multiplication (ppm·count ≤ Σppm ⟺ ppm ≤ mean). The raw
+    // counts (n2, m2, n3, d3) cross the gate as columns so any future
+    // driver divergence is attributable to tokenization vs arithmetic
+    // from the artifact alone (the t21 trick applied here). Corpus
+    // totals are bounded driver scalars (t20 pattern). Scale shape:
+    // ONE corpus scan emitting both gram lengths per position, then
     // cascading map-side-combinable aggregates over ever-smaller
     // keys; docs with <3 tokens have no 3-gram and are absent on
     // both sides.
@@ -1268,22 +1263,21 @@ object TextQueries {
           .agg(sum(col("c2")).as("n2"), max(col("c2")).as("m2"),
             sum(col("c3")).as("n3"), sum(col("d3p")).as("d3"))
           .filter(col("n3") > 0) // <3-token docs: no 3-gram, absent
-          .select(col("doc_id"),
-            round((col("n3") - col("d3")).cast(DoubleType) /
-              col("n3").cast(DoubleType), 6)
-              .cast(DecimalType(18, 6)).as("dup3_frac"),
-            round(col("m2").cast(DoubleType) /
-              col("n2").cast(DoubleType), 6)
-              .cast(DecimalType(18, 6)).as("top2_frac"))
+          .select(col("doc_id"), col("n2"), col("m2"), col("n3"),
+            col("d3"),
+            // HALF_UP(a/b · 10⁶) in exact integers: (2a·10⁶+b) div (2b)
+            expr("(2*(n3 - d3)*1000000 + n3) div (2*n3)").as("dup3_ppm"),
+            expr("(2*m2*1000000 + n2) div (2*n2)").as("top2_ppm"))
           .localCheckpoint()
-        // bounded driver scalars: the two corpus means (t20 pattern)
-        val r = scored.agg(sum(Exact.dec(col("dup3_frac"))),
-          sum(Exact.dec(col("top2_frac"))), count(lit(1))).head()
-        val md = r.getDecimal(0).doubleValue() / r.getLong(2)
-        val mt = r.getDecimal(1).doubleValue() / r.getLong(2)
-        scored.select(col("doc_id"), col("dup3_frac"), col("top2_frac"),
-            (col("dup3_frac") <= lit(md) &&
-              col("top2_frac") <= lit(mt)).as("kept"))
+        // bounded driver scalars: the two corpus totals (t20 pattern);
+        // ppm ≤ mean ⟺ ppm·count ≤ Σppm — integers end to end.
+        val r = scored.agg(sum(col("dup3_ppm")), sum(col("top2_ppm")),
+          count(lit(1))).head()
+        val (sd, st, cnt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        scored.select(col("doc_id"), col("n2"), col("m2"), col("n3"),
+            col("d3"), col("dup3_ppm"), col("top2_ppm"),
+            (col("dup3_ppm") * cnt <= sd &&
+              col("top2_ppm") * cnt <= st).as("kept"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
@@ -1303,22 +1297,19 @@ object TextQueries {
               |  FROM g2 GROUP BY doc_id, g),
               |a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
               |    CAST(MAX(c) AS BIGINT) AS m2 FROM c2 GROUP BY doc_id),
-              |sc AS (SELECT a3.doc_id,
-              |    CAST(round(CAST(a3.n3 - a3.d3 AS DOUBLE) /
-              |        CAST(a3.n3 AS DOUBLE), 6)
-              |      AS DECIMAL(18,6)) AS dup3_frac,
-              |    CAST(round(CAST(a2.m2 AS DOUBLE) /
-              |        CAST(a2.n2 AS DOUBLE), 6)
-              |      AS DECIMAL(18,6)) AS top2_frac
+              |sc AS (SELECT a3.doc_id, a2.n2, a2.m2, a3.n3, a3.d3,
+              |    CAST((2*(a3.n3 - a3.d3)*1000000 + a3.n3)
+              |      // (2*a3.n3) AS BIGINT) AS dup3_ppm,
+              |    CAST((2*a2.m2*1000000 + a2.n2)
+              |      // (2*a2.n2) AS BIGINT) AS top2_ppm
               |  FROM a3 JOIN a2 ON a2.doc_id = a3.doc_id),
-              |mm AS (SELECT
-              |    CAST(SUM(CAST(dup3_frac AS DECIMAL(18,6))) AS DOUBLE)
-              |      / COUNT(*) AS md,
-              |    CAST(SUM(CAST(top2_frac AS DECIMAL(18,6))) AS DOUBLE)
-              |      / COUNT(*) AS mt FROM sc)
-              |SELECT doc_id, dup3_frac, top2_frac,
-              |  (dup3_frac <= (SELECT md FROM mm) AND
-              |   top2_frac <= (SELECT mt FROM mm)) AS kept
+              |mm AS (SELECT CAST(SUM(dup3_ppm) AS BIGINT) AS sd,
+              |    CAST(SUM(top2_ppm) AS BIGINT) AS st,
+              |    CAST(COUNT(*) AS BIGINT) AS c FROM sc)
+              |SELECT doc_id, n2, m2, n3, d3, dup3_ppm, top2_ppm,
+              |  (dup3_ppm * (SELECT c FROM mm) <= (SELECT sd FROM mm) AND
+              |   top2_ppm * (SELECT c FROM mm) <= (SELECT st FROM mm))
+              |    AS kept
               |FROM sc ORDER BY doc_id""".stripMargin)),
 
     // ----------------------------------------------------------------
@@ -1342,7 +1333,7 @@ object TextQueries {
       Some(s"""WITH ${bpeCtes(8)},
               |enc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
               |  FROM sym8 GROUP BY w)
-              |SELECT t.doc_id, SUM(e.n) AS n_subwords
+              |SELECT t.doc_id, CAST(SUM(e.n) AS BIGINT) AS n_subwords
               |FROM tok t JOIN enc e ON e.w = t.w
               |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
 

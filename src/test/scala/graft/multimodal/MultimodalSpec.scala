@@ -30,9 +30,11 @@ class MultimodalSpec extends SparkSpec {
       .digest("hello world".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(feats(0L).digest == expectMd5)
     assert(feats(0L).n_bytes == 11)
-    val expectBright = "hello world".getBytes("UTF-8")
-      .map(b => (b & 0xff).toDouble).sum / 11
-    assert(math.abs(feats(0L).brightness - expectBright) < 1e-9)
+    // exact-6dp HALF_UP ppm (the decoder's portable-rounding contract):
+    // sum("hello world" bytes) = 1116, (2·1116·10⁶ + 11) div (2·11)
+    val expectBright = ((2L * 1116L * 1000000L + 11L) / 22L).toDouble / 1e6
+    assert(feats(0L).brightness == expectBright,
+      s"brightness ${feats(0L).brightness} != ppm-exact $expectBright")
     assert(feats(0L).features.length == 4)
     // determinism across runs
     val again = Multimodal.extractFeatures(spark, media).collect()

@@ -24,10 +24,11 @@ class NbClassifierSpec extends SparkSpec {
       .select(col("doc_id"), col("__t"),
         TF.tokensFromNorm(col("__t")).as("__tok"))
       .select(col("doc_id"),
-        (TF.qualityScoreFromParts(
+        (TF.qualityScoreFromCounts(
           size(col("__tok")).cast("long"),
-          TF.stopwordRatioFromTokens(col("__tok")),
-          TF.punctRatioFromNorm(col("__t"))) >= 0.6).as("y"))
+          TF.stopwordCountFromTokens(col("__tok")),
+          length(col("__t")),
+          TF.punctCountFromNorm(col("__t"))) >= 0.6).as("y"))
     val j = teacher.join(pred, Seq("doc_id"))
       .select(col("y"), col("pred")).localCheckpoint()
     val n = j.count().toDouble

@@ -5,9 +5,18 @@ Usage: python3 tools/oracle_check.py <sf_dir> <verify_out_dir>
 
 Reads <verify_out_dir>/<name>/ parquet (written by graft.Verify) and
 <verify_out_dir>/oracle_sql.json, runs each oracle against DuckDB views of
-the sf tables, and diffs: schema (column names), row count, and values
-(sorted by all columns, column order normalized by name). Exit 1 on any
-mismatch. Dev-only tooling — the shipped library is pure Scala/Spark.
+the sf tables, and diffs: schema (column names), pandas dtypes, row count,
+and values (sorted by all columns, column order normalized by name). Exit 1
+on any mismatch. Dev-only tooling — the shipped library is pure Scala/Spark.
+
+Round-17 change (the r16 verdict's Next #2): BOTH result sets are ingested
+through DuckDB's pandas `.df()` path — the dtype-preserving rendering the
+driver's comparator uses — instead of `fetchall()`. The two paths disagree
+on any output type pandas renders differently from Python scalars: DuckDB
+SUM(BIGINT) returns HUGEINT, which `.df()` renders float64 (810.0) while
+`fetchall()` yields int 810 — so the t19 uncast-SUM miss passed two rounds
+of local sweeps that the driver failed. With `.df()` ingestion the dtype
+divergence fails locally (int64 vs float64 dtype mismatch).
 """
 import json
 import math
@@ -16,6 +25,7 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -33,14 +43,7 @@ ULP_WARN_ALLOWLIST = {"q02_agg_groupby", "q14_topk_revenue",
 
 
 def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # repr() is ulp-exact (shortest round-trip form): the driver's hash
-        # is ulp-sensitive, and the earlier 10-sig-digit form masked exactly
-        # the class of final-ulp divergence that cost q54 in round 5.
-        return repr(v)
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (np.ndarray, list, tuple)):
         # The driver's comparator sorts rows with pandas.sort_values, which
         # raises `unhashable type: numpy.ndarray` on array cells (round-2
         # g01/g02/m03/s04). Mirror that: array-typed output is a hard FAIL —
@@ -48,6 +51,13 @@ def canon(v):
         raise ValueError(
             "array-typed value in result (driver comparator cannot sort "
             "arrays — emit scalars: explode / concat_ws / to_json)")
+    if isinstance(v, float):  # np.float64 subclasses float
+        if math.isnan(v):
+            return "NaN"
+        # repr() is ulp-exact (shortest round-trip form): the driver's hash
+        # is ulp-sensitive, and the earlier 10-sig-digit form masked exactly
+        # the class of final-ulp divergence that cost q54 in round 5.
+        return repr(float(v))
     return str(v)
 
 
@@ -98,18 +108,18 @@ def main():
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
-            spark_rel = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            spark_cols = [d[0] for d in spark_rel.description]
-            spark_rows = spark_rel.fetchall()
+            spark_df = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            spark_cols = list(spark_df.columns)
+            spark_rows = list(spark_df.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: cannot read spark output: {e}")
             failures += 1
             continue
         try:
-            duck_rel = con.execute(sql)
-            duck_cols = [d[0] for d in duck_rel.description]
-            duck_rows = duck_rel.fetchall()
+            duck_df = con.execute(sql).df()
+            duck_cols = list(duck_df.columns)
+            duck_rows = list(duck_df.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
@@ -120,16 +130,23 @@ def main():
                   f"duck={sorted(duck_cols)}")
             failures += 1
             continue
-        # The driver's hash is TYPE-sensitive (round-1 q20: DuckDB windowed
-        # SUM returned HUGEINT vs Spark BIGINT, values printed identically).
-        # Compare DuckDB-reported column types, normalized by column name.
-        spark_types = {d[0]: str(d[1]) for d in spark_rel.description}
-        duck_types = {d[0]: str(d[1]) for d in duck_rel.description}
+        # The driver's hash is RENDERING-sensitive, not width-sensitive:
+        # int32 5 vs int64 5 compare equal (the s-gates' int32 rank vs
+        # BIGINT oracle has been driver-green for 15 rounds), but int64
+        # 810 vs float64 810.0 hash-differ (t19, rounds 15-16: uncast SUM
+        # -> HUGEINT -> pandas float64). Compare pandas dtype KINDS
+        # (i/u/f/b/O/M), which distinguishes exactly the rendering classes.
+        def kind(df, c):
+            k = df[c].dtype.kind
+            return "i" if k == "u" else k
+        spark_types = {c: kind(spark_df, c) for c in spark_cols}
+        duck_types = {c: kind(duck_df, c) for c in duck_cols}
         type_diffs = [(c, spark_types[c], duck_types[c])
                       for c in sorted(spark_cols)
                       if spark_types[c] != duck_types[c]]
         if type_diffs:
-            print(f"FAIL {name}: type mismatch (col, spark, duck): {type_diffs}")
+            print(f"FAIL {name}: pandas dtype mismatch (col, spark, duck): "
+                  f"{type_diffs}")
             failures += 1
             continue
         # normalize column order by name, then sort rows
