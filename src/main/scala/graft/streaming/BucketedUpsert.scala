@@ -247,6 +247,18 @@ object BucketedUpsert {
      * state-sized derivations after maintenance. */
     def singleGeneration: Boolean = !multiGen
 
+    /** Largest per-bucket generation count in the live view — pointer-
+     * map arithmetic only, no filesystem calls. This IS the serve-cost
+     * bound: every read (view / lookup / a ledger's mine) unions at
+     * most this many generations per bucket before the reduce monoid
+     * collapses them, so an un-maintained serve costs
+     * ≤ maxGens + batches-since-maintenance generation reads per
+     * bucket by construction (spec-pinned in UpsertStreamSpec; the
+     * q111 forget+mine serve price rides exactly this bound). */
+    def maxGenerationsPerBucket: Int =
+      if (current.isEmpty) 0
+      else current.keys.map(b => bucketDirs(b).length).max
+
     /** The foreachBatch body: merge one micro-batch into the view. */
     def merge(batch: DataFrame, id: Long): Unit = {
       val t0 = System.nanoTime()
@@ -423,7 +435,9 @@ object BucketedUpsert {
       require(current.nonEmpty, "compact before any batch merged")
       val frag = current.toSeq.sortBy(_._1)
         .map { case (b, _) =>
-          (b, bucketDirs(b), bucketDirs(b).map(tx.dataFileCount).sum) }
+          // one listStatus per generation, dirs bound once per bucket
+          val dirs = bucketDirs(b)
+          (b, dirs, dirs.map(tx.dataFileCount).sum) }
         .filter { case (_, dirs, files) =>
           // lsm: a bucket with >1 generation is a merge candidate even
           // if each generation is a single file — the read path pays
@@ -497,25 +511,34 @@ object BucketedUpsert {
       def totalGens: Int =
         current.keys.toSeq.map(b => bucketDirs(b).length).sum
       val before = totalGens
-      val (buckets, _, _) = tieredRound(opId, fanout, maxGens, beforeFold)
+      // per-CALL size memo: a generation that survives a round keeps
+      // its bytes, so later rounds reuse the stat instead of paying
+      // one filesystem metadata RPC per generation per round (retired
+      // paths are never re-queried; new merged outputs stat once)
+      val sizeMemo = scala.collection.mutable.Map.empty[String, Long]
+      val (buckets, _, _) =
+        tieredRound(opId, fanout, maxGens, beforeFold, sizeMemo)
       if (buckets == 0) return (0, 0, 0)
       var round = 1
       var merged = true
       while (merged) {
         merged = tieredRound(opId + round, fanout, maxGens,
-          beforeFold)._1 > 0
+          beforeFold, sizeMemo)._1 > 0
         round += 1
       }
       (buckets, before, totalGens)
     }
 
     private def tieredRound(opId: Long, fanout: Int, maxGens: Int,
-        beforeFold: Option[DataFrame => Unit]): (Int, Int, Int) = {
+        beforeFold: Option[DataFrame => Unit],
+        sizeMemo: scala.collection.mutable.Map[String, Long] =
+          scala.collection.mutable.Map.empty): (Int, Int, Int) = {
       val plan = current.toSeq.sortBy(_._1).flatMap { case (b, _) =>
         val gens = bucketDirs(b)
         if (gens.length <= maxGens) None
         else {
-          val merge = gens.map(p => (p, tx.dirBytes(p)))
+          val merge = gens
+            .map(p => (p, sizeMemo.getOrElseUpdate(p, tx.dirBytes(p))))
             .sortBy(_._2).take(fanout).map(_._1)
           Some((b, merge, gens.filterNot(merge.contains)))
         }

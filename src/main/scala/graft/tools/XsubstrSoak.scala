@@ -114,9 +114,15 @@ object XsubstrSoak {
       }
       w
     }
-    val early = walls.slice(1, 4).min
-    val late = walls.takeRight(3).max
-    println(f"== xsubstr: early wall $early%.2fs, late $late%.2fs, " +
+    // medians of the early/late windows (r16 ADVICE): min-vs-max made
+    // one noisy late rep on a shared box fail a genuinely flat trend —
+    // the median measures the trend, the I/O canary flags the outlier
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    val early = median(walls.slice(1, 4))
+    val late = median(walls.takeRight(3))
+    println(f"== xsubstr: early median $early%.2fs, late $late%.2fs, " +
       f"ratio ${late / early}%.2f (fail bar: 1.3x — blind-append " +
       "arrival must be FLAT in accumulated state)")
     assert(late / early < 1.3,

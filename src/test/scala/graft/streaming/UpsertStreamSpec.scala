@@ -957,4 +957,43 @@ class UpsertStreamSpec extends SparkSpec {
     assert(st.compactTiered(52L, fanout = 3, maxGens = 4) ==
       ((0, 0, 0)))
   }
+
+  test("bounded un-maintained serve (r16 verdict #5): generations per " +
+      "bucket never exceed maxGens + batches-since-maintenance, so " +
+      "maintenance cadence caps the q111-class serve price") {
+    import spark.implicits._
+    import graft.streaming.BucketedUpsert
+    val minCombine: DataFrame => DataFrame = df =>
+      df.groupBy(col("k")).agg(min(col("n")).as("n"))
+    val st = new BucketedUpsert.State(spark, "k", Seq("n"),
+      nBuckets = 2, combine = Some(minCombine), lsm = true)
+    val maxGens = 4
+    val cadence = 5
+    var sinceMaint = 0
+    (0 until 20).foreach { i =>
+      // every batch touches both buckets, the worst case for growth
+      st.merge(Seq((0L, 100L - i), (1L, 200L - i)).toDF("k", "n"),
+        i.toLong)
+      sinceMaint += 1
+      if ((i + 1) % cadence == 0) {
+        st.compactTiered(1000L + i * 10, fanout = 2, maxGens = maxGens)
+        sinceMaint = 0
+        // the post-maintenance invariant: inside the bound
+        assert(st.maxGenerationsPerBucket <= maxGens,
+          s"post-maintain gens ${st.maxGenerationsPerBucket} > $maxGens")
+      }
+      // the SERVE bound at any point between ticks: a read unions at
+      // most maxGens + batches-appended-since generations per bucket
+      assert(st.maxGenerationsPerBucket <= maxGens + sinceMaint,
+        s"gens ${st.maxGenerationsPerBucket} > $maxGens + $sinceMaint")
+    }
+    // the bounded read serves the exact reduced answer
+    assert(st.view(spark).orderBy("k").as[(Long, Long)]
+      .collect().toSeq == Seq((0L, 81L), (1L, 181L)))
+    // a forget-style delete REWRITES touched buckets single-generation
+    // (q111's mutate-then-serve path can only shrink the bound)
+    st.delete(Seq(0L).toDF("k"), 2000L)
+    assert(st.maxGenerationsPerBucket <= maxGens,
+      "delete must not grow the generation bound")
+  }
 }
