@@ -42,32 +42,57 @@ import graft.functions.{TextFunctions => TF}
  * — pure integer counts and string order, nothing floating-point in
  * the entire loop.
  *
- * ITERATION BOUND (r15 verdict #3): the loop is O(rounds) SEQUENTIAL
- * Spark jobs — one vocab-sized shuffle + one one-row argmax collect +
- * one localCheckpoint per merge. Data scale is a non-issue (the vocab
- * frame is corpus-independent after the first pass), but a production
- * 32k-merge vocabulary means 32k driver round-trips at ~100 ms floor
- * each — roughly an hour of pure scheduling, which is why real BPE
- * trainers batch merges. The gated surface (8 rounds) is far inside
- * the bound. The Spark-shaped fix, when a large vocab is needed: per
- * round take the TOP-K pairs whose symbol sets are mutually disjoint
- * (greedy scan of the sorted pair list on the driver — K bounded,
- * still a bounded collect) and apply all K merges in one map pass;
- * disjointness makes the batched application ORDER-INDEPENDENT and
- * equal to K sequential rounds except where a later argmax would have
- * been changed by an earlier merge's new symbol — the standard
- * approximation every batched trainer (e.g. the HuggingFace tokenizer
- * bucket variant) documents, so it must land behind an explicit
- * `batchK` opt-in, never silently replace the exact loop. */
+ * ITERATION BOUND (r15 verdict #3, closed r17): the exact loop is
+ * O(rounds) SEQUENTIAL Spark jobs — one vocab-sized shuffle + one
+ * one-row argmax collect + one localCheckpoint per merge. Data scale
+ * is a non-issue (the vocab frame is corpus-independent after the
+ * first pass), but a production 32k-merge vocabulary means 32k driver
+ * round-trips at ~100 ms floor each — roughly an hour of pure
+ * scheduling, which is why real BPE trainers batch merges.
+ * `batchK > 1` cuts the job count by accepting up to K merges per
+ * round while remaining EXACTLY equal to the sequential loop (not the
+ * usual batched-trainer approximation), via two driver-side rules
+ * over the sorted candidate list (count DESC, pair ASC):
+ *
+ *  1. DISJOINTNESS — a candidate is accepted only if it shares no
+ *     symbol with any already-accepted pair. Merging (l,r) can only
+ *     DESTROY occurrences of pairs touching l or r and CREATE pairs
+ *     touching the new symbol lr, so a disjoint survivor's count is
+ *     EXACTLY unchanged and K disjoint merges applied in one pass
+ *     commute with applying them sequentially.
+ *  2. CREATED-PAIR BOUND — a created pair (x·lr), (lr·y) or (lr·lr)
+ *     could out-rank a later candidate mid-sequence. Every such
+ *     pair's count is bounded by the pre-merge count of the adjacent
+ *     TRIPLE it collapses from (x l r / l r y; tiling only loses
+ *     occurrences), so the same scan also aggregates, per candidate,
+ *     the max weighted triple count adjacent to it, and candidate i
+ *     is accepted only while nᵢ is STRICTLY above the running max of
+ *     accepted pairs' triple bounds. (Pairs touching lr on both sides
+ *     sit under the same bound; symbols l, r themselves cannot gain
+ *     occurrences, so non-created pairs never rise.)
+ *
+ *  The batch STOPS at the first candidate that fails either rule
+ *  (skipping it could let its still-high count win an intermediate
+ *  sequential round), so every accepted prefix reproduces the exact
+ *  argmax sequence — BpeSpec pins batched ≡ sequential on the fixture
+ *  corpus, and the t23 gate proves it against the 16-round DuckDB
+ *  sequential chain at driver scale. Worst case (first candidate
+ *  always conflicts) degrades to K=1, never to a wrong table. */
 object Bpe {
 
   /** One trained merge: `step` is 1-based rank order. */
   final case class Merge(step: Int, lhs: String, rhs: String, n: Long)
 
   /** Train `rounds` merges on the corpus behind `textCol`. Returns
-   * the ranked merge table — the artifact a tokenizer ships. */
-  def train(docs: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
+   * the ranked merge table — the artifact a tokenizer ships.
+   * `batchK > 1` accepts up to K merges per Spark round under the
+   * exact-equivalence rules in the class doc (disjoint symbols +
+   * created-pair triple bound, stop-at-first-violation); the merge
+   * table is IDENTICAL to `batchK = 1`, only the job count drops. */
+  def train(docs: DataFrame, textCol: String, rounds: Int,
+      batchK: Int = 1): Seq[Merge] = {
     require(rounds >= 1, s"Bpe.train: rounds $rounds")
+    require(batchK >= 1, s"Bpe.train: batchK $batchK")
     val ss = docs.sparkSession
     // corpus -> (distinct word, freq), then word -> spaced symbol
     // string "c h a r s </w>" (the end-of-word sentinel makes
@@ -80,41 +105,110 @@ object Bpe {
         lit(" </w>")).as("s"), col("f"))
       .localCheckpoint()
     val merges = Seq.newBuilder[Merge]
-    for (step <- 1 to rounds) {
-      val best = vocab
+    var step = 1
+    while (step <= rounds) {
+      // a fully-merged word (one symbol left) has no pairs; without
+      // the guard sequence(0, -1) DESCENDS and element_at throws
+      val syms = vocab
         .select(col("f"), split(col("s"), " ").as("y"))
-        // a fully-merged word (one symbol left) has no pairs; without
-        // the guard sequence(0, -1) DESCENDS and element_at throws
         .filter(size(col("y")) >= 2)
-        .select(col("f"), explode(
-          transform(sequence(lit(0), size(col("y")) - 2),
-            i => concat(element_at(col("y"), i + 1), lit(" "),
-              element_at(col("y"), i + 2)))).as("p"))
-        .groupBy(col("p")).agg(sum(col("f")).as("n"))
-        .orderBy(col("n").desc, col("p"))
-        .limit(1).collect() // bounded driver scalar: the one winner
-      require(best.nonEmpty, s"Bpe.train: vocab exhausted at step $step")
-      val (pair, n) = (best(0).getString(0), best(0).getLong(1))
-      val Array(lhs, rhs) = pair.split(" ", 2)
-      merges += Merge(step, lhs, rhs, n)
-      // canonical greedy in ONE pass (class doc): doubled separators,
-      // replace " lhs  rhs " with " lhsrhs ", collapse back
-      vocab = vocab.select(
+      val accepted: Seq[(String, String, Long)] =
+        if (batchK == 1) {
+          val best = syms
+            .select(col("f"), explode(
+              transform(sequence(lit(0), size(col("y")) - 2),
+                i => concat(element_at(col("y"), i + 1), lit(" "),
+                  element_at(col("y"), i + 2)))).as("p"))
+            .groupBy(col("p")).agg(sum(col("f")).as("n"))
+            .orderBy(col("n").desc, col("p"))
+            .limit(1).collect() // bounded driver scalar: the winner
+          require(best.nonEmpty, s"Bpe.train: vocab exhausted at $step")
+          val Array(lhs, rhs) = best(0).getString(0).split(" ", 2)
+          Seq((lhs, rhs, best(0).getLong(1)))
+        } else {
+          // ONE exploded pass emits each position's pair AND (when one
+          // exists) its triple; pair counts feed the candidate list,
+          // triple maxima feed the created-pair bound (class doc #2)
+          val grams = syms.select(col("f"), explode(
+            transform(sequence(lit(0), size(col("y")) - 2), i =>
+              struct(
+                concat(element_at(col("y"), i + 1), lit(" "),
+                  element_at(col("y"), i + 2)).as("p"),
+                when(i <= size(col("y")) - 3,
+                  concat(element_at(col("y"), i + 1), lit(" "),
+                    element_at(col("y"), i + 2), lit(" "),
+                    element_at(col("y"), i + 3))).as("t")))).as("g"))
+            .localCheckpoint()
+          val pairs = grams.groupBy(col("g.p").as("p"))
+            .agg(sum(col("f")).as("n"))
+          val triples = grams.filter(col("g.t").isNotNull)
+            .groupBy(col("g.t").as("t")).agg(sum(col("f")).as("tn"))
+            .select(split(col("t"), " ").as("y3"), col("tn"))
+            .localCheckpoint()
+          // max triple count adjacent to a pair, from either side:
+          // (x l r) bounds pairs ending in (l r); (l r y) bounds
+          // pairs starting with (l r)
+          def side(a: Int, b: Int) = triples
+            .groupBy(concat(element_at(col("y3"), a), lit(" "),
+              element_at(col("y3"), b)).as("p"))
+            .agg(max(col("tn")).as("tb"))
+          val bounds = side(1, 2).unionByName(side(2, 3))
+            .groupBy(col("p")).agg(max(col("tb")).as("tb"))
+          val pool = pairs.join(bounds, Seq("p"), "left_outer")
+            .select(col("p"), col("n"),
+              coalesce(col("tb"), lit(0L)).as("tb"))
+            .orderBy(col("n").desc, col("p"))
+            .limit(math.max(batchK * 4, 8))
+            .collect() // bounded driver scalar: the candidate pool
+          require(pool.nonEmpty, s"Bpe.train: vocab exhausted at $step")
+          val take = math.min(batchK, rounds - step + 1)
+          val acc = Seq.newBuilder[(String, String, Long)]
+          var used = Set.empty[String]
+          var createdBound = -1L
+          var nAcc = 0
+          var halt = false
+          val it = pool.iterator
+          while (!halt && nAcc < take && it.hasNext) {
+            val r = it.next()
+            val Array(lhs, rhs) = r.getString(0).split(" ", 2)
+            val n = r.getLong(1)
+            // STOP (never skip) at the first rule violation: a skipped
+            // still-high candidate could win an intermediate round
+            if (nAcc > 0 && (used(lhs) || used(rhs) ||
+                n <= createdBound)) halt = true
+            else {
+              acc += ((lhs, rhs, n))
+              used = used + lhs + rhs
+              createdBound = math.max(createdBound, r.getLong(2))
+              nAcc += 1
+            }
+          }
+          acc.result()
+        }
+      accepted.zipWithIndex.foreach { case ((lhs, rhs, n), i) =>
+        merges += Merge(step + i, lhs, rhs, n)
+      }
+      // canonical greedy in ONE pass per merge (class doc): doubled
+      // separators, replace " lhs  rhs " with " lhsrhs ", collapse
+      // back; a batch's merges are symbol-disjoint, so chaining the
+      // passes in one map stage equals applying them sequentially
+      val sNew = accepted.foldLeft(col("s")) { case (c, (lhs, rhs, _)) =>
         trim(replace(replace(
-          concat(lit(" "),
-            replace(col("s"), lit(" "), lit("  ")), lit(" ")),
+          concat(lit(" "), replace(c, lit(" "), lit("  ")), lit(" ")),
           lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")),
-          lit("  "), lit(" "))).as("s"), col("f"))
-        .localCheckpoint()
+          lit("  "), lit(" ")))
+      }
+      vocab = vocab.select(sNew.as("s"), col("f")).localCheckpoint()
+      step += accepted.size
     }
     merges.result()
   }
 
   /** [[train]] as a gate-shaped frame: (step, lhs, rhs, n). */
   def trainDf(ss: SparkSession, docs: DataFrame, textCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, batchK: Int = 1): DataFrame = {
     import ss.implicits._
-    train(docs, textCol, rounds).toDF()
+    train(docs, textCol, rounds, batchK).toDF()
       .select(col("step").cast(LongType).as("step"), col("lhs"),
         col("rhs"), col("n"))
   }

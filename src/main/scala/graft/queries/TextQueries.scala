@@ -1078,6 +1078,24 @@ object TextQueries {
       Some(bpeOracle(8))),
 
     // ----------------------------------------------------------------
+    // t23 — BATCHED BPE TRAINING, deeper vocab (r16 carry-over #8):
+    // 16 merges trained with batchK = 4 — up to four merges accepted
+    // per Spark round under the exact-equivalence rules (symbol
+    // disjointness + the created-pair triple bound, Bpe class doc),
+    // cutting the sequential-job count a production 32k-merge vocab
+    // pays ~4×. The oracle is the SEQUENTIAL 16-round DuckDB chain:
+    // the hash proves the batched trainer reproduces the exact
+    // one-merge-at-a-time argmax sequence, not an approximation of
+    // it. (BpeSpec pins batched ≡ sequential in-engine; this gate
+    // pins it cross-engine at driver scale.)
+    Q("t23_bpe_train_batched",
+      (s, dir) => graft.operators.Bpe.trainDf(s,
+          Tables.load(s, dir, "documents"), "text", rounds = 16,
+          batchK = 4)
+        .orderBy(col("step")),
+      Some(bpeOracle(16))),
+
+    // ----------------------------------------------------------------
     // t20 — BIGRAM-LM PERPLEXITY FILTER (the CCNet shape): a small
     // in-domain seed (doc_id % 9 = 0, held out of scoring) trains an
     // interpolated bigram LM and every other document is scored by

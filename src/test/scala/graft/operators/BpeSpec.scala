@@ -140,4 +140,35 @@ class BpeSpec extends SparkSpec {
     assert((m.lhs, m.rhs, m.n) == (("e", "s", 9L)), s"got $m")
     assert(docs.count() == 2) // corpus builder sanity
   }
+
+  test("batched training (batchK) reproduces the sequential merge " +
+      "table EXACTLY on the fixture corpus — every batchK, deep " +
+      "rounds") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val want = Bpe.train(docs, "text", rounds = 12)
+    Seq(2, 4, 7).foreach { k =>
+      val got = Bpe.train(docs, "text", rounds = 12, batchK = k)
+      assert(got == want,
+        s"batchK=$k diverged:\n got $got\nwant $want")
+    }
+  }
+
+  test("batched training stops (never skips) at a conflicting " +
+      "candidate: adversarial corpus where the top pairs chain " +
+      "through shared symbols and created pairs out-rank survivors") {
+    // "a b" (highest), then "b c" shares b, and merging "a b" creates
+    // "ab c" whose count rivals lower candidates — exactly the cases
+    // where naive top-K batching diverges from sequential training
+    val words = Seq.fill(30)("abc") ++ Seq.fill(20)("abab") ++
+      Seq.fill(12)("cdcd") ++ Seq.fill(7)("dade")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val want = Bpe.train(docs, "text", rounds = 6)
+    Seq(2, 3, 6).foreach { k =>
+      val got = Bpe.train(docs, "text", rounds = 6, batchK = k)
+      assert(got == want,
+        s"batchK=$k diverged:\n got $got\nwant $want")
+    }
+  }
 }
