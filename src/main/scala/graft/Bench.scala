@@ -254,7 +254,8 @@ object Bench {
       // contended window — their elevated medians are box noise, not
       // plan regressions (the r16 final-run g04/g05/q92 class), and
       // the judge can read that from the artifact alone
-      val medianLoad = median(results.map(_.load))
+      val medianLoad =
+        if (results.isEmpty) 0.0 else median(results.map(_.load))
       val highLoad = results
         .filter(r => medianLoad > 0 && r.load > 2.0 * medianLoad)
         .map(r => "\"" + r.name + "\"").mkString("[", ",", "]")

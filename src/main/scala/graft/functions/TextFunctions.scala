@@ -120,6 +120,21 @@ object TextFunctions {
   def ratio6Sql(a: String, b: String): String =
     s"CAST((2*($a)*1000000 + ($b)) // (2*($b)) AS DOUBLE)/1000000"
 
+  /** Scalar [[ratioPpm]] for driver/executor-side plain-Scala math
+   * (the multimodal decoder) — keep in lockstep with the Column and
+   * SQL spellings. */
+  def ppmHalfUp(a: Long, b: Long): Long = (2L * a * 1000000L + b) / (2L * b)
+
+  /** HALF_UP at 4dp of a DOUBLE both engines computed identically:
+   * floor(x·10⁴ + 0.5)/10⁴ — three IEEE ops with one portable
+   * semantics, vs round(DOUBLE, 4) whose half-mode is engine-defined.
+   * For integer-derived statistics whose raw ints aren't in reach
+   * (the s25/q123 imbalance scalars); prefer [[ratio6]] when they are. */
+  def halfUp4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+
+  /** DuckDB spelling of [[halfUp4]] — keep in lockstep. */
+  def halfUp4Sql(e: String): String = s"floor(($e) * 10000 + 0.5) / 10000"
+
   /** Punct COUNT (non-alphanumeric-non-space chars) over an
    * ALREADY-PROJECTED normalized-text column. */
   def punctCountFromNorm(t: Column): Column =

@@ -64,11 +64,9 @@ object Multimodal {
       // portable-rounding rule the SQL gates follow (TextFunctions.ratio6)
       val bright =
         if (row.payload.isEmpty) 0.0
-        else {
-          val s = row.payload.map(b => (b & 0xff).toLong).sum
-          ((2L * s * 1000000L + row.payload.length) /
-            (2L * row.payload.length)).toDouble / 1000000.0
-        }
+        else graft.functions.TextFunctions.ppmHalfUp(
+          row.payload.map(b => (b & 0xff).toLong).sum,
+          row.payload.length.toLong).toDouble / 1000000.0
       val feats = digest.grouped(8).take(4)
         .map(h => (java.lang.Long.parseLong(h, 16).toFloat / 0xffffffffL))
         .toArray

@@ -295,12 +295,12 @@ object LedgerStreamQueries {
     graft.streaming.EmbeddingLedger
       .recoverPersisted(s, minCos = 0.4, nBuckets = 16, root = root)
       .minePairs()
-      // floor(x·10⁴+0.5)/10⁴: engine-portable where round(DOUBLE,4)
-      // is not — the imbalance is a ratio of integers (see s25 note)
+      // portable 4dp HALF_UP (TextFunctions.halfUp4): engine round()
+      // half-modes differ on integer-derived dyadics (see s25 note)
       .withColumn("imbalance0",
-        lit(math.floor(im0 * 10000.0 + 0.5) / 10000.0))
+        lit(graft.functions.TextFunctions.halfUp4(im0)))
       .withColumn("imbalance",
-        lit(math.floor(im1 * 10000.0 + 0.5) / 10000.0))
+        lit(graft.functions.TextFunctions.halfUp4(im1)))
       .withColumn("refit", lit(true))
       .orderBy(col("a"), col("b"))
   }
@@ -353,8 +353,8 @@ object LedgerStreamQueries {
        |    FROM cand c JOIN v x ON x.vid = c.a
        |    JOIN v y ON y.vid = c.b))
        |SELECT a, b, cos,
-       |  floor(im0 * 10000 + 0.5) / 10000 AS imbalance0,
-       |  floor(im1 * 10000 + 0.5) / 10000 AS imbalance,
+       |  ${graft.functions.TextFunctions.halfUp4Sql("im0")} AS imbalance0,
+       |  ${graft.functions.TextFunctions.halfUp4Sql("im1")} AS imbalance,
        |  im1 > 2.0 * im0 AS refit
        |FROM p, im WHERE cos >= 0.4 ORDER BY a, b""".stripMargin
   }

@@ -238,8 +238,9 @@ object SimilarityQueries {
        |  FROM (SELECT vid, cid, ${cosSelect("vv", "cv").replace("AS cos", "AS ccos")}
        |        FROM v CROSS JOIN cent0)) WHERE r = 1),
        |imb AS (SELECT
-       |    floor(max(n)::DOUBLE / sum(n) * (SELECT count(*) FROM cent0)
-       |      * 10000 + 0.5) / 10000 AS imbalance,
+       |    ${graft.functions.TextFunctions.halfUp4Sql(
+           "max(n)::DOUBLE / sum(n) * (SELECT count(*) FROM cent0)")}
+       |      AS imbalance,
        |    TRUE AS refit
        |  FROM (SELECT cid, count(*) AS n FROM assign0 GROUP BY cid)),
        |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
@@ -969,12 +970,11 @@ object SimilarityQueries {
         graft.operators.AnnIndex.search(s, root,
             e.filter(col("vec_id") % 50 === 0),
             "vec_id", "embedding", nProbe = 2, k = 5)
-          // floor(x·10⁴+0.5)/10⁴ — three IEEE ops both engines compute
-          // identically, vs round(DOUBLE,4) whose half-mode is
-          // engine-defined (the imbalance is a ratio of integers and
-          // CAN land exactly on a 4dp dyadic half)
+          // portable 4dp HALF_UP (TextFunctions.halfUp4): the imbalance
+          // is a ratio of integers and CAN land exactly on a 4dp dyadic
+          // half where engine round(DOUBLE,4) half-modes differ
           .withColumn("imbalance",
-            lit(math.floor(d.imbalance * 10000.0 + 0.5) / 10000.0))
+            lit(graft.functions.TextFunctions.halfUp4(d.imbalance)))
           .withColumn("refit", lit(d.fired))
           .orderBy(col("qid"), col("rank"))
       },

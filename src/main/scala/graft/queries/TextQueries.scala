@@ -1283,9 +1283,8 @@ object TextQueries {
           .filter(col("n3") > 0) // <3-token docs: no 3-gram, absent
           .select(col("doc_id"), col("n2"), col("m2"), col("n3"),
             col("d3"),
-            // HALF_UP(a/b · 10⁶) in exact integers: (2a·10⁶+b) div (2b)
-            expr("(2*(n3 - d3)*1000000 + n3) div (2*n3)").as("dup3_ppm"),
-            expr("(2*m2*1000000 + n2) div (2*n2)").as("top2_ppm"))
+            TF.ratioPpm(col("n3") - col("d3"), col("n3")).as("dup3_ppm"),
+            TF.ratioPpm(col("m2"), col("n2")).as("top2_ppm"))
           .localCheckpoint()
         // bounded driver scalars: the two corpus totals (t20 pattern);
         // ppm ≤ mean ⟺ ppm·count ≤ Σppm — integers end to end.

@@ -31,10 +31,11 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0L).digest == expectMd5)
     assert(feats(0L).n_bytes == 11)
     // exact-6dp HALF_UP ppm (the decoder's portable-rounding contract):
-    // sum("hello world" bytes) = 1116, (2·1116·10⁶ + 11) div (2·11)
-    val expectBright = ((2L * 1116L * 1000000L + 11L) / 22L).toDouble / 1e6
-    assert(feats(0L).brightness == expectBright,
-      s"brightness ${feats(0L).brightness} != ppm-exact $expectBright")
+    // sum("hello world" bytes) = 1116, HALF_UP(1116/11 · 10⁶) =
+    // 101454545 ppm — a LITERAL pin, independent of the formula's
+    // spelling, so a decoder-side arithmetic edit cannot self-confirm
+    assert(feats(0L).brightness == 101.454545,
+      s"brightness ${feats(0L).brightness} != 101.454545")
     assert(feats(0L).features.length == 4)
     // determinism across runs
     val again = Multimodal.extractFeatures(spark, media).collect()
