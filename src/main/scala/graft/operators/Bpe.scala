@@ -71,7 +71,16 @@ import graft.functions.{TextFunctions => TF}
  *     sit under the same bound; symbols l, r themselves cannot gain
  *     occurrences, so non-created pairs never rise.)
  *
- *  The batch STOPS at the first candidate that fails either rule
+ *  3. SYMBOL-CONFLATION GUARD — two different merge paths can build
+ *     the SAME symbol string ("abc" as ab+c earlier, a+bc now), and
+ *     then a "created" pair population mixes with a pre-existing one
+ *     the triple bound does not cap. One bounded job per batch checks
+ *     the candidates' concatenations against the live symbol set;
+ *     accepting a clashing candidate ends its batch, and `used`
+ *     carries accepted CONCATENATIONS too, so no later candidate can
+ *     touch or re-create a string an earlier accepted merge created.
+ *
+ *  The batch STOPS at the first candidate that fails any rule
  *  (skipping it could let its still-high count win an intermediate
  *  sequential round), so every accepted prefix reproduces the exact
  *  argmax sequence — BpeSpec pins batched ≡ sequential on the fixture
@@ -161,6 +170,21 @@ object Bpe {
             .limit(math.max(batchK * 4, 8))
             .collect() // bounded driver scalar: the candidate pool
           require(pool.nonEmpty, s"Bpe.train: vocab exhausted at $step")
+          // SYMBOL-CONFLATION guard (r17 self-review pass 2): the
+          // triple bound covers pairs whose created-symbol population
+          // is PURE — if a candidate's concatenation string-equals a
+          // symbol the vocab ALREADY holds (e.g. "abc" built earlier
+          // as ab+c, candidate a+bc), post-merge pairs on that string
+          // mix old and created occurrences and the bound no longer
+          // caps them. One bounded job checks the pool's created
+          // strings against the live symbol set; a clashing candidate
+          // ends its batch (it is still the exact argmax itself).
+          val created = pool.map(_.getString(0).split(" ", 2))
+            .map { case Array(l, r) => l + r }.distinct.toSeq
+          val clashing: Set[String] = syms
+            .select(explode(col("y")).as("sym"))
+            .filter(col("sym").isin(created: _*))
+            .distinct().collect().map(_.getString(0)).toSet
           val take = math.min(batchK, rounds - step + 1)
           val acc = Seq.newBuilder[(String, String, Long)]
           var used = Set.empty[String]
@@ -171,16 +195,25 @@ object Bpe {
           while (!halt && nAcc < take && it.hasNext) {
             val r = it.next()
             val Array(lhs, rhs) = r.getString(0).split(" ", 2)
+            val cat = lhs + rhs
             val n = r.getLong(1)
             // STOP (never skip) at the first rule violation: a skipped
-            // still-high candidate could win an intermediate round
-            if (nAcc > 0 && (used(lhs) || used(rhs) ||
-                n <= createdBound)) halt = true
+            // still-high candidate could win an intermediate round.
+            // `used` holds accepted symbols AND their concatenations,
+            // and `cat` is checked against both, so no candidate can
+            // touch — or create — a symbol an earlier accepted merge
+            // touched or created (two in-batch merges conflating to
+            // the same string, e.g. a+bc and ab+c, also halt here).
+            if (nAcc > 0 && (used(lhs) || used(rhs) || used(cat) ||
+                n <= createdBound || clashing(cat))) halt = true
             else {
               acc += ((lhs, rhs, n))
-              used = used + lhs + rhs
+              used = used + lhs + rhs + cat
               createdBound = math.max(createdBound, r.getLong(2))
               nAcc += 1
+              // first-candidate clash: exact for itself, but later
+              // candidates would face mixed populations — stop at 1
+              if (clashing(cat)) halt = true
             }
           }
           acc.result()

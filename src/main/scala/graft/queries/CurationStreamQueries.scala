@@ -229,7 +229,9 @@ object CurationStreamQueries {
        |dirty AS (SELECT DISTINCT t2.doc_id FROM tsh t2
        |          JOIN bsh b2 ON t2.s = b2.s),
        |qfeat AS (SELECT doc_id,
-       |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
+       |    CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(len(string_split_regex(t, ' ')) AS BIGINT)
+       |      END AS n_tokens,
        |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
        |    CAST(len(t) AS BIGINT) AS n_ch,
        |    CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS BIGINT) AS n_p,
@@ -511,7 +513,9 @@ object CurationStreamQueries {
        |  SELECT doc_id, ${DedupQueries.normT} AS t FROM documents
        |  WHERE $docWhere),
        |qfeat AS (SELECT doc_id,
-       |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
+       |    CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(len(string_split_regex(t, ' ')) AS BIGINT)
+       |      END AS n_tokens,
        |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
        |    CAST(len(t) AS BIGINT) AS n_ch,
        |    CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS BIGINT) AS n_p,

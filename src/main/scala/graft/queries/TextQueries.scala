@@ -94,7 +94,9 @@ object TextQueries {
       Some(s"""WITH base AS (SELECT doc_id, $normT AS t FROM documents),
               |feat AS (
               |  SELECT doc_id, t,
-              |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens,
+              |    CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+              |      ELSE CAST(len(string_split_regex(t, ' ')) AS BIGINT)
+              |      END AS n_tokens,
               |    CAST(len(regexp_extract_all(t, '[a-z0-9]{1,4}|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
               |    CAST(len(t) AS BIGINT) AS n_ch,
               |    CAST(len(regexp_extract_all(t, '[^a-z0-9 ]')) AS BIGINT) AS n_p,
@@ -443,7 +445,9 @@ object TextQueries {
       },
       Some(s"""WITH base AS (SELECT doc_id, source, $normT AS t FROM documents),
               |n AS (SELECT doc_id, source,
-              |    CAST(len(string_split_regex(t, ' ')) AS BIGINT) AS n_tokens
+              |    CASE WHEN t = '' THEN CAST(0 AS BIGINT)
+              |      ELSE CAST(len(string_split_regex(t, ' ')) AS BIGINT)
+              |      END AS n_tokens
               |  FROM base),
               |o AS (SELECT doc_id, source, n_tokens,
               |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
@@ -1290,7 +1294,11 @@ object TextQueries {
         // ppm ≤ mean ⟺ ppm·count ≤ Σppm — integers end to end.
         val r = scored.agg(sum(col("dup3_ppm")), sum(col("top2_ppm")),
           count(lit(1))).head()
-        val (sd, st, cnt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        // degenerate corpus (every doc < 3 tokens): scored is empty and
+        // the sums are null — serve the empty frame, don't NPE
+        val cnt = r.getLong(2)
+        val (sd, st) =
+          if (cnt == 0L) (0L, 0L) else (r.getLong(0), r.getLong(1))
         scored.select(col("doc_id"), col("n2"), col("m2"), col("n3"),
             col("d3"), col("dup3_ppm"), col("top2_ppm"),
             (col("dup3_ppm") * cnt <= sd &&

@@ -17,12 +17,16 @@ plan-only, so the lint is instant even on expensive oracles.
 Exit 1 on any non-portable output column.
 """
 import json
+import os
 import sys
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+# single source of truth for the fixture table list (a table added to
+# the replica but not here would lint every referencing oracle as
+# "DESCRIBE failed")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from oracle_check import TABLES  # noqa: E402
 
 # DuckDB result types whose .df() rendering is dtype-identical to Spark's
 # parquet output read back the same way. HUGEINT/UHUGEINT (bare SUM of
