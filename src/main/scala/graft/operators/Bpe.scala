@@ -280,4 +280,32 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(sum(col("n")).as("n_subwords"))
   }
+
+  /** PERSIST the trained merge table — the artifact a tokenizer
+   * actually ships (HuggingFace `merges.txt`, SentencePiece model):
+   * one rank-ordered parquet a 1000-executor encode job broadcasts.
+   * Write is atomic-by-rename-free: parquet overwrite into a fresh
+   * dir; the table is tiny (≤ vocab merges) and immutable once
+   * trained. */
+  def persist(ss: SparkSession, merges: Seq[Merge], path: String): Unit = {
+    import ss.implicits._
+    merges.toDF()
+      .select(col("step").cast(LongType).as("step"), col("lhs"),
+        col("rhs"), col("n"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** RECOVER a persisted merge table in rank order — the read half of
+   * the tokenizer lifecycle. Fails loudly on an empty or missing
+   * artifact (an encoder silently running with zero merges would
+   * "work" and emit character counts). */
+  def recover(ss: SparkSession, path: String): Seq[Merge] = {
+    val rows = ss.read.parquet(path)
+      .select(col("step"), col("lhs"), col("rhs"), col("n"))
+      .orderBy(col("step"))
+      .collect() // bounded: the merge table IS a driver artifact
+    require(rows.nonEmpty, s"Bpe.recover: empty merge table at $path")
+    rows.map(r => Merge(r.getLong(0).toInt, r.getString(1),
+      r.getString(2), r.getLong(3))).toSeq
+  }
 }

@@ -1389,7 +1389,35 @@ object TextQueries {
       Some(s"""WITH ${bpeCtes(8)}
               |SELECT w, string_agg(s, ' ' ORDER BY j) AS s,
               |  CAST(COUNT(*) AS BIGINT) AS n_subwords
-              |FROM sym8 GROUP BY w ORDER BY w""".stripMargin))
+              |FROM sym8 GROUP BY w ORDER BY w""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t24 — TOKENIZER ARTIFACT LIFECYCLE: train → PERSIST the merge
+    // table (the shipped artifact: HuggingFace merges.txt /
+    // SentencePiece model) → RECOVER it → encode the corpus with the
+    // recovered vocab. The k-gates close this loop for the inverted
+    // index; this closes it for the tokenizer — at 100 TB a vocab is
+    // trained once and broadcast to every encode job from the store,
+    // never retrained in-line. The oracle is t19's re-train-and-
+    // re-encode chain, so the hash proves the parquet round-trip
+    // preserved every merge AND its rank order (a rank swap changes
+    // segmentations; an empty recover fails loudly in Bpe.recover).
+    Q("t24_bpe_vocab_store",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val root = graft.sources.Scratch.dir("bpe_vocab_store")
+        graft.operators.Bpe.persist(s,
+          graft.operators.Bpe.train(docs, "text", rounds = 8), root)
+        graft.operators.Bpe.encodeCounts(docs, "doc_id", "text",
+            graft.operators.Bpe.recover(s, root))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${bpeCtes(8)},
+              |enc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM sym8 GROUP BY w)
+              |SELECT t.doc_id, CAST(SUM(e.n) AS BIGINT) AS n_subwords
+              |FROM tok t JOIN enc e ON e.w = t.w
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
   )
 
   /** The t18 oracle: `rounds` unrolled merge rounds over the

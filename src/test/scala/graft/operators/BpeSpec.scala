@@ -171,4 +171,26 @@ class BpeSpec extends SparkSpec {
         s"batchK=$k diverged:\n got $got\nwant $want")
     }
   }
+
+  test("persist/recover round-trips the merge table in rank order; " +
+      "an empty artifact fails loudly") {
+    val docs = Seq((1L, "newest widest lowest"), (2L, "newest newest"))
+      .toDF("doc_id", "text")
+    val want = Bpe.train(docs, "text", rounds = 5)
+    val root = java.nio.file.Files
+      .createTempDirectory("bpe_store_spec").toString
+    Bpe.persist(spark, want, s"$root/m")
+    assert(Bpe.recover(spark, s"$root/m") == want)
+    // rank order survives even if the parquet reader reorders rows:
+    // recover sorts on step, and a table persisted from a reversed
+    // seq still recovers in rank order
+    Bpe.persist(spark, want.reverse, s"$root/rev")
+    assert(Bpe.recover(spark, s"$root/rev") == want)
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.persist(spark, Seq.empty, s"$root/empty")
+      Bpe.recover(spark, s"$root/empty")
+    }
+    assert(ex.getMessage.contains("empty") ||
+      ex.getMessage.contains("Bpe.recover"), ex.getMessage)
+  }
 }
