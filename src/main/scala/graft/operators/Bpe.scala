@@ -101,20 +101,74 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, rounds: Int,
       batchK: Int = 1): Seq[Merge] = {
     require(rounds >= 1, s"Bpe.train: rounds $rounds")
-    require(batchK >= 1, s"Bpe.train: batchK $batchK")
-    val ss = docs.sparkSession
-    // corpus -> (distinct word, freq), then word -> spaced symbol
-    // string "c h a r s </w>" (the end-of-word sentinel makes
-    // word-final merges distinct from word-internal ones)
-    var vocab = docs
+    trainFrom(baseVocab(docs, textCol), Nil, rounds, batchK)
+  }
+
+  /** RESUME training from an already-trained merge table — the
+   * incremental-vocab-growth half of the artifact lifecycle: a
+   * production pipeline extends a shipped vocabulary by +k merges
+   * (recover → resume) without re-running the first `seed.size`
+   * rounds' shuffles. Exactness is by construction: applying the
+   * seed merges in rank order to the fresh word-frequency table
+   * reproduces the EXACT vocab state the sequential loop holds after
+   * round `seed.size` (the merge pass is a deterministic function of
+   * (vocab state, merge), and the loop itself never reads anything
+   * else), so the continued loop IS rounds seed.size+1.. of the
+   * from-scratch chain — BpeSpec pins resume ≡ from-scratch and the
+   * t25 gate proves it against the full sequential DuckDB chain.
+   * Seed ranks must be the contiguous prefix 1..k in order (what
+   * [[train]] emits and [[recover]] validates): a gapped or permuted
+   * seed would replay a DIFFERENT merge sequence than the one the
+   * table claims, silently changing every later argmax. */
+  def resume(docs: DataFrame, textCol: String, seed: Seq[Merge],
+      extraRounds: Int, batchK: Int = 1): Seq[Merge] = {
+    require(extraRounds >= 1, s"Bpe.resume: extraRounds $extraRounds")
+    require(seed.map(_.step) == (1 to seed.length),
+      s"Bpe.resume: seed ranks ${seed.map(_.step)} are not the " +
+        "contiguous prefix 1..k — not a trained merge table")
+    // replay the seed on the fresh word table: one composed map-only
+    // column per chunk (the encodeExpr chain), checkpointed every
+    // CHUNK merges so a 32k-merge seed stays codegen-sized
+    val chunk = 64
+    val replayed = seed.grouped(chunk).foldLeft(
+      baseVocab(docs, textCol)) { (v, ms) =>
+      val sNew = ms.foldLeft(col("s")) { (c, m) =>
+        trim(replace(replace(
+          concat(lit(" "), replace(c, lit(" "), lit("  ")), lit(" ")),
+          lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} ")),
+          lit("  "), lit(" ")))
+      }
+      v.select(sNew.as("s"), col("f")).localCheckpoint()
+    }
+    trainFrom(replayed, seed, seed.length + extraRounds, batchK)
+  }
+
+  /** Corpus → (distinct word, freq) → spaced symbol string
+   * "c h a r s </w>" (the end-of-word sentinel makes word-final
+   * merges distinct from word-internal ones) — the one corpus-scale
+   * pass; everything after rides the ~1000× collapsed word table. */
+  private def baseVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(TF.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
       .select(concat(array_join(
         regexp_extract_all(col("w"), lit("."), lit(0)), " "),
         lit(" </w>")).as("s"), col("f"))
       .localCheckpoint()
+
+  /** The merge loop from an arbitrary vocab state: rounds
+   * `prior.size+1 .. rounds` of the sequential chain whose first
+   * `prior.size` merges produced `vocabInit`. Returns prior ++ new
+   * merges (the full table, what a caller persists). */
+  private def trainFrom(vocabInit: DataFrame, prior: Seq[Merge],
+      rounds: Int, batchK: Int): Seq[Merge] = {
+    require(rounds > prior.length,
+      s"Bpe: rounds $rounds ≤ already-trained ${prior.length}")
+    require(batchK >= 1, s"Bpe.train: batchK $batchK")
+    var vocab = vocabInit
     val merges = Seq.newBuilder[Merge]
-    var step = 1
+    merges ++= prior
+    var step = prior.length + 1
     while (step <= rounds) {
       // a fully-merged word (one symbol left) has no pairs; without
       // the guard sequence(0, -1) DESCENDS and element_at throws
@@ -284,27 +338,45 @@ object Bpe {
   /** PERSIST the trained merge table — the artifact a tokenizer
    * actually ships (HuggingFace `merges.txt`, SentencePiece model):
    * one rank-ordered parquet a 1000-executor encode job broadcasts.
-   * Write is atomic-by-rename-free: parquet overwrite into a fresh
-   * dir; the table is tiny (≤ vocab merges) and immutable once
-   * trained. */
+   * The write goes to a temp sibling and swaps in by rename (r17
+   * advice: in-place parquet overwrite deletes-then-rewrites, so a
+   * concurrent [[recover]] could observe a missing or half-written
+   * table for the whole write; with the swap the exposed window is
+   * two metadata ops). Concurrent PERSISTS of the same path are
+   * still single-writer — the artifact is train-once/read-many. */
   def persist(ss: SparkSession, merges: Seq[Merge], path: String): Unit = {
     import ss.implicits._
+    val hc = ss.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}__tmp")
+    val fs = target.getFileSystem(hc)
     merges.toDF()
       .select(col("step").cast(LongType).as("step"), col("lhs"),
         col("rhs"), col("n"))
-      .coalesce(1).write.mode("overwrite").parquet(path)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(tmp, target),
+      s"Bpe.persist: rename $tmp -> $target failed")
   }
 
   /** RECOVER a persisted merge table in rank order — the read half of
-   * the tokenizer lifecycle. Fails loudly on an empty or missing
-   * artifact (an encoder silently running with zero merges would
-   * "work" and emit character counts). */
+   * the tokenizer lifecycle. Fails loudly on an empty, missing, or
+   * rank-corrupted artifact: an encoder silently running with zero
+   * merges would "work" and emit character counts, and (r17 advice) a
+   * partially-overwritten or hand-edited table with duplicate or
+   * gapped ranks would replay a DIFFERENT merge sequence than the one
+   * trained — so the ranks must be exactly the contiguous 1..n. */
   def recover(ss: SparkSession, path: String): Seq[Merge] = {
     val rows = ss.read.parquet(path)
       .select(col("step"), col("lhs"), col("rhs"), col("n"))
       .orderBy(col("step"))
       .collect() // bounded: the merge table IS a driver artifact
     require(rows.nonEmpty, s"Bpe.recover: empty merge table at $path")
+    val ranks = rows.toSeq.map(_.getLong(0))
+    require(ranks == (1L to rows.length),
+      s"Bpe.recover: corrupt merge table at $path — ranks " +
+        s"${ranks.take(8).mkString(",")}… are not contiguous 1..n")
     rows.map(r => Merge(r.getLong(0).toInt, r.getString(1),
       r.getString(2), r.getLong(3))).toSeq
   }

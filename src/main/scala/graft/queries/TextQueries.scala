@@ -1417,7 +1417,37 @@ object TextQueries {
               |  FROM sym8 GROUP BY w)
               |SELECT t.doc_id, CAST(SUM(e.n) AS BIGINT) AS n_subwords
               |FROM tok t JOIN enc e ON e.w = t.w
-              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+              |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // ----------------------------------------------------------------
+    // t25 — INCREMENTAL VOCAB GROWTH (r17 verdict #6): the production
+    // follow-on to t24's store — a shipped 5-merge vocabulary is
+    // RECOVERED from the artifact and EXTENDED by +3 merges without
+    // re-running the first five rounds' shuffles (Bpe.resume replays
+    // the seed on the fresh word table as chunked map-only passes,
+    // then continues the loop — batched here, composing t23's rules
+    // with the resume). The oracle is the full 8-round SEQUENTIAL
+    // DuckDB chain with NO knowledge of the split, so the hash proves
+    // resume ≡ from-scratch end to end: persist → recover → replay →
+    // continue reproduces every rank, pair, and count of the single
+    // uninterrupted training run (BpeSpec pins the same identity
+    // across split points 1/5/11 and through batchK).
+    Q("t25_bpe_vocab_grow",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val root = graft.sources.Scratch.dir("bpe_vocab_grow")
+        graft.operators.Bpe.persist(s,
+          graft.operators.Bpe.train(docs, "text", rounds = 5), root)
+        graft.operators.Bpe.resume(docs, "text",
+            graft.operators.Bpe.recover(s, root),
+            extraRounds = 3, batchK = 2)
+          .toDF()
+          .select(col("step").cast(org.apache.spark.sql.types.LongType)
+            .as("step"), col("lhs"), col("rhs"), col("n"))
+          .orderBy(col("step"))
+      },
+      Some(bpeOracle(8)))
   )
 
   /** The t18 oracle: `rounds` unrolled merge rounds over the

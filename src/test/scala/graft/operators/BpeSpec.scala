@@ -193,4 +193,58 @@ class BpeSpec extends SparkSpec {
     assert(ex.getMessage.contains("empty") ||
       ex.getMessage.contains("Bpe.recover"), ex.getMessage)
   }
+
+  test("recover fails loudly on rank-corrupted artifacts (gapped or " +
+      "duplicated steps), and persist's rename swap overwrites an " +
+      "existing table cleanly") {
+    val docs = Seq((1L, "newest widest lowest"), (2L, "newest newest"))
+      .toDF("doc_id", "text")
+    val want = Bpe.train(docs, "text", rounds = 5)
+    val root = java.nio.file.Files
+      .createTempDirectory("bpe_corrupt_spec").toString
+    // a gapped table (rank 3 lost to a partial overwrite) and a
+    // duplicated one (rank 2 written twice) both recover-fail
+    Bpe.persist(spark, want.filterNot(_.step == 3), s"$root/gap")
+    val gap = intercept[IllegalArgumentException] {
+      Bpe.recover(spark, s"$root/gap")
+    }
+    assert(gap.getMessage.contains("contiguous"), gap.getMessage)
+    Bpe.persist(spark, want :+ want(1), s"$root/dup")
+    val dup = intercept[IllegalArgumentException] {
+      Bpe.recover(spark, s"$root/dup")
+    }
+    assert(dup.getMessage.contains("contiguous"), dup.getMessage)
+    // persist-over-persist: the rename swap replaces the old table
+    // (no merge of old+new files) and leaves no tmp sibling behind
+    Bpe.persist(spark, want.take(3), s"$root/m")
+    Bpe.persist(spark, want, s"$root/m")
+    assert(Bpe.recover(spark, s"$root/m") == want)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/.m__tmp")))
+  }
+
+  test("resume continues a trained prefix EXACTLY: resume(train(k)) " +
+      "+ extra ≡ train(k+extra), across split points and batchK, " +
+      "through the persist/recover round-trip") {
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val want = Bpe.train(docs, "text", rounds = 12)
+    Seq(1, 5, 11).foreach { k =>
+      val got = Bpe.resume(docs, "text", want.take(k), 12 - k)
+      assert(got == want, s"split $k diverged:\n got $got\nwant $want")
+    }
+    // the production path: recover a persisted 8-merge table and grow
+    // it by +4 with batched rounds — still the exact sequential chain
+    val root = java.nio.file.Files
+      .createTempDirectory("bpe_resume_spec").toString
+    Bpe.persist(spark, want.take(8), s"$root/m")
+    val grown = Bpe.resume(docs, "text",
+      Bpe.recover(spark, s"$root/m"), 4, batchK = 3)
+    assert(grown == want, s"recovered resume diverged:\n got $grown")
+    // a non-prefix seed (ranks not 1..k) is rejected before any work
+    val bad = intercept[IllegalArgumentException] {
+      Bpe.resume(docs, "text", want.drop(2), 1)
+    }
+    assert(bad.getMessage.contains("contiguous prefix"), bad.getMessage)
+  }
 }
