@@ -259,11 +259,21 @@ object Bench {
       val highLoad = results
         .filter(r => medianLoad > 0 && r.load > 2.0 * medianLoad)
         .map(r => "\"" + r.name + "\"").mkString("[", ",", "]")
+      // setup builds self-label against the SAME run-median reference
+      // (r17 verdict #2): a 100+s store build that started in a
+      // contended window carries its own evidence in-artifact instead
+      // of leaning on the run-level I/O canary
+      val setupHighLoad = SetupTimer.loads
+        .filter { case (_, l) => medianLoad > 0 && l > 2.0 * medianLoad }
+        .map { case (c, _) => "\"" + c + "\"" }
+        .mkString("[", ",", "]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         s"""{"metric":"queries","reps":$reps,"sf":"$sfName",""" +
           s""""total":${f3(total + SetupTimer.total)},""" +
           s""""serve":${f3(total)},"setup":${f3(SetupTimer.total)},""" +
-          s""""setup_builds":${SetupTimer.json},"n":${results.size},""" +
+          s""""setup_builds":${SetupTimer.json},""" +
+          s""""setup_meta":${SetupTimer.metaJson},""" +
+          s""""setup_high_load":$setupHighLoad,"n":${results.size},""" +
           s""""canary":{"ref":${f3(CanaryRef)},"run":${f3(canary)},"end":${f3(canaryEnd)},""" +
           s""""total_normalized":${f3((total + SetupTimer.total) * CanaryRef / canary)}},""" +
           s""""canary_io":{"run":${f3(ioCanary)},"end":${f3(ioCanaryEnd)}},""" +

@@ -26,27 +26,62 @@ import scala.collection.mutable
  */
 object SetupTimer {
 
-  private val walls = mutable.LinkedHashMap.empty[String, Double]
+  /** One build's evidence: accumulated wall seconds, plus the FIRST
+   * call's start stamp (epoch seconds) and 1-min loadavg — the same
+   * per-query contention evidence the timed reps carry (r17 verdict
+   * #2: the driver run's 116 s `curation_store` had no per-build load
+   * stamp, so its attribution leaned on the run-level I/O canary). */
+  private final case class Build(secs: Double, ts: Long, load: Double)
+
+  private val walls = mutable.LinkedHashMap.empty[String, Build]
+
+  private def loadavg(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
 
   /** Run `body`, recording its wall seconds under the cache name.
    * Call from INSIDE the cache's getOrElseUpdate so the cost is
    * recorded exactly once per JVM, by whichever gate built it. */
   def time[T](cache: String)(body: => T): T = {
+    val ts = System.currentTimeMillis() / 1000
+    val load = loadavg()
     val t0 = System.nanoTime()
     val r = body
     val secs = (System.nanoTime() - t0) / 1e9
-    synchronized { walls(cache) = walls.getOrElse(cache, 0.0) + secs }
+    synchronized {
+      walls(cache) = walls.get(cache) match {
+        case Some(b) => b.copy(secs = b.secs + secs)
+        case None    => Build(secs, ts, load)
+      }
+    }
     r
   }
 
   /** Sum of every recorded one-time build, seconds. */
-  def total: Double = synchronized { walls.values.sum }
+  def total: Double = synchronized { walls.values.map(_.secs).sum }
 
   /** JSON object {cache: secs}; empty object when nothing built. */
   def json: String = synchronized {
-    walls.map { case (c, v) =>
-      "\"" + c + "\":" + BigDecimal(v)
+    walls.map { case (c, b) =>
+      "\"" + c + "\":" + BigDecimal(b.secs)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
+  }
+
+  /** JSON object {cache: {"ts": epochSecs, "load": loadavg}} — the
+   * build-start stamps the detail artifact pairs with `setup_builds`,
+   * mirroring the queries' rep_ts/load fields. */
+  def metaJson: String = synchronized {
+    walls.map { case (c, b) =>
+      "\"" + c + "\":{\"ts\":" + b.ts + ",\"load\":" +
+        BigDecimal(b.load).setScale(2, BigDecimal.RoundingMode.HALF_UP) +
+        "}"
+    }.mkString("{", ",", "}")
+  }
+
+  /** (cache, load) pairs for the bench's high-load self-labeling. */
+  def loads: Seq[(String, Double)] = synchronized {
+    walls.map { case (c, b) => (c, b.load) }.toSeq
   }
 }

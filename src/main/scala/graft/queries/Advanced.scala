@@ -52,6 +52,23 @@ object Advanced {
       |    IS NULL AS is_current
       |FROM g ORDER BY user_id, ver""".stripMargin
 
+  /** q90's pre-created small-file debt layouts — one consumed per
+   * timed rep, refilled by the gate's setup thunk (r17 verdict #3). */
+  private val q90DebtPool =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** One day-partitioned events layout with deliberate 12-files/day
+   * small-file debt — q90's compaction scenario. */
+  private def q90DebtLayout(s: SparkSession, dir: String): String = {
+    val root = graft.sources.Scratch.dir("compact_sink") + "/events"
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        date_format(col("ts"), "yyyyMMdd").cast("int").as("day"))
+      .repartition(12).write.partitionBy("day").parquet(root)
+    root
+  }
+
   val all: Seq[Q] = Seq(
 
     // ----------------------------------------------------------------
@@ -968,12 +985,11 @@ object Advanced {
     // idempotence are pinned in TableCompactionSpec.
     Q("q90_sink_compaction",
       (s, dir) => {
-        val e = Tables.load(s, dir, "events")
-          .select(col("event_id"), col("user_id"), col("event_type"),
-            col("value"),
-            date_format(col("ts"), "yyyyMMdd").cast("int").as("day"))
-        val root = graft.sources.Scratch.dir("compact_sink") + "/events"
-        e.repartition(12).write.partitionBy("day").parquet(root)
+        // a rep consumes one pre-created debt layout (pool filled in
+        // setup); outside the bench — or if the pool runs dry — it
+        // builds its own inline, same layout either way
+        val root = Option(q90DebtPool.poll())
+          .getOrElse(q90DebtLayout(s, dir))
         val report = graft.operators.TableCompaction.compact(
           s, root, "day", targetBytes = 64L * 1024 * 1024)
         require(report.touched.nonEmpty,
@@ -985,7 +1001,18 @@ object Advanced {
       },
       Some(s"""SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS day,
               |  COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
-              |FROM events GROUP BY 1 ORDER BY day""".stripMargin)),
+              |FROM events GROUP BY 1 ORDER BY day""".stripMargin),
+      // pre-create ONE debt layout per bench rep (r17 verdict #3:
+      // the rep used to re-write the full 12-files/day table before
+      // compacting, so its timings measured a table write + compaction
+      // and I/O-pressure days produced escalating rep shapes that READ
+      // as generation accumulation). The writes are setup-shaped work
+      // and now land in the setup metric under their own name; reps
+      // time TableCompaction.compact + the compacted read only.
+      setup = Some((ss, dir) => graft.SetupTimer.time("q90_debt_layouts") {
+        val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+        (1 to n).foreach(_ => q90DebtPool.add(q90DebtLayout(ss, dir)))
+      })),
 
     // ----------------------------------------------------------------
     // q94 — persisted PER-FILE data-skipping index

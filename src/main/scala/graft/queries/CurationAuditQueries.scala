@@ -47,37 +47,34 @@ object CurationAuditQueries {
         // build must attribute to curation_decon_store, not land under
         // BOTH timers and inflate the setup total
         val deconRoot = CurationStreamQueries.deconArtifacts(ss, dir)
+        val base = CurationStreamQueries.scoredBase(ss, dir)
         graft.SetupTimer.time("retro_decon_store") {
-          buildRetroDecon(ss, dir, deconRoot)
+          buildRetroDecon(ss, base, deconRoot)
         }
       })
     }
 
-  private def buildRetroDecon(ss: SparkSession, dir: String,
+  private def buildRetroDecon(ss: SparkSession, base: DataFrame,
       deconRoot: String): String = {
-    import graft.functions.{TextFunctions => TF}
     val cloned = graft.streaming.BucketedUpsert.recover(ss,
         keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
         nBuckets = 16, stateRoot = deconRoot)
       .cloneTo(graft.sources.Scratch.dir("retro_decon_clone"))
-    val docs = graft.sources.Tables.load(ss, dir, "documents")
+    // both screens ride the shared base's shingle column — no
+    // re-tokenization (r17 verdict #1)
     def shingles(df: DataFrame): DataFrame = df
-      .select(col("doc_id").as("id"),
-        TF.normalizeText(col("text")).as("__t"))
-      .select(col("id"), TF.tokensFromNorm(col("__t")).as("__tok"))
-      .select(col("id"), explode_outer(
-        TF.wordShinglesFromTokens(col("__tok"), 3)).as("s"))
+      .select(col("id"), explode_outer(col("shin")).as("s"))
       .filter(col("s").isNotNull).distinct()
     // suite 2: a NEW (small) benchmark carved out of what was
     // training data — %200 so the strict any-shared-3-gram screen
     // leaves a non-degenerate corpus at every gate SF
-    val bench2 = shingles(docs.filter(col("doc_id") % 200 === 25))
+    val bench2 = shingles(base.filter(col("id") % 200 === 25))
       .select(col("s")).distinct().localCheckpoint()
-    val hits = shingles(docs.filter(col("doc_id") % 50 =!= 0))
+    val hits = shingles(base.filter(col("id") % 50 =!= 0))
       .join(broadcast(bench2), Seq("s"), "left_semi")
       .select(col("id")).distinct()
-    val members = docs.filter(col("doc_id") % 200 === 25)
-      .select(col("doc_id").as("id"))
+    val members = base.filter(col("id") % 200 === 25)
+      .select(col("id"))
     // deleting an id the intake never admitted is a natural no-op, so
     // the victim set needs no membership bookkeeping
     val victims = hits.unionByName(members).distinct().localCheckpoint()
@@ -151,7 +148,7 @@ object CurationAuditQueries {
       nBuckets = 4, root = clRoot).store.view(s)
       .select(col("id"), col("cluster"))
     provenanceStatuses(s, store, bounds, labels,
-      CurationStreamQueries.curationStaged(s, dir).select(col("id"), col("quality")),
+      CurationStreamQueries.scoredBase(s, dir).select(col("id"), col("quality")),
       id => pmod(id, lit(4)))
   }
 

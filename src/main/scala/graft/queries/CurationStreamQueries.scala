@@ -57,17 +57,21 @@ object CurationStreamQueries {
   private[queries] def curationArtifacts(ss: SparkSession,
       dir: String): (String, String, Vector[Long]) =
     curationCache.synchronized {
-      curationCache.getOrElseUpdate(dir,
+      curationCache.getOrElseUpdate(dir, {
+        // resolve the shared base OUTSIDE the store timer (the
+        // retro_decon_store pattern) so its one-time cost attributes
+        // to curation_scored_base, never to whichever store built first
+        val base = scoredBase(ss, dir)
         graft.SetupTimer.time("curation_store") {
-          buildCuration(ss, dir)
-        })
+          buildCuration(ss, dir, base)
+        }
+      })
     }
 
   /** ONE staged projection — normalize/tokenize once, derive the
-   * signature and every quality signal from the shared arrays (the
-   * scan-stage shape; at real scale this is the crawl's map pass).
-   * Feeds the shared streamed build behind q115/p05/q119/q121 and the
-   * q121 audit's quality column. */
+   * signature, every quality signal, AND the decontamination shingles
+   * from the shared arrays (the scan-stage shape; at real scale this
+   * is the crawl's map pass). Consumed through [[scoredBase]]. */
   private[queries] def curationStaged(ss: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextFunctions => TF}
     graft.sources.Tables.load(ss, dir, "documents")
@@ -83,12 +87,38 @@ object CurationStreamQueries {
           size(col("__tok")).cast("long"),
           TF.stopwordCountFromTokens(col("__tok")),
           length(col("__t")),
-          TF.punctCountFromNorm(col("__t"))).as("quality"))
+          TF.punctCountFromNorm(col("__t"))).as("quality"),
+        array_distinct(TF.wordShinglesFromTokens(col("__tok"), 3))
+          .as("shin"))
   }
 
+  /** The SHARED curated/scored base (r17 verdict #1): [[curationStaged]]
+   * computed and checkpointed ONCE per corpus, serving every curation
+   * store build — q115/p05/q119/q121's SimHash curation, q118/q122's
+   * decontaminated intake (signals + both shingle screens), q120's
+   * semantic curation (quality columns; the signature comes from its
+   * embedding join), q125's NB-gated intake signatures — plus the q121
+   * audit's quality column and q122's retro screen. Before this, the
+   * four store builds each re-read and re-tokenized the corpus; at
+   * 100 TB the distinction is four crawl-scale scans vs ONE map pass
+   * with four downstream consumers, and on the bench it is the
+   * setup-share cut the r17 driver run asked for. Its build time is
+   * its own setup line (`curation_scored_base`); store timers resolve
+   * it before they start. */
+  private val baseCache =
+    scala.collection.mutable.Map.empty[String, DataFrame]
+  private[queries] def scoredBase(ss: SparkSession, dir: String): DataFrame =
+    baseCache.synchronized {
+      baseCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("curation_scored_base") {
+          curationStaged(ss, dir).localCheckpoint()
+        })
+    }
+
   private def buildCuration(ss: SparkSession,
-      dir: String): (String, String, Vector[Long]) = {
-    val staged = curationStaged(ss, dir)
+      dir: String, base: DataFrame): (String, String, Vector[Long]) = {
+    val staged = base
+      .select(col("id"), col("sig"), col("n_bpe"), col("quality"))
     val near = new graft.streaming.NearDupLedger(ss, bits = 60,
       maxHamming = 3, nBuckets = 16)
     val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
@@ -115,10 +145,12 @@ object CurationStreamQueries {
       stateRoot = curationArtifacts(ss, dir)._1, retainHistory = true)
 
   /** q118: the FULL INTAKE — q115's curation loop with q117's
-   * benchmark-decontamination screen composed INTO the arrival cycle:
-   * per micro-batch, quality gate ∧ no-benchmark-leak screen (the
-   * frozen 3-gram shingle set broadcast once, probed map-side) decides
-   * which docs enter near-dup curation at all. This is the
+   * benchmark-decontamination screen composed into the intake: the
+   * frozen 3-gram shingle screen is broadcast to the staged map pass
+   * (each doc stamped with its leak bit as the crawl stages it — the
+   * 100 TB shape), and per arrival batch the admission filter,
+   * quality gate ∧ clean bit, decides which docs enter near-dup
+   * curation at all. This is the
    * FineWeb-style intake spine — filter for quality, drop eval
    * leakage, keep one canonical representative per near-dup cluster,
    * retro-correcting as smaller-id duplicates arrive — as ONE
@@ -136,10 +168,12 @@ object CurationStreamQueries {
 
   private[queries] def deconArtifacts(ss: SparkSession, dir: String): String =
     deconCache.synchronized {
-      deconCache.getOrElseUpdate(dir,
+      deconCache.getOrElseUpdate(dir, {
+        val base = scoredBase(ss, dir)
         graft.SetupTimer.time("curation_decon_store") {
-          buildCurationDecon(ss, dir)
-        })
+          buildCurationDecon(ss, base)
+        }
+      })
     }
 
   private def runCurationDecon(s: SparkSession, dir: String): DataFrame = {
@@ -150,33 +184,30 @@ object CurationStreamQueries {
       stateRoot = deconArtifacts(ss, dir)).view(s).orderBy(col("id"))
   }
 
-  private def buildCurationDecon(ss: SparkSession, dir: String): String = {
-    import graft.functions.{TextFunctions => TF}
-    val docs = graft.sources.Tables.load(ss, dir, "documents")
-    def shingled(df: DataFrame): DataFrame = df
-      .select(col("doc_id").as("id"),
-        TF.normalizeText(col("text")).as("__t"))
-      .select(col("id"), col("__t"),
-        TF.tokensFromNorm(col("__t")).as("__tok"))
-      .select(col("id"), col("__t"), col("__tok"),
-        array_distinct(TF.wordShinglesFromTokens(col("__tok"), 3))
-          .as("shin"))
-    // the frozen benchmark screen, built once before the stream
-    val bench = shingled(docs.filter(col("doc_id") % 50 === 0))
+  private def buildCurationDecon(ss: SparkSession,
+      base: DataFrame): String = {
+    // the frozen benchmark screen, built once before the stream from
+    // the shared base's shingle column
+    val bench = base.filter(col("id") % 50 === 0)
       .select(explode_outer(col("shin")).as("s"))
       .filter(col("s").isNotNull).distinct()
       .localCheckpoint()
-    val staged = shingled(docs.filter(col("doc_id") % 50 =!= 0))
-      .select(col("id"),
-        graft.operators.Dedup.simHashFromHashes(
-          transform(col("__tok"), t => TF.hash60(t)), 60).as("sig"),
-        TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
-        TF.qualityScoreFromCounts(
-          size(col("__tok")).cast("long"),
-          TF.stopwordCountFromTokens(col("__tok")),
-          length(col("__t")),
-          TF.punctCountFromNorm(col("__t"))).as("quality"),
-        col("shin"))
+    // the screen PROBE runs once in the staged map pass — exactly
+    // where a 100 TB intake broadcasts the frozen screen: to the
+    // crawl's mappers, each doc stamped with its leak bit as it is
+    // staged. (The r17 shape re-exploded every batch's shingle arrays
+    // against the screen inside the loop, which also meant shipping
+    // the arrays themselves through the stream transport; the bit
+    // costs one boolean per row.) The admission DECISION — quality ∧
+    // clean — still happens per arrival batch in the cycle below.
+    val dirty = base.filter(col("id") % 50 =!= 0)
+      .select(col("id"), explode_outer(col("shin")).as("s"))
+      .join(broadcast(bench), Seq("s"), "left_semi")
+      .select(col("id")).distinct()
+    val staged = base.filter(col("id") % 50 =!= 0)
+      .join(dirty.withColumn("__leak", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("sig"), col("n_bpe"), col("quality"),
+        coalesce(col("__leak"), lit(false)).as("leak"))
     val near = new graft.streaming.NearDupLedger(ss, bits = 60,
       maxHamming = 3, nBuckets = 16)
     val clusters = new graft.streaming.ClusterLedger(ss, nBuckets = 4)
@@ -184,14 +215,7 @@ object CurationStreamQueries {
       keyCol = "id", payloadCols = Seq("n_bpe", "quality"),
       nBuckets = 16)
     streamSliced(ss, staged, "id", "curation_decon") { (b, id) =>
-      // the batch's leaking docs (ANY benchmark 3-gram): map-side
-      // probe of the broadcast screen, strictest bar — one leaked
-      // shingle disqualifies
-      val dirty = b.select(col("id"), explode_outer(col("shin")).as("s"))
-        .join(broadcast(bench), Seq("s"), "left_semi")
-        .select(col("id")).distinct()
-      val qb = b.filter(col("quality") >= 0.6)
-        .join(dirty, Seq("id"), "left_anti")
+      val qb = b.filter(col("quality") >= 0.6 && !col("leak"))
         .select(col("id"), col("sig"), col("n_bpe"), col("quality"))
         .localCheckpoint()
       curationCycle(ss, near, clusters, curated, qb, id,
@@ -415,29 +439,21 @@ object CurationStreamQueries {
     scala.collection.mutable.Map.empty[String, String]
   private def semArtifacts(ss: SparkSession, dir: String): String =
     semCache.synchronized {
-      semCache.getOrElseUpdate(dir,
+      semCache.getOrElseUpdate(dir, {
+        val base = scoredBase(ss, dir)
         graft.SetupTimer.time("semcuration_store") {
-          buildSemCuration(ss, dir)
-        })
+          buildSemCuration(ss, dir, base)
+        }
+      })
     }
 
-  private def buildSemCuration(ss: SparkSession, dir: String): String = {
-    import graft.functions.{TextFunctions => TF}
-    // ONE staged projection: quality signals from the text, the
-    // signature from the embedding column — joined on the shared id
-    // domain before the stream starts (the crawl's map pass)
-    val staged = graft.sources.Tables.load(ss, dir, "documents")
-      .select(col("doc_id").as("id"),
-        TF.normalizeText(col("text")).as("__t"))
-      .select(col("id"), col("__t"),
-        TF.tokensFromNorm(col("__t")).as("__tok"))
-      .select(col("id"),
-        TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
-        TF.qualityScoreFromCounts(
-          size(col("__tok")).cast("long"),
-          TF.stopwordCountFromTokens(col("__tok")),
-          length(col("__t")),
-          TF.punctCountFromNorm(col("__t"))).as("quality"))
+  private def buildSemCuration(ss: SparkSession, dir: String,
+      base: DataFrame): String = {
+    // quality signals from the shared scored base, the signature from
+    // the embedding column — joined on the shared id domain before
+    // the stream starts (the crawl's map pass)
+    val staged = base
+      .select(col("id"), col("n_bpe"), col("quality"))
       .join(graft.sources.Tables.load(ss, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("sig")),
         Seq("id"))
