@@ -408,7 +408,20 @@ object LedgerStreamQueries {
    * and the forget itself rewrites its touched buckets
    * single-generation, so the mutation can only shrink the bound. A
    * pre-serve maintain removes the residue entirely (q126/q128's
-   * production pattern, ~4x serve cut, priced once in setup). */
+   * production pattern, priced once in setup).
+   *
+   * MEASURED cadence→cost point (r17 verdict #5, numbers from the
+   * committed r17 bench artifacts): this gate's quiet-box medians are
+   * 5.58 / 5.75 s (BENCH_DETAIL_r17_local_rep1/rep2) serving the
+   * un-maintained clone at the generation bound — vs ~0.5–1.0 s for
+   * the maintained-ledger serves of the same machinery (q126/q128,
+   * whose setup pays one maintain), i.e. the un-maintained residue
+   * costs ~4–6× the maintained serve and a pressured-I/O box
+   * stretches it further (22.2 s on the r17 final-run box, same
+   * plan). UpsertStreamSpec's "cadence→cost, MEASURED" test re-prices
+   * the same ratio in-suite on a ~24-generation fixture and asserts
+   * it stays a small multiple, so the structural bound keeps a
+   * checked cost consequence. */
   private def runNearDupForget(s: SparkSession, dir: String): DataFrame = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")

@@ -996,4 +996,51 @@ class UpsertStreamSpec extends SparkSpec {
     assert(st.maxGenerationsPerBucket <= maxGens,
       "delete must not grow the generation bound")
   }
+
+  test("cadence→cost, MEASURED (r17 verdict #5): serving at a deep " +
+      "un-maintained generation bound costs a bounded small multiple " +
+      "of the maintained serve — the structural bound has a priced " +
+      "consequence, not just a ceiling") {
+    import spark.implicits._
+    import graft.streaming.BucketedUpsert
+    val minCombine: DataFrame => DataFrame = df =>
+      df.groupBy(col("k")).agg(min(col("n")).as("n"))
+    val st = new BucketedUpsert.State(spark, "k", Seq("n"),
+      nBuckets = 4, combine = Some(minCombine), lsm = true)
+    // 24 batches, never maintained: every bucket accumulates ~24
+    // generations — the worst serve state the q111 class can reach at
+    // maintenance cadence 24
+    (0 until 24).foreach { i =>
+      st.merge((0 until 2000).map(k =>
+        (k.toLong, (i * 2000 + k).toLong)).toDF("k", "n"), i.toLong)
+    }
+    val deepGens = st.maxGenerationsPerBucket
+    assert(deepGens >= 20, s"fixture too shallow: $deepGens gens")
+    def serveSecs(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      st.view(spark).agg(sum(col("n"))).head()
+      (System.nanoTime() - t0) / 1e9
+    }.min // min-of-3: the steadiest sample on a shared box
+    val unmaintained = serveSecs()
+    st.compactTiered(9999L, fanout = 2, maxGens = 2)
+    assert(st.maxGenerationsPerBucket <= 2,
+      s"full maintain left ${st.maxGenerationsPerBucket} generations")
+    val maintained = serveSecs()
+    // answer unchanged by maintenance (the fold is the same monoid)
+    assert(st.view(spark).count() == 2000)
+    val ratio = unmaintained / maintained
+    info(f"serve at $deepGens gens: $unmaintained%.3f s; " +
+      f"maintained: $maintained%.3f s; ratio $ratio%.1f×")
+    // the priced claim: a ~24-generation un-maintained read stays
+    // within a SMALL multiple of the maintained read (the r17 bench
+    // artifacts put the production point at ~4×: q111 serves its
+    // un-maintained clone in 5.6-5.8 s quiet-box while the maintained
+    // q126/q128 stores serve at store cost). 25× is deliberately
+    // generous — the assertion exists to catch the bound becoming
+    // vacuous (per-generation cost turning superlinear), not to pin
+    // box speed.
+    assert(ratio < 25.0,
+      f"un-maintained serve $ratio%.1f× the maintained serve — the " +
+        "generation bound no longer caps real cost")
+  }
 }
