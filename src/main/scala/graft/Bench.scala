@@ -50,6 +50,13 @@ object Bench {
     }
   }
 
+  /** The per-query rep count — the ONE source shared by the bench
+   * loop and any gate setup that pre-provisions per-rep resources
+   * (q90's debt-layout pool): a divergence would silently under-fill
+   * such a pool and put build work back inside timed reps. */
+  private[graft] def repCount: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -76,7 +83,7 @@ object Bench {
     // (3-5× spikes on queries whose code hadn't changed, while the local
     // median-of-3 matched the prior round), so the authoritative number
     // is now a median by default; set reps=1 only for quick dev loops.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = repCount
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2)
@@ -144,10 +151,8 @@ object Bench {
     // contention (something else running on the machine), not a plan
     // regression — round 11's g02 9.9× driver outlier was unattributable
     // precisely because the bench recorded no evidence either way.
-    def loadavg(): Double =
-      try java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
+    // (One shared probe: SetupTimer.loadavg — the setup stamps mirror it.)
+    def loadavg(): Double = SetupTimer.loadavg()
     // dev-only subset filter (comma-separated names, mirrors Verify's);
     // the driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -35,7 +35,11 @@ object SetupTimer {
 
   private val walls = mutable.LinkedHashMap.empty[String, Build]
 
-  private def loadavg(): Double =
+  /** 1-min loadavg, -1.0 when unreadable — the ONE copy of the probe
+   * and its sentinel convention; [[Bench]] samples per-query loads
+   * through this same helper so the setup_high_load comparison against
+   * the query-load median can never desynchronize. */
+  def loadavg(): Double =
     try java.nio.file.Files.readString(
       java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }

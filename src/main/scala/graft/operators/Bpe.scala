@@ -92,6 +92,20 @@ object Bpe {
   /** One trained merge: `step` is 1-based rank order. */
   final case class Merge(step: Int, lhs: String, rhs: String, n: Long)
 
+  /** ONE canonical greedy merge pass as a column expression — the
+   * doubled-separator tiling (class doc): double the separators,
+   * replace " lhs  rhs " with " lhsrhs ", collapse back. This is the
+   * single definition shared by the training loop's apply, [[resume]]'s
+   * seed replay, and [[encodeExpr]]'s chain: the tiling is a documented
+   * standing hazard, and resume/encode exactness versus the trained
+   * chain holds only while every consumer applies the IDENTICAL pass. */
+  private def mergePass(c: org.apache.spark.sql.Column,
+      lhs: String, rhs: String): org.apache.spark.sql.Column =
+    trim(replace(replace(
+      concat(lit(" "), replace(c, lit(" "), lit("  ")), lit(" ")),
+      lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")),
+      lit("  "), lit(" ")))
+
   /** Train `rounds` merges on the corpus behind `textCol`. Returns
    * the ranked merge table — the artifact a tokenizer ships.
    * `batchK > 1` accepts up to K merges per Spark round under the
@@ -133,10 +147,7 @@ object Bpe {
     val replayed = seed.grouped(chunk).foldLeft(
       baseVocab(docs, textCol)) { (v, ms) =>
       val sNew = ms.foldLeft(col("s")) { (c, m) =>
-        trim(replace(replace(
-          concat(lit(" "), replace(c, lit(" "), lit("  ")), lit(" ")),
-          lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} ")),
-          lit("  "), lit(" ")))
+        mergePass(c, m.lhs, m.rhs)
       }
       v.select(sNew.as("s"), col("f")).localCheckpoint()
     }
@@ -280,10 +291,7 @@ object Bpe {
       // back; a batch's merges are symbol-disjoint, so chaining the
       // passes in one map stage equals applying them sequentially
       val sNew = accepted.foldLeft(col("s")) { case (c, (lhs, rhs, _)) =>
-        trim(replace(replace(
-          concat(lit(" "), replace(c, lit(" "), lit("  ")), lit(" ")),
-          lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")),
-          lit("  "), lit(" ")))
+        mergePass(c, lhs, rhs)
       }
       vocab = vocab.select(sNew.as("s"), col("f")).localCheckpoint()
       step += accepted.size
@@ -308,12 +316,7 @@ object Bpe {
       merges: Seq[Merge]): org.apache.spark.sql.Column = {
     val init = concat(array_join(
       regexp_extract_all(word, lit("."), lit(0)), " "), lit(" </w>"))
-    merges.foldLeft(init) { (s, m) =>
-      trim(replace(replace(
-        concat(lit(" "), replace(s, lit(" "), lit("  ")), lit(" ")),
-        lit(s" ${m.lhs}  ${m.rhs} "), lit(s" ${m.lhs}${m.rhs} ")),
-        lit("  "), lit(" ")))
-    }
+    merges.foldLeft(init) { (s, m) => mergePass(s, m.lhs, m.rhs) }
   }
 
   /** ENCODE the corpus with a trained merge table — the tokenizer's

@@ -53,9 +53,17 @@ object Advanced {
       |FROM g ORDER BY user_id, ver""".stripMargin
 
   /** q90's pre-created small-file debt layouts — one consumed per
-   * timed rep, refilled by the gate's setup thunk (r17 verdict #3). */
-  private val q90DebtPool =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+   * timed rep, refilled by the gate's setup thunk (r17 verdict #3).
+   * Keyed by corpus dir like every sibling cache: a JVM that exercises
+   * two sfDirs must never compact a layout built from the other one. */
+  private val q90DebtPools = scala.collection.mutable
+    .Map.empty[String, java.util.concurrent.ConcurrentLinkedQueue[String]]
+  private def q90DebtPool(
+      dir: String): java.util.concurrent.ConcurrentLinkedQueue[String] =
+    q90DebtPools.synchronized {
+      q90DebtPools.getOrElseUpdate(dir,
+        new java.util.concurrent.ConcurrentLinkedQueue[String]())
+    }
 
   /** One day-partitioned events layout with deliberate 12-files/day
    * small-file debt — q90's compaction scenario. */
@@ -988,7 +996,7 @@ object Advanced {
         // a rep consumes one pre-created debt layout (pool filled in
         // setup); outside the bench — or if the pool runs dry — it
         // builds its own inline, same layout either way
-        val root = Option(q90DebtPool.poll())
+        val root = Option(q90DebtPool(dir).poll())
           .getOrElse(q90DebtLayout(s, dir))
         val report = graft.operators.TableCompaction.compact(
           s, root, "day", targetBytes = 64L * 1024 * 1024)
@@ -1010,8 +1018,8 @@ object Advanced {
       // and now land in the setup metric under their own name; reps
       // time TableCompaction.compact + the compacted read only.
       setup = Some((ss, dir) => graft.SetupTimer.time("q90_debt_layouts") {
-        val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-        (1 to n).foreach(_ => q90DebtPool.add(q90DebtLayout(ss, dir)))
+        (1 to graft.Bench.repCount).foreach(_ =>
+          q90DebtPool(dir).add(q90DebtLayout(ss, dir)))
       })),
 
     // ----------------------------------------------------------------

@@ -28,15 +28,24 @@ class OracleLintSpec extends AnyFunSuite {
     sys.process.Process("python3" +: lint.getPath +: args,
       repoRoot).!
 
+  /** An environment without python3+duckdb is a gap to SKIP (assume),
+   * not a lint regression to red — matches the spec's fixture guards. */
+  private lazy val duckdbAvailable: Boolean =
+    try sys.process.Process(
+      Seq("python3", "-c", "import duckdb"), repoRoot).! == 0
+    catch { case _: Throwable => false }
+
   test("oracle_lint --selftest: the lint still red-flags the HUGEINT " +
       "and odd-decimal classes and passes the portable shapes") {
     assume(lint.isFile, s"missing $lint")
+    assume(duckdbAvailable, "python3/duckdb unavailable on this box")
     assert(run("--selftest") == 0, "oracle_lint --selftest failed")
   }
 
   test("EVERY registered oracle DESCRIBEs to portable output types " +
       "against the sf0.001 tables") {
     assume(lint.isFile, s"missing $lint")
+    assume(duckdbAvailable, "python3/duckdb unavailable on this box")
     assume(new java.io.File("/root/testdata/sf0.001").isDirectory,
       "no sf0.001 fixture on this box")
     val out = java.nio.file.Files
