@@ -429,14 +429,20 @@ object LedgerStreamQueries {
     // forget is a mutation: replay it against a deep clone, so the
     // shared streamed ledger stays pristine for q108 whatever order
     // the gates run in (the q107 cloneTo pattern)
-    val led = graft.streaming.NearDupLedger.recover(ss, bits = 60,
-        maxHamming = 3, nBuckets = 16, root = root)
-      .cloneTo(graft.sources.Scratch.dir("neardup_forget_clone"))
-    led.forget(docSimhashSigs(ss, dir).filter(col("id") % 17 === 0),
-      100L)
-    val out = graft.sources.Scratch.dir("neardup_forget_out")
-    led.minePairs().write.mode("overwrite").parquet(out)
-    s.read.parquet(out).orderBy(col("a"), col("b"))
+    val led = graft.StageTimer.time("q111_neardup_forget_mine", "clone") {
+      graft.streaming.NearDupLedger.recover(ss, bits = 60,
+          maxHamming = 3, nBuckets = 16, root = root)
+        .cloneTo(graft.sources.Scratch.dir("neardup_forget_clone"))
+    }
+    graft.StageTimer.time("q111_neardup_forget_mine", "forget") {
+      led.forget(docSimhashSigs(ss, dir).filter(col("id") % 17 === 0),
+        100L)
+    }
+    // serve the mined pairs directly: the old parquet write+readback was
+    // sink-shaped work inside the timed rep (guide §1.4) — the forget is
+    // already durably committed above, and the mine plan reads only the
+    // clone's committed files, so nothing here needs a materialization
+    led.minePairs().orderBy(col("a"), col("b"))
   }
 
   private def nearDupForgetOracle: String =

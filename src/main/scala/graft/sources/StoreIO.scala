@@ -75,6 +75,46 @@ object StoreIO {
       false, c), s"copy $src -> $dst failed")
   }
 
+  /** Clone `src` into `dst` for IMMUTABLE store files: on a local
+   * filesystem each data file is HARD-LINKED instead of byte-copied —
+   * every store that clones (BucketedUpsert/ledgers) writes new files
+   * and retires old ones by DELETION, never modifying bytes in place,
+   * so unlinking one name can never disturb the other and a link-clone
+   * is observationally identical to a copy at metadata cost (Delta's
+   * shallow CLONE applies the same reference-don't-rewrite trade over
+   * its log; at 100 TB of state this is the difference between an O(1)
+   * metadata op and re-writing the store). Any non-local FileSystem
+   * pair, and any link failure (e.g. cross-device), falls back to the
+   * byte copy. */
+  def cloneDir(spark: SparkSession, src: String, dst: String): Unit = {
+    val sFs = fs(spark, src)
+    val dFs = fs(spark, dst)
+    val local = sFs.getScheme == "file" && dFs.getScheme == "file"
+    if (!local) { copyDir(spark, src, dst); return }
+    try {
+      import java.nio.file.{Files, Paths => JPaths}
+      val srcP = JPaths.get(new Path(src).toUri.getPath)
+      val dstP = JPaths.get(new Path(dst).toUri.getPath)
+      val stream = Files.walk(srcP)
+      try {
+        stream.forEach { p =>
+          val rel = srcP.relativize(p)
+          val tgt = dstP.resolve(rel)
+          if (Files.isDirectory(p)) Files.createDirectories(tgt)
+          else {
+            Files.createDirectories(tgt.getParent)
+            Files.createLink(tgt, p)
+          }
+        }
+      } finally stream.close()
+    } catch {
+      case _: java.io.IOException | _: UnsupportedOperationException =>
+        // cross-device or link-less FS: clean the partial tree and copy
+        delete(spark, dst)
+        copyDir(spark, src, dst)
+    }
+  }
+
   /** Rename `src` onto `dst` (no overwrite), failing loudly. */
   def rename(spark: SparkSession, src: String, dst: String): Unit = {
     require(fs(spark, src).rename(new Path(src), new Path(dst)),

@@ -386,6 +386,20 @@ object BucketedUpsert {
       require(strays.isEmpty,
         s"replaceKeys: rows carry keys outside the replaced key set " +
           s"(e.g. ${strays.select(col(keyCol)).head()})")
+      replaceKeysPrechecked(rows, keys, opId)
+    }
+
+    /** [[replaceKeys]] minus the stray-keys evaluation, for callers
+     * whose rows⊆keys containment holds BY CONSTRUCTION (e.g.
+     * [[PostingLedger.forget]] derives its replacement rows from a
+     * semi-join against the very key set it replaces). The stray check
+     * costs one full evaluation of `rows` — on a read-modify-write
+     * maintenance op that is a second scan of every touched bucket —
+     * so the guard is worth skipping exactly when the containment is
+     * structural rather than caller-supplied data. */
+    private[streaming] def replaceKeysPrechecked(rows: DataFrame,
+        keys: DataFrame, opId: Long): Unit = {
+      val ks = keys.select(col(keyCol)).distinct()
       val touched = ks.select(bucketOf.as("__b")).distinct()
         .collect().map(_.getInt(0)).sorted
       if (touched.isEmpty) return
@@ -813,7 +827,10 @@ object BucketedUpsert {
         val copied = bucketDirs(b).zipWithIndex.map { case (p, gi) =>
           val dest =
             if (lsm) s"$out/__bucket=${b}_g$gi" else s"$out/__bucket=$b"
-          graft.sources.StoreIO.copyDir(ss, p, dest)
+          // bucket files are immutable (merge/replace write new files
+          // and retire by delete), so the clone hard-links on a local
+          // FS instead of copying bytes — see StoreIO.cloneDir
+          graft.sources.StoreIO.cloneDir(ss, p, dest)
           dest
         }
         st.tx.current(b) = copied.mkString(",")

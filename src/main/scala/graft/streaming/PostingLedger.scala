@@ -226,7 +226,8 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
     // legitimate no-op, not a misdirecting lookup error
     if (!store.hasState) return
     val bands = bandKeys(sigs).localCheckpoint()
-    val touched = store.lookupJoin(ss, bands.select(col("bkey")))
+    val bandKeySet = bands.select(col("bkey")).distinct()
+    val touched = store.lookupJoin(ss, bandKeySet)
     val victims = bands
       .select(col("bkey").as("__vbk"), col("id").as("__vid"))
     val survivors = touched
@@ -236,6 +237,15 @@ abstract class PostingLedger(ss: SparkSession, nBuckets: Int,
         "left_anti")
       .groupBy(col("bkey"))
       .agg(collect_list(col("p")).as("posting"))
-    store.replaceKeys(survivors, touched.select(col("bkey")), opId)
+    // the replaced key set is the BAND key set, not the store-derived
+    // touched set: a band key absent from the store replaces to its
+    // (absent) rows — a no-op — and the store-derived set would cost a
+    // second bucket scan just to re-learn what the semi-join already
+    // pruned. survivors ⊆ bandKeySet holds by construction (survivors
+    // group exactly the touched postings, themselves semi-joined on
+    // bandKeySet), so the prechecked path skips the stray-rows scan —
+    // together these cut forget from three touched-bucket evaluations
+    // (strays + key collect + rewrite) to ONE.
+    store.replaceKeysPrechecked(survivors, bandKeySet, opId)
   }
 }
