@@ -252,8 +252,13 @@ object Dedup {
     // each iteration joins the previous checkpoint back into itself, so
     // inherited size stats would compound geometrically and the DRIVER
     // would drown in BigInt stats arithmetic (see graft.Frames).
-    val sym = graft.Frames.cp(pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b"))))
+    // checkpoint the pairs BEFORE symmetrizing: the union's two branches
+    // are separate subtrees to Catalyst, so cp(pairs ∪ swap(pairs))
+    // evaluated the entire candidate pipeline TWICE; cp(pairs) runs it
+    // once and the symmetrized view is a cheap double scan of the
+    // cached blocks in every iteration join
+    val p0 = graft.Frames.cp(pairs.select(col("a"), col("b")))
+    val sym = p0.union(p0.select(col("b").as("a"), col("a").as("b")))
     // init = iteration 1 fused: min(id, min(neighbor)) is exactly what
     // the first propagation round would compute from label=id, at the
     // cost of the same one aggregate the plain distinct-init pays —

@@ -368,19 +368,22 @@ object CurationStreamQueries {
         .filter(col("__c").isNull || col("__c") === col("id"))
       else qb) // a pairless stream so far: every quality doc is a rep
       .select(col("id"), col("n_bpe"), col("quality"))
-    graft.StageTimer.time("q115_stream_curation", "admit_merge") {
-      curated.merge(admitted, id)
-    }
     // retro-correction: a label that DROPPED below its id is a lost
     // representative status — delete it. Deleting an id that was
     // never admitted (non-quality members never enter the ledger;
     // non-representatives were never merged) is a natural no-op, so
-    // the demotion set needs no admission bookkeeping. Distinct opId
-    // spaces: merge commits ride the batch id, deletes its retro half.
+    // the demotion set needs no admission bookkeeping. The admit merge
+    // and the demote delete fuse into ONE store commit
+    // ([[graft.streaming.BucketedUpsert.State.applyBatch]] — the MERGE
+    // INTO shape): a batch's own admitted docs are never its demoted
+    // docs (admission reads the post-fold committed labels, so a doc
+    // with cluster < id was never admitted), which makes the fused
+    // merge-then-delete identical to the old two-commit cycle — at one
+    // read and one rewrite of the touched buckets instead of two.
     val demoted = delta.filter(col("cluster") < col("id"))
       .select(col("id"))
-    graft.StageTimer.time("q115_stream_curation", "demote_delete") {
-      curated.delete(demoted, 1000L + id)
+    graft.StageTimer.time("q115_stream_curation", "admit_demote_apply") {
+      curated.applyBatch(admitted, demoted, id)
     }
   }
 

@@ -621,18 +621,51 @@ object StreamingQueries {
       idCol: String, tag: String, nSlices: Int = 4)(
       body: (DataFrame, Long) => Unit): Unit = {
     val src = graft.sources.Scratch.dir(s"${tag}_src")
-    val staged = rows.localCheckpoint()
+    // ONE partitioned write stages every slice (the old form ran one
+    // coalesce(1) job per slice — nSlices full passes over the staged
+    // rows); repartitioning on the slice key puts each slice's rows in
+    // one task, so partitionBy emits exactly one file per slice. The
+    // files are then MOVED into the flat source dir with strictly
+    // increasing mtimes — the file stream source orders by modification
+    // time, so batch K still carries exactly slice K (the arrival-order
+    // contract q116-style as-of gates rely on).
     // pmod, not %: Spark's % preserves sign, so a negative id would
     // match NO slice and the row would silently never stream. (A null
-    // id still matches nothing — ids are keys here; fail the count.)
+    // id pmods to null → the Hive default partition, caught below.)
+    val stagedDir = graft.sources.Scratch.dir(s"${tag}_stage")
+    rows.withColumn("__slice", pmod(col(idCol), lit(nSlices)))
+      .repartition(nSlices, col("__slice"))
+      // overwrite: Scratch.dir pre-creates the (empty) directory
+      .write.mode("overwrite").partitionBy("__slice").parquet(stagedDir)
+    val nullDir = s"$stagedDir/__slice=__HIVE_DEFAULT_PARTITION__"
+    require(!graft.sources.StoreIO.exists(ss, nullDir),
+      s"streamSliced($tag): null-$idCol rows would never stream — " +
+        "slice on a non-null key")
+    val fsRoot = java.nio.file.Paths.get(src)
+    java.nio.file.Files.createDirectories(fsRoot)
+    val base = System.currentTimeMillis()
     (0 until nSlices).foreach { i =>
-      staged.filter(pmod(col(idCol), lit(nSlices)) === i)
-        .coalesce(1).write.mode("append").parquet(src)
+      val sliceDir = s"$stagedDir/__slice=$i"
+      if (!graft.sources.StoreIO.exists(ss, sliceDir)) {
+        // an empty slice still streams an (empty) batch, exactly as the
+        // old per-slice append wrote an empty file — batch numbering
+        // and the as-of boundary vectors must not shift
+        ss.read.parquet(stagedDir).drop("__slice").limit(0)
+          .coalesce(1).write.parquet(sliceDir)
+      }
+      val sliceFiles = graft.sources.StoreIO.list(ss, sliceDir)
+        .filter(_.getName.endsWith(".parquet"))
+      require(sliceFiles.size == 1,
+        s"streamSliced($tag): slice $i staged ${sliceFiles.size} files " +
+          "— the repartition-on-slice contract (one file per slice) broke")
+      val tgt = fsRoot.resolve(f"slice$i%02d.parquet")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(sliceFiles.head.toUri.getPath), tgt)
+      // strictly increasing, second-apart stamps: the source sorts by
+      // ms mtime and two same-stamp files would merge into one batch
+      java.nio.file.Files.setLastModifiedTime(tgt,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
     }
-    val nulls = staged.filter(col(idCol).isNull).count()
-    require(nulls == 0,
-      s"streamSliced($tag): $nulls null-$idCol rows would never " +
-        "stream — slice on a non-null key")
     val q = ss.readStream.schema(ss.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .writeStream

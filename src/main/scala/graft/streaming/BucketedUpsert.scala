@@ -363,6 +363,50 @@ object BucketedUpsert {
       }
     }
 
+    /** MERGE-THEN-DELETE in ONE commit — the MERGE INTO shape (matched
+     * updates + matched deletes in a single maintenance round). A
+     * caller that upserts a batch and then deletes a (disjoint or
+     * overlapping) key set pays two read-modify-write rounds over
+     * largely the SAME touched buckets plus two manifest commits; this
+     * fuses them: one read of the touched buckets, one rewrite, one
+     * commit. Semantics are exactly [[merge]]`(upserts, opId)` followed
+     * by [[delete]]`(deleteKeys, opId)` — a key in both ends deleted —
+     * and the touched buckets come out single-generation (the delete
+     * path's lsm-collapse contract). Commits iff either side touches a
+     * bucket, so version-boundary consumers (readAsOf audits) see the
+     * same boundary the two-commit form's LAST commit exposed. */
+    def applyBatch(upserts: DataFrame, deleteKeys: DataFrame,
+        opId: Long): Unit = {
+      val newest = reduce(upserts)
+      val dks = deleteKeys.select(col(keyCol)).distinct()
+      // bounded driver-side lists (≤ nBuckets ints each)
+      val upB = newest.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0))
+      val delB = dks.select(bucketOf.as("__b")).distinct()
+        .collect().map(_.getInt(0)).filter(current.contains)
+      val touched = (upB ++ delB).distinct.sorted
+      if (touched.isEmpty) return
+      val prevPaths = dirsOf(touched.toSeq)
+      val merged0 = prevPaths.headOption match {
+        case Some(_) =>
+          val prev = ss.read.option("mergeSchema", "true")
+            .parquet(prevPaths: _*)
+          reduce(newest.unionByName(prev, allowMissingColumns = true))
+        case None => newest
+      }
+      val merged = merged0.join(dks, Seq(keyCol), "left_anti")
+      val out = tx.attemptDir(opId)
+      merged.withColumn("__bucket", bucketOf)
+        .write.partitionBy("__bucket").parquet(out)
+      touched.foreach { b =>
+        val p = s"$out/__bucket=$b"
+        if (tx.exists(p)) current(b) = p
+        else current.remove(b)
+      }
+      tx.commit(s"batch $opId")
+      if (!retainHistory) tx.retire(prevPaths)
+    }
+
     /** REPLACE the full state of a key set in ONE commit: after the
      * call, every key of `keys` holds exactly its rows in `rows` (a
      * key of `keys` with no row in `rows` is removed). [[merge]] can
