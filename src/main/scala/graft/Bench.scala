@@ -302,6 +302,29 @@ object Bench {
     // one-time cached-artifact builds, attributed per cache — `value` in
     // the total line below is serve + this, so the headline drops nothing
     println(s"""{"metric":"setup","total":${f3(SetupTimer.total)},"builds":${SetupTimer.json},"setup_failed":$setupFailedJson}""")
+    // COMPACT top-movers line (r18 verdict #1/#2): the full per-query
+    // map above is ~6 kB at 200+ queries and overflows the driver's
+    // bounded (~2000-char) stdout tail — the driver was blind to
+    // per-query timings for two rounds. This line carries the top-N
+    // most expensive medians (the regression-relevant head; the full
+    // map stays in the detail artifact and in the first line for any
+    // unbounded consumer), size-capped so it PLUS the canary/total
+    // lines always fit the tail window. Entries here are a SUBSET of
+    // the full map above — `omitted` says how many gates the cap
+    // dropped, so a subset is never misread as a shrunken registry.
+    locally {
+      val byCost = results.filter(_.med >= 0).sortBy(-_.med)
+      val entries = byCost.map(r => s"\"${r.name}\":${f3(r.med)}")
+      val budget = 700 // chars for the {...} map body
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      var used = 0
+      entries.take(20).foreach { e =>
+        if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      }
+      println(s"""{"metric":"top","n":${results.size},""" +
+        s""""omitted":${results.size - kept.size},""" +
+        s""""queries":${kept.mkString("{", ",", "}")}}""")
+    }
     println(s"""{"metric":"canary","ref":${f3(CanaryRef)},"run":${f3(canary)},"end":${f3(canaryEnd)},"io_run":${f3(ioCanary)},"io_end":${f3(ioCanaryEnd)},"total_normalized":${f3((total + SetupTimer.total) * CanaryRef / canary)}}""")
     println(s"""{"metric":"total","value":${f3(total + SetupTimer.total)},"serve":${f3(total)},"setup":${f3(SetupTimer.total)},"unit":"sec","n":${results.size},"failed":$nFailed,"reps":$reps,"sf":"$sfName"}""")
   }

@@ -641,6 +641,14 @@ object StreamingQueries {
     require(!graft.sources.StoreIO.exists(ss, nullDir),
       s"streamSliced($tag): null-$idCol rows would never stream — " +
         "slice on a non-null key")
+    // empty-slice schema taken from `rows` itself, NOT inferred from
+    // stagedDir (ADVICE r18): an empty slice that follows moved-out
+    // non-empty ones — or an entirely empty `rows` — finds stagedDir
+    // holding no data file by the time its fallback runs, and the
+    // schema-inference read would throw in exactly the case the
+    // fallback exists for. The staged data files carry exactly `rows`'
+    // columns (`__slice` is a partition dir, never a file column).
+    val sliceSchema = rows.schema
     val fsRoot = java.nio.file.Paths.get(src)
     java.nio.file.Files.createDirectories(fsRoot)
     val base = System.currentTimeMillis()
@@ -650,7 +658,9 @@ object StreamingQueries {
         // an empty slice still streams an (empty) batch, exactly as the
         // old per-slice append wrote an empty file — batch numbering
         // and the as-of boundary vectors must not shift
-        ss.read.parquet(stagedDir).drop("__slice").limit(0)
+        ss.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            sliceSchema)
           .coalesce(1).write.parquet(sliceDir)
       }
       val sliceFiles = graft.sources.StoreIO.list(ss, sliceDir)

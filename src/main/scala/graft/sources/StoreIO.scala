@@ -108,7 +108,11 @@ object StoreIO {
         }
       } finally stream.close()
     } catch {
-      case _: java.io.IOException | _: UnsupportedOperationException =>
+      // UncheckedIOException: Files.walk's lazy traversal surfaces
+      // mid-walk I/O errors as a RuntimeException wrapper (ADVICE r18)
+      // — it must degrade to the byte copy like the direct IOException
+      case _: java.io.IOException | _: java.io.UncheckedIOException |
+          _: UnsupportedOperationException =>
         // cross-device or link-less FS: clean the partial tree and copy
         delete(spark, dst)
         copyDir(spark, src, dst)

@@ -377,6 +377,7 @@ object BucketedUpsert {
      * same boundary the two-commit form's LAST commit exposed. */
     def applyBatch(upserts: DataFrame, deleteKeys: DataFrame,
         opId: Long): Unit = {
+      val t0 = System.nanoTime()
       val newest = reduce(upserts)
       val dks = deleteKeys.select(col(keyCol)).distinct()
       // bounded driver-side lists (≤ nBuckets ints each)
@@ -387,6 +388,12 @@ object BucketedUpsert {
       val touched = (upB ++ delB).distinct.sorted
       if (touched.isEmpty) return
       val prevPaths = dirsOf(touched.toSeq)
+      val stateRows =
+        if (collectMetrics)
+          prevPaths.headOption
+            .map(_ => ss.read.parquet(prevPaths: _*).count())
+            .getOrElse(0L)
+        else -1L
       val merged0 = prevPaths.headOption match {
         case Some(_) =>
           val prev = ss.read.option("mergeSchema", "true")
@@ -405,6 +412,11 @@ object BucketedUpsert {
       }
       tx.commit(s"batch $opId")
       if (!retainHistory) tx.retire(prevPaths)
+      // soak/observability parity with merge()/delete(), which this op
+      // replaces (ADVICE r18): the fused commit must not silently drop
+      // the BatchMetrics evidence trail
+      metrics += BatchMetrics(opId, touched.length, stateRows,
+        (System.nanoTime() - t0) / 1000000)
     }
 
     /** REPLACE the full state of a key set in ONE commit: after the
