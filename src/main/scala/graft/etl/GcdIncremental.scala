@@ -235,23 +235,32 @@ object GcdIncremental {
         date: String, flags: GcdFlags = GcdFlags(),
         emitFeed: Boolean = false): Unit = {
       val t0 = System.nanoTime()
+      // materialized ONCE: the touched set feeds six-plus separate
+      // subtrees (three rebuild semi-joins, the bucket-routing collect,
+      // the carry anti-join, the feed images' semi-joins), and each
+      // would otherwise re-evaluate its derivation — at production
+      // scale that is re-diffing the dump once per consumer (guide
+      // §7.2 duplicated subtrees / §5 lineage truncation)
       val touched = touchedIssues.select(col("issue_id")).distinct()
+        .localCheckpoint()
       val rebuilt = rebuildTouched(ss, tables, touched, date, flags)
       // bounded driver-side list (≤ nBuckets ints), not a data collect
       val tb = touched.select(bucketOf.as("__b")).distinct()
         .collect().map(_.getInt(0)).sorted
       if (tb.nonEmpty) {
         val prevPaths = tb.toSeq.flatMap(current.get)
-        val carried = prevPaths.headOption.map { _ =>
-          ss.read.parquet(prevPaths: _*)
-            .join(touched, Seq("issue_id"), "left_anti")
-            .select(columns.map(col): _*)
-        }
+        // ONE read (one FileIndex) of the touched buckets' previous
+        // version, shared by the carry anti-join, the metrics count and
+        // the feed's before-images — each separate read.parquet() paid
+        // its own file-listing pass (a listing JOB past the parallel-
+        // discovery threshold) over the same dirs
+        val prevDf = prevPaths.headOption.map(_ =>
+          ss.read.parquet(prevPaths: _*))
+        val carried = prevDf.map(
+          _.join(touched, Seq("issue_id"), "left_anti")
+            .select(columns.map(col): _*))
         val carryRows =
-          if (collectMetrics)
-            prevPaths.headOption
-              .map(_ => ss.read.parquet(prevPaths: _*).count())
-              .getOrElse(0L)
+          if (collectMetrics) prevDf.map(_.count()).getOrElse(0L)
           else -1L
         val written = writeBuckets(
           carried.map(_.unionByName(rebuilt)).getOrElse(rebuilt))
@@ -259,15 +268,18 @@ object GcdIncremental {
           // touched-issue row images on each side of this maintain; a
           // missing side (all-new buckets / full deletion) is an empty
           // relation with the snapshot schema
-          def images(paths: Seq[String]): DataFrame = {
-            val any = (paths ++ prevPaths ++ written.values).head
-            (if (paths.nonEmpty) ss.read.parquet(paths: _*)
-             else ss.read.parquet(any).limit(0))
+          def images(df: Option[DataFrame]): DataFrame = {
+            val any = (prevPaths ++ written.values).head
+            df.getOrElse(ss.read.parquet(any).limit(0))
               .join(touched, Seq("issue_id"), "left_semi")
               .select(columns.map(col): _*)
           }
-          val before = images(prevPaths)
-          val after = images(tb.toSeq.flatMap(written.get))
+          // before-images ride the SAME prevDf read as the carry
+          val before = images(prevDf)
+          val afterPaths = tb.toSeq.flatMap(written.get)
+          val after = images(
+            afterPaths.headOption.map(_ =>
+              ss.read.parquet(afterPaths: _*)))
           // symmetric diff in ONE shuffle: tag each side, group on the
           // full row, keep rows present on exactly one side. min/max of
           // the tag distinguishes only-before (max=-1 → 'D') from
@@ -367,6 +379,36 @@ object GcdIncremental {
     /** The store root (pass to [[GcdIncremental.recover]] after a
      * simulated or real driver loss). */
     def rootDir: String = storeRoot
+
+    /** LINK-CLONE of the LIVE snapshot into `newRoot` — the
+     * [[graft.streaming.BucketedUpsert.State.cloneTo]] trade applied
+     * to the flagship store: every live bucket version clones into the
+     * new root via [[graft.sources.StoreIO.cloneDir]] (hard links on a
+     * local FS — bucket files are immutable, write-new retire-by-
+     * delete, so unlinking one name never disturbs the other; any
+     * other FS pair falls back to the byte copy) and ONE fresh
+     * manifest commits over the clones. The clone is a fully
+     * independent store: maintains/retires on either side can never
+     * rewrite or retire the other's files. History and the change
+     * feed are NOT carried — a `retainHistory` clone starts its own
+     * generation 1 at the live view (1 = this clone's init state,
+     * 2 = after its first dump — the same stable numbering a fresh
+     * init'd store has). */
+    def cloneTo(newRoot: String, retainHistory: Boolean = false)
+        : SnapshotStore = {
+      require(current.nonEmpty, "cloneTo before init")
+      val st = new SnapshotStore(ss, nBuckets, collectMetrics = false,
+        retainHistory, Some(newRoot))
+      st.columns = columns
+      val out = st.tx.attemptDir(0L)
+      current.toSeq.sortBy(_._1).foreach { case (b, p) =>
+        val dest = s"$out/__bucket=$b"
+        graft.sources.StoreIO.cloneDir(ss, p, dest)
+        st.tx.current(b) = dest
+      }
+      st.tx.commit("clone")
+      st
+    }
 
     /** Number of committed generations still readable via
      * [[snapshotAsOf]] (history-retaining stores). */
