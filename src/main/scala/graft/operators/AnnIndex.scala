@@ -56,6 +56,14 @@ object AnnIndex {
     verifiedLayouts.remove(root); ()
   }
 
+  /** Pin a finished build OUT of the lazy two-generation retirement
+   * queue: a TEMPLATE root (a committed index that later reps clone
+   * from) must survive every subsequent [[build]], which would
+   * otherwise retire it as "older generation". */
+  def retain(root: String): Unit = {
+    deadRoots.remove(root); ()
+  }
+
   /**
    * Build the index artifact under a fresh scratch root: `centroids`
    * (cid, cv, cn) and `postings` (vid, vv, vn) partitioned by cid.

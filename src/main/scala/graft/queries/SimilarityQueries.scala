@@ -12,6 +12,130 @@ import graft.sources.Tables
  */
 object SimilarityQueries {
 
+  // ---- persisted-index TEMPLATES (r18 verdict #5 — the q111/GCD
+  // link-clone trade applied to the IVF artifact): each lifecycle
+  // gate's SCENARIO CONSTRUCTION (the base build, the fragmenting
+  // maintains, the drift arrivals) is byte-identical every rep, so it
+  // is committed ONCE per JVM as its own priced setup line, and each
+  // rep LINK-CLONES the template (StoreIO.cloneDir — index files are
+  // immutable: maintain appends new part files, compact/forget/
+  // requantize retire by rename+delete, so hard links are
+  // observationally a fresh build) and runs the lifecycle op under
+  // test on the clone. Reps measure the OPERATOR — clone + compact/
+  // ingest/forget/requantize + serve — not a re-run of the identical
+  // scenario build, exactly as production runs maintenance on an index
+  // that already exists.
+  private val annTemplateCache =
+    scala.collection.mutable.Map.empty[(String, String), String]
+  private def annTemplate(dir: String, key: String)(
+      build: => String): String =
+    annTemplateCache.synchronized {
+      annTemplateCache.getOrElseUpdate((dir, key),
+        graft.SetupTimer.time(s"ann_idx_$key") {
+          val root = build
+          // templates outlive later builds: pin out of the lazy
+          // two-generation retirement queue
+          graft.operators.AnnIndex.retain(root)
+          root
+        })
+    }
+
+  // one live clone per gate (the AnnIndex deadRoots cadence): the
+  // previous rep's lazily-forced plan has already run when the next
+  // rep provisions, so its clone is deleted then
+  private val lastAnnClone =
+    scala.collection.mutable.Map.empty[String, String]
+  private def cloneIndex(s: org.apache.spark.sql.SparkSession,
+      template: String, tag: String): String =
+    lastAnnClone.synchronized {
+      lastAnnClone.remove(tag).foreach(graft.sources.Scratch.deleteNow)
+      val root = graft.sources.Scratch.dir(tag)
+      graft.StageTimer.time(tag, "clone") {
+        graft.sources.StoreIO.cloneDir(s, template, root)
+      }
+      lastAnnClone(tag) = root
+      root
+    }
+
+  import org.apache.spark.sql.SparkSession
+  import graft.operators.AnnIndex
+
+  /** s19/s23's template: the full-corpus gate-standard index. */
+  private def tplFull50(s: SparkSession, dir: String): String =
+    annTemplate(dir, "full50") {
+      AnnIndex.build(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", centroidStride = 50, maxCentroids = 32)
+    }
+
+  /** s20/s22's template: the even-half base index the odd half
+   * arrives into. */
+  private def tplEven50(s: SparkSession, dir: String): String =
+    annTemplate(dir, "even50") {
+      AnnIndex.build(Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", centroidStride = 50, maxCentroids = 32)
+    }
+
+  /** s21's template: the even-half base FRAGMENTED by two maintain
+   * batches — every posting list carries append files, the layout
+   * compact exists to fix. */
+  private def tplFrag(s: SparkSession, dir: String): String =
+    annTemplate(dir, "frag") {
+      val e = Tables.load(s, dir, "embeddings")
+      val root = AnnIndex.build(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", centroidStride = 50, maxCentroids = 32)
+      AnnIndex.maintain(s, root, e.filter(col("vec_id") % 4 === 1),
+        "vec_id", "embedding")
+      AnnIndex.maintain(s, root, e.filter(col("vec_id") % 4 === 3),
+        "vec_id", "embedding")
+      root
+    }
+
+  /** s24's template: coarse-quantizer build + full frozen-append drift
+   * scenario — the accumulated corpus requantize retrains on. */
+  private def tplCoarse(s: SparkSession, dir: String): String =
+    annTemplate(dir, "coarse") {
+      val e = Tables.load(s, dir, "embeddings")
+      val root = AnnIndex.build(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", centroidStride = 100, maxCentroids = 16)
+      AnnIndex.maintain(s, root, e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      root
+    }
+
+  /** s25's template: coarse build + the genuinely DRIFTED arrival
+   * stream (every arrival rides one direction the quantizer never
+   * carved). */
+  private def tplDrift(s: SparkSession, dir: String): String =
+    annTemplate(dir, "drift") {
+      val e = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding"))
+      val root = AnnIndex.build(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", centroidStride = 100, maxCentroids = 16)
+      AnnIndex.maintain(s, root, e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id"), transform(col("embedding"),
+            x => x * lit(0.05) + lit(1.0)).as("embedding")),
+        "vec_id", "embedding")
+      root
+    }
+
+  /** s22's streamed-arrival staging: the odd half written once as the
+   * 8-file stream source every rep's engine run reads. */
+  private val annSrcCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def tplIngestSrc(s: SparkSession, dir: String): String =
+    annSrcCache.synchronized {
+      annSrcCache.getOrElseUpdate(dir, {
+        val src = graft.sources.Scratch.dir("ann_ingest_src")
+        Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") % 2 === 1)
+          .repartitionByRange(8, col("vec_id"))
+          .write.mode("overwrite").parquet(src)
+        src
+      })
+    }
+
   /** DuckDB select-list fragment computing cosine(a, b) (uses DuckDB's
    * lateral column-alias reuse for dot/na/nb). Caller aliases it `cos`. */
   private def cosSelect(a: String, b: String): String =
@@ -760,13 +884,16 @@ object SimilarityQueries {
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        val root = graft.operators.AnnIndex.build(e, "vec_id", "embedding",
-          centroidStride = 50, maxCentroids = 32)
-        graft.operators.AnnIndex.search(s, root, q, "vec_id", "embedding",
-            nProbe = 2, k = 5)
+        // build-once / serve-many made literal: the artifact is the
+        // once-per-JVM template (setup line ann_idx_full50) and each
+        // rep measures the pruned SERVE path against it — read-only,
+        // so no clone is needed
+        graft.operators.AnnIndex.search(s, tplFull50(s, dir), q,
+            "vec_id", "embedding", nProbe = 2, k = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s03Oracle)),
+      Some(s03Oracle),
+      setup = Some((ss, dir) => { tplFull50(ss, dir); () })),
 
     // ----------------------------------------------------------------
     // s20 — incremental index maintenance: build the artifact from the
@@ -781,18 +908,23 @@ object SimilarityQueries {
     Q("s20_ann_index_maintain",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val base = e.filter(col("vec_id") % 2 === 0)
         val batch = e.filter(col("vec_id") % 2 === 1)
         val q = e.filter(col("vec_id") % 50 === 0)
-        val root = graft.operators.AnnIndex.build(base, "vec_id",
-          "embedding", centroidStride = 50, maxCentroids = 32)
-        graft.operators.AnnIndex.maintain(s, root, batch, "vec_id",
-          "embedding")
+        // the op under test is the frozen-quantizer APPEND: each rep
+        // link-clones the committed even-half template and maintains
+        // the arriving half into the clone
+        val root = cloneIndex(s, tplEven50(s, dir),
+          "s20_ann_index_maintain")
+        graft.StageTimer.time("s20_ann_index_maintain", "maintain") {
+          graft.operators.AnnIndex.maintain(s, root, batch, "vec_id",
+            "embedding")
+        }
         graft.operators.AnnIndex.search(s, root, q, "vec_id", "embedding",
             nProbe = 2, k = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s03Oracle)),
+      Some(s03Oracle),
+      setup = Some((ss, dir) => { tplEven50(ss, dir); () })),
 
     // ----------------------------------------------------------------
     // s21 — index COMPACTION: two maintain batches leave every posting
@@ -807,19 +939,20 @@ object SimilarityQueries {
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
         val q = e.filter(col("vec_id") % 50 === 0)
-        val root = graft.operators.AnnIndex.build(
-          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-          centroidStride = 50, maxCentroids = 32)
-        graft.operators.AnnIndex.maintain(s, root,
-          e.filter(col("vec_id") % 4 === 1), "vec_id", "embedding")
-        graft.operators.AnnIndex.maintain(s, root,
-          e.filter(col("vec_id") % 4 === 3), "vec_id", "embedding")
-        graft.operators.AnnIndex.compact(s, root)
+        // the op under test is COMPACTION: each rep link-clones the
+        // committed fragmented template (build + 2 maintains, the
+        // ann_idx_frag setup line) and compacts the clone
+        val root = cloneIndex(s, tplFrag(s, dir),
+          "s21_ann_index_compact")
+        graft.StageTimer.time("s21_ann_index_compact", "compact") {
+          graft.operators.AnnIndex.compact(s, root)
+        }
         graft.operators.AnnIndex.search(s, root, q, "vec_id", "embedding",
             nProbe = 2, k = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s03Oracle)),
+      Some(s03Oracle),
+      setup = Some((ss, dir) => { tplFrag(ss, dir); () })),
 
     // ----------------------------------------------------------------
     // s22 — STREAMING ingest into the persisted ANN index: the q86/q91
@@ -838,14 +971,13 @@ object SimilarityQueries {
         import org.apache.spark.sql.streaming.Trigger
         val ss = s.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", "8")
-        val e = Tables.load(ss, dir, "embeddings")
-        val root = graft.operators.AnnIndex.build(
-          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-          centroidStride = 50, maxCentroids = 32)
-        val src = graft.sources.Scratch.dir("ann_ingest_src")
-        e.filter(col("vec_id") % 2 === 1)
-          .repartitionByRange(8, col("vec_id"))
-          .write.mode("overwrite").parquet(src)
+        // the op under test is the exactly-once STREAMING ingest: each
+        // rep link-clones the committed even-half template, stages a
+        // fresh checkpoint, and streams the (once-staged) odd half into
+        // the clone through the real engine
+        val root = cloneIndex(ss, tplEven50(ss, dir),
+          "s22_stream_ann_ingest")
+        val src = tplIngestSrc(ss, dir)
         val q = ss.readStream.schema(ss.read.parquet(src).schema)
           .option("maxFilesPerTrigger", StreamingQueries.GateFilesPerTrigger).parquet(src)
           .writeStream
@@ -864,7 +996,10 @@ object SimilarityQueries {
             "vec_id", "embedding", nProbe = 2, k = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s03Oracle)),
+      Some(s03Oracle),
+      setup = Some((ss, dir) => {
+        tplEven50(ss, dir); tplIngestSrc(ss, dir); ()
+      })),
 
     // ----------------------------------------------------------------
     // s23 — COMPLIANCE FORGET on the index artifact: the right-to-be-
@@ -882,16 +1017,22 @@ object SimilarityQueries {
     Q("s23_ann_index_forget",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val root = graft.operators.AnnIndex.build(e, "vec_id",
-          "embedding", centroidStride = 50, maxCentroids = 32)
-        graft.operators.AnnIndex.forget(s, root,
-          e.filter(col("vec_id") % 17 === 0), "vec_id", "embedding")
+        // the op under test is FORGET: each rep link-clones the
+        // committed full-corpus template (shared with s19) and forgets
+        // the victims out of the clone
+        val root = cloneIndex(s, tplFull50(s, dir),
+          "s23_ann_index_forget")
+        graft.StageTimer.time("s23_ann_index_forget", "forget") {
+          graft.operators.AnnIndex.forget(s, root,
+            e.filter(col("vec_id") % 17 === 0), "vec_id", "embedding")
+        }
         graft.operators.AnnIndex.search(s, root,
             e.filter(col("vec_id") % 50 === 0),
             "vec_id", "embedding", nProbe = 2, k = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s03OracleOver("vec_id % 17 <> 0"))),
+      Some(s03OracleOver("vec_id % 17 <> 0")),
+      setup = Some((ss, dir) => { tplFull50(ss, dir); () })),
 
     // ----------------------------------------------------------------
     // s24 — index RE-QUANTIZATION: the lifecycle op the frozen-quantizer
@@ -914,19 +1055,23 @@ object SimilarityQueries {
     Q("s24_ann_index_requantize",
       (s, dir) => {
         val e = Tables.load(s, dir, "embeddings")
-        val root = graft.operators.AnnIndex.build(
-          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-          centroidStride = 100, maxCentroids = 16)
-        graft.operators.AnnIndex.maintain(s, root,
-          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
-        graft.operators.AnnIndex.requantize(s, root,
-          centroidStride = 50, maxCentroids = 32)
+        // the op under test is the offline REQUANTIZE: each rep
+        // link-clones the committed drifted template (coarse build +
+        // frozen append, the ann_idx_coarse setup line) and refits the
+        // clone's quantizer
+        val root = cloneIndex(s, tplCoarse(s, dir),
+          "s24_ann_index_requantize")
+        graft.StageTimer.time("s24_ann_index_requantize", "requantize") {
+          graft.operators.AnnIndex.requantize(s, root,
+            centroidStride = 50, maxCentroids = 32)
+        }
         graft.operators.AnnIndex.search(s, root,
             e.filter(col("vec_id") % 50 === 0),
             "vec_id", "embedding", nProbe = 2, k = 5)
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s03Oracle)),
+      Some(s03Oracle),
+      setup = Some((ss, dir) => { tplCoarse(ss, dir); () })),
 
     // ----------------------------------------------------------------
     // s25 — DRIFT-TRIGGERED re-quantization: s24 proves the refit is
@@ -952,19 +1097,21 @@ object SimilarityQueries {
         val e = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"),
             col("embedding").cast("array<double>").as("embedding"))
-        val root = graft.operators.AnnIndex.build(
-          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
-          centroidStride = 100, maxCentroids = 16)
-        val arrivals = e.filter(col("vec_id") % 2 === 1)
-          .select(col("vec_id"), transform(col("embedding"),
-            x => x * lit(0.05) + lit(1.0)).as("embedding"))
-        graft.operators.AnnIndex.maintain(s, root, arrivals,
-          "vec_id", "embedding")
+        // the op under test is the drift DECISION + refit: each rep
+        // link-clones the committed drifted template (coarse build +
+        // collapsed-list arrivals, the ann_idx_drift setup line),
+        // measures the imbalance statistic on the clone and fires the
+        // refit there
+        val root = cloneIndex(s, tplDrift(s, dir),
+          "s25_ann_drift_requantize")
         // one posting-metadata scan per decision: the trigger returns
         // the statistic it measured (ADVICE r14)
-        val d = graft.operators.AnnIndex.requantizeIfDrifted(s,
-          root, maxImbalance = 2.0, centroidStride = 50,
-          maxCentroids = 32)
+        val d = graft.StageTimer.time("s25_ann_drift_requantize",
+          "drift_requantize") {
+          graft.operators.AnnIndex.requantizeIfDrifted(s,
+            root, maxImbalance = 2.0, centroidStride = 50,
+            maxCentroids = 32)
+        }
         require(d.fired, f"s25: imbalance ${d.imbalance}%.4f did not " +
           "cross 2.0 — the drift construction stopped drifting")
         graft.operators.AnnIndex.search(s, root,
@@ -978,7 +1125,8 @@ object SimilarityQueries {
           .withColumn("refit", lit(d.fired))
           .orderBy(col("qid"), col("rank"))
       },
-      Some(s25Oracle)),
+      Some(s25Oracle),
+      setup = Some((ss, dir) => { tplDrift(ss, dir); () })),
 
     // ----------------------------------------------------------------
     // q50 — the Catalyst optimizer rule in the hard gate: this query is
