@@ -33,20 +33,18 @@ object ClassifierQueries {
 
   import graft.functions.{TextFunctions => TF}
 
-  /** (doc_id, __tok, n_bpe, quality) over every document — ONE staged
-   * projection; the heuristic labels the seed, NB scores the rest. */
+  /** (doc_id, __tok, n_bpe, quality) over every document — served from
+   * the SHARED scored base (r18 verdict #3): the normalize/tokenize/
+   * quality projection is the same map pass every curation store rides
+   * ([[CurationStreamQueries.scoredBase]], checkpointed once per
+   * corpus and priced as its own setup line), so the NB train+score
+   * chain no longer re-tokenizes the corpus once per consumer — at
+   * 100 TB that was two extra crawl-scale scans (train + score) per
+   * classifier run. */
   private def staged(ss: SparkSession, dir: String): DataFrame =
-    graft.sources.Tables.load(ss, dir, "documents")
-      .select(col("doc_id"), TF.normalizeText(col("text")).as("__t"))
-      .select(col("doc_id"), col("__t"),
-        TF.tokensFromNorm(col("__t")).as("__tok"))
-      .select(col("doc_id"), col("__tok"),
-        TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),
-        TF.qualityScoreFromCounts(
-          size(col("__tok")).cast("long"),
-          TF.stopwordCountFromTokens(col("__tok")),
-          length(col("__t")),
-          TF.punctCountFromNorm(col("__t"))).as("quality"))
+    CurationStreamQueries.scoredBase(ss, dir)
+      .select(col("id").as("doc_id"), col("__tok"), col("n_bpe"),
+        col("quality"))
 
   /** TRAIN: multinomial NB with Laplace smoothing on the heuristic-
    * labeled seed. Returns the 6dp prior log-ratio and the per-token
@@ -396,7 +394,12 @@ object ClassifierQueries {
   }
 
   val all: Seq[Q] = Seq(
-    Q("q124_nb_quality_score", runNbScore, Some(nbScoreOracle)),
+    Q("q124_nb_quality_score", runNbScore, Some(nbScoreOracle),
+      // resolve the shared base before the reps so its one-time
+      // checkpoint attributes to curation_scored_base, not to rep 1
+      setup = Some((ss, dir) => {
+        CurationStreamQueries.scoredBase(ss, dir); ()
+      })),
     Q("q125_nb_curation", runNbCuration, Some(nbCurationOracle),
       setup = Some((ss, dir) => { nbCurationArtifacts(ss, dir); () })),
     Q("q127_dsir_select", runDsir, Some(dsirOracle)))

@@ -80,6 +80,11 @@ object CurationStreamQueries {
       .select(col("id"), col("__t"),
         TF.tokensFromNorm(col("__t")).as("__tok"))
       .select(col("id"),
+        // the token array itself rides the base too: q124/q125's NB
+        // train+score consume it (token-count aggregation + weight
+        // join), which previously re-normalized and re-tokenized the
+        // whole corpus once per consumer (r18 verdict #3)
+        col("__tok"),
         graft.operators.Dedup.simHashFromHashes(
           transform(col("__tok"), t => TF.hash60(t)), 60).as("sig"),
         TF.bpeTokenCountFromNorm(col("__t")).as("n_bpe"),

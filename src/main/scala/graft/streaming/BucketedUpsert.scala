@@ -380,11 +380,15 @@ object BucketedUpsert {
       val t0 = System.nanoTime()
       val newest = reduce(upserts)
       val dks = deleteKeys.select(col(keyCol)).distinct()
-      // bounded driver-side lists (≤ nBuckets ints each)
-      val upB = newest.select(bucketOf.as("__b")).distinct()
-        .collect().map(_.getInt(0))
-      val delB = dks.select(bucketOf.as("__b")).distinct()
-        .collect().map(_.getInt(0)).filter(current.contains)
+      // bounded driver-side list (≤ 2·nBuckets (side, bucket) rows),
+      // both sides routed in ONE job — two separate collects paid two
+      // full evaluations' scheduling per batch
+      val routed = newest.select(bucketOf.as("__b"), lit(0).as("__side"))
+        .unionByName(dks.select(bucketOf.as("__b"), lit(1).as("__side")))
+        .distinct().collect()
+      val upB = routed.filter(_.getInt(1) == 0).map(_.getInt(0))
+      val delB = routed.filter(_.getInt(1) == 1).map(_.getInt(0))
+        .filter(current.contains)
       val touched = (upB ++ delB).distinct.sorted
       if (touched.isEmpty) return
       val prevPaths = dirsOf(touched.toSeq)

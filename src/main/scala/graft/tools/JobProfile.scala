@@ -14,13 +14,17 @@ object JobProfile {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+    // ad-hoc A/B knobs: -Dgraft.profile.conf=k=v,k=v
+    val spark = sys.props.get("graft.profile.conf").toSeq
+      .flatMap(_.split(",")).map(_.split("=", 2))
+      .foldLeft(b0)((b, kv) => b.config(kv(0), kv(1)))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
@@ -43,9 +47,19 @@ object JobProfile {
     q.setup.foreach { f =>
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
+      done.clear()
       val t0 = System.nanoTime()
       f(ss, dir)
-      println(f"== setup done in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      import scala.jdk.CollectionConverters._
+      val js = done.asScala.toSeq.sortBy(_._2)
+      val jobWall = js.map(j => j._3 - j._2).sum / 1e3
+      println(f"== setup done in $wall%.3f s, ${js.size} jobs, " +
+        f"job-exec $jobWall%.3f s, driver-gap ${wall - jobWall}%.3f s")
+      js.filter(j => j._3 - j._2 > 150).foreach { case (id, t0j, t1, desc) =>
+        println(f"   setup job $id%4d ${(t1 - t0j) / 1e3}%7.3f s  ${desc.take(90)}")
+      }
     }
     (1 to reps).foreach { i =>
       done.clear()
