@@ -34,5 +34,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g, not 8g (r19, guide §5): the round bench runs 200+ gates in one
+  // local[32] JVM that is driver AND all executors; at 8g the unified
+  // heap starved as localCheckpoint blocks and shuffle state accumulated
+  // — the CPU canary degraded 1.44→1.88 (+30%) within a run, and every
+  // late-running gate paid it (the q91/q92/q111 "regressions" r18
+  // ordered rechecked were exactly this). At 24g (~19% of the 128 GiB
+  // box) the end-of-run canary equals the start (1.505→1.533) and the
+  // same code ran 573→430 s. Still env-overridable for smaller boxes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -43,6 +43,13 @@ object SketchStore {
   private val deadRoots =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** Pin a finished build OUT of the lazy retirement queue: a TEMPLATE
+   * root (a committed store later reps clone from) must survive every
+   * subsequent [[build]]. */
+  def retain(root: String): Unit = {
+    deadRoots.remove(root); ()
+  }
+
   /** The canonical ingest-grain projection: one row per (type, day). */
   private def dayRows(events: DataFrame): DataFrame =
     events.select(col("event_type"), to_date(col("ts")).as("day"),

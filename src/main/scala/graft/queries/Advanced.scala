@@ -1833,10 +1833,14 @@ Some(scd2RebuildOracle)),
     Q("q82_sketch_store_serve",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
-        val root = graft.operators.SketchStore.build(e)
-        sketchStoreGate(e, graft.operators.SketchStore.serve(s, root))
+        // build-once / serve-many literal: the artifact is the
+        // once-per-JVM template (sketch_store_full setup line); the
+        // rep measures the artifact-only serve — read-only, no clone
+        sketchStoreGate(e,
+          graft.operators.SketchStore.serve(s, skFull(s, dir)))
       },
-      Some(sketchStoreOracle)),
+      Some(sketchStoreOracle),
+      setup = Some((ss, dir) => { skFull(ss, dir); () })),
 
     // ----------------------------------------------------------------
     // q83 — sketch-store MAINTENANCE: the event history splits at its
@@ -1856,15 +1860,20 @@ Some(scd2RebuildOracle)),
         val withMid = e.crossJoin(broadcast(bounds))
           .withColumn("__mid", date_add(col("mn"),
             (datediff(col("mx"), col("mn")) / 2).cast("int")))
-        val base = withMid.filter(to_date(col("ts")) < col("__mid"))
-          .select(e.columns.map(col): _*)
         val fresh = withMid.filter(to_date(col("ts")) >= col("__mid"))
           .select(e.columns.map(col): _*)
-        val root = graft.operators.SketchStore.build(base)
-        graft.operators.SketchStore.maintain(root, fresh)
+        // the op under test is the day-partition APPEND: each rep
+        // link-clones the committed older-half template and maintains
+        // the new days into the clone
+        val root = RepClones.fresh(s, skOldDays(s, dir),
+          "q83_sketch_store_maintain")
+        graft.StageTimer.time("q83_sketch_store_maintain", "maintain") {
+          graft.operators.SketchStore.maintain(root, fresh)
+        }
         sketchStoreGate(e, graft.operators.SketchStore.serve(s, root))
       },
-      Some(sketchStoreOracle)),
+      Some(sketchStoreOracle),
+      setup = Some((ss, dir) => { skOldDays(ss, dir); () })),
 
     // ----------------------------------------------------------------
     // q84 — sketch-store LATE-DATA upsert: unlike q83's whole-day
@@ -1886,13 +1895,19 @@ Some(scd2RebuildOracle)),
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
         val h = pmod(xxhash64(col("event_id")), lit(4))
-        val root = graft.operators.SketchStore.build(
-          e.filter(h === 0 || h === 1))
-        graft.operators.SketchStore.upsertDays(s, root, e.filter(h === 2))
-        graft.operators.SketchStore.upsertDays(s, root, e.filter(h === 3))
+        // the op under test is the LATE-DATA upsert: each rep
+        // link-clones the committed two-quarter template and re-feeds
+        // the other two quarters into the clone
+        val root = RepClones.fresh(s, skTwoQuarters(s, dir),
+          "q84_sketch_store_upsert")
+        graft.StageTimer.time("q84_sketch_store_upsert", "upserts") {
+          graft.operators.SketchStore.upsertDays(s, root, e.filter(h === 2))
+          graft.operators.SketchStore.upsertDays(s, root, e.filter(h === 3))
+        }
         sketchStoreGate(e, graft.operators.SketchStore.serve(s, root))
       },
-      Some(sketchStoreOracle)),
+      Some(sketchStoreOracle),
+      setup = Some((ss, dir) => { skTwoQuarters(ss, dir); () })),
 
     // ----------------------------------------------------------------
     // q85 — sketch-store RANGE serve with partition pruning: "distinct
@@ -1909,7 +1924,8 @@ Some(scd2RebuildOracle)),
     Q("q85_sketch_store_range",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
-        val root = graft.operators.SketchStore.build(e)
+        // read-only range serve over the shared full template
+        val root = skFull(s, dir)
         val r = e.agg(min(to_date(col("ts"))).as("mn"),
           max(to_date(col("ts"))).as("mx")).head()
         val mn = r.getDate(0)
@@ -1922,7 +1938,8 @@ Some(scd2RebuildOracle)),
           e.filter(to_date(col("ts")).between(lit(mn), lit(mid))),
           served)
       },
-      Some("""WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS mn,
+      setup = Some((ss, dir) => { skFull(ss, dir); () }),
+      oracle = Some("""WITH b AS (SELECT MIN(CAST(ts AS DATE)) AS mn,
              |    MAX(CAST(ts AS DATE)) AS mx FROM events),
              |ev AS (SELECT e.* FROM events e, b
              |  WHERE CAST(e.ts AS DATE) BETWEEN b.mn
@@ -1952,18 +1969,76 @@ Some(scd2RebuildOracle)),
     Q("q87_sketch_store_compact",
       (s, dir) => {
         val e = Tables.load(s, dir, "events")
-        val root = graft.operators.SketchStore.build(e)
+        // the op under test is the month-tier COMPACTION: each rep
+        // link-clones the committed full template and compacts the clone
+        val root = RepClones.fresh(s, skFull(s, dir),
+          "q87_sketch_store_compact")
         val r = e.agg(min(to_date(col("ts"))).as("mn"),
           max(to_date(col("ts"))).as("mx")).head()
         val mn = r.getDate(0)
         val cutoff = java.sql.Date.valueOf(mn.toLocalDate.plusDays(
           java.time.temporal.ChronoUnit.DAYS.between(
             mn.toLocalDate, r.getDate(1).toLocalDate) / 2))
-        graft.operators.SketchStore.compact(s, root, cutoff)
+        graft.StageTimer.time("q87_sketch_store_compact", "compact") {
+          graft.operators.SketchStore.compact(s, root, cutoff)
+        }
         sketchStoreGate(e, graft.operators.SketchStore.serve(s, root))
       },
-      Some(sketchStoreOracle))
+      Some(sketchStoreOracle),
+      setup = Some((ss, dir) => { skFull(ss, dir); () }))
   )
+
+  // ---- sketch-store TEMPLATES (the r19 ANN/GCD link-clone trade
+  // applied to the day-tier sketch artifact): each lifecycle gate's
+  // byte-identical scenario build is committed once per JVM as its own
+  // priced setup line; mutating gates (q83/q84/q86/q87) link-clone it
+  // per rep (RepClones — store files are immutable: maintain appends
+  // day partitions, upsert/compact replace via dynamic-overwrite/
+  // stage-swap, so hard links never alias a rewritten byte) and run
+  // the maintenance op under test on the clone; read-only serves
+  // (q82/q85) read the template directly — build-once/serve-many made
+  // literal.
+  private val skTemplateCache =
+    scala.collection.mutable.Map.empty[(String, String), String]
+  private[queries] def skTemplate(dir: String, key: String)(
+      build: => String): String =
+    skTemplateCache.synchronized {
+      skTemplateCache.getOrElseUpdate((dir, key),
+        graft.SetupTimer.time(s"sketch_store_$key") {
+          val root = build
+          graft.operators.SketchStore.retain(root)
+          root
+        })
+    }
+
+  private[queries] def skFull(s: SparkSession, dir: String): String =
+    skTemplate(dir, "full") {
+      graft.operators.SketchStore.build(Tables.load(s, dir, "events"))
+    }
+
+  /** q83's template: the store built from the older half of the
+   * history (day grain). */
+  private[queries] def skOldDays(s: SparkSession, dir: String): String =
+    skTemplate(dir, "old_days") {
+      val e = Tables.load(s, dir, "events")
+      val bounds = e.agg(min(to_date(col("ts"))).as("mn"),
+        max(to_date(col("ts"))).as("mx"))
+      val withMid = e.crossJoin(broadcast(bounds))
+        .withColumn("__mid", date_add(col("mn"),
+          (datediff(col("mx"), col("mn")) / 2).cast("int")))
+      graft.operators.SketchStore.build(
+        withMid.filter(to_date(col("ts")) < col("__mid"))
+          .select(e.columns.map(col): _*))
+    }
+
+  /** q84's template: the store built from the first two of the four
+   * hash-disjoint event subsets. */
+  private[queries] def skTwoQuarters(s: SparkSession, dir: String): String =
+    skTemplate(dir, "two_quarters") {
+      val e = Tables.load(s, dir, "events")
+      val h = pmod(xxhash64(col("event_id")), lit(4))
+      graft.operators.SketchStore.build(e.filter(h === 0 || h === 1))
+    }
 
   /** Shared q82-q86 gate shape: the store's artifact-only serve output
    * joined with exact references computed from raw events (exact

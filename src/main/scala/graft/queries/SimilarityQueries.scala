@@ -40,22 +40,9 @@ object SimilarityQueries {
         })
     }
 
-  // one live clone per gate (the AnnIndex deadRoots cadence): the
-  // previous rep's lazily-forced plan has already run when the next
-  // rep provisions, so its clone is deleted then
-  private val lastAnnClone =
-    scala.collection.mutable.Map.empty[String, String]
   private def cloneIndex(s: org.apache.spark.sql.SparkSession,
       template: String, tag: String): String =
-    lastAnnClone.synchronized {
-      lastAnnClone.remove(tag).foreach(graft.sources.Scratch.deleteNow)
-      val root = graft.sources.Scratch.dir(tag)
-      graft.StageTimer.time(tag, "clone") {
-        graft.sources.StoreIO.cloneDir(s, template, root)
-      }
-      lastAnnClone(tag) = root
-      root
-    }
+    RepClones.fresh(s, template, tag)
 
   import org.apache.spark.sql.SparkSession
   import graft.operators.AnnIndex

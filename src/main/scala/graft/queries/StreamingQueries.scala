@@ -446,25 +446,52 @@ object StreamingQueries {
    * inside their gated bands. SketchSoak is the at-volume proof that
    * per-batch upsert I/O stays bounded by touched days while the store
    * holds months. */
-  private def runSketchIngest(s: SparkSession, dir: String): DataFrame = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    locally {
+  // q86's templates (the q83/q84 link-clone trade on the streamed
+  // gate): the pre-cut store build and the time-ordered tail staging
+  // are byte-identical per rep — committed once per JVM, priced as
+  // their own setup lines; each rep link-clones the store and streams
+  // the staged tail into the clone through a fresh checkpoint.
+  private def skTimeHalf(ss: SparkSession, dir: String): String =
+    Advanced.skTemplate(dir, "time_half") {
       val e = graft.sources.Tables.load(ss, dir, "events")
         .select(col("event_type"), col("ts"), col("user_id"), col("value"))
       val r = e.agg(unix_micros(min(col("ts"))).as("mn"),
         unix_micros(max(col("ts"))).as("mx")).head()
       val cutUs = (r.getLong(0) + r.getLong(1)) / 2
-      val root = graft.operators.SketchStore.build(
+      graft.operators.SketchStore.build(
         e.filter(unix_micros(col("ts")) < cutUs))
+    }
+  private val skSrcCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def skIngestSrc(ss: SparkSession, dir: String): String =
+    skSrcCache.synchronized {
+      skSrcCache.getOrElseUpdate(dir, {
+        val e = graft.sources.Tables.load(ss, dir, "events")
+          .select(col("event_type"), col("ts"), col("user_id"),
+            col("value"))
+        val r = e.agg(unix_micros(min(col("ts"))).as("mn"),
+          unix_micros(max(col("ts"))).as("mx")).head()
+        val cutUs = (r.getLong(0) + r.getLong(1)) / 2
+        // stage the tail as time-ordered files so micro-batches are
+        // day-clustered (each batch touches a bounded day subset — the
+        // shape a partitioned ingest pipeline delivers)
+        val src = graft.sources.Scratch.dir("sketch_ingest_src")
+        e.filter(unix_micros(col("ts")) >= cutUs)
+          .repartitionByRange(8, col("ts"))
+          .write.mode("overwrite").parquet(src)
+        src
+      })
+    }
 
-      // stage the tail as time-ordered files so micro-batches are
-      // day-clustered (each batch touches a bounded day subset — the
-      // shape a partitioned ingest pipeline delivers)
-      val src = graft.sources.Scratch.dir("sketch_ingest_src")
-      e.filter(unix_micros(col("ts")) >= cutUs)
-        .repartitionByRange(8, col("ts"))
-        .write.mode("overwrite").parquet(src)
+  private def runSketchIngest(s: SparkSession, dir: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    locally {
+      // the op under test is the exactly-once streamed ingest: clone
+      // the committed pre-cut store, stream the staged tail into it
+      val root = RepClones.fresh(ss, skTimeHalf(ss, dir),
+        "q86_stream_sketch_ingest")
+      val src = skIngestSrc(ss, dir)
       val schema = ss.read.parquet(src).schema
       val q = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", StreamingQueries.GateFilesPerTrigger).parquet(src)
@@ -707,7 +734,10 @@ object StreamingQueries {
     Q("q89_stream_incremental_cc", runStreamCc, Some(Analytics.incCcOracle),
       setup = Some((ss, dir) => { streamCcArtifacts(ss, dir); () })),
     Q("q86_stream_sketch_ingest", runSketchIngest,
-      Some(Advanced.sketchStoreOracle)),
+      Some(Advanced.sketchStoreOracle),
+      setup = Some((ss, dir) => {
+        skTimeHalf(ss, dir); skIngestSrc(ss, dir); ()
+      })),
     Q("q74_stream_approx_users", runHourlyUsers, Some(hourlyUsersOracle)),
     Q("q80_stream_kll_quantiles", runHourlyQuantiles,
       Some(hourlyQuantilesOracle)),
