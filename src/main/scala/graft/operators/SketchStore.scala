@@ -229,8 +229,13 @@ object SketchStore {
   private[operators] def stageUpsert(ss: SparkSession, root: String,
       newEvents: DataFrame): Option[String] = {
     val partial = dayRows(newEvents)
-    val touched = partial.select(col("day")).distinct()
-      .collect().map(_.getDate(0))
+    // touched days from the RAW timestamps, not from `partial`: the
+    // day list is days-with-≥1-event either way, but deriving it from
+    // the aggregated frame evaluated the full three-sketch aggregation
+    // once just to learn the day list and then AGAIN for the merge
+    // write below (guide §1.2 — don't compute what you throw away)
+    val touched = newEvents.select(to_date(col("ts")).as("day"))
+      .distinct().collect().map(_.getDate(0))
     if (touched.isEmpty) None
     else {
       val existing = table(ss, root)

@@ -669,8 +669,24 @@ object Advanced {
         val p = Tables.load(s, dir, "part")
           .select(col("p_partkey"), col("p_name"),
             substring_index(col("p_name"), " ", 2).as("blk"))
-        val x = p.as("x"); val y = p.as("y")
-        x.join(y, col("x.blk") === col("y.blk") &&
+        // SPREAD THE STREAM SIDE (guide §2.5 input parallelism): the
+        // join is broadcast (y is tiny), so each stream task computes
+        // the levenshtein DP for ITS rows' candidate pairs — but a
+        // compact `part` arrives as one scan split and the whole
+        // Σ|block|² DP ran in a single task while every other core
+        // idled. Repartitioning the stream side on the unique key
+        // spreads pair generation evenly (key-deterministic, not
+        // round-robin — no re-run hazard under retries). The partition
+        // count is PINNED (repartition-by-num, which AQE honors):
+        // byte-based coalescing folded the un-numbered exchange
+        // straight back to one partition — AQE sizes by bytes and
+        // cannot see that each row fans out into |block| DP cells.
+        // defaultParallelism scales with the session's cores, never a
+        // local constant.
+        val x = p.repartition(s.sparkContext.defaultParallelism,
+          col("p_partkey")).as("x")
+        val y = p.as("y")
+        x.join(broadcast(y), col("x.blk") === col("y.blk") &&
             col("x.p_partkey") < col("y.p_partkey"))
           .select(col("x.blk").as("blk"),
             levenshtein(col("x.p_name"), col("y.p_name")).cast("long")
