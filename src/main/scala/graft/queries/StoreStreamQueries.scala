@@ -84,14 +84,38 @@ object StoreStreamQueries {
    * buckets carry by pointer. The oracle is q56's batch argmax with
    * the deleted users filtered out: the hash gate proves the delete
    * removed exactly the requested keys and disturbed nothing else. */
+  // q93's template: the committed q56-view store, streamed ONCE per
+  // JVM (priced as its own setup line — the r19 link-clone trade); the
+  // rep measures the op under test, DELETE, on a cloneTo copy. q56
+  // itself keeps the full per-rep streamed build: the merge loop IS
+  // that gate's subject.
+  private val upsertTplCache =
+    scala.collection.mutable.Map.empty[String, String]
+  private def upsertViewTemplate(ss: SparkSession, dir: String): String =
+    upsertTplCache.synchronized {
+      upsertTplCache.getOrElseUpdate(dir,
+        graft.SetupTimer.time("upsert_view_store") {
+          upsertViewState(ss, dir).rootDir
+        })
+    }
+
   private def runUpsertDelete(s: SparkSession, dir: String): DataFrame = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
-    val state = upsertViewState(ss, dir)
-    state.delete(
-      graft.sources.Tables.load(ss, dir, "events")
-        .filter(col("user_id") % 10 === 3).select(col("user_id")),
-      opId = 1000L)
+    val tpl = graft.streaming.BucketedUpsert.recover(ss,
+      keyCol = "user_id",
+      payloadCols = Seq("us", "event_id", "event_type", "value"),
+      nBuckets = 16, stateRoot = upsertViewTemplate(ss, dir))
+    val state = graft.StageTimer.time("q93_upsert_targeted_delete",
+      "clone") {
+      tpl.cloneTo(graft.sources.Scratch.dir("q93_clone"))
+    }
+    graft.StageTimer.time("q93_upsert_targeted_delete", "delete") {
+      state.delete(
+        graft.sources.Tables.load(ss, dir, "events")
+          .filter(col("user_id") % 10 === 3).select(col("user_id")),
+        opId = 1000L)
+    }
     upsertViewCols(state, s)
   }
 
@@ -390,7 +414,12 @@ object StoreStreamQueries {
   val all: Seq[Q] = Seq(
     Q("q56_stream_upsert_view", runUpsert, Some(upsertOracle)),
     Q("q93_upsert_targeted_delete", runUpsertDelete,
-      Some(upsertDeleteOracle)),
+      Some(upsertDeleteOracle),
+      setup = Some((ss, dir) => {
+        val s8 = ss.newSession()
+        s8.conf.set("spark.sql.shuffle.partitions", "8")
+        upsertViewTemplate(s8, dir); ()
+      })),
     Q("q95_upsert_time_travel", runTimeTravel, Some(timeTravelOracle)),
     Q("q96_upsert_vacuum", runUpsertVacuum, Some(upsertOracle)),
     Q("q99_upsert_change_feed", runChangeFeed, Some(changeFeedOracle)),
